@@ -1,13 +1,133 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Curves
+import graft.oracle.DuckSql
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every entry in [[queries]] has a matching DuckDB oracle in
+  * [[oracleSql]] (hash-compared at sf0.01 by the driver) unless noted.
+  * Column names and types are aligned on both sides; curve keys are
+  * canonicalized to unsigned-decimal strings via curve_key_str() on the
+  * Spark side and CAST(... AS VARCHAR) on the DuckDB side, because the
+  * two engines have no common unsigned integer type.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  private def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  private def withCurves(spark: SparkSession): SparkSession = {
+    Curves.register(spark); spark
+  }
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's raison d'être: curve-order a table so the layout is
+    * locality-preserving (docs/README.md:53-72), here as an ORDER BY over
+    * a Hilbert key on (partkey, linenumber). */
+  def entry(spark: SparkSession): DataFrame = {
+    withCurves(spark)
+    val li = table(spark, "/root/testdata/sf0.001", "lineitem")
+    li.select(
+        col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
+        Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("hkey"))
+      .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- reference surface: the 4 curve functions -----------------------
+    "q_hilbert_2d32" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Curves.curveKeyStr(
+          Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber"))).as("hkey"))
+    }),
+    "q_morton_2d32" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Curves.curveKeyStr(
+          Curves.mortonEncode(col("l_partkey").cast("int"), col("l_linenumber"))).as("mkey"))
+    }),
+    "q_hilbert_4d8" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "nation").select(
+        col("n_nationkey"),
+        Curves.curveKeyStr(Curves.hilbertEncode(
+          col("n_nationkey").cast("byte"), col("n_regionkey").cast("byte"),
+          length(col("n_name")).cast("byte"), lit(7).cast("byte"))).as("hkey4"))
+    }),
+    "q_morton_4d16" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "part").select(
+        col("p_partkey"),
+        Curves.curveKeyStr(Curves.mortonEncode(
+          (col("p_partkey") % 32768).cast("short"), col("p_size").cast("short"),
+          length(col("p_name")).cast("short"), length(col("p_type")).cast("short"))).as("mkey4"))
+    }),
+    "q_hilbert_roundtrip" -> ((s, dir) => {
+      withCurves(s)
+      val keyed = table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Curves.hilbertDecode(
+          Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")), 2).as("pt"))
+      keyed.select(
+        col("l_orderkey"), col("l_linenumber"),
+        col("pt").getItem(0).as("x0"), col("pt").getItem(1).as("x1"))
+    }),
+    "q_morton_roundtrip" -> ((s, dir) => {
+      withCurves(s)
+      val keyed = table(s, dir, "orders").select(
+        col("o_orderkey"),
+        Curves.mortonDecode(
+          Curves.mortonEncode(col("o_orderkey").cast("int"),
+            year(col("o_orderdate")).cast("int")), 2).as("pt"))
+      keyed.select(
+        col("o_orderkey"),
+        col("pt").getItem(0).as("x0"), col("pt").getItem(1).as("x1"))
+    }),
+    "q_hilbert_topk" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("hk"))
+        .orderBy(col("hk"), col("l_orderkey"), col("l_linenumber"))
+        .limit(100)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          Curves.curveKeyStr(col("hk")).as("hkey"))
+    }))
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. */
+  def oracleSql: Map[String, String] = Map(
+    "q_hilbert_2d32" -> DuckSql.hilbertQuery(
+      32, Seq("l_partkey", "l_linenumber"), "lineitem",
+      Seq("l_orderkey", "l_linenumber"), "hkey"),
+    "q_morton_2d32" -> DuckSql.mortonQuery(
+      32, Seq("l_partkey", "l_linenumber"), "lineitem",
+      Seq("l_orderkey", "l_linenumber"), "mkey"),
+    "q_hilbert_4d8" -> DuckSql.hilbertQuery(
+      8, Seq("n_nationkey", "n_regionkey", "length(n_name)", "7"), "nation",
+      Seq("n_nationkey"), "hkey4"),
+    "q_morton_4d16" -> DuckSql.mortonQuery(
+      16, Seq("p_partkey % 32768", "p_size", "length(p_name)", "length(p_type)"), "part",
+      Seq("p_partkey"), "mkey4"),
+    "q_hilbert_roundtrip" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_partkey AS INTEGER) AS x0, CAST(l_linenumber AS INTEGER) AS x1
+        |FROM lineitem""".stripMargin,
+    "q_morton_roundtrip" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderkey AS INTEGER) AS x0, CAST(year(o_orderdate) AS INTEGER) AS x1
+        |FROM orders""".stripMargin,
+    "q_hilbert_topk" -> DuckSql.hilbertQuery(
+      32, Seq("l_partkey", "l_linenumber"), "lineitem",
+      Seq("l_orderkey", "l_linenumber"), "hkey",
+      finalOrderBy = Some("curve_key, l_orderkey, l_linenumber"), limit = Some(100)))
 }

@@ -78,8 +78,10 @@ object SFC {
 
   /** MSB-first interleave of xs (each masked to `bits`) into a u128.
     * Bit b of element i lands at key position b*n + (n-1-i). */
-  def mortonEncode(xs: Array[Long], bits: Int): U128 = {
-    val n = xs.length
+  def mortonEncode(xs: Array[Long], bits: Int): U128 = mortonEncode(xs, bits, xs.length)
+
+  /** As above, over the first n slots of xs (xs may be a reused buffer). */
+  def mortonEncode(xs: Array[Long], bits: Int, n: Int): U128 = {
     var hi = 0L; var lo = 0L
     var b = bits - 1
     while (b >= 0) {
@@ -116,8 +118,11 @@ object SFC {
 
   /** Skilling 2004 forward transform, in place (axes → transpose form).
     * After this, Morton-interleaving x yields the Hilbert index. */
-  def hilbertTransformInPlace(x: Array[Long], bits: Int): Unit = {
-    val n = x.length
+  def hilbertTransformInPlace(x: Array[Long], bits: Int): Unit =
+    hilbertTransformInPlace(x, bits, x.length)
+
+  /** As above, over the first n slots of x (x may be a reused buffer). */
+  def hilbertTransformInPlace(x: Array[Long], bits: Int, n: Int): Unit = {
     // inverse-undo
     var k = bits - 1
     while (k >= 1) {
@@ -145,8 +150,11 @@ object SFC {
   }
 
   /** Inverse of [[hilbertTransformInPlace]] (transpose form → axes). */
-  def hilbertInverseInPlace(x: Array[Long], bits: Int): Unit = {
-    val n = x.length
+  def hilbertInverseInPlace(x: Array[Long], bits: Int): Unit =
+    hilbertInverseInPlace(x, bits, x.length)
+
+  /** As above, over the first n slots of x. */
+  def hilbertInverseInPlace(x: Array[Long], bits: Int, n: Int): Unit = {
     // Gray decode
     val t0 = x(n - 1) >>> 1
     var i = n - 1
@@ -179,7 +187,7 @@ object SFC {
   /** Inverse of [[hilbertEncode]]: writes n coords into `out`. */
   def hilbertDecode(key: U128, bits: Int, n: Int, out: Array[Long]): Unit = {
     mortonDecode(key, bits, n, out)
-    hilbertInverseInPlace(out, bits)
+    hilbertInverseInPlace(out, bits, n)
   }
 
   // --------------------------------------------- convenience (tests, SQL)

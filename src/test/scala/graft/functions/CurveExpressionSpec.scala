@@ -1,0 +1,160 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+object SparkTestSession {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      // fail loudly if our doGenCode emits Java that Janino can't compile,
+      // instead of silently falling back to interpreted eval
+      .config("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
+
+class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
+  lazy val spark: SparkSession = SparkTestSession.spark
+
+  test("SQL hilbert/morton encode + decode reproduce the reference 5x5 grid golden") {
+    val rows = spark.sql(
+      """SELECT a.id AS a, b.id AS b,
+        |  hilbert_encode(array(tinyint(a.id), tinyint(b.id))) AS hilbert,
+        |  morton_encode(array(tinyint(a.id), tinyint(b.id))) AS morton,
+        |  hilbert_decode(hilbert_encode(array(tinyint(a.id), tinyint(b.id))), 2, false, false, 16) AS hd,
+        |  morton_decode(morton_encode(array(tinyint(a.id), tinyint(b.id))), 2, false, false, 16) AS md
+        |FROM range(5) a CROSS JOIN range(5) b ORDER BY a, b
+        |""".stripMargin).collect()
+    val expected = Seq( // lindel.test:44-68 (a, b, hilbert, morton)
+      (0, 0, 0, 0), (0, 1, 3, 1), (0, 2, 4, 4), (0, 3, 5, 5), (0, 4, 58, 16),
+      (1, 0, 1, 2), (1, 1, 2, 3), (1, 2, 7, 6), (1, 3, 6, 7), (1, 4, 57, 18),
+      (2, 0, 14, 8), (2, 1, 13, 9), (2, 2, 8, 12), (2, 3, 9, 13), (2, 4, 54, 24),
+      (3, 0, 15, 10), (3, 1, 12, 11), (3, 2, 11, 14), (3, 3, 10, 15), (3, 4, 53, 26),
+      (4, 0, 16, 32), (4, 1, 17, 33), (4, 2, 30, 36), (4, 3, 31, 37), (4, 4, 32, 48))
+    assert(rows.length == 25)
+    rows.zip(expected).foreach { case (r, (a, b, h, m)) =>
+      assert(r.getLong(0) == a && r.getLong(1) == b)
+      assert(r.getInt(2) == h, s"hilbert($a,$b)") // u16 out -> IntegerType
+      assert(r.getInt(3) == m, s"morton($a,$b)")
+      assert(r.getSeq[Byte](4) == Seq(a.toByte, b.toByte), s"hilbert_decode($a,$b)")
+      assert(r.getSeq[Byte](5) == Seq(a.toByte, b.toByte), s"morton_decode($a,$b)")
+    }
+  }
+
+  test("output types follow the reference ladder (Short/Int/Long/Decimal/Binary)") {
+    val df = spark.sql(
+      """SELECT
+        |  hilbert_encode(array(tinyint(1))) AS u8,
+        |  hilbert_encode(array(tinyint(1), tinyint(2))) AS u16,
+        |  hilbert_encode(array(int(1), int(2))) AS u64,
+        |  hilbert_encode(array(bigint(1), bigint(2))) AS u128,
+        |  hilbert_encode(array(float(1.0), float(2.0))) AS f2u64
+        |""".stripMargin)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    assert(types("u8") == "smallint")
+    assert(types("u16") == "int")
+    assert(types("u64") == "decimal(20,0)")
+    assert(types("u128") == "binary")
+    assert(types("f2u64") == "decimal(20,0)")
+  }
+
+  test("float goldens through SQL (docs/README.md:173-199)") {
+    val r = spark.sql(
+      """SELECT
+        |  curve_key_str(hilbert_encode(array(float(37.8), float(0.2)))) AS f32pair,
+        |  curve_key_str(hilbert_encode(array(double(37.8), double(0.2)))) AS f64pair,
+        |  curve_key_str(hilbert_encode(array(float(1.0), float(5.0), float(6.0)))) AS f32triple
+        |""".stripMargin).head()
+    assert(r.getString(0) == "2303654869236839926")
+    assert(r.getString(1) == "42534209309512799991913666633619307890")
+    assert(r.getString(2) == "8002395622101954260073409974")
+  }
+
+  test("float decode round-trip (docs/README.md:281-287)") {
+    val r = spark.sql(
+      """SELECT hilbert_decode(hilbert_encode(array(float(1.0), float(5.0), float(6.0))), 3, true, false) AS v
+        |""".stripMargin).head()
+    assert(r.getSeq[Float](0) == Seq(1.0f, 5.0f, 6.0f))
+  }
+
+  test("signed round-trip [1,-2] bigint (docs/README.md:264-271)") {
+    val r = spark.sql(
+      "SELECT hilbert_decode(hilbert_encode(array(bigint(1), bigint(-2))), 2, false, false) AS v").head()
+    assert(r.getSeq[Long](0) == Seq(1L, -2L))
+  }
+
+  test("NULL row -> NULL key; NULL element -> error (reference :684-694)") {
+    // NULL array (the whole row value is NULL) -> NULL key
+    val r = spark.sql(
+      "SELECT hilbert_encode(CAST(NULL AS ARRAY<INT>), 2) AS k").head()
+    assert(r.isNullAt(0))
+    // NULL *element* inside the array -> hard error, like the reference
+    val e = intercept[Exception] {
+      spark.sql("SELECT hilbert_encode(array(int(1), int(NULL))) AS k").collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("null"))
+  }
+
+  test("unsigned decode widens (docs/README.md:246-253): u16 key -> short elements") {
+    val r = spark.sql("SELECT hilbert_decode(7, 2, false, true, 16) AS v").head()
+    assert(r.getSeq[Short](0) == Seq(1.toShort, 2.toShort))
+  }
+
+  test("Column API: encode as orderBy key + decode round-trip on testdata") {
+    import graft.functions.{Curves => C}
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val keyed = li.select(
+      col("l_partkey"), col("l_linenumber"),
+      C.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("hkey"))
+    assert(keyed.schema("hkey").dataType.simpleString == "decimal(20,0)")
+    val decoded = keyed.select(
+      col("l_partkey"), col("l_linenumber"),
+      C.hilbertDecode(col("hkey"), 2).as("pt"))
+    val bad = decoded.filter(
+      col("pt").getItem(0) =!= col("l_partkey").cast("int") ||
+        col("pt").getItem(1) =!= col("l_linenumber")).count()
+    assert(bad == 0)
+    // ordering by the key must be stable and non-trivial
+    val sorted = keyed.orderBy(col("hkey")).limit(3).collect()
+    assert(sorted.nonEmpty)
+  }
+
+  test("arity/type errors are analysis-time (mirrors reference bind errors)") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT hilbert_encode(array(bigint(1), bigint(2), bigint(3)))").collect()
+    }
+    assert(e1.getMessage.contains("128") || e1.getMessage.contains("max n"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT hilbert_encode(array('a', 'b'))").collect()
+    }
+    assert(e2.getMessage.nonEmpty)
+    val e3 = intercept[Exception] {
+      spark.sql("SELECT hilbert_decode(7, 0, false, false)").collect()
+    }
+    assert(e3.getMessage.nonEmpty)
+  }
+
+  test("whole-stage codegen stays enabled over curve expressions") {
+    val df = spark.sql(
+      """SELECT sum(hilbert_encode(array(int(id), int(id + 1)))) AS s
+        |FROM range(1000)""".stripMargin)
+    val rows = df.collect() // collect() drives df's own plan; AQE finalizes it
+    assert(rows.head.getDecimal(0) != null)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the simple plan string;
+    // the aggregate over our expression must sit inside one
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("*(1) HashAggregate"), plan)
+  }
+
+  override def afterAll(): Unit = { /* shared session left for other suites */ }
+}
