@@ -41,6 +41,9 @@ object CurveExpr {
     case CurveRuntime.TShort => 16
     case CurveRuntime.TInt | CurveRuntime.TFloat => 32
     case CurveRuntime.TLong | CurveRuntime.TDouble => 64
+    case other => throw new IllegalStateException(
+      s"curve encode: unresolved element type (tag=$other); expected " +
+        "array<byte|short|int|long|float|double>")
   }
 
   def outputType(totalBits: Int): DataType =
@@ -226,10 +229,15 @@ case class CurveKeyString(child: Expression) extends UnaryExpression {
   override def prettyName: String = "curve_key_str"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
-    case ShortType | IntegerType | LongType | BinaryType | _: DecimalType =>
+    case ShortType | IntegerType | LongType | BinaryType =>
+      TypeCheckResult.TypeCheckSuccess
+    // only scale-0 decimals are valid key carriers (u64 keys travel as
+    // Decimal(20,0)); fractional decimals would throw at execution time
+    case d: DecimalType if d.scale == 0 =>
       TypeCheckResult.TypeCheckSuccess
     case other =>
-      TypeCheckResult.TypeCheckFailure(s"curve_key_str: unsupported type ${other.simpleString(10)}")
+      TypeCheckResult.TypeCheckFailure(
+        s"curve_key_str: unsupported type ${other.simpleString(10)} (decimal keys must have scale 0)")
   }
 
   override def dataType: DataType = StringType

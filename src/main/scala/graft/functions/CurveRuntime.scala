@@ -112,7 +112,15 @@ object CurveRuntime {
   def keyToString(s: Short): String = (s & 0xffff).toString
   def keyToString(i: Int): String = java.lang.Integer.toUnsignedString(i)
   def keyToString(l: Long): String = java.lang.Long.toUnsignedString(l)
-  def keyToString(d: Decimal): String = d.toJavaBigDecimal.toBigIntegerExact.toString
+  def keyToString(d: Decimal): String = {
+    val bi =
+      try d.toJavaBigDecimal.toBigIntegerExact
+      catch { case _: ArithmeticException =>
+        throw new SparkException(s"curve_key_str: fractional decimal is not a curve key: $d") }
+    if (bi.signum() < 0)
+      throw new SparkException(s"curve_key_str: negative decimal is not a curve key: $d")
+    bi.toString
+  }
   def keyToString(b: Array[Byte]): String = U128.fromBytesBE(b).toDecimalString
 
   def keyToStringAny(v: Any): String = v match {

@@ -23,18 +23,24 @@ object Curves {
 
   // ---------------------------------------------------------------- util
 
-  private def constInt(e: Expression, what: String): Int = e match {
-    case Literal(v: Byte, _)    => v.toInt
-    case Literal(v: Short, _)   => v.toInt
-    case Literal(v: Int, _)     => v
-    case Literal(v: Long, _)    => v.toInt
-    case _ if e.foldable =>
-      e.eval(null) match {
-        case v: Byte => v.toInt; case v: Short => v.toInt
-        case v: Int  => v;       case v: Long  => v.toInt
-        case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
-      }
-    case _ => throw new IllegalArgumentException(s"$what must be a constant (foldable) integer")
+  private def constInt(e: Expression, what: String): Int = {
+    def exact(v: Long): Int =
+      try Math.toIntExact(v)
+      catch { case _: ArithmeticException =>
+        throw new IllegalArgumentException(s"$what out of int range: $v") }
+    e match {
+      case Literal(v: Byte, _)    => v.toInt
+      case Literal(v: Short, _)   => v.toInt
+      case Literal(v: Int, _)     => v
+      case Literal(v: Long, _)    => exact(v)
+      case _ if e.foldable =>
+        e.eval(null) match {
+          case v: Byte => v.toInt; case v: Short => v.toInt
+          case v: Int  => v;       case v: Long  => exact(v)
+          case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(s"$what must be a constant (foldable) integer")
+    }
   }
 
   private def constBool(e: Expression, what: String): Boolean = e match {
