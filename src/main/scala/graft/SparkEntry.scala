@@ -3,8 +3,10 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.Dedup
 import graft.functions.Curves
-import graft.oracle.DuckSql
+import graft.oracle.{DocSql, DuckSql}
+import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -101,7 +103,40 @@ object SparkEntry {
         .limit(100)
         .select(col("l_orderkey"), col("l_linenumber"),
           Curves.curveKeyStr(col("hk")).as("hkey"))
-    }))
+    }),
+
+    // --- LLM-pipeline: text analysis over documents ---------------------
+    "q_text_stats" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
+        TextFunctions.tokenChars(col("text")).as("tok_chars"),
+        TextFunctions.qualityPpm(col("text")).as("quality_ppm"))
+    }),
+    "q_text_langid" -> ((s, dir) => {
+      val stops = Seq("a", "the")
+      table(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        TextFunctions.stopwordCount(col("text"), stops).as("stop_cnt"),
+        TextFunctions.stopwordPpm(col("text"), stops).as("stop_ppm"),
+        TextFunctions.langIdPredict(col("text"), stops, 60000L).as("lang_pred"))
+    }),
+    "q_text_fingerprint" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.contentHash(col("text")).as("content_hash"),
+        TextFunctions.shingleFingerprint(col("text"), 3).as("fp_shingle_min"))
+    }),
+
+    // --- LLM-pipeline: deduplication over documents ---------------------
+    "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
+    "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(table(s, dir, "documents"))),
+    "q_dedup_simhash" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    }),
+    "q_dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"))))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -129,5 +164,12 @@ object SparkEntry {
     "q_hilbert_topk" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey",
-      finalOrderBy = Some("curve_key, l_orderkey, l_linenumber"), limit = Some(100)))
+      finalOrderBy = Some("curve_key, l_orderkey, l_linenumber"), limit = Some(100)),
+    "q_text_stats" -> DocSql.textStats,
+    "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
+    "q_text_fingerprint" -> DocSql.fingerprint(3),
+    "q_dedup_exact" -> DocSql.dedupExact,
+    "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
+    "q_dedup_simhash" -> DocSql.simhash,
+    "q_dedup_jaccard" -> DocSql.jaccardPairs(3, 8))
 }

@@ -1,0 +1,150 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShims
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for large-scale corpora.
+  *
+  * Designed around one rule: NEVER compare all pairs. Every candidate
+  * set here comes from an equi-join on a blocking key (content hash,
+  * LSH band hash, length bucket), so each stage is a single hash
+  * shuffle whose cost scales with the data, not with its square:
+  *
+  *  - exact: one shuffle on the content hash, map-side partial agg.
+  *  - MinHash LSH: signatures are a NARROW projection (higher-order
+  *    array functions over the shingle array — no explode of shingles
+  *    across rows, no shuffle); only the `bands` (4) band hashes per
+  *    doc are exploded, and candidates are generated per (band index,
+  *    band hash) partition. Two docs are compared iff they collide in
+  *    >= 1 band — at 100 TB this is the standard web-dedup layout
+  *    (each band bucket fits one reducer; a skew cap on pathological
+  *    buckets is the only production addition needed).
+  *  - SimHash: per-doc narrow aggregate, no shuffle at all.
+  *  - n-gram Jaccard: exact verification, blocked by token-length
+  *    bucket (an alternative to LSH blocking when edit patterns
+  *    preserve length).
+  *
+  * All outputs are exact integer/string math so the DuckDB oracle
+  * reproduces them bit-for-bit (see graft.oracle.DocSql).
+  */
+object Dedup {
+
+  /** MinHash/LSH parameters. numHashes = bands * rowsPerBand.
+    * With (12, 4, 3): P(candidate | jaccard j) = 1-(1-j^3)^4 —
+    * ~0.99 at j=0.9, ~0.004 at j=0.1. */
+  final case class MinHashParams(
+      numHashes: Int = 12,
+      bands: Int = 4,
+      shingleK: Int = 3,
+      minMatches: Int = 6) {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rowsPerBand: Int = numHashes / bands
+  }
+
+  /** Exact dedup: group identical content, keep the smallest id.
+    * One shuffle on the 128-bit content hash; partial aggregation
+    * makes the exchange carry one row per distinct document. */
+  def exact(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
+
+  /** MinHash signature: array of `numHashes` per-hash-function minima.
+    * Hash family i is `md5(shingle || "#i")`; the minimum is taken
+    * lexicographically over hex strings — deterministic and
+    * reproducible in any engine with md5. */
+  def minhashSignature(text: Column, p: MinHashParams): Column = {
+    val sh = TextFunctions.shingles(text, p.shingleK)
+    array((0 until p.numHashes).map { i =>
+      array_min(transform(sh, s => md5(concat(s, lit("#" + i)).cast("binary"))))
+    }: _*)
+  }
+
+  /** Per-band hash: md5 of the concatenated band rows of the signature. */
+  private def bandHashes(sig: Column, p: MinHashParams): Column =
+    array((0 until p.bands).map { j =>
+      md5(concat((0 until p.rowsPerBand).map(r =>
+        element_at(sig, j * p.rowsPerBand + r + 1)): _*).cast("binary"))
+    }: _*)
+
+  /** Near-duplicate candidate pairs via banded MinHash LSH.
+    * Output: (doc_a, doc_b, minhash_matches) for pairs colliding in at
+    * least one band AND agreeing on >= minMatches of the signature
+    * components (the signature-based Jaccard estimate). */
+  def minhashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val sigs = docs.select(
+      col(idCol).as("doc_id"),
+      minhashSignature(col(textCol), p).as("sig"))
+    val bands = sigs
+      .select(col("doc_id"), posexplode(bandHashes(col("sig"), p)).as(Seq("band_idx", "band_hash")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cand
+      .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
+      .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
+      .select(
+        col("doc_a"), col("doc_b"),
+        size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("long").as("minhash_matches"))
+      .filter(col("minhash_matches") >= p.minMatches)
+  }
+
+  // functions.shiftright/shiftleft only take a literal Int shift; the
+  // Catalyst expressions accept a column — bridge through the shim.
+  private def shiftR(a: Column, b: Column): Column =
+    ColumnShims.column(ShiftRight(ColumnShims.expression(a), ColumnShims.expression(b)))
+  private def shiftL(a: Column, b: Column): Column =
+    ColumnShims.column(ShiftLeft(ColumnShims.expression(a), ColumnShims.expression(b)))
+
+  /** 32-bit SimHash over tokens (with multiplicity): per bit, tokens
+    * vote +1/-1 by their hash bit; the fingerprint sets bits with a
+    * positive vote. A narrow per-row aggregate — no shuffle. */
+  def simhash(text: Column): Column = {
+    val toks = TextFunctions.tokens(text)
+    // token hash: first 8 hex chars of md5 as a 32-bit value in a long
+    val votes = aggregate(
+      toks,
+      array_repeat(lit(0L), 32),
+      (acc, t) => {
+        val h = conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
+        zip_with(acc, sequence(lit(0), lit(31)),
+          (v, b) => v + (shiftR(h, b) % lit(2) === lit(1)).cast("long") * lit(2L) - lit(1L))
+      })
+    aggregate(
+      zip_with(votes, sequence(lit(0), lit(31)),
+        (v, b) => when(v > 0, shiftL(lit(1L), b)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Exact distinct-k-shingle Jaccard over length-blocked candidate
+    * pairs: docs in the same `tokenCount div bucketWidth` bucket are
+    * compared; pairs with jaccard >= 1/2 (`2*inter >= union`, exact
+    * integer test) survive. */
+  def jaccardPairs(docs: DataFrame, shingleK: Int = 3, bucketWidth: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val ds = docs.select(
+      col(idCol).as("doc_id"),
+      TextFunctions.intDiv(TextFunctions.tokenCount(col(textCol)), lit(bucketWidth.toLong))
+        .as("bucket"),
+      array_distinct(TextFunctions.shingles(col(textCol), shingleK)).as("sh"))
+    ds.as("a")
+      .join(ds.as("b"), col("a.bucket") === col("b.bucket") && col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("inter"),
+        (size(col("a.sh")) + size(col("b.sh"))).cast("long").as("sz_sum"))
+      .withColumn("uni", col("sz_sum") - col("inter"))
+      .filter(col("inter") * 2 >= col("uni"))
+      .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
+  }
+}

@@ -1,0 +1,108 @@
+package graft.oracle
+
+import graft.dedup.Dedup.MinHashParams
+
+/** DuckDB oracle SQL for the text-analysis / dedup operators.
+  *
+  * Shares one tokenization convention with the Spark side
+  * (graft.text.TextFunctions): tokens = single-space split; k-shingles
+  * = k consecutive tokens joined by ' '. All numeric outputs are exact
+  * integer math (`//` here, `IntegralDivide` in Spark) and all hashes
+  * are md5 hex strings, so both engines agree bit-for-bit.
+  */
+object DocSql {
+
+  /** k-shingle list expression over a `toks` column. */
+  private def shinglesExpr(k: Int): String =
+    s"CASE WHEN len(toks) >= $k THEN " +
+      s"[array_to_string(toks[i:i+${k - 1}], ' ') for i in generate_series(1, len(toks)-${k - 1})] " +
+      "ELSE [array_to_string(toks, ' ')] END"
+
+  private val docsToks =
+    "d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)"
+
+  val textStats: String =
+    s"""WITH $docsToks
+       |SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+       |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) AS tok_chars,
+       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm
+       |FROM d""".stripMargin
+
+  def langId(stops: Seq[String], thresholdPpm: Long): String = {
+    val inList = stops.map(s => s"'$s'").mkString("(", ", ", ")")
+    s"""WITH $docsToks,
+       |s AS (SELECT doc_id, lang,
+       |  CAST(len(list_filter(toks, t -> t IN $inList)) AS BIGINT) AS stop_cnt,
+       |  CAST(len(toks) AS BIGINT) AS n_tokens FROM d)
+       |SELECT doc_id, lang, stop_cnt,
+       |  stop_cnt * 1000000 // n_tokens AS stop_ppm,
+       |  CASE WHEN stop_cnt * 1000000 // n_tokens >= $thresholdPpm
+       |       THEN 'en' ELSE 'other' END AS lang_pred
+       |FROM s""".stripMargin
+  }
+
+  def fingerprint(k: Int): String =
+    s"""WITH $docsToks,
+       |sh AS (SELECT doc_id, text, ${shinglesExpr(k)} AS shingles FROM d)
+       |SELECT doc_id, md5(text) AS content_hash,
+       |  list_min(list_transform(shingles, s -> md5(s))) AS fp_shingle_min
+       |FROM sh""".stripMargin
+
+  val dedupExact: String =
+    """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
+      |FROM documents GROUP BY 1""".stripMargin
+
+  def minhashPairs(p: MinHashParams): String = {
+    val hs = (0 until p.numHashes)
+      .map(i => s"  list_min(list_transform(shingles, s -> md5(s || '#$i'))) AS h$i")
+      .mkString(",\n")
+    val bandRows = (0 until p.bands).map { j =>
+      val parts = (0 until p.rowsPerBand).map(r => s"h${j * p.rowsPerBand + r}").mkString(" || ")
+      if (j == 0) s"  SELECT doc_id, 0 AS band_idx, md5($parts) AS band FROM sig"
+      else s"  UNION ALL SELECT doc_id, $j, md5($parts) FROM sig"
+    }.mkString("\n")
+    val matchSum = (0 until p.numHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $docsToks,
+       |sh AS (SELECT doc_id, ${shinglesExpr(p.shingleK)} AS shingles FROM d),
+       |sig AS (SELECT doc_id,
+       |$hs
+       |FROM sh),
+       |bands AS (
+       |$bandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+       |m AS (SELECT doc_a, doc_b, CAST($matchSum AS BIGINT) AS minhash_matches
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+       |SELECT doc_a, doc_b, minhash_matches FROM m
+       |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
+  }
+
+  val simhash: String =
+    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+      |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
+      |bits AS (SELECT doc_id, bb.b AS b,
+      |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, (SELECT unnest(generate_series(0, 31)) AS b) bb
+      |  GROUP BY doc_id, bb.b)
+      |SELECT doc_id,
+      |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits GROUP BY doc_id""".stripMargin
+
+  def jaccardPairs(k: Int, bucketWidth: Int): String =
+    s"""WITH $docsToks,
+       |sh AS (SELECT doc_id,
+       |  CAST(len(toks) AS BIGINT) // $bucketWidth AS bucket,
+       |  list_distinct(${shinglesExpr(k)}) AS sh FROM d),
+       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
+       |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sz_sum
+       |  FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, inter, sz_sum - inter AS uni
+       |FROM pairs WHERE 2 * inter >= sz_sum - inter""".stripMargin
+}

@@ -1,0 +1,82 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.IntegralDivide
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShims
+
+/** Text-analysis building blocks for large-scale training-data pipelines.
+  *
+  * Everything here is a narrow, codegen'd projection over Spark builtins
+  * (split / transform / aggregate / array_* — no UDFs, no shuffles), so
+  * each operator runs embarrassingly parallel at any scale: a 100 TB
+  * corpus is just more input splits, with no exchange anywhere in the
+  * plan.
+  *
+  * Tokenization convention (shared with the DuckDB oracle, see
+  * graft.oracle.DocSql): tokens are the single-space split of the text;
+  * k-shingles are k consecutive tokens joined by a single space.
+  */
+object TextFunctions {
+
+  /** Exact integer division (SQL `div`) — engine-independent, unlike
+    * double division + truncation. */
+  def intDiv(a: Column, b: Column): Column =
+    ColumnShims.column(new IntegralDivide(
+      ColumnShims.expression(a), ColumnShims.expression(b)))
+
+  /** Whitespace tokens of a text column. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Token count (BIGINT). */
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Distinct-token count (BIGINT). */
+  def distinctTokenCount(text: Column): Column =
+    size(array_distinct(tokens(text))).cast("long")
+
+  /** Total characters across tokens (text length minus separators). */
+  def tokenChars(text: Column): Column =
+    aggregate(tokens(text), lit(0L), (acc, t) => acc + length(t).cast("long"))
+
+  /** Type-token ratio in parts-per-million, as exact integer math
+    * (`distinct * 1e6 div total`) so the value is engine-independent.
+    * A low TTR means repetitive text — a standard quality signal. */
+  def qualityPpm(text: Column): Column =
+    intDiv(distinctTokenCount(text) * lit(1000000L), tokenCount(text))
+
+  /** Count of tokens in `stops`. */
+  def stopwordCount(text: Column, stops: Seq[String]): Column =
+    size(filter(tokens(text), t => t.isin(stops.map(x => x: Any): _*))).cast("long")
+
+  /** Stopword ratio in ppm (exact integer math). */
+  def stopwordPpm(text: Column, stops: Seq[String]): Column =
+    intDiv(stopwordCount(text, stops) * lit(1000000L), tokenCount(text))
+
+  /** N-gram-profile language heuristic: classify by function-word rate.
+    * On corpora where languages share a vocabulary this degrades to a
+    * deterministic scoring rule — which is exactly what the correctness
+    * gate checks (Spark and the oracle must agree on every row). */
+  def langIdPredict(text: Column, stops: Seq[String], thresholdPpm: Long): Column =
+    when(stopwordPpm(text, stops) >= thresholdPpm, lit("en")).otherwise(lit("other"))
+
+  /** Array of k-token shingles ("character n-grams over words"): the
+    * unit of near-duplicate detection. Documents shorter than k tokens
+    * collapse to a single whole-document shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= k,
+      transform(sequence(lit(1), size(toks) - lit(k - 1)),
+        i => concat_ws(" ", slice(toks, i, lit(k)))))
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Content hash of the exact text bytes (exact-dedup key). */
+  def contentHash(text: Column): Column = md5(text.cast("binary"))
+
+  /** Winnowing-style document fingerprint: the minimum hash over the
+    * document's k-shingle rolling windows. Robust to local edits, cheap
+    * (one narrow pass), and directly comparable across engines. */
+  def shingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s.cast("binary"))))
+}

@@ -1,0 +1,80 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.text.TextFunctions
+
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-dedup-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("text stats: token counts, distinct, quality ppm") {
+    val df = docs((1L, "a b b c"), (2L, "x"))
+      .select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        TextFunctions.distinctTokenCount(col("text")).as("d"),
+        TextFunctions.tokenChars(col("text")).as("c"),
+        TextFunctions.qualityPpm(col("text")).as("q"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(1L) == ((4L, 3L, 4L, 750000L)))
+    assert(m(2L) == ((1L, 1L, 1L, 1000000L)))
+  }
+
+  test("shingles: k consecutive tokens; short docs collapse to one shingle") {
+    val df = docs((1L, "a b c d"), (2L, "a b"))
+      .select(col("doc_id"), TextFunctions.shingles(col("text"), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L) == Seq("a b"))
+  }
+
+  test("exact dedup groups identical content and keeps the min id") {
+    val out = Dedup.exact(docs((1L, "same text"), (2L, "same text"), (3L, "other")))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.length == 2)
+    val dup = out.find(_._3 == 2L).get
+    assert(dup._2 == 1L)
+  }
+
+  test("minhash LSH finds the planted near-dup, not the unrelated doc") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val nearDup = base.replace("tok7", "tokX") // one token edit
+    val other = (1 to 40).map(i => s"zzz$i").mkString(" ")
+    val pairs = Dedup.minhashPairs(docs((1L, base), (2L, nearDup), (3L, other)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+  }
+
+  test("jaccard pairs: exact intersection/union on distinct shingles") {
+    val a = "a b c d e f g h"   // shingles: 6
+    val b = "a b c d e f g z"   // shares 5 of them
+    val out = Dedup.jaccardPairs(docs((1L, a), (2L, b)), shingleK = 3, bucketWidth = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((1L, 2L, 5L, 7L)))
+  }
+
+  test("simhash: deterministic, equal for equal text, 32-bit range") {
+    val out = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta eps"))
+      .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+}
