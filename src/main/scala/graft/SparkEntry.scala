@@ -5,7 +5,8 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.functions.Curves
-import graft.oracle.{DocSql, DuckSql}
+import graft.oracle.{DocSql, DuckSql, SimSql}
+import graft.similarity.Similarity
 import graft.text.TextFunctions
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -129,6 +130,13 @@ object SparkEntry {
         TextFunctions.shingleFingerprint(col("text"), 3).as("fp_shingle_min"))
     }),
 
+    // --- LLM-pipeline: similarity search over embeddings ----------------
+    // probes = vec_id % 50 == 0 (10 probes at sf0.01, 40 at sf0.1)
+    "q_sim_topk" -> ((s, dir) =>
+      Similarity.bruteForceTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    "q_sim_ann" -> ((s, dir) =>
+      Similarity.annTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+
     // --- LLM-pipeline: deduplication over documents ---------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(table(s, dir, "documents"))),
@@ -165,11 +173,14 @@ object SparkEntry {
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey",
       finalOrderBy = Some("curve_key, l_orderkey, l_linenumber"), limit = Some(100)),
+    "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
+    "q_sim_ann" -> SimSql.annTopK(50, 10,
+      Similarity.DefaultBands, Similarity.DefaultBucketShift),
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),
     "q_dedup_exact" -> DocSql.dedupExact,
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,
-    "q_dedup_jaccard" -> DocSql.jaccardPairs(3, 8))
+    "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams))
 }

@@ -18,8 +18,10 @@ object DocSql {
       s"[array_to_string(toks[i:i+${k - 1}], ' ') for i in generate_series(1, len(toks)-${k - 1})] " +
       "ELSE [array_to_string(toks, ' ')] END"
 
+  // coalesce(text, '') matches TextFunctions.tokens' NULL handling —
+  // both engines then see a single empty token for NULL/empty documents.
   private val docsToks =
-    "d AS (SELECT doc_id, lang, text, string_split(text, ' ') AS toks FROM documents)"
+    "d AS (SELECT doc_id, lang, text, string_split(coalesce(text, ''), ' ') AS toks FROM documents)"
 
   val textStats: String =
     s"""WITH $docsToks
@@ -31,7 +33,9 @@ object DocSql {
        |FROM d""".stripMargin
 
   def langId(stops: Seq[String], thresholdPpm: Long): String = {
-    val inList = stops.map(s => s"'$s'").mkString("(", ", ", ")")
+    // '' -> '''' escaping keeps the generated SQL valid (and equivalent
+    // to the Spark side's isin) for stopwords containing quotes.
+    val inList = stops.map(s => s"'${s.replace("'", "''")}'").mkString("(", ", ", ")")
     s"""WITH $docsToks,
        |s AS (SELECT doc_id, lang,
        |  CAST(len(list_filter(toks, t -> t IN $inList)) AS BIGINT) AS stop_cnt,
@@ -54,7 +58,10 @@ object DocSql {
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  def minhashPairs(p: MinHashParams): String = {
+  /** Shared CTE chain: shingles -> h0..hN signature -> exploded bands
+    * with the over-cap buckets dropped (QUALIFY mirrors Dedup's window
+    * count skew cap) -> distinct candidate pairs. */
+  private def sigCandCtes(p: MinHashParams): String = {
     val hs = (0 until p.numHashes)
       .map(i => s"  list_min(list_transform(shingles, s -> md5(s || '#$i'))) AS h$i")
       .mkString(",\n")
@@ -63,18 +70,24 @@ object DocSql {
       if (j == 0) s"  SELECT doc_id, 0 AS band_idx, md5($parts) AS band FROM sig"
       else s"  UNION ALL SELECT doc_id, $j, md5($parts) FROM sig"
     }.mkString("\n")
-    val matchSum = (0 until p.numHashes)
-      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $docsToks,
-       |sh AS (SELECT doc_id, ${shinglesExpr(p.shingleK)} AS shingles FROM d),
+    s"""sh AS (SELECT doc_id, ${shinglesExpr(p.shingleK)} AS shingles FROM d),
        |sig AS (SELECT doc_id,
        |$hs
        |FROM sh),
-       |bands AS (
+       |bands0 AS (
        |$bandRows),
+       |bands AS (SELECT doc_id, band_idx, band FROM bands0
+       |  QUALIFY count(*) OVER (PARTITION BY band_idx, band) <= ${p.maxBucketSize}),
        |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id),
+       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+  }
+
+  def minhashPairs(p: MinHashParams): String = {
+    val matchSum = (0 until p.numHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $docsToks,
+       |${sigCandCtes(p)},
        |m AS (SELECT doc_a, doc_b, CAST($matchSum AS BIGINT) AS minhash_matches
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = cand.doc_a
@@ -94,15 +107,18 @@ object DocSql {
       |  CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
       |FROM bits GROUP BY doc_id""".stripMargin
 
-  def jaccardPairs(k: Int, bucketWidth: Int): String =
+  /** Exact-Jaccard verify over the same banded-LSH candidate set as
+    * Dedup.jaccardPairs (band blocking + integer set math). */
+  def jaccardPairs(p: MinHashParams): String =
     s"""WITH $docsToks,
-       |sh AS (SELECT doc_id,
-       |  CAST(len(toks) AS BIGINT) // $bucketWidth AS bucket,
-       |  list_distinct(${shinglesExpr(k)}) AS sh FROM d),
-       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |${sigCandCtes(p)},
+       |dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+       |pairs AS (SELECT doc_a, doc_b,
        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
        |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sz_sum
-       |  FROM sh a JOIN sh b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)
+       |  FROM cand
+       |  JOIN dsh a ON a.doc_id = cand.doc_a
+       |  JOIN dsh b ON b.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, inter, sz_sum - inter AS uni
        |FROM pairs WHERE 2 * inter >= sz_sum - inter""".stripMargin
 }

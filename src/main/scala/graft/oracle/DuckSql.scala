@@ -28,18 +28,21 @@ object DuckSql {
     terms.mkString("(", " | ", ")")
   }
 
-  /** Hilbert n-dim encode as a WITH-chain. Returns the full query:
-    * SELECT keyCols..., CAST(key AS VARCHAR) AS outName FROM ...
-    * Coordinates must be non-negative and < 2^bits. */
-  def hilbertQuery(
+  /** Hilbert n-dim encode as an embeddable CTE chain (Skilling
+    * transform unrolled, then the Morton interleave). Returns
+    * (cteListSql, finalCteName); the final CTE selects `keyCols` plus
+    * `curve_key` (UBIGINT). `src` is the FROM source of the base CTE
+    * (a table name or an earlier CTE). `prefix` namespaces the CTE
+    * names so several chains can live in one query (the similarity
+    * oracle builds 4 band keys). Coordinates must be non-negative and
+    * < 2^bits. */
+  def hilbertCtes(
       bits: Int,
       exprs: Seq[String],
-      table: String,
+      src: String,
       keyCols: Seq[String],
-      outName: String,
-      finalOrderBy: Option[String] = None,
-      where: Option[String] = None,
-      limit: Option[Int] = None): String = {
+      prefix: String = "",
+      where: Option[String] = None): (String, String) = {
     val n = exprs.length
     require(bits * n <= 64, s"oracle hilbert limited to 64-bit keys, got ${bits * n}")
     val ks = keyCols.mkString(", ")
@@ -47,13 +50,13 @@ object DuckSql {
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
     val baseCols = exprs.zipWithIndex.map { case (e, i) => s"CAST($e AS UBIGINT) AS x$i" }
     val whereSql = where.map(w => s" WHERE $w").getOrElse("")
-    ctes += s"base AS (SELECT $ks, ${baseCols.mkString(", ")} FROM $table$whereSql)"
-    var prev = "base"
+    ctes += s"${prefix}base AS (SELECT $ks, ${baseCols.mkString(", ")} FROM $src$whereSql)"
+    var prev = s"${prefix}base"
     // forward transform: k = bits-1 .. 1, i = 0 .. n-1 sequential
     for (k <- bits - 1 to 1 by -1; i <- 0 until n) {
       val q = s"${1L << k}$U"
       val p = s"${(1L << k) - 1L}$U"
-      val name = s"s_${k}_$i"
+      val name = s"${prefix}s_${k}_$i"
       val cols = if (i == 0) {
         xs.map {
           case "x0" => s"CASE WHEN (x0 & $q) != 0 THEN xor(x0, $p) ELSE x0 END AS x0"
@@ -74,7 +77,7 @@ object DuckSql {
     }
     // Gray encode: x[i] ^= x[i-1], sequential (uses updated x[i-1])
     for (i <- 1 until n) {
-      val name = s"g_$i"
+      val name = s"${prefix}g_$i"
       val cols = xs.map { case x if x == s"x$i" => s"xor(x$i, x${i - 1}) AS x$i"; case x => x }
       ctes += s"$name AS (SELECT $ks, ${cols.mkString(", ")} FROM $prev)"
       prev = name
@@ -85,13 +88,29 @@ object DuckSql {
     }
     val tExpr = tTerms.reduceLeft((a, b) => s"xor($a, $b)")
     val tCols = xs.map(x => s"xor($x, $tExpr) AS $x")
-    ctes += s"gt AS (SELECT $ks, ${tCols.mkString(", ")} FROM $prev)"
+    ctes += s"${prefix}gt AS (SELECT $ks, ${tCols.mkString(", ")} FROM $prev)"
     // interleave
     val keyExpr = mortonKeyExpr(bits, xs)
-    ctes += s"fin AS (SELECT $ks, $keyExpr AS curve_key FROM gt)"
+    ctes += s"${prefix}fin AS (SELECT $ks, $keyExpr AS curve_key FROM ${prefix}gt)"
+    (ctes.mkString(",\n"), s"${prefix}fin")
+  }
+
+  /** Hilbert n-dim encode as a full query:
+    * SELECT keyCols..., CAST(key AS VARCHAR) AS outName FROM ... */
+  def hilbertQuery(
+      bits: Int,
+      exprs: Seq[String],
+      table: String,
+      keyCols: Seq[String],
+      outName: String,
+      finalOrderBy: Option[String] = None,
+      where: Option[String] = None,
+      limit: Option[Int] = None): String = {
+    val (ctes, fin) = hilbertCtes(bits, exprs, table, keyCols, "", where)
+    val ks = keyCols.mkString(", ")
     val order = finalOrderBy.map(o => s" ORDER BY $o").getOrElse("")
     val lim = limit.map(l => s" LIMIT $l").getOrElse("")
-    s"WITH ${ctes.mkString(",\n")}\nSELECT $ks, CAST(curve_key AS VARCHAR) AS $outName FROM fin$order$lim"
+    s"WITH $ctes\nSELECT $ks, CAST(curve_key AS VARCHAR) AS $outName FROM $fin$order$lim"
   }
 
   /** Morton full query (same shape as hilbertQuery). */

@@ -1,0 +1,141 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.functions.Curves
+
+/** Similarity search over an embedding column (`array<float>`).
+  *
+  * Two operators:
+  *
+  *  - [[bruteForceTopK]]: the exact baseline — score every (probe,
+  *    corpus) pair, keep the top k per probe. Probes are broadcast (a
+  *    probe set is small by definition), the corpus is scanned once,
+  *    and the only shuffle carries (probe_id, neighbor_id, score)
+  *    triples — tiny rows — partitioned by probe for the top-k window.
+  *    Cost is O(|corpus| * |probes|) dot products: the honest price of
+  *    exactness, embarrassingly parallel over corpus splits.
+  *
+  *  - [[annTopK]]: the scale path — banded curve-bucket LSH. Each of
+  *    `bands` 4-dim slices of the embedding is quantized to u8 and
+  *    Hilbert-encoded (the round-1 codec as the bucketing primitive,
+  *    SURVEY §2.3/§7.7); bucket = key >> bucketShift. Candidates are
+  *    corpus vectors sharing (band, bucket) — with +-1 multi-probe on
+  *    the probe side — re-ranked by the exact quantized dot product.
+  *    Everything is equi-joins; no all-pairs stage anywhere.
+  *    `bucketShift` is the scale knob: shrink it (finer buckets) as the
+  *    corpus grows to hold per-bucket candidate counts constant, the
+  *    same way IVF grows nlist with N.
+  *
+  * Scoring is the dot product over fixed-point quantized values
+  * (floor(x * 2^20), exact BIGINT math) so Spark and the DuckDB oracle
+  * agree bit-for-bit — float sums would differ by summation order.
+  * Measured on the synthetic sf0.01 embeddings (64-dim, near-random —
+  * the hard case for any LSH): recall@10 = 0.39 with ~22% of the
+  * corpus scored per probe (see SimilaritySpec; brute force = recall
+  * 1.0 at 100%).
+  */
+object Similarity {
+
+  /** Fixed-point scale: 2^20 keeps 64 * (0.53 * 2^20)^2 well inside
+    * BIGINT while preserving ~6 decimal digits of each coordinate. */
+  val Scale: Long = 1L << 20
+
+  /** Default number of 4-dim band keys (covers dims 0..15). */
+  val DefaultBands: Int = 4
+
+  /** Default bucket granularity: 32-bit band key >> 20 -> 4096-bucket
+    * space per band (tuned for the sf0.01..sf0.1 corpus; shrink as the
+    * corpus grows). */
+  val DefaultBucketShift: Int = 20
+
+  /** floor(x * 2^20) per element, exact BIGINT fixed-point. float ->
+    * double is exact, double*2^20 is one correctly-rounded IEEE op, so
+    * any engine computes the identical integer. */
+  def quantize(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(Scale.toDouble)).cast("long"))
+
+  /** Exact integer dot product of two quantized vectors. */
+  def dotQ(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Float cosine similarity (double math) — for ranking/thresholding
+    * where cross-engine bit-equality is not required. */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(u: Column, v: Column): Column =
+      aggregate(zip_with(u, v, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0d), (acc, x) => acc + x)
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+  }
+
+  /** u8 quantization of one embedding slice for curve bucketing:
+    * floor((x + 1) * 128) maps [-1, 1) onto [0, 256). Stored as BYTE
+    * with an explicit two's-complement wrap for values >= 128 (ANSI
+    * mode rejects a narrowing cast) — the curve codec reads raw bits,
+    * so the wrapped byte carries the intended u8 bit pattern
+    * (reference semantics: raw-bit reinterpretation). */
+  private def u8Slice(vec: Column, startDim: Int, dims: Int): Column =
+    transform(slice(vec, startDim + 1, dims), x => {
+      val v = floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int")
+      when(v >= 128, v - 256).otherwise(v).cast("byte")
+    })
+
+  /** Array of `bands` Hilbert band keys (one per 4-dim slice). */
+  def bandKeys(vec: Column, bands: Int = DefaultBands): Column =
+    array((0 until bands).map(j =>
+      Curves.hilbertEncodeArray(u8Slice(vec, j * 4, 4), 4)): _*)
+
+  /** Exact top-k neighbors by quantized dot product for every probe
+    * row (`probePred` selects probes by vec_id). Output:
+    * (probe_id, neighbor_id, dot_q, rnk), rnk in 1..k, ties broken by
+    * neighbor_id. */
+  def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("pv"), col("qv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
+  /** Approximate top-k via banded curve buckets + exact re-rank; same
+    * output shape as [[bruteForceTopK]] (rnk over the candidate set
+    * only). */
+  def annTopK(emb: DataFrame, probePred: Column, k: Int,
+      bands: Int = DefaultBands, bucketShift: Int = DefaultBucketShift,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val base = emb.select(
+      col(idCol).as("vec_id"),
+      quantize(col(vecCol)).as("qv"),
+      bandKeys(col(vecCol), bands).as("keys"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = base.select(col("vec_id"),
+      posexplode(transform(col("keys"), key => shiftright(key, bucketShift)))
+        .as(Seq("band_idx", "bucket")))
+    // +-1 multi-probe on the probe side keeps the join an equi-join
+    val probeBuckets = buckets.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("band_idx"),
+        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    val cand = broadcast(probeBuckets)
+      .join(buckets, Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    val qv = base.select(col("vec_id"), col("qv"))
+    val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    cand
+      .join(qv.withColumnRenamed("vec_id", "probe_id").withColumnRenamed("qv", "pv"), "probe_id")
+      .join(qv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .select(col("probe_id"), col("neighbor_id"), dotQ(col("pv"), col("qv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+}

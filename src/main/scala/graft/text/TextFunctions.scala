@@ -25,8 +25,13 @@ object TextFunctions {
     ColumnShims.column(new IntegralDivide(
       ColumnShims.expression(a), ColumnShims.expression(b)))
 
-  /** Whitespace tokens of a text column. */
-  def tokens(text: Column): Column = split(text, " ")
+  /** Whitespace tokens of a text column. NULL text is treated as the
+    * empty string (-> a single empty token) so that Spark and the
+    * DuckDB oracle agree on NULL rows: without the coalesce, Spark's
+    * concat_ws path yields [""] while DuckDB's array_to_string yields
+    * [NULL] for shingles of a NULL document (round-2 ADVICE). The
+    * oracle applies the same coalesce (DocSql.docsToks). */
+  def tokens(text: Column): Column = split(coalesce(text, lit("")), " ")
 
   /** Token count (BIGINT). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")

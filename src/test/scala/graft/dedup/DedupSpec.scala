@@ -64,9 +64,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("jaccard pairs: exact intersection/union on distinct shingles") {
     val a = "a b c d e f g h"   // shingles: 6
     val b = "a b c d e f g z"   // shares 5 of them
-    val out = Dedup.jaccardPairs(docs((1L, a), (2L, b)), shingleK = 3, bucketWidth = 8)
+    val out = Dedup.jaccardPairs(docs((1L, a), (2L, b)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq == Seq((1L, 2L, 5L, 7L)))
+  }
+
+  test("jaccard pairs: band skew cap drops pathological buckets") {
+    // 70 identical docs collide in every band: bucket size 70 > cap 64
+    // in JaccardParams -> no candidates survive; with a raised cap the
+    // full pair set comes back. Deterministic, oracle-replicable rule.
+    val many = (1L to 70L).map(i => i -> "u v w x y z q r s t")
+    val capped = Dedup.jaccardPairs(docs(many: _*))
+    assert(capped.count() == 0L)
+    val uncapped = Dedup.jaccardPairs(docs(many: _*),
+      Dedup.JaccardParams.copy(maxBucketSize = 100))
+    assert(uncapped.count() == 70L * 69 / 2)
+  }
+
+  test("null text: shingles/fingerprint treat NULL as empty string") {
+    import spark.implicits._
+    val df = Seq((1L, Option.empty[String]), (2L, Some("")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.shingles(col("text"), 3).as("sh"),
+        TextFunctions.tokenCount(col("text")).as("n"))
+    val m = df.collect().map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getLong(2)))).toMap
+    // NULL and '' must agree (both engines see one empty token)
+    assert(m(1L) == ((Seq(""), 1L)))
+    assert(m(2L) == ((Seq(""), 1L)))
   }
 
   test("simhash: deterministic, equal for equal text, 32-bit range") {
