@@ -1,11 +1,13 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.functions.Curves
-import graft.oracle.{DocSql, DuckSql, SimSql}
+import graft.multimodal.Multimodal
+import graft.oracle.{DocSql, DuckSql, EventSql, SimSql}
 import graft.similarity.Similarity
 import graft.text.TextFunctions
 
@@ -22,6 +24,15 @@ object SparkEntry {
 
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
+
+  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
+    * default; read it as a nanos-since-epoch long instead. Ordering
+    * (all we use ts for) is identical, and the DuckDB oracle orders by
+    * its native ns timestamp — same total order. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
 
   private def withCurves(spark: SparkSession): SparkSession = {
     Curves.register(spark); spark
@@ -144,7 +155,52 @@ object SparkEntry {
       table(s, dir, "documents").select(
         col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     }),
-    "q_dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"))))
+    "q_dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"))),
+
+    // --- events: JSON props, window functions, set ops ------------------
+    "q_events_props" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
+    }),
+    "q_events_window" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      events(s, dir).select(
+        col("user_id"), col("event_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+        row_number().over(w).cast("long").as("rn"))
+    }),
+    "q_events_setop" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      def users(t: String) = ev.filter(col("event_type") === t && k > 95).select("user_id")
+      // union = UNION ALL, except = EXCEPT DISTINCT (both as in SQL)
+      users("error").union(users("purchase")).except(users("click"))
+    }),
+
+    // --- multimodal: binary payload + struct metadata -------------------
+    "q_multimodal" -> ((s, dir) => {
+      val bin = Multimodal.payload(col("text"))
+      val m = Multimodal.meta("lang" -> col("lang"), "src" -> col("source"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        Multimodal.byteLength(bin).as("byte_len"),
+        Multimodal.checksum(bin).as("payload_md5"),
+        Multimodal.headBase64(bin, 16).as("head_b64"),
+        m.getField("lang").as("meta_lang"),
+        Multimodal.frameSample(col("text"), 8).as("frame_sample"))
+    }),
+
+    // --- SQL string path: the registered-function surface ---------------
+    "q_sql_hilbert" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql("""SELECT l_orderkey, l_linenumber,
+              |  curve_key_str(hilbert_encode(array(CAST(l_partkey AS INT), l_linenumber))) AS hkey
+              |FROM lineitem""".stripMargin)
+    }))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. */
@@ -182,5 +238,12 @@ object SparkEntry {
     "q_dedup_exact" -> DocSql.dedupExact,
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,
-    "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams))
+    "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
+    "q_events_props" -> EventSql.eventsProps,
+    "q_events_window" -> EventSql.eventsWindow,
+    "q_events_setop" -> EventSql.setOp(95),
+    "q_multimodal" -> EventSql.multimodal(16, 8),
+    "q_sql_hilbert" -> DuckSql.hilbertQuery(
+      32, Seq("l_partkey", "l_linenumber"), "lineitem",
+      Seq("l_orderkey", "l_linenumber"), "hkey"))
 }

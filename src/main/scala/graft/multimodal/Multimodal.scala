@@ -1,0 +1,63 @@
+package graft.multimodal
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video payloads as
+  * opaque `binary` columns with typed (struct) metadata, and keep every
+  * stage a narrow, codegen'd projection — the 100 TB shape is "payload
+  * bytes never leave the executor; only small derived features
+  * shuffle".
+  *
+  * This container ships no image/audio codecs, so the decode step is a
+  * STUB (see [[fakeDecodeFeatures]]): a deterministic stand-in with the
+  * real schema, batch shape, and partitioning behavior. Swapping in a
+  * real decoder means replacing that one expression with a native
+  * library call (or an Arrow-batched UDF) — the surrounding plumbing
+  * (binary column, struct metadata, per-frame sampling, feature
+  * vector) is real and tested.
+  */
+object Multimodal {
+
+  /** Opaque payload bytes (here: the UTF-8 bytes of a text column —
+    * the testdata has no true binary column, but BinaryType plumbing is
+    * identical for any byte payload). */
+  def payload(data: Column): Column = data.cast("binary")
+
+  /** Payload size in bytes (not characters). */
+  def byteLength(bin: Column): Column = length(bin).cast("long")
+
+  /** Content checksum of the raw bytes (md5 hex). */
+  def checksum(bin: Column): Column = md5(bin)
+
+  /** Base64 of the first n payload bytes — the "thumbnail" access
+    * pattern: fixed-size prefix reads without materializing the whole
+    * payload downstream. */
+  def headBase64(bin: Column, n: Int): Column = base64(substring(bin, 1, n))
+
+  /** Typed metadata struct — schema travels with the payload. */
+  def meta(fields: (String, Column)*): Column =
+    struct(fields.map { case (n, c) => c.as(n) }: _*)
+
+  /** Every `stride`-th character of a text payload — the frame-sample
+    * access pattern (sample k-th frame of a video) expressed on the
+    * testdata's text payloads. Empty result for payloads shorter than
+    * one stride (guards Spark's strict `sequence`). */
+  def frameSample(text: Column, stride: Int): Column = {
+    val chars = split(text, "")
+    when(length(text) >= stride,
+      array_join(
+        transform(sequence(lit(stride), length(text), lit(stride)),
+          i => element_at(chars, i)), ""))
+      .otherwise(lit(""))
+  }
+
+  /** STUB decoder: deterministic fake feature vector derived from the
+    * payload checksum — stands in for "decode image + extract features"
+    * (no codecs in this container). dims 32-bit values from repeated
+    * md5, exact in any engine; replace with a real decoder expression
+    * or Arrow-batched UDF in production. */
+  def fakeDecodeFeatures(bin: Column, dims: Int): Column =
+    transform(sequence(lit(0), lit(dims - 1)),
+      i => conv(substring(md5(concat(md5(bin), i.cast("string"))), 1, 8), 16, 10).cast("long"))
+}

@@ -1,0 +1,58 @@
+package graft.oracle
+
+/** DuckDB oracle SQL for the events-table operators (JSON props
+  * extraction, window functions, set operations) and the multimodal
+  * binary/struct query over documents.
+  *
+  * Float-valued outputs are either raw stored values (lag) or a single
+  * IEEE subtraction — deterministic across engines; sums/averages of
+  * doubles are deliberately avoided (summation order differs).
+  */
+object EventSql {
+
+  private val kExpr = "CAST(json_extract_string(props, '$.k') AS BIGINT)"
+
+  /** JSON field extraction + integer aggregation per event type. */
+  val eventsProps: String =
+    s"""SELECT event_type,
+       |  count(*) AS n,
+       |  sum($kExpr) AS sum_k,
+       |  min($kExpr) AS min_k,
+       |  max($kExpr) AS max_k
+       |FROM events GROUP BY event_type""".stripMargin
+
+  /** Per-user event sequence: lag + delta + row_number over the time
+    * order (value is a stored double; delta is one IEEE subtraction). */
+  val eventsWindow: String =
+    """SELECT user_id, event_id, value,
+      |  lag(value) OVER w AS prev_value,
+      |  value - lag(value) OVER w AS delta,
+      |  CAST(row_number() OVER w AS BIGINT) AS rn
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
+
+  /** Set ops: users with a high-k error or purchase, minus users with a
+    * high-k click. UNION ALL + EXCEPT (distinct) mirrors Spark's
+    * union/except semantics exactly. */
+  def setOp(kMin: Int): String =
+    s"""(SELECT user_id FROM events WHERE event_type = 'error' AND $kExpr > $kMin
+       | UNION ALL
+       | SELECT user_id FROM events WHERE event_type = 'purchase' AND $kExpr > $kMin)
+       |EXCEPT
+       |SELECT user_id FROM events WHERE event_type = 'click' AND $kExpr > $kMin""".stripMargin
+
+  /** Multimodal plumbing over documents: byte length / checksum / head
+    * bytes of the payload + struct-metadata round-trip + frame sample.
+    * The corpus is pure ASCII (verified), so DuckDB's VARCHAR ops see
+    * the same bytes as Spark's BinaryType ops. */
+  def multimodal(headBytes: Int, stride: Int): String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       |  md5(text) AS payload_md5,
+       |  to_base64(CAST(substring(text, 1, $headBytes) AS BLOB)) AS head_b64,
+       |  lang AS meta_lang,
+       |  array_to_string(
+       |    list_transform(generate_series($stride, length(text), $stride),
+       |      i -> substring(text, i, 1)), '') AS frame_sample
+       |FROM documents""".stripMargin
+}

@@ -1,0 +1,68 @@
+package graft.similarity
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-similarity-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Tiny deterministic corpus: 3 clusters around orthogonal axes in
+    * 8 dims + the probe near cluster 0. */
+  private def corpus() = {
+    import spark.implicits._
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 8).map(d => (if (d == axis) 0.9f else 0.0f) + (if (d == (axis + 1) % 8) eps else 0.0f))
+    Seq(
+      (0L, v(0, 0.01f)), (1L, v(0, 0.02f)), (2L, v(0, 0.03f)),
+      (10L, v(3, 0.01f)), (11L, v(3, 0.02f)),
+      (20L, v(6, 0.01f)), (21L, v(6, 0.02f)))
+      .toDF("vec_id", "embedding")
+  }
+
+  test("bruteForceTopK ranks same-cluster vectors first, excludes self") {
+    val out = Similarity.bruteForceTopK(corpus(), col("vec_id") === 0L, k = 2)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(0)).forall(_ == 0L))
+    assert(!out.map(_.getLong(1)).contains(0L))
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L)) // the cluster-0 mates
+    assert(out.map(_.getLong(3)).toSeq == Seq(1L, 2L))
+  }
+
+  test("quantized dot product is exact integer math") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.5f, -0.25f)), (2L, Seq(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    val rows = df.collect().map(_.getSeq[Long](0))
+    // floor(0.5 * 2^20) = 524288, floor(-0.25 * 2^20) = -262144
+    assert(rows.contains(Seq(524288L, -262144L)))
+    assert(rows.contains(Seq(1048576L, 1048576L)))
+  }
+
+  test("annTopK finds cluster mates via curve buckets (high-recall on clustered data)") {
+    // clustered vectors land in the same or adjacent curve buckets, so
+    // recall on THIS corpus is 1.0; on the near-random sf0.01 testdata
+    // the measured recall@10 is 0.39 (see Similarity scaladoc).
+    val out = Similarity.annTopK(corpus(), col("vec_id") === 0L, k = 2,
+      bands = 2, bucketShift = 8)
+      .orderBy("rnk").collect()
+    assert(out.map(_.getLong(1)).toSet == Set(1L, 2L))
+  }
+
+  test("cosine of identical vectors is 1.0") {
+    import spark.implicits._
+    val df = Seq((Seq(0.3f, 0.4f), Seq(0.3f, 0.4f))).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("c"))
+    assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
+  }
+}
