@@ -117,6 +117,33 @@ object SparkEntry {
           Curves.curveKeyStr(col("hk")).as("hkey"))
     }),
 
+    // --- float / 64-bit / u128 key paths (reference docs/README.md:166-199)
+    "q_hilbert_f32" -> ((s, dir) => {
+      withCurves(s)
+      // float encode = raw IEEE-754 bit reinterpretation; the oracle
+      // recomputes the bit pattern from the integer values in SQL
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Curves.curveKeyStr(Curves.hilbertEncode(
+          col("l_partkey").cast("float"), col("l_linenumber").cast("float"))).as("hkeyf"))
+    }),
+    "q_hilbert_f64_u128" -> ((s, dir) => {
+      withCurves(s)
+      // 2 x f64 -> 128-bit key carried as 16-byte binary, canonicalized
+      // to its unsigned decimal string
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        Curves.curveKeyStr(Curves.hilbertEncode(
+          col("o_orderkey").cast("double"), col("o_custkey").cast("double"))).as("hkey128"))
+    }),
+    "q_morton_2d64_u128" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Curves.curveKeyStr(Curves.mortonEncode(
+          col("l_orderkey").cast("long"), col("l_partkey").cast("long"))).as("mkey128"))
+    }),
+
     // --- LLM-pipeline: text analysis over documents ---------------------
     "q_text_stats" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -229,6 +256,15 @@ object SparkEntry {
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey",
       finalOrderBy = Some("curve_key, l_orderkey, l_linenumber"), limit = Some(100)),
+    "q_hilbert_f32" -> DuckSql.hilbertQuery(
+      32, Seq(DuckSql.floatBitsExpr("l_partkey"), DuckSql.floatBitsExpr("l_linenumber")),
+      "lineitem", Seq("l_orderkey", "l_linenumber"), "hkeyf"),
+    "q_hilbert_f64_u128" -> DuckSql.hilbertQuery(
+      64, Seq(DuckSql.doubleBitsExpr("o_orderkey"), DuckSql.doubleBitsExpr("o_custkey")),
+      "orders", Seq("o_orderkey"), "hkey128"),
+    "q_morton_2d64_u128" -> DuckSql.mortonQuery(
+      64, Seq("l_orderkey", "l_partkey"), "lineitem",
+      Seq("l_orderkey", "l_linenumber"), "mkey128"),
     "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),

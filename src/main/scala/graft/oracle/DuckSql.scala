@@ -9,23 +9,63 @@ package graft.oracle
   * Validated against the reference goldens (test/sql/lindel.test 5x5
   * grids) at bits=8 and bits=32 before being committed here.
   *
-  * Only keys up to 64 bits are generated (DuckDB UBIGINT); oracle
-  * queries avoid u128 outputs.
+  * Keys up to 128 bits are generated: coordinates travel as UBIGINT
+  * (u64); keys wider than 64 bits switch the interleave arithmetic to
+  * UHUGEINT (u128). Float/double inputs are handled for non-negative
+  * integral values via [[floatBitsExpr]]/[[doubleBitsExpr]], which
+  * recompute the IEEE-754 bit pattern (= the reference's raw-bit
+  * reinterpretation of a float column) in exact integer SQL.
   */
 object DuckSql {
   private val U = "::UBIGINT"
+
+  /** Unsigned constant literal safe for any k in [0, 128). */
+  private def uconst(v: BigInt, t: String = "UBIGINT"): String = s"$v::$t"
+
+  /** The smallest DuckDB unsigned type holding a totalBits-wide key. */
+  private def keyType(totalBits: Int): String =
+    if (totalBits <= 64) "UBIGINT" else "UHUGEINT"
+
+  /** IEEE-754 bits of CAST(k AS FLOAT) as UBIGINT, for a non-negative
+    * integral SQL expression k < 2^24 (exact in FLOAT). The exponent is
+    * the bit length of k (exact: length of the binary string), mantissa
+    * = k shifted to 24 significant bits minus the implicit leading 1.
+    * Validated against IEEE bit patterns for k up to 2^24-1. */
+  def floatBitsExpr(k: String): String = {
+    val e = s"(length(format('{:b}', CAST($k AS BIGINT))) - 1)"
+    s"(CASE WHEN $k = 0 THEN 0$U ELSE " +
+      s"(CAST(127 + $e AS UBIGINT) << 23) + (CAST($k AS UBIGINT) << (23 - $e)) - (1$U << 23) END)"
+  }
+
+  /** IEEE-754 bits of CAST(k AS DOUBLE) as UBIGINT, for non-negative
+    * integral k < 2^53. */
+  def doubleBitsExpr(k: String): String = {
+    val e = s"(length(format('{:b}', CAST($k AS BIGINT))) - 1)"
+    s"(CASE WHEN $k = 0 THEN 0$U ELSE " +
+      s"(CAST(1023 + $e AS UBIGINT) << 52) + (CAST($k AS UBIGINT) << (52 - $e)) - (1$U << 52) END)"
+  }
 
   /** Morton (Z-order) n-dim encode, closed form. `exprs` are the
     * coordinate SQL expressions (must be non-negative and < 2^bits). */
   def mortonKeyExpr(bits: Int, exprs: Seq[String]): String = {
     val n = exprs.length
-    require(bits * n <= 64, s"oracle morton limited to 64-bit keys, got ${bits * n}")
+    require(bits * n <= 128, s"oracle morton limited to 128-bit keys, got ${bits * n}")
+    val kt = keyType(bits * n)
     val terms = for {
       b <- 0 until bits
       i <- 0 until n
       pos = b * n + (n - 1 - i)
-    } yield s"(((CAST(${exprs(i)} AS UBIGINT) >> $b) & 1$U) << $pos)"
-    terms.mkString("(", " | ", ")")
+    } yield s"((CAST((CAST(${exprs(i)} AS UBIGINT) >> $b) & 1$U AS $kt)) << $pos)"
+    // balanced OR tree: a flat left-assoc chain of 128 terms exceeds
+    // DuckDB's expression-depth limit (max 128); pairing keeps depth
+    // at log2(terms)
+    def orTree(ts: Seq[String]): String =
+      if (ts.size == 1) ts.head
+      else orTree(ts.grouped(2).map {
+        case Seq(a, b) => s"($a | $b)"
+        case Seq(a)    => a
+      }.toSeq)
+    orTree(terms)
   }
 
   /** Hilbert n-dim encode as an embeddable CTE chain (Skilling
@@ -44,7 +84,8 @@ object DuckSql {
       prefix: String = "",
       where: Option[String] = None): (String, String) = {
     val n = exprs.length
-    require(bits * n <= 64, s"oracle hilbert limited to 64-bit keys, got ${bits * n}")
+    require(bits <= 64 && bits * n <= 128,
+      s"oracle hilbert limited to u64 coords / 128-bit keys, got $bits x $n")
     val ks = keyCols.mkString(", ")
     val xs = (0 until n).map(i => s"x$i")
     val ctes = scala.collection.mutable.ArrayBuffer[String]()
@@ -54,8 +95,8 @@ object DuckSql {
     var prev = s"${prefix}base"
     // forward transform: k = bits-1 .. 1, i = 0 .. n-1 sequential
     for (k <- bits - 1 to 1 by -1; i <- 0 until n) {
-      val q = s"${1L << k}$U"
-      val p = s"${(1L << k) - 1L}$U"
+      val q = uconst(BigInt(1) << k)
+      val p = uconst((BigInt(1) << k) - 1)
       val name = s"${prefix}s_${k}_$i"
       val cols = if (i == 0) {
         xs.map {
@@ -84,7 +125,8 @@ object DuckSql {
     }
     // t from the last coordinate, applied to all
     val tTerms = (bits - 1 to 1 by -1).map { k =>
-      s"(CASE WHEN (x${n - 1} & ${1L << k}$U) != 0 THEN ${(1L << k) - 1L}$U ELSE 0$U END)"
+      s"(CASE WHEN (x${n - 1} & ${uconst(BigInt(1) << k)}) != 0 " +
+        s"THEN ${uconst((BigInt(1) << k) - 1)} ELSE 0$U END)"
     }
     val tExpr = tTerms.reduceLeft((a, b) => s"xor($a, $b)")
     val tCols = xs.map(x => s"xor($x, $tExpr) AS $x")
