@@ -1,0 +1,83 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Curves
+import graft.layout.Layout
+
+/** Layout-optimization measurement (fills BASELINE.md's proxy table):
+  * writes sf lineitem Hilbert-ordered vs natural-ordered, runs the same
+  * selective 2-D filter on both, and reports wall times plus the
+  * footer-stats row-group skip ratio. Also measures raw encode
+  * throughput. One JSON line on stdout + layout_result.json.
+  */
+object LayoutBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val nRows = li.count()
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+
+    // raw encode throughput (codegen'd projection, no shuffle)
+    noop(li.select(Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")))) // warm
+    val tH2 = timed(noop(li.select(
+      Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("k"))))
+    val tM2 = timed(noop(li.select(
+      Curves.mortonEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("k"))))
+    val tH4 = timed(noop(li.select(Curves.hilbertEncode(
+      (col("l_partkey") % 32768).cast("short"), col("l_suppkey").cast("short"),
+      col("l_linenumber").cast("short"), col("l_quantity").cast("short")).as("k"))))
+
+    // layout write: hilbert-ordered vs natural, same 1 MiB row groups
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_bench"
+    val hilbertPath = s"$base/hilbert"
+    val naturalPath = s"$base/natural"
+    val tWriteH = timed(Layout.writeHilbertOrdered(li, Seq("l_partkey", "l_suppkey"), hilbertPath))
+    val tWriteN = timed(Layout.writeNaturalOrder(li, naturalPath))
+
+    // selective 2-D filter on both layouts
+    val (loP, hiP, loS, hiS) = (400L, 599L, 20L, 69L)
+    def filtered(path: String): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("l_partkey").between(loP, hiP) && col("l_suppkey").between(loS, hiS))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    noop(filtered(hilbertPath)) // warm footer caches on both
+    noop(filtered(naturalPath))
+    val tScanH = timed(noop(filtered(hilbertPath)))
+    val tScanN = timed(noop(filtered(naturalPath)))
+
+    // footer-stats skip ratio (the mechanism the scan uses)
+    val (rgH, skipH) = Layout.countSkippable(hilbertPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
+    val (rgN, skipN) = Layout.countSkippable(naturalPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
+
+    val json =
+      s"""{"metric":"layout","rows":$nRows,"cpus":$cpus,"sf":"$sfDir",""" +
+        s""""encode_rows_per_sec":{"hilbert_2d32":${(nRows / tH2).toLong},""" +
+        s""""morton_2d32":${(nRows / tM2).toLong},"hilbert_4d16":${(nRows / tH4).toLong}},""" +
+        s""""write_sec":{"hilbert_ordered":$tWriteH,"natural":$tWriteN},""" +
+        s""""filtered_scan_sec":{"hilbert_ordered":$tScanH,"natural":$tScanN},""" +
+        s""""row_groups":{"hilbert":{"total":$rgH,"skippable":$skipH},""" +
+        s""""natural":{"total":$rgN,"skippable":$skipN}}}"""
+    Files.writeString(Paths.get("layout_result.json"), json + "\n")
+    println(json)
+    spark.stop()
+  }
+}

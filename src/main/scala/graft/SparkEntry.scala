@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.dedup.Dedup
 import graft.functions.Curves
+import graft.layout.Layout
 import graft.multimodal.Multimodal
 import graft.oracle.{DocSql, DuckSql, EventSql, SimSql}
 import graft.similarity.Similarity
@@ -220,6 +221,20 @@ object SparkEntry {
         Multimodal.frameSample(col("text"), 8).as("frame_sample"))
     }),
 
+    // --- layout optimization: the reference's purpose -------------------
+    // Curve-order lineitem into parquet, then run a selective 2-D range
+    // filter over the re-read (row groups pruned by footer stats; same
+    // result set as filtering the source — which is what the oracle does).
+    "q_layout_filter" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Layout.writeHilbertOrdered(table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(400, 599) && col("l_suppkey").between(20, 69))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // --- SQL string path: the registered-function surface ---------------
     "q_sql_hilbert" -> ((s, dir) => {
       withCurves(s)
@@ -275,6 +290,9 @@ object SparkEntry {
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
+    "q_layout_filter" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 69""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
     "q_events_window" -> EventSql.eventsWindow,
     "q_events_setop" -> EventSql.setOp(95),

@@ -1,0 +1,90 @@
+package graft.layout
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Curves
+
+/** The reference's raison d'être, Spark-native: curve-order a table
+  * before writing Parquet so per-row-group min/max statistics become
+  * selective on EVERY curve dimension, and multi-dimensional range
+  * filters skip row groups (reference docs/README.md:53-72 — `COPY
+  * (... ORDER BY hilbert_encode(...)) TO 'x.parquet'`).
+  *
+  * In Spark the whole pipeline is declarative: `orderBy(curve key)` is
+  * a range exchange + external sort (scales to any cluster; no driver
+  * funnel), the write is a parallel parquet sink, and the payoff comes
+  * for free on read — Catalyst pushes range predicates into the
+  * parquet scan, which prunes row groups by footer stats.
+  *
+  * [[rowGroupRanges]] / [[countSkippable]] read parquet footers
+  * directly (driver-side diagnostic, not a query path) to make the
+  * skip ratio measurable — see graft.LayoutBench and BASELINE.md.
+  */
+object Layout {
+
+  /** Write `df` ordered by the Hilbert key of `keyCols` (int-cast).
+    * Small row groups (default 1 MiB vs the 128 MiB default) give the
+    * pruning useful granularity at test scale; production would keep
+    * the default and rely on the same mechanism. */
+  def writeHilbertOrdered(df: DataFrame, keyCols: Seq[String], path: String,
+      rowGroupBytes: Long = 1L << 20): Unit =
+    df.orderBy(Curves.hilbertEncode(keyCols.map(c => col(c).cast("int")): _*))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
+  /** Same sink with the source's natural order — the comparison
+    * baseline. */
+  def writeNaturalOrder(df: DataFrame, path: String,
+      rowGroupBytes: Long = 1L << 20): Unit =
+    df.write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
+  /** (min, max, rowCount) of `column` for every row group under
+    * `dir`'s parquet files (footer stats only; no data pages read). */
+  def rowGroupRanges(dir: String, column: String): Seq[(Long, Long, Long)] = {
+    val conf = new Configuration()
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.isFile).sortBy(_.getName)
+    files.toSeq.flatMap { f =>
+      val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
+      val reader = ParquetFileReader.open(in)
+      try {
+        reader.getFooter.getBlocks.asScala.toSeq.map { block =>
+          val cc = block.getColumns.asScala
+            .find(_.getPath.toDotString == column)
+            .getOrElse(throw new IllegalArgumentException(
+              s"column $column not found in ${f.getName}"))
+          val stats = cc.getStatistics
+          (stats.genericGetMin.asInstanceOf[Number].longValue(),
+            stats.genericGetMax.asInstanceOf[Number].longValue(),
+            block.getRowCount)
+        }
+      } finally reader.close()
+    }
+  }
+
+  /** (total row groups, groups a reader can SKIP) for a conjunctive
+    * 2-D range filter, judged purely by footer min/max — the exact
+    * decision a parquet reader makes. A group survives only if BOTH
+    * column ranges overlap the predicate box. */
+  def countSkippable(dir: String,
+      colA: String, loA: Long, hiA: Long,
+      colB: String, loB: Long, hiB: Long): (Int, Int) = {
+    val a = rowGroupRanges(dir, colA)
+    val b = rowGroupRanges(dir, colB)
+    require(a.size == b.size, "row-group count mismatch between columns")
+    val skippable = a.zip(b).count { case ((minA, maxA, _), (minB, maxB, _)) =>
+      maxA < loA || minA > hiA || maxB < loB || minB > hiB
+    }
+    (a.size, skippable)
+  }
+}
