@@ -1,0 +1,89 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming over the events table: the library's
+  * expressions and transforms are stateless scalars, so the same
+  * pipeline definition runs batch or streaming unchanged — this spec
+  * proves it by running a watermarked windowed aggregation as a file
+  * stream into a memory sink and comparing against the identical batch
+  * computation.
+  */
+class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-streaming-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  /** Hourly event counts + integer props sum per event type, with a
+    * 1-hour watermark (a no-op on the batch side, late-data bound on
+    * the stream side). */
+  private def hourlyAgg(ev: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    ev.select(
+        timestamp_micros((col("ts") / lit(1000L)).cast("long")).as("tsm"),
+        col("event_type"), k.as("k"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_k"))
+  }
+
+  test("file-stream windowed aggregation matches the batch result") {
+    // stage the events file in its own directory (file streams read dirs)
+    val inDir = Files.createTempDirectory("graft_stream_in")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val batch = spark.read.parquet(inDir.toString)
+    val schema = batch.schema
+
+    val q = hourlyAgg(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+      .writeStream.format("memory").queryName("ev_hourly")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("ev_hourly").collect().map(key).sorted.toSeq
+    val batched = hourlyAgg(batch).collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+  }
+
+  test("curve expressions run unchanged inside a streaming projection") {
+    import graft.functions.Curves
+    val inDir = Files.createTempDirectory("graft_stream_curve")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = spark.read.parquet(inDir.toString).schema
+
+    val proj = spark.readStream.schema(schema).parquet(inDir.toString)
+      .select(col("event_id"),
+        Curves.curveKeyStr(Curves.hilbertEncode(
+          col("user_id").cast("int"), col("event_id").cast("int"))).as("hkey"))
+    val q = proj.writeStream.format("memory").queryName("ev_curve")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val rows = spark.table("ev_curve").collect()
+    assert(rows.length == spark.read.parquet(inDir.toString).count())
+    assert(rows.forall(_.getString(1).nonEmpty))
+  }
+}
