@@ -67,22 +67,46 @@ object Dedup {
       .groupBy(TextFunctions.contentHash(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("copies"))
 
-  /** MinHash signature: array of `numHashes` per-hash-function minima.
-    * Hash family i is `md5(shingle || "#i")`; the minimum is taken
-    * lexicographically over hex strings — deterministic and
-    * reproducible in any engine with md5. */
-  def minhashSignature(text: Column, p: MinHashParams): Column = {
-    val sh = TextFunctions.shingles(text, p.shingleK)
-    array((0 until p.numHashes).map { i =>
-      array_min(transform(sh, s => md5(concat(s, lit("#" + i)).cast("binary"))))
-    }: _*)
-  }
+  /** Modulus of the affine MinHash family: 2^31 - 1 (Mersenne prime).
+    * Keeping h < 2^31 makes a*h + b stay well inside a 64-bit signed
+    * integer — exact (and identical) in Spark and DuckDB. */
+  val HashP: Long = 2147483647L
 
-  /** Per-band hash: md5 of the concatenated band rows of the signature. */
+  /** Coefficients of hash function i: h_i(x) = (a*x + b) mod HashP.
+    * a is never 0 mod the prime; constants are fixed so the oracle
+    * regenerates them. */
+  def hashCoef(i: Int): (Long, Long) =
+    ((1103515245L * (i + 1)) % HashP, (12345L * (2 * i + 1)) % HashP)
+
+  /** One base hash per shingle: the first 8 md5 hex digits as an
+    * integer, reduced mod HashP. One md5 per shingle TOTAL — the
+    * `numHashes` family members are cheap affine transforms of this
+    * (round-2 bench: recomputing md5 per hash function made signature
+    * construction the dominant dedup cost). */
+  def shingleBaseHashes(text: Column, p: MinHashParams): Column =
+    transform(TextFunctions.shingles(text, p.shingleK),
+      s => conv(substring(md5(s.cast("binary")), 1, 8), 16, 10).cast("long") % HashP)
+
+  /** MinHash signature from the base-hash array: per function i, the
+    * minimum of (a_i*h + b_i) mod P over the document's shingles. */
+  def signatureFromBase(bh: Column, p: MinHashParams): Column =
+    array((0 until p.numHashes).map { i =>
+      val (a, b) = hashCoef(i)
+      array_min(transform(bh, h => (h * a + b) % HashP))
+    }: _*)
+
+  /** Convenience single-expression signature (tests, ad-hoc use);
+    * pipelines should compute [[shingleBaseHashes]] in its own
+    * projection so the md5 pass runs once. */
+  def minhashSignature(text: Column, p: MinHashParams): Column =
+    signatureFromBase(shingleBaseHashes(text, p), p)
+
+  /** Per-band key: the band's signature components joined to a string
+    * (cheap, high-cardinality join key). */
   private def bandHashes(sig: Column, p: MinHashParams): Column =
     array((0 until p.bands).map { j =>
-      md5(concat((0 until p.rowsPerBand).map(r =>
-        element_at(sig, j * p.rowsPerBand + r + 1)): _*).cast("binary"))
+      concat_ws("_", (0 until p.rowsPerBand).map(r =>
+        element_at(sig, j * p.rowsPerBand + r + 1).cast("string")): _*)
     }: _*)
 
   /** Candidate pairs from banded LSH over a persisted (doc_id, sig)
@@ -118,9 +142,9 @@ object Dedup {
     * smaller than the corpus — so the cache holds at any scale. */
   def minhashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs.select(
-      col(idCol).as("doc_id"),
-      minhashSignature(col(textCol), p).as("sig"))
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), shingleBaseHashes(col(textCol), p).as("bh"))
+      .select(col("doc_id"), signatureFromBase(col("bh"), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandCandidates(sigs, p)
     cand
@@ -176,10 +200,12 @@ object Dedup {
     * capped at the bucket count (round-2 verdict #1). */
   def jaccardPairs(docs: DataFrame, p: MinHashParams = JaccardParams,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = docs.select(
-      col(idCol).as("doc_id"),
-      array_distinct(TextFunctions.shingles(col(textCol), p.shingleK)).as("sh"),
-      minhashSignature(col(textCol), p).as("sig"))
+    val ds = docs
+      .select(
+        col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), p.shingleK)).as("sh"),
+        shingleBaseHashes(col(textCol), p).as("bh"))
+      .select(col("doc_id"), col("sh"), signatureFromBase(col("bh"), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = ds.select(col("doc_id"), col("sig"))
     val shs = ds.select(col("doc_id"), col("sh"))

@@ -58,22 +58,30 @@ object DocSql {
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1""".stripMargin
 
-  /** Shared CTE chain: shingles -> h0..hN signature -> exploded bands
-    * with the over-cap buckets dropped (QUALIFY mirrors Dedup's window
-    * count skew cap) -> distinct candidate pairs. */
+  /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
+    * h0..hN affine-family signature -> exploded bands with the
+    * over-cap buckets dropped (QUALIFY mirrors Dedup's window count
+    * skew cap) -> distinct candidate pairs. Mirrors
+    * Dedup.shingleBaseHashes / signatureFromBase exactly (same md5
+    * base, same (a*h + b) mod 2^31-1 family). */
   private def sigCandCtes(p: MinHashParams): String = {
-    val hs = (0 until p.numHashes)
-      .map(i => s"  list_min(list_transform(shingles, s -> md5(s || '#$i'))) AS h$i")
-      .mkString(",\n")
+    val P = graft.dedup.Dedup.HashP
+    val hs = (0 until p.numHashes).map { i =>
+      val (a, b) = graft.dedup.Dedup.hashCoef(i)
+      s"  list_min(list_transform(bh, h -> (h * $a + $b) % $P)) AS h$i"
+    }.mkString(",\n")
     val bandRows = (0 until p.bands).map { j =>
-      val parts = (0 until p.rowsPerBand).map(r => s"h${j * p.rowsPerBand + r}").mkString(" || ")
-      if (j == 0) s"  SELECT doc_id, 0 AS band_idx, md5($parts) AS band FROM sig"
-      else s"  UNION ALL SELECT doc_id, $j, md5($parts) FROM sig"
+      val parts = (0 until p.rowsPerBand)
+        .map(r => s"CAST(h${j * p.rowsPerBand + r} AS VARCHAR)").mkString(" || '_' || ")
+      if (j == 0) s"  SELECT doc_id, 0 AS band_idx, $parts AS band FROM sig"
+      else s"  UNION ALL SELECT doc_id, $j, $parts FROM sig"
     }.mkString("\n")
     s"""sh AS (SELECT doc_id, ${shinglesExpr(p.shingleK)} AS shingles FROM d),
+       |bhs AS (SELECT doc_id, shingles, list_transform(shingles,
+       |  s -> CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT) % $P) AS bh FROM sh),
        |sig AS (SELECT doc_id,
        |$hs
-       |FROM sh),
+       |FROM bhs),
        |bands0 AS (
        |$bandRows),
        |bands AS (SELECT doc_id, band_idx, band FROM bands0

@@ -62,11 +62,11 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("jaccard pairs: exact intersection/union on distinct shingles") {
-    val a = "a b c d e f g h"   // shingles: 6
-    val b = "a b c d e f g z"   // shares 5 of them
+    val a = "a b c d e f g h"     // shingles: 6
+    val b = "a b c d e f g h z"   // shares all 6; adds 1 -> j = 6/7
     val out = Dedup.jaccardPairs(docs((1L, a), (2L, b)))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
-    assert(out.toSeq == Seq((1L, 2L, 5L, 7L)))
+    assert(out.toSeq == Seq((1L, 2L, 6L, 7L)))
   }
 
   test("jaccard pairs: band skew cap drops pathological buckets") {
