@@ -1,12 +1,12 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.catalyst.expressions.{ShiftLeft, ShiftRight}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShims
 import org.apache.spark.storage.StorageLevel
 
+import graft.functions.SimHash32
 import graft.text.TextFunctions
 
 /** Deduplication operators for large-scale corpora.
@@ -157,32 +157,14 @@ object Dedup {
       .filter(col("minhash_matches") >= p.minMatches)
   }
 
-  // functions.shiftright/shiftleft only take a literal Int shift; the
-  // Catalyst expressions accept a column — bridge through the shim.
-  private def shiftR(a: Column, b: Column): Column =
-    ColumnShims.column(ShiftRight(ColumnShims.expression(a), ColumnShims.expression(b)))
-  private def shiftL(a: Column, b: Column): Column =
-    ColumnShims.column(ShiftLeft(ColumnShims.expression(a), ColumnShims.expression(b)))
-
   /** 32-bit SimHash over tokens (with multiplicity): per bit, tokens
     * vote +1/-1 by their hash bit; the fingerprint sets bits with a
-    * positive vote. A narrow per-row aggregate — no shuffle. */
-  def simhash(text: Column): Column = {
-    val toks = TextFunctions.tokens(text)
-    // token hash: first 8 hex chars of md5 as a 32-bit value in a long
-    val votes = aggregate(
-      toks,
-      array_repeat(lit(0L), 32),
-      (acc, t) => {
-        val h = conv(substring(md5(t.cast("binary")), 1, 8), 16, 10).cast("long")
-        zip_with(acc, sequence(lit(0), lit(31)),
-          (v, b) => v + (shiftR(h, b) % lit(2) === lit(1)).cast("long") * lit(2L) - lit(1L))
-      })
-    aggregate(
-      zip_with(votes, sequence(lit(0), lit(31)),
-        (v, b) => when(v > 0, shiftL(lit(1L), b)).otherwise(lit(0L))),
-      lit(0L), (acc, x) => acc + x)
-  }
+    * positive vote. A narrow per-row projection — no shuffle — using
+    * the one-pass native expression [[graft.functions.SimHash32]]
+    * (the builtin-composed formulation evaluated 32 interpreted
+    * lambdas per token and dominated the dedup bench). */
+  def simhash(text: Column): Column =
+    ColumnShims.column(SimHash32(ColumnShims.expression(TextFunctions.tokens(text))))
 
   /** Default LSH parameters for the exact-Jaccard verify path: 6 bands
     * of 2 rows -> P(candidate | jaccard j) = 1-(1-j^2)^6, ~0.99 at the
