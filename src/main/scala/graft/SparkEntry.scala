@@ -208,6 +208,39 @@ object SparkEntry {
       users("error").union(users("purchase")).except(users("click"))
     }),
 
+    // As-of join, Spark-first: not a range self-join (quadratic within
+    // ties, extra shuffle) but ONE sort per user — tag click timestamps,
+    // carry the latest forward with a running window, keep purchase
+    // rows. The oracle cross-checks with DuckDB's native ASOF JOIN.
+    "q_join_asof" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+        .withColumn("click_ts", when(col("event_type") === "click", col("ts")))
+        .withColumn("last_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        // output at us precision: DuckDB truncates ns parquet timestamps
+        // to its us TIMESTAMP on read (no us ties in the data — verified)
+        .select(col("user_id"), col("event_id"),
+          TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
+          TextFunctions.intDiv(col("last_click_ts"), lit(1000L)).as("last_click_us"))
+    }),
+    "q_agg_cube" -> ((s, dir) => {
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      events(s, dir)
+        .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
+        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+    }),
+    "q_join_semi_anti" -> ((s, dir) => {
+      val c = table(s, dir, "customer").select(col("c_custkey"))
+      val o = table(s, dir, "orders").select(col("o_custkey"))
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .withColumn("flag", lit("has_orders"))
+        .union(c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .withColumn("flag", lit("no_orders")))
+    }),
+
     // --- multimodal: binary payload + struct metadata -------------------
     "q_multimodal" -> ((s, dir) => {
       val bin = Multimodal.payload(col("text"))
@@ -296,6 +329,9 @@ object SparkEntry {
     "q_events_props" -> EventSql.eventsProps,
     "q_events_window" -> EventSql.eventsWindow,
     "q_events_setop" -> EventSql.setOp(95),
+    "q_join_asof" -> EventSql.asofJoin,
+    "q_agg_cube" -> EventSql.cubeAgg,
+    "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",

@@ -132,6 +132,24 @@ object Curves {
       if (inputBits > 0) Some(inputBits) else None))
 
   def curveKeyStr(key: Column): Column = col(CurveKeyString(expr(key)))
+
+  /** Per-character ordinals of an ASCII string as a byte array — the
+    * reference's string-encode convenience (docs/README.md:202-218:
+    * `[ord(x) for x in split('abcd', '')]::tinyint[4]`). Characters
+    * above 127 fail the ANSI byte cast, matching the tinyint-cast
+    * error a user would get in the reference. */
+  private def stringOrds(str: Column): Column =
+    org.apache.spark.sql.functions.transform(
+      org.apache.spark.sql.functions.split(str, ""),
+      c => org.apache.spark.sql.functions.ascii(c).cast("byte"))
+
+  /** Hilbert key of an n-character ASCII string (n must be static). */
+  def hilbertEncodeString(str: Column, n: Int): Column =
+    col(CurveEncode(expr(stringOrds(str)), n, hilbert = true))
+
+  /** Morton key of an n-character ASCII string. */
+  def mortonEncodeString(str: Column, n: Int): Column =
+    col(CurveEncode(expr(stringOrds(str)), n, hilbert = false))
 }
 
 /** Session extension:

@@ -41,6 +41,30 @@ object EventSql {
        |EXCEPT
        |SELECT user_id FROM events WHERE event_type = 'click' AND $kExpr > $kMin""".stripMargin
 
+  /** As-of join oracle: DuckDB's NATIVE ASOF JOIN — an independent
+    * implementation of the semantics our Spark side expresses as a
+    * single-sort window (last click ts at-or-before each purchase,
+    * per user). */
+  val asofJoin: String =
+    """SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us, epoch_us(c.ts) AS last_click_us
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts""".stripMargin
+
+  /** CUBE aggregation (grouping-sets family) with integer aggregates. */
+  val cubeAgg: String =
+    s"""SELECT event_type, user_id % 10 AS user_mod,
+       |  count(*) AS n, sum($kExpr) AS sum_k
+       |FROM events GROUP BY CUBE(event_type, user_id % 10)""".stripMargin
+
+  /** Semi + anti join: customers with and without orders. */
+  val semiAnti: String =
+    """SELECT c_custkey, 'has_orders' AS flag FROM customer
+      |WHERE c_custkey IN (SELECT o_custkey FROM orders)
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' AS flag FROM customer
+      |WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""".stripMargin
+
   /** Multimodal plumbing over documents: byte length / checksum / head
     * bytes of the payload + struct-metadata round-trip + frame sample.
     * The corpus is pure ASCII (verified), so DuckDB's VARCHAR ops see

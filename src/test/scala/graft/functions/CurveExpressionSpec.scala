@@ -144,6 +144,13 @@ class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.nonEmpty)
   }
 
+  test("string encode: 'abcd' ordinals on the u8 curve (reference docs/README.md:206-213)") {
+    import spark.implicits._
+    val df = Seq("abcd").toDF("s").select(
+      graft.functions.Curves.hilbertEncodeString(col("s"), 4).as("h"))
+    assert(df.head().getLong(0) == 178258816L)
+  }
+
   test("whole-stage codegen stays enabled over curve expressions") {
     val df = spark.sql(
       """SELECT sum(hilbert_encode(array(int(id), int(id + 1)))) AS s
