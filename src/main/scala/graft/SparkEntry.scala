@@ -227,10 +227,13 @@ object SparkEntry {
           TextFunctions.intDiv(col("last_click_ts"), lit(1000L)).as("last_click_us"))
     }),
     "q_agg_cube" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      // project the JSON extraction BEFORE the cube so Expand
+      // replicates a parsed long, not the parse itself
       events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
         .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
-        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
     }),
     "q_join_semi_anti" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(col("c_custkey"))

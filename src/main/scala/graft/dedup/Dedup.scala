@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShims
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.SimHash32
+import graft.functions.{ShingleMinHash, SimHash32}
 import graft.text.TextFunctions
 
 /** Deduplication operators for large-scale corpora.
@@ -95,11 +95,18 @@ object Dedup {
       array_min(transform(bh, h => (h * a + b) % HashP))
     }: _*)
 
-  /** Convenience single-expression signature (tests, ad-hoc use);
-    * pipelines should compute [[shingleBaseHashes]] in its own
-    * projection so the md5 pass runs once. */
-  def minhashSignature(text: Column, p: MinHashParams): Column =
+  /** Builtin-composed signature — the executable SPEC of the
+    * semantics; [[minhashSignature]] is the native one-pass expression
+    * the pipelines use (equality is asserted in DedupSpec). */
+  def minhashSignatureBuiltin(text: Column, p: MinHashParams): Column =
     signatureFromBase(shingleBaseHashes(text, p), p)
+
+  /** MinHash signature via the one-pass native expression
+    * [[graft.functions.ShingleMinHash]] (no shingle-string or
+    * base-hash materialization, no interpreted lambda passes). */
+  def minhashSignature(text: Column, p: MinHashParams): Column =
+    ColumnShims.column(ShingleMinHash(
+      ColumnShims.expression(TextFunctions.tokens(text)), p.shingleK, p.numHashes))
 
   /** Per-band key: the band's signature components joined to a string
     * (cheap, high-cardinality join key). */
@@ -143,8 +150,7 @@ object Dedup {
   def minhashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = docs
-      .select(col(idCol).as("doc_id"), shingleBaseHashes(col(textCol), p).as("bh"))
-      .select(col("doc_id"), signatureFromBase(col("bh"), p).as("sig"))
+      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val cand = bandCandidates(sigs, p)
     cand
@@ -186,8 +192,7 @@ object Dedup {
       .select(
         col(idCol).as("doc_id"),
         array_distinct(TextFunctions.shingles(col(textCol), p.shingleK)).as("sh"),
-        shingleBaseHashes(col(textCol), p).as("bh"))
-      .select(col("doc_id"), col("sh"), signatureFromBase(col("bh"), p).as("sig"))
+        minhashSignature(col(textCol), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = ds.select(col("doc_id"), col("sig"))
     val shs = ds.select(col("doc_id"), col("sh"))

@@ -1,0 +1,99 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** MinHash signature of a token array in ONE native pass: for every
+  * k-token shingle, md5 the exact bytes `tok_i ' ' tok_{i+1} ...`
+  * (identical to concat_ws(" ", slice(...)) — verified byte-for-byte
+  * in DedupSpec), reduce the first 4 digest bytes mod p to the base
+  * hash, and fold it into the `numHashes` running affine minima
+  * (a_j*h + b_j mod p, coefficients from graft.dedup.Dedup.hashCoef).
+  *
+  * Semantically equal to the builtin-composed
+  * shingleBaseHashes + signatureFromBase pipeline, but skips
+  * materializing the shingle strings and the base-hash array and
+  * replaces numHashes interpreted lambda passes with a tight loop.
+  * Documents shorter than k tokens collapse to one whole-document
+  * shingle (the shared convention).
+  */
+case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_minhash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 && numHashes >= 1 =>
+      TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"shingle_minhash: k and numHashes must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_minhash expects array<string>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMinHashRuntime.signature(input.asInstanceOf[ArrayData], k, numHashes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleMinHashRuntime.signature($c, $k, $numHashes);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinHash =
+    copy(child = newChild)
+}
+
+object ShingleMinHashRuntime {
+  import graft.dedup.Dedup.{hashCoef, HashP}
+
+  private val md5 = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+  private val Space = Array[Byte](' ')
+
+  /** a/b coefficient arrays per family size (tiny, cached). */
+  private val coefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def coefs(numHashes: Int): (Array[Long], Array[Long]) =
+    coefCache.computeIfAbsent(numHashes, n => {
+      val cs = (0 until n).map(hashCoef)
+      (cs.map(_._1).toArray, cs.map(_._2).toArray)
+    })
+
+  def signature(tokens: ArrayData, k: Int, numHashes: Int): GenericArrayData = {
+    val (as, bs) = coefs(numHashes)
+    val mins = Array.fill(numHashes)(Long.MaxValue)
+    val digest = md5.get()
+    val n = tokens.numElements()
+    val nShingles = if (n >= k) n - k + 1 else 1
+    val width = if (n >= k) k else n
+    var i = 0
+    while (i < nShingles) {
+      digest.reset()
+      var j = 0
+      while (j < width) {
+        if (j > 0) digest.update(Space)
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) digest.update(t.getBytes)
+        j += 1
+      }
+      val d = digest.digest()
+      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % HashP
+      var f = 0
+      while (f < numHashes) {
+        val v = (h * as(f) + bs(f)) % HashP
+        if (v < mins(f)) mins(f) = v
+        f += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

@@ -94,6 +94,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(2L) == ((Seq(""), 1L)))
   }
 
+  test("native ShingleMinHash matches the builtin-composed signature byte for byte") {
+    val texts = Seq(
+      (1L, "a b c d e f g h i j"),
+      (2L, "one two"),                 // shorter than k -> whole-doc shingle
+      (3L, "x"),
+      (4L, "repeated repeated repeated repeated"),
+      (5L, ""))
+    val p = Dedup.MinHashParams()
+    val df = docs(texts: _*).select(
+      col("doc_id"),
+      Dedup.minhashSignature(col("text"), p).as("native"),
+      Dedup.minhashSignatureBuiltin(col("text"), p).as("builtin"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"doc ${r.getLong(0)}")
+    }
+  }
+
   test("simhash: deterministic, equal for equal text, 32-bit range") {
     val out = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta eps"))
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
