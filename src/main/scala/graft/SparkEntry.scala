@@ -145,6 +145,37 @@ object SparkEntry {
           col("l_orderkey").cast("long"), col("l_partkey").cast("long"))).as("mkey128"))
     }),
 
+    // float decode path: encode two int-valued floats, decode back as
+    // floats (raw IEEE bits both ways) — compares stored float columns
+    "q_roundtrip_f32" -> ((s, dir) => {
+      withCurves(s)
+      val pt = Curves.hilbertDecode(
+        Curves.hilbertEncode(col("l_partkey").cast("float"), col("l_linenumber").cast("float")),
+        2, asFloat = true)
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        pt.getItem(0).as("x0"), pt.getItem(1).as("x1"))
+    }),
+    // u128 decode path: 2 x u64 -> 128-bit key -> back to u64 elements
+    "q_roundtrip_u128" -> ((s, dir) => {
+      withCurves(s)
+      val pt = Curves.mortonDecode(
+        Curves.mortonEncode(col("o_orderkey").cast("long"), col("o_custkey").cast("long")),
+        2, unsigned = true)
+      table(s, dir, "orders").select(
+        col("o_orderkey"),
+        pt.getItem(0).cast("long").as("x0"), pt.getItem(1).cast("long").as("x1"))
+    }),
+    // signed inputs: raw two's-complement reinterpretation (negatives
+    // land in the upper key space, reference semantics)
+    "q_hilbert_signed" -> ((s, dir) => {
+      withCurves(s)
+      table(s, dir, "lineitem").select(
+        col("l_orderkey"), col("l_linenumber"),
+        Curves.curveKeyStr(Curves.hilbertEncode(
+          (col("l_partkey") - 1000).cast("int"), (col("l_suppkey") - 50).cast("int"))).as("hkeys"))
+    }),
+
     // --- LLM-pipeline: text analysis over documents ---------------------
     "q_text_stats" -> ((s, dir) => {
       table(s, dir, "documents").select(
@@ -235,6 +266,18 @@ object SparkEntry {
         .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
     }),
+    // non-equi range join: tiny band table broadcast against the event
+    // stream (BroadcastNestedLoopJoin — the right plan when one side is
+    // a handful of ranges)
+    "q_join_range" -> ((s, dir) => {
+      val bands = table(s, dir, "region").select(
+        col("r_regionkey").as("band"),
+        (col("r_regionkey") * lit(100.0d)).as("lo"),
+        (col("r_regionkey") * lit(100.0d) + lit(100.0d)).as("hi"))
+      events(s, dir).select(col("event_id"), col("value"))
+        .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"))
+        .select(col("event_id"), col("band"), col("value"))
+    }),
     "q_join_semi_anti" -> ((s, dir) => {
       val c = table(s, dir, "customer").select(col("c_custkey"))
       val o = table(s, dir, "orders").select(col("o_custkey"))
@@ -316,6 +359,22 @@ object SparkEntry {
     "q_morton_2d64_u128" -> DuckSql.mortonQuery(
       64, Seq("l_orderkey", "l_partkey"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "mkey128"),
+    "q_roundtrip_f32" ->
+      """SELECT l_orderkey, l_linenumber,
+        | CAST(l_partkey AS FLOAT) AS x0, CAST(l_linenumber AS FLOAT) AS x1
+        |FROM lineitem""".stripMargin,
+    "q_roundtrip_u128" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderkey AS BIGINT) AS x0, CAST(o_custkey AS BIGINT) AS x1
+        |FROM orders""".stripMargin,
+    "q_hilbert_signed" -> DuckSql.hilbertQuery(
+      32,
+      Seq("(CAST(l_partkey AS BIGINT) - 1000) & 4294967295",
+        "(CAST(l_suppkey AS BIGINT) - 50) & 4294967295"),
+      "lineitem", Seq("l_orderkey", "l_linenumber"), "hkeys"),
+    "q_join_range" ->
+      """SELECT event_id, r_regionkey AS band, value FROM events
+        |JOIN region ON value >= r_regionkey * 100.0 AND value < r_regionkey * 100.0 + 100.0""".stripMargin,
     "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),

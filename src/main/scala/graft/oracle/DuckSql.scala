@@ -50,7 +50,11 @@ object DuckSql {
   def mortonKeyExpr(bits: Int, exprs: Seq[String]): String = {
     val n = exprs.length
     require(bits * n <= 128, s"oracle morton limited to 128-bit keys, got ${bits * n}")
-    val kt = keyType(bits * n)
+    // exactly-64-bit keys also interleave in UHUGEINT: DuckDB 1.0's
+    // statistics propagation bounds `x << 63` in int64 and overflows
+    // whenever the coordinate's top bit is statistically reachable;
+    // HUGEINT shifts don't hit that path. Cast back afterwards.
+    val kt = if (bits * n <= 63) "UBIGINT" else "UHUGEINT"
     val terms = for {
       b <- 0 until bits
       i <- 0 until n
@@ -65,7 +69,8 @@ object DuckSql {
         case Seq(a, b) => s"($a | $b)"
         case Seq(a)    => a
       }.toSeq)
-    orTree(terms)
+    val tree = orTree(terms)
+    if (bits * n == 64) s"CAST($tree AS UBIGINT)" else tree
   }
 
   /** Hilbert n-dim encode as an embeddable CTE chain (Skilling
