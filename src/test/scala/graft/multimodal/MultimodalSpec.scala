@@ -1,0 +1,61 @@
+package graft.multimodal
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-multimodal-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  test("payload byte ops: length, checksum, head bytes") {
+    import spark.implicits._
+    val df = Seq((1L, "hello world")).toDF("id", "data").select(
+      Multimodal.byteLength(Multimodal.payload(col("data"))).as("len"),
+      Multimodal.checksum(Multimodal.payload(col("data"))).as("md5"),
+      Multimodal.headBase64(Multimodal.payload(col("data")), 5).as("head"))
+    val r = df.head()
+    assert(r.getLong(0) == 11L)
+    assert(r.getString(1) == "5eb63bbbe01eeed093cb22bb8f5acdc3") // md5("hello world")
+    assert(r.getString(2) == java.util.Base64.getEncoder.encodeToString("hello".getBytes))
+  }
+
+  test("frame sample takes every stride-th character; short payloads yield empty") {
+    import spark.implicits._
+    val df = Seq((1L, "abcdefghij"), (2L, "ab")).toDF("id", "data")
+      .select(col("id"), Multimodal.frameSample(col("data"), 3).as("fs"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m(1L) == "cfi") // positions 3, 6, 9
+    assert(m(2L) == "")
+  }
+
+  test("stub decode features: deterministic, fixed dims, engine-exact math") {
+    import spark.implicits._
+    val df = Seq(("payload-a", "payload-a", "payload-b")).toDF("a", "b", "c").select(
+      Multimodal.fakeDecodeFeatures(Multimodal.payload(col("a")), 4).as("fa"),
+      Multimodal.fakeDecodeFeatures(Multimodal.payload(col("b")), 4).as("fb"),
+      Multimodal.fakeDecodeFeatures(Multimodal.payload(col("c")), 4).as("fc"))
+    val r = df.head()
+    val (fa, fb, fc) = (r.getSeq[Long](0), r.getSeq[Long](1), r.getSeq[Long](2))
+    assert(fa.length == 4)
+    assert(fa == fb)      // same payload -> same features
+    assert(fa != fc)      // different payload -> different features
+    assert(fa.forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+
+  test("struct metadata round-trips field access") {
+    import spark.implicits._
+    val df = Seq(("en", "web")).toDF("lang", "source").select(
+      Multimodal.meta("lang" -> col("lang"), "src" -> col("source")).as("m"))
+      .select(col("m.lang"), col("m.src"))
+    assert(df.head() == org.apache.spark.sql.Row("en", "web"))
+  }
+}
