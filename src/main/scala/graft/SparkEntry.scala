@@ -183,7 +183,8 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")).as("n_tokens"),
         TextFunctions.distinctTokenCount(col("text")).as("n_distinct"),
         TextFunctions.tokenChars(col("text")).as("tok_chars"),
-        TextFunctions.qualityPpm(col("text")).as("quality_ppm"))
+        TextFunctions.qualityPpm(col("text")).as("quality_ppm"),
+        TextFunctions.subwordCount(col("text")).as("n_subwords"))
     }),
     "q_text_langid" -> ((s, dir) => {
       val stops = Seq("a", "the")

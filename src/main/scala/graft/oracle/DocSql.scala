@@ -29,7 +29,8 @@ object DocSql {
        |  CAST(len(toks) AS BIGINT) AS n_tokens,
        |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
        |  CAST(list_aggregate(list_transform(toks, t -> length(t)), 'sum') AS BIGINT) AS tok_chars,
-       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm
+       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm,
+       |  CAST(len(regexp_extract_all(coalesce(text, ''), '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_subwords
        |FROM d""".stripMargin
 
   def langId(stops: Seq[String], thresholdPpm: Long): String = {

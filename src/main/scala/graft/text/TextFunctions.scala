@@ -76,6 +76,17 @@ object TextFunctions {
       .otherwise(array(concat_ws(" ", toks)))
   }
 
+  /** BPE-ish subword token pattern: alphanumeric runs or single
+    * non-alphanumeric-non-space characters — the shape a byte-pair
+    * tokenizer's pre-tokenization uses. ASCII-safe so Java and RE2
+    * regex engines agree (the corpus is pure ASCII). */
+  val SubwordPattern: String = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+  /** Subword-token count (BIGINT): the standard "token budget"
+    * estimate for an LLM pipeline, next to whitespace [[tokenCount]]. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(coalesce(text, lit("")), lit(SubwordPattern), lit(0))).cast("long")
+
   /** Content hash of the exact text bytes (exact-dedup key). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
