@@ -219,10 +219,12 @@ object SparkEntry {
 
     // --- events: JSON props, window functions, set ops ------------------
     "q_events_props" -> ((s, dir) => {
-      val k = get_json_object(col("props"), "$.k").cast("long")
+      // parse the JSON once per row, not once per aggregate expression
       events(s, dir)
+        .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
         .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n"), sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
     }),
     "q_events_window" -> ((s, dir) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
