@@ -111,6 +111,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native ShingleMinHash == builtin on randomized corpora (seeded)") {
+    val rnd = new scala.util.Random(44)
+    val vocab = Vector("a", "bb", "word", "Zq9", "!", "longertoken", "7", "x-y")
+    val texts = (1L to 60L).map { i =>
+      val n = rnd.nextInt(12) // 0..11 tokens (0 -> empty text)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (k <- Seq(2, 3, 5); nh <- Seq(4, 12)) {
+      val p = Dedup.MinHashParams(numHashes = nh, bands = nh / 2, shingleK = k)
+      val bad = docs(texts: _*).select(
+        col("doc_id"),
+        Dedup.minhashSignature(col("text"), p).as("native"),
+        Dedup.minhashSignatureBuiltin(col("text"), p).as("builtin"))
+        .collect().filter(r => r.getSeq[Long](1) != r.getSeq[Long](2))
+      assert(bad.isEmpty, s"k=$k nh=$nh mismatch docs ${bad.map(_.getLong(0)).toSeq}")
+    }
+  }
+
   test("simhash: deterministic, equal for equal text, 32-bit range") {
     val out = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta eps"))
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
