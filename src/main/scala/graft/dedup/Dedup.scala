@@ -188,15 +188,20 @@ object Dedup {
     * capped at the bucket count (round-2 verdict #1). */
   def jaccardPairs(docs: DataFrame, p: MinHashParams = JaccardParams,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val ds = docs
-      .select(
-        col(idCol).as("doc_id"),
-        array_distinct(TextFunctions.shingles(col(textCol), p.shingleK)).as("sh"),
-        minhashSignature(col(textCol), p).as("sig"))
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val sigs = ds.select(col("doc_id"), col("sig"))
-    val shs = ds.select(col("doc_id"), col("sh"))
-    bandCandidates(sigs, p)
+    val cand = bandCandidates(sigs, p).persist(StorageLevel.MEMORY_AND_DISK)
+    // materialize the (large) distinct-shingle arrays ONLY for docs that
+    // appear in some candidate pair — exact-verify cost scales with the
+    // candidate set, not the corpus
+    val candIds = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val shs = docs
+      .join(candIds, docs(idCol) === candIds("doc_id"), "left_semi")
+      .select(col(idCol).as("doc_id"),
+        array_distinct(TextFunctions.shingles(col(textCol), p.shingleK)).as("sh"))
+    cand
       .join(shs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(shs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(
