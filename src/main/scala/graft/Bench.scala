@@ -39,6 +39,10 @@ object Bench {
       } catch {
         case e: Throwable =>
           Left((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300))
+      } finally {
+        // drop caches persisted inside the query so later queries don't
+        // inherit the memory pressure (queries are timed independently)
+        spark.catalog.clearCache()
       }
     }
 

@@ -41,16 +41,16 @@ object Multimodal {
 
   /** Every `stride`-th character of a text payload — the frame-sample
     * access pattern (sample k-th frame of a video) expressed on the
-    * testdata's text payloads. Empty result for payloads shorter than
-    * one stride (guards Spark's strict `sequence`). */
-  def frameSample(text: Column, stride: Int): Column = {
-    val chars = split(text, "")
-    when(length(text) >= stride,
-      array_join(
-        transform(sequence(lit(stride), length(text), lit(stride)),
-          i => element_at(chars, i)), ""))
-      .otherwise(lit(""))
-  }
+    * testdata's text payloads. One indexed pass over the char array
+    * (an index-generating lambda capturing the array would re-evaluate
+    * the split per element); payloads shorter than one stride yield
+    * the empty string. */
+  def frameSample(text: Column, stride: Int): Column =
+    array_join(
+      filter(
+        transform(split(text, ""),
+          (c, i) => when((i + 1) % stride === 0, c)),
+        c => c.isNotNull), "")
 
   /** STUB decoder: deterministic fake feature vector derived from the
     * payload checksum — stands in for "decode image + extract features"
