@@ -50,6 +50,45 @@ case class ShingleMinHash(child: Expression, k: Int, numHashes: Int)
     copy(child = newChild)
 }
 
+/** Sorted DISTINCT 60-bit md5-prefix hashes of a token array's
+  * k-shingles, in ONE native pass — the exact-verify representation for
+  * Jaccard dedup. 60 bits = the first 15 hex digits of the md5, so the
+  * DuckDB oracle reproduces every value with
+  * `CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)` (always positive,
+  * well inside BIGINT).
+  *
+  * Replaces intersecting arrays of shingle STRINGS (round-3 verdict:
+  * megabytes of string hashing per candidate pair made the Jaccard
+  * verify 55% of the whole bench) with long-array set math; distinct
+  * counts are identical up to a 60-bit md5-prefix collision, and the
+  * oracle shares the convention so cross-engine equality is exact.
+  */
+case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure("shingle_hashes: k must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects array<string>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMinHashRuntime.hashSet(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleMinHashRuntime.hashSet($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
 object ShingleMinHashRuntime {
   import graft.dedup.Dedup.{hashCoef, HashP}
 
@@ -95,5 +134,42 @@ object ShingleMinHashRuntime {
       i += 1
     }
     new GenericArrayData(mins)
+  }
+
+  /** Sorted distinct 60-bit md5-prefix hashes of the k-shingles (see
+    * [[ShingleHashes]]). The shingle byte stream is identical to
+    * [[signature]]'s; the hash is the big-endian u64 of digest bytes
+    * 0..7 shifted right 4 — exactly the first 15 md5 hex digits. */
+  def hashSet(tokens: ArrayData, k: Int): GenericArrayData = {
+    val digest = md5.get()
+    val n = tokens.numElements()
+    val nShingles = if (n >= k) n - k + 1 else 1
+    val width = if (n >= k) k else n
+    val hs = new Array[Long](nShingles)
+    var i = 0
+    while (i < nShingles) {
+      digest.reset()
+      var j = 0
+      while (j < width) {
+        if (j > 0) digest.update(Space)
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) digest.update(t.getBytes)
+        j += 1
+      }
+      val d = digest.digest()
+      hs(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var out = 0
+    i = 0
+    while (i < nShingles) {
+      if (i == 0 || hs(i) != hs(i - 1)) { hs(out) = hs(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(if (out == nShingles) hs else java.util.Arrays.copyOf(hs, out))
   }
 }

@@ -60,9 +60,10 @@ object DocSql {
       |FROM documents GROUP BY 1""".stripMargin
 
   /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
-    * h0..hN affine-family signature -> exploded bands with the
-    * over-cap buckets dropped (QUALIFY mirrors Dedup's window count
-    * skew cap) -> distinct candidate pairs. Mirrors
+    * h0..hN affine-family signature -> exploded bands -> distinct
+    * candidate pairs, where in-cap buckets self-join all pairs and
+    * over-cap buckets emit the star to the bucket's min doc_id
+    * (mirrors Dedup.bandCandidates' skew rule exactly). Mirrors
     * Dedup.shingleBaseHashes / signatureFromBase exactly (same md5
     * base, same (a*h + b) mod 2^31-1 family). */
   private def sigCandCtes(p: MinHashParams): String = {
@@ -85,11 +86,18 @@ object DocSql {
        |FROM bhs),
        |bands0 AS (
        |$bandRows),
-       |bands AS (SELECT doc_id, band_idx, band FROM bands0
-       |  QUALIFY count(*) OVER (PARTITION BY band_idx, band) <= ${p.maxBucketSize}),
-       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id)""".stripMargin
+       |bands AS (SELECT doc_id, band_idx, band,
+       |    count(*) OVER (PARTITION BY band_idx, band) AS bucket_n,
+       |    min(doc_id) OVER (PARTITION BY band_idx, band) AS bucket_min
+       |  FROM bands0),
+       |cand AS (SELECT DISTINCT doc_a, doc_b FROM (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |    FROM bands a JOIN bands b
+       |      ON a.band_idx = b.band_idx AND a.band = b.band AND a.doc_id < b.doc_id
+       |    WHERE a.bucket_n <= ${p.maxBucketSize}
+       |  UNION ALL
+       |  SELECT bucket_min AS doc_a, doc_id AS doc_b FROM bands
+       |    WHERE bucket_n > ${p.maxBucketSize} AND doc_id > bucket_min))""".stripMargin
   }
 
   def minhashPairs(p: MinHashParams): String = {
@@ -106,7 +114,7 @@ object DocSql {
   }
 
   val simhash: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    """WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),
       |th AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) AS h FROM tok),
       |bits AS (SELECT doc_id, bb.b AS b,
       |    SUM(CASE WHEN (h >> bb.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
@@ -117,11 +125,15 @@ object DocSql {
       |FROM bits GROUP BY doc_id""".stripMargin
 
   /** Exact-Jaccard verify over the same banded-LSH candidate set as
-    * Dedup.jaccardPairs (band blocking + integer set math). */
+    * Dedup.jaccardPairs (band blocking + integer set math). The verify
+    * set per doc is the distinct 60-bit md5-prefix hashes of its
+    * shingles — 15 hex digits, the exact convention of the native
+    * ShingleHashes expression on the Spark side. */
   def jaccardPairs(p: MinHashParams): String =
     s"""WITH $docsToks,
        |${sigCandCtes(p)},
-       |dsh AS (SELECT doc_id, list_distinct(shingles) AS sh FROM sh),
+       |dsh AS (SELECT doc_id, list_distinct(list_transform(shingles,
+       |  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS sh FROM sh),
        |pairs AS (SELECT doc_a, doc_b,
        |    CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS BIGINT) AS inter,
        |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS sz_sum

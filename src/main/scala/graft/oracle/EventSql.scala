@@ -16,7 +16,7 @@ object EventSql {
   val eventsProps: String =
     s"""SELECT event_type,
        |  count(*) AS n,
-       |  sum($kExpr) AS sum_k,
+       |  CAST(sum($kExpr) AS BIGINT) AS sum_k,
        |  min($kExpr) AS min_k,
        |  max($kExpr) AS max_k
        |FROM events GROUP BY event_type""".stripMargin
@@ -54,7 +54,7 @@ object EventSql {
   /** CUBE aggregation (grouping-sets family) with integer aggregates. */
   val cubeAgg: String =
     s"""SELECT event_type, user_id % 10 AS user_mod,
-       |  count(*) AS n, sum($kExpr) AS sum_k
+       |  count(*) AS n, CAST(sum($kExpr) AS BIGINT) AS sum_k
        |FROM events GROUP BY CUBE(event_type, user_id % 10)""".stripMargin
 
   /** Semi + anti join: customers with and without orders. */
