@@ -46,11 +46,14 @@ object LayoutBench {
       (col("l_partkey") % 32768).cast("short"), col("l_suppkey").cast("short"),
       col("l_linenumber").cast("short"), col("l_quantity").cast("short")).as("k"))))
 
-    // layout write: hilbert-ordered vs natural, same 1 MiB row groups
+    // layout write: hilbert- vs morton- vs natural-ordered, same 1 MiB
+    // row groups (the reference positions BOTH curves as layout sort keys)
     val base = System.getProperty("java.io.tmpdir") + "/graft_layout_bench"
     val hilbertPath = s"$base/hilbert"
+    val mortonPath = s"$base/morton"
     val naturalPath = s"$base/natural"
     val tWriteH = timed(Layout.writeHilbertOrdered(li, Seq("l_partkey", "l_suppkey"), hilbertPath))
+    val tWriteM = timed(Layout.writeMortonOrdered(li, Seq("l_partkey", "l_suppkey"), mortonPath))
     val tWriteN = timed(Layout.writeNaturalOrder(li, naturalPath))
 
     // selective 2-D filter on both layouts
@@ -59,22 +62,26 @@ object LayoutBench {
       spark.read.parquet(path)
         .filter(col("l_partkey").between(loP, hiP) && col("l_suppkey").between(loS, hiS))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
-    noop(filtered(hilbertPath)) // warm footer caches on both
+    noop(filtered(hilbertPath)) // warm footer caches on all three
+    noop(filtered(mortonPath))
     noop(filtered(naturalPath))
     val tScanH = timed(noop(filtered(hilbertPath)))
+    val tScanM = timed(noop(filtered(mortonPath)))
     val tScanN = timed(noop(filtered(naturalPath)))
 
     // footer-stats skip ratio (the mechanism the scan uses)
     val (rgH, skipH) = Layout.countSkippable(hilbertPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
+    val (rgM, skipM) = Layout.countSkippable(mortonPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
     val (rgN, skipN) = Layout.countSkippable(naturalPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
 
     val json =
       s"""{"metric":"layout","rows":$nRows,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""encode_rows_per_sec":{"hilbert_2d32":${(nRows / tH2).toLong},""" +
         s""""morton_2d32":${(nRows / tM2).toLong},"hilbert_4d16":${(nRows / tH4).toLong}},""" +
-        s""""write_sec":{"hilbert_ordered":$tWriteH,"natural":$tWriteN},""" +
-        s""""filtered_scan_sec":{"hilbert_ordered":$tScanH,"natural":$tScanN},""" +
+        s""""write_sec":{"hilbert_ordered":$tWriteH,"morton_ordered":$tWriteM,"natural":$tWriteN},""" +
+        s""""filtered_scan_sec":{"hilbert_ordered":$tScanH,"morton_ordered":$tScanM,"natural":$tScanN},""" +
         s""""row_groups":{"hilbert":{"total":$rgH,"skippable":$skipH},""" +
+        s""""morton":{"total":$rgM,"skippable":$skipM},""" +
         s""""natural":{"total":$rgN,"skippable":$skipN}}}"""
     Files.writeString(Paths.get("layout_result.json"), json + "\n")
     println(json)

@@ -40,6 +40,19 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
 
+  /** Write `df` ordered by the Morton/Z-order key of `keyCols` — the
+    * reference's second layout encoding (docs/README.md:53-72:
+    * Z-order is cheaper to compute than Hilbert but preserves locality
+    * slightly less well; both make footer stats selective on every key
+    * dimension). Same range-exchange + external-sort + parallel-sink
+    * plan as [[writeHilbertOrdered]]. */
+  def writeMortonOrdered(df: DataFrame, keyCols: Seq[String], path: String,
+      rowGroupBytes: Long = 1L << 20): Unit =
+    df.orderBy(Curves.mortonEncode(keyCols.map(c => col(c).cast("int")): _*))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
   /** Same sink with the source's natural order — the comparison
     * baseline. */
   def writeNaturalOrder(df: DataFrame, path: String,

@@ -43,6 +43,27 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want)
   }
 
+  test("morton-ordered parquet: row groups skippable for 2-D box, result set intact") {
+    import spark.implicits._
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x * 256 + y, x, y)))
+      .toDF("id", "x", "y")
+      .orderBy(md5(col("id").cast("string")))
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_spec_m"
+    Layout.writeMortonOrdered(grid, Seq("x", "y"), s"$base/morton", rowGroupBytes = 16 * 1024)
+
+    val (totM, skipM) = Layout.countSkippable(s"$base/morton", "x", 32, 47, "y", 32, 47)
+    assert(totM > 4, s"expected several row groups, got $totM")
+    // Z-order clusters the box nearly as well as hilbert (one extra
+    // seam per quadrant crossing)
+    assert(skipM.toDouble / totM > 0.5, s"morton skippable $skipM/$totM")
+
+    val got = spark.read.parquet(s"$base/morton")
+      .filter(col("x").between(32, 47) && col("y").between(32, 47))
+      .select("id").as[Int].collect().sorted
+    val want = (32 to 47).flatMap(x => (32 to 47).map(y => x * 256 + y)).sorted
+    assert(got.toSeq == want)
+  }
+
   test("rowGroupRanges reads footer stats") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i, i * 2)).toDF("a", "b")
