@@ -190,7 +190,7 @@ case class CurveDecode(
       case s: java.lang.Short    => (0L, s.longValue() & 0xffffL)
       case i: java.lang.Integer  => (0L, i.longValue() & 0xffffffffL)
       case l: java.lang.Long     => (0L, l.longValue())
-      case d: Decimal            => val hl = CurveRuntime.decimalToU128(d); (hl(0), hl(1))
+      case d: Decimal            => val hl = CurveRuntime.decimalToKey(d, inputBits); (hl(0), hl(1))
       case b: Array[Byte]        => val hl = CurveRuntime.bytesToU128(b); (hl(0), hl(1))
     }
     CurveRuntime.decodeArray(hi, lo, elemBits, n, outTag, hilbert)
@@ -207,7 +207,7 @@ case class CurveDecode(
         case IntegerType => s"long $hi = 0L; long $lo = ((long) $c) & 0xffffffffL;"
         case LongType    => s"long $hi = 0L; long $lo = $c;"
         case _: DecimalType =>
-          s"long[] hl$hi = $rt.decimalToU128($c); long $hi = hl$hi[0]; long $lo = hl$hi[1];"
+          s"long[] hl$hi = $rt.decimalToKey($c, $inputBits); long $hi = hl$hi[0]; long $lo = hl$hi[1];"
         case BinaryType =>
           s"long[] hl$hi = $rt.bytesToU128($c); long $hi = hl$hi[0]; long $lo = hl$hi[1];"
       }

@@ -72,8 +72,21 @@ object CurveRuntime {
 
   // ------------------------------------------------------------- decode
 
-  def decimalToU128(d: Decimal): Array[Long] = {
-    val bi = d.toJavaBigDecimal.toBigIntegerExact
+  /** Decimal key -> (hi, lo), validated against the declared input width.
+    * Any Decimal(p>=20, 0) column is accepted as a key carrier, so a value
+    * outside [0, 2^inputBits) must error rather than silently truncate to
+    * its low bits (round-3 VERDICT). */
+  def decimalToKey(d: Decimal, inputBits: Int): Array[Long] = {
+    val bi =
+      try d.toJavaBigDecimal.toBigIntegerExact
+      catch { case _: ArithmeticException =>
+        throw new SparkException(s"curve decode: fractional decimal is not a curve key: $d") }
+    if (bi.signum() < 0)
+      throw new SparkException(s"curve decode: negative decimal is not a curve key: $d")
+    if (bi.bitLength() > inputBits)
+      throw new SparkException(
+        s"curve decode: key $bi does not fit the ${inputBits}-bit input width " +
+          "(pass input_bits to declare a wider key)")
     Array((bi.shiftRight(64).longValue()), bi.longValue())
   }
 

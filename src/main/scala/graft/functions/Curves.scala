@@ -95,10 +95,22 @@ object Curves {
     ("curve_key_str", (args: Seq[Expression]) => CurveKeyString(args.head),
       "curve_key_str(key) - canonical unsigned-decimal string of a curve key"))
 
+  /** ExpressionInfo with the usage doc, so `DESCRIBE FUNCTION name` works
+    * like the reference's registered function docs
+    * (/root/reference/src/lindel_extension.cpp:959-978, :1003-1023). */
+  private[functions] def info(name: String, usage: String): ExpressionInfo = {
+    val cls =
+      if (name.endsWith("_encode")) classOf[CurveEncode]
+      else if (name.endsWith("_decode")) classOf[CurveDecode]
+      else classOf[CurveKeyString]
+    new ExpressionInfo(cls.getName, null, name, usage, "")
+  }
+
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder, _) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    functions.foreach { case (name, builder, usage) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        FunctionIdentifier(name), info(name, usage), builder)
     }
 
   // ------------------------------------------------------- Column API
@@ -157,10 +169,7 @@ object Curves {
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    Curves.functions.foreach { case (name, builder, _) =>
-      e.injectFunction((
-        FunctionIdentifier(name),
-        new ExpressionInfo(classOf[CurveEncode].getName, null, name),
-        builder))
+    Curves.functions.foreach { case (name, builder, usage) =>
+      e.injectFunction((FunctionIdentifier(name), Curves.info(name, usage), builder))
     }
 }

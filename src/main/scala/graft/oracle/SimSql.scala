@@ -3,7 +3,7 @@ package graft.oracle
 /** DuckDB oracle SQL for the similarity-search operators
   * (graft.similarity.Similarity). Shares the exact fixed-point
   * conventions: qv = floor(x * 2^20) per element (BIGINT), score =
-  * integer dot product, u8 bucket coord = floor((x + 1) * 128).
+  * integer dot product, u8 bucket coord = min(floor((x + 1) * 128), 255).
   */
 object SimSql {
 
@@ -36,7 +36,7 @@ object SimSql {
   def annTopK(probeMod: Int, k: Int, bands: Int, bucketShift: Int): String = {
     val chains = (0 until bands).map { j =>
       val exprs = (0 until 4).map { d =>
-        s"floor((CAST(embedding[${j * 4 + d + 1}] AS DOUBLE) + 1.0) * 128.0)"
+        s"least(floor((CAST(embedding[${j * 4 + d + 1}] AS DOUBLE) + 1.0) * 128.0), 255.0)"
       }
       DuckSql.hilbertCtes(8, exprs, "embeddings", Seq("vec_id"), s"b${j}_")
     }

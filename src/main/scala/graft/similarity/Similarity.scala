@@ -72,14 +72,16 @@ object Similarity {
   }
 
   /** u8 quantization of one embedding slice for curve bucketing:
-    * floor((x + 1) * 128) maps [-1, 1) onto [0, 256). Stored as BYTE
-    * with an explicit two's-complement wrap for values >= 128 (ANSI
-    * mode rejects a narrowing cast) — the curve codec reads raw bits,
-    * so the wrapped byte carries the intended u8 bit pattern
+    * min(floor((x + 1) * 128), 255) maps [-1, 1] onto [0, 255] — the
+    * clamp keeps x = 1.0 (attained by normalized embeddings) from
+    * wrapping to bucket 0 next to x = -1.0 (round-3 ADVICE). Stored as
+    * BYTE with an explicit two's-complement wrap for values >= 128
+    * (ANSI mode rejects a narrowing cast) — the curve codec reads raw
+    * bits, so the wrapped byte carries the intended u8 bit pattern
     * (reference semantics: raw-bit reinterpretation). */
   private def u8Slice(vec: Column, startDim: Int, dims: Int): Column =
     transform(slice(vec, startDim + 1, dims), x => {
-      val v = floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int")
+      val v = least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
       when(v >= 128, v - 256).otherwise(v).cast("byte")
     })
 

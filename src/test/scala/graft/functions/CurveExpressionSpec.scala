@@ -144,6 +144,31 @@ class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e3.getMessage.nonEmpty)
   }
 
+  private def causeChain(t: Throwable): String = {
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse("")).mkString("\n")
+  }
+
+  test("Decimal key outside the declared input width errors, never truncates") {
+    // 2^64 in a Decimal(38,0) column claims a 64-bit key -> hard error
+    val over = intercept[Throwable] {
+      spark.sql(
+        "SELECT hilbert_decode(CAST('18446744073709551616' AS DECIMAL(38,0)), 2, false, false)").collect()
+    }
+    assert(causeChain(over).contains("does not fit"), causeChain(over))
+    val neg = intercept[Throwable] {
+      spark.sql("SELECT hilbert_decode(CAST(-5 AS DECIMAL(20,0)), 2, false, false)").collect()
+    }
+    assert(causeChain(neg).toLowerCase.contains("negative"), causeChain(neg))
+    val frac = intercept[Throwable] {
+      spark.sql("SELECT hilbert_decode(CAST(1.5 AS DECIMAL(21,1)), 2, false, false)").collect()
+    }
+    assert(causeChain(frac).toLowerCase.contains("fractional"), causeChain(frac))
+    // a wider Decimal carrier with an in-range value still decodes
+    val ok = spark.sql(
+      "SELECT hilbert_decode(CAST(7 AS DECIMAL(38,0)), 2, false, true, 16) AS v").head()
+    assert(ok.getSeq[Short](0) == Seq(1.toShort, 2.toShort))
+  }
+
   test("string encode: 'abcd' ordinals on the u8 curve (reference docs/README.md:206-213)") {
     import spark.implicits._
     val df = Seq("abcd").toDF("s").select(

@@ -29,4 +29,13 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(1) == "29") // :20-23
     assert(r.getSeq[Int](2) == Seq(1, 2, 3)) // :25-28
   }
+
+  test("DESCRIBE FUNCTION surfaces the registered usage docs (reference :959-978)") {
+    Curves.functions.foreach { case (name, _, usage) =>
+      val desc = spark.sql(s"DESCRIBE FUNCTION $name")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains(s"Function: $name"), desc)
+      assert(desc.contains(usage), s"usage doc missing for $name:\n$desc")
+    }
+  }
 }
