@@ -29,7 +29,15 @@ object SparkEntry {
   /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
     * default; read it as a nanos-since-epoch long instead. Ordering
     * (all we use ts for) is identical, and the DuckDB oracle orders by
-    * its native ns timestamp — same total order. */
+    * its native ns timestamp — same total order.
+    *
+    * The flag is session-level by necessity: the scan re-reads it at
+    * execution time, so a set/restore around this (lazy) read breaks
+    * the later action, and the parquet reader ignores it as a per-read
+    * option (verified empirically on Spark 4.1). Leaving it set is
+    * benign — Spark 4 has no timestamp path for NANOS parquet at all,
+    * so the only behavior this changes elsewhere in the session is a
+    * hard PARQUET_TYPE_ILLEGAL error becoming a long column. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")

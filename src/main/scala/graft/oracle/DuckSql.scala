@@ -30,18 +30,26 @@ object DuckSql {
     * integral SQL expression k < 2^24 (exact in FLOAT). The exponent is
     * the bit length of k (exact: length of the binary string), mantissa
     * = k shifted to 24 significant bits minus the implicit leading 1.
-    * Validated against IEEE bit patterns for k up to 2^24-1. */
+    * Validated against IEEE bit patterns for k up to 2^24-1.
+    *
+    * The expression self-guards: k outside [0, 2^24) makes the oracle
+    * query error loudly instead of silently diverging from Spark's real
+    * IEEE rounding (round-3 ADVICE — l_partkey exceeds 2^24 at sf>=100). */
   def floatBitsExpr(k: String): String = {
     val e = s"(length(format('{:b}', CAST($k AS BIGINT))) - 1)"
-    s"(CASE WHEN $k = 0 THEN 0$U ELSE " +
+    s"(CASE WHEN $k < 0 OR $k >= 16777216 THEN " +
+      s"CAST(error('floatBitsExpr: exact only for 0 <= k < 2^24, got ' || $k) AS UBIGINT) " +
+      s"WHEN $k = 0 THEN 0$U ELSE " +
       s"(CAST(127 + $e AS UBIGINT) << 23) + (CAST($k AS UBIGINT) << (23 - $e)) - (1$U << 23) END)"
   }
 
   /** IEEE-754 bits of CAST(k AS DOUBLE) as UBIGINT, for non-negative
-    * integral k < 2^53. */
+    * integral k < 2^53. Self-guards like [[floatBitsExpr]]. */
   def doubleBitsExpr(k: String): String = {
     val e = s"(length(format('{:b}', CAST($k AS BIGINT))) - 1)"
-    s"(CASE WHEN $k = 0 THEN 0$U ELSE " +
+    s"(CASE WHEN $k < 0 OR $k >= 9007199254740992 THEN " +
+      s"CAST(error('doubleBitsExpr: exact only for 0 <= k < 2^53, got ' || $k) AS UBIGINT) " +
+      s"WHEN $k = 0 THEN 0$U ELSE " +
       s"(CAST(1023 + $e AS UBIGINT) << 52) + (CAST($k AS UBIGINT) << (52 - $e)) - (1$U << 52) END)"
   }
 

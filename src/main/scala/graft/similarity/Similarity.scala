@@ -110,7 +110,13 @@ object Similarity {
 
   /** Approximate top-k via banded curve buckets + exact re-rank; same
     * output shape as [[bruteForceTopK]] (rnk over the candidate set
-    * only). */
+    * only).
+    *
+    * Cache lifecycle: the (qv, band keys) frame is persisted so the
+    * bucket explode and both re-rank joins share one computation; the
+    * returned frame is lazy, so callers release it after their terminal
+    * action (`spark.catalog.clearCache()`, as Bench/Verify do) — same
+    * convention as [[graft.dedup.Dedup.minhashPairs]] (round-3 ADVICE). */
   def annTopK(emb: DataFrame, probePred: Column, k: Int,
       bands: Int = DefaultBands, bucketShift: Int = DefaultBucketShift,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
