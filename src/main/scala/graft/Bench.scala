@@ -1,7 +1,11 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.functions.{count, lit}
+import org.apache.spark.sql.util.QueryExecutionListener
 import java.nio.file.{Files, Paths}
+import scala.collection.concurrent.TrieMap
 
 /** Benchmark harness. Per round the driver runs this at sf0.1 and parses
   * ONE JSON line. Three properties the round-1 verdict demanded:
@@ -30,12 +34,33 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Per-query output row counts ride along the noop write via
+    // `observe` (a CollectMetrics node — one tiny count over rows the
+    // sink consumes anyway), so bench regressions can be told apart
+    // from data-size changes without a second execution (round-3
+    // VERDICT #8). Observed metrics arrive on an async listener bus;
+    // consume() polls briefly for them after the action.
+    val observedRows = TrieMap.empty[String, Long]
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        qe.observedMetrics.foreach { case (metric, row) =>
+          if (metric.startsWith("rows_"))
+            observedRows.put(metric.stripPrefix("rows_"), row.getLong(0))
+        }
+      override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit = ()
+    })
+
     def consume(name: String): Either[String, Double] = {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir)
+          .observe(s"rows_$name", count(lit(1)))
           .write.format("noop").mode("overwrite").save()
-        Right((System.nanoTime() - t0) / 1e9)
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+        while (!observedRows.contains(name) && System.nanoTime() < deadline)
+          Thread.sleep(20)
+        Right(elapsed)
       } catch {
         case e: Throwable =>
           Left((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(300))
@@ -65,9 +90,11 @@ object Bench {
     val errs = results.collect { case (n, Left(e)) => n -> e }
     val qs = ok.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
     val es = errs.map { case (k, v) => s"${jstr(k)}:${jstr(v)}" }.mkString("{", ",", "}")
+    val rs = ok.flatMap { case (k, _) => observedRows.get(k).map(r => s"${jstr(k)}:$r") }
+      .mkString("{", ",", "}")
     val total = ok.map(_._2).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()
