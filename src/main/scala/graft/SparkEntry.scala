@@ -224,6 +224,11 @@ object SparkEntry {
         col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     }),
     "q_dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"))),
+    // embedding-cosine near-dup: sign-LSH blocking + exact fixed-point
+    // cosine verify (tau = 0.35 fits the synthetic near-random corpus;
+    // real pipelines run tau >= 0.85 — see Similarity.CosineParams)
+    "q_dedup_cosine" -> ((s, dir) =>
+      Similarity.cosinePairs(table(s, dir, "embeddings"))),
 
     // --- events: JSON props, window functions, set ops ------------------
     "q_events_props" -> ((s, dir) => {
@@ -396,6 +401,10 @@ object SparkEntry {
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
+    "q_dedup_cosine" -> {
+      val p = Similarity.CosineParams()
+      SimSql.cosinePairs(p.planes, p.bandBits, p.thresholdNum, p.thresholdDen, p.maxBucketSize)
+    },
     "q_layout_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
         |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 69""".stripMargin,

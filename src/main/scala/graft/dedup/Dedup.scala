@@ -133,22 +133,23 @@ object Dedup {
         element_at(sig, j * p.rowsPerBand + r + 1).cast("string")): _*)
     }: _*)
 
-  /** Candidate pairs from banded LSH over a persisted (doc_id, sig)
-    * frame: explode band hashes, then per (band_idx, band_hash) bucket
-    * either self-join every pair (bucket size <= maxBucketSize; the two
-    * join inputs are the same plan, so Spark reuses one exchange and no
-    * reducer exceeds cap^2 pairs) or — for over-cap buckets — emit the
-    * star (bucket-min doc_id, doc_id), which keeps arbitrarily large
-    * near-identical clusters connected at O(bucket) pairs per band
-    * (round-3 ADVICE: dropping those buckets lost exactly the
-    * boilerplate clusters dedup exists for). */
-  private def bandCandidates(sigs: DataFrame, p: MinHashParams): DataFrame = {
+  /** Candidate pairs per (band_idx, band_hash) bucket over an exploded
+    * (doc_id, band_idx, band_hash) frame: buckets up to maxBucketSize
+    * self-join every pair (the two join inputs are the same plan, so
+    * Spark reuses one exchange and no reducer exceeds cap^2 pairs);
+    * over-cap buckets emit the star (bucket-min doc_id, doc_id), which
+    * keeps arbitrarily large near-identical clusters connected at
+    * O(bucket) pairs per band (round-3 ADVICE: dropping those buckets
+    * lost exactly the boilerplate clusters dedup exists for). Shared by
+    * MinHash/Jaccard text dedup here and embedding-cosine dedup
+    * ([[graft.similarity.Similarity.cosinePairs]] — band_hash type is
+    * whatever the caller blocks on). */
+  private[graft] def cappedBucketPairs(exploded: DataFrame, maxBucketSize: Int): DataFrame = {
     val w = Window.partitionBy(col("band_idx"), col("band_hash"))
-    val bands = sigs
-      .select(col("doc_id"), posexplode(bandHashes(col("sig"), p)).as(Seq("band_idx", "band_hash")))
+    val bands = exploded
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("bucket_min", min(col("doc_id")).over(w))
-    val inCap = bands.filter(col("bucket_n") <= p.maxBucketSize)
+    val inCap = bands.filter(col("bucket_n") <= maxBucketSize)
       .select(col("doc_id"), col("band_idx"), col("band_hash"))
     val allPairs = inCap.as("a")
       .join(inCap.as("b"),
@@ -157,10 +158,18 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
     val starPairs = bands
-      .filter(col("bucket_n") > p.maxBucketSize && col("doc_id") =!= col("bucket_min"))
+      .filter(col("bucket_n") > maxBucketSize && col("doc_id") =!= col("bucket_min"))
       .select(col("bucket_min").as("doc_a"), col("doc_id").as("doc_b"))
     allPairs.union(starPairs).distinct()
   }
+
+  /** Candidate pairs from banded MinHash LSH over a persisted
+    * (doc_id, sig) frame: explode band hashes, then [[cappedBucketPairs]]. */
+  private def bandCandidates(sigs: DataFrame, p: MinHashParams): DataFrame =
+    cappedBucketPairs(
+      sigs.select(col("doc_id"),
+        posexplode(bandHashes(col("sig"), p)).as(Seq("band_idx", "band_hash"))),
+      p.maxBucketSize)
 
   /** Near-duplicate candidate pairs via banded MinHash LSH.
     * Output: (doc_a, doc_b, minhash_matches) for pairs colliding in at

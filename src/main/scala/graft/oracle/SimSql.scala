@@ -63,4 +63,52 @@ object SimSql {
        |  FROM s)
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
+
+  /** Embedding-cosine near-dup pairs — mirrors
+    * graft.similarity.Similarity.cosinePairs stage for stage: sign-LSH
+    * band keys (plane i, dim d sign = parity of
+    * (1103515245*(i*dims+d+1)) mod 2^31-1; dims = 64 for the
+    * embeddings table), star-capped bucket pairs (the
+    * Dedup.cappedBucketPairs rule), then the exact integer accept test
+    * den*dot^2 >= num*|a|^2*|b|^2 AND dot >= 0 in HUGEINT. */
+  def cosinePairs(planes: Int, bandBits: Int, num: Long, den: Long, cap: Int): String =
+    s"""WITH $qCte,
+       |u AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS d FROM q),
+       |n2 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
+       |pr AS (
+       |  SELECT u.vec_id, p.i AS plane,
+       |    sum(CASE WHEN ((1103515245 * (p.i * 64 + u.d)) % 2147483647) % 2 = 0
+       |             THEN u.v ELSE -u.v END) AS proj
+       |  FROM u CROSS JOIN range($planes) p(i)
+       |  GROUP BY u.vec_id, p.i),
+       |bk AS (
+       |  SELECT vec_id, plane // $bandBits AS band_idx,
+       |    sum(CASE WHEN proj >= 0 THEN 1 << (plane % $bandBits) ELSE 0 END) AS band_hash
+       |  FROM pr GROUP BY vec_id, plane // $bandBits),
+       |bb AS (
+       |  SELECT vec_id, band_idx, band_hash,
+       |    count(*) OVER w AS bucket_n, min(vec_id) OVER w AS bucket_min
+       |  FROM bk WINDOW w AS (PARTITION BY band_idx, band_hash)),
+       |cand AS (
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM (SELECT * FROM bb WHERE bucket_n <= $cap) a
+       |    JOIN (SELECT * FROM bb WHERE bucket_n <= $cap) b
+       |      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       |        AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT bucket_min AS vec_a, vec_id AS vec_b FROM bb
+       |    WHERE bucket_n > $cap AND vec_id <> bucket_min)),
+       |dots AS (
+       |  SELECT c.vec_a, c.vec_b, ${dotSql("qa.qv", "qb.qv")} AS dot_q
+       |  FROM cand c
+       |  JOIN q qa ON qa.vec_id = c.vec_a
+       |  JOIN q qb ON qb.vec_id = c.vec_b)
+       |SELECT t.vec_a, t.vec_b, t.dot_q
+       |FROM dots t
+       |JOIN n2 na ON na.vec_id = t.vec_a
+       |JOIN n2 nb ON nb.vec_id = t.vec_b
+       |WHERE t.dot_q >= 0
+       |  AND CAST(t.dot_q AS HUGEINT) * CAST(t.dot_q AS HUGEINT) * $den
+       |      >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * $num""".stripMargin
 }

@@ -3,9 +3,12 @@ package graft.similarity
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShims
+import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.Curves
+import graft.dedup.Dedup
+import graft.functions.{Curves, HyperplaneBandKeys}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -106,6 +109,92 @@ object Similarity {
         dotQ(col("pv"), col("qv")).as("dot_q"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Parameters for [[cosinePairs]]. threshold tau is carried as the
+    * exact rational tau^2 = thresholdNum/thresholdDen so the accept
+    * test is pure integer math (defaults: 49/400 -> tau = 0.35, tuned
+    * to the synthetic near-random corpus; real near-dup pipelines run
+    * tau >= 0.85, where the default bands give >85% recall).
+    *
+    * Scale knobs, same logic as MinHash LSH: `bandBits` sets bucket
+    * cardinality per band (2^bandBits — raise it as the corpus grows so
+    * per-bucket counts stay bounded); `planes/bandBits` bands set
+    * recall; maxBucketSize star-caps pathological buckets
+    * ([[graft.dedup.Dedup.cappedBucketPairs]]). */
+  final case class CosineParams(
+      planes: Int = 48,
+      bandBits: Int = 8,
+      thresholdNum: Long = 49,
+      thresholdDen: Long = 400,
+      maxBucketSize: Int = 64) {
+    require(planes % bandBits == 0, "planes must be divisible by bandBits")
+    val bands: Int = planes / bandBits
+  }
+
+  /** Native one-pass band keys ([[graft.functions.HyperplaneBandKeys]])
+    * over a quantized vector. */
+  def hyperplaneBandKeys(qv: Column, planes: Int, bandBits: Int): Column =
+    ColumnShims.column(HyperplaneBandKeys(ColumnShims.expression(qv), planes, bandBits))
+
+  /** Builtin-composed executable SPEC of [[hyperplaneBandKeys]]
+    * (equality asserted in SimilaritySpec): plane i's +-1 sign on
+    * dimension d is the parity of (1103515245*(i*dims+d+1)) mod 2^31-1. */
+  def hyperplaneBandKeysBuiltin(qv: Column, planes: Int, bandBits: Int): Column =
+    array((0 until planes / bandBits).map { j =>
+      (0 until bandBits).map { r =>
+        val i = j * bandBits + r
+        val proj = aggregate(
+          transform(qv, (v, d) =>
+            when((lit(1103515245L) * (lit(i) * size(qv) + d + 1)) % lit(2147483647L) % 2 === 0,
+              v).otherwise(-v)),
+          lit(0L), (acc, x) => acc + x)
+        when(proj >= 0, lit(1 << r)).otherwise(lit(0))
+      }.reduce(_ + _)
+    }: _*)
+
+  /** Embedding-cosine near-duplicate pairs: all (vec_a < vec_b) whose
+    * cosine similarity is >= tau, found via sign-LSH blocking + exact
+    * fixed-point verify.
+    *
+    * Shape (the only one that survives 100 TB): narrow per-row
+    * signature projection -> explode bands -> capped equi-join bucket
+    * pairs ([[graft.dedup.Dedup.cappedBucketPairs]] — identical skew
+    * story to text MinHash dedup) -> exact verify on candidates only.
+    * No all-pairs stage; every join is an equi-join.
+    *
+    * The accept test is exact integer math end-to-end: with q = the
+    * 2^20 fixed-point vectors, accept iff dot(qa,qb) >= 0 AND
+    * thresholdDen * dot^2 >= thresholdNum * |qa|^2 * |qb|^2 — i.e.
+    * cos_q >= tau with tau^2 = num/den, no float rounding anywhere, so
+    * the DuckDB oracle (graft.oracle.SimSql.cosinePairs) reproduces the
+    * result bit-for-bit. dot <= dims * 2^40 keeps dot^2 * den well
+    * inside Decimal(38,0) (Spark) / HUGEINT (DuckDB) for dims <= 4096.
+    *
+    * Cache lifecycle: same convention as [[annTopK]] — callers release
+    * the persisted signature frame after their terminal action. */
+  def cosinePairs(emb: DataFrame, p: CosineParams = CosineParams(),
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val base = emb
+      .select(col(idCol).as("doc_id"), quantize(col(vecCol)).as("qv"))
+      .select(col("doc_id"), col("qv"),
+        hyperplaneBandKeys(col("qv"), p.planes, p.bandBits).as("keys"),
+        dotQ(col("qv"), col("qv")).as("n2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bands = base.select(col("doc_id"),
+      posexplode(col("keys")).as(Seq("band_idx", "band_hash")))
+    val cand = Dedup.cappedBucketPairs(bands, p.maxBucketSize)
+    val qa = base.select(col("doc_id").as("vec_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val qb = base.select(col("doc_id").as("vec_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    cand.select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      .join(qa, "vec_a").join(qb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        dotQ(col("qv_a"), col("qv_b")).as("dot_q"), col("n2_a"), col("n2_b"))
+      .filter(col("dot_q") >= 0 &&
+        col("dot_q").cast(dec) * col("dot_q").cast(dec) * lit(p.thresholdDen) >=
+          col("n2_a").cast(dec) * col("n2_b").cast(dec) * lit(p.thresholdNum))
+      .select(col("vec_a"), col("vec_b"), col("dot_q"))
   }
 
   /** Approximate top-k via banded curve buckets + exact re-rank; same

@@ -81,4 +81,25 @@ class ShuffleJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(b.nonEmpty)
     assert(b == s)
   }
+
+  test("cosine near-dup pairs identical via broadcast and shuffle joins") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    // 3 tight clusters (mates ~parallel, cross-cluster ~orthogonal)
+    val emb = (0L until 60L).map { i =>
+      val axis = (i % 3).toInt * 2
+      i -> (0 until 8).map(d =>
+        (if (d == axis) 0.8f else 0.0f) + rnd.nextFloat() * 0.01f)
+    }.toDF("vec_id", "embedding")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.mkString("|")).toSet
+    val b = rows(graft.similarity.Similarity.cosinePairs(emb))
+    val s = withBroadcastDisabled {
+      spark.catalog.clearCache()
+      rows(graft.similarity.Similarity.cosinePairs(emb))
+    }
+    assert(b.nonEmpty)
+    assert(b == s)
+    spark.catalog.clearCache()
+  }
 }

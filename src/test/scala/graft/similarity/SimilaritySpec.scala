@@ -65,4 +65,46 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(Similarity.cosine(col("a"), col("b")).as("c"))
     assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
   }
+
+  test("hyperplane band keys: native expression == builtin SPEC on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    val p = Similarity.CosineParams()
+    val bad = emb.select(
+        Similarity.hyperplaneBandKeys(col("qv"), p.planes, p.bandBits).as("native"),
+        Similarity.hyperplaneBandKeysBuiltin(col("qv"), p.planes, p.bandBits).as("spec"))
+      .filter(not(col("native") === col("spec"))).count()
+    assert(bad == 0)
+  }
+
+  test("cosinePairs finds planted near-identical pairs, rejects cross-cluster ones") {
+    // cluster mates have cosine ~0.999 (>> tau); cross-cluster pairs are
+    // near-orthogonal (<< tau). Near-identical vectors share every band
+    // key, so blocking recall on true near-dups is 1.0 here.
+    val out = Similarity.cosinePairs(corpus()).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)) && pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)))
+    assert(pairs.contains((10L, 11L)) && pairs.contains((20L, 21L)))
+    // no cross-cluster pair passes the exact verify
+    val cluster = Map(0L -> 0, 1L -> 0, 2L -> 0, 10L -> 1, 11L -> 1, 20L -> 2, 21L -> 2)
+    assert(pairs.forall { case (a, b) => cluster(a) == cluster(b) })
+    // dot_q column is the exact integer dot product (positive for mates)
+    assert(out.map(_.getLong(2)).forall(_ > 0))
+    spark.catalog.clearCache()
+  }
+
+  test("cosinePairs star-caps an over-cap bucket instead of dropping it") {
+    import spark.implicits._
+    // 70 near-identical vectors: every band bucket holds all 70 (> cap
+    // 64), so candidates must come from the star fallback and remain
+    // connected to the bucket-min doc.
+    val big = (0L until 70L).map(i => (i, (0 until 8).map(d =>
+      (if (d == 0) 0.9f else 0.0f) + (if (d == 1) 0.001f * i else 0.0f))))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.cosinePairs(big).collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the star keeps the cluster connected through vec 0
+    assert((1L until 70L).forall(i => pairs.contains((0L, i))))
+    spark.catalog.clearCache()
+  }
 }
