@@ -273,6 +273,11 @@ object SparkEntry {
           TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
           TextFunctions.intDiv(col("last_click_ts"), lit(1000L)).as("last_click_us"))
     }),
+    // sessionization (gaps-and-islands; the streaming twin runs the
+    // same semantics via flatMapGroupsWithState — StreamingSpec)
+    "q_sessionize" -> ((s, dir) =>
+      graft.streaming.Sessionize.batch(
+        graft.streaming.Sessionize.project(events(s, dir)))),
     "q_agg_cube" -> ((s, dir) => {
       // project the JSON extraction BEFORE the cube so Expand
       // replicates a parsed long, not the parse itself
@@ -325,6 +330,18 @@ object SparkEntry {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_layout/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       Layout.writeHilbertOrdered(table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
+      s.read.parquet(path)
+        .filter(col("l_partkey").between(400, 599) && col("l_suppkey").between(20, 69))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+    // same contract through the Morton/Z-order writer — the reference's
+    // second (cheaper) layout encoding; result set must equal filtering
+    // the source, which is what the oracle does
+    "q_layout_morton" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout_z/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      Layout.writeMortonOrdered(table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
       s.read.parquet(path)
         .filter(col("l_partkey").between(400, 599) && col("l_suppkey").between(20, 69))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
@@ -408,10 +425,14 @@ object SparkEntry {
     "q_layout_filter" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
         |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 69""".stripMargin,
+    "q_layout_morton" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 69""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
     "q_events_window" -> EventSql.eventsWindow,
     "q_events_setop" -> EventSql.setOp(95),
     "q_join_asof" -> EventSql.asofJoin,
+    "q_sessionize" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),

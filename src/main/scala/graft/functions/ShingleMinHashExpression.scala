@@ -89,6 +89,39 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Minimum full-md5 (lowercase hex) over a token array's k-shingles in
+  * ONE native pass — the winnowing-style document fingerprint
+  * ([[graft.text.TextFunctions.shingleFingerprint]] is the
+  * builtin-composed SPEC; equality asserted in DedupSpec). The hex
+  * encoding is monotonic in the digest bytes, so the minimum is found
+  * by unsigned byte comparison without materializing any hex string
+  * until the single winning digest. */
+case class ShingleMinMd5(child: Expression, k: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "shingle_min_md5"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure("shingle_min_md5: k must be >= 1")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"shingle_min_md5 expects array<string>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = StringType
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMinHashRuntime.minMd5(input.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleMinHashRuntime.minMd5($c, $k);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleMinMd5 =
+    copy(child = newChild)
+}
+
 object ShingleMinHashRuntime {
   import graft.dedup.Dedup.{hashCoef, HashP}
 
@@ -171,5 +204,39 @@ object ShingleMinHashRuntime {
       i += 1
     }
     new GenericArrayData(if (out == nShingles) hs else java.util.Arrays.copyOf(hs, out))
+  }
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  /** Minimum md5 digest over the k-shingles (see [[ShingleMinMd5]]),
+    * returned as the lowercase-hex UTF8String Spark's md5() emits. */
+  def minMd5(tokens: ArrayData, k: Int): org.apache.spark.unsafe.types.UTF8String = {
+    val digest = md5.get()
+    val n = tokens.numElements()
+    val nShingles = if (n >= k) n - k + 1 else 1
+    val width = if (n >= k) k else n
+    var best: Array[Byte] = null
+    var i = 0
+    while (i < nShingles) {
+      digest.reset()
+      var j = 0
+      while (j < width) {
+        if (j > 0) digest.update(Space)
+        val t = tokens.getUTF8String(i + j)
+        if (t != null) digest.update(t.getBytes)
+        j += 1
+      }
+      val d = digest.digest()
+      if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0) best = d
+      i += 1
+    }
+    val hex = new Array[Char](32)
+    i = 0
+    while (i < 16) {
+      hex(2 * i) = HexDigits((best(i) >> 4) & 0xf)
+      hex(2 * i + 1) = HexDigits(best(i) & 0xf)
+      i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
   }
 }

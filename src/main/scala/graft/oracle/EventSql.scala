@@ -57,6 +57,23 @@ object EventSql {
        |  count(*) AS n, CAST(sum($kExpr) AS BIGINT) AS sum_k
        |FROM events GROUP BY CUBE(event_type, user_id % 10)""".stripMargin
 
+  /** Gaps-and-islands sessionization — mirrors
+    * graft.streaming.Sessionize.batch (12 h default gap, µs
+    * timestamps, exact integer sums). */
+  def sessionize(gapUs: Long): String =
+    s"""WITH e AS (
+       |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, $kExpr AS k FROM events),
+       |b AS (
+       |  SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w > $gapUs THEN 1 ELSE 0 END AS brk
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |s AS (
+       |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+       |  FROM b)
+       |SELECT user_id, min(ts_us) AS session_start_us, max(ts_us) AS session_end_us,
+       |  count(*) AS n_events, CAST(sum(k) AS BIGINT) AS sum_k
+       |FROM s GROUP BY user_id, sess""".stripMargin
+
   /** Semi + anti join: customers with and without orders. */
   val semiAnti: String =
     """SELECT c_custkey, 'has_orders' AS flag FROM customer

@@ -90,9 +90,18 @@ object TextFunctions {
   /** Content hash of the exact text bytes (exact-dedup key). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
-  /** Winnowing-style document fingerprint: the minimum hash over the
+  /** Winnowing-style document fingerprint: the minimum md5 over the
     * document's k-shingle rolling windows. Robust to local edits, cheap
-    * (one narrow pass), and directly comparable across engines. */
+    * (one narrow pass), and directly comparable across engines. Uses
+    * the one-pass native expression
+    * [[graft.functions.ShingleMinMd5]] — no shingle-string
+    * materialization, no interpreted per-shingle lambda. */
   def shingleFingerprint(text: Column, k: Int): Column =
+    ColumnShims.column(graft.functions.ShingleMinMd5(
+      ColumnShims.expression(tokens(text)), k))
+
+  /** Builtin-composed executable SPEC of [[shingleFingerprint]]
+    * (equality asserted in DedupSpec). */
+  def shingleFingerprintBuiltin(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s.cast("binary"))))
 }

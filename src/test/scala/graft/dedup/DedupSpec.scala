@@ -158,6 +158,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native ShingleMinMd5 fingerprint matches the builtin-composed one") {
+    val rnd = new scala.util.Random(46)
+    val vocab = Vector("a", "bb", "word", "Zq9", "!", "longertoken", "7", "x-y")
+    val texts = (1L to 60L).map { i =>
+      val n = rnd.nextInt(12)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq(61L -> "", 62L -> "one two")
+    for (k <- Seq(2, 3, 5)) {
+      val bad = docs(texts: _*).select(
+        col("doc_id"),
+        TextFunctions.shingleFingerprint(col("text"), k).as("native"),
+        TextFunctions.shingleFingerprintBuiltin(col("text"), k).as("builtin"))
+        .collect().filter(r => r.getString(1) != r.getString(2))
+      assert(bad.isEmpty, s"k=$k mismatch docs ${bad.map(_.getLong(0)).toSeq}")
+    }
+  }
+
   test("simhash: NULL and empty text agree on the cross-engine value") {
     import spark.implicits._
     // one empty token; its base hash is the first 8 md5('') hex digits

@@ -86,4 +86,43 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.length == spark.read.parquet(inDir.toString).count())
     assert(rows.forall(_.getString(1).nonEmpty))
   }
+
+  test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands") {
+    import spark.implicits._
+    val gapUs = Sessionize.DefaultGapUs
+    val inDir = Files.createTempDirectory("graft_stream_sess")
+    val real = Sessionize.project(
+      spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    // stage the projected events as the stream input
+    real.coalesce(1).write.mode("overwrite").parquet(inDir.toString + "/batch1")
+    val schema = real.schema
+
+    val q = Sessionize.stream(
+        spark.readStream.schema(schema).parquet(inDir.toString + "/*"), gapUs)
+      .toDF()
+      .writeStream.format("memory").queryName("ev_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // a far-future sentinel event per user breaks every open session,
+      // forcing it to emit; the sentinel sessions themselves stay open
+      // and unemitted (honest append-mode semantics)
+      val maxUs = real.agg(max("ts_us")).head().getLong(0)
+      real.select(col("user_id")).distinct()
+        .select(col("user_id"), col("user_id").as("event_id"),
+          lit(maxUs + 10L * gapUs).as("ts_us"), lit(0L).as("k"))
+        .coalesce(1).write.mode("overwrite").parquet(inDir.toString + "/batch2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val streamed = spark.table("ev_sessions").collect().map(key).sorted.toSeq
+    val batched = Sessionize.batch(real, gapUs).collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+    // multi-event sessions and multiple sessions per user both occur
+    assert(batched.exists(_._4 > 1))
+    assert(batched.groupBy(_._1).exists(_._2.size > 1))
+  }
 }
