@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.DecimalType
 import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.Dedup
-import graft.functions.{Curves, HyperplaneBandKeys}
+import graft.functions.{Curves, DotProductLong, HyperplaneBandKeys}
 
 /** Similarity search over an embedding column (`array<float>`).
   *
@@ -61,8 +61,18 @@ object Similarity {
   def quantize(vec: Column): Column =
     transform(vec, x => floor(x.cast("double") * lit(Scale.toDouble)).cast("long"))
 
-  /** Exact integer dot product of two quantized vectors. */
+  /** Exact integer dot product of two quantized vectors, via the
+    * native codegen'd [[graft.functions.DotProductLong]] (the
+    * interpreted zip_with+aggregate formulation — kept as
+    * [[dotQBuiltin]], the executable SPEC — dominated the exact
+    * verify/re-rank stages at ~0.2 us per element). */
   def dotQ(a: Column, b: Column): Column =
+    ColumnShims.column(DotProductLong(
+      ColumnShims.expression(a), ColumnShims.expression(b)))
+
+  /** Builtin-composed executable SPEC of [[dotQ]] (equality asserted
+    * in SimilaritySpec). */
+  def dotQBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
   /** Float cosine similarity (double math) — for ranking/thresholding

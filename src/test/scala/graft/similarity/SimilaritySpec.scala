@@ -66,6 +66,18 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(df.head().getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("native dot product == builtin SPEC on real embeddings (incl. self-dot)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+    val pairs = emb.as("a").crossJoin(emb.as("b"))
+      .filter(col("a.vec_id") % 7 === 0 && col("b.vec_id") % 11 === 0)
+    val bad = pairs.select(
+        Similarity.dotQ(col("a.qv"), col("b.qv")).as("native"),
+        Similarity.dotQBuiltin(col("a.qv"), col("b.qv")).as("spec"))
+      .filter(col("native") =!= col("spec")).count()
+    assert(bad == 0)
+  }
+
   test("hyperplane band keys: native expression == builtin SPEC on real embeddings") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
       .select(Similarity.quantize(col("embedding")).as("qv"))
