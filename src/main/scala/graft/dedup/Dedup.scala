@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShims
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{ShingleHashes, ShingleMinHash, SimHash32}
+import graft.functions.{IntersectCountSorted, ShingleHashes, ShingleMinHash, SimHash32}
 import graft.text.TextFunctions
 
 /** Deduplication operators for large-scale corpora.
@@ -256,7 +256,12 @@ object Dedup {
       .join(shs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(
         col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        // sorted-merge count (native, zero-alloc) — ShingleHashes emits
+        // sorted distinct arrays; SPEC: size(array_intersect(...)),
+        // equality asserted in DedupSpec
+        ColumnShims.column(IntersectCountSorted(
+          ColumnShims.expression(col("sh_a")),
+          ColumnShims.expression(col("sh_b")))).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sz_sum"))
       .withColumn("uni", col("sz_sum") - col("inter"))
       .filter(col("inter") * 2 >= col("uni"))

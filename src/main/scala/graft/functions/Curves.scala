@@ -82,35 +82,80 @@ object Curves {
     }
   }
 
-  /** (name, builder, usage) for every SQL function this library adds. */
-  val functions: Seq[(String, Seq[Expression] => Expression, String)] = Seq(
+  private def twoArg(name: String, mk: (Expression, Expression) => Expression)(
+      args: Seq[Expression]): Expression = args match {
+    case Seq(a, b) => mk(a, b)
+    case _ => throw new IllegalArgumentException(s"$name expects 2 arguments, got ${args.size}")
+  }
+
+  /** (name, builder, usage, expression class) for every SQL function
+    * this library adds: the reference's four curve functions (plus the
+    * cross-engine key canonicalizer) and the beyond-reference
+    * text/similarity expressions, so the whole engine surface is
+    * reachable from the SQL string path. */
+  val functions: Seq[(String, Seq[Expression] => Expression, String, Class[_])] = Seq(
     ("hilbert_encode", encodeBuilder(hilbert = true) _,
-      "hilbert_encode(array(a, b, ...)) - Hilbert curve index of the N-dim point"),
+      "hilbert_encode(array(a, b, ...)) - Hilbert curve index of the N-dim point",
+      classOf[CurveEncode]),
     ("morton_encode", encodeBuilder(hilbert = false) _,
-      "morton_encode(array(a, b, ...)) - Z-order (Morton) index of the N-dim point"),
+      "morton_encode(array(a, b, ...)) - Z-order (Morton) index of the N-dim point",
+      classOf[CurveEncode]),
     ("hilbert_decode", decodeBuilder(hilbert = true) _,
-      "hilbert_decode(key, n, float, unsigned[, input_bits]) - inverse of hilbert_encode"),
+      "hilbert_decode(key, n, float, unsigned[, input_bits]) - inverse of hilbert_encode",
+      classOf[CurveDecode]),
     ("morton_decode", decodeBuilder(hilbert = false) _,
-      "morton_decode(key, n, float, unsigned[, input_bits]) - inverse of morton_encode"),
+      "morton_decode(key, n, float, unsigned[, input_bits]) - inverse of morton_encode",
+      classOf[CurveDecode]),
     ("curve_key_str", (args: Seq[Expression]) => CurveKeyString(args.head),
-      "curve_key_str(key) - canonical unsigned-decimal string of a curve key"))
+      "curve_key_str(key) - canonical unsigned-decimal string of a curve key",
+      classOf[CurveKeyString]),
+    ("simhash32", (args: Seq[Expression]) => SimHash32(args.head),
+      "simhash32(tokens) - 32-bit SimHash fingerprint of a token array",
+      classOf[SimHash32]),
+    ("shingle_minhash", (args: Seq[Expression]) => args match {
+      case Seq(toks, k, n) =>
+        ShingleMinHash(toks, constInt(k, "shingle_minhash k"), constInt(n, "shingle_minhash num_hashes"))
+      case other => throw new IllegalArgumentException(
+        s"shingle_minhash expects (tokens, k, num_hashes), got ${other.size} arguments")
+    }, "shingle_minhash(tokens, k, num_hashes) - MinHash signature over k-token shingles",
+      classOf[ShingleMinHash]),
+    ("shingle_hashes", (args: Seq[Expression]) => args match {
+      case Seq(toks, k) => ShingleHashes(toks, constInt(k, "shingle_hashes k"))
+      case other => throw new IllegalArgumentException(
+        s"shingle_hashes expects (tokens, k), got ${other.size} arguments")
+    }, "shingle_hashes(tokens, k) - sorted distinct 60-bit md5-prefix hashes of the k-shingles",
+      classOf[ShingleHashes]),
+    ("shingle_min_md5", (args: Seq[Expression]) => args match {
+      case Seq(toks, k) => ShingleMinMd5(toks, constInt(k, "shingle_min_md5 k"))
+      case other => throw new IllegalArgumentException(
+        s"shingle_min_md5 expects (tokens, k), got ${other.size} arguments")
+    }, "shingle_min_md5(tokens, k) - minimum md5 (hex) over the k-shingles (document fingerprint)",
+      classOf[ShingleMinMd5]),
+    ("hyperplane_band_keys", (args: Seq[Expression]) => args match {
+      case Seq(qv, planes, bits) => HyperplaneBandKeys(qv,
+        constInt(planes, "hyperplane_band_keys planes"), constInt(bits, "hyperplane_band_keys band_bits"))
+      case other => throw new IllegalArgumentException(
+        s"hyperplane_band_keys expects (qv, planes, band_bits), got ${other.size} arguments")
+    }, "hyperplane_band_keys(qv, planes, band_bits) - sign-LSH band keys of a quantized vector",
+      classOf[HyperplaneBandKeys]),
+    ("dot_q", twoArg("dot_q", DotProductLong(_, _)) _,
+      "dot_q(a, b) - exact integer dot product of two quantized vectors",
+      classOf[DotProductLong]),
+    ("intersect_count_sorted", twoArg("intersect_count_sorted", IntersectCountSorted(_, _)) _,
+      "intersect_count_sorted(a, b) - intersection size of two sorted distinct bigint arrays",
+      classOf[IntersectCountSorted]))
 
   /** ExpressionInfo with the usage doc, so `DESCRIBE FUNCTION name` works
     * like the reference's registered function docs
     * (/root/reference/src/lindel_extension.cpp:959-978, :1003-1023). */
-  private[functions] def info(name: String, usage: String): ExpressionInfo = {
-    val cls =
-      if (name.endsWith("_encode")) classOf[CurveEncode]
-      else if (name.endsWith("_decode")) classOf[CurveDecode]
-      else classOf[CurveKeyString]
+  private[functions] def info(name: String, usage: String, cls: Class[_]): ExpressionInfo =
     new ExpressionInfo(cls.getName, null, name, usage, "")
-  }
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder, usage) =>
+    functions.foreach { case (name, builder, usage, cls) =>
       spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info(name, usage), builder)
+        FunctionIdentifier(name), info(name, usage, cls), builder)
     }
 
   // ------------------------------------------------------- Column API
@@ -169,7 +214,7 @@ object Curves {
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    Curves.functions.foreach { case (name, builder, usage) =>
-      e.injectFunction((FunctionIdentifier(name), Curves.info(name, usage), builder))
+    Curves.functions.foreach { case (name, builder, usage, cls) =>
+      e.injectFunction((FunctionIdentifier(name), Curves.info(name, usage, cls), builder))
     }
 }

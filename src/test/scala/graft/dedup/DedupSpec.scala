@@ -158,6 +158,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native IntersectCountSorted == size(array_intersect) on sorted hash sets") {
+    import org.apache.spark.sql.graft.ColumnShims
+    val rnd = new scala.util.Random(47)
+    val vocab = Vector("a", "bb", "word", "Zq9", "!", "longertoken", "7", "x-y")
+    val texts = (1L to 40L).map { i =>
+      val n = rnd.nextInt(15)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    val shs = docs(texts: _*)
+      .select(col("doc_id"), Dedup.shingleHashes(col("text"), 3).as("sh"))
+    val bad = shs.as("a").crossJoin(shs.as("b"))
+      .select(
+        ColumnShims.column(graft.functions.IntersectCountSorted(
+          ColumnShims.expression(col("a.sh")),
+          ColumnShims.expression(col("b.sh")))).as("native"),
+        size(array_intersect(col("a.sh"), col("b.sh"))).cast("long").as("spec"))
+      .filter(col("native") =!= col("spec")).count()
+    assert(bad == 0)
+  }
+
   test("native ShingleMinMd5 fingerprint matches the builtin-composed one") {
     val rnd = new scala.util.Random(46)
     val vocab = Vector("a", "bb", "word", "Zq9", "!", "longertoken", "7", "x-y")

@@ -31,11 +31,32 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("DESCRIBE FUNCTION surfaces the registered usage docs (reference :959-978)") {
-    Curves.functions.foreach { case (name, _, usage) =>
+    Curves.functions.foreach { case (name, _, usage, _) =>
       val desc = spark.sql(s"DESCRIBE FUNCTION $name")
         .collect().map(_.getString(0)).mkString("\n")
       assert(desc.contains(s"Function: $name"), desc)
       assert(desc.contains(usage), s"usage doc missing for $name:\n$desc")
     }
+  }
+
+  test("beyond-reference expressions resolve through the SQL parser") {
+    val r = spark.sql(
+      """SELECT
+        |  dot_q(array(bigint(1), bigint(2)), array(bigint(3), bigint(4))) AS dq,
+        |  intersect_count_sorted(array(bigint(1), bigint(2), bigint(3)),
+        |                         array(bigint(2), bigint(3), bigint(5))) AS ic,
+        |  simhash32(array('')) AS sh,
+        |  size(shingle_minhash(array('a','b','c','d'), 3, 12)) AS mh_n,
+        |  size(shingle_hashes(array('a','b','c','d'), 3)) AS shn,
+        |  length(shingle_min_md5(array('a','b','c','d'), 3)) AS fp_len,
+        |  size(hyperplane_band_keys(array(bigint(5), bigint(-7)), 48, 8)) AS hp_n
+        |""".stripMargin).head()
+    assert(r.getLong(0) == 11L)        // 1*3 + 2*4
+    assert(r.getLong(1) == 2L)         // {2,3}
+    assert(r.getLong(2) == 0xd41d8cd9L) // md5('') prefix — the empty-token golden
+    assert(r.getInt(3) == 12)
+    assert(r.getInt(4) == 2)           // "a b c", "b c d"
+    assert(r.getInt(5) == 32)
+    assert(r.getInt(6) == 6)           // 48 planes / 8 bits
   }
 }
