@@ -202,6 +202,15 @@ object SparkEntry {
         TextFunctions.stopwordPpm(col("text"), stops).as("stop_ppm"),
         TextFunctions.langIdPredict(col("text"), stops, 60000L).as("lang_pred"))
     }),
+    // Gopher-style quality filtering signals (repetition = duplicate
+    // 3-shingle ratio; case/digit character ratios), exact integer ppm
+    "q_text_quality" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.repetitionPpm(col("text"), 3).as("repetition_ppm"),
+        TextFunctions.upperPpm(col("text")).as("upper_ppm"),
+        TextFunctions.digitPpm(col("text")).as("digit_ppm"))
+    }),
     "q_text_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -414,6 +423,7 @@ object SparkEntry {
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),
+    "q_text_quality" -> DocSql.textQuality(3),
     "q_dedup_exact" -> DocSql.dedupExact,
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,

@@ -55,6 +55,21 @@ object DocSql {
        |  list_min(list_transform(shingles, s -> md5(s))) AS fp_shingle_min
        |FROM sh""".stripMargin
 
+  /** Gopher-style quality signals — mirrors
+    * TextFunctions.repetitionPpm / upperPpm / digitPpm exactly
+    * (integer ppm math, greatest(len,1) division guard). */
+  def textQuality(k: Int): String =
+    s"""WITH $docsToks,
+       |sh AS (SELECT doc_id, text, ${shinglesExpr(k)} AS shingles FROM d)
+       |SELECT doc_id,
+       |  CAST((len(shingles) - len(list_distinct(shingles))) * 1000000
+       |    // len(shingles) AS BIGINT) AS repetition_ppm,
+       |  CAST(length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g')) * 1000000
+       |    // greatest(length(coalesce(text, '')), 1) AS BIGINT) AS upper_ppm,
+       |  CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) * 1000000
+       |    // greatest(length(coalesce(text, '')), 1) AS BIGINT) AS digit_ppm
+       |FROM sh""".stripMargin
+
   val dedupExact: String =
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1""".stripMargin

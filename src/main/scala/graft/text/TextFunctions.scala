@@ -90,6 +90,35 @@ object TextFunctions {
   /** Content hash of the exact text bytes (exact-dedup key). */
   def contentHash(text: Column): Column = md5(text.cast("binary"))
 
+  /** Duplicate-k-shingle ratio in ppm — the Gopher-style repetition
+    * signal: (total - distinct) * 1e6 div total over the k-shingles.
+    * High values flag boilerplate/repetitive documents. Exact integer
+    * math (a one-shingle doc scores 0). */
+  def repetitionPpm(text: Column, k: Int): Column = {
+    val sh = shingles(text, k)
+    intDiv((size(sh) - size(array_distinct(sh))).cast("long") * lit(1000000L),
+      size(sh).cast("long"))
+  }
+
+  /** Ratio of characters matching `charClass` (a regex character
+    * class, e.g. "[A-Z]") in ppm of the text length; empty/NULL text
+    * scores 0 (greatest(len, 1) guards the division). ASCII-safe. */
+  def charClassPpm(text: Column, charClass: String): Column = {
+    val t = coalesce(text, lit(""))
+    intDiv(
+      length(regexp_replace(t, s"[^${charClass.stripPrefix("[").stripSuffix("]")}]", ""))
+        .cast("long") * lit(1000000L),
+      greatest(length(t).cast("long"), lit(1L)))
+  }
+
+  /** Uppercase-character ratio (ppm) — quality signal for shouty or
+    * header-heavy text. */
+  def upperPpm(text: Column): Column = charClassPpm(text, "[A-Z]")
+
+  /** Digit-character ratio (ppm) — quality signal for tabular/serial
+    * content. */
+  def digitPpm(text: Column): Column = charClassPpm(text, "[0-9]")
+
   /** Winnowing-style document fingerprint: the minimum md5 over the
     * document's k-shingle rolling windows. Robust to local edits, cheap
     * (one narrow pass), and directly comparable across engines. Uses

@@ -44,6 +44,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(2L) == Seq("a b"))
   }
 
+  test("quality signals: repetition / upper / digit ppm (exact integer math)") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Some("a a a a")),   // shingles: [a a a, a a a] -> 1 dup of 2
+      (2L, Some("AbC")),       // 2 upper of 3 chars
+      (3L, Some("a1")),        // 1 digit of 2 chars
+      (4L, Option.empty[String]))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        TextFunctions.repetitionPpm(col("text"), 3).as("rep"),
+        TextFunctions.upperPpm(col("text")).as("up"),
+        TextFunctions.digitPpm(col("text")).as("dig"))
+    val m = df.collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(m(1L)._1 == 500000L)
+    assert(m(2L)._2 == 666666L)
+    assert(m(3L)._3 == 500000L)
+    assert(m(4L) == ((0L, 0L, 0L)))
+  }
+
   test("exact dedup groups identical content and keeps the min id") {
     val out = Dedup.exact(docs((1L, "same text"), (2L, "same text"), (3L, "other")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
