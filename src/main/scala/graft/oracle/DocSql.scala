@@ -60,10 +60,11 @@ object DocSql {
     * (integer ppm math, greatest(len,1) division guard). */
   def textQuality(k: Int): String =
     s"""WITH $docsToks,
-       |sh AS (SELECT doc_id, text, ${shinglesExpr(k)} AS shingles FROM d)
+       |sh AS (SELECT doc_id, text, greatest(len(toks) - ${k - 1}, 1) AS total,
+       |  len(list_distinct(list_transform(${shinglesExpr(k)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS n_distinct FROM d)
        |SELECT doc_id,
-       |  CAST((len(shingles) - len(list_distinct(shingles))) * 1000000
-       |    // len(shingles) AS BIGINT) AS repetition_ppm,
+       |  CAST((total - n_distinct) * 1000000 // total AS BIGINT) AS repetition_ppm,
        |  CAST(length(regexp_replace(coalesce(text, ''), '[^A-Z]', '', 'g')) * 1000000
        |    // greatest(length(coalesce(text, '')), 1) AS BIGINT) AS upper_ppm,
        |  CAST(length(regexp_replace(coalesce(text, ''), '[^0-9]', '', 'g')) * 1000000

@@ -93,8 +93,24 @@ object TextFunctions {
   /** Duplicate-k-shingle ratio in ppm — the Gopher-style repetition
     * signal: (total - distinct) * 1e6 div total over the k-shingles.
     * High values flag boilerplate/repetitive documents. Exact integer
-    * math (a one-shingle doc scores 0). */
+    * math (a one-shingle doc scores 0).
+    *
+    * Distinct shingles are counted via the one-pass native
+    * [[graft.functions.ShingleHashes]] (60-bit md5-prefix convention,
+    * shared bit-for-bit with the DuckDB oracle — identical to
+    * string-distinct up to a negligible 60-bit collision); the total is
+    * closed-form from the token count, so no shingle strings are ever
+    * materialized. [[repetitionPpmBuiltin]] is the string-exact SPEC. */
   def repetitionPpm(text: Column, k: Int): Column = {
+    val total = greatest(tokenCount(text) - lit(k - 1L), lit(1L))
+    val distinct = size(ColumnShims.column(graft.functions.ShingleHashes(
+      ColumnShims.expression(tokens(text)), k))).cast("long")
+    intDiv((total - distinct) * lit(1000000L), total)
+  }
+
+  /** Builtin-composed string-exact SPEC of [[repetitionPpm]] (equality
+    * asserted in DedupSpec; differs only on a 60-bit hash collision). */
+  def repetitionPpmBuiltin(text: Column, k: Int): Column = {
     val sh = shingles(text, k)
     intDiv((size(sh) - size(array_distinct(sh))).cast("long") * lit(1000000L),
       size(sh).cast("long"))

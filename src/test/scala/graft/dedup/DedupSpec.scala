@@ -63,6 +63,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m(4L) == ((0L, 0L, 0L)))
   }
 
+  test("hash-based repetitionPpm == string-exact builtin SPEC (randomized)") {
+    val rnd = new scala.util.Random(48)
+    val vocab = Vector("a", "bb", "word", "a", "7") // repeats make dup shingles likely
+    val texts = (1L to 60L).map { i =>
+      val n = rnd.nextInt(15)
+      i -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (k <- Seq(2, 3)) {
+      val bad = docs(texts: _*).select(
+        col("doc_id"),
+        TextFunctions.repetitionPpm(col("text"), k).as("native"),
+        TextFunctions.repetitionPpmBuiltin(col("text"), k).as("spec"))
+        .filter(col("native") =!= col("spec")).count()
+      assert(bad == 0, s"k=$k")
+    }
+  }
+
   test("exact dedup groups identical content and keeps the min id") {
     val out = Dedup.exact(docs((1L, "same text"), (2L, "same text"), (3L, "other")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
