@@ -71,11 +71,29 @@ object Bench {
       }
     }
 
-    // Warm up the JVM + codegen + parquet footer caches on the smallest
-    // table so the first measured query doesn't pay session start-up.
-    try spark.read.parquet(s"$sfDir/nation.parquet")
-      .write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // Warm up the JVM + codegen + parquet footer caches so the first
+    // measured query doesn't pay session start-up. The composite also
+    // exercises the shared engine paths (JSON parse, hash aggregate,
+    // window, sort, exchange) — without it the alphabetically-first
+    // query absorbed ~2 s of JIT warm-up (round-4 observation:
+    // q_agg_cube measured 2.7-3.0 s in position 1, q_events_props with
+    // the same scan+parse 0.6 s mid-run).
+    try {
+      import org.apache.spark.sql.expressions.Window
+      spark.read.parquet(s"$sfDir/nation.parquet")
+        .write.format("noop").mode("overwrite").save()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      spark.read.parquet(s"$sfDir/events.parquet").limit(20000)
+        .select(org.apache.spark.sql.functions.col("user_id"),
+          org.apache.spark.sql.functions.col("event_id"),
+          org.apache.spark.sql.functions.get_json_object(
+            org.apache.spark.sql.functions.col("props"), "$.k").cast("long").as("k"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.sum("k").as("s"))
+        .orderBy("user_id")
+        .write.format("noop").mode("overwrite").save()
+    } catch { case _: Throwable => () }
 
     val names = SparkEntry.queries.keys.toSeq.sorted
     val results = names.map(n => n -> consume(n))
