@@ -76,12 +76,46 @@ object SFC {
 
   // ---------------------------------------------------------------- Morton
 
+  /** Spread the low 32 bits of v so bit b lands at bit 2b (the classic
+    * magic-mask Morton dilation). */
+  @inline private def spread2(v0: Long): Long = {
+    var v = v0 & 0xffffffffL
+    v = (v | (v << 16)) & 0x0000ffff0000ffffL
+    v = (v | (v << 8)) & 0x00ff00ff00ff00ffL
+    v = (v | (v << 4)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v << 2)) & 0x3333333333333333L
+    v = (v | (v << 1)) & 0x5555555555555555L
+    v
+  }
+
+  /** Inverse of [[spread2]]: gather the even bits of v into the low 32. */
+  @inline private def compact2(v0: Long): Long = {
+    var v = v0 & 0x5555555555555555L
+    v = (v | (v >>> 1)) & 0x3333333333333333L
+    v = (v | (v >>> 2)) & 0x0f0f0f0f0f0f0f0fL
+    v = (v | (v >>> 4)) & 0x00ff00ff00ff00ffL
+    v = (v | (v >>> 8)) & 0x0000ffff0000ffffL
+    v = (v | (v >>> 16)) & 0x00000000ffffffffL
+    v
+  }
+
   /** MSB-first interleave of xs (each masked to `bits`) into a u128.
     * Bit b of element i lands at key position b*n + (n-1-i). */
   def mortonEncode(xs: Array[Long], bits: Int): U128 = mortonEncode(xs, bits, xs.length)
 
-  /** As above, over the first n slots of xs (xs may be a reused buffer). */
-  def mortonEncode(xs: Array[Long], bits: Int, n: Int): U128 = {
+  /** As above, over the first n slots of xs (xs may be a reused buffer).
+    * The dominant 2-D case (bits <= 32, the layout-write sort key) takes
+    * a magic-mask spread — ~12 shift/mask ops instead of 2*bits branchy
+    * loop iterations; [[mortonEncodeGeneric]] is the bit-by-bit
+    * reference, and SFCPropertySpec asserts equality exhaustively. */
+  def mortonEncode(xs: Array[Long], bits: Int, n: Int): U128 =
+    if (n == 2 && bits <= 32) {
+      val m = (1L << bits) - 1L
+      U128(0L, (spread2(xs(0) & m) << 1) | spread2(xs(1) & m))
+    } else mortonEncodeGeneric(xs, bits, n)
+
+  /** Bit-by-bit reference interleave (all widths/arities). */
+  private[core] def mortonEncodeGeneric(xs: Array[Long], bits: Int, n: Int): U128 = {
     var hi = 0L; var lo = 0L
     var b = bits - 1
     while (b >= 0) {
@@ -98,8 +132,17 @@ object SFC {
     U128(hi, lo)
   }
 
-  /** Inverse of [[mortonEncode]]: writes n coords (bit patterns) into `out`. */
-  def mortonDecode(key: U128, bits: Int, n: Int, out: Array[Long]): Unit = {
+  /** Inverse of [[mortonEncode]]: writes n coords (bit patterns) into
+    * `out`. Same 2-D fast path as the encode. */
+  def mortonDecode(key: U128, bits: Int, n: Int, out: Array[Long]): Unit =
+    if (n == 2 && bits <= 32) {
+      val m = (1L << bits) - 1L
+      out(0) = compact2(key.lo >>> 1) & m
+      out(1) = compact2(key.lo) & m
+    } else mortonDecodeGeneric(key, bits, n, out)
+
+  /** Bit-by-bit reference de-interleave (all widths/arities). */
+  private[core] def mortonDecodeGeneric(key: U128, bits: Int, n: Int, out: Array[Long]): Unit = {
     java.util.Arrays.fill(out, 0L)
     var b = bits - 1
     while (b >= 0) {

@@ -61,6 +61,22 @@ class SFCPropertySpec extends AnyFunSuite {
     check(32, 2, 2047L)
   }
 
+  test("2-D magic-mask fast path == bit-by-bit generic interleave (both directions)") {
+    val rnd = new Random(47)
+    for (bits <- Seq(8, 16, 32); _ <- 1 to 2000) {
+      val xs = Array(mask(rnd.nextLong(), bits), mask(rnd.nextLong(), bits))
+      val fast = mortonEncode(xs, bits, 2)
+      assert(fast == mortonEncodeGeneric(xs, bits, 2), s"encode bits=$bits xs=${xs.toSeq}")
+      // decode of an arbitrary key (not just encode outputs) must agree,
+      // including keys with stray bits above 2*bits
+      val key = U128(0L, rnd.nextLong())
+      val a = new Array[Long](2); val b = new Array[Long](2)
+      mortonDecode(key, bits, 2, a)
+      mortonDecodeGeneric(key, bits, 2, b)
+      assert(a.toSeq == b.toSeq, s"decode bits=$bits key=$key")
+    }
+  }
+
   test("Morton interleave matches naive bit spec (elem 0 -> MSB of each group)") {
     val rnd = new Random(44)
     for (_ <- 1 to 500) {
