@@ -99,19 +99,44 @@ object SFC {
     v
   }
 
+  /** Spread the low 16 bits of v so bit b lands at bit 4b. */
+  @inline private def spread4(v0: Long): Long = {
+    var v = v0 & 0xffffL
+    v = (v | (v << 24)) & 0x000000ff000000ffL
+    v = (v | (v << 12)) & 0x000f000f000f000fL
+    v = (v | (v << 6)) & 0x0303030303030303L
+    v = (v | (v << 3)) & 0x1111111111111111L
+    v
+  }
+
+  /** Inverse of [[spread4]]: gather every 4th bit of v into the low 16. */
+  @inline private def compact4(v0: Long): Long = {
+    var v = v0 & 0x1111111111111111L
+    v = (v | (v >>> 3)) & 0x0303030303030303L
+    v = (v | (v >>> 6)) & 0x000f000f000f000fL
+    v = (v | (v >>> 12)) & 0x000000ff000000ffL
+    v = (v | (v >>> 24)) & 0xffffL
+    v
+  }
+
   /** MSB-first interleave of xs (each masked to `bits`) into a u128.
     * Bit b of element i lands at key position b*n + (n-1-i). */
   def mortonEncode(xs: Array[Long], bits: Int): U128 = mortonEncode(xs, bits, xs.length)
 
   /** As above, over the first n slots of xs (xs may be a reused buffer).
-    * The dominant 2-D case (bits <= 32, the layout-write sort key) takes
-    * a magic-mask spread — ~12 shift/mask ops instead of 2*bits branchy
-    * loop iterations; [[mortonEncodeGeneric]] is the bit-by-bit
-    * reference, and SFCPropertySpec asserts equality exhaustively. */
+    * The dominant 2-D case (bits <= 32, the layout-write sort key) and
+    * the 4-D sub-64-bit case take magic-mask spreads — a dozen
+    * shift/mask ops instead of n*bits branchy loop iterations;
+    * [[mortonEncodeGeneric]] is the bit-by-bit reference, and
+    * SFCPropertySpec asserts equality exhaustively. */
   def mortonEncode(xs: Array[Long], bits: Int, n: Int): U128 =
     if (n == 2 && bits <= 32) {
       val m = (1L << bits) - 1L
       U128(0L, (spread2(xs(0) & m) << 1) | spread2(xs(1) & m))
+    } else if (n == 4 && bits <= 16) {
+      val m = (1L << bits) - 1L
+      U128(0L, (spread4(xs(0) & m) << 3) | (spread4(xs(1) & m) << 2) |
+        (spread4(xs(2) & m) << 1) | spread4(xs(3) & m))
     } else mortonEncodeGeneric(xs, bits, n)
 
   /** Bit-by-bit reference interleave (all widths/arities). */
@@ -139,6 +164,12 @@ object SFC {
       val m = (1L << bits) - 1L
       out(0) = compact2(key.lo >>> 1) & m
       out(1) = compact2(key.lo) & m
+    } else if (n == 4 && bits <= 16) {
+      val m = (1L << bits) - 1L
+      out(0) = compact4(key.lo >>> 3) & m
+      out(1) = compact4(key.lo >>> 2) & m
+      out(2) = compact4(key.lo >>> 1) & m
+      out(3) = compact4(key.lo) & m
     } else mortonDecodeGeneric(key, bits, n, out)
 
   /** Bit-by-bit reference de-interleave (all widths/arities). */

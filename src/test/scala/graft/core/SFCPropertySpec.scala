@@ -61,19 +61,19 @@ class SFCPropertySpec extends AnyFunSuite {
     check(32, 2, 2047L)
   }
 
-  test("2-D magic-mask fast path == bit-by-bit generic interleave (both directions)") {
+  test("magic-mask fast paths == bit-by-bit generic interleave (both directions)") {
     val rnd = new Random(47)
-    for (bits <- Seq(8, 16, 32); _ <- 1 to 2000) {
-      val xs = Array(mask(rnd.nextLong(), bits), mask(rnd.nextLong(), bits))
-      val fast = mortonEncode(xs, bits, 2)
-      assert(fast == mortonEncodeGeneric(xs, bits, 2), s"encode bits=$bits xs=${xs.toSeq}")
+    for ((bits, n) <- Seq((8, 2), (16, 2), (32, 2), (8, 4), (16, 4)); _ <- 1 to 2000) {
+      val xs = Array.fill(n)(mask(rnd.nextLong(), bits))
+      val fast = mortonEncode(xs, bits, n)
+      assert(fast == mortonEncodeGeneric(xs, bits, n), s"encode bits=$bits n=$n xs=${xs.toSeq}")
       // decode of an arbitrary key (not just encode outputs) must agree,
-      // including keys with stray bits above 2*bits
+      // including keys with stray bits above n*bits
       val key = U128(0L, rnd.nextLong())
-      val a = new Array[Long](2); val b = new Array[Long](2)
-      mortonDecode(key, bits, 2, a)
-      mortonDecodeGeneric(key, bits, 2, b)
-      assert(a.toSeq == b.toSeq, s"decode bits=$bits key=$key")
+      val a = new Array[Long](n); val b = new Array[Long](n)
+      mortonDecode(key, bits, n, a)
+      mortonDecodeGeneric(key, bits, n, b)
+      assert(a.toSeq == b.toSeq, s"decode bits=$bits n=$n key=$key")
     }
   }
 
