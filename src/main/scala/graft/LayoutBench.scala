@@ -52,6 +52,10 @@ object LayoutBench {
     val hilbertPath = s"$base/hilbert"
     val mortonPath = s"$base/morton"
     val naturalPath = s"$base/natural"
+    // untimed sink warmup: the first parquet write JITs the committer /
+    // column-writer / codec paths — without this the first timed write
+    // (hilbert) absorbed ~1s of one-time cost
+    Layout.writeHilbertOrdered(li.limit(50000), Seq("l_partkey", "l_suppkey"), s"$base/warm")
     val tWriteH = timed(Layout.writeHilbertOrdered(li, Seq("l_partkey", "l_suppkey"), hilbertPath))
     val tWriteM = timed(Layout.writeMortonOrdered(li, Seq("l_partkey", "l_suppkey"), mortonPath))
     val tWriteN = timed(Layout.writeNaturalOrder(li, naturalPath))

@@ -115,6 +115,54 @@ case class CurveEncode(child: Expression, n: Int, hilbert: Boolean)
     copy(child = newChild)
 }
 
+/** hilbert_sort_key / morton_sort_key: N-dim point -> order-equivalent
+  * SIGNED long (u64 key XOR Long.MinValue), for keys up to 64 bits.
+  *
+  * Purely a SORT column: `orderBy(curve_sort_key)` sorts on one
+  * fixed-width long — eligible for Spark's radix sort — instead of the
+  * Decimal(20,0) comparisons the u64 key representation costs. Not a
+  * key (decode rejects it); layout writes are the intended use
+  * ([[graft.layout.Layout]]). Keys wider than 64 bits already sort
+  * optimally as 16-byte binary — use the encode for those.
+  */
+case class CurveSortKey(child: Expression, n: Int, hilbert: Boolean)
+    extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (hilbert) "hilbert_sort_key" else "morton_sort_key"
+
+  private lazy val elemTag: Int = child.dataType match {
+    case ArrayType(et, _) => CurveExpr.tagOf(et)
+    case _                => -1
+  }
+  private lazy val elemBits: Int = CurveExpr.bitsOf(elemTag)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(et, _) if CurveExpr.tagOf(et) >= 0 =>
+      val bits = CurveExpr.bitsOf(CurveExpr.tagOf(et))
+      if (n < 1 || n * bits > 64)
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName: n=$n of ${bits}-bit elements exceeds the 64-bit sort key " +
+            "(wider keys already sort optimally as the encode's 16-byte binary)")
+      else TypeCheckResult.TypeCheckSuccess
+    case other =>
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<byte|short|int|long|float|double>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    CurveRuntime.encodeSortKey(input.asInstanceOf[ArrayData], elemTag, elemBits, n, hilbert)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.CurveRuntime.encodeSortKey($c, $elemTag, $elemBits, $n, $hilbert);")
+
+  override protected def withNewChildInternal(newChild: Expression): CurveSortKey =
+    copy(child = newChild)
+}
+
 /** hilbert_decode / morton_decode: curve key -> N-dim point.
   *
   * Mirrors the reference's decode bind (src/lindel_extension.cpp:152-274):

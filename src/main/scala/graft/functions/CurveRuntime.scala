@@ -70,6 +70,13 @@ object CurveRuntime {
   def encodeBinary(arr: ArrayData, tag: Int, bits: Int, n: Int, hilbert: Boolean): Array[Byte] =
     encodeU(arr, tag, bits, n, hilbert).toBytesBE
 
+  /** Order-equivalent SIGNED long of a <=64-bit curve key: u64 XOR
+    * Long.MinValue maps unsigned order onto signed order, so sorts run
+    * on a fixed-width long (radix-sortable) instead of Decimal
+    * comparisons. A sort column, not a key representation. */
+  def encodeSortKey(arr: ArrayData, tag: Int, bits: Int, n: Int, hilbert: Boolean): Long =
+    encodeU(arr, tag, bits, n, hilbert).lo ^ java.lang.Long.MIN_VALUE
+
   // ------------------------------------------------------------- decode
 
   /** Decimal key -> (hi, lo), validated against the declared input width.

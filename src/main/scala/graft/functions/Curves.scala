@@ -82,6 +82,17 @@ object Curves {
     }
   }
 
+  private def sortKeyBuilder(hilbert: Boolean)(args: Seq[Expression]): Expression = {
+    val name = if (hilbert) "hilbert_sort_key" else "morton_sort_key"
+    args match {
+      case Seq(ca: CreateArray) => CurveSortKey(ca, ca.children.size, hilbert)
+      case Seq(arr, n)          => CurveSortKey(arr, constInt(n, s"$name arity"), hilbert)
+      case _ =>
+        throw new IllegalArgumentException(
+          s"$name: pass array(a, b, ...) so the arity is static, or use $name(arr_col, n) with a literal n")
+    }
+  }
+
   private def twoArg(name: String, mk: (Expression, Expression) => Expression)(
       args: Seq[Expression]): Expression = args match {
     case Seq(a, b) => mk(a, b)
@@ -109,6 +120,12 @@ object Curves {
     ("curve_key_str", (args: Seq[Expression]) => CurveKeyString(args.head),
       "curve_key_str(key) - canonical unsigned-decimal string of a curve key",
       classOf[CurveKeyString]),
+    ("hilbert_sort_key", sortKeyBuilder(hilbert = true) _,
+      "hilbert_sort_key(array(a, b, ...)) - order-equivalent signed-long Hilbert sort key (<=64-bit)",
+      classOf[CurveSortKey]),
+    ("morton_sort_key", sortKeyBuilder(hilbert = false) _,
+      "morton_sort_key(array(a, b, ...)) - order-equivalent signed-long Z-order sort key (<=64-bit)",
+      classOf[CurveSortKey]),
     ("simhash32", (args: Seq[Expression]) => SimHash32(args.head),
       "simhash32(tokens) - 32-bit SimHash fingerprint of a token array",
       classOf[SimHash32]),
@@ -170,6 +187,14 @@ object Curves {
   /** Morton (Z-order) key of an N-dim point given as separate columns. */
   def mortonEncode(cols: Column*): Column =
     col(CurveEncode(CreateArray(cols.map(expr)), cols.size, hilbert = false))
+
+  /** Order-equivalent long sort key (radix-sortable) of an N-dim point;
+    * n*bits must be <= 64. See [[CurveSortKey]]. */
+  def hilbertSortKey(cols: Column*): Column =
+    col(CurveSortKey(CreateArray(cols.map(expr)), cols.size, hilbert = true))
+
+  def mortonSortKey(cols: Column*): Column =
+    col(CurveSortKey(CreateArray(cols.map(expr)), cols.size, hilbert = false))
 
   /** Hilbert key of a pre-built array column with statically-known arity. */
   def hilbertEncodeArray(arr: Column, n: Int): Column =

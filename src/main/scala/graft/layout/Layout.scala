@@ -35,7 +35,10 @@ object Layout {
     * the default and rely on the same mechanism. */
   def writeHilbertOrdered(df: DataFrame, keyCols: Seq[String], path: String,
       rowGroupBytes: Long = 1L << 20): Unit =
-    df.orderBy(Curves.hilbertEncode(keyCols.map(c => col(c).cast("int")): _*))
+    // sort on the order-equivalent LONG key, not the Decimal(20,0) key
+    // representation: one fixed-width long sort column is radix-sortable
+    // and compares in one instruction (same total order, same layout)
+    df.orderBy(Curves.hilbertSortKey(keyCols.map(c => col(c).cast("int")): _*))
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
@@ -48,7 +51,7 @@ object Layout {
     * plan as [[writeHilbertOrdered]]. */
   def writeMortonOrdered(df: DataFrame, keyCols: Seq[String], path: String,
       rowGroupBytes: Long = 1L << 20): Unit =
-    df.orderBy(Curves.mortonEncode(keyCols.map(c => col(c).cast("int")): _*))
+    df.orderBy(Curves.mortonSortKey(keyCols.map(c => col(c).cast("int")): _*))
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)

@@ -176,6 +176,36 @@ class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(df.head().getLong(0) == 178258816L)
   }
 
+  test("sort key is order-equivalent to the u64 curve key (incl. the top half of u64)") {
+    import graft.functions.{Curves => C}
+    import spark.implicits._
+    // negative ints reinterpret to the top of the u32 space, driving
+    // keys above 2^63 — exactly where a naive long sort would misorder
+    val pts = Seq((-1, -1), (0, 0), (Int.MinValue, 5), (7, -3), (123456, 654321),
+      (Int.MaxValue, Int.MaxValue), (-42, 42)).toDF("a", "b")
+    for (hilbert <- Seq(true, false)) {
+      val (sk, key) =
+        if (hilbert) (C.hilbertSortKey(col("a"), col("b")), C.hilbertEncode(col("a"), col("b")))
+        else (C.mortonSortKey(col("a"), col("b")), C.mortonEncode(col("a"), col("b")))
+      val rows = pts.select(sk.as("sk"), key.as("key")).collect()
+      val bySk = rows.sortBy(_.getLong(0)).map(_.getDecimal(1).toBigInteger.toString).toSeq
+      val byKey = rows.map(_.getDecimal(1).toBigInteger).sortBy(x => BigInt(x)).map(_.toString).toSeq
+      assert(bySk == byKey, s"hilbert=$hilbert")
+    }
+    // SQL path resolves too
+    val r = spark.sql(
+      "SELECT hilbert_sort_key(array(int(1), int(2))) AS h, morton_sort_key(array(int(1), int(2))) AS m").head()
+    assert(r.getLong(0) == (spark.sql(
+      "SELECT CAST(curve_key_str(hilbert_encode(array(int(1), int(2)))) AS BIGINT)").head().getLong(0) ^ Long.MinValue))
+    assert(r.getLong(1) == (spark.sql(
+      "SELECT CAST(curve_key_str(morton_encode(array(int(1), int(2)))) AS BIGINT)").head().getLong(0) ^ Long.MinValue))
+    // wider-than-64-bit sort keys are an analysis-time error
+    val e = intercept[Exception] {
+      spark.sql("SELECT hilbert_sort_key(array(bigint(1), bigint(2)))").collect()
+    }
+    assert(e.getMessage.contains("64-bit"))
+  }
+
   test("whole-stage codegen stays enabled over curve expressions") {
     val df = spark.sql(
       """SELECT sum(hilbert_encode(array(int(id), int(id + 1)))) AS s
