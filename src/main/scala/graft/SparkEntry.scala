@@ -56,8 +56,11 @@ object SparkEntry {
     val li = table(spark, "/root/testdata/sf0.001", "lineitem")
     li.select(
         col("l_orderkey"), col("l_partkey"), col("l_linenumber"),
-        Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("hkey"))
-      .orderBy(col("hkey"), col("l_orderkey"), col("l_linenumber"))
+        Curves.hilbertEncode(col("l_partkey").cast("int"), col("l_linenumber")).as("hkey"),
+        Curves.hilbertSortKey(col("l_partkey").cast("int"), col("l_linenumber")).as("sk"))
+      // sort on the order-equivalent long (radix-sortable), display the key
+      .orderBy(col("sk"), col("l_orderkey"), col("l_linenumber"))
+      .drop("sk")
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

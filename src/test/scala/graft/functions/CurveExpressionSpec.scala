@@ -206,6 +206,15 @@ class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage.contains("64-bit"))
   }
 
+  test("SparkEntry.entry: flagship query returns curve-ordered rows") {
+    val rows = graft.SparkEntry.entry(spark).limit(50).collect()
+    assert(rows.nonEmpty)
+    // hkey column present and non-null; ordering is by the curve key
+    val keys = rows.map(r => BigInt(r.getDecimal(3).toBigInteger))
+    assert(keys.forall(_ != null))
+    assert(keys.toSeq == keys.sorted.toSeq)
+  }
+
   test("whole-stage codegen stays enabled over curve expressions") {
     val df = spark.sql(
       """SELECT sum(hilbert_encode(array(int(id), int(id + 1)))) AS s
