@@ -227,6 +227,11 @@ object SparkEntry {
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
     "q_sim_ann" -> ((s, dir) =>
       Similarity.annTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // IVF variant: KMeans coarse quantizer + exact re-rank. No SQL
+    // oracle (centroids aren't SQL-reproducible) -> driver records the
+    // rows-only check; SimilaritySpec pins recall + determinism.
+    "q_sim_ivf" -> ((s, dir) =>
+      Similarity.ivfTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
 
     // --- LLM-pipeline: deduplication over documents ---------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),

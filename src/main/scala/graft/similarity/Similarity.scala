@@ -207,6 +207,63 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("dot_q"))
   }
 
+  /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
+    * (spark.ml, seeded => deterministic) partitions the corpus into
+    * `nlist` inverted lists; each probe scores only the vectors in its
+    * `nprobe` nearest lists, re-ranked by the exact fixed-point dot
+    * product. Same output shape as [[bruteForceTopK]].
+    *
+    * The classic scale path next to the LSH variant ([[annTopK]]):
+    * candidates per probe ~ corpus * nprobe / nlist, tuned by growing
+    * nlist with the corpus (train the quantizer on a sample at scale —
+    * here the corpus itself; training is the one driver-side step, the
+    * standard IVF build cost). Assignment and probing are narrow
+    * projections + equi-joins on list_id; centroids (~nlist * dims * 8
+    * bytes) broadcast to rank probe lists.
+    *
+    * No DuckDB oracle — KMeans centroids are not reproducible in SQL —
+    * so the driver records the weaker rows-only check for q_sim_ivf;
+    * SimilaritySpec pins recall on clustered data and determinism.
+    * Measured on the near-random sf0.01 embeddings (the hard case):
+    * recall@10 = 0.60 scoring ~nprobe/nlist = 25% of the corpus —
+    * vs 0.39 at ~22% for the curve-LSH [[annTopK]] on the same data.
+    *
+    * Cache lifecycle: same caller-releases convention as [[annTopK]]. */
+  def ivfTopK(emb: DataFrame, probePred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val base = emb.select(
+        col(idCol).as("vec_id"),
+        quantize(col(vecCol)).as("qv"),
+        org.apache.spark.ml.functions.array_to_vector(col(vecCol)).as("features"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val model = new org.apache.spark.ml.clustering.KMeans()
+      .setK(nlist).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(base.select("features"))
+    val assigned = model.transform(base).select(col("vec_id"), col("qv"), col("list_id"))
+    // centroids quantized with the shared fixed-point convention, so
+    // probe-to-list ranking is exact integer math like everything else
+    val cents = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray.map(x => math.floor(x * Scale.toDouble).toLong)) }
+      .toDF("list_id", "cq")
+    val probeQ = base.filter(probePred).select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    val wl = Window.partitionBy("probe_id").orderBy(col("cdot").desc, col("list_id"))
+    val probeLists = probeQ.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pv"), col("list_id"), dotQ(col("pv"), col("cq")).as("cdot"))
+      .withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= nprobe)
+      .select("probe_id", "pv", "list_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    broadcast(probeLists)
+      .join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), dotQ(col("pv"), col("qv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k via banded curve buckets + exact re-rank; same
     * output shape as [[bruteForceTopK]] (rnk over the candidate set
     * only).

@@ -59,6 +59,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
+    def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
+      nlist = 3, nprobe = 1, seed = 7L)
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val a = run()
+    spark.catalog.clearCache()
+    val b = run()
+    spark.catalog.clearCache()
+    // clusters are orthogonal, so the probe's nearest list holds exactly
+    // its mates -> recall 1.0 with a single probed list
+    assert(a.map(_._1).toSet == Set(1L, 2L))
+    assert(a == b) // seeded quantizer => reproducible
+  }
+
   test("cosine of identical vectors is 1.0") {
     import spark.implicits._
     val df = Seq((Seq(0.3f, 0.4f), Seq(0.3f, 0.4f))).toDF("a", "b")
