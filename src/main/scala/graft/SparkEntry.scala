@@ -338,6 +338,17 @@ object SparkEntry {
         Multimodal.frameSample(col("text"), 8).as("frame_sample"))
     }),
 
+    // batch-decode plumbing (mapInPandas analog): per-partition decoder
+    // init + iterator streaming + declared schema; features flattened
+    // to a string column (cross-engine array compare convention)
+    "q_multimodal_decode" -> ((s, dir) => {
+      val src = table(s, dir, "documents")
+        .select(col("doc_id"), Multimodal.payload(col("text")).as("payload"))
+      Multimodal.decodeFeaturesBatched(src, 8).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          concat_ws("_", col("features")).as("features_str"))
+    }),
+
     // --- layout optimization: the reference's purpose -------------------
     // Curve-order lineitem into parquet, then run a selective 2-D range
     // filter over the re-read (row groups pruned by footer stats; same
@@ -454,6 +465,7 @@ object SparkEntry {
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),
+    "q_multimodal_decode" -> EventSql.multimodalDecode(8),
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey"))

@@ -1,6 +1,6 @@
 package graft.multimodal
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as
@@ -60,4 +60,60 @@ object Multimodal {
   def fakeDecodeFeatures(bin: Column, dims: Int): Column =
     transform(sequence(lit(0), lit(dims - 1)),
       i => conv(substring(md5(concat(md5(bin), i.cast("string"))), 1, 8), 16, 10).cast("long"))
+
+  /** Decoded-payload row shape: parsed metadata + extracted features. */
+  final case class Decoded(doc_id: Long, width: Long, height: Long, features: Seq[Long])
+
+  /** Batch-decode plumbing — the Scala analog of `mapInPandas`: ONE
+    * decoder instance per PARTITION (real codecs amortize native-lib
+    * init exactly here), payload rows streamed through it as an
+    * iterator, output schema declared by the [[Decoded]] encoder.
+    * The decoder itself is the documented STUB ([[StubDecoder]] —
+    * feature math identical to [[fakeDecodeFeatures]], asserted in
+    * MultimodalSpec); swapping in a real image/audio codec changes
+    * only that class. Narrow (no shuffle): payload bytes never leave
+    * the executor, only the small decoded rows flow on.
+    */
+  def decodeFeaturesBatched(df: DataFrame, dims: Int,
+      idCol: String = "doc_id", binCol: String = "payload"): Dataset[Decoded] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        val dec = new StubDecoder(dims) // per-partition init
+        rows.map { case (id, bytes) => dec.decode(id, bytes) }
+      }
+  }
+
+  /** The stand-in for a real media decoder: "parses" metadata from the
+    * byte length and "extracts" the same md5-chain features as
+    * [[fakeDecodeFeatures]] (lowercase-hex conventions match Spark's
+    * and DuckDB's md5), so both decode paths and the SQL oracle agree
+    * bit-for-bit. Deliberately stateful-per-instance (the MessageDigest)
+    * like a real codec handle. */
+  final class StubDecoder(dims: Int) {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val Hex = "0123456789abcdef".toCharArray
+
+    private def hex(d: Array[Byte]): String = {
+      val out = new Array[Char](d.length * 2)
+      var i = 0
+      while (i < d.length) {
+        out(2 * i) = Hex((d(i) >> 4) & 0xf); out(2 * i + 1) = Hex(d(i) & 0xf); i += 1
+      }
+      new String(out)
+    }
+
+    def decode(id: Long, bytes: Array[Byte]): Decoded = {
+      md.reset()
+      val h = hex(md.digest(bytes))
+      val feats = (0 until dims).map { i =>
+        md.reset()
+        val d = md.digest((h + i.toString).getBytes("UTF-8"))
+        ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      }
+      Decoded(id, bytes.length.toLong % 1024L, (bytes.length.toLong * 7L) % 768L, feats)
+    }
+  }
 }

@@ -86,6 +86,17 @@ object EventSql {
     * bytes of the payload + struct-metadata round-trip + frame sample.
     * The corpus is pure ASCII (verified), so DuckDB's VARCHAR ops see
     * the same bytes as Spark's BinaryType ops. */
+  /** Mirror of Multimodal.StubDecoder: metadata from the byte length,
+    * features from the shared md5-chain convention. */
+  def multimodalDecode(dims: Int): String =
+    s"""SELECT doc_id,
+       |  CAST(octet_length(CAST(text AS BLOB)) % 1024 AS BIGINT) AS width,
+       |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 768 AS BIGINT) AS height,
+       |  array_to_string(list_transform(generate_series(0, ${dims - 1}),
+       |    i -> CAST(('0x' || substr(md5(md5(text) || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)),
+       |    '_') AS features_str
+       |FROM documents""".stripMargin
+
   def multimodal(headBytes: Int, stride: Int): String =
     s"""SELECT doc_id,
        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

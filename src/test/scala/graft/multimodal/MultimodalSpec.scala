@@ -51,6 +51,24 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(fa.forall(v => v >= 0 && v <= 0xffffffffL))
   }
 
+  test("batched mapPartitions decode == column-expression decode (shared stub math)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta"), (2L, ""), (3L, "a much longer payload with more bytes"))
+      .toDF("doc_id", "text")
+    val src = docs.select(col("doc_id"), Multimodal.payload(col("text")).as("payload"))
+      .repartition(3) // exercise one decoder instance per partition
+    val batched = Multimodal.decodeFeaturesBatched(src, 4).collect()
+      .map(d => d.doc_id -> d.features).toMap
+    val exprPath = docs.select(col("doc_id"),
+        Multimodal.fakeDecodeFeatures(Multimodal.payload(col("text")), 4).as("f"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(batched.keySet == Set(1L, 2L, 3L))
+    batched.foreach { case (id, f) => assert(f == exprPath(id), s"doc $id") }
+    // metadata stub derives from the byte length
+    val d3 = Multimodal.decodeFeaturesBatched(src, 4).collect().find(_.doc_id == 3L).get
+    assert(d3.width == 37L % 1024 && d3.height == (37L * 7) % 768)
+  }
+
   test("struct metadata round-trips field access") {
     import spark.implicits._
     val df = Seq(("en", "web")).toDF("lang", "source").select(
