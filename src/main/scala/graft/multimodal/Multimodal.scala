@@ -46,9 +46,13 @@ object Multimodal {
     * the split per element); payloads shorter than one stride yield
     * the empty string. */
   def frameSample(text: Column, stride: Int): Column =
+    // NULL payload samples as the empty payload (the NULL-is-empty
+    // convention, COMPAT §4): Spark's array_join otherwise yields ''
+    // while the oracle's array_to_string yields NULL (found by
+    // tools/fuzz_correctness.py)
     array_join(
       filter(
-        transform(split(text, ""),
+        transform(split(coalesce(text, lit("")), ""),
           (c, i) => when((i + 1) % stride === 0, c)),
         c => c.isNotNull), "")
 
@@ -82,7 +86,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         val dec = new StubDecoder(dims) // per-partition init
-        rows.map { case (id, bytes) => dec.decode(id, bytes) }
+        // NULL payload decodes as the zero-byte payload — the library's
+        // NULL-text-is-empty convention (COMPAT §4), mirrored in the
+        // oracle's coalesce (found by tools/fuzz_correctness.py)
+        rows.map { case (id, bytes) =>
+          dec.decode(id, if (bytes == null) Array.emptyByteArray else bytes)
+        }
       }
   }
 

@@ -90,10 +90,10 @@ object EventSql {
     * features from the shared md5-chain convention. */
   def multimodalDecode(dims: Int): String =
     s"""SELECT doc_id,
-       |  CAST(octet_length(CAST(text AS BLOB)) % 1024 AS BIGINT) AS width,
-       |  CAST((octet_length(CAST(text AS BLOB)) * 7) % 768 AS BIGINT) AS height,
+       |  CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) % 1024 AS BIGINT) AS width,
+       |  CAST((octet_length(CAST(coalesce(text, '') AS BLOB)) * 7) % 768 AS BIGINT) AS height,
        |  array_to_string(list_transform(generate_series(0, ${dims - 1}),
-       |    i -> CAST(('0x' || substr(md5(md5(text) || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)),
+       |    i -> CAST(('0x' || substr(md5(md5(coalesce(text, '')) || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)),
        |    '_') AS features_str
        |FROM documents""".stripMargin
 
@@ -103,8 +103,8 @@ object EventSql {
        |  md5(text) AS payload_md5,
        |  to_base64(CAST(substring(text, 1, $headBytes) AS BLOB)) AS head_b64,
        |  lang AS meta_lang,
-       |  array_to_string(
-       |    list_transform(generate_series($stride, length(text), $stride),
-       |      i -> substring(text, i, 1)), '') AS frame_sample
+       |  coalesce(array_to_string(
+       |    list_transform(generate_series($stride, length(coalesce(text, '')), $stride),
+       |      i -> substring(text, i, 1)), ''), '') AS frame_sample
        |FROM documents""".stripMargin
 }

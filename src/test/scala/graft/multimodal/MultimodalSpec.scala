@@ -28,13 +28,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getString(2) == java.util.Base64.getEncoder.encodeToString("hello".getBytes))
   }
 
-  test("frame sample takes every stride-th character; short payloads yield empty") {
+  test("frame sample takes every stride-th character; short/NULL payloads yield empty") {
     import spark.implicits._
-    val df = Seq((1L, "abcdefghij"), (2L, "ab")).toDF("id", "data")
+    val df = Seq((1L, Some("abcdefghij")), (2L, Some("ab")), (3L, Option.empty[String]))
+      .toDF("id", "data")
       .select(col("id"), Multimodal.frameSample(col("data"), 3).as("fs"))
     val m = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(m(1L) == "cfi") // positions 3, 6, 9
-    assert(m(2L) == "")
+    assert(m(2L) == "")    // shorter than one stride
+    assert(m(3L) == "")    // NULL-is-empty convention (fuzz-found)
+  }
+
+  test("batched decode: NULL payload decodes as the zero-byte payload (fuzz-found)") {
+    import spark.implicits._
+    val src = Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("doc_id", "text")
+      .select(col("doc_id"), Multimodal.payload(col("text")).as("payload"))
+    val byId = Multimodal.decodeFeaturesBatched(src, 2).collect().map(d => d.doc_id -> d).toMap
+    assert(byId(2L).width == 0L && byId(2L).height == 0L)
+    // features of the empty payload = md5("") chain, deterministic
+    val emptyAgain = Multimodal.decodeFeaturesBatched(
+      Seq((9L, "")).toDF("doc_id", "text")
+        .select(col("doc_id"), Multimodal.payload(col("text")).as("payload")), 2)
+      .collect().head
+    assert(byId(2L).features == emptyAgain.features)
   }
 
   test("stub decode features: deterministic, fixed dims, engine-exact math") {
