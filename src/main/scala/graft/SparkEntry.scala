@@ -205,6 +205,16 @@ object SparkEntry {
         TextFunctions.stopwordPpm(col("text"), stops).as("stop_ppm"),
         TextFunctions.langIdPredict(col("text"), stops, 60000L).as("lang_pred"))
     }),
+    // reproducible train/val/test split: assignment is a pure function
+    // of the key (stable across runs/engines/partitionings), 80/10/10
+    "q_split" -> ((s, dir) => {
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.hashBucket(col("doc_id"), 1000000).as("bucket"),
+        TextFunctions.splitLabel(col("doc_id"),
+          Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)).as("split"))
+    }),
+
     // Gopher-style quality filtering signals (repetition = duplicate
     // 3-shingle ratio; case/digit character ratios), exact integer ppm
     "q_text_quality" -> ((s, dir) => {
@@ -443,6 +453,8 @@ object SparkEntry {
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),
     "q_text_quality" -> DocSql.textQuality(3),
+    "q_split" -> DocSql.split(
+      Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_dedup_exact" -> DocSql.dedupExact,
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,

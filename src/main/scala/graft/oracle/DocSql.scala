@@ -71,6 +71,18 @@ object DocSql {
        |    // greatest(length(coalesce(text, '')), 1) AS BIGINT) AS digit_ppm
        |FROM sh""".stripMargin
 
+  /** Mirror of TextFunctions.hashBucket/splitLabel: 8-hex-digit md5
+    * prefix of the stringified key, mod 1e6, threshold CASE. */
+  def split(cuts: Seq[(String, Long)]): String = {
+    val cases = cuts.init.map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ")
+    s"""WITH b AS (SELECT doc_id,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+       |  FROM documents)
+       |SELECT doc_id, bucket,
+       |  CASE $cases ELSE '${cuts.last._1}' END AS split
+       |FROM b""".stripMargin
+  }
+
   val dedupExact: String =
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1""".stripMargin

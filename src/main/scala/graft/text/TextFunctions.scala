@@ -131,6 +131,29 @@ object TextFunctions {
     * header-heavy text. */
   def upperPpm(text: Column): Column = charClassPpm(text, "[A-Z]")
 
+  /** Deterministic hash bucket in [0, buckets) from a key column — the
+    * primitive behind reproducible train/val/test splits and
+    * downsampling: the assignment depends only on the key (stable
+    * across runs, engines, and cluster layouts), never on row order or
+    * partitioning. Buckets must be <= 2^24 so the 8-hex-digit md5
+    * prefix is uniform over them. */
+  def hashBucket(key: Column, buckets: Int): Column = {
+    require(buckets > 0 && buckets <= (1 << 24), "buckets must be in [1, 2^24]")
+    conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long") % buckets
+  }
+
+  /** Split label from cumulative ppm thresholds over [[hashBucket]]
+    * (e.g. train/val/test at 800000/900000 ppm of 1e6 buckets):
+    * the label is thresholds.last's name for the tail. */
+  def splitLabel(key: Column, cuts: Seq[(String, Long)]): Column = {
+    require(cuts.nonEmpty, "at least one split")
+    val b = hashBucket(key, 1000000)
+    cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), rest) =>
+      when(b < hi, lit(name)).otherwise(rest)
+    }
+  }
+
   /** Digit-character ratio (ppm) — quality signal for tabular/serial
     * content. */
   def digitPpm(text: Column): Column = charClassPpm(text, "[0-9]")

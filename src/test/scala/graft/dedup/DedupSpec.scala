@@ -80,6 +80,23 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hash split: deterministic, key-only, fractions near the cuts") {
+    import spark.implicits._
+    val ids = (1L to 2000L).toDF("doc_id")
+    def labels(df: org.apache.spark.sql.DataFrame) = df.select(
+        col("doc_id"),
+        TextFunctions.splitLabel(col("doc_id"),
+          Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val a = labels(ids)
+    val b = labels(ids.orderBy(col("doc_id").desc).repartition(7)) // order/partitioning-independent
+    assert(a == b)
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 2000.0).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.05)
+    assert(math.abs(frac("val") - 0.1) < 0.03)
+    assert(math.abs(frac("test") - 0.1) < 0.03)
+  }
+
   test("exact dedup groups identical content and keeps the min id") {
     val out = Dedup.exact(docs((1L, "same text"), (2L, "same text"), (3L, "other")))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
