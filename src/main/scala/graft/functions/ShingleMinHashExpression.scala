@@ -130,6 +130,28 @@ object ShingleMinHashRuntime {
   }
   private val Space = Array[Byte](' ')
 
+  /** md5 of one k-token shingle's bytes, exactly as
+    * concat_ws(" ", slice(toks, start+1, width)) produces them: NULL
+    * elements are skipped ALONG WITH their separator (review finding —
+    * the positional-separator loop diverged from the builtin SPEC on
+    * NULL tokens, reachable via the SQL-registered functions). */
+  private def digestShingle(digest: MessageDigest, tokens: ArrayData,
+      start: Int, width: Int): Array[Byte] = {
+    digest.reset()
+    var wrote = false
+    var j = 0
+    while (j < width) {
+      val t = tokens.getUTF8String(start + j)
+      if (t != null) {
+        if (wrote) digest.update(Space)
+        digest.update(t.getBytes)
+        wrote = true
+      }
+      j += 1
+    }
+    digest.digest()
+  }
+
   /** a/b coefficient arrays per family size (tiny, cached). */
   private val coefCache = new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
   private def coefs(numHashes: Int): (Array[Long], Array[Long]) =
@@ -147,15 +169,7 @@ object ShingleMinHashRuntime {
     val width = if (n >= k) k else n
     var i = 0
     while (i < nShingles) {
-      digest.reset()
-      var j = 0
-      while (j < width) {
-        if (j > 0) digest.update(Space)
-        val t = tokens.getUTF8String(i + j)
-        if (t != null) digest.update(t.getBytes)
-        j += 1
-      }
-      val d = digest.digest()
+      val d = digestShingle(digest, tokens, i, width)
       val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
         ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % HashP
       var f = 0
@@ -181,15 +195,7 @@ object ShingleMinHashRuntime {
     val hs = new Array[Long](nShingles)
     var i = 0
     while (i < nShingles) {
-      digest.reset()
-      var j = 0
-      while (j < width) {
-        if (j > 0) digest.update(Space)
-        val t = tokens.getUTF8String(i + j)
-        if (t != null) digest.update(t.getBytes)
-        j += 1
-      }
-      val d = digest.digest()
+      val d = digestShingle(digest, tokens, i, width)
       hs(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
         ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
         ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
@@ -206,8 +212,6 @@ object ShingleMinHashRuntime {
     new GenericArrayData(if (out == nShingles) hs else java.util.Arrays.copyOf(hs, out))
   }
 
-  private val HexDigits = "0123456789abcdef".toCharArray
-
   /** Minimum md5 digest over the k-shingles (see [[ShingleMinMd5]]),
     * returned as the lowercase-hex UTF8String Spark's md5() emits. */
   def minMd5(tokens: ArrayData, k: Int): org.apache.spark.unsafe.types.UTF8String = {
@@ -218,25 +222,11 @@ object ShingleMinHashRuntime {
     var best: Array[Byte] = null
     var i = 0
     while (i < nShingles) {
-      digest.reset()
-      var j = 0
-      while (j < width) {
-        if (j > 0) digest.update(Space)
-        val t = tokens.getUTF8String(i + j)
-        if (t != null) digest.update(t.getBytes)
-        j += 1
-      }
-      val d = digest.digest()
+      val d = digestShingle(digest, tokens, i, width)
       if (best == null || java.util.Arrays.compareUnsigned(d, best) < 0) best = d
       i += 1
     }
-    val hex = new Array[Char](32)
-    i = 0
-    while (i < 16) {
-      hex(2 * i) = HexDigits((best(i) >> 4) & 0xf)
-      hex(2 * i + 1) = HexDigits(best(i) & 0xf)
-      i += 1
-    }
-    org.apache.spark.unsafe.types.UTF8String.fromString(new String(hex))
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      java.util.HexFormat.of().formatHex(best))
   }
 }

@@ -103,20 +103,10 @@ object Multimodal {
     * like a real codec handle. */
   final class StubDecoder(dims: Int) {
     private val md = java.security.MessageDigest.getInstance("MD5")
-    private val Hex = "0123456789abcdef".toCharArray
-
-    private def hex(d: Array[Byte]): String = {
-      val out = new Array[Char](d.length * 2)
-      var i = 0
-      while (i < d.length) {
-        out(2 * i) = Hex((d(i) >> 4) & 0xf); out(2 * i + 1) = Hex(d(i) & 0xf); i += 1
-      }
-      new String(out)
-    }
 
     def decode(id: Long, bytes: Array[Byte]): Decoded = {
       md.reset()
-      val h = hex(md.digest(bytes))
+      val h = java.util.HexFormat.of().formatHex(md.digest(bytes))
       val feats = (0 until dims).map { i =>
         md.reset()
         val d = md.digest((h + i.toString).getBytes("UTF-8"))

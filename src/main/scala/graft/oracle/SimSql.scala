@@ -67,17 +67,18 @@ object SimSql {
   /** Embedding-cosine near-dup pairs — mirrors
     * graft.similarity.Similarity.cosinePairs stage for stage: sign-LSH
     * band keys (plane i, dim d sign = parity of
-    * (1103515245*(i*dims+d+1)) mod 2^31-1; dims = 64 for the
-    * embeddings table), star-capped bucket pairs (the
+    * (1103515245*(i*dims+d+1)) mod 2^31-1, dims derived per row like
+    * the Spark side), star-capped bucket pairs (the
     * Dedup.cappedBucketPairs rule), then the exact integer accept test
     * den*dot^2 >= num*|a|^2*|b|^2 AND dot >= 0 in HUGEINT. */
   def cosinePairs(planes: Int, bandBits: Int, num: Long, den: Long, cap: Int): String =
     s"""WITH $qCte,
-       |u AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS d FROM q),
+       |u AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS d,
+       |  len(qv) AS dims FROM q),
        |n2 AS (SELECT vec_id, CAST(sum(v * v) AS BIGINT) AS n2 FROM u GROUP BY vec_id),
        |pr AS (
        |  SELECT u.vec_id, p.i AS plane,
-       |    sum(CASE WHEN ((1103515245 * (p.i * 64 + u.d)) % 2147483647) % 2 = 0
+       |    sum(CASE WHEN ((1103515245 * (p.i * u.dims + u.d)) % 2147483647) % 2 = 0
        |             THEN u.v ELSE -u.v END) AS proj
        |  FROM u CROSS JOIN range($planes) p(i)
        |  GROUP BY u.vec_id, p.i),

@@ -106,7 +106,13 @@ object Similarity {
   /** Exact top-k neighbors by quantized dot product for every probe
     * row (`probePred` selects probes by vec_id). Output:
     * (probe_id, neighbor_id, dot_q, rnk), rnk in 1..k, ties broken by
-    * neighbor_id. */
+    * neighbor_id.
+    *
+    * CONTRACT (applies to [[annTopK]] and [[ivfTopK]] too): the probe
+    * set is broadcast, so `probePred` must select a BOUNDED set —
+    * thousands of probes, not a corpus-sized predicate. An unbounded
+    * probe set belongs in a different shape (a full self-join, e.g.
+    * [[cosinePairs]] for the near-dup case). */
   def bruteForceTopK(emb: DataFrame, probePred: Column, k: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))

@@ -116,20 +116,24 @@ object TextFunctions {
       size(sh).cast("long"))
   }
 
-  /** Ratio of characters matching `charClass` (a regex character
-    * class, e.g. "[A-Z]") in ppm of the text length; empty/NULL text
-    * scores 0 (greatest(len, 1) guards the division). ASCII-safe. */
-  def charClassPpm(text: Column, charClass: String): Column = {
+  /** Ratio of characters in the character SET `inner` (the BODY of a
+    * regex character class — "A-Z", "0-9a-f" — NOT a bracketed or
+    * negated class; negation/brackets would silently invert the count
+    * when spliced into the [^...] complement below) in ppm of the text
+    * length; empty/NULL text scores 0 (greatest(len, 1) guards the
+    * division). ASCII-safe. */
+  def charClassPpm(text: Column, inner: String): Column = {
+    require(!inner.startsWith("[") && !inner.startsWith("^") && !inner.contains("]"),
+      s"charClassPpm takes the class body (e.g. \"A-Z\"), not a bracketed/negated class: $inner")
     val t = coalesce(text, lit(""))
     intDiv(
-      length(regexp_replace(t, s"[^${charClass.stripPrefix("[").stripSuffix("]")}]", ""))
-        .cast("long") * lit(1000000L),
+      length(regexp_replace(t, s"[^$inner]", "")).cast("long") * lit(1000000L),
       greatest(length(t).cast("long"), lit(1L)))
   }
 
   /** Uppercase-character ratio (ppm) — quality signal for shouty or
     * header-heavy text. */
-  def upperPpm(text: Column): Column = charClassPpm(text, "[A-Z]")
+  def upperPpm(text: Column): Column = charClassPpm(text, "A-Z")
 
   /** Deterministic hash bucket in [0, buckets) from a key column — the
     * primitive behind reproducible train/val/test splits and
@@ -148,6 +152,10 @@ object TextFunctions {
     * the label is thresholds.last's name for the tail. */
   def splitLabel(key: Column, cuts: Seq[(String, Long)]): Column = {
     require(cuts.nonEmpty, "at least one split")
+    val his = cuts.map(_._2)
+    require(his == his.sorted && his.forall(h => h > 0 && h <= 1000000L),
+      s"split thresholds must be ascending in (0, 1e6]: $his " +
+        "(an out-of-order cut would silently receive zero rows)")
     val b = hashBucket(key, 1000000)
     cuts.init.foldRight(lit(cuts.last._1)) { case ((name, hi), rest) =>
       when(b < hi, lit(name)).otherwise(rest)
@@ -156,7 +164,7 @@ object TextFunctions {
 
   /** Digit-character ratio (ppm) — quality signal for tabular/serial
     * content. */
-  def digitPpm(text: Column): Column = charClassPpm(text, "[0-9]")
+  def digitPpm(text: Column): Column = charClassPpm(text, "0-9")
 
   /** Winnowing-style document fingerprint: the minimum md5 over the
     * document's k-shingle rolling windows. Robust to local edits, cheap

@@ -231,6 +231,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bad == 0)
   }
 
+  test("shingle natives skip NULL tokens like concat_ws (SQL-reachable arrays)") {
+    import org.apache.spark.sql.graft.ColumnShims
+    import graft.functions.{ShingleHashes, ShingleMinMd5}
+    import spark.implicits._
+    // tokens [a, NULL, b], k=2: concat_ws-joined shingles are "a" and
+    // "b" (the NULL and its separator vanish) — the natives must agree
+    val df = Seq(Tuple1(Seq(Option("a"), Option.empty[String], Option("b")))).toDF("toks")
+      .select(
+        ColumnShims.column(ShingleHashes(ColumnShims.expression(col("toks")), 2)).as("sh"),
+        ColumnShims.column(ShingleMinMd5(ColumnShims.expression(col("toks")), 2)).as("fp"),
+        array_sort(array_distinct(array(
+          conv(substring(md5(lit("a").cast("binary")), 1, 15), 16, 10).cast("long"),
+          conv(substring(md5(lit("b").cast("binary")), 1, 15), 16, 10).cast("long")))).as("sh_exp"),
+        least(md5(lit("a").cast("binary")), md5(lit("b").cast("binary"))).as("fp_exp"))
+    val r = df.head()
+    assert(r.getSeq[Long](0) == r.getSeq[Long](2))
+    assert(r.getString(1) == r.getString(3))
+  }
+
   test("native ShingleMinMd5 fingerprint matches the builtin-composed one") {
     val rnd = new scala.util.Random(46)
     val vocab = Vector("a", "bb", "word", "Zq9", "!", "longertoken", "7", "x-y")
