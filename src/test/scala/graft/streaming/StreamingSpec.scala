@@ -87,6 +87,37 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.forall(_.getString(1).nonEmpty))
   }
 
+  test("streaming exact dedup: dropDuplicatesWithinWatermark == batch dedup") {
+    import spark.implicits._
+    // replayed documents (same content hash) arriving at different times
+    val inDir = Files.createTempDirectory("graft_stream_dedup")
+    val docs = Seq(
+      (1L, 1000L, "alpha beta"), (2L, 2000L, "gamma"), (3L, 3000L, "alpha beta"),
+      (4L, 4000L, "delta"), (5L, 5000L, "gamma"), (6L, 6000L, "epsilon"))
+      .toDF("doc_id", "ts_us", "text")
+      .select(col("doc_id"), col("ts_us"), col("text"),
+        graft.text.TextFunctions.contentHash(col("text")).as("content_hash"))
+    docs.coalesce(1).write.mode("overwrite").parquet(inDir.toString)
+    val schema = docs.schema
+
+    val q = spark.readStream.schema(schema).parquet(inDir.toString)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", "1 hour")
+      .dropDuplicatesWithinWatermark("content_hash")
+      .select("doc_id", "content_hash")
+      .writeStream.format("memory").queryName("doc_dedup")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val streamed = spark.table("doc_dedup").collect()
+      .map(r => r.getString(1)).sorted.toSeq
+    val batched = docs.dropDuplicates("content_hash").collect()
+      .map(_.getString(3)).sorted.toSeq
+    assert(streamed == batched)       // one survivor per distinct content
+    assert(streamed.size == 4)
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands") {
     import spark.implicits._
     val gapUs = Sessionize.DefaultGapUs
