@@ -78,7 +78,9 @@ doc_tbl = pa.table({
 pq.write_table(doc_tbl, f"{sf_dir}/documents.parquet")
 
 # --- embeddings: random unit-ish vectors incl. exact +-1.0 boundaries
-n_vec, dims = 300, 64
+# dims varies by seed (>= 16 so the 4x4-dim ANN band slices exist) to
+# exercise the dims-agnostic oracles, not just the testdata's 64
+n_vec, dims = 300, [16, 32, 64][seed % 3]
 emb = np.random.uniform(-1, 1, (n_vec, dims)).astype(np.float32)
 for j in range(0, n_vec, 17):
     emb[j, j % dims] = 1.0      # the clamp boundary (round-3 ADVICE case)
