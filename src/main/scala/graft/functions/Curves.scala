@@ -196,6 +196,14 @@ object Curves {
   def mortonSortKey(cols: Column*): Column =
     col(CurveSortKey(CreateArray(cols.map(expr)), cols.size, hilbert = false))
 
+  /** Sort-key variants for pre-built array columns (e.g. a quantized
+    * embedding slice) with statically-known arity. */
+  def hilbertSortKeyArray(arr: Column, n: Int): Column =
+    col(CurveSortKey(expr(arr), n, hilbert = true))
+
+  def mortonSortKeyArray(arr: Column, n: Int): Column =
+    col(CurveSortKey(expr(arr), n, hilbert = false))
+
   /** Hilbert key of a pre-built array column with statically-known arity. */
   def hilbertEncodeArray(arr: Column, n: Int): Column =
     col(CurveEncode(expr(arr), n, hilbert = true))

@@ -204,6 +204,15 @@ class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.sql("SELECT hilbert_sort_key(array(bigint(1), bigint(2)))").collect()
     }
     assert(e.getMessage.contains("64-bit"))
+    // randomized: signed sort-key order == unsigned key order across the
+    // whole u64 range (500 random int pairs, negatives drive the top half)
+    val rnd = new scala.util.Random(49)
+    val rand = (1 to 500).map(_ => (rnd.nextInt(), rnd.nextInt())).toDF("a", "b")
+    val rr = rand.select(
+      C.mortonSortKey(col("a"), col("b")).as("sk"),
+      C.mortonEncode(col("a"), col("b")).as("key")).collect()
+    val sks = rr.sortBy(_.getLong(0)).map(r => BigInt(r.getDecimal(1).toBigInteger)).toSeq
+    assert(sks == sks.sorted)
   }
 
   test("SparkEntry.entry: flagship query returns curve-ordered rows") {
