@@ -215,6 +215,22 @@ object SparkEntry {
           Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)).as("split"))
     }),
 
+    // vocabulary building: top-k tokens by corpus term frequency with
+    // document frequency — total order (tf desc, df desc, token) so
+    // the k-th boundary is engine-independent
+    "q_vocab" -> ((s, dir) =>
+      graft.text.CorpusOps.vocabulary(table(s, dir, "documents"), 20)),
+    // deterministic stratified sampling: per-lang keep rates, selected
+    // purely by a salted hash of the key (reproducible at any scale)
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.text.CorpusOps.stratifiedSample(table(s, dir, "documents"),
+        Seq("en" -> 500000L, "zh" -> 250000L), 100000L)),
+    // train/eval contamination: shared distinct k-shingles between the
+    // hash-split train and test partitions of the corpus (df-capped
+    // inverted-index join + exact integer containment)
+    "q_decontaminate" -> ((s, dir) =>
+      graft.text.CorpusOps.contamination(table(s, dir, "documents"))),
+
     // Gopher-style quality filtering signals (repetition = duplicate
     // 3-shingle ratio; case/digit character ratios), exact integer ppm
     "q_text_quality" -> ((s, dir) => {
@@ -455,6 +471,11 @@ object SparkEntry {
     "q_text_quality" -> DocSql.textQuality(3),
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
+    "q_vocab" -> DocSql.vocabulary(20),
+    "q_sample_stratified" -> DocSql.stratifiedSample(
+      Seq("en" -> 500000L, "zh" -> 250000L), 100000L, "#sample"),
+    "q_decontaminate" -> DocSql.contamination(
+      graft.text.CorpusOps.ContaminationParams()),
     "q_dedup_exact" -> DocSql.dedupExact,
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,

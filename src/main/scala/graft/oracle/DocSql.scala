@@ -87,6 +87,63 @@ object DocSql {
     """SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS copies
       |FROM documents GROUP BY 1""".stripMargin
 
+  /** Mirror of CorpusOps.vocabulary: token explode -> (tf, df) ->
+    * top-k by the total order (tf desc, df desc, token asc). */
+  def vocabulary(topK: Int): String =
+    s"""WITH tok AS (SELECT doc_id,
+       |  unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents)
+       |SELECT token, CAST(count(*) AS BIGINT) AS tf,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+       |FROM tok GROUP BY token
+       |ORDER BY tf DESC, df DESC, token
+       |LIMIT $topK""".stripMargin
+
+  /** Mirror of CorpusOps.sampleBucket: 8-hex md5 prefix of
+    * (key || salt), mod 1e6. */
+  private def sampleBucketExpr(keyExpr: String, salt: String): String =
+    s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '${salt.replace("'", "''")}')," +
+      " 1, 8)) AS BIGINT) % 1000000"
+
+  /** Mirror of CorpusOps.stratifiedSample over documents.lang. */
+  def stratifiedSample(rates: Seq[(String, Long)], defaultPpm: Long, salt: String): String = {
+    val cases = rates
+      .map { case (v, ppm) => s"WHEN '${v.replace("'", "''")}' THEN $ppm" }
+      .mkString(" ")
+    s"""WITH b AS (SELECT doc_id, lang AS stratum,
+       |  ${sampleBucketExpr("doc_id", salt)} AS sample_bucket FROM documents)
+       |SELECT doc_id, stratum, sample_bucket FROM b
+       |WHERE sample_bucket < CASE stratum $cases ELSE $defaultPpm END""".stripMargin
+  }
+
+  /** Mirror of CorpusOps.contamination: split labels from the q_split
+    * hash, distinct 60-bit shingle hashes (the ShingleHashes
+    * convention), df-capped postings, inverted-index join, exact
+    * integer containment ppm. */
+  def contamination(p: graft.text.CorpusOps.ContaminationParams): String = {
+    val cases = p.cuts.init
+      .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ")
+    s"""WITH $docsToks,
+       |sp AS (SELECT doc_id, toks,
+       |  CASE $cases ELSE '${p.cuts.last._1}' END AS split FROM (
+       |    SELECT doc_id, toks,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 1000000 AS bucket FROM d)),
+       |sh AS (SELECT doc_id, split, list_distinct(list_transform(${shinglesExpr(p.shingleK)},
+       |  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS shs FROM sp),
+       |posts AS (SELECT doc_id, split, CAST(len(shs) AS BIGINT) AS n_sh,
+       |  unnest(shs) AS h FROM sh),
+       |rare AS (SELECT h FROM posts GROUP BY h HAVING count(*) <= ${p.maxDf}),
+       |kept AS (SELECT posts.* FROM posts JOIN rare USING (h)),
+       |pairs AS (SELECT t.doc_id AS train_id, b.doc_id AS bench_id,
+       |    CAST(count(*) AS BIGINT) AS overlap, max(b.n_sh) AS bench_n
+       |  FROM kept t JOIN kept b ON t.h = b.h
+       |  WHERE t.split = '${p.corpusSplit}' AND b.split = '${p.benchSplit}'
+       |  GROUP BY 1, 2)
+       |SELECT train_id, bench_id, overlap,
+       |  CAST(overlap * 1000000 // bench_n AS BIGINT) AS containment_ppm
+       |FROM pairs WHERE overlap >= ${p.minOverlap}""".stripMargin
+  }
+
   /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
     * h0..hN affine-family signature -> exploded bands -> distinct
     * candidate pairs, where in-cap buckets self-join all pairs and

@@ -1,0 +1,85 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-corpus-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def docs(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("vocabulary: tf/df counts and the (tf, df, token) total order") {
+    val df = CorpusOps.vocabulary(
+      docs((1L, "a a b"), (2L, "a c"), (3L, "b c")), topK = 2)
+    val rows = df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // a: tf 3 df 2; b and c tie at tf 2 df 2 -> token asc breaks the tie
+    assert(rows.toSeq == Seq(("a", 3L, 2L), ("b", 2L, 2L)))
+  }
+
+  test("vocabulary: limit boundary is deterministic across partitionings") {
+    val d = docs((1L to 40L).map(i => i -> s"tok${i % 7} shared"): _*)
+    val once = CorpusOps.vocabulary(d, 5).collect().map(_.getString(0)).toSeq
+    val again = CorpusOps.vocabulary(d.repartition(13), 5).collect().map(_.getString(0)).toSeq
+    assert(once == again)
+  }
+
+  test("stratified sample: per-stratum rates, pure function of the key") {
+    import spark.implicits._
+    val d = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
+      .toDF("doc_id", "lang")
+      .withColumn("text", lit("x"))
+    val rates = Seq("en" -> 500000L)
+    val s1 = CorpusOps.stratifiedSample(d, rates, defaultPpm = 0L)
+    val rows = s1.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // defaultPpm = 0 -> no zh rows at all
+    assert(rows.forall(_._2 == "en"))
+    // membership is exactly "salted hash bucket < rate" — recompute per row
+    val buckets = d.select(col("doc_id"),
+        CorpusOps.sampleBucket(col("doc_id"), "#sample").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expected = (2L to 400L by 2).filter(i => buckets(i) < 500000L).toSet
+    assert(rows.map(_._1).toSet == expected)
+    // deterministic: a repartitioned rerun returns the identical set
+    val s2 = CorpusOps.stratifiedSample(d.repartition(17), rates, 0L)
+      .collect().map(_.getLong(0)).toSet
+    assert(s2 == expected)
+  }
+
+  test("contamination: cross-split shingle overlap with exact containment") {
+    // find one train and one test doc id by the actual split hash
+    val p = CorpusOps.ContaminationParams(minOverlap = 1L)
+    val ids = docs((1L to 200L).map(i => i -> "x"): _*)
+      .select(col("doc_id"), TextFunctions.splitLabel(col("doc_id"), p.cuts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = ids.collectFirst { case (i, "train") => i }.get
+    val testId = ids.collectFirst { case (i, "test") => i }.get
+    val otherTrain = ids.collectFirst { case (i, "train") if i != trainId => i }.get
+    val d = docs(
+      trainId -> "w1 w2 w3 w4 w5", // shares all 3 shingles with the bench doc
+      testId -> "w1 w2 w3 w4 w5",
+      otherTrain -> "q1 q2 q3 q4") // disjoint -> no pair
+    val out = CorpusOps.contamination(d, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((trainId, testId, 3L, 1000000L)))
+  }
+
+  test("contamination: df cap drops non-discriminative shingles") {
+    val p = CorpusOps.ContaminationParams(maxDf = 10, minOverlap = 1L)
+    // 100 identical docs: every shingle has df 100 > 10 -> no pairs
+    val d = docs((1L to 100L).map(i => i -> "w1 w2 w3 w4 w5"): _*)
+    assert(CorpusOps.contamination(d, p).count() == 0L)
+  }
+}
