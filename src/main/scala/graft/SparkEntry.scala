@@ -258,6 +258,10 @@ object SparkEntry {
     // rows-only check; SimilaritySpec pins recall + determinism.
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // deterministic IVF twin: hash-seeded data-point centroids make the
+    // quantizer a pure function of the data, so this one IS oracle-gated
+    "q_sim_ivf_seed" -> ((s, dir) =>
+      Similarity.ivfSeededTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
 
     // --- LLM-pipeline: deduplication over documents ---------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
@@ -465,6 +469,7 @@ object SparkEntry {
     "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
+    "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),

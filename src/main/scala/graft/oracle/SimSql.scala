@@ -64,6 +64,41 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Mirror of graft.similarity.Similarity.ivfSeededTopK, stage for
+    * stage: centroids = the nlist vectors with the smallest
+    * (8-hex md5(vec_id), vec_id); assignment = argmax integer dot with
+    * ties to the smallest list_id; probe the nprobe best lists; exact
+    * re-rank over the probed lists. */
+  def ivfSeededTopK(probeMod: Int, k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH $qCte,
+       |hq AS (SELECT vec_id, qv,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS list_id,
+       |    qv AS cq
+       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $nlist)),
+       |asg0 AS (SELECT q.vec_id, c.list_id, ${dotSql("q.qv", "c.cq")} AS cdot
+       |  FROM q, cents c),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id % $probeMod = 0),
+       |pl0 AS (SELECT p.probe_id, p.pv, c.list_id, ${dotSql("p.pv", "c.cq")} AS cdot
+       |  FROM p, cents c),
+       |pl AS (SELECT probe_id, pv, list_id FROM (
+       |    SELECT probe_id, pv, list_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cdot DESC, list_id) AS rn
+       |    FROM pl0) WHERE rn <= $nprobe),
+       |s AS (SELECT pl.probe_id, a.vec_id AS neighbor_id, ${dotSql("pl.pv", "nq.qv")} AS dot_q
+       |  FROM pl
+       |  JOIN asg a ON a.list_id = pl.list_id
+       |  JOIN q nq ON nq.vec_id = a.vec_id
+       |  WHERE a.vec_id != pl.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, dot_q,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
+
   /** Embedding-cosine near-dup pairs — mirrors
     * graft.similarity.Similarity.cosinePairs stage for stage: sign-LSH
     * band keys (plane i, dim d sign = parity of

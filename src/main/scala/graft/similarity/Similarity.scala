@@ -270,6 +270,62 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Deterministic IVF: the same inverted-file shape as [[ivfTopK]]
+    * but with a coarse quantizer that is a pure function of the data —
+    * the centroids are the `nlist` corpus vectors with the smallest
+    * (md5(vec_id), vec_id), i.e. a uniform deterministic sample of the
+    * corpus used as zero-iteration spherical-kmeans seeds. Every stage
+    * is exact integer math, so unlike the KMeans variant this one has a
+    * full DuckDB oracle (graft.oracle.SimSql.ivfSeededTopK) and is
+    * hash-gated end-to-end.
+    *
+    * Scale shape: the centroid pick is a TakeOrderedAndProject (nlist
+    * rows through a per-partition heap, no full sort); assignment
+    * scores corpus x broadcast(nlist) narrowly and reduces with a
+    * PARTIAL max-struct aggregate — map-side combine leaves one row
+    * per vector per mapper, where a corpus-wide window would shuffle
+    * nlist rows per vector; probing and scoring are equi-joins on
+    * list_id. Candidates per probe ~ corpus * nprobe / nlist, tuned by
+    * growing nlist with the corpus like any IVF.
+    *
+    * Cache lifecycle: same caller-releases convention as [[annTopK]]. */
+  def ivfSeededTopK(emb: DataFrame, probePred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    // nlist rows: the single-partition window is over the limit result
+    val cents = q.select(col("vec_id"), col("qv"), hv.as("hv"))
+      .orderBy(col("hv"), col("vec_id")).limit(nlist)
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
+      .select(col("list_id"), col("qv").as("cq"))
+    // argmax over lists as a partial aggregate: max of (cdot, -list_id)
+    // picks the highest dot, ties to the smallest list_id
+    val assigned = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("list_id"), dotQ(col("qv"), col("cq")).as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), (-col("list_id")).as("nl"))).as("m"))
+      .select(col("vec_id"), (-col("m").getField("nl")).as("list_id"))
+      .join(q, "vec_id")
+    val probeQ = q.filter(probePred).select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    val wl = Window.partitionBy("probe_id").orderBy(col("cdot").desc, col("list_id"))
+    val probeLists = probeQ.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pv"), col("list_id"), dotQ(col("pv"), col("cq")).as("cdot"))
+      .withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= nprobe)
+      .select("probe_id", "pv", "list_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    broadcast(probeLists)
+      .join(assigned, "list_id")
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("pv"), col("qv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k via banded curve buckets + exact re-rank; same
     * output shape as [[bruteForceTopK]] (rnk over the candidate set
     * only).

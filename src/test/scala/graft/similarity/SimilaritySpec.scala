@@ -73,6 +73,36 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b) // seeded quantizer => reproducible
   }
 
+  test("ivfSeededTopK: deterministic quantizer, recall 1.0 on orthogonal clusters") {
+    // with nlist = corpus size every vector is its own centroid, so the
+    // probed lists are exactly the nprobe nearest vectors' singleton
+    // lists — cluster mates rank first like brute force
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfSeededTopK(df, col("vec_id") === 0L, k = 2, nlist = 7, nprobe = 3)
+        .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val a = run(corpus())
+    spark.catalog.clearCache()
+    val b = run(corpus().repartition(5)) // layout-independent by construction
+    spark.catalog.clearCache()
+    assert(a.map(_._1).toSet == Set(1L, 2L))
+    assert(a == b)
+  }
+
+  test("ivfSeededTopK: assignment ties break to the smallest list id") {
+    import spark.implicits._
+    // two identical centroids-to-be: every vector's dot ties across
+    // them; the argmax-struct trick must pick the smaller list_id, so
+    // both duplicate vectors land in ONE list and probing finds both
+    val df = Seq(
+      (0L, Seq(0.9f, 0.0f)), (1L, Seq(0.9f, 0.0f)), (2L, Seq(0.0f, 0.9f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.ivfSeededTopK(df, col("vec_id") === 0L, k = 1,
+      nlist = 3, nprobe = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    spark.catalog.clearCache()
+    assert(out == Seq((1L, 1L)))
+  }
+
   test("cosine of identical vectors is 1.0") {
     import spark.implicits._
     val df = Seq((Seq(0.3f, 0.4f), Seq(0.3f, 0.4f))).toDF("a", "b")
