@@ -405,6 +405,24 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // co-located bucketed join: both sides written bucketed on doc_id,
+    // so the join plans with ZERO exchanges (asserted in
+    // BucketedJoinSpec) — the write-once-join-forever layout pattern;
+    // the result set is the plain join, which is what the oracle runs
+    "q_join_bucketed" -> ((s, dir) => {
+      val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") // also no '.': table identifier
+      val base = System.getProperty("java.io.tmpdir") + "/graft_bucketed/" + suffix
+      val docs = table(s, dir, "documents")
+      Layout.writeBucketed(docs.select(col("doc_id"), col("lang")),
+        s"graft_docs_b_$suffix", "doc_id", 8, s"$base/docs")
+      Layout.writeBucketed(
+        docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens")),
+        s"graft_stats_b_$suffix", "doc_id", 8, s"$base/stats")
+      s.table(s"graft_docs_b_$suffix")
+        .join(s.table(s"graft_stats_b_$suffix"), "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+    }),
+
     // --- SQL string path: the registered-function surface ---------------
     "q_sql_hilbert" -> ((s, dir) => {
       withCurves(s)
@@ -481,6 +499,12 @@ object SparkEntry {
       Seq("en" -> 500000L, "zh" -> 250000L), 100000L, "#sample"),
     "q_decontaminate" -> DocSql.contamination(
       graft.text.CorpusOps.ContaminationParams()),
+    "q_join_bucketed" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT d.doc_id, d.lang, s.n_tokens
+        |FROM documents d JOIN s USING (doc_id)""".stripMargin,
     "q_dedup_exact" -> DocSql.dedupExact,
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,

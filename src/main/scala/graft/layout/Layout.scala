@@ -56,6 +56,26 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
 
+  /** Write `df` as a bucketed, per-bucket-sorted parquet table: rows
+    * are hash-partitioned into `buckets` files by `bucketCol` and the
+    * bucketing metadata is registered in the session catalog, so a
+    * later join or aggregation on `bucketCol` between co-bucketed
+    * tables runs with NO shuffle on either side — the other half of the
+    * layout story next to curve ordering: curve order prunes scans,
+    * bucketing pre-pays the join exchange once at write time. At 100 TB
+    * this is the difference between re-shuffling the corpus on every
+    * pipeline run and shuffling it once; `buckets` scales with the
+    * cluster (one bucket per target task). BucketedJoinSpec asserts the
+    * shuffle-free plan. */
+  def writeBucketed(df: DataFrame, tableName: String, bucketCol: String,
+      buckets: Int, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("path", path)
+      .format("parquet")
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(tableName)
+
   /** Same sink with the source's natural order — the comparison
     * baseline. */
   def writeNaturalOrder(df: DataFrame, path: String,
