@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.dedup.Dedup
 
@@ -108,9 +109,15 @@ object CorpusOps {
       col(idCol).as("doc_id"),
       TextFunctions.splitLabel(col(idCol), p.cuts).as("split"),
       Dedup.shingleHashes(col(textCol), p.shingleK).as("sh"))
+    // persisted so the shingle-hash explode is computed ONCE: without
+    // this the plan re-scans and re-hashes the corpus on all four join
+    // branches (rare-hash agg + both postings sides). Cache lifecycle:
+    // caller releases after its terminal action (the
+    // spark.catalog.clearCache() convention of Dedup.minhashPairs).
     val posts = labeled
       .select(col("doc_id"), col("split"),
         size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("h"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val rareHashes = posts.groupBy(col("h"))
       .agg(count(lit(1)).as("hash_df"))
       .filter(col("hash_df") <= p.maxDf)
