@@ -50,12 +50,14 @@ object Bench {
       override def onFailure(funcName: String, qe: QueryExecution, error: Exception): Unit = ()
     })
 
-    // Each query runs twice (cold + steady) and reports the MIN — single
-    // runs at this data scale carry 20-50% scheduler/GC noise (round-4
-    // observation: q_layout_morton measured 3.3s and 18.3s on identical
-    // code), and the steady-state time is what characterizes the plan.
-    // Caches are cleared between runs, so both runs do all the work.
-    val Runs = 2
+    // Each query runs three times (cold + steady) and reports the MIN —
+    // single runs at this data scale carry 20-50% scheduler/GC noise
+    // (round-4 observation: q_layout_morton measured 3.3s and 18.3s on
+    // identical code), and round 5 showed even min-of-2 can blip: both
+    // runs of q_join_semi_anti hit a pause and read 1.23s for a query
+    // that steady-states at 0.41s (docs/PLANS.md round-5 noise entry).
+    // Caches are cleared between runs, so every run does all the work.
+    val Runs = 3
     def consume(name: String): Either[String, Double] = {
       try {
         val times = (1 to Runs).map { _ =>
@@ -104,7 +106,13 @@ object Bench {
         .write.format("noop").mode("overwrite").save()
     } catch { case _: Throwable => () }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Isolation harness (round-5 verdict): SPARK_GRAFT_ONLY=q_a,q_b
+    // runs just those queries, in the given order — for attributing a
+    // regression to session state left by an earlier query.
+    val names = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(only) => only.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+      case None => SparkEntry.queries.keys.toSeq.sorted
+    }
     val results = names.map(n => n -> consume(n))
 
     def jstr(s: String): String = "\"" + s.flatMap {

