@@ -277,6 +277,10 @@ object SparkEntry {
         col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     }),
     "q_dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"))),
+    // duplicate-cluster resolution: collapse the near-dup pair graph to
+    // doc_id -> canonical_id (transitive closure via min-label
+    // propagation) so duplicates can actually be dropped
+    "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(table(s, dir, "documents"))),
     // embedding-cosine near-dup: sign-LSH blocking + exact fixed-point
     // cosine verify (tau = 0.35 fits the synthetic near-random corpus;
     // real pipelines run tau >= 0.85 — see Similarity.CosineParams)
@@ -521,6 +525,7 @@ object SparkEntry {
     "q_dedup_minhash" -> DocSql.minhashPairs(Dedup.MinHashParams()),
     "q_dedup_simhash" -> DocSql.simhash,
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
+    "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_cosine" -> {
       val p = Similarity.CosineParams()
       SimSql.cosinePairs(p.planes, p.bandBits, p.thresholdNum, p.thresholdDen, p.maxBucketSize)

@@ -267,4 +267,90 @@ object Dedup {
       .filter(col("inter") * 2 >= col("uni"))
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
+
+  /** Connected components of an undirected pair graph by iterative
+    * min-label propagation: every node starts labeled with its own id;
+    * each round a node takes the minimum of its label and its
+    * neighbors' labels; at convergence every node carries its
+    * component's minimum id. Works on ANY near-dup pair frame —
+    * [[minhashPairs]], [[jaccardPairs]],
+    * [[graft.similarity.Similarity.cosinePairs]] — as long as the two
+    * id columns share a key space.
+    *
+    * Shape at 100 TB: each round is one equi-join (labels into edges)
+    * plus one partial hash aggregation (min per node) — no driver-side
+    * graph, no all-pairs stage; rounds needed = the pair graph's
+    * diameter. Near-dup graphs keep that small by construction: LSH
+    * buckets emit cliques (diameter 1) and over-cap buckets emit stars
+    * (diameter 2; [[cappedBucketPairs]]), so components converge in a
+    * handful of rounds — the same regime where published MapReduce
+    * connected-components algorithms (Kiveris et al. 2014's
+    * two-phase / star contractions) operate. Convergence is checked,
+    * not assumed (one count per round), and each round's labels are
+    * eagerly localCheckpoint'ed: an iterative plan whose input is its
+    * own previous output doubles its lineage every round — truncating
+    * it is mandatory, not an optimization (without it, plan
+    * construction alone goes exponential; a 9-node path OOM'd the
+    * driver building plan *strings*). The label frame is two longs per
+    * node in some pair — tiny next to the corpus — so executor-local
+    * checkpoint storage holds at any scale (a production run on a
+    * preemptible cluster would point `checkpoint()` at reliable
+    * storage instead, same shape).
+    *
+    * Output: (id, lbl) for every node that appears in some pair.
+    * Deterministic: min is order-independent, so the result is a pure
+    * function of the edge set. */
+  def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
+      maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val incoming = edges.join(labels, edges("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.union(incoming)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("lbl", "prev_lbl"), "id")
+        .filter(col("lbl") =!= col("prev_lbl")).count()
+      labels = next
+      rounds += 1
+    }
+    require(changed == 0,
+      s"connectedComponents did not converge in $maxRounds rounds — " +
+        "pair graph has a longer path than any LSH bucket structure produces")
+    edges.unpersist()
+    labels
+  }
+
+  /** Duplicate-cluster resolution — the last step of the dedup
+    * pipeline: collapse the near-dup PAIR list into doc_id ->
+    * canonical_id (the component's minimum id) for EVERY document, so
+    * duplicates can actually be dropped (`keep rows WHERE doc_id =
+    * canonical_id`). Pairs come from [[minhashPairs]]; docs in no pair
+    * are their own canonical (cluster_size 1).
+    *
+    * Output: (doc_id, canonical_id, cluster_size). Transitivity is the
+    * point: a chain A~B, B~C with A!~C still lands in ONE cluster
+    * (DedupSpec pins exactly that shape). The DuckDB oracle recomputes
+    * the closure independently with a recursive min-label CTE.
+    *
+    * Cache lifecycle: as with [[minhashPairs]], callers release the
+    * internal persists after their terminal action. */
+  def clusters(docs: DataFrame, p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val comp = connectedComponents(minhashPairs(docs, p, idCol, textCol))
+      .select(col("id").as("doc_id"), col("lbl").as("cid"))
+    val assigned = docs.select(col(idCol).as("doc_id"))
+      .join(comp, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("canonical_id"))
+    assigned.withColumn("cluster_size",
+      count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
+  }
 }

@@ -185,18 +185,47 @@ object DocSql {
        |    WHERE bucket_n > ${p.maxBucketSize} AND doc_id > bucket_min))""".stripMargin
   }
 
-  def minhashPairs(p: MinHashParams): String = {
+  /** docs -> tokens -> signatures -> candidates -> signature-match
+    * counts: the full MinHash pair pipeline as a CTE chain ending in
+    * `m(doc_a, doc_b, minhash_matches)` — shared by [[minhashPairs]]
+    * and [[dedupClusters]]. */
+  private def minhashPairCtes(p: MinHashParams): String = {
     val matchSum = (0 until p.numHashes)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH $docsToks,
+    s"""$docsToks,
        |${sigCandCtes(p)},
        |m AS (SELECT doc_a, doc_b, CAST($matchSum AS BIGINT) AS minhash_matches
        |  FROM cand
        |  JOIN sig sa ON sa.doc_id = cand.doc_a
-       |  JOIN sig sb ON sb.doc_id = cand.doc_b)
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b)""".stripMargin
+  }
+
+  def minhashPairs(p: MinHashParams): String =
+    s"""WITH ${minhashPairCtes(p)}
        |SELECT doc_a, doc_b, minhash_matches FROM m
        |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
-  }
+
+  /** Mirror of Dedup.clusters: the transitive closure of the MinHash
+    * pair graph, computed INDEPENDENTLY of the Spark label-propagation
+    * loop — a recursive CTE floods every node's id along the
+    * (symmetrized) edges, then each node keeps the minimum id that
+    * reached it = its component's canonical id. Docs in no pair are
+    * their own canonical; cluster_size counts every member. */
+  def dedupClusters(p: MinHashParams): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(p)},
+       |prs AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+       |  UNION ALL SELECT doc_b, doc_a FROM prs),
+       |reach AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |assigned AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id
+       |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM assigned""".stripMargin
 
   val simhash: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),

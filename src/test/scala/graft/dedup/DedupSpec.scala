@@ -280,6 +280,53 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == 0xd41d8cd9L)
   }
 
+  test("connected components: a chain A~B, B~C with no A~C edge is ONE cluster") {
+    import spark.implicits._
+    // exactly the transitivity shape pair-listing cannot express:
+    // (1,2) and (2,3) but no (1,3); plus a disjoint pair (7,8)
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 8L -> 7L))
+  }
+
+  test("connected components: label propagation crosses multi-hop paths") {
+    import spark.implicits._
+    // a 9-node path (diameter 8) exercises the convergence loop beyond
+    // the clique/star shapes LSH usually emits
+    val path = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 9L).map(_ -> 1L).toMap)
+  }
+
+  test("clusters: canonical assignment equals brute-force closure of minhash pairs") {
+    // identical trio, a near-dup pair, singletons — clusters() must
+    // equal an independent union-find over the collected pair list
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val corpus = docs(
+      (1L, base), (2L, base.replace("tok7", "tokX")), (3L, base),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (6L, (1 to 40).map(i => s"zzz$i").mkString(" ")))
+    val pairEdges = Dedup.minhashPairs(corpus)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // brute-force union-find on the driver (test-only oracle)
+    val parent = scala.collection.mutable.Map((1L to 6L).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    pairEdges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = (1L to 6L).map(i => i -> find(i)).toMap
+    val sizes = expected.groupBy(_._2).map { case (c, m) => c -> m.size.toLong }
+    val got = Dedup.clusters(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == expected.map { case (d, c) => d -> ((c, sizes(c))) })
+    // sanity: the planted structure actually exercised the operator
+    assert(expected(3L) == 1L && expected(2L) == 1L)
+  }
+
   test("simhash: deterministic, equal for equal text, 32-bit range") {
     val out = docs((1L, "alpha beta gamma"), (2L, "alpha beta gamma"), (3L, "delta eps"))
       .select(col("doc_id"), Dedup.simhash(col("text")).as("sh"))
