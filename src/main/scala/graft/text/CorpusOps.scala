@@ -77,7 +77,19 @@ object CorpusOps {
     * web scale, exactly the hot keys that would otherwise make one
     * reducer quadratic; the cap bounds any shingle's join fan-out at
     * maxDf^2 pairs. `minOverlap` is the reporting threshold on shared
-    * distinct shingles. */
+    * distinct shingles.
+    *
+    * `cachePostings` trades memory for scans: true (default) persists
+    * the exploded postings so the corpus is scanned and hashed ONCE
+    * across the three consumers (df filter + both join sides) — right
+    * at bench/single-machine scale, where the postings fit the cache
+    * pool. At 100 TB the postings are corpus-shingle sized and caching
+    * them (even MEMORY_AND_DISK) doubles the job's storage footprint;
+    * set false to recompute instead — three scans of a narrow
+    * (id, split, hash) projection, each a pipelined flatMap off the
+    * column-pruned parquet scan, which is the cheaper side of the
+    * trade once postings exceed cluster memory (docs/PLANS.md).
+    * The result is identical either way. */
   final case class ContaminationParams(
       shingleK: Int = 3,
       maxDf: Int = 64,
@@ -85,7 +97,8 @@ object CorpusOps {
       cuts: Seq[(String, Long)] =
         Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L),
       corpusSplit: String = "train",
-      benchSplit: String = "test")
+      benchSplit: String = "test",
+      cachePostings: Boolean = true)
 
   /** Train/eval contamination check: for every (train doc, benchmark
     * doc) pair sharing at least `minOverlap` distinct k-shingles,
@@ -109,15 +122,16 @@ object CorpusOps {
       col(idCol).as("doc_id"),
       TextFunctions.splitLabel(col(idCol), p.cuts).as("split"),
       Dedup.shingleHashes(col(textCol), p.shingleK).as("sh"))
-    // persisted so the shingle-hash explode is computed ONCE: without
-    // this the plan re-scans and re-hashes the corpus on all four join
-    // branches (rare-hash agg + both postings sides). Cache lifecycle:
-    // caller releases after its terminal action (the
+    // persisted (when cachePostings) so the shingle-hash explode is
+    // computed ONCE: without this the plan re-scans and re-hashes the
+    // corpus on all three consumer branches (rare-hash agg + both
+    // postings sides) — see ContaminationParams for the scale trade.
+    // Cache lifecycle: caller releases after its terminal action (the
     // spark.catalog.clearCache() convention of Dedup.minhashPairs).
-    val posts = labeled
+    val posts0 = labeled
       .select(col("doc_id"), col("split"),
         size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("h"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val posts = if (p.cachePostings) posts0.persist(StorageLevel.MEMORY_AND_DISK) else posts0
     val rareHashes = posts.groupBy(col("h"))
       .agg(count(lit(1)).as("hash_df"))
       .filter(col("hash_df") <= p.maxDf)

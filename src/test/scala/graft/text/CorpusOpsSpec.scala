@@ -82,4 +82,19 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val d = docs((1L to 100L).map(i => i -> "w1 w2 w3 w4 w5"): _*)
     assert(CorpusOps.contamination(d, p).count() == 0L)
   }
+
+  test("contamination: cached and recomputed postings plans agree exactly") {
+    // cachePostings only changes WHERE the postings come from (cache
+    // pool vs three narrow re-scans) — the result must be identical
+    val p = CorpusOps.ContaminationParams(minOverlap = 1L)
+    val d = docs((1L to 300L).map(i =>
+      i -> s"w${i % 7} w${i % 5} w${i % 3} common tail tokens here"): _*)
+    def rows(pp: CorpusOps.ContaminationParams) =
+      CorpusOps.contamination(d, pp).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val cached = rows(p)
+    assert(cached.nonEmpty) // the corpus actually produces pairs
+    assert(rows(p.copy(cachePostings = false)) == cached)
+    d.sparkSession.catalog.clearCache()
+  }
 }
