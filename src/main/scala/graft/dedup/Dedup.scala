@@ -126,8 +126,9 @@ object Dedup {
       s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))))
 
   /** Per-band key: the band's signature components joined to a string
-    * (cheap, high-cardinality join key). */
-  private def bandHashes(sig: Column, p: MinHashParams): Column =
+    * (cheap, high-cardinality join key). Shared with the streaming
+    * near-dedup ([[graft.streaming.StreamDedup]]). */
+  private[graft] def bandHashes(sig: Column, p: MinHashParams): Column =
     array((0 until p.bands).map { j =>
       concat_ws("_", (0 until p.rowsPerBand).map(r =>
         element_at(sig, j * p.rowsPerBand + r + 1).cast("string")): _*)

@@ -1,0 +1,118 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+import graft.dedup.Dedup
+import graft.dedup.Dedup.MinHashParams
+
+/** Per-bucket stream state: the first-arrived document of an LSH band
+  * bucket, against which later arrivals in the bucket are paired. */
+case class BucketAnchor(anchorId: Long, anchorTsUs: Long)
+
+/** A streaming near-dup pair: `doc_id` collided with the earlier
+  * `anchor_id` in band `band_idx`. */
+case class DupPair(anchor_id: Long, doc_id: Long, band_idx: Int)
+
+/** Streaming MinHash near-deduplication — the streaming counterpart of
+  * [[graft.dedup.Dedup.minhashPairs]].
+  *
+  * The signature/band projection is STATELESS (the same native
+  * `ShingleMinHash` expression the batch path uses), so it runs
+  * unchanged inside a streaming plan; the only stateful operator is
+  * one `flatMapGroupsWithState` keyed on (band_idx, band_hash): each
+  * bucket keeps its first-arrived document as the anchor and every
+  * later arrival emits an (anchor, doc) pair — the streaming analog of
+  * the batch star rule ([[graft.dedup.Dedup.cappedBucketPairs]]),
+  * which also connects a bucket through one hub instead of emitting
+  * the quadratic pair set.
+  *
+  * State is bounded: one fixed-size [[BucketAnchor]] per band bucket,
+  * expired by an event-time timeout once the watermark passes
+  * `anchor_ts + horizonUs` — so a forever-running stream holds state
+  * only for buckets active within the horizon, and a document is
+  * reported as a near-dup only against anchors at most `horizonUs`
+  * older. That windowed semantic is exactly what streaming dedup means
+  * operationally (dedup against the recent past); the full-corpus
+  * closure remains the batch operator's job.
+  *
+  * Scale: one shuffle on the band key (the same key the batch join
+  * shuffles on); state per key is two longs. Pairs are emitted
+  * per-band, so a pair colliding in b bands appears up to b times —
+  * downstream consumers take the distinct, which append-mode streaming
+  * cannot do in-plan (it would be a second unbounded stateful op).
+  *
+  * [[nearDupPairsBatch]] is the executable batch SPEC: identical
+  * anchor choice — min (ts_us, doc_id) per bucket — on a static frame
+  * (StreamingSpec asserts stream == batch on replayed input).
+  */
+object StreamDedup {
+
+  /** Streaming near-dup pairs over a (doc_id, ts_us, text) stream.
+    * `delay` is the watermark lateness bound; `horizonUs` is how far
+    * back a document is deduplicated against bucket anchors. */
+  def nearDupPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
+      horizonUs: Long = Long.MaxValue / 4, delay: String = "0 seconds"): Dataset[DupPair] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    // the watermarked event-time column must flow INTO the stateful
+    // operator (Spark's unsupported-operation checker requires it)
+    val exploded = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts_us").cast("long").as("ts_us"),
+        posexplode(Dedup.bandHashes(Dedup.minhashSignature(col("text"), p), p))
+          .as(Seq("band_idx", "band_hash")))
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .select("doc_id", "ts_us", "band_idx", "band_hash", "event_time")
+      .withWatermark("event_time", delay)
+      .as[(Long, Long, Int, String, java.sql.Timestamp)]
+    exploded
+      .groupByKey(r => (r._3, r._4))
+      .flatMapGroupsWithState[BucketAnchor, DupPair](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (key: (Int, String), rows: Iterator[(Long, Long, Int, String, java.sql.Timestamp)],
+            state: GroupState[BucketAnchor]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[DupPair]
+            // same total order as the batch anchor choice
+            var anchor = state.getOption
+            rows.toSeq.sortBy(r => (r._2, r._1)).foreach { case (id, ts, bi, _, _) =>
+              anchor match {
+                case None => anchor = Some(BucketAnchor(id, ts))
+                case Some(a) if a.anchorId != id => out += DupPair(a.anchorId, id, bi)
+                case _ => ()
+              }
+            }
+            anchor.foreach { a =>
+              state.update(a)
+              // expire once the watermark passes anchor_ts + horizon
+              // (ms granularity, rounded up; saturating add)
+              val deadlineMs = a.anchorTsUs / 1000 + math.min(
+                horizonUs / 1000 + 1, Long.MaxValue / 2)
+              state.setTimeoutTimestamp(deadlineMs)
+            }
+            out.iterator
+          }
+      }
+  }
+
+  /** Executable batch SPEC of [[nearDupPairs]] (with an unbounded
+    * horizon): per band bucket, the anchor is the min-(ts_us, doc_id)
+    * member and every other member pairs with it. Returns the DISTINCT
+    * (anchor_id, doc_id) set — the per-band multiplicity is an
+    * artifact of append-mode emission, not part of the semantics. */
+  def nearDupPairsBatch(docs: DataFrame, p: MinHashParams = MinHashParams()): DataFrame = {
+    val exploded = docs
+      .select(col("doc_id").cast("long").as("doc_id"), col("ts_us").cast("long").as("ts_us"),
+        posexplode(Dedup.bandHashes(Dedup.minhashSignature(col("text"), p), p))
+          .as(Seq("band_idx", "band_hash")))
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    exploded
+      .withColumn("anchor", min(struct(col("ts_us"), col("doc_id"))).over(w))
+      .filter(col("anchor.doc_id") =!= col("doc_id"))
+      .select(col("anchor.doc_id").as("anchor_id"), col("doc_id"))
+      .distinct()
+  }
+}

@@ -118,6 +118,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size == 4)
   }
 
+  test("streaming MinHash near-dedup: band-anchor pairs == batch spec") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_minhash")
+    // two near-dup families + noise, arriving in ts order across two
+    // files (so anchors must persist in state between micro-batches)
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"aaa$i").mkString(" ")
+    val batch1 = Seq(
+      (1L, 1000L, base), (2L, 2000L, other),
+      (3L, 3000L, (1 to 40).map(i => s"zzz$i").mkString(" ")))
+    val batch2 = Seq(
+      (4L, 4000L, base.replace("tok7", "tokX")),   // near-dup of 1
+      (5L, 5000L, other),                          // exact dup of 2
+      (6L, 6000L, (1 to 40).map(i => s"qqq$i").mkString(" ")))
+    batch1.toDF("doc_id", "ts_us", "text").coalesce(1)
+      .write.mode("overwrite").parquet(inDir.toString + "/b1")
+    val schema = batch1.toDF("doc_id", "ts_us", "text").schema
+
+    val q = StreamDedup.nearDupPairs(
+        spark.readStream.schema(schema).parquet(inDir.toString + "/*"))
+      .toDF()
+      .writeStream.format("memory").queryName("doc_neardup")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      batch2.toDF("doc_id", "ts_us", "text").coalesce(1)
+        .write.mode("overwrite").parquet(inDir.toString + "/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    // distinct (anchor, doc) set; per-band multiplicity is emission detail
+    val streamed = spark.table("doc_neardup").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = (batch1 ++ batch2).toDF("doc_id", "ts_us", "text")
+    val batched = StreamDedup.nearDupPairsBatch(all).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batched)
+    // the planted structure: both families found, noise docs in no pair
+    assert(streamed.contains((1L, 4L)) && streamed.contains((2L, 5L)))
+    val paired = streamed.flatMap(p => Set(p._1, p._2))
+    assert(!paired.contains(3L) && !paired.contains(6L))
+  }
+
+  test("streaming MinHash near-dedup: horizon expires bucket anchors") {
+    import spark.implicits._
+    val inDir = Files.createTempDirectory("graft_stream_minhash_hz")
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val horizonUs = 1000000L // 1 s
+    val b1 = Seq((1L, 0L, base))
+    // arrives 10 s later: the watermark (advanced by this row itself)
+    // passes the anchor's 1 s deadline, so doc 1's bucket state expires
+    // and doc 11 becomes a fresh anchor instead of pairing with 1
+    val b2 = Seq((11L, 10000000L, base))
+    val b3 = Seq((12L, 10500000L, base)) // within horizon of 11
+    b1.toDF("doc_id", "ts_us", "text").coalesce(1)
+      .write.mode("overwrite").parquet(inDir.toString + "/b1")
+    val schema = b1.toDF("doc_id", "ts_us", "text").schema
+
+    val q = StreamDedup.nearDupPairs(
+        spark.readStream.schema(schema).parquet(inDir.toString + "/*"),
+        horizonUs = horizonUs)
+      .toDF()
+      .writeStream.format("memory").queryName("doc_neardup_hz")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "ts_us", "text").coalesce(1)
+        .write.mode("overwrite").parquet(inDir.toString + "/b2")
+      q.processAllAvailable()
+      b3.toDF("doc_id", "ts_us", "text").coalesce(1)
+        .write.mode("overwrite").parquet(inDir.toString + "/b3")
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("doc_neardup_hz").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == Set((11L, 12L))) // 1 expired; 11 anchors 12
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands") {
     import spark.implicits._
     val gapUs = Sessionize.DefaultGapUs
