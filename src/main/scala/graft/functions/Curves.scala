@@ -99,80 +99,168 @@ object Curves {
     case _ => throw new IllegalArgumentException(s"$name expects 2 arguments, got ${args.size}")
   }
 
-  /** (name, builder, usage, expression class) for every SQL function
-    * this library adds: the reference's four curve functions (plus the
-    * cross-engine key canonicalizer) and the beyond-reference
-    * text/similarity expressions, so the whole engine surface is
-    * reachable from the SQL string path. */
-  val functions: Seq[(String, Seq[Expression] => Expression, String, Class[_])] = Seq(
-    ("hilbert_encode", encodeBuilder(hilbert = true) _,
+  /** One registered SQL function: builder + the ExpressionInfo fields
+    * (`DESCRIBE FUNCTION EXTENDED` renders usage + examples, like the
+    * reference's function docs —
+    * /root/reference/src/lindel_extension.cpp:959-978, :1003-1023).
+    * `examples` outputs are verified in CurveExpressionSpec (each
+    * example line is executed and compared against its shown result). */
+  final case class FunctionDoc(
+      name: String,
+      builder: Seq[Expression] => Expression,
+      usage: String,
+      cls: Class[_],
+      group: String,
+      examples: String)
+
+  /** Every SQL function this library adds: the reference's four curve
+    * functions (plus the cross-engine key canonicalizer) and the
+    * beyond-reference text/similarity expressions, so the whole engine
+    * surface is reachable from the SQL string path. */
+  val functions: Seq[FunctionDoc] = Seq(
+    FunctionDoc("hilbert_encode", encodeBuilder(hilbert = true) _,
       "hilbert_encode(array(a, b, ...)) - Hilbert curve index of the N-dim point",
-      classOf[CurveEncode]),
-    ("morton_encode", encodeBuilder(hilbert = false) _,
+      classOf[CurveEncode], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1Y, 2Y, 3Y, 4Y));
+       3940
+      > SELECT _FUNC_(array(CAST(1 AS INT), CAST(2 AS INT)));
+       7
+  """),
+    FunctionDoc("morton_encode", encodeBuilder(hilbert = false) _,
       "morton_encode(array(a, b, ...)) - Z-order (Morton) index of the N-dim point",
-      classOf[CurveEncode]),
-    ("hilbert_decode", decodeBuilder(hilbert = true) _,
+      classOf[CurveEncode], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1Y, 2Y, 3Y, 4Y));
+       362
+      > SELECT _FUNC_(array(CAST(1 AS INT), CAST(2 AS INT)));
+       6
+  """),
+    FunctionDoc("hilbert_decode", decodeBuilder(hilbert = true) _,
       "hilbert_decode(key, n, float, unsigned[, input_bits]) - inverse of hilbert_encode",
-      classOf[CurveDecode]),
-    ("morton_decode", decodeBuilder(hilbert = false) _,
+      classOf[CurveDecode], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(CAST(7 AS DECIMAL(20,0)), 2, false, false);
+       [1,2]
+  """),
+    FunctionDoc("morton_decode", decodeBuilder(hilbert = false) _,
       "morton_decode(key, n, float, unsigned[, input_bits]) - inverse of morton_encode",
-      classOf[CurveDecode]),
-    ("curve_key_str", (args: Seq[Expression]) => CurveKeyString(args.head),
+      classOf[CurveDecode], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(CAST(6 AS DECIMAL(20,0)), 2, false, false);
+       [1,2]
+  """),
+    FunctionDoc("curve_key_str", (args: Seq[Expression]) => CurveKeyString(args.head),
       "curve_key_str(key) - canonical unsigned-decimal string of a curve key",
-      classOf[CurveKeyString]),
-    ("hilbert_sort_key", sortKeyBuilder(hilbert = true) _,
+      classOf[CurveKeyString], "conversion_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(hilbert_encode(array(CAST(1 AS INT), CAST(2 AS INT))));
+       7
+  """),
+    FunctionDoc("hilbert_sort_key", sortKeyBuilder(hilbert = true) _,
       "hilbert_sort_key(array(a, b, ...)) - order-equivalent signed-long Hilbert sort key (<=64-bit)",
-      classOf[CurveSortKey]),
-    ("morton_sort_key", sortKeyBuilder(hilbert = false) _,
+      classOf[CurveSortKey], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(CAST(1 AS INT), CAST(2 AS INT)));
+       -9223372036854775801
+  """),
+    FunctionDoc("morton_sort_key", sortKeyBuilder(hilbert = false) _,
       "morton_sort_key(array(a, b, ...)) - order-equivalent signed-long Z-order sort key (<=64-bit)",
-      classOf[CurveSortKey]),
-    ("simhash32", (args: Seq[Expression]) => SimHash32(args.head),
+      classOf[CurveSortKey], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(CAST(1 AS INT), CAST(2 AS INT)));
+       -9223372036854775802
+  """),
+    FunctionDoc("simhash32", (args: Seq[Expression]) => SimHash32(args.head),
       "simhash32(tokens) - 32-bit SimHash fingerprint of a token array",
-      classOf[SimHash32]),
-    ("shingle_minhash", (args: Seq[Expression]) => args match {
+      classOf[SimHash32], "hash_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array('the', 'quick', 'fox'));
+       265647208
+  """),
+    FunctionDoc("shingle_minhash", (args: Seq[Expression]) => args match {
       case Seq(toks, k, n) =>
         ShingleMinHash(toks, constInt(k, "shingle_minhash k"), constInt(n, "shingle_minhash num_hashes"))
       case other => throw new IllegalArgumentException(
         s"shingle_minhash expects (tokens, k, num_hashes), got ${other.size} arguments")
     }, "shingle_minhash(tokens, k, num_hashes) - MinHash signature over k-token shingles",
-      classOf[ShingleMinHash]),
-    ("shingle_hashes", (args: Seq[Expression]) => args match {
+      classOf[ShingleMinHash], "hash_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array('a', 'b', 'c', 'd'), 3, 2);
+       [124805517,249623379]
+  """),
+    FunctionDoc("shingle_hashes", (args: Seq[Expression]) => args match {
       case Seq(toks, k) => ShingleHashes(toks, constInt(k, "shingle_hashes k"))
       case other => throw new IllegalArgumentException(
         s"shingle_hashes expects (tokens, k), got ${other.size} arguments")
     }, "shingle_hashes(tokens, k) - sorted distinct 60-bit md5-prefix hashes of the k-shingles",
-      classOf[ShingleHashes]),
-    ("shingle_min_md5", (args: Seq[Expression]) => args match {
+      classOf[ShingleHashes], "hash_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array('a', 'b', 'c', 'd'), 3);
+       [31251835280889960,1055666374991771615]
+  """),
+    FunctionDoc("shingle_min_md5", (args: Seq[Expression]) => args match {
       case Seq(toks, k) => ShingleMinMd5(toks, constInt(k, "shingle_min_md5 k"))
       case other => throw new IllegalArgumentException(
         s"shingle_min_md5 expects (tokens, k), got ${other.size} arguments")
     }, "shingle_min_md5(tokens, k) - minimum md5 (hex) over the k-shingles (document fingerprint)",
-      classOf[ShingleMinMd5]),
-    ("hyperplane_band_keys", (args: Seq[Expression]) => args match {
+      classOf[ShingleMinMd5], "hash_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array('a', 'b', 'c', 'd'), 3);
+       06f0760ec7f18687a7fbc0ddbf1b1722
+  """),
+    FunctionDoc("hyperplane_band_keys", (args: Seq[Expression]) => args match {
       case Seq(qv, planes, bits) => HyperplaneBandKeys(qv,
         constInt(planes, "hyperplane_band_keys planes"), constInt(bits, "hyperplane_band_keys band_bits"))
       case other => throw new IllegalArgumentException(
         s"hyperplane_band_keys expects (qv, planes, band_bits), got ${other.size} arguments")
     }, "hyperplane_band_keys(qv, planes, band_bits) - sign-LSH band keys of a quantized vector",
-      classOf[HyperplaneBandKeys]),
-    ("dot_q", twoArg("dot_q", DotProductLong(_, _)) _,
+      classOf[HyperplaneBandKeys], "hash_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1048576L, -2097152L), 8, 4);
+       [5,5]
+  """),
+    FunctionDoc("dot_q", twoArg("dot_q", DotProductLong(_, _)) _,
       "dot_q(a, b) - exact integer dot product of two quantized vectors",
-      classOf[DotProductLong]),
-    ("intersect_count_sorted", twoArg("intersect_count_sorted", IntersectCountSorted(_, _)) _,
+      classOf[DotProductLong], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1L, 2L, 3L), array(4L, 5L, 6L));
+       32
+  """),
+    FunctionDoc("intersect_count_sorted",
+      twoArg("intersect_count_sorted", IntersectCountSorted(_, _)) _,
       "intersect_count_sorted(a, b) - intersection size of two sorted distinct bigint arrays",
-      classOf[IntersectCountSorted]))
+      classOf[IntersectCountSorted], "collection_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1L, 3L, 5L), array(3L, 4L, 5L));
+       2
+  """))
 
-  /** ExpressionInfo with the usage doc, so `DESCRIBE FUNCTION name` works
-    * like the reference's registered function docs
-    * (/root/reference/src/lindel_extension.cpp:959-978, :1003-1023). */
-  private[functions] def info(name: String, usage: String, cls: Class[_]): ExpressionInfo =
-    new ExpressionInfo(cls.getName, null, name, usage, "")
+  /** ExpressionInfo with usage + examples, so `DESCRIBE FUNCTION
+    * EXTENDED name` documents the function like the reference does. */
+  private[functions] def info(f: FunctionDoc): ExpressionInfo =
+    new ExpressionInfo(f.cls.getName, null, f.name, f.usage,
+      "", f.examples, "", f.group, "", "", "built-in")
 
   /** Register on an existing session (tests, notebooks). */
   def register(spark: SparkSession): Unit =
-    functions.foreach { case (name, builder, usage, cls) =>
+    functions.foreach { f =>
       spark.sessionState.functionRegistry.registerFunction(
-        FunctionIdentifier(name), info(name, usage, cls), builder)
+        FunctionIdentifier(f.name), info(f), f.builder)
     }
 
   // ------------------------------------------------------- Column API
@@ -247,7 +335,7 @@ object Curves {
   * or `SparkSession.builder().withExtensions(new GraftExtensions)`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit =
-    Curves.functions.foreach { case (name, builder, usage, cls) =>
-      e.injectFunction((FunctionIdentifier(name), Curves.info(name, usage, cls), builder))
+    Curves.functions.foreach { f =>
+      e.injectFunction((FunctionIdentifier(f.name), Curves.info(f), f.builder))
     }
 }

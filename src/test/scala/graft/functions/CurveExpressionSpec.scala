@@ -236,5 +236,29 @@ class CurveExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.contains("*(1) HashAggregate"), plan)
   }
 
+  test("every registered function's documented examples execute to the shown output") {
+    // DESCRIBE FUNCTION EXTENDED renders these examples; keep them honest
+    // by executing each "> SELECT ...;" line and comparing the next line
+    def fmt(v: Any): String = v match {
+      case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ",", "]")
+      case d: java.math.BigDecimal => d.toBigInteger.toString
+      case other => String.valueOf(other)
+    }
+    val bad = Curves.functions.flatMap { f =>
+      val ex = Curves.info(f).getExamples
+      val lines = ex.linesIterator.map(_.trim).filter(_.nonEmpty).toSeq
+      val cases = lines.zip(lines.drop(1)).collect {
+        case (q, expected) if q.startsWith("> ") => (q.stripPrefix("> ").stripSuffix(";"), expected)
+      }
+      assert(cases.nonEmpty, s"${f.name}: no examples parsed from: $ex")
+      cases.flatMap { case (sql, expected) =>
+        val got = fmt(spark.sql(sql).head().get(0))
+        if (got == expected) None
+        else Some(s"${f.name} example `$sql` -> $got, documented $expected")
+      }
+    }
+    assert(bad.isEmpty, bad.mkString("\n"))
+  }
+
   override def afterAll(): Unit = { /* shared session left for other suites */ }
 }

@@ -31,11 +31,20 @@ class ExtensionsSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("DESCRIBE FUNCTION surfaces the registered usage docs (reference :959-978)") {
-    Curves.functions.foreach { case (name, _, usage, _) =>
-      val desc = spark.sql(s"DESCRIBE FUNCTION $name")
+    Curves.functions.foreach { f =>
+      val desc = spark.sql(s"DESCRIBE FUNCTION ${f.name}")
         .collect().map(_.getString(0)).mkString("\n")
-      assert(desc.contains(s"Function: $name"), desc)
-      assert(desc.contains(usage), s"usage doc missing for $name:\n$desc")
+      assert(desc.contains(s"Function: ${f.name}"), desc)
+      assert(desc.contains(f.usage), s"usage doc missing for ${f.name}:\n$desc")
+    }
+  }
+
+  test("DESCRIBE FUNCTION EXTENDED surfaces the examples (reference :959-978)") {
+    Curves.functions.foreach { f =>
+      val desc = spark.sql(s"DESCRIBE FUNCTION EXTENDED ${f.name}")
+        .collect().map(_.getString(0)).mkString("\n")
+      assert(desc.contains("Examples:"), s"examples missing for ${f.name}:\n$desc")
+      assert(desc.contains(s"> SELECT ${f.name}("), s"example not rendered for ${f.name}:\n$desc")
     }
   }
 
