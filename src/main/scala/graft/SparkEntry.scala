@@ -236,6 +236,14 @@ object SparkEntry {
     // inverted-index join + exact integer containment)
     "q_decontaminate" -> ((s, dir) =>
       graft.text.CorpusOps.contamination(table(s, dir, "documents"))),
+    // sequence packing: concat-and-chunk token stream offsets via the
+    // two-level distributed prefix sum (no global single-task window)
+    "q_pack" -> ((s, dir) =>
+      graft.text.CorpusOps.packSequences(table(s, dir, "documents"), 1024L, 8)),
+    // exact-integer BM25-style relevance ranking against literal terms
+    "q_rank_bm25" -> ((s, dir) =>
+      graft.text.CorpusOps.bm25Rank(table(s, dir, "documents"),
+        Seq("table", "scan", "merge"), 50)),
 
     // Gopher-style quality filtering signals (repetition = duplicate
     // 3-shingle ratio; case/digit character ratios), exact integer ppm
@@ -515,6 +523,8 @@ object SparkEntry {
       Seq("en" -> 500000L, "zh" -> 250000L), 100000L, "#sample"),
     "q_decontaminate" -> DocSql.contamination(
       graft.text.CorpusOps.ContaminationParams()),
+    "q_pack" -> DocSql.packSequences(1024L),
+    "q_rank_bm25" -> DocSql.bm25Rank(Seq("table", "scan", "merge"), 50),
     "q_join_bucketed" ->
       """WITH s AS (SELECT doc_id,
         |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens

@@ -144,6 +144,48 @@ object DocSql {
        |FROM pairs WHERE overlap >= ${p.minOverlap}""".stripMargin
   }
 
+  /** Mirror of CorpusOps.packSequences: the oracle computes the SAME
+    * exclusive prefix sum with one global window — fine at oracle
+    * scale; the Spark side's two-level bucket decomposition must be
+    * invisible in the result. */
+  def packSequences(ctxTokens: Long): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM d)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  start_offset // $ctxTokens AS bin_idx
+       |FROM p""".stripMargin
+
+  /** Mirror of CorpusOps.bm25Rank: identical exact-integer saturation /
+    * linear-idf / score formula, top-k on the same total order. */
+  def bm25Rank(terms: Seq[String], k: Int): String = {
+    def esc(t: String) = t.replace("'", "''")
+    val tfCols = terms.indices.map(i =>
+      s"CAST(len(list_filter(toks, x -> x = '${esc(terms(i))}')) AS BIGINT) AS tf_$i").mkString(",\n  ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df_$i").mkString(",\n  ")
+    val score = terms.indices.map { i =>
+      s"((CAST(1000000 AS BIGINT) * (n_docs - df_$i + 1) // (df_$i + 1)) * " +
+        s"(CAST(44000000 AS BIGINT) * tf_$i * total_tokens // " +
+        s"(20 * total_tokens * tf_$i + 6 * total_tokens + 18 * dl * n_docs)))"
+    }.mkString(" + ")
+    s"""WITH $docsToks,
+       |b AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl,
+       |  $tfCols
+       |  FROM d),
+       |s AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(dl) AS BIGINT) AS total_tokens,
+       |  $dfCols
+       |  FROM b),
+       |sc AS (SELECT doc_id, dl, $score AS score FROM b, s)
+       |SELECT doc_id, dl, score FROM sc WHERE score > 0
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
+
   /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
     * h0..hN affine-family signature -> exploded bands -> distinct
     * candidate pairs, where in-cap buckets self-join all pairs and

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -148,5 +149,107 @@ object CorpusOps {
       .select(col("train_id"), col("bench_id"), col("overlap"),
         TextFunctions.intDiv(col("overlap") * lit(1000000L), col("bench_n"))
           .as("containment_ppm"))
+  }
+
+  /** Sequence packing — the batch-prep step of every LLM pretraining
+    * pipeline: concatenate documents in a fixed global order (doc_id)
+    * and chunk the token stream into `ctxTokens`-sized training
+    * sequences. Output per doc: its token count, its start offset in
+    * the concatenated stream, and the training-sequence index
+    * `bin_idx = start_offset / ctxTokens` it begins in.
+    *
+    * The start offset is an exclusive prefix sum over a TOTAL ORDER of
+    * the corpus — the textbook thing a naive Spark window does on ONE
+    * partition (a global `Window.orderBy` funnels the corpus through a
+    * single task: a scale-killer). This implements the two-level
+    * distributed prefix sum instead: (1) order-preserving range buckets
+    * from the doc_id span, (2) per-bucket exclusive prefix sums —
+    * parallel windows, one per bucket, (3) an exclusive prefix over the
+    * nBuckets bucket TOTALS (a window over nBuckets rows, trivially
+    * small), broadcast back. `nBuckets` scales with the cluster; at
+    * any corpus size each task handles corpus/nBuckets rows and the
+    * only global object is the nBuckets-row totals frame.
+    *
+    * Deterministic: a pure function of (doc_id, token counts) — the
+    * oracle recomputes it with one global window (fine at oracle
+    * scale) and PackSpec asserts bucket-count invariance. */
+  def packSequences(docs: DataFrame, ctxTokens: Long, nBuckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(ctxTokens > 0 && nBuckets > 0, s"ctxTokens=$ctxTokens nBuckets=$nBuckets")
+    val d = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    // order-preserving bucket from the id span: ids are arbitrary longs,
+    // buckets are contiguous ranges, so bucket order == doc_id order
+    val span = d.agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+    val bucketed = d.crossJoin(broadcast(span))
+      .withColumn("bucket",
+        TextFunctions.intDiv((col("doc_id") - col("lo")) * nBuckets,
+          col("hi") - col("lo") + 1))
+      .select(col("doc_id"), col("n_tokens"), col("bucket"))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      // single-partition window over nBuckets ROWS (not the corpus) —
+      // the small top level of the two-level prefix sum
+      .withColumn("bucket_offset", coalesce(sum(col("bucket_total")).over(wB), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    bucketed
+      .withColumn("within_prefix", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), "bucket")
+      .withColumn("start_offset", col("bucket_offset") + col("within_prefix"))
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"),
+        TextFunctions.intDiv(col("start_offset"), lit(ctxTokens)).as("bin_idx"))
+  }
+
+  /** Exact-integer BM25-style relevance ranking of the corpus against a
+    * literal term list — retrieval-flavored corpus scoring (e.g.
+    * "find the training docs most relevant to this eval topic").
+    *
+    * The classic BM25 shape (k1 = 1.2, b = 0.75) with every stage in
+    * exact BIGINT math so the DuckDB oracle reproduces the ranking
+    * bit-for-bit:
+    *  - tf saturation + length normalization, exactly rationalized:
+    *    tf*(k1+1) / (tf + k1*(1-b+b*dl/avgdl)) with avgdl = T/N becomes
+    *    44*tf*T / (20*T*tf + 6*T + 18*dl*N), emitted in ppm;
+    *  - idf: the linear surrogate (N - df + 1)/(df + 1) in ppm —
+    *    monotone in df like the log idf but division-only, so the
+    *    score stays engine-exact (swap in log when cross-engine
+    *    bit-equality is not required);
+    *  - score = sum over terms of idf_ppm * sat_ppm.
+    *
+    * Shape at 100 TB: per-term tf/dl are NARROW per-row projections
+    * (array filter over the token array — no explode, no shuffle for a
+    * literal term list); the corpus stats (N, total tokens, per-term
+    * df) are ONE tiny partial aggregate broadcast back; the top-k is
+    * TakeOrderedAndProject on the total order (score desc, doc_id). */
+  def bm25Rank(docs: DataFrame, terms: Seq[String], k: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(terms.nonEmpty && k > 0, s"terms=$terms k=$k")
+    val toks = TextFunctions.tokens(col(textCol))
+    val base = docs.select(
+      (col(idCol).as("doc_id") +: TextFunctions.tokenCount(col(textCol)).as("dl") +:
+        terms.indices.map(i =>
+          size(filter(toks, x => x === lit(terms(i)))).cast("long").as(s"tf_$i"))): _*)
+    val aggs =
+      count(lit(1)).as("n_docs") +: sum(col("dl")).as("total_tokens") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = base.agg(aggs.head, aggs.tail: _*)
+    val score = terms.indices.map { i =>
+      val tf = col(s"tf_$i"); val df = col(s"df_$i")
+      val T = col("total_tokens"); val N = col("n_docs")
+      val idfPpm = TextFunctions.intDiv(lit(1000000L) * (N - df + 1), df + 1)
+      val satPpm = TextFunctions.intDiv(lit(44000000L) * tf * T,
+        lit(20L) * T * tf + lit(6L) * T + lit(18L) * col("dl") * N)
+      idfPpm * satPpm
+    }.reduce(_ + _)
+    base.crossJoin(broadcast(stats))
+      .withColumn("score", score)
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .select(col("doc_id"), col("dl"), col("score"))
   }
 }

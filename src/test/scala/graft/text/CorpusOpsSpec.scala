@@ -83,6 +83,41 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(CorpusOps.contamination(d, p).count() == 0L)
   }
 
+  test("packSequences: offsets equal the naive global prefix sum, any bucket count") {
+    // ids deliberately sparse/unordered-in-file to exercise the
+    // order-preserving range bucketing
+    val d = docs(Seq(7L, 100L, 3L, 42L, 999L, 500L).zipWithIndex.map {
+      case (id, i) => id -> (0 to i).map(j => s"w$j").mkString(" ")
+    }: _*)
+    def run(nBuckets: Int) =
+      CorpusOps.packSequences(d, ctxTokens = 4L, nBuckets = nBuckets)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+    // naive spec: sort by doc_id, exclusive running sum of token counts
+    val naive = d.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1).map { case (id, n, end) => id -> ((n, end - n, (end - n) / 4L)) }.toMap
+    assert(run(1) == naive)   // single bucket == the naive global window
+    assert(run(4) == naive)   // bucket decomposition is invisible
+    assert(run(32) == naive)  // more buckets than docs still works
+  }
+
+  test("bm25Rank: hand-computed score on a 3-doc corpus") {
+    // docs: "a a b" (tf_a=2, dl=3), "b b" (0, 2), "a c c" (1, 3)
+    val d = docs(1L -> "a a b", 2L -> "b b", 3L -> "a c c")
+    val out = CorpusOps.bm25Rank(d, Seq("a"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // N=3, T=8, df=2 -> idf_ppm = 1e6*(3-2+1)//3 = 666666
+    // doc1: sat = 44e6*2*8 // (20*8*2*... ) = 704000000 // (320*2? ...)
+    //   den = 20*8*2 + 6*8 + 18*3*3 = 320+48+162 = 530 -> sat = 1328301
+    //   score = 666666 * 1328301
+    // doc3: den = 20*8*1 + 48 + 162 = 370 -> sat = 44e6*8//370 = 951351
+    assert(out.toSeq == Seq(
+      (1L, 3L, 666666L * 1328301L),
+      (3L, 3L, 666666L * 951351L)))
+  }
+
   test("contamination: cached and recomputed postings plans agree exactly") {
     // cachePostings only changes WHERE the postings come from (cache
     // pool vs three narrow re-scans) — the result must be identical
