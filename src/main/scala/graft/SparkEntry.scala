@@ -240,6 +240,13 @@ object SparkEntry {
     // two-level distributed prefix sum (no global single-task window)
     "q_pack" -> ((s, dir) =>
       graft.text.CorpusOps.packSequences(table(s, dir, "documents"), 1024L, 8)),
+    // KMV bottom-k distinct sketch: deterministic integer estimator,
+    // oracle-gated (which approx_count_distinct can never be)
+    "q_sketch_kmv" -> ((s, dir) =>
+      graft.text.CorpusOps.kmvDistinctShingles(table(s, dir, "documents"))),
+    // per-source corpus profile with an exact discrete median
+    "q_domain_stats" -> ((s, dir) =>
+      graft.text.CorpusOps.domainStats(table(s, dir, "documents"))),
     // exact-integer BM25-style relevance ranking against literal terms
     "q_rank_bm25" -> ((s, dir) =>
       graft.text.CorpusOps.bm25Rank(table(s, dir, "documents"),
@@ -311,6 +318,30 @@ object SparkEntry {
         lag(col("value"), 1).over(w).as("prev_value"),
         (col("value") - lag(col("value"), 1).over(w)).as("delta"),
         row_number().over(w).cast("long").as("rn"))
+    }),
+    // event-time rolling aggregate: RANGE frame over the microsecond
+    // timestamp — peers (equal ts) enter the frame together, so the
+    // result is order-independent; exact integer sum
+    "q_events_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us")
+        .rangeBetween(-3600000000L, 0) // 1 hour in us
+      events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).as("roll_n"),
+          sum(col("k")).over(w).as("roll_sum_k"))
+    }),
+    // pivot (the relational rotate): per user_id%10 bucket, one count
+    // column per event type; absent combinations coalesced to 0 so the
+    // conditional-aggregation oracle matches exactly
+    "q_events_pivot" -> ((s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      events(s, dir)
+        .select((col("user_id") % 10).as("user_mod"), col("event_type"))
+        .groupBy(col("user_mod")).pivot("event_type", types).agg(count(lit(1)))
+        .select(col("user_mod") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
     }),
     "q_events_setop" -> ((s, dir) => {
       val ev = events(s, dir)
@@ -524,6 +555,11 @@ object SparkEntry {
     "q_decontaminate" -> DocSql.contamination(
       graft.text.CorpusOps.ContaminationParams()),
     "q_pack" -> DocSql.packSequences(1024L),
+    "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
+    "q_domain_stats" -> DocSql.domainStats,
+    "q_events_rolling" -> EventSql.eventsRolling(3600000000L),
+    "q_events_pivot" -> EventSql.eventsPivot(
+      Seq("click", "error", "purchase", "signup", "view")),
     "q_rank_bm25" -> DocSql.bm25Rank(Seq("table", "scan", "merge"), 50),
     "q_join_bucketed" ->
       """WITH s AS (SELECT doc_id,

@@ -186,6 +186,44 @@ object DocSql {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of CorpusOps.kmvDistinctShingles: same 60-bit md5-prefix
+    * hashes, same bottom-k rule, same (k-1)*2^60 // h_(k) estimate in
+    * HUGEINT (the numerator exceeds BIGINT for k > 8). */
+  def kmvDistinctShingles(k: Int, shingleK: Int): String = {
+    val num = (BigInt(k - 1) << 60).toString
+    s"""WITH $docsToks,
+       |sh AS (SELECT lang AS stratum, ${shinglesExpr(shingleK)} AS shingles FROM d),
+       |dh AS (SELECT DISTINCT stratum,
+       |  unnest(list_transform(shingles, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h
+       |  FROM sh),
+       |ex AS (SELECT stratum, CAST(count(*) AS BIGINT) AS exact_distinct FROM dh GROUP BY 1),
+       |sk AS (SELECT stratum, max(h) AS kth_min FROM (
+       |    SELECT stratum, h, row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn FROM dh)
+       |  WHERE rn <= $k GROUP BY 1)
+       |SELECT stratum, exact_distinct,
+       |  CASE WHEN exact_distinct < $k THEN exact_distinct
+       |       ELSE CAST(CAST('$num' AS HUGEINT) // kth_min AS BIGINT) END AS est_distinct
+       |FROM ex JOIN sk USING (stratum)""".stripMargin
+  }
+
+  /** Mirror of CorpusOps.domainStats: per-source aggregates + the
+    * lower discrete median via the same row_number rule. */
+  val domainStats: String =
+    s"""WITH d AS (SELECT source, lang,
+       |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+       |  FROM d GROUP BY 1),
+       |m AS (SELECT source, n_tokens AS median_tokens FROM (
+       |    SELECT source, n_tokens,
+       |      row_number() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+       |      count(*) OVER (PARTITION BY source) AS cnt FROM d)
+       |  WHERE rn = (cnt + 1) // 2)
+       |SELECT source, n_docs, total_tokens, n_langs, median_tokens
+       |FROM a JOIN m USING (source)""".stripMargin
+
   /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
     * h0..hN affine-family signature -> exploded bands -> distinct
     * candidate pairs, where in-cap buckets self-join all pairs and

@@ -31,6 +31,30 @@ object EventSql {
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin
 
+  /** Event-time rolling aggregate: RANGE frame (1 h in µs) per user.
+    * Peers enter the frame together in both engines, so ties in ts_us
+    * cannot cause divergence; count/sum are exact integers. */
+  def eventsRolling(windowUs: Long): String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, $kExpr AS k FROM events)
+       |SELECT user_id, event_id, ts_us,
+       |  count(*) OVER w AS roll_n,
+       |  CAST(sum(k) OVER w AS BIGINT) AS roll_sum_k
+       |FROM e
+       |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+       |  RANGE BETWEEN $windowUs PRECEDING AND CURRENT ROW)""".stripMargin
+
+  /** Pivot oracle as conditional aggregation — the engine-neutral
+    * spelling of the same rotate; 0 (not NULL) for absent combos,
+    * matching the Spark side's coalesce. */
+  def eventsPivot(types: Seq[String]): String = {
+    val cols = types.map(t =>
+      s"CAST(count(CASE WHEN event_type = '${t.replace("'", "''")}' THEN 1 END) AS BIGINT) AS \"$t\"")
+      .mkString(",\n  ")
+    s"""SELECT user_id % 10 AS user_mod,
+       |  $cols
+       |FROM events GROUP BY 1""".stripMargin
+  }
+
   /** Set ops: users with a high-k error or purchase, minus users with a
     * high-k click. UNION ALL + EXCEPT (distinct) mirrors Spark's
     * union/except semantics exactly. */

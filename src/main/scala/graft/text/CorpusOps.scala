@@ -252,4 +252,78 @@ object CorpusOps {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
       .select(col("doc_id"), col("dl"), col("score"))
   }
+
+  /** KMV (k-minimum-values) distinct-count sketch per stratum — the
+    * published bottom-k estimator (Bar-Yossef et al. 2002; Beyer et
+    * al. 2007): keep the k smallest distinct hash values of a set; if
+    * fewer than k exist the count is exact, else estimate
+    * |S| ~ (k-1) * 2^60 / h_(k), with h drawn from the shared 60-bit
+    * md5-prefix convention. Unlike HyperLogLog-style sketches this is
+    * pure integer min/max/div math, so the estimate is DETERMINISTIC
+    * and the DuckDB oracle reproduces it bit-for-bit — an oracle-gated
+    * approximate-distinct, which approx_count_distinct can never be.
+    * Output: (stratum, exact_distinct, est_distinct) — exact kept
+    * alongside to make the estimate auditable at test scale.
+    *
+    * Shape at 100 TB: the distinct on (stratum, hash) is one hash
+    * shuffle with map-side partial dedup; the k-smallest-per-stratum
+    * is row_number + filter, which Spark rewrites to WindowGroupLimit
+    * — each mapper forwards at most k rows per stratum, so the window
+    * input is bounded by k * strata * partitions, not the corpus (the
+    * classic distributed bottom-k merge). A sketch-only pipeline at
+    * scale drops the exact branch (and with it nothing else changes —
+    * min-k of a multiset equals min-k of its distinct set, but the
+    * bottom-k must be distinct VALUES, hence the shared dedup). */
+  def kmvDistinctShingles(docs: DataFrame, k: Int = 16, shingleK: Int = 3,
+      strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(k > 1, s"KMV needs k >= 2, got $k")
+    val dh = docs
+      .select(col(strataCol).as("stratum"),
+        explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
+      .distinct()
+    val exact = dh.groupBy(col("stratum")).agg(count(lit(1)).as("exact_distinct"))
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    val sk = dh
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("stratum")).agg(max(col("h")).as("kth_min"))
+    // (k-1) * 2^60 exceeds a signed long for k > 8 -> exact decimal
+    val numLit = lit(new java.math.BigDecimal((BigInt(k - 1) << 60).bigInteger))
+    exact.join(sk, "stratum")
+      .select(col("stratum"), col("exact_distinct"),
+        when(col("exact_distinct") < k, col("exact_distinct"))
+          .otherwise(TextFunctions.intDiv(numLit, col("kth_min")))
+          .as("est_distinct"))
+  }
+
+  /** Per-source corpus stats with an exact discrete median — the
+    * domain-level profile (C4/RefinedWeb-style pipelines filter and
+    * rebalance by source domain): doc count, token volume, distinct
+    * languages, and the LOWER MEDIAN of per-doc token counts.
+    *
+    * The median is the ((n+1)/2)-th smallest VALUE — deterministic
+    * under ties regardless of row order, and expressible identically
+    * in both engines (row_number + filter), unlike interpolating
+    * percentile() whose float interpolation differs. Shape: one narrow
+    * projection; the median is a per-source window (WindowGroupLimit
+    * does not apply, but the partition key is the high-cardinality
+    * domain — each source's rows sort independently, in parallel);
+    * the aggregates are one partial hash agg; tiny per-source frames
+    * join at the end. */
+  def domainStats(docs: DataFrame, sourceCol: String = "source",
+      langCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val base = docs.select(col(sourceCol).as("source"), col(langCol).as("lang"),
+      TextFunctions.tokenCount(col(textCol)).as("n_tokens"))
+    val aggd = base.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("total_tokens"),
+      countDistinct(col("lang")).as("n_langs"))
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val wc = Window.partitionBy(col("source"))
+    val med = base
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wc))
+      .filter(col("rn") === TextFunctions.intDiv(col("cnt") + 1, lit(2L)))
+      .select(col("source"), col("n_tokens").as("median_tokens"))
+    aggd.join(med, "source")
+  }
 }

@@ -118,6 +118,42 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 3L, 666666L * 951351L)))
   }
 
+  test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
+    import spark.implicits._
+    // stratum "small": 3 docs, few distinct shingles (< k) -> exact path
+    // stratum "big": 200 docs of unique tokens -> estimator path
+    val rows =
+      (1L to 3L).map(i => (s"small", i, s"a b c d$i")) ++
+        (1L to 200L).map(i => ("big", 100 + i, (0 to 20).map(j => s"t${i}_$j").mkString(" ")))
+    val d = rows.toDF("lang", "doc_id", "text")
+    val out = CorpusOps.kmvDistinctShingles(d, k = 16)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (smallExact, smallEst) = out("small")
+    assert(smallExact < 16 && smallEst == smallExact) // exact path
+    val (bigExact, bigEst) = out("big")
+    assert(bigExact > 1000)
+    // k=16 bottom-k: relative error ~1/sqrt(k-2) (~27%); 2 sigma bound
+    assert(math.abs(bigEst - bigExact).toDouble / bigExact < 0.55,
+      s"estimate $bigEst vs exact $bigExact")
+  }
+
+  test("domain stats: lower discrete median, deterministic under ties") {
+    import spark.implicits._
+    // src_even: counts 1,2,3,4 -> cnt=4, rn=(4+1)//2=2 -> median 2
+    // src_ties: counts 5,5,9 -> rn=2 -> median 5 whatever the tie order
+    val d = Seq(
+      ("src_even", "en", "w"), ("src_even", "en", "w w"),
+      ("src_even", "fr", "w w w"), ("src_even", "en", "w w w w"),
+      ("src_ties", "en", "a b c d e"), ("src_ties", "de", "a b c d e"),
+      ("src_ties", "en", "a b c d e f g h i"))
+      .toDF("source", "lang", "text")
+    val out = CorpusOps.domainStats(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("src_even") == ((4L, 10L, 2L, 2L)))
+    assert(out("src_ties") == ((3L, 19L, 2L, 5L)))
+  }
+
   test("contamination: cached and recomputed postings plans agree exactly") {
     // cachePostings only changes WHERE the postings come from (cache
     // pool vs three narrow re-scans) — the result must be identical
