@@ -307,23 +307,40 @@ object Dedup {
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
-    var changed = 1L
+    // initial label = min(id, min neighbor) — the first propagation
+    // round fused into initialization (one aggregate instead of a
+    // distinct + a join round)
+    var labels = edges
+      .groupBy(col("src")).agg(min(least(col("src"), col("dst"))).as("lbl"))
+      .select(col("src").as("id"), col("lbl"))
+      // lazy checkpoint: the convergence-sum action right after is the
+      // one job that materializes the round's blocks (eager would cost
+      // a separate materialization job per round)
+      .localCheckpoint(false)
+    // labels only ever DECREASE under min-propagation, so the label sum
+    // strictly decreases iff any label changed — one cheap aggregate
+    // over the checkpointed frame detects convergence (no per-round
+    // diff join). Sums stay exact: |ids| * max id <= 2^63 for any
+    // realistic id space; a sum that cannot change undetected because
+    // every change lowers it.
+    def lblSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("lbl")), lit(0L))).head().getLong(0)
+    var prevSum = lblSum(labels)
+    var changed = true
     var rounds = 0
-    while (changed > 0 && rounds < maxRounds) {
+    while (changed && rounds < maxRounds) {
       val incoming = edges.join(labels, edges("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.union(incoming)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("lbl", "prev_lbl"), "id")
-        .filter(col("lbl") =!= col("prev_lbl")).count()
+        .localCheckpoint(false)
+      val nextSum = lblSum(next)
+      changed = nextSum != prevSum
+      prevSum = nextSum
       labels = next
       rounds += 1
     }
-    require(changed == 0,
+    require(!changed,
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "pair graph has a longer path than any LSH bucket structure produces")
     edges.unpersist()
