@@ -240,6 +240,9 @@ object SparkEntry {
     // two-level distributed prefix sum (no global single-task window)
     "q_pack" -> ((s, dir) =>
       graft.text.CorpusOps.packSequences(table(s, dir, "documents"), 1024L, 8)),
+    // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
+    "q_tokenize_ids" -> ((s, dir) =>
+      graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
     // KMV bottom-k distinct sketch: deterministic integer estimator,
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -555,6 +558,7 @@ object SparkEntry {
     "q_decontaminate" -> DocSql.contamination(
       graft.text.CorpusOps.ContaminationParams()),
     "q_pack" -> DocSql.packSequences(1024L),
+    "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_domain_stats" -> DocSql.domainStats,
     "q_events_rolling" -> EventSql.eventsRolling(3600000000L),

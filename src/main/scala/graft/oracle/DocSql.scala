@@ -186,6 +186,27 @@ object DocSql {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of CorpusOps.tokenizeToIds: same vocab total order for id
+    * assignment, same md5-bucket OOV hashing, sequence rebuilt with an
+    * ordered list aggregate. */
+  def tokenizeToIds(vocabSize: Int, oovBuckets: Int): String =
+    s"""WITH $docsToks,
+       |tok AS (SELECT doc_id, unnest(toks) AS token FROM d),
+       |vc AS (SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY token ORDER BY tf DESC, df DESC, token LIMIT $vocabSize),
+       |v AS (SELECT token,
+       |  CAST(row_number() OVER (ORDER BY tf DESC, df DESC, token) - 1 AS BIGINT) AS id
+       |  FROM vc),
+       |t AS (SELECT doc_id, unnest(toks) AS token,
+       |  unnest(generate_series(1, len(toks))) AS pos FROM d),
+       |j AS (SELECT t.doc_id, t.pos,
+       |  coalesce(v.id, $vocabSize +
+       |    CAST(('0x' || substr(md5(t.token), 1, 8)) AS BIGINT) % $oovBuckets) AS id
+       |  FROM t LEFT JOIN v USING (token))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  array_to_string(list(id ORDER BY pos), '_') AS ids_str
+       |FROM j GROUP BY doc_id""".stripMargin
+
   /** Mirror of CorpusOps.kmvDistinctShingles: same 60-bit md5-prefix
     * hashes, same bottom-k rule, same (k-1)*2^60 // h_(k) estimate in
     * HUGEINT (the numerator exceeds BIGINT for k > 8). */

@@ -253,6 +253,44 @@ object CorpusOps {
       .select(col("doc_id"), col("dl"), col("score"))
   }
 
+  /** Vocab-constrained tokenization to ids — the text -> input_ids
+    * step of a training pipeline: build the top-`vocabSize` vocabulary
+    * (the [[vocabulary]] total order, so ids are deterministic), map
+    * each token to its vocab id, and hash out-of-vocabulary tokens
+    * into `oovBuckets` reserved ids `vocabSize + md5-bucket` (the
+    * fastText/feature-hashing OOV scheme — no UNK collapse, stable
+    * across runs and engines). Output: (doc_id, n_tokens, ids_str)
+    * with the id sequence joined to a string (the cross-engine array
+    * compare convention).
+    *
+    * Shape at 100 TB: the id assignment window runs over the
+    * vocabSize-row vocab frame (bounded, like an nBuckets totals
+    * frame — NOT the corpus); the token->id map is a broadcast left
+    * join against the exploded (doc_id, pos, token) stream; sequence
+    * reassembly is one partial hash agg per doc with an in-row
+    * array_sort on (pos, id) structs — per-doc cost bounded by doc
+    * length, the irreducible tokenizer output shape. */
+  def tokenizeToIds(docs: DataFrame, vocabSize: Int, oovBuckets: Int,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(vocabSize > 0 && oovBuckets > 0, s"vocabSize=$vocabSize oovBuckets=$oovBuckets")
+    val wv = Window.orderBy(col("tf").desc, col("df").desc, col("token"))
+    val vids = vocabulary(docs, vocabSize, idCol, textCol)
+      .withColumn("id", row_number().over(wv).cast("long") - 1)
+      .select(col("token"), col("id"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+      .join(broadcast(vids), Seq("token"), "left")
+      .select(col("doc_id"), col("pos"),
+        coalesce(col("id"),
+          lit(vocabSize.toLong) + TextFunctions.hashBucket(col("token"), oovBuckets)).as("id"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        concat_ws("_", transform(
+          array_sort(collect_list(struct(col("pos"), col("id")))),
+          s => s.getField("id").cast("string"))).as("ids_str"))
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch per stratum — the
     * published bottom-k estimator (Bar-Yossef et al. 2002; Beyer et
     * al. 2007): keep the k smallest distinct hash values of a set; if

@@ -118,6 +118,20 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, 3L, 666666L * 951351L)))
   }
 
+  test("tokenizeToIds: vocab order ids, hashed OOV, position-ordered sequence") {
+    // corpus: "b" tf=3 -> id 0, "a" tf=2 -> id 1; "rare"/"x" are OOV
+    val d = docs(1L -> "b a rare b", 2L -> "a b x")
+    val out = CorpusOps.tokenizeToIds(d, vocabSize = 2, oovBuckets = 7)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    def oov(t: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+      2L + java.lang.Long.parseLong(md, 16) % 7
+    }
+    assert(out(1L) == ((4L, s"0_1_${oov("rare")}_0")))
+    assert(out(2L) == ((3L, s"1_0_${oov("x")}")))
+  }
+
   test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
     import spark.implicits._
     // stratum "small": 3 docs, few distinct shingles (< k) -> exact path
