@@ -295,6 +295,10 @@ object SparkEntry {
         col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     }),
     "q_dedup_jaccard" -> ((s, dir) => Dedup.jaccardPairs(table(s, dir, "documents"))),
+    // passage-level exact dedup: duplicated fixed-width token chunks
+    // across the corpus (boilerplate document-level dedup never sees)
+    "q_dedup_chunks" -> ((s, dir) =>
+      Dedup.chunkDupes(table(s, dir, "documents"), 20)),
     // duplicate-cluster resolution: collapse the near-dup pair graph to
     // doc_id -> canonical_id (transitive closure via min-label
     // propagation) so duplicates can actually be dropped
@@ -576,6 +580,7 @@ object SparkEntry {
     "q_dedup_simhash" -> DocSql.simhash,
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
+    "q_dedup_chunks" -> DocSql.chunkDupes(20),
     "q_dedup_cosine" -> {
       val p = Similarity.CosineParams()
       SimSql.cosinePairs(p.planes, p.bandBits, p.thresholdNum, p.thresholdDen, p.maxBucketSize)

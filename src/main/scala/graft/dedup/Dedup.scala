@@ -269,6 +269,44 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** Passage-level (chunk) exact dedup — sub-document deduplication:
+    * split each document into consecutive `chunkTokens`-token windows
+    * (stride = width, no overlap; a short tail is its own chunk), hash
+    * each chunk, and report every chunk content that occurs more than
+    * once across the corpus with its canonical (first) location.
+    * Catches boilerplate shared across otherwise-distinct documents —
+    * headers, license blocks, navigation — which document-level dedup
+    * never sees. Output: (chunk_hash, n_copies, n_docs, keep_doc,
+    * keep_chunk) per duplicated chunk content.
+    *
+    * Shape at 100 TB: chunking is a narrow per-row array slice (no
+    * shuffle); the only exchange is the hash aggregation on the chunk
+    * hash with map-side partial agg — identical scaling to exact
+    * doc-level dedup, at chunk granularity. min(struct(doc, chunk))
+    * makes the kept location the global first occurrence,
+    * deterministically. */
+  def chunkDupes(docs: DataFrame, chunkTokens: Int = 20,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens=$chunkTokens")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = TextFunctions.intDiv(
+      size(toks).cast("long") + (chunkTokens - 1), lit(chunkTokens.toLong))
+    val chunks = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
+          concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"), lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+    chunks
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(struct(col("doc_id"), col("chunk_idx"))).as("m"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        col("m.doc_id").as("keep_doc"), col("m.chunk_idx").cast("long").as("keep_chunk"))
+  }
+
   /** Connected components of an undirected pair graph by iterative
     * min-label propagation: every node starts labeled with its own id;
     * each round a node takes the minimum of its label and its

@@ -186,6 +186,27 @@ object DocSql {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of Dedup.chunkDupes: same fixed-width token windows, same
+    * md5 chunk hash; the canonical location via a window instead of
+    * Spark's min(struct) — same global first occurrence. */
+  def chunkDupes(w: Int): String =
+    s"""WITH $docsToks,
+       |c AS (SELECT doc_id,
+       |  unnest(generate_series(0, (len(toks) + ${w - 1}) // $w - 1)) AS chunk_idx,
+       |  toks FROM d),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |  array_to_string(toks[chunk_idx * $w + 1 : chunk_idx * $w + $w], ' ') AS chunk
+       |  FROM c),
+       |h AS (SELECT md5(chunk) AS chunk_hash, doc_id, chunk_idx FROM ch),
+       |g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+       |f AS (SELECT chunk_hash, doc_id AS keep_doc,
+       |  CAST(chunk_idx AS BIGINT) AS keep_chunk FROM (
+       |    SELECT h.*, row_number() OVER (PARTITION BY chunk_hash
+       |      ORDER BY doc_id, chunk_idx) AS rn FROM h) WHERE rn = 1)
+       |SELECT g.chunk_hash, n_copies, n_docs, keep_doc, keep_chunk
+       |FROM g JOIN f USING (chunk_hash) WHERE n_copies > 1""".stripMargin
+
   /** Mirror of CorpusOps.tokenizeToIds: same vocab total order for id
     * assignment, same md5-bucket OOV hashing, sequence rebuilt with an
     * ordered list aggregate. */

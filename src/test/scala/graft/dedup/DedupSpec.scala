@@ -280,6 +280,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == 0xd41d8cd9L)
   }
 
+  test("chunk dedup: planted boilerplate window found across distinct docs") {
+    // W=4: doc1 = [b0] [u1], doc2 = [b0] [u2], doc3 = unique (tail < W)
+    val boiler = "copyright acme corp 2026"
+    val d = docs(
+      1L -> s"$boiler one two three four",
+      2L -> s"$boiler five six seven eight",
+      3L -> "nothing shared here")
+    val out = Dedup.chunkDupes(d, chunkTokens = 4)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // exactly one duplicated chunk content: the boilerplate window,
+    // 2 copies in 2 docs, canonical = (doc 1, chunk 0)
+    assert(out.toSeq == Seq((2L, 2L, 1L, 0L)))
+  }
+
+  test("chunk dedup: within-doc repetition counts as copies of one doc") {
+    val d = docs(1L -> "x y x y", 2L -> "z")
+    val out = Dedup.chunkDupes(d, chunkTokens = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq((2L, 1L, 1L, 0L))) // "x y" twice inside doc 1
+  }
+
   test("connected components: a chain A~B, B~C with no A~C edge is ONE cluster") {
     import spark.implicits._
     // exactly the transitivity shape pair-listing cannot express:
