@@ -282,12 +282,16 @@ object Dedup {
     * Shape at 100 TB: chunking is a narrow per-row array slice (no
     * shuffle); the only exchange is the hash aggregation on the chunk
     * hash with map-side partial agg — identical scaling to exact
-    * doc-level dedup, at chunk granularity. min(struct(doc, chunk))
-    * makes the kept location the global first occurrence,
-    * deterministically. */
+    * doc-level dedup, at chunk granularity. The kept location is the
+    * global first occurrence: min over doc_id * 2^20 + chunk_idx — a
+    * single long, so the whole aggregate stays a HashAggregate
+    * (min(struct) would force SortAggregate; PlanShapeSpec pins this).
+    * 2^20 chunks/doc = 20M+ tokens per document at the default width —
+    * far above any real document. */
   def chunkDupes(docs: DataFrame, chunkTokens: Int = 20,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens=$chunkTokens")
+    val locBase = 1L << 20
     val toks = TextFunctions.tokens(col(textCol))
     val nChunks = TextFunctions.intDiv(
       size(toks).cast("long") + (chunkTokens - 1), lit(chunkTokens.toLong))
@@ -301,10 +305,11 @@ object Dedup {
       .agg(
         count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(struct(col("doc_id"), col("chunk_idx"))).as("m"))
+        min(col("doc_id") * locBase + col("chunk_idx")).as("loc"))
       .filter(col("n_copies") > 1)
       .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
-        col("m.doc_id").as("keep_doc"), col("m.chunk_idx").cast("long").as("keep_chunk"))
+        TextFunctions.intDiv(col("loc"), lit(locBase)).as("keep_doc"),
+        (col("loc") % locBase).as("keep_chunk"))
   }
 
   /** Connected components of an undirected pair graph by iterative

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions for the scale-critical shapes of the
+  * corpus operators — the properties that make them survive 100 TB,
+  * pinned so a refactor cannot silently regress them (the same idea as
+  * BucketedJoinSpec's zero-exchange assertion).
+  */
+class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planshape-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(q: String): String = {
+    val df: DataFrame = SparkEntry.queries(q)(spark, dir)
+    val p = df.queryExecution.executedPlan.toString()
+    spark.catalog.clearCache()
+    p
+  }
+
+  test("kmv sketch: bottom-k runs as WindowGroupLimit (partial merge, not a full sort)") {
+    val p = plan("q_sketch_kmv")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
+  test("tokenize: the token->id map is a broadcast join, not a shuffle join") {
+    val p = plan("q_tokenize_ids")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("bm25: corpus stats broadcast; top-k is TakeOrderedAndProject") {
+    val p = plan("q_rank_bm25")
+    assert(p.contains("Broadcast"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("pack: the corpus-sized window is hash-partitioned by bucket") {
+    val p = plan("q_pack")
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
+
+  test("chunk dedup: one aggregation exchange, no join anywhere") {
+    val p = plan("q_dedup_chunks")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+}
