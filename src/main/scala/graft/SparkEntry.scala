@@ -411,6 +411,12 @@ object SparkEntry {
           .withColumn("flag", lit("no_orders")))
     }),
 
+    // --- end-to-end: the composed training-data pipeline ----------------
+    // near-dup cluster drop -> quality filter -> train split ->
+    // stratified sample -> sequence packing, as ONE DataFrame program
+    "q_pipeline_e2e" -> ((s, dir) =>
+      graft.pipeline.TrainingPipeline.run(table(s, dir, "documents"))),
+
     // --- multimodal: binary payload + struct metadata -------------------
     "q_multimodal" -> ((s, dir) => {
       val bin = Multimodal.payload(col("text"))
@@ -581,6 +587,11 @@ object SparkEntry {
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
+    "q_pipeline_e2e" -> {
+      val pp = graft.pipeline.TrainingPipeline.PipelineParams()
+      DocSql.pipeline(pp.minhash, pp.maxRepetitionPpm, pp.cuts, pp.keepSplit,
+        pp.sampleRates, pp.defaultSamplePpm, pp.sampleSalt, pp.ctxTokens)
+    },
     "q_dedup_cosine" -> {
       val p = Similarity.CosineParams()
       SimSql.cosinePairs(p.planes, p.bandBits, p.thresholdNum, p.thresholdDen, p.maxBucketSize)

@@ -327,27 +327,72 @@ object DocSql {
        |SELECT doc_a, doc_b, minhash_matches FROM m
        |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
 
-  /** Mirror of Dedup.clusters: the transitive closure of the MinHash
-    * pair graph, computed INDEPENDENTLY of the Spark label-propagation
-    * loop — a recursive CTE floods every node's id along the
-    * (symmetrized) edges, then each node keeps the minimum id that
-    * reached it = its component's canonical id. Docs in no pair are
-    * their own canonical; cluster_size counts every member. */
-  def dedupClusters(p: MinHashParams): String =
-    s"""WITH RECURSIVE ${minhashPairCtes(p)},
-       |prs AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+  /** Transitive closure of the MinHash pair graph as CTEs ending in
+    * `comp(id, lbl)` — a recursive CTE floods every node's id along
+    * the (symmetrized) edges; each node keeps the minimum id that
+    * reached it = its component's canonical id. Shared by
+    * [[dedupClusters]] and [[pipeline]]; the enclosing WITH must be
+    * RECURSIVE. */
+  private def closureCtes(p: MinHashParams): String =
+    s"""prs AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
        |  UNION ALL SELECT doc_b, doc_a FROM prs),
        |reach AS (
        |  SELECT src AS id, src AS lbl FROM edges
        |  UNION
        |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
-       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)""".stripMargin
+
+  /** Mirror of Dedup.clusters, computed INDEPENDENTLY of the Spark
+    * label-propagation loop via [[closureCtes]]. Docs in no pair are
+    * their own canonical; cluster_size counts every member. */
+  def dedupClusters(p: MinHashParams): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(p)},
+       |${closureCtes(p)},
        |assigned AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id
        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
        |SELECT doc_id, canonical_id,
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
+
+  /** Mirror of graft.pipeline.TrainingPipeline.run: the end-to-end
+    * training-data pipeline — canonical-only docs (closure), quality
+    * filter, split keep, stratified sample, pack — recomputed as ONE
+    * composed SQL query from the same stage definitions the individual
+    * oracles use. */
+  def pipeline(mh: MinHashParams, maxRepetitionPpm: Long,
+      cuts: Seq[(String, Long)], keepSplit: String,
+      sampleRates: Seq[(String, Long)], defaultSamplePpm: Long,
+      sampleSalt: String, ctxTokens: Long): String = {
+    val splitCases = cuts.init
+      .map { case (n, hi) => s"WHEN split_bucket < $hi THEN '$n'" }.mkString(" ")
+    val rateCases = sampleRates
+      .map { case (v, ppm) => s"WHEN '${v.replace("'", "''")}' THEN $ppm" }.mkString(" ")
+    s"""WITH RECURSIVE ${minhashPairCtes(mh)},
+       |${closureCtes(mh)},
+       |canon AS (SELECT d.doc_id, d.lang, d.toks FROM d
+       |  LEFT JOIN comp c ON c.id = d.doc_id
+       |  WHERE coalesce(c.lbl, d.doc_id) = d.doc_id),
+       |qual AS (SELECT doc_id, lang, toks,
+       |  greatest(len(toks) - 2, 1) AS total,
+       |  len(list_distinct(list_transform(${shinglesExpr(3)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS nd,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    % 1000000 AS split_bucket,
+       |  ${sampleBucketExpr("doc_id", sampleSalt)} AS sample_bucket
+       |  FROM canon),
+       |kept AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM qual
+       |  WHERE (total - nd) * 1000000 // total < $maxRepetitionPpm
+       |    AND (CASE $splitCases ELSE '${cuts.last._1}' END) = '$keepSplit'
+       |    AND sample_bucket < CASE lang $rateCases ELSE $defaultSamplePpm END),
+       |p AS (SELECT doc_id, lang, n_tokens,
+       |  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  FROM kept)
+       |SELECT doc_id, lang, n_tokens, start_offset,
+       |  start_offset // $ctxTokens AS bin_idx
+       |FROM p""".stripMargin
+  }
 
   val simhash: String =
     """WITH tok AS (SELECT doc_id, unnest(string_split(coalesce(text, ''), ' ')) AS t FROM documents),

@@ -1,0 +1,67 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{CorpusOps, TextFunctions}
+
+/** The canonical training-data pipeline, end to end, composed from the
+  * library's operators — what a user actually runs before training:
+  *
+  *  1. near-dup removal: MinHash pair graph -> cluster resolution ->
+  *     keep only canonical docs ([[Dedup.clusters]]);
+  *  2. quality filter: repetition below a threshold
+  *     ([[TextFunctions.repetitionPpm]], Gopher-style);
+  *  3. reproducible split: keep the "train" partition
+  *     ([[TextFunctions.splitLabel]] — pure function of the key);
+  *  4. deterministic stratified sampling: per-language keep rates by
+  *     salted key hash ([[CorpusOps.sampleBucket]]);
+  *  5. sequence packing: concat-and-chunk token offsets over the
+  *     surviving corpus ([[CorpusOps.packSequences]]).
+  *
+  * Output: (doc_id, lang, n_tokens, start_offset, bin_idx) — the
+  * training-ready manifest. Every stage is a pure function of the
+  * data, so the whole pipeline is reproducible at any scale and the
+  * DuckDB oracle recomputes it end to end
+  * (graft.oracle.DocSql.pipeline); the composition inherits each
+  * stage's audited plan shape (equi-join closure, narrow filters,
+  * two-level prefix sum).
+  */
+object TrainingPipeline {
+
+  final case class PipelineParams(
+      minhash: Dedup.MinHashParams = Dedup.MinHashParams(),
+      maxRepetitionPpm: Long = 300000L,
+      cuts: Seq[(String, Long)] =
+        Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L),
+      keepSplit: String = "train",
+      sampleRates: Seq[(String, Long)] = Seq("en" -> 800000L),
+      defaultSamplePpm: Long = 500000L,
+      sampleSalt: String = "#sample",
+      ctxTokens: Long = 1024L,
+      nBuckets: Int = 8)
+
+  def run(docs: DataFrame, p: PipelineParams = PipelineParams(),
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    // 1. canonical docs only (drop every non-canonical near-dup)
+    val canonIds = Dedup.clusters(docs, p.minhash, idCol, textCol)
+      .filter(col("doc_id") === col("canonical_id"))
+      .select(col("doc_id"))
+    val canon = docs.join(canonIds, docs(idCol) === canonIds("doc_id"), "left_semi")
+    // 2..4: narrow filters — quality, split, sample (zero shuffles)
+    val rate = p.sampleRates.foldRight(lit(p.defaultSamplePpm)) { case ((v, ppm), rest) =>
+      when(col(langCol) === v, lit(ppm)).otherwise(rest)
+    }
+    val kept = canon
+      .filter(TextFunctions.repetitionPpm(col(textCol), 3) < p.maxRepetitionPpm)
+      .filter(TextFunctions.splitLabel(col(idCol), p.cuts) === p.keepSplit)
+      .filter(CorpusOps.sampleBucket(col(idCol), p.sampleSalt) < rate)
+    // 5. pack the survivors into training sequences
+    CorpusOps.packSequences(kept, p.ctxTokens, p.nBuckets, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")), "doc_id")
+      .select(col("doc_id"), col("lang"), col("n_tokens"),
+        col("start_offset"), col("bin_idx"))
+  }
+}
