@@ -6,7 +6,7 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
 import org.apache.parquet.hadoop.ParquetFileReader
 import org.apache.parquet.hadoop.util.HadoopInputFile
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Curves
@@ -75,6 +75,40 @@ object Layout {
       .bucketBy(buckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(tableName)
+
+  /** Coarse Hilbert bucket of `cols` (int-cast upstream): the top
+    * (64 - shift) bits of the u64 curve key. Buckets are CONTIGUOUS
+    * curve ranges, so distinct buckets hold DISJOINT key ranges
+    * (asserted in StreamingSpec) — partitioning by this column gives
+    * curve locality without any global sort, which is exactly what a
+    * stream can provide (a micro-batch cannot order the whole table).
+    * The sort key is the order-equivalent signed long (u64 ^ MIN);
+    * XOR-ing MIN back recovers the raw u64 bits for the unsigned
+    * shift. */
+  def curveBucket(shift: Int, cols: Column*): Column =
+    shiftrightunsigned(
+      Curves.hilbertSortKey(cols: _*).bitwiseXOR(lit(Long.MinValue)), shift)
+
+  /** Streaming curve-bucketed ingestion: append a stream into a
+    * parquet table PARTITIONED by [[curveBucket]] — the streaming
+    * counterpart of [[writeHilbertOrdered]]. Each micro-batch fans its
+    * rows into their curve-range directories; readers get partition
+    * pruning on the bucket column and per-partition key locality
+    * (footer stats stay selective inside each bucket), while the
+    * stream itself stays a narrow stateless projection. `shift` sets
+    * the bucket count (64 - shift bits): coarse enough that partitions
+    * stay chunky, fine enough that pruning bites — the same knob as
+    * any truncated-key table partitioning. */
+  def streamCurvePartitioned(src: DataFrame, keyCols: Seq[String], shift: Int,
+      path: String, checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    src
+      .withColumn("curve_bucket",
+        curveBucket(shift, keyCols.map(c => col(c).cast("int")): _*))
+      .writeStream.format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy("curve_bucket")
+      .start()
 
   /** Same sink with the source's natural order — the comparison
     * baseline. */

@@ -118,6 +118,54 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.size == 4)
   }
 
+  test("streaming curve-partitioned ingestion: no loss, pruning, disjoint ranges") {
+    import graft.layout.Layout
+    val inDir = Files.createTempDirectory("graft_stream_curve_in")
+    val outDir = Files.createTempDirectory("graft_stream_curve_out")
+    val ckDir = Files.createTempDirectory("graft_stream_curve_ck")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/lineitem.parquet"),
+      inDir.resolve("lineitem.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(inDir.toString)
+    // shift is tuned to the OCCUPIED key space (like any truncated-key
+    // partitioning): sf0.001's Hilbert keys fit 16 bits (max 61566),
+    // so >>8 yields ~13 buckets here
+    val shift = 8
+
+    val q = Layout.streamCurvePartitioned(
+      spark.readStream.schema(batch.schema).parquet(inDir.toString),
+      Seq("l_partkey", "l_suppkey"), shift, outDir.toString, ckDir.toString)
+    try q.processAllAvailable()
+    finally q.stop()
+
+    val back = spark.read.parquet(outDir.toString)
+    // 1. lossless: every row arrived exactly once
+    assert(back.count() == batch.count())
+    // 2. the bucket column is a partition directory -> a bucket filter
+    //    prunes partitions (only matching dirs are scanned)
+    // partition-dir values are type-inferred on read -> cast explicitly
+    val buckets = back.select(col("curve_bucket").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(buckets.length > 1)
+    val one = back.filter(col("curve_bucket") === buckets.head)
+    val scan = one.queryExecution.executedPlan.toString()
+    assert(scan.contains("PartitionFilters: [isnotnull(curve_bucket"), scan)
+    // 3. buckets are contiguous curve ranges: per-bucket sort-key
+    //    ranges are DISJOINT (the locality guarantee a reader relies on)
+    import graft.functions.Curves
+    val ranges = back
+      .withColumn("sk", Curves.hilbertSortKey(
+        col("l_partkey").cast("int"), col("l_suppkey").cast("int")))
+      .groupBy(col("curve_bucket").cast("long").as("b"))
+      .agg(min("sk").as("lo"), max("sk").as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hiPrev), (_, loNext, _)) => assert(hiPrev < loNext)
+      case _ => ()
+    }
+  }
+
   test("streaming MinHash near-dedup: band-anchor pairs == batch spec") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_stream_minhash")
