@@ -1,0 +1,155 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions.col
+
+/** REAL media decoders — pure-JVM byte-level parsers for formats that
+  * need no native codec library, upgrading the multimodal story from
+  * "stub everything" to "stub only what genuinely requires native
+  * libs (JPEG/H.264/...)":
+  *
+  *  - [[PpmDecoder]]: binary PPM (P6) images — header (with comment
+  *    support) + raw RGB pixel data. Features: exact integer channel
+  *    means and a dims-point sampled luma vector (the
+  *    resize-by-sampling access pattern).
+  *  - [[WavDecoder]]: RIFF/WAVE PCM-16 audio — chunk walk (fmt /
+  *    data), sample rate/channels/count, and per-window mean absolute
+  *    amplitude (the frame-energy access pattern). All integer math.
+  *
+  * Both run through the same mapPartitions batch shape as the stub
+  * path ([[Multimodal.decodeFeaturesBatched]]): one decoder instance
+  * per partition, payload bytes never leave the executor, only small
+  * decoded rows flow on.
+  */
+object Decoders {
+
+  /** Decoded PPM image: exact channel means (floor) + sampled luma. */
+  final case class DecodedImage(doc_id: Long, width: Long, height: Long,
+      mean_r: Long, mean_g: Long, mean_b: Long, luma: Seq[Long])
+
+  /** Decoded WAV audio: format fields + per-window mean |amplitude|. */
+  final case class DecodedAudio(doc_id: Long, sample_rate: Long, channels: Long,
+      n_samples: Long, window_energy: Seq[Long])
+
+  object PpmDecoder {
+    def isPpm(b: Array[Byte]): Boolean =
+      b != null && b.length >= 2 && b(0) == 'P' && b(1) == '6'
+
+    /** Parse the P6 header: "P6" <w> <h> <maxval> with `#` comments,
+      * then one whitespace byte before the raw RGB data. */
+    private def headerInts(b: Array[Byte], after: Int, n: Int): (Seq[Int], Int) = {
+      var i = after
+      val out = Seq.newBuilder[Int]
+      var got = 0
+      while (got < n) {
+        while (i < b.length && (b(i) == ' ' || b(i) == '\t' || b(i) == '\n' || b(i) == '\r')) i += 1
+        if (i < b.length && b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+        else {
+          require(i < b.length && b(i) >= '0' && b(i) <= '9', s"PPM: bad header at byte $i")
+          var v = 0
+          while (i < b.length && b(i) >= '0' && b(i) <= '9') { v = v * 10 + (b(i) - '0'); i += 1 }
+          out += v; got += 1
+        }
+      }
+      require(i < b.length, "PPM: truncated header")
+      i += 1 // the single whitespace byte separating header and data
+      (out.result(), i)
+    }
+
+    /** Decode a P6 payload to exact integer features. `dims` luma
+      * samples are taken at evenly spaced pixel indices (floor(k*N/dims))
+      * with ITU-R 601 integer weights — resize-by-sampling. */
+    def decode(id: Long, bytes: Array[Byte], dims: Int): DecodedImage = {
+      require(isPpm(bytes), "PPM: missing P6 magic")
+      val (hdr, off) = headerInts(bytes, 2, 3)
+      val (w, h, maxval) = (hdr(0), hdr(1), hdr(2))
+      require(maxval > 0 && maxval < 256, s"PPM: unsupported maxval $maxval")
+      val n = w.toLong * h
+      require(bytes.length >= off + 3 * n, s"PPM: expected ${3 * n} pixel bytes")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var i = 0
+      while (i < n) {
+        val p = off + 3 * i
+        sr += bytes(p) & 0xff; sg += bytes(p + 1) & 0xff; sb += bytes(p + 2) & 0xff
+        i += 1
+      }
+      val luma = (0 until dims).map { k =>
+        val p = off + 3 * (k * n / dims).toInt
+        val (r, g, b) = (bytes(p) & 0xff, bytes(p + 1) & 0xff, bytes(p + 2) & 0xff)
+        (299L * r + 587L * g + 114L * b) / 1000L
+      }
+      DecodedImage(id, w, h, sr / n, sg / n, sb / n, luma)
+    }
+  }
+
+  object WavDecoder {
+    def isWav(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 &&
+        b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) | ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+    /** Decode a PCM-16 RIFF/WAVE payload: walk the chunk list for
+      * `fmt ` and `data`, then mean |amplitude| over `windows` equal
+      * sample windows (exact integer energy profile). */
+    def decode(id: Long, bytes: Array[Byte], windows: Int): DecodedAudio = {
+      require(isWav(bytes), "WAV: missing RIFF/WAVE magic")
+      var i = 12
+      var rate = -1L; var channels = -1; var bits = -1
+      var dataOff = -1; var dataLen = 0L
+      while (i + 8 <= bytes.length && (rate < 0 || dataOff < 0)) {
+        val cid = new String(bytes.slice(i, i + 4), "US-ASCII")
+        val clen = le32(bytes, i + 4)
+        if (cid == "fmt ") {
+          require(le16(bytes, i + 8) == 1, "WAV: only PCM supported")
+          channels = le16(bytes, i + 10)
+          rate = le32(bytes, i + 12)
+          bits = le16(bytes, i + 22)
+          require(bits == 16, s"WAV: only 16-bit PCM supported, got $bits")
+        } else if (cid == "data") { dataOff = i + 8; dataLen = clen }
+        i += 8 + clen.toInt + (clen.toInt & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && dataOff >= 0, "WAV: fmt/data chunk missing")
+      require(dataOff + dataLen <= bytes.length, "WAV: truncated data chunk")
+      val nSamples = dataLen / 2
+      val energy = (0 until windows).map { wdw =>
+        val lo = wdw * nSamples / windows
+        val hi = (wdw + 1) * nSamples / windows
+        var acc = 0L
+        var s = lo
+        while (s < hi) {
+          val v = le16(bytes, dataOff + 2 * s.toInt)
+          acc += math.abs((v << 16) >> 16) // sign-extend 16-bit
+          s += 1
+        }
+        if (hi > lo) acc / (hi - lo) else 0L
+      }
+      DecodedAudio(id, rate, channels, nSamples / math.max(channels, 1), energy)
+    }
+  }
+
+  /** Batch image decode — the same per-partition shape as
+    * [[Multimodal.decodeFeaturesBatched]], with the REAL PPM parser. */
+  def decodeImagesBatched(df: DataFrame, dims: Int,
+      idCol: String = "doc_id", binCol: String = "payload"): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => PpmDecoder.decode(id, b, dims) })
+  }
+
+  /** Batch audio decode — per-partition, real RIFF/WAVE parser. */
+  def decodeAudioBatched(df: DataFrame, windows: Int,
+      idCol: String = "doc_id", binCol: String = "payload"): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => WavDecoder.decode(id, b, windows) })
+  }
+}

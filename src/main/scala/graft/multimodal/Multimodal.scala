@@ -9,13 +9,16 @@ import org.apache.spark.sql.functions._
   * bytes never leave the executor; only small derived features
   * shuffle".
   *
-  * This container ships no image/audio codecs, so the decode step is a
-  * STUB (see [[fakeDecodeFeatures]]): a deterministic stand-in with the
-  * real schema, batch shape, and partitioning behavior. Swapping in a
-  * real decoder means replacing that one expression with a native
-  * library call (or an Arrow-batched UDF) — the surrounding plumbing
-  * (binary column, struct metadata, per-frame sampling, feature
-  * vector) is real and tested.
+  * Decode is REAL for byte-level formats that need no native library:
+  * [[Decoders.PpmDecoder]] (binary PPM images) and
+  * [[Decoders.WavDecoder]] (RIFF/WAVE PCM-16 audio) parse actual
+  * payloads through the same per-partition batch shape. The STUB
+  * ([[fakeDecodeFeatures]]/[[StubDecoder]]) remains only for formats
+  * that genuinely require native codecs (JPEG/H.264/...), which this
+  * container does not ship: a deterministic stand-in with the real
+  * schema, batch shape, and partitioning behavior — swapping in a
+  * real codec changes only that one class, exactly as the PPM/WAV
+  * decoders demonstrate.
   */
 object Multimodal {
 

@@ -92,4 +92,59 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .select(col("m.lang"), col("m.src"))
     assert(df.head() == org.apache.spark.sql.Row("en", "web"))
   }
+
+  // ---- real decoders (pure-JVM byte formats, no native libs) --------
+
+  /** A 2x2 P6 PPM with a header comment: pixels (row-major)
+    * (255,0,0) (0,255,0) / (0,0,255) (10,20,30). */
+  private def ppmBytes: Array[Byte] = {
+    val header = "P6\n# test image\n2 2\n255\n".getBytes("US-ASCII")
+    val pixels = Array[Int](255,0,0, 0,255,0, 0,0,255, 10,20,30).map(_.toByte)
+    header ++ pixels
+  }
+
+  /** Minimal RIFF/WAVE, PCM-16 mono 8 kHz, samples 100,-200,300,-400. */
+  private def wavBytes: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 8); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(8)
+    Seq(100, -200, 300, -400).foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  test("ppm decoder: exact header, channel means, sampled luma") {
+    val d = Decoders.PpmDecoder.decode(7L, ppmBytes, dims = 4)
+    assert((d.width, d.height) == ((2L, 2L)))
+    // means: r=(255+0+0+10)/4=66, g=(0+255+0+20)/4=68, b=(0+0+255+30)/4=71
+    assert((d.mean_r, d.mean_g, d.mean_b) == ((66L, 68L, 71L)))
+    // luma at each pixel: .299R+.587G+.114B integer
+    assert(d.luma == Seq(299L * 255 / 1000, 587L * 255 / 1000, 114L * 255 / 1000,
+      (299L * 10 + 587L * 20 + 114L * 30) / 1000))
+  }
+
+  test("ppm decoder: rejects truncated and non-P6 payloads") {
+    intercept[IllegalArgumentException](Decoders.PpmDecoder.decode(1L, "nope".getBytes, 2))
+    intercept[IllegalArgumentException](
+      Decoders.PpmDecoder.decode(1L, ppmBytes.dropRight(3), 2))
+  }
+
+  test("wav decoder: format fields and per-window mean amplitude") {
+    val d = Decoders.WavDecoder.decode(9L, wavBytes, windows = 2)
+    assert((d.sample_rate, d.channels, d.n_samples) == ((8000L, 1L, 4L)))
+    // windows of 2 samples: mean(|100|,|-200|)=150, mean(|300|,|-400|)=350
+    assert(d.window_energy == Seq(150L, 350L))
+  }
+
+  test("batched decode runs the real parsers through the mapPartitions shape") {
+    import spark.implicits._
+    val img = Seq((1L, ppmBytes), (2L, ppmBytes)).toDF("doc_id", "payload")
+    val di = Decoders.decodeImagesBatched(img, dims = 2).collect().sortBy(_.doc_id)
+    assert(di.map(_.doc_id).toSeq == Seq(1L, 2L))
+    assert(di.forall(d => d.width == 2 && d.mean_g == 68L))
+    val au = Seq((5L, wavBytes)).toDF("doc_id", "payload")
+    val da = Decoders.decodeAudioBatched(au, windows = 4).collect()
+    assert(da.head.window_energy == Seq(100L, 200L, 300L, 400L))
+  }
 }
