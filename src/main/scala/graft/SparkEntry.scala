@@ -441,6 +441,21 @@ object SparkEntry {
           concat_ws("_", col("features")).as("features_str"))
     }),
 
+    // REAL image decode, oracle-gated: synthesize a valid 2x2 binary
+    // PPM per doc (header + md5-derived pixel bytes), decode it with
+    // the actual byte-level parser, and let DuckDB recompute what that
+    // decode MUST yield from the same md5 hex digits
+    "q_multimodal_ppm" -> ((s, dir) => {
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("P6\n2 2\n255\n".getBytes("US-ASCII")),
+          unhex(substring(md5(coalesce(col("text"), lit("")).cast("binary")), 1, 24)))
+          .as("payload"))
+      graft.multimodal.Decoders.decodeImagesBatched(src, 4).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          concat_ws("_", col("luma")).as("luma_str"))
+    }),
+
     // --- layout optimization: the reference's purpose -------------------
     // Curve-order lineitem into parquet, then run a selective 2-D range
     // filter over the re-read (row groups pruned by footer stats; same
@@ -611,6 +626,7 @@ object SparkEntry {
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),
+    "q_multimodal_ppm" -> EventSql.multimodalPpm,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey"))

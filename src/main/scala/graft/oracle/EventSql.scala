@@ -121,6 +121,24 @@ object EventSql {
        |    '_') AS features_str
        |FROM documents""".stripMargin
 
+  /** Oracle for the REAL PPM decode: the Spark side builds a 2x2 P6
+    * image whose 12 pixel bytes are the first 12 md5 bytes of the
+    * text; this recomputes the decoder's exact outputs (channel means,
+    * ITU-601 integer luma) directly from the md5 hex digits. */
+  val multimodalPpm: String = {
+    def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    def luma(k: Int) =
+      s"(299 * ${px(3 * k)} + 587 * ${px(3 * k + 1)} + 114 * ${px(3 * k + 2)}) // 1000"
+    s"""WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+       |SELECT doc_id,
+       |  CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+       |  (${px(0)} + ${px(3)} + ${px(6)} + ${px(9)}) // 4 AS mean_r,
+       |  (${px(1)} + ${px(4)} + ${px(7)} + ${px(10)}) // 4 AS mean_g,
+       |  (${px(2)} + ${px(5)} + ${px(8)} + ${px(11)}) // 4 AS mean_b,
+       |  array_to_string([${(0 until 4).map(luma).mkString(", ")}], '_') AS luma_str
+       |FROM h""".stripMargin
+  }
+
   def multimodal(headBytes: Int, stride: Int): String =
     s"""SELECT doc_id,
        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
