@@ -456,6 +456,31 @@ object SparkEntry {
           concat_ws("_", col("luma")).as("luma_str"))
     }),
 
+    // REAL audio decode, oracle-gated: a minimal RIFF/WAVE PCM-16
+    // payload whose 8 data bytes (4 samples) come from the text md5;
+    // DuckDB recomputes the per-window energies with explicit 16-bit
+    // little-endian sign extension
+    "q_multimodal_wav" -> ((s, dir) => {
+      val header = {
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 8)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(8)
+        bb.array()
+      }
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit(header),
+          unhex(substring(md5(coalesce(col("text"), lit("")).cast("binary")), 1, 16)))
+          .as("payload"))
+      graft.multimodal.Decoders.decodeAudioBatched(src, 2).toDF()
+        .select(col("doc_id"), col("sample_rate"), col("channels"), col("n_samples"),
+          concat_ws("_", col("window_energy")).as("energy_str"))
+    }),
+
     // --- layout optimization: the reference's purpose -------------------
     // Curve-order lineitem into parquet, then run a selective 2-D range
     // filter over the re-read (row groups pruned by footer stats; same
@@ -627,6 +652,7 @@ object SparkEntry {
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),
     "q_multimodal_ppm" -> EventSql.multimodalPpm,
+    "q_multimodal_wav" -> EventSql.multimodalWav,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey"))

@@ -139,6 +139,26 @@ object EventSql {
        |FROM h""".stripMargin
   }
 
+  /** Oracle for the REAL WAV decode: 4 PCM-16 LE samples from the
+    * first 8 md5 bytes; per-window mean |amplitude| with explicit
+    * sign extension. */
+  val multimodalWav: String = {
+    def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    def sample(k: Int) = s"s$k AS (SELECT doc_id, ${px(2 * k)} + 256 * ${px(2 * k + 1)} AS x FROM h)"
+    def absv(k: Int) =
+      s"abs(CASE WHEN s$k.x >= 32768 THEN s$k.x - 65536 ELSE s$k.x END)"
+    s"""WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents),
+       |${(0 until 4).map(sample).mkString(",\n")}
+       |SELECT h.doc_id,
+       |  CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+       |  CAST(4 AS BIGINT) AS n_samples,
+       |  array_to_string([(${absv(0)} + ${absv(1)}) // 2, (${absv(2)} + ${absv(3)}) // 2],
+       |    '_') AS energy_str
+       |FROM h
+       |JOIN s0 USING (doc_id) JOIN s1 USING (doc_id)
+       |JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)""".stripMargin
+  }
+
   def multimodal(headBytes: Int, stride: Int): String =
     s"""SELECT doc_id,
        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
