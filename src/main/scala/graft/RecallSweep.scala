@@ -67,6 +67,13 @@ object RecallSweep {
       println(f"| ivfTopK (KMeans) | nlist=$nlist nprobe=$nprobe | $r%.2f | ~${100.0 * nprobe / nlist}%.0f%% (est) |")
       spark.catalog.clearCache(); truth.cache().count()
     }
+    for (reRank <- Seq(20, 40, 100)) {
+      val res = Similarity.pqTopK(emb, probePred, k, reRank = reRank)
+      val r = recall(res)
+      // ADC scans every CODE (16 ints/vector) but re-ranks only reRank
+      println(f"| pqTopK (seeded PQ) | m=16 reRank=$reRank | $r%.2f | ${100.0 * reRank / corpusN}%.0f%% exact (+codes scan) |")
+      spark.catalog.clearCache(); truth.cache().count()
+    }
     spark.stop()
   }
 }

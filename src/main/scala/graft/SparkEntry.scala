@@ -286,6 +286,10 @@ object SparkEntry {
     // quantizer a pure function of the data, so this one IS oracle-gated
     "q_sim_ivf_seed" -> ((s, dir) =>
       Similarity.ivfSeededTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // product quantization: memory-compressed ANN (m-byte codes, ADC
+    // table lookups, exact re-rank); seeded codebooks -> oracle-gated
+    "q_sim_pq" -> ((s, dir) =>
+      Similarity.pqTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
 
     // --- LLM-pipeline: deduplication over documents ---------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
@@ -596,6 +600,7 @@ object SparkEntry {
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
+    "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),

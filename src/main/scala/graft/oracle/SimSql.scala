@@ -99,6 +99,53 @@ object SimSql {
        |  FROM s)
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of graft.similarity.Similarity.pqTopK, stage for stage:
+    * seeded sub-codebooks (same (md5, vec_id) bottom-ncent pick as
+    * ivfSeededTopK), per-subspace squared-L2 encode with the packed
+    * `dist*32 + (j-1)` argmin tie-break, per-probe ADC tables, approx
+    * top-reRank cut, exact dot re-rank. */
+  def pqSeededTopK(probeMod: Int, k: Int, m: Int, ncent: Int, reRank: Int): String = {
+    val sub = s"list_transform(generate_series(0, ${m - 1}), s -> " +
+      s"list_sum(list_transform(generate_series(1, wd), i -> " +
+      "(xq[s*wd + i] - cq[s*wd + i]) * (xq[s*wd + i] - cq[s*wd + i]))))"
+    val codeCols = (0 until m)
+      .map(s => s"min(ds[${s + 1}] * 32 + (j - 1)) AS c$s").mkString(",\n  ")
+    // list_sum promotes to HUGEINT, which cannot index an array — the
+    // codes must come back down to BIGINT
+    val codeList = (0 until m).map(s => s"CAST(c$s % 32 AS BIGINT)").mkString("[", ", ", "]")
+    val adcSum = (0 until m).map(s => s"tab[codes[${s + 1}] + 1][${s + 1}]").mkString(" + ")
+    s"""WITH $qCte,
+       |hq AS (SELECT vec_id, qv,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS j,
+       |    qv AS cq
+       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $ncent)),
+       |sd AS (SELECT q.vec_id, c.j, $sub AS ds
+       |  FROM (SELECT vec_id, qv AS xq, len(qv) // $m AS wd FROM q) q, cents c),
+       |codes0 AS (SELECT vec_id,
+       |  $codeCols
+       |  FROM sd GROUP BY vec_id),
+       |codes AS (SELECT vec_id, $codeList AS codes FROM codes0),
+       |p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id % $probeMod = 0),
+       |psd AS (SELECT p.probe_id, c.j, $sub AS ds
+       |  FROM (SELECT probe_id, pv AS xq, len(pv) // $m AS wd FROM p) p, cents c),
+       |ptab AS (SELECT probe_id, list(ds ORDER BY j) AS tab FROM psd GROUP BY probe_id),
+       |ad AS (SELECT ptab.probe_id, codes.vec_id AS neighbor_id, $adcSum AS adist
+       |  FROM ptab, codes WHERE codes.vec_id != ptab.probe_id),
+       |cand AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS arn
+       |    FROM ad) WHERE arn <= $reRank),
+       |s AS (SELECT cand.probe_id, cand.neighbor_id, ${dotSql("p.pv", "nq.qv")} AS dot_q
+       |  FROM cand
+       |  JOIN p ON p.probe_id = cand.probe_id
+       |  JOIN q nq ON nq.vec_id = cand.neighbor_id),
+       |r AS (SELECT probe_id, neighbor_id, dot_q,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs — mirrors
     * graft.similarity.Similarity.cosinePairs stage for stage: sign-LSH
     * band keys (plane i, dim d sign = parity of

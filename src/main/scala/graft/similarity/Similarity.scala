@@ -326,6 +326,85 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Seeded product-quantization (PQ) top-k — the memory-compressed
+    * ANN path: each vector is encoded as `m` small codes (one per
+    * 4-dim subspace, here m=16 over 64 dims → 16 ints ~ 16 bytes
+    * packed, vs 256 bytes of floats), probes score candidates by
+    * asymmetric distance computation (ADC: m table lookups instead of
+    * dims multiplies), and the top `reRank` candidates get an exact
+    * re-rank. The classic Jegou et al. 2011 shape.
+    *
+    * Like [[ivfSeededTopK]], the codebooks are a PURE FUNCTION of the
+    * data — the `ncent` corpus vectors with the smallest
+    * (md5(vec_id), vec_id) provide, per subspace, their subvectors as
+    * centroids — so every stage is exact integer math and the DuckDB
+    * oracle reproduces the result bit-for-bit (graft.oracle.SimSql.
+    * pqSeededTopK). Encoding argmin ties break to the smallest
+    * centroid id via the `dist * 32 + (j-1)` packed min (dist <=
+    * 4 * 2^42 keeps the pack well inside a long).
+    *
+    * Shape at 100 TB: encoding is corpus x broadcast(ncent seeds) with
+    * a partial hash-agg argmin (one row per vector out of the
+    * mappers); ADC scans the CODES frame (m ints/vector — the point
+    * of PQ: the scan reads ~16 bytes/vector, not the embedding) x
+    * broadcast probe tables; candidate cut is WindowGroupLimit; exact
+    * re-rank touches `reRank` vectors per probe. */
+  def pqTopK(emb: DataFrame, probePred: Column, k: Int,
+      m: Int = 16, ncent: Int = 16, reRank: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pad = 32L
+    require(ncent <= pad, s"ncent=$ncent exceeds the tie-break pack width")
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val seeds = q.select(col("vec_id"), col("qv"), hv.as("hv"))
+      .orderBy(col("hv"), col("vec_id")).limit(ncent)
+      .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
+      .select(col("j"), col("qv").as("cq"))
+    // per-subspace squared L2 distances ||x_s - c_s||^2, s = 0..m-1
+    def subDists(x: Column, c: Column): Column = {
+      val w = graft.text.TextFunctions.intDiv(size(x).cast("long"), lit(m.toLong)).cast("int")
+      transform(sequence(lit(0), lit(m - 1)), s =>
+        aggregate(
+          zip_with(slice(x, s.cast("int") * w + 1, w), slice(c, s.cast("int") * w + 1, w),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, v) => acc + v))
+    }
+    val codeAggs = (0 until m).map(s =>
+      min(element_at(col("ds"), s + 1) * pad + (col("j") - 1)).as(s"c$s"))
+    val codes = q.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("j"), subDists(col("qv"), col("cq")).as("ds"))
+      .groupBy(col("vec_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id"),
+        array((0 until m).map(s => (col(s"c$s") % pad).cast("int")): _*).as("codes"))
+    val probes = q.filter(probePred).select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    // per-probe ADC tables: tab[j][s] = ||p_s - c_{j,s}||^2, ordered by j
+    val ptab = probes.crossJoin(broadcast(seeds))
+      .select(col("probe_id"), col("j"), subDists(col("pv"), col("cq")).as("ds"))
+      .groupBy(col("probe_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        r => r.getField("ds")).as("tab"))
+    val adist = (0 until m).map(s =>
+      element_at(element_at(col("tab"), element_at(col("codes"), s + 1) + 1), s + 1))
+      .reduce(_ + _)
+    val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
+    val cand = codes.crossJoin(broadcast(ptab))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("arn", row_number().over(wA)).filter(col("arn") <= reRank)
+      .select("probe_id", "neighbor_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    cand
+      .join(q.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("qv", "nv"),
+        "neighbor_id")
+      .join(probes, "probe_id")
+      .select(col("probe_id"), col("neighbor_id"), dotQ(col("pv"), col("nv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k via banded curve buckets + exact re-rank; same
     * output shape as [[bruteForceTopK]] (rnk over the candidate set
     * only).

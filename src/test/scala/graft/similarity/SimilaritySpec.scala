@@ -103,6 +103,34 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 1L)))
   }
 
+  test("pqTopK: cluster mates found via ADC codes; deterministic, layout-independent") {
+    // m=4 over 8 dims (2-dim subvectors); with ncent = corpus size,
+    // every vector contributes its own subvectors as centroids, so
+    // cluster mates share codes and the ADC shortlist contains them
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.pqTopK(df, col("vec_id") === 0L, k = 2, m = 4, ncent = 7, reRank = 4)
+        .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val a = run(corpus())
+    spark.catalog.clearCache()
+    val b = run(corpus().repartition(5))
+    spark.catalog.clearCache()
+    assert(a.map(_._1).toSet == Set(1L, 2L))
+    assert(a == b) // seeded codebooks => pure function of the data
+  }
+
+  test("pqTopK: recall on the sf0.01 embeddings meets the swept operating point") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probePred = col("vec_id") % 50 === 0
+    val truth = Similarity.bruteForceTopK(emb, probePred, 10)
+      .select("probe_id", "neighbor_id")
+    val pq = Similarity.pqTopK(emb, probePred, 10, reRank = 40)
+      .select("probe_id", "neighbor_id")
+    val hits = pq.join(truth, Seq("probe_id", "neighbor_id")).count()
+    spark.catalog.clearCache()
+    // BASELINE.md sweep: 0.74 @ reRank=40 — deterministic, so exact
+    assert(hits == 74L, s"recall hits $hits")
+  }
+
   test("cosine of identical vectors is 1.0") {
     import spark.implicits._
     val df = Seq((Seq(0.3f, 0.4f), Seq(0.3f, 0.4f))).toDF("a", "b")
