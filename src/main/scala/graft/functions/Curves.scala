@@ -232,6 +232,17 @@ object Curves {
       > SELECT _FUNC_(array(1048576L, -2097152L), 8, 4);
        [5,5]
   """),
+    FunctionDoc("subspace_sq_dists", (args: Seq[Expression]) => args match {
+      case Seq(a, b, m) => SubspaceSqDists(a, b, constInt(m, "subspace_sq_dists m"))
+      case other => throw new IllegalArgumentException(
+        s"subspace_sq_dists expects (a, b, m), got ${other.size} arguments")
+    }, "subspace_sq_dists(a, b, m) - per-subspace squared L2 distances of two quantized vectors",
+      classOf[SubspaceSqDists], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1L, 2L, 3L, 4L), array(2L, 4L, 6L, 8L), 2);
+       [5,25]
+  """),
     FunctionDoc("dot_q", twoArg("dot_q", DotProductLong(_, _)) _,
       "dot_q(a, b) - exact integer dot product of two quantized vectors",
       classOf[DotProductLong], "math_funcs",

@@ -75,6 +75,25 @@ object Similarity {
   def dotQBuiltin(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
+  /** Per-subspace squared L2 distances via the native one-pass
+    * [[graft.functions.SubspaceSqDists]] — the PQ encode/ADC
+    * primitive. */
+  def subspaceSqDists(a: Column, b: Column, m: Int): Column =
+    ColumnShims.column(graft.functions.SubspaceSqDists(
+      ColumnShims.expression(a), ColumnShims.expression(b), m))
+
+  /** Builtin-composed executable SPEC of [[subspaceSqDists]]: width =
+    * floor(n/m), trailing elements ignored (equality asserted in
+    * SimilaritySpec). */
+  def subspaceSqDistsBuiltin(a: Column, b: Column, m: Int): Column = {
+    val w = graft.text.TextFunctions.intDiv(size(a).cast("long"), lit(m.toLong)).cast("int")
+    transform(sequence(lit(0), lit(m - 1)), s =>
+      aggregate(
+        zip_with(slice(a, s.cast("int") * w + 1, w), slice(b, s.cast("int") * w + 1, w),
+          (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, v) => acc + v))
+  }
+
   /** Float cosine similarity (double math) — for ranking/thresholding
     * where cross-engine bit-equality is not required. */
   def cosine(a: Column, b: Column): Column = {
@@ -362,15 +381,10 @@ object Similarity {
       .orderBy(col("hv"), col("vec_id")).limit(ncent)
       .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
       .select(col("j"), col("qv").as("cq"))
-    // per-subspace squared L2 distances ||x_s - c_s||^2, s = 0..m-1
-    def subDists(x: Column, c: Column): Column = {
-      val w = graft.text.TextFunctions.intDiv(size(x).cast("long"), lit(m.toLong)).cast("int")
-      transform(sequence(lit(0), lit(m - 1)), s =>
-        aggregate(
-          zip_with(slice(x, s.cast("int") * w + 1, w), slice(c, s.cast("int") * w + 1, w),
-            (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
-    }
+    // per-subspace squared L2 distances ||x_s - c_s||^2, s = 0..m-1 —
+    // native one-pass expression; [[subspaceSqDistsBuiltin]] is the
+    // executable SPEC (equality asserted in SimilaritySpec)
+    def subDists(x: Column, c: Column): Column = subspaceSqDists(x, c, m)
     val codeAggs = (0 until m).map(s =>
       min(element_at(col("ds"), s + 1) * pad + (col("j") - 1)).as(s"c$s"))
     val codes = q.crossJoin(broadcast(seeds))

@@ -103,6 +103,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out == Seq((1L, 1L)))
   }
 
+  test("native subspace_sq_dists == builtin SPEC on real embeddings (incl. ragged m)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(Similarity.quantize(col("embedding")).as("qv"))
+    val pairs = emb.limit(50).crossJoin(
+      emb.select(col("qv").as("cv")).limit(5))
+    // m=16 divides 64; m=7 exercises the floor-truncation path
+    Seq(16, 7).foreach { m =>
+      val diff = pairs.select(
+        Similarity.subspaceSqDists(col("qv"), col("cv"), m).as("n"),
+        Similarity.subspaceSqDistsBuiltin(col("qv"), col("cv"), m).as("b"))
+        .filter(not(col("n") === col("b"))).count()
+      assert(diff == 0L, s"m=$m native != builtin")
+    }
+  }
+
   test("pqTopK: cluster mates found via ADC codes; deterministic, layout-independent") {
     // m=4 over 8 dims (2-dim subvectors); with ncent = corpus size,
     // every vector contributes its own subvectors as centroids, so
