@@ -56,4 +56,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("Join"), p)
     assert(p.contains("HashAggregate"), p)
   }
+
+  test("layout read: both range predicates pushed into the parquet scan") {
+    val p = plan("q_layout_filter") // includes the curve-ordered write
+    assert(p.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), " +
+      "GreaterThanOrEqual(l_partkey,400)"), p)
+  }
+
+  test("encode projection: no exchange, stays in whole-stage codegen") {
+    val p = plan("q_hilbert_2d32")
+    assert(!p.contains("Exchange"), p)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the simple string
+    assert(p.contains("*(1) Project"), p)
+  }
 }
