@@ -303,6 +303,16 @@ object SparkEntry {
     // across the corpus (boilerplate document-level dedup never sees)
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.chunkDupes(table(s, dir, "documents"), 20)),
+    // incremental (ingest-time) near-dedup: new batch (= test split)
+    // deduped against the existing corpus (= train split) only — no
+    // old-vs-old pairs; old-side hot buckets capped to a representative
+    "q_dedup_incr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cuts = Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)
+      val lbl = TextFunctions.splitLabel(col("doc_id"), cuts)
+      Dedup.minhashPairsAgainst(
+        docs.filter(lbl === "test"), docs.filter(lbl === "train"))
+    }),
     // duplicate-cluster resolution: collapse the near-dup pair graph to
     // doc_id -> canonical_id (transitive closure via min-label
     // propagation) so duplicates can actually be dropped
@@ -632,6 +642,8 @@ object SparkEntry {
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
+    "q_dedup_incr" -> DocSql.incrementalPairs(Dedup.MinHashParams(),
+      Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L), "train", "test"),
     "q_pipeline_e2e" -> {
       val pp = graft.pipeline.TrainingPipeline.PipelineParams()
       DocSql.pipeline(pp.minhash, pp.maxRepetitionPpm, pp.cuts, pp.keepSplit,

@@ -269,6 +269,49 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"))
   }
 
+  /** Incremental near-dedup — the ingest-time shape: candidate pairs
+    * between NEW documents and an EXISTING corpus only, never
+    * old-vs-old (those were resolved when the old corpus was built).
+    * Output: (new_id, old_id, minhash_matches) — each new doc's
+    * near-dup matches in the existing corpus, ready to drop or link.
+    *
+    * Shape at 100 TB: in production the old side's signatures/bands
+    * are computed ONCE and stored (they are this function's only use
+    * of oldDocs — pass a signature table instead of recomputing);
+    * per batch the cost is newDocs' narrow signature projection + one
+    * equi-join per band against the old band index. Hot old buckets
+    * (boilerplate clusters) are capped to their min-id REPRESENTATIVE
+    * (every new doc still links to the cluster through it — the
+    * asymmetric form of [[cappedBucketPairs]]'s star rule), so no
+    * band bucket fans out more than maxBucketSize ways. Deterministic,
+    * oracle-replicable. */
+  def minhashPairsAgainst(newDocs: DataFrame, oldDocs: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val newSigs = newDocs
+      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val oldSigs = oldDocs
+      .select(col(idCol).as("old_id"), minhashSignature(col(textCol), p).as("osig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = newSigs.select(col("new_id"),
+      posexplode(bandHashes(col("nsig"), p)).as(Seq("band_idx", "band_hash")))
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val ob = oldSigs.select(col("old_id"),
+        posexplode(bandHashes(col("osig"), p)).as(Seq("band_idx", "band_hash")))
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("bmin", min(col("old_id")).over(w))
+      .filter(col("bn") <= p.maxBucketSize || col("old_id") === col("bmin"))
+      .select(col("old_id"), col("band_idx"), col("band_hash"))
+    val cand = nb.join(ob, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("old_id")).distinct()
+    cand.join(newSigs, "new_id").join(oldSigs, "old_id")
+      .select(col("new_id"), col("old_id"),
+        size(filter(zip_with(col("nsig"), col("osig"), (x, y) => x === y), b => b))
+          .cast("long").as("minhash_matches"))
+      .filter(col("minhash_matches") >= p.minMatches)
+  }
+
   /** Passage-level (chunk) exact dedup — sub-document deduplication:
     * split each document into consecutive `chunkTokens`-token windows
     * (stride = width, no overlap; a short tail is its own chunk), hash

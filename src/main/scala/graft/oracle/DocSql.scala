@@ -186,6 +186,42 @@ object DocSql {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** Mirror of Dedup.minhashPairsAgainst over the hash split: new =
+    * `newSplit` docs, old = `oldSplit` docs; asymmetric band join with
+    * the old-side representative cap. */
+  def incrementalPairs(p: MinHashParams, cuts: Seq[(String, Long)],
+      oldSplit: String, newSplit: String): String = {
+    val cases = cuts.init
+      .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ")
+    val matchSum = (0 until p.numHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH $docsToks,
+       |${sigBandCtes(p)},
+       |sp AS (SELECT doc_id,
+       |  CASE $cases ELSE '${cuts.last._1}' END AS split FROM (
+       |    SELECT doc_id,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 1000000 AS bucket FROM d)),
+       |nb AS (SELECT b.doc_id AS new_id, band_idx, band
+       |  FROM bands0 b JOIN sp ON sp.doc_id = b.doc_id WHERE sp.split = '$newSplit'),
+       |ob0 AS (SELECT b.doc_id AS old_id, band_idx, band
+       |  FROM bands0 b JOIN sp ON sp.doc_id = b.doc_id WHERE sp.split = '$oldSplit'),
+       |obw AS (SELECT old_id, band_idx, band,
+       |    count(*) OVER (PARTITION BY band_idx, band) AS bn,
+       |    min(old_id) OVER (PARTITION BY band_idx, band) AS bmin
+       |  FROM ob0),
+       |ob AS (SELECT old_id, band_idx, band FROM obw
+       |  WHERE bn <= ${p.maxBucketSize} OR old_id = bmin),
+       |cand AS (SELECT DISTINCT new_id, old_id
+       |  FROM nb JOIN ob USING (band_idx, band)),
+       |m AS (SELECT new_id, old_id, CAST($matchSum AS BIGINT) AS minhash_matches
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.new_id
+       |  JOIN sig sb ON sb.doc_id = cand.old_id)
+       |SELECT new_id, old_id, minhash_matches FROM m
+       |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
+  }
+
   /** Mirror of Dedup.chunkDupes: same fixed-width token windows, same
     * md5 chunk hash; the canonical location via a window instead of
     * Spark's min(struct) — same global first occurrence. */
@@ -273,7 +309,11 @@ object DocSql {
     * (mirrors Dedup.bandCandidates' skew rule exactly). Mirrors
     * Dedup.shingleBaseHashes / signatureFromBase exactly (same md5
     * base, same (a*h + b) mod 2^31-1 family). */
-  private def sigCandCtes(p: MinHashParams): String = {
+  /** docs -> shingles -> signatures -> exploded per-band rows
+    * (`bands0(doc_id, band_idx, band)`) — shared by the all-pairs
+    * chain ([[sigCandCtes]]) and the incremental chain
+    * ([[incrementalPairs]]). */
+  private def sigBandCtes(p: MinHashParams): String = {
     val P = graft.dedup.Dedup.HashP
     val hs = (0 until p.numHashes).map { i =>
       val (a, b) = graft.dedup.Dedup.hashCoef(i)
@@ -292,7 +332,11 @@ object DocSql {
        |$hs
        |FROM bhs),
        |bands0 AS (
-       |$bandRows),
+       |$bandRows)""".stripMargin
+  }
+
+  private def sigCandCtes(p: MinHashParams): String = {
+    s"""${sigBandCtes(p)},
        |bands AS (SELECT doc_id, band_idx, band,
        |    count(*) OVER (PARTITION BY band_idx, band) AS bucket_n,
        |    min(doc_id) OVER (PARTITION BY band_idx, band) AS bucket_min

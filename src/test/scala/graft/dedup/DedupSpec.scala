@@ -301,6 +301,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((2L, 1L, 1L, 0L))) // "x y" twice inside doc 1
   }
 
+  test("incremental dedup: new-vs-old pairs only; hot old buckets capped to a representative") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val newDocs = docs(
+      100L -> base.replace("tok7", "tokX"),             // near-dup of old 1
+      101L -> (1 to 40).map(i => s"qqq$i").mkString(" ")) // novel
+    val oldDocs = docs(1L -> base, 2L -> base) // 1 and 2 are old dups of each other
+    val pairs = Dedup.minhashPairsAgainst(newDocs, oldDocs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the new near-dup links to BOTH old copies; old-vs-old never emitted
+    assert(pairs == Set((100L, 1L), (100L, 2L)))
+
+    // representative cap: 70 identical old docs exceed the bucket cap,
+    // so a matching new doc links only to the min-id representative
+    val manyOld = docs((1L to 70L).map(i => i -> "u v w x y z q r s t"): _*)
+    val oneNew = docs(999L -> "u v w x y z q r s t")
+    val capped = Dedup.minhashPairsAgainst(oneNew, manyOld)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((999L, 1L)))
+  }
+
   test("connected components: a chain A~B, B~C with no A~C edge is ONE cluster") {
     import spark.implicits._
     // exactly the transitivity shape pair-listing cannot express:
