@@ -45,11 +45,14 @@ object TrainingPipeline {
   def run(docs: DataFrame, p: PipelineParams = PipelineParams(),
       idCol: String = "doc_id", langCol: String = "lang",
       textCol: String = "text"): DataFrame = {
-    // 1. canonical docs only (drop every non-canonical near-dup)
-    val canonIds = Dedup.clusters(docs, p.minhash, idCol, textCol)
-      .filter(col("doc_id") === col("canonical_id"))
-      .select(col("doc_id"))
-    val canon = docs.join(canonIds, docs(idCol) === canonIds("doc_id"), "left_semi")
+    // 1. canonical docs only: a doc is NON-canonical iff its component
+    // label differs from its id — anti-join those out directly (no
+    // need for clusters()'s cluster_size window here)
+    val nonCanon = Dedup
+      .connectedComponents(Dedup.minhashPairs(docs, p.minhash, idCol, textCol))
+      .filter(col("lbl") =!= col("id"))
+      .select(col("id"))
+    val canon = docs.join(nonCanon, docs(idCol) === nonCanon("id"), "left_anti")
     // 2..4: narrow filters — quality, split, sample (zero shuffles)
     val rate = p.sampleRates.foldRight(lit(p.defaultSamplePpm)) { case ((v, ppm), rest) =>
       when(col(langCol) === v, lit(ppm)).otherwise(rest)
