@@ -153,11 +153,12 @@ object DocSql {
        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |p AS (SELECT doc_id, n_tokens,
-       |  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
        |  FROM d)
        |SELECT doc_id, n_tokens, start_offset,
-       |  start_offset // $ctxTokens AS bin_idx
+       |  CAST(start_offset // $ctxTokens AS BIGINT) AS bin_idx
        |FROM p""".stripMargin
 
   /** Mirror of CorpusOps.bm25Rank: identical exact-integer saturation /
@@ -430,11 +431,12 @@ object DocSql {
        |    AND (CASE $splitCases ELSE '${cuts.last._1}' END) = '$keepSplit'
        |    AND sample_bucket < CASE lang $rateCases ELSE $defaultSamplePpm END),
        |p AS (SELECT doc_id, lang, n_tokens,
-       |  coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
        |  FROM kept)
        |SELECT doc_id, lang, n_tokens, start_offset,
-       |  start_offset // $ctxTokens AS bin_idx
+       |  CAST(start_offset // $ctxTokens AS BIGINT) AS bin_idx
        |FROM p""".stripMargin
   }
 

@@ -43,6 +43,22 @@ for name in sorted(oracle):
         print(f"FAIL {name}: columns spark={scols} oracle={ocols}")
         fails += 1
         continue
+    # Type strictness: the driver's hash is TYPE-sensitive (DuckDB widens
+    # windowed SUM(BIGINT) to HUGEINT etc.), so a value-equal result with
+    # an int128 oracle column still fails the driver. Compare DuckDB's
+    # view of both schemas and fail on any mismatch.
+    stypes = dict(con.sql(
+        f"SELECT column_name, column_type FROM (DESCRIBE SELECT * FROM '{out}/{name}/*.parquet')"
+    ).fetchall())
+    otypes = dict(con.sql(
+        f"SELECT column_name, column_type FROM (DESCRIBE {sql})").fetchall())
+    tbad = [(c, stypes.get(c), otypes.get(c)) for c in scols
+            if stypes.get(c) != otypes.get(c)]
+    if tbad:
+        c, st, ot = tbad[0]
+        print(f"FAIL {name}: type mismatch col={c} spark={st} oracle={ot}")
+        fails += 1
+        continue
     if len(sdf) != len(odf):
         print(f"FAIL {name}: rows spark={len(sdf)} oracle={len(odf)}")
         fails += 1
