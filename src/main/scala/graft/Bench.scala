@@ -60,6 +60,15 @@ object Bench {
     val Runs = 3
     def consume(name: String): Either[String, Double] = {
       try {
+        // One UNTIMED warmup execution absorbs whatever session state the
+        // preceding query left (shuffle files, GC debt, catalog init) —
+        // round-6 verdict: q_join_semi_anti's min-of-3 read 0.92 s while
+        // its isolated steady state is 0.37-0.41 s, i.e. even min-of-3
+        // was polluted by position in the run order. The three timed
+        // runs below then all start from the query's own steady state.
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
         val times = (1 to Runs).map { _ =>
           val t0 = System.nanoTime()
           SparkEntry.queries(name)(spark, sfDir)
@@ -114,6 +123,11 @@ object Bench {
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
     val results = names.map(n => n -> consume(n))
+    // stderr diagnostic (never in the JSON): closure rounds for the
+    // iterative dedup consumers, recorded per-round in docs/PLANS.md
+    if (graft.dedup.Dedup.lastConvergenceRounds > 0)
+      System.err.println(
+        s"[graft-diag] connectedComponents rounds=${graft.dedup.Dedup.lastConvergenceRounds}")
 
     def jstr(s: String): String = "\"" + s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -130,7 +144,7 @@ object Bench {
     val total = ok.map(_._2).sum
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"rows":$rs,"errors":$es,""" +
-        s""""runs":$Runs,"agg":"min","cpus":$cpus,"sf":${jstr(sfDir)}}"""
+        s""""runs":$Runs,"agg":"min","warmup":true,"cpus":$cpus,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()

@@ -387,6 +387,11 @@ object Dedup {
     * Output: (id, lbl) for every node that appears in some pair.
     * Deterministic: min is order-independent, so the result is a pure
     * function of the edge set. */
+  /** Rounds the most recent [[connectedComponents]] call took to
+    * converge — a diagnostic for bench/plan analysis (docs/PLANS.md
+    * records the value per scale factor). */
+  @volatile var lastConvergenceRounds: Int = 0
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 50): DataFrame = {
     val edges = pairs
@@ -429,6 +434,7 @@ object Dedup {
     require(!changed,
       s"connectedComponents did not converge in $maxRounds rounds — " +
         "pair graph has a longer path than any LSH bucket structure produces")
+    lastConvergenceRounds = rounds
     edges.unpersist()
     labels
   }
