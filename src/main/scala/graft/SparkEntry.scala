@@ -430,6 +430,10 @@ object SparkEntry {
     // stratified sample -> sequence packing, as ONE DataFrame program
     "q_pipeline_e2e" -> ((s, dir) =>
       graft.pipeline.TrainingPipeline.run(table(s, dir, "documents"))),
+    // per-stage survivor counts for the same pipeline — localizes a
+    // stage-interaction bug to the first diverging stage
+    "q_pipeline_stages" -> ((s, dir) =>
+      graft.pipeline.TrainingPipeline.stageCounts(table(s, dir, "documents"))),
 
     // --- multimodal: binary payload + struct metadata -------------------
     "q_multimodal" -> ((s, dir) => {
@@ -648,6 +652,11 @@ object SparkEntry {
       val pp = graft.pipeline.TrainingPipeline.PipelineParams()
       DocSql.pipeline(pp.minhash, pp.maxRepetitionPpm, pp.cuts, pp.keepSplit,
         pp.sampleRates, pp.defaultSamplePpm, pp.sampleSalt, pp.ctxTokens)
+    },
+    "q_pipeline_stages" -> {
+      val pp = graft.pipeline.TrainingPipeline.PipelineParams()
+      DocSql.pipelineStages(pp.minhash, pp.maxRepetitionPpm, pp.cuts, pp.keepSplit,
+        pp.sampleRates, pp.defaultSamplePpm, pp.sampleSalt)
     },
     "q_dedup_cosine" -> {
       val p = Similarity.CosineParams()

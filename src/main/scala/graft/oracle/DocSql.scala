@@ -400,6 +400,59 @@ object DocSql {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
 
+  /** Shared canonical-docs + per-doc stage-signal CTEs for the
+    * pipeline oracles (`canon` = docs whose component label is their
+    * own id; `qual` = the quality/split/sample signals per canonical
+    * doc) — extracted so [[pipeline]] and [[pipelineStages]] cannot
+    * drift apart. */
+  private def canonQualCtes(sampleSalt: String): String =
+    s"""canon AS (SELECT d.doc_id, d.lang, d.toks FROM d
+       |  LEFT JOIN comp c ON c.id = d.doc_id
+       |  WHERE coalesce(c.lbl, d.doc_id) = d.doc_id),
+       |qual AS (SELECT doc_id, lang, toks,
+       |  greatest(len(toks) - 2, 1) AS total,
+       |  len(list_distinct(list_transform(${shinglesExpr(3)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS nd,
+       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |    % 1000000 AS split_bucket,
+       |  ${sampleBucketExpr("doc_id", sampleSalt)} AS sample_bucket
+       |  FROM canon)""".stripMargin
+
+  /** Mirror of TrainingPipeline.stageCounts: cumulative survivor
+    * counts per pipeline stage, from the SAME stage definitions as
+    * [[pipeline]] — a stage-interaction bug localizes to the first
+    * stage whose count diverges instead of failing only the final
+    * manifest. */
+  def pipelineStages(mh: MinHashParams, maxRepetitionPpm: Long,
+      cuts: Seq[(String, Long)], keepSplit: String,
+      sampleRates: Seq[(String, Long)], defaultSamplePpm: Long,
+      sampleSalt: String): String = {
+    val splitCases = cuts.init
+      .map { case (n, hi) => s"WHEN split_bucket < $hi THEN '$n'" }.mkString(" ")
+    val rateCases = sampleRates
+      .map { case (v, ppm) => s"WHEN '${v.replace("'", "''")}' THEN $ppm" }.mkString(" ")
+    s"""WITH RECURSIVE ${minhashPairCtes(mh)},
+       |${closureCtes(mh)},
+       |${canonQualCtes(sampleSalt)},
+       |f AS (SELECT
+       |  ((total - nd) * 1000000 // total < $maxRepetitionPpm) AS q,
+       |  ((CASE $splitCases ELSE '${cuts.last._1}' END) = '$keepSplit') AS s,
+       |  (sample_bucket < CASE lang $rateCases ELSE $defaultSamplePpm END) AS m
+       |  FROM qual),
+       |agg AS (SELECT
+       |  CAST(count(*) AS BIGINT) AS canonical,
+       |  CAST(coalesce(sum(CASE WHEN q THEN 1 ELSE 0 END), 0) AS BIGINT) AS quality,
+       |  CAST(coalesce(sum(CASE WHEN q AND s THEN 1 ELSE 0 END), 0) AS BIGINT) AS split,
+       |  CAST(coalesce(sum(CASE WHEN q AND s AND m THEN 1 ELSE 0 END), 0) AS BIGINT) AS sample
+       |  FROM f),
+       |inp AS (SELECT CAST(count(*) AS BIGINT) AS input FROM documents)
+       |SELECT '0_input' AS stage, input AS n_docs FROM inp
+       |UNION ALL SELECT '1_canonical', canonical FROM agg
+       |UNION ALL SELECT '2_quality', quality FROM agg
+       |UNION ALL SELECT '3_split', split FROM agg
+       |UNION ALL SELECT '4_sample', sample FROM agg""".stripMargin
+  }
+
   /** Mirror of graft.pipeline.TrainingPipeline.run: the end-to-end
     * training-data pipeline — canonical-only docs (closure), quality
     * filter, split keep, stratified sample, pack — recomputed as ONE
@@ -415,17 +468,7 @@ object DocSql {
       .map { case (v, ppm) => s"WHEN '${v.replace("'", "''")}' THEN $ppm" }.mkString(" ")
     s"""WITH RECURSIVE ${minhashPairCtes(mh)},
        |${closureCtes(mh)},
-       |canon AS (SELECT d.doc_id, d.lang, d.toks FROM d
-       |  LEFT JOIN comp c ON c.id = d.doc_id
-       |  WHERE coalesce(c.lbl, d.doc_id) = d.doc_id),
-       |qual AS (SELECT doc_id, lang, toks,
-       |  greatest(len(toks) - 2, 1) AS total,
-       |  len(list_distinct(list_transform(${shinglesExpr(3)},
-       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS nd,
-       |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
-       |    % 1000000 AS split_bucket,
-       |  ${sampleBucketExpr("doc_id", sampleSalt)} AS sample_bucket
-       |  FROM canon),
+       |${canonQualCtes(sampleSalt)},
        |kept AS (SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens FROM qual
        |  WHERE (total - nd) * 1000000 // total < $maxRepetitionPpm
        |    AND (CASE $splitCases ELSE '${cuts.last._1}' END) = '$keepSplit'

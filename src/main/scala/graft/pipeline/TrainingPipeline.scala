@@ -67,4 +67,44 @@ object TrainingPipeline {
       .select(col("doc_id"), col("lang"), col("n_tokens"),
         col("start_offset"), col("bin_idx"))
   }
+
+  /** Per-stage survivor counts for [[run]] — the pipeline's audit
+    * trail: one row per stage with the number of documents surviving
+    * up to and including that stage (`0_input` .. `4_sample`). Gated
+    * as its own oracle query (q_pipeline_stages) so a future
+    * stage-interaction bug localizes to the first diverging count
+    * instead of failing only the final manifest.
+    *
+    * Scale shape: the closure anti-join feeds ONE narrow projection of
+    * three boolean stage flags per canonical doc, then a single
+    * partial-aggregated count/sum row; the stage rows come from
+    * `stack` over that one-row frame joined with the one-row input
+    * count — no extra pass per stage. */
+  def stageCounts(docs: DataFrame, p: PipelineParams = PipelineParams(),
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val nonCanon = Dedup
+      .connectedComponents(Dedup.minhashPairs(docs, p.minhash, idCol, textCol))
+      .filter(col("lbl") =!= col("id"))
+      .select(col("id"))
+    val canon = docs.join(nonCanon, docs(idCol) === nonCanon("id"), "left_anti")
+    val rate = p.sampleRates.foldRight(lit(p.defaultSamplePpm)) { case ((v, ppm), rest) =>
+      when(col(langCol) === v, lit(ppm)).otherwise(rest)
+    }
+    val flags = canon.select(
+      (TextFunctions.repetitionPpm(col(textCol), 3) < p.maxRepetitionPpm).as("q"),
+      (TextFunctions.splitLabel(col(idCol), p.cuts) === p.keepSplit).as("s"),
+      (CorpusOps.sampleBucket(col(idCol), p.sampleSalt) < rate).as("m"))
+    val cum = flags.agg(
+      count(lit(1)).as("canonical"),
+      coalesce(sum(when(col("q"), 1L).otherwise(0L)), lit(0L)).as("quality"),
+      coalesce(sum(when(col("q") && col("s"), 1L).otherwise(0L)), lit(0L)).as("split"),
+      coalesce(sum(when(col("q") && col("s") && col("m"), 1L).otherwise(0L)), lit(0L))
+        .as("sample"))
+    val input = docs.agg(count(lit(1)).as("input"))
+    input.crossJoin(cum).selectExpr(
+      "stack(5, '0_input', input, '1_canonical', canonical, " +
+        "'2_quality', quality, '3_split', split, '4_sample', sample) " +
+        "AS (stage, n_docs)")
+  }
 }

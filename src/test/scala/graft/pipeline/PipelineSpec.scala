@@ -63,4 +63,22 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     spark.catalog.clearCache()
   }
+
+  test("stageCounts: monotone survivor funnel consistent with run()") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val p = TrainingPipeline.PipelineParams()
+    val stages = TrainingPipeline.stageCounts(docs, p)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    assert(stages.map(_._1).toSeq ==
+      Seq("0_input", "1_canonical", "2_quality", "3_split", "4_sample"))
+    val counts = stages.map(_._2)
+    assert(counts.head == docs.count(), "0_input must be the corpus size")
+    counts.sliding(2).foreach { case Array(a, b) =>
+      assert(b <= a, s"survivor counts must be non-increasing: $counts")
+    }
+    // the funnel's last stage is exactly the docs the pipeline packs
+    assert(counts.last == TrainingPipeline.run(docs, p).count(),
+      "4_sample must equal the packed manifest size")
+    spark.catalog.clearCache()
+  }
 }
