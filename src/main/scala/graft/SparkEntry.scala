@@ -303,6 +303,11 @@ object SparkEntry {
     // across the corpus (boilerplate document-level dedup never sees)
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.chunkDupes(table(s, dir, "documents"), 20)),
+    // exact substring dedup: verbatim token runs >= w+k-1 shared at
+    // ARBITRARY offsets (winnowing anchors; chunk dedup only catches
+    // runs that happen to align with its fixed windows)
+    "q_dedup_substr" -> ((s, dir) =>
+      Dedup.substrPairs(table(s, dir, "documents"))),
     // incremental (ingest-time) near-dedup: new batch (= test split)
     // deduped against the existing corpus (= train split) only — no
     // old-vs-old pairs; old-side hot buckets capped to a representative
@@ -646,6 +651,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
+    "q_dedup_substr" -> DocSql.substrPairs(Dedup.SubstrParams()),
     "q_dedup_incr" -> DocSql.incrementalPairs(Dedup.MinHashParams(),
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L), "train", "test"),
     "q_pipeline_e2e" -> {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnShims
 import org.apache.spark.storage.StorageLevel
 
-import graft.functions.{IntersectCountSorted, ShingleHashes, ShingleMinHash, SimHash32}
+import graft.functions.{IntersectCountSorted, ShingleHashes, ShingleMinHash, SimHash32, WinnowAnchors}
 import graft.text.TextFunctions
 
 /** Deduplication operators for large-scale corpora.
@@ -353,6 +353,80 @@ object Dedup {
       .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
         TextFunctions.intDiv(col("loc"), lit(locBase)).as("keep_doc"),
         (col("loc") % locBase).as("keep_chunk"))
+  }
+
+  /** Parameters for [[substrPairs]]. Guarantee: any passage of at
+    * least `w + k - 1` tokens (11 at the defaults) shared VERBATIM
+    * between two documents — at ANY offset in either — produces at
+    * least one shared winnowing anchor, so the pair is reported.
+    * maxDf drops anchors appearing in more than maxDf documents
+    * (ubiquitous boilerplate), the same deterministic hot-key cap as
+    * decontamination's posting df-cap. */
+  final case class SubstrParams(
+      k: Int = 8,
+      w: Int = 4,
+      maxDf: Int = 50,
+      minAnchors: Int = 1)
+
+  /** Exact substring dedup (Lee et al. 2022's problem, winnowing
+    * selection): find document pairs sharing a verbatim token run of
+    * >= w + k - 1 tokens at ARBITRARY offsets — the duplicates
+    * [[chunkDupes]]' fixed non-overlapping windows miss whenever the
+    * shared passage is aligned differently in the two documents.
+    *
+    * Shape at 100 TB:
+    *  - anchor selection is a NARROW native scan
+    *    ([[graft.functions.WinnowAnchors]]): no corpus-wide window
+    *    function, no shuffle — each doc emits ~2/(w+1) of its shingle
+    *    positions as anchors;
+    *  - the only exchanges are one partial-agg groupBy collapsing
+    *    repeated in-doc anchors and the anchor-hash equi-join, whose
+    *    per-key fan-out the df-cap bounds at maxDf^2 — no all-pairs
+    *    stage anywhere;
+    *  - the join verifies the k-token shingle STRING, not just the
+    *    60-bit hash, so reported pairs are exact (no false positives).
+    *
+    * Output: (doc_a, doc_b, n_anchors, a_off, b_off) — shared-anchor
+    * count and each side's first shared-anchor token offset. The
+    * DuckDB oracle recomputes the selection independently with window
+    * functions (graft.oracle.DocSql.substrPairs).
+    *
+    * Cache lifecycle: callers release the internal persist after
+    * their terminal action (as with [[minhashPairs]]). */
+  def substrPairs(docs: DataFrame, p: SubstrParams = SubstrParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(col(textCol))
+    val anchors = docs
+      .select(
+        col(idCol).as("doc_id"),
+        TextFunctions.shingles(col(textCol), p.k).as("sh"),
+        ColumnShims.column(WinnowAnchors(ColumnShims.expression(toks), p.k, p.w)).as("offs"))
+      .select(col("doc_id"), explode(col("offs")).as("off0"), col("sh"))
+      .select(col("doc_id"), col("off0").cast("long").as("off"),
+        element_at(col("sh"), col("off0") + 1).as("s"))
+      .withColumn("h",
+        conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long"))
+      // one anchor per (doc, shingle content): repeated in-doc
+      // passages keep their first offset, and the join below stays
+      // one-row-per-shared-anchor
+      .groupBy(col("doc_id"), col("h"), col("s"))
+      .agg(min(col("off")).as("off"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rare = anchors.groupBy(col("h"))
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= p.maxDf)
+      .select(col("h"))
+    val capped = anchors.join(rare, Seq("h"))
+    val a = capped.select(col("h"), col("s"),
+      col("doc_id").as("doc_a"), col("off").as("a_first"))
+    val b = capped.select(col("h").as("h_b"), col("s").as("s_b"),
+      col("doc_id").as("doc_b"), col("off").as("b_first"))
+    a.join(b, col("h") === col("h_b") && col("s") === col("s_b") &&
+        col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_anchors"),
+        min(col("a_first")).as("a_off"), min(col("b_first")).as("b_off"))
+      .filter(col("n_anchors") >= p.minAnchors)
   }
 
   /** Connected components of an undirected pair graph by iterative

@@ -220,6 +220,19 @@ object Curves {
       > SELECT _FUNC_(array('a', 'b', 'c', 'd'), 3);
        06f0760ec7f18687a7fbc0ddbf1b1722
   """),
+    FunctionDoc("winnow_anchors", (args: Seq[Expression]) => args match {
+      case Seq(toks, k, w) => WinnowAnchors(toks,
+        constInt(k, "winnow_anchors k"), constInt(w, "winnow_anchors w"))
+      case other => throw new IllegalArgumentException(
+        s"winnow_anchors expects (tokens, k, w), got ${other.size} arguments")
+    }, "winnow_anchors(tokens, k, w) - winnowing anchor offsets over the k-shingle hash sequence" +
+      " (any verbatim run of w+k-1 tokens shared by two docs shares an anchor)",
+      classOf[WinnowAnchors], "hash_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array('a', 'b', 'c', 'd', 'e'), 2, 2);
+       [0,2,3]
+  """),
     FunctionDoc("hyperplane_band_keys", (args: Seq[Expression]) => args match {
       case Seq(qv, planes, bits) => HyperplaneBandKeys(qv,
         constInt(planes, "hyperplane_band_keys planes"), constInt(bits, "hyperplane_band_keys band_bits"))

@@ -89,6 +89,42 @@ case class ShingleHashes(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Winnowing anchor offsets (array<int>, ascending) of a token array's
+  * k-shingle hash sequence — the offset-robust selection behind exact
+  * substring dedup ([[graft.dedup.Dedup.substrPairs]]): an offset is
+  * selected iff its 60-bit hash ([[ShingleHashes]] convention) is the
+  * strict minimum of some full window of `w` consecutive shingle
+  * positions, so two documents sharing any verbatim run of
+  * >= w + k - 1 tokens share an anchor regardless of where the run
+  * sits in either document. Executable builtin SPEC:
+  * [[graft.text.TextFunctions.winnowAnchorsBuiltin]] (equality
+  * asserted in DedupSpec). */
+case class WinnowAnchors(child: Expression, k: Int, w: Int) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "winnow_anchors"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) if k >= 1 && w >= 1 => TypeCheckResult.TypeCheckSuccess
+    case ArrayType(StringType, _) =>
+      TypeCheckResult.TypeCheckFailure(s"k and w must be >= 1, got k=$k w=$w")
+    case other =>
+      TypeCheckResult.TypeCheckFailure(s"expected array<string>, got ${other.sql}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleMinHashRuntime.winnowAnchors(input.asInstanceOf[ArrayData], k, w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.ShingleMinHashRuntime.winnowAnchors($c, $k, $w);")
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowAnchors =
+    copy(child = newChild)
+}
+
 /** Minimum full-md5 (lowercase hex) over a token array's k-shingles in
   * ONE native pass — the winnowing-style document fingerprint
   * ([[graft.text.TextFunctions.shingleFingerprint]] is the
@@ -210,6 +246,44 @@ object ShingleMinHashRuntime {
       i += 1
     }
     new GenericArrayData(if (out == nShingles) hs else java.util.Arrays.copyOf(hs, out))
+  }
+
+  /** Winnowing anchor offsets over the positional 60-bit shingle
+    * hashes (see [[WinnowAnchors]]): 0-based shingle offset i is an
+    * anchor iff some FULL window of `w` consecutive shingle positions
+    * inside the document has h(i) as its strict minimum — equivalently
+    * iff the run of strictly-greater neighbors left of i plus the run
+    * right of i spans at least w-1 positions. Any two documents
+    * sharing a verbatim token run of >= w + k - 1 tokens therefore
+    * share at least one anchor (the winnowing guarantee, Schleimer et
+    * al. 2003 §4 re-derived; selection is by VALUE, so it needs no
+    * cross-engine tie-break). O(m*w) single pass, w is tiny. */
+  def winnowAnchors(tokens: ArrayData, k: Int, w: Int): GenericArrayData = {
+    val digest = md5.get()
+    val n = tokens.numElements()
+    val m = if (n >= k) n - k + 1 else 1
+    val width = if (n >= k) k else n
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      val d = digestShingle(digest, tokens, i, width)
+      hs(i) = (((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)) >>> 4
+      i += 1
+    }
+    val out = Array.newBuilder[Any]
+    i = 0
+    while (i < m) {
+      var la = 0
+      while (la < w - 1 && i - la - 1 >= 0 && hs(i - la - 1) > hs(i)) la += 1
+      var ra = 0
+      while (ra < w - 1 && i + ra + 1 <= m - 1 && hs(i + ra + 1) > hs(i)) ra += 1
+      if (la + ra >= w - 1) out += Integer.valueOf(i)
+      i += 1
+    }
+    new GenericArrayData(out.result())
   }
 
   /** Minimum md5 digest over the k-shingles (see [[ShingleMinMd5]]),

@@ -400,6 +400,50 @@ object DocSql {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
 
+  /** Mirror of Dedup.substrPairs, with the winnowing selection
+    * recomputed INDEPENDENTLY: instead of the Spark side's native
+    * run-length scan, the oracle enumerates the a + b = w - 1 window
+    * decompositions over per-doc lag/lead window minima — same
+    * value-based rule, different formulation, so a selection bug in
+    * either engine surfaces as a mismatch. */
+  def substrPairs(p: graft.dedup.Dedup.SubstrParams): String = {
+    val lagCols = (1 until p.w).map(a =>
+      s"min(h) OVER (PARTITION BY doc_id ORDER BY off ROWS BETWEEN $a PRECEDING AND 1 PRECEDING) AS lm$a")
+    val leadCols = (1 until p.w).map(b =>
+      s"min(h) OVER (PARTITION BY doc_id ORDER BY off ROWS BETWEEN 1 FOLLOWING AND $b FOLLOWING) AS rm$b")
+    val winCols = (lagCols ++ leadCols).mkString(",\n  ")
+    val anchorCond = (0 until p.w).map { a =>
+      val b = p.w - 1 - a
+      val left = if (a == 0) Nil else Seq(s"off >= $a", s"lm$a > h")
+      val right = if (b == 0) Nil else Seq(s"off + $b <= m - 1", s"rm$b > h")
+      val parts = left ++ right
+      if (parts.isEmpty) "TRUE" else parts.mkString("(", " AND ", ")")
+    }.mkString("(", "\n    OR ", ")")
+    s"""WITH $docsToks,
+       |sh AS (SELECT doc_id, ${shinglesExpr(p.k)} AS shingles FROM d),
+       |pos AS (SELECT doc_id, CAST(len(shingles) AS BIGINT) AS m,
+       |  unnest(generate_series(1, len(shingles))) - 1 AS off,
+       |  unnest(shingles) AS s FROM sh),
+       |ph AS (SELECT doc_id, m, off, s,
+       |  CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT) AS h FROM pos),
+       |win AS (SELECT doc_id, m, off, s, h,
+       |  $winCols
+       |  FROM ph),
+       |anch AS (SELECT doc_id, h, s, CAST(min(off) AS BIGINT) AS off FROM win
+       |  WHERE $anchorCond
+       |  GROUP BY doc_id, h, s),
+       |rare AS (SELECT h FROM anch GROUP BY h HAVING count(*) <= ${p.maxDf}),
+       |cap AS (SELECT anch.* FROM anch JOIN rare USING (h)),
+       |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    a.off AS a_first, b.off AS b_first
+       |  FROM cap a JOIN cap b
+       |    ON a.h = b.h AND a.s = b.s AND a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(count(*) AS BIGINT) AS n_anchors,
+       |  CAST(min(a_first) AS BIGINT) AS a_off, CAST(min(b_first) AS BIGINT) AS b_off
+       |FROM pr GROUP BY doc_a, doc_b
+       |HAVING count(*) >= ${p.minAnchors}""".stripMargin
+  }
+
   /** Shared canonical-docs + per-doc stage-signal CTEs for the
     * pipeline oracles (`canon` = docs whose component label is their
     * own id; `qual` = the quality/split/sample signals per canonical

@@ -180,4 +180,32 @@ object TextFunctions {
     * (equality asserted in DedupSpec). */
   def shingleFingerprintBuiltin(text: Column, k: Int): Column =
     array_min(transform(shingles(text, k), s => md5(s.cast("binary"))))
+
+  /** Builtin-composed executable SPEC of
+    * [[graft.functions.WinnowAnchors]] (equality asserted in
+    * DedupSpec): 0-based shingle offset i is an anchor iff its 60-bit
+    * hash is the strict minimum of some FULL w-window of shingle
+    * positions — enumerated here as: exists a + b = w - 1 with the
+    * window [i-a, i+b] inside the doc, every hash in [i-a, i-1] and
+    * [i+1, i+b] strictly greater than h(i). */
+  def winnowAnchorsBuiltin(text: Column, k: Int, w: Int): Column = {
+    val hs = transform(shingles(text, k),
+      s => conv(substring(md5(s.cast("binary")), 1, 15), 16, 10).cast("long"))
+    filter(sequence(lit(0), size(hs) - 1), i => {
+      val hi = element_at(hs, i + 1)
+      val m = size(hs)
+      (0 until w).map { a =>
+        val b = w - 1 - a
+        val leftOk =
+          if (a == 0) lit(true)
+          else when(i >= a, array_min(slice(hs, i - lit(a - 1), lit(a))) > hi)
+            .otherwise(lit(false))
+        val rightOk =
+          if (b == 0) lit(true)
+          else when(i + b <= m - 1, array_min(slice(hs, i + 2, lit(b))) > hi)
+            .otherwise(lit(false))
+        leftOk && rightOk
+      }.reduce(_ || _)
+    })
+  }
 }
