@@ -51,6 +51,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("hashpartitioning(bucket"), p)
   }
 
+  test("substring dedup: anchor selection is a narrow scan (no window operator)") {
+    val p = plan("q_dedup_substr")
+    // the winnowing selection must stay inside the native per-row scan —
+    // a Window operator here would mean a corpus-wide shuffle + sort
+    // crept back into anchor extraction
+    assert(!p.contains("Window"), p)
+    assert(p.contains("winnow_anchors"), p)
+  }
+
   test("chunk dedup: one aggregation exchange, no join anywhere") {
     val p = plan("q_dedup_chunks")
     assert(!p.contains("Join"), p)
