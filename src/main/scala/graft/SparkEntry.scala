@@ -250,6 +250,14 @@ object SparkEntry {
     // per-source corpus profile with an exact discrete median
     "q_domain_stats" -> ((s, dir) =>
       graft.text.CorpusOps.domainStats(table(s, dir, "documents"))),
+    // per-domain quota cap: at most k docs per source by salted hash
+    // order (WindowGroupLimit — no full per-source sort)
+    "q_domain_cap" -> ((s, dir) =>
+      graft.text.CorpusOps.domainCap(table(s, dir, "documents"), 10)),
+    // per-domain token budget: greedy fill in salted hash order via
+    // the per-source two-level prefix sum
+    "q_token_budget" -> ((s, dir) =>
+      graft.text.CorpusOps.tokenBudget(table(s, dir, "documents"), 800L)),
     // exact-integer BM25-style relevance ranking against literal terms
     "q_rank_bm25" -> ((s, dir) =>
       graft.text.CorpusOps.bm25Rank(table(s, dir, "documents"),
@@ -635,6 +643,8 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_domain_stats" -> DocSql.domainStats,
+    "q_domain_cap" -> DocSql.domainCap(10, "#cap"),
+    "q_token_budget" -> DocSql.tokenBudget(800L, "#budget"),
     "q_events_rolling" -> EventSql.eventsRolling(3600000000L),
     "q_events_pivot" -> EventSql.eventsPivot(
       Seq("click", "error", "purchase", "signup", "view")),

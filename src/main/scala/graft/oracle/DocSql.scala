@@ -400,6 +400,34 @@ object DocSql {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
 
+  /** Mirror of CorpusOps.domainCap: deterministic per-source top-k by
+    * salted hash order. */
+  def domainCap(maxPerDomain: Int, salt: String): String =
+    s"""WITH b AS (SELECT doc_id, source,
+       |  ${sampleBucketExpr("doc_id", salt)} AS bk FROM documents),
+       |r AS (SELECT doc_id, source,
+       |  CAST(row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS BIGINT)
+       |    AS pick_rank FROM b)
+       |SELECT doc_id, source, pick_rank FROM r
+       |WHERE pick_rank <= $maxPerDomain""".stripMargin
+
+  /** Mirror of CorpusOps.tokenBudget: the oracle computes the SAME
+    * exclusive per-source running total with one window per source —
+    * fine at oracle scale; the Spark side's two-level bucket
+    * decomposition must be invisible in the result. */
+  def tokenBudget(budgetTokens: Long, salt: String): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+       |  ${sampleBucketExpr("doc_id", salt)} AS bk FROM documents),
+       |p AS (SELECT doc_id, source, n_tokens,
+       |  CAST(coalesce(SUM(n_tokens) OVER (PARTITION BY source
+       |    ORDER BY bk, doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS cum_before
+       |  FROM d)
+       |SELECT doc_id, source, n_tokens, cum_before FROM p
+       |WHERE cum_before < $budgetTokens""".stripMargin
+
   /** Mirror of Dedup.substrPairs, with the winnowing selection
     * recomputed INDEPENDENTLY: instead of the Spark side's native
     * run-length scan, the oracle enumerates the a + b = w - 1 window

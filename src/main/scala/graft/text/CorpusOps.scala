@@ -364,4 +364,75 @@ object CorpusOps {
       .select(col("source"), col("n_tokens").as("median_tokens"))
     aggd.join(med, "source")
   }
+
+  /** Per-domain quota cap: keep at most `maxPerDomain` documents per
+    * source, picked deterministically by salted key-hash order (with a
+    * doc_id tiebreak) — the standard corpus-balancing move against a
+    * head-heavy crawl (one domain must not dominate the mix), unbiased
+    * within each domain and reproducible across runs and engines.
+    *
+    * Shape at 100 TB: `row_number <= k` over (source, hash order) runs
+    * as WindowGroupLimit — each mapper keeps only its local top-k per
+    * source before the exchange, so the shuffle carries O(sources * k
+    * * mappers) rows and no full per-source sort ever materializes
+    * (the q_sketch_kmv idiom; plan-asserted in PlanShapeSpec).
+    *
+    * Output: (doc_id, source, pick_rank), pick_rank in [1, maxPerDomain]. */
+  def domainCap(docs: DataFrame, maxPerDomain: Int, salt: String = "#cap",
+      idCol: String = "doc_id", sourceCol: String = "source"): DataFrame = {
+    require(maxPerDomain > 0, s"maxPerDomain=$maxPerDomain")
+    val w = Window.partitionBy(col("source")).orderBy(col("b"), col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        sampleBucket(col(idCol), salt).as("b"))
+      .withColumn("pick_rank", row_number().over(w).cast("long"))
+      .filter(col("pick_rank") <= maxPerDomain)
+      .select(col("doc_id"), col("source"), col("pick_rank"))
+  }
+
+  /** Per-domain token-budget selection: fill each source's token
+    * budget greedily in salted key-hash order and keep every document
+    * whose EXCLUSIVE running token total is still under the budget —
+    * so the document that crosses the line is kept (budgets are
+    * floors, not ceilings; the overshoot is at most one document).
+    * Deterministic mix control by token mass rather than doc count
+    * ([[domainCap]]'s unit) — the knob a training-mix spec actually
+    * uses.
+    *
+    * Shape at 100 TB: the running total is the SAME two-level prefix
+    * sum as [[packSequences]], nested per source: the hash-order key
+    * is range-bucketed (order-preserving), level one windows over
+    * (source, bucket) partitions in parallel, level two windows over
+    * the nBuckets-row per-source totals frame — never a single-task
+    * per-source window (20 sources would mean 20 tasks scanning the
+    * corpus).
+    *
+    * Output: (doc_id, source, n_tokens, cum_before). */
+  def tokenBudget(docs: DataFrame, budgetTokens: Long, nBuckets: Int = 32,
+      salt: String = "#budget", idCol: String = "doc_id",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    require(budgetTokens > 0 && nBuckets > 0, s"budget=$budgetTokens nBuckets=$nBuckets")
+    val d = docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        TextFunctions.tokenCount(col(textCol)).as("n_tokens"),
+        sampleBucket(col(idCol), salt).as("b"))
+      // hash values are uniform in [0, 1e6); contiguous ranges keep
+      // bucket order == hash order, the two-level decomposition's
+      // requirement
+      .withColumn("bucket", TextFunctions.intDiv(col("b") * nBuckets, lit(1000000L)))
+    val wIn = Window.partitionBy(col("source"), col("bucket"))
+      .orderBy(col("b"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB = Window.partitionBy(col("source")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("source"), col("bucket"))
+      .agg(sum(col("n_tokens")).as("bucket_total"))
+      // per-source window over at most nBuckets ROWS, not the corpus
+      .withColumn("bucket_offset", coalesce(sum(col("bucket_total")).over(wB), lit(0L)))
+      .select(col("source"), col("bucket"), col("bucket_offset"))
+    d.withColumn("within_prefix", coalesce(sum(col("n_tokens")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_before", col("bucket_offset") + col("within_prefix"))
+      .filter(col("cum_before") < budgetTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
+  }
 }

@@ -60,6 +60,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("winnow_anchors"), p)
   }
 
+  test("domain cap: per-source top-k runs as WindowGroupLimit") {
+    val p = plan("q_domain_cap")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("chunk dedup: one aggregation exchange, no join anywhere") {
     val p = plan("q_dedup_chunks")
     assert(!p.contains("Join"), p)

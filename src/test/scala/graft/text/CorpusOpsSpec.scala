@@ -103,6 +103,54 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(32) == naive)  // more buckets than docs still works
   }
 
+  private def srcDocs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("domainCap: at most k per source, picks are the hash-order smallest") {
+    val d = srcDocs((1L to 12L).map(i => (i, s"s${i % 2}", s"text $i")): _*)
+    val out = CorpusOps.domainCap(d, maxPerDomain = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.length == 4)
+    assert(out.groupBy(_._2).values.forall(_.length == 2))
+    // independent spec: per source, the 2 docs smallest by (bucket, id)
+    val buckets = d.select(col("doc_id"), col("source"),
+        CorpusOps.sampleBucket(col("doc_id"), "#cap").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expect = buckets.groupBy(_._2).values.flatMap { g =>
+      g.sortBy(x => (x._3, x._1)).take(2).zipWithIndex
+        .map { case ((id, s, _), i) => (id, s, i + 1L) }
+    }.toSet
+    assert(out.toSet == expect)
+  }
+
+  test("tokenBudget: greedy per-source fill, crossing doc kept, bucket-invariant") {
+    val d = srcDocs((1L to 10L).map(i =>
+      (i, s"s${i % 2}", (1L to (i % 4) + 1).map(j => s"w$j").mkString(" "))): _*)
+    // naive spec: per source, order by (bucket, id), keep while the
+    // EXCLUSIVE prefix is under budget (so the crossing doc stays)
+    val rows = d.select(col("doc_id"), col("source"),
+        TextFunctions.tokenCount(col("text")).as("n"),
+        CorpusOps.sampleBucket(col("doc_id"), "#budget").as("b"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val budget = 5L
+    val naive = rows.groupBy(_._2).values.flatMap { g =>
+      g.sortBy(x => (x._4, x._1))
+        .scanLeft((0L, "", 0L, 0L)) { case ((_, _, _, acc), (id, s, n, _)) =>
+          (id, s, n, acc + n)
+        }.drop(1)
+        .filter { case (_, _, n, end) => end - n < budget }
+        .map { case (id, s, n, end) => (id, s, n, end - n) }
+    }.toSet
+    assert(naive.nonEmpty && naive.size < rows.length, "budget must bite")
+    for (nBuckets <- Seq(1, 4, 32)) {
+      val got = CorpusOps.tokenBudget(d, budget, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == naive, s"nBuckets=$nBuckets")
+    }
+  }
+
   test("bm25Rank: hand-computed score on a 3-doc corpus") {
     // docs: "a a b" (tf_a=2, dl=3), "b b" (0, 2), "a c c" (1, 3)
     val d = docs(1L -> "a a b", 2L -> "b b", 3L -> "a c c")
