@@ -398,12 +398,16 @@ object Dedup {
     val toks = TextFunctions.tokens(col(textCol))
     val anchors = docs
       .select(
-        col(idCol).as("doc_id"),
-        TextFunctions.shingles(col(textCol), p.k).as("sh"),
+        col(idCol).as("doc_id"), toks.as("toks"),
         ColumnShims.column(WinnowAnchors(ColumnShims.expression(toks), p.k, p.w)).as("offs"))
-      .select(col("doc_id"), explode(col("offs")).as("off0"), col("sh"))
+      .select(col("doc_id"), explode(col("offs")).as("off0"), col("toks"))
+      // rebuild only the ANCHOR shingles (~2/(w+1) of positions) from
+      // the token array — materializing the full shingle-string array
+      // would blow text size up ~k-fold before the explode
       .select(col("doc_id"), col("off0").cast("long").as("off"),
-        element_at(col("sh"), col("off0") + 1).as("s"))
+        when(size(col("toks")) >= p.k,
+          concat_ws(" ", slice(col("toks"), col("off0") + 1, lit(p.k))))
+          .otherwise(concat_ws(" ", col("toks"))).as("s"))
       .withColumn("h",
         conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10).cast("long"))
       // one anchor per (doc, shingle content): repeated in-doc
