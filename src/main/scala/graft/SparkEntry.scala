@@ -250,6 +250,10 @@ object SparkEntry {
     // per-source corpus profile with an exact discrete median
     "q_domain_stats" -> ((s, dir) =>
       graft.text.CorpusOps.domainStats(table(s, dir, "documents"))),
+    // corpus-relative rarity: mean inverse token df (the gibberish
+    // signal intra-document quality stats cannot see)
+    "q_text_rarity" -> ((s, dir) =>
+      graft.text.CorpusOps.rarityScore(table(s, dir, "documents"))),
     // per-domain quota cap: at most k docs per source by salted hash
     // order (WindowGroupLimit — no full per-source sort)
     "q_domain_cap" -> ((s, dir) =>
@@ -643,6 +647,7 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_domain_stats" -> DocSql.domainStats,
+    "q_text_rarity" -> DocSql.rarityScore,
     "q_domain_cap" -> DocSql.domainCap(10, "#cap"),
     "q_token_budget" -> DocSql.tokenBudget(800L, "#budget"),
     "q_events_rolling" -> EventSql.eventsRolling(3600000000L),

@@ -400,6 +400,19 @@ object DocSql {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
 
+  /** Mirror of CorpusOps.rarityScore: exact mean inverse document
+    * frequency in ppm. */
+  val rarityScore: String =
+    """WITH tok AS (SELECT doc_id,
+      |  unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents),
+      |dfreq AS (SELECT token, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |  FROM tok GROUP BY token),
+      |j AS (SELECT t.doc_id, 1000000 // dfreq.df AS inv
+      |  FROM tok t JOIN dfreq USING (token))
+      |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |  CAST(CAST(sum(inv) AS BIGINT) // count(*) AS BIGINT) AS rarity_ppm
+      |FROM j GROUP BY doc_id""".stripMargin
+
   /** Mirror of CorpusOps.domainCap: deterministic per-source top-k by
     * salted hash order. */
   def domainCap(maxPerDomain: Int, salt: String): String =

@@ -365,6 +365,36 @@ object CorpusOps {
     aggd.join(med, "source")
   }
 
+  /** Corpus-relative rarity score: the integer mean over a document's
+    * tokens of 1e6 / df(token) — high for documents full of tokens the
+    * rest of the corpus never uses (gibberish, OCR noise, random
+    * identifiers), low for boilerplate. The corpus-RELATIVE complement
+    * to the intra-document quality signals
+    * ([[TextFunctions.repetitionPpm]] and friends), which cannot see
+    * that a fluent-looking document is made of corpus-alien tokens.
+    *
+    * Shape at 100 TB: explode -> token df (one partial-agg shuffle) ->
+    * join BACK on the token key (co-keyed shuffle join) -> per-doc
+    * aggregate. Deliberately no broadcast: the distinct-token frame
+    * grows with the corpus, so it must stay on the shuffle path, and
+    * every stage is keyed (token, then doc) with map-side partial
+    * aggregation.
+    *
+    * Output: (doc_id, n_tokens, rarity_ppm) — all exact integer math.  */
+  def rarityScore(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val tok = docs.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val dfreq = tok.groupBy(col("token"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    tok.join(dfreq, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(TextFunctions.intDiv(lit(1000000L), col("df"))).as("inv_sum"))
+      .select(col("doc_id"), col("n_tokens"),
+        TextFunctions.intDiv(col("inv_sum"), col("n_tokens")).as("rarity_ppm"))
+  }
+
   /** Per-domain quota cap: keep at most `maxPerDomain` documents per
     * source, picked deterministically by salted key-hash order (with a
     * doc_id tiebreak) — the standard corpus-balancing move against a

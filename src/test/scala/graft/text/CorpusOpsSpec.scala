@@ -151,6 +151,16 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("rarityScore: hand-computed mean inverse df") {
+    // dfs: a->3, b->2, c->1; inv: a->333333, b->500000, c->1000000
+    val out = CorpusOps.rarityScore(
+        docs((1L, "a a b"), (2L, "a c"), (3L, "b a")))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(1L) == ((3L, (333333L + 333333L + 500000L) / 3)))
+    assert(out(2L) == ((2L, (333333L + 1000000L) / 2)))
+    assert(out(3L) == ((2L, (500000L + 333333L) / 2)))
+  }
+
   test("bm25Rank: hand-computed score on a 3-doc corpus") {
     // docs: "a a b" (tf_a=2, dl=3), "b b" (0, 2), "a c c" (1, 3)
     val d = docs(1L -> "a a b", 2L -> "b b", 3L -> "a c c")
