@@ -74,6 +74,15 @@ object RecallSweep {
       println(f"| pqTopK (seeded PQ) | m=16 reRank=$reRank | $r%.2f | ${100.0 * reRank / corpusN}%.0f%% exact (+codes scan) |")
       spark.catalog.clearCache(); truth.cache().count()
     }
+    for (ncent <- Seq(16, 32); nprobe <- Seq(2, 4, 8); reRank <- Seq(40, 100)) {
+      val res = Similarity.ivfPqTopK(emb, probePred, k,
+        nprobe = nprobe, ncent = ncent, reRank = reRank)
+      val r = recall(res)
+      // IVF prunes the codes scan to ~nprobe/nlist of the corpus; only
+      // reRank candidates get exact scoring
+      println(f"| ivfPqTopK (IVFADC) | nlist=16 nprobe=$nprobe ncent=$ncent reRank=$reRank | $r%.2f | ${100.0 * reRank / corpusN}%.0f%% exact (codes scan ~${100.0 * nprobe / 16}%.0f%%) |")
+      spark.catalog.clearCache(); truth.cache().count()
+    }
     spark.stop()
   }
 }

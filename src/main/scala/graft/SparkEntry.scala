@@ -302,6 +302,11 @@ object SparkEntry {
     // table lookups, exact re-rank); seeded codebooks -> oracle-gated
     "q_sim_pq" -> ((s, dir) =>
       Similarity.pqTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // the full IVFADC composite: inverted file prunes the scan, PQ
+    // residual codes compress what remains; seeded -> oracle-gated
+    "q_sim_ivfpq" -> ((s, dir) =>
+      Similarity.ivfPqTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10,
+        ncent = 32)),
 
     // --- LLM-pipeline: deduplication over documents ---------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
@@ -632,6 +637,7 @@ object SparkEntry {
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
+    "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),

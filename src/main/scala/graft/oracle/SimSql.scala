@@ -146,6 +146,78 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Mirror of graft.similarity.Similarity.ivfPqTopK, stage for
+    * stage: seeded coarse centroids + argmax-dot assignment
+    * (ivfSeededTopK's CTEs), integer residuals, residual codebook from
+    * the ncent seeds' own residuals, per-subspace packed-argmin
+    * encode, per-(probe, list) ADC tables over the probe's residual,
+    * top-reRank cut, exact dot re-rank. */
+  def ivfPqTopK(probeMod: Int, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ncent: Int, reRank: Int): String = {
+    val sub = s"list_transform(generate_series(0, ${m - 1}), s -> " +
+      s"list_sum(list_transform(generate_series(1, wd), i -> " +
+      "(xq[s*wd + i] - cq[s*wd + i]) * (xq[s*wd + i] - cq[s*wd + i]))))"
+    val codeCols = (0 until m)
+      .map(s => s"min(ds[${s + 1}] * 32 + (j - 1)) AS c$s").mkString(",\n  ")
+    val codeList = (0 until m).map(s => s"CAST(c$s % 32 AS BIGINT)").mkString("[", ", ", "]")
+    val adcSum = (0 until m).map(s => s"tab[codes[${s + 1}] + 1][${s + 1}]").mkString(" + ")
+    s"""WITH $qCte,
+       |hq AS (SELECT vec_id, qv,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS list_id,
+       |    qv AS cq
+       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $nlist)),
+       |asg0 AS (SELECT q.vec_id, c.list_id, ${dotSql("q.qv", "c.cq")} AS cdot
+       |  FROM q, cents c),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |resid AS (SELECT hq.vec_id, a.list_id,
+       |    [hq.qv[i] - c.cq[i] for i in generate_series(1, len(hq.qv))] AS rv, hq.hv
+       |  FROM hq JOIN asg a ON a.vec_id = hq.vec_id
+       |  JOIN cents c ON c.list_id = a.list_id),
+       |seeds AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS j,
+       |    rv AS cr
+       |  FROM (SELECT * FROM resid ORDER BY hv, vec_id LIMIT $ncent)),
+       |sd AS (SELECT r.vec_id, r.list_id, c.j, $sub AS ds
+       |  FROM (SELECT vec_id, list_id, rv AS xq, len(rv) // $m AS wd FROM resid) r,
+       |    (SELECT j, cr AS cq FROM seeds) c),
+       |codes0 AS (SELECT vec_id, list_id,
+       |  $codeCols
+       |  FROM sd GROUP BY vec_id, list_id),
+       |codes AS (SELECT vec_id, list_id, $codeList AS codes FROM codes0),
+       |p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id % $probeMod = 0),
+       |pl0 AS (SELECT p.probe_id, p.pv, c.list_id, c.cq, ${dotSql("p.pv", "c.cq")} AS cdot
+       |  FROM p, cents c),
+       |pl AS (SELECT probe_id, list_id,
+       |    [pv[i] - cq[i] for i in generate_series(1, len(pv))] AS prv
+       |  FROM (
+       |    SELECT probe_id, pv, list_id, cq,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY cdot DESC, list_id) AS rn
+       |    FROM pl0) WHERE rn <= $nprobe),
+       |psd AS (SELECT r.probe_id, r.list_id, c.j, $sub AS ds
+       |  FROM (SELECT probe_id, list_id, prv AS xq, len(prv) // $m AS wd FROM pl) r,
+       |    (SELECT j, cr AS cq FROM seeds) c),
+       |ptab AS (SELECT probe_id, list_id, list(ds ORDER BY j) AS tab
+       |  FROM psd GROUP BY probe_id, list_id),
+       |ad AS (SELECT ptab.probe_id, codes.vec_id AS neighbor_id, $adcSum AS adist
+       |  FROM ptab JOIN codes ON codes.list_id = ptab.list_id
+       |  WHERE codes.vec_id != ptab.probe_id),
+       |cand AS (SELECT probe_id, neighbor_id FROM (
+       |    SELECT probe_id, neighbor_id,
+       |      row_number() OVER (PARTITION BY probe_id ORDER BY adist, neighbor_id) AS arn
+       |    FROM ad) WHERE arn <= $reRank),
+       |s AS (SELECT cand.probe_id, cand.neighbor_id, ${dotSql("p.pv", "nq.qv")} AS dot_q
+       |  FROM cand
+       |  JOIN p ON p.probe_id = cand.probe_id
+       |  JOIN q nq ON nq.vec_id = cand.neighbor_id),
+       |r AS (SELECT probe_id, neighbor_id, dot_q,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Embedding-cosine near-dup pairs — mirrors
     * graft.similarity.Similarity.cosinePairs stage for stage: sign-LSH
     * band keys (plane i, dim d sign = parity of

@@ -419,6 +419,106 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Seeded IVF-PQ top-k — the full Jegou et al. 2011 IVFADC
+    * composite, combining [[ivfSeededTopK]]'s inverted file with
+    * [[pqTopK]]'s code compression, on RESIDUALS: every vector is
+    * assigned to its best coarse centroid (argmax integer dot, nlist
+    * seeded centroids), its residual r = x - c is PQ-encoded against a
+    * residual codebook (the ncent seed vectors' own residuals), and a
+    * probe scores only the codes stored in its nprobe best lists via a
+    * per-(probe, list) ADC table built from the probe's residual in
+    * that list. Candidates cut at reRank by approximate distance, then
+    * exact integer-dot re-rank.
+    *
+    * Everything stays exact integer math (residuals are integer
+    * differences of quantized vectors; |r_i| <= 2^21 keeps each
+    * subspace distance <= 4 * 2^42, same packed-argmin bound as
+    * [[pqTopK]]), so the full composite is oracle hash-gated
+    * (graft.oracle.SimSql.ivfPqTopK).
+    *
+    * Shape at 100 TB — the production ANN layout: the scan side reads
+    * ~nprobe/nlist of the CODES frame (16 ints/vector) instead of the
+    * whole embedding table — IVF prunes the scan, PQ compresses what
+    * remains; assignment and encode are corpus x broadcast(seeds) with
+    * partial-agg argmax/argmin (one row per vector out of the
+    * mappers); ADC tables are (probes x nprobe) rows, broadcast;
+    * shortlist is WindowGroupLimit; exact re-rank touches reRank
+    * vectors per probe.
+    *
+    * Cache lifecycle: same caller-releases convention as [[annTopK]]. */
+  def ivfPqTopK(emb: DataFrame, probePred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ncent: Int = 16,
+      reRank: Int = 40,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val pad = 32L
+    require(ncent <= pad, s"ncent=$ncent exceeds the tie-break pack width")
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val cents = q.select(col("vec_id"), col("qv"), hv.as("hv"))
+      .orderBy(col("hv"), col("vec_id")).limit(nlist)
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
+      .select(col("list_id"), col("qv").as("cq"))
+    val asg = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("list_id"), dotQ(col("qv"), col("cq")).as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), (-col("list_id")).as("nl"))).as("mx"))
+      .select(col("vec_id"), (-col("mx").getField("nl")).as("list_id"))
+    // residual r = x - c(list): a narrow zip_with after broadcast joins
+    val resid = q.join(asg, "vec_id").join(broadcast(cents), "list_id")
+      .select(col("vec_id"), col("list_id"),
+        zip_with(col("qv"), col("cq"), (a, b) => a - b).as("rv"), hv.as("hv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // residual codebook: the ncent seed vectors' OWN residuals
+    val seeds = resid.orderBy(col("hv"), col("vec_id")).limit(ncent)
+      .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
+      .select(col("j"), col("rv").as("cr"))
+    val codeAggs = (0 until m).map(s =>
+      min(element_at(col("ds"), s + 1) * pad + (col("j") - 1)).as(s"c$s"))
+    val codes = resid.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("list_id"), col("j"),
+        subspaceSqDists(col("rv"), col("cr"), m).as("ds"))
+      .groupBy(col("vec_id"), col("list_id"))
+      .agg(codeAggs.head, codeAggs.tail: _*)
+      .select(col("vec_id"), col("list_id"),
+        array((0 until m).map(s => (col(s"c$s") % pad).cast("int")): _*).as("codes"))
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    val wl = Window.partitionBy("probe_id").orderBy(col("cdot").desc, col("list_id"))
+    val probeLists = probes.crossJoin(broadcast(cents))
+      .select(col("probe_id"), col("pv"), col("list_id"), col("cq"),
+        dotQ(col("pv"), col("cq")).as("cdot"))
+      .withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= nprobe)
+      .select(col("probe_id"), col("list_id"),
+        zip_with(col("pv"), col("cq"), (a, b) => a - b).as("prv"))
+    // ADC tables per (probe, list) over the probe's residual IN that list
+    val ptab = probeLists.crossJoin(broadcast(seeds))
+      .select(col("probe_id"), col("list_id"), col("j"),
+        subspaceSqDists(col("prv"), col("cr"), m).as("ds"))
+      .groupBy(col("probe_id"), col("list_id"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        r => r.getField("ds")).as("tab"))
+    val adist = (0 until m).map(s =>
+      element_at(element_at(col("tab"), element_at(col("codes"), s + 1) + 1), s + 1))
+      .reduce(_ + _)
+    val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
+    val cand = codes.join(broadcast(ptab), "list_id") // IVF: only probed lists scanned
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .withColumn("arn", row_number().over(wA)).filter(col("arn") <= reRank)
+      .select("probe_id", "neighbor_id")
+    val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
+    cand
+      .join(q.withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("qv", "nv"),
+        "neighbor_id")
+      .join(probes, "probe_id")
+      .select(col("probe_id"), col("neighbor_id"), dotQ(col("pv"), col("nv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Approximate top-k via banded curve buckets + exact re-rank; same
     * output shape as [[bruteForceTopK]] (rnk over the candidate set
     * only).

@@ -133,6 +133,34 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b) // seeded codebooks => pure function of the data
   }
 
+  test("ivfPqTopK: cluster mates found via residual codes; deterministic, layout-independent") {
+    // nprobe = nlist (no pruning) + ncent = corpus (every residual its
+    // own codebook entry) + reRank = corpus: the composite must agree
+    // with brute force exactly, proving the assignment/residual/
+    // encode/ADC plumbing is lossless at full fidelity
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.ivfPqTopK(df, col("vec_id") === 0L, k = 2,
+        nlist = 3, nprobe = 3, m = 4, ncent = 7, reRank = 6)
+        .orderBy("rnk").collect().map(r => (r.getLong(1), r.getLong(3))).toSeq
+    val a = run(corpus())
+    spark.catalog.clearCache()
+    val b = run(corpus().repartition(5))
+    spark.catalog.clearCache()
+    assert(a.map(_._1).toSet == Set(1L, 2L))
+    assert(a == b) // seeded coarse + residual codebooks => pure function of the data
+  }
+
+  test("ivfPqTopK: IVF pruning keeps orthogonal-cluster mates reachable") {
+    // nlist = corpus: every vector is its own coarse list, so the
+    // probe's 3 nearest lists are its own + its two cluster mates' —
+    // the pruned codes scan holds exactly the mates (self excluded)
+    val out = Similarity.ivfPqTopK(corpus(), col("vec_id") === 0L, k = 2,
+      nlist = 7, nprobe = 3, m = 4, ncent = 7, reRank = 6)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    spark.catalog.clearCache()
+    assert(out.toSet == Set(1L, 2L))
+  }
+
   test("pqTopK: recall on the sf0.01 embeddings meets the swept operating point") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val probePred = col("vec_id") % 50 === 0
@@ -144,6 +172,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
     // BASELINE.md sweep: 0.74 @ reRank=40 — deterministic, so exact
     assert(hits == 74L, s"recall hits $hits")
+  }
+
+  test("ivfPqTopK: recall on the sf0.01 embeddings meets the swept operating point") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val probePred = col("vec_id") % 50 === 0
+    val truth = Similarity.bruteForceTopK(emb, probePred, 10)
+      .select("probe_id", "neighbor_id")
+    val ivfpq = Similarity.ivfPqTopK(emb, probePred, 10, ncent = 32)
+      .select("probe_id", "neighbor_id")
+    val hits = ivfpq.join(truth, Seq("probe_id", "neighbor_id")).count()
+    spark.catalog.clearCache()
+    // BASELINE.md sweep: 0.44 @ nprobe=4 ncent=32 reRank=40 — the IVF
+    // pruning ceiling (0.50 at nprobe=4 on this cluster-free corpus)
+    // compounds with residual-PQ distortion; deterministic, so exact
+    assert(hits == 44L, s"recall hits $hits")
   }
 
   test("cosine of identical vectors is 1.0") {
