@@ -308,6 +308,11 @@ object SparkEntry {
       Similarity.ivfPqTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10,
         ncent = 32)),
 
+    // SemDeDup (Abbas et al. 2023): within-coarse-cluster near-dup
+    // groups, one representative kept per group; seeded -> oracle-gated
+    "q_dedup_semantic" -> ((s, dir) =>
+      Similarity.semanticDedup(table(s, dir, "embeddings"))),
+
     // --- LLM-pipeline: deduplication over documents ---------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(table(s, dir, "documents"))),
     "q_dedup_minhash" -> ((s, dir) => Dedup.minhashPairs(table(s, dir, "documents"))),
@@ -638,6 +643,7 @@ object SparkEntry {
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
+    "q_dedup_semantic" -> SimSql.semanticDedup(16, 49, 400, 256),
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),

@@ -218,6 +218,62 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Mirror of graft.similarity.Similarity.semanticDedup stage for
+    * stage: seeded coarse centroids + argmax-dot assignment
+    * (ivfSeededTopK's CTEs), within-cluster candidate pairs with the
+    * star-cap skew fallback, exact rational-cosine verify
+    * (cosinePairs' HUGEINT test), recursive min-label flood over the
+    * verified pairs, every vector labeled with its canonical. */
+  def semanticDedup(nlist: Int, num: Long, den: Long, cap: Int): String =
+    s"""WITH RECURSIVE $qCte,
+       |hq AS (SELECT vec_id, qv,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS list_id,
+       |    qv AS cq
+       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $nlist)),
+       |asg0 AS (SELECT q.vec_id, c.list_id, ${dotSql("q.qv", "c.cq")} AS cdot
+       |  FROM q, cents c),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |n2 AS (SELECT vec_id, ${dotSql("qv", "qv")} AS n2 FROM q),
+       |bb AS (SELECT vec_id, list_id,
+       |    count(*) OVER w AS bucket_n, min(vec_id) OVER w AS bucket_min
+       |  FROM asg WINDOW w AS (PARTITION BY list_id)),
+       |cand AS (
+       |  SELECT DISTINCT vec_a, vec_b FROM (
+       |    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+       |    FROM (SELECT * FROM bb WHERE bucket_n <= $cap) a
+       |    JOIN (SELECT * FROM bb WHERE bucket_n <= $cap) b
+       |      ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT bucket_min AS vec_a, vec_id AS vec_b FROM bb
+       |    WHERE bucket_n > $cap AND vec_id <> bucket_min)),
+       |dots AS (
+       |  SELECT c.vec_a, c.vec_b, ${dotSql("qa.qv", "qb.qv")} AS dot_q
+       |  FROM cand c
+       |  JOIN q qa ON qa.vec_id = c.vec_a
+       |  JOIN q qb ON qb.vec_id = c.vec_b),
+       |prs AS (
+       |  SELECT t.vec_a, t.vec_b FROM dots t
+       |  JOIN n2 na ON na.vec_id = t.vec_a
+       |  JOIN n2 nb ON nb.vec_id = t.vec_b
+       |  WHERE t.dot_q >= 0
+       |    AND CAST(t.dot_q AS HUGEINT) * CAST(t.dot_q AS HUGEINT) * $den
+       |        >= CAST(na.n2 AS HUGEINT) * CAST(nb.n2 AS HUGEINT) * $num),
+       |edges AS (SELECT vec_a AS src, vec_b AS dst FROM prs
+       |  UNION ALL SELECT vec_b, vec_a FROM prs),
+       |reach AS (
+       |  SELECT src AS id, src AS lbl FROM edges
+       |  UNION
+       |  SELECT e.dst AS id, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |comp AS (SELECT id, min(lbl) AS lbl FROM reach GROUP BY id)
+       |SELECT a.vec_id, a.list_id,
+       |  coalesce(c.lbl, a.vec_id) AS canonical_id,
+       |  CAST(CASE WHEN coalesce(c.lbl, a.vec_id) = a.vec_id THEN 1 ELSE 0 END AS BIGINT) AS keep
+       |FROM asg a LEFT JOIN comp c ON c.id = a.vec_id""".stripMargin
+
   /** Embedding-cosine near-dup pairs — mirrors
     * graft.similarity.Similarity.cosinePairs stage for stage: sign-LSH
     * band keys (plane i, dim d sign = parity of

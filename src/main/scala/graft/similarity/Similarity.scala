@@ -232,6 +232,79 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), col("dot_q"))
   }
 
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space coarsely, then
+    * find near-duplicate PAIRS only within each cluster and keep one
+    * representative per connected dup group. Unlike [[cosinePairs]]'
+    * sign-LSH blocking (random projections), the blocking here is
+    * data-adaptive — the same seeded centroid assignment as
+    * [[ivfSeededTopK]] (argmax integer dot over nlist md5-seeded
+    * centroids, ties to the smallest list), which keeps the whole
+    * operator a pure function of the data and therefore oracle
+    * hash-gated (graft.oracle.SimSql.semanticDedup).
+    *
+    * Stages: assign -> within-cluster candidate pairs (star-capped at
+    * maxClusterSize via [[graft.dedup.Dedup.cappedBucketPairs]], the
+    * shared skew story) -> exact rational-cosine verify (tau^2 =
+    * thresholdNum/thresholdDen, integer math end-to-end) -> min-label
+    * connected components ([[graft.dedup.Dedup.connectedComponents]])
+    * -> every vector labeled with its semantic canonical.
+    *
+    * Output: (vec_id, list_id, canonical_id, keep) for EVERY corpus
+    * vector; keep = 1 iff vec_id is its group's canonical (the row a
+    * pipeline retains). Docs in no dup group are their own canonical.
+    *
+    * Shape at 100 TB: assignment is corpus x broadcast(nlist) with a
+    * partial max-struct agg; candidates are an equi-join on list_id
+    * with deterministic star-caps (no all-pairs stage — grow nlist
+    * with the corpus so cluster sizes stay bounded, exactly SemDeDup's
+    * own k ∝ N prescription); verify cost ∝ candidates; the closure
+    * runs on the verified PAIR graph (orders of magnitude smaller than
+    * the corpus), lineage-truncated per round.
+    *
+    * Cache lifecycle: same caller-releases convention as [[annTopK]]. */
+  def semanticDedup(emb: DataFrame, nlist: Int = 16,
+      thresholdNum: Long = 49, thresholdDen: Long = 400,
+      maxClusterSize: Int = 256,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
+      .cast("long")
+    val cents = q.select(col("vec_id"), col("qv"), hv.as("hv"))
+      .orderBy(col("hv"), col("vec_id")).limit(nlist)
+      .withColumn("list_id",
+        row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
+      .select(col("list_id"), col("qv").as("cq"))
+    val asg = q.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("list_id"), dotQ(col("qv"), col("cq")).as("cdot"))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("cdot"), (-col("list_id")).as("nl"))).as("mx"))
+      .select(col("vec_id"), (-col("mx").getField("nl")).as("list_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cand = Dedup.cappedBucketPairs(
+      asg.select(col("vec_id").as("doc_id"), lit(0).as("band_idx"),
+        col("list_id").as("band_hash")),
+      maxClusterSize)
+    val n2 = q.select(col("vec_id"), col("qv"), dotQ(col("qv"), col("qv")).as("n2"))
+    val qa = n2.select(col("vec_id").as("vec_a"), col("qv").as("qv_a"), col("n2").as("n2_a"))
+    val qb = n2.select(col("vec_id").as("vec_b"), col("qv").as("qv_b"), col("n2").as("n2_b"))
+    val pairs = cand.select(col("doc_a").as("vec_a"), col("doc_b").as("vec_b"))
+      .join(qa, "vec_a").join(qb, "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        dotQ(col("qv_a"), col("qv_b")).as("dot_q"), col("n2_a"), col("n2_b"))
+      .filter(col("dot_q") >= 0 &&
+        col("dot_q").cast(dec) * col("dot_q").cast(dec) * lit(thresholdDen) >=
+          col("n2_a").cast(dec) * col("n2_b").cast(dec) * lit(thresholdNum))
+      .select(col("vec_a"), col("vec_b"))
+    val comp = Dedup.connectedComponents(pairs, "vec_a", "vec_b")
+    asg.join(comp.withColumnRenamed("id", "vec_id"), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("list_id"),
+        coalesce(col("lbl"), col("vec_id")).as("canonical_id"))
+      .withColumn("keep", when(col("vec_id") === col("canonical_id"), 1L).otherwise(0L))
+  }
+
   /** IVF (inverted-file) approximate top-k: a KMeans coarse quantizer
     * (spark.ml, seeded => deterministic) partitions the corpus into
     * `nlist` inverted lists; each probe scores only the vectors in its

@@ -235,6 +235,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("semanticDedup groups axis clusters, keeps the min-id representative; layout-independent") {
+    // nlist=1 puts all 7 vectors in one coarse cluster; the exact
+    // verify then separates the 3 orthogonal axis clusters (mates
+    // cosine ~0.999 >> tau, cross-axis ~0 << tau), so the dup groups
+    // are exactly the axis clusters and keep = their min ids
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Similarity.semanticDedup(df, nlist = 1)
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    val a = run(corpus())
+    spark.catalog.clearCache()
+    val b = run(corpus().repartition(5))
+    spark.catalog.clearCache()
+    assert(a == b) // seeded assignment + min-label closure => pure function of the data
+    val canonical = a.map { case (id, canon, _) => id -> canon }.toMap
+    assert(canonical == Map(0L -> 0L, 1L -> 0L, 2L -> 0L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    assert(a.filter(_._3 == 1L).map(_._1).toSet == Set(0L, 10L, 20L))
+  }
+
   test("cosinePairs star-caps an over-cap bucket instead of dropping it") {
     import spark.implicits._
     // 70 near-identical vectors: every band bucket holds all 70 (> cap
