@@ -422,6 +422,10 @@ object SparkEntry {
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(
         graft.streaming.Sessionize.project(events(s, dir)))),
+    // one definition, batch or stream: the oracle-gated batch twin of
+    // the watermarked tumbling-window streaming aggregation
+    "q_events_tumbling" -> ((s, dir) =>
+      graft.streaming.TumblingAgg.agg(events(s, dir))),
     "q_agg_cube" -> ((s, dir) => {
       // project the JSON extraction BEFORE the cube so Expand
       // replicates a parsed long, not the parse itself
@@ -706,6 +710,7 @@ object SparkEntry {
     "q_events_setop" -> EventSql.setOp(95),
     "q_join_asof" -> EventSql.asofJoin,
     "q_sessionize" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
+    "q_events_tumbling" -> EventSql.eventsTumbling(graft.streaming.TumblingAgg.WindowUs),
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),

@@ -21,6 +21,18 @@ object EventSql {
        |  max($kExpr) AS max_k
        |FROM events GROUP BY event_type""".stripMargin
 
+  /** Mirror of graft.streaming.TumblingAgg.agg on a static frame:
+    * hourly tumbling windows are pure epoch arithmetic on the µs
+    * timestamp, so the floor expression below equals Spark's
+    * `window(tsm, "1 hour").start`. sum(BIGINT) widens to HUGEINT in
+    * DuckDB — cast back (docs/COMPAT.md convention). */
+  def eventsTumbling(windowUs: Long): String =
+    s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, $kExpr AS k FROM events)
+       |SELECT ts_us - ts_us % $windowUs AS window_start_us, event_type,
+       |  count(*) AS n,
+       |  CAST(sum(k) AS BIGINT) AS sum_k
+       |FROM e GROUP BY 1, 2""".stripMargin
+
   /** Per-user event sequence: lag + delta + row_number over the time
     * order (value is a stored double; delta is one IEEE subtraction). */
   val eventsWindow: String =

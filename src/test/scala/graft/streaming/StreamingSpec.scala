@@ -26,19 +26,10 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = spark.stop()
 
-  /** Hourly event counts + integer props sum per event type, with a
-    * 1-hour watermark (a no-op on the batch side, late-data bound on
-    * the stream side). */
-  private def hourlyAgg(ev: DataFrame): DataFrame = {
-    val k = get_json_object(col("props"), "$.k").cast("long")
-    ev.select(
-        timestamp_micros((col("ts") / lit(1000L)).cast("long")).as("tsm"),
-        col("event_type"), k.as("k"))
-      .withWatermark("tsm", "1 hour")
-      .groupBy(window(col("tsm"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
-      .select(col("window.start").as("ws"), col("event_type"), col("n"), col("sum_k"))
-  }
+  /** The PRODUCT tumbling-window aggregation (q_events_tumbling's
+    * definition): one body for batch and stream — the stream==batch
+    * assertion below is over the operator users actually run. */
+  private def hourlyAgg(ev: DataFrame): DataFrame = TumblingAgg.agg(ev)
 
   test("file-stream windowed aggregation matches the batch result") {
     // stage the events file in its own directory (file streams read dirs)
@@ -58,7 +49,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     finally q.stop()
 
     def key(r: org.apache.spark.sql.Row) =
-      (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3))
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
     val streamed = spark.table("ev_hourly").collect().map(key).sorted.toSeq
     val batched = hourlyAgg(batch).collect().map(key).sorted.toSeq
     assert(streamed.nonEmpty)
