@@ -247,6 +247,10 @@ object SparkEntry {
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
       graft.text.CorpusOps.kmvDistinctShingles(table(s, dir, "documents"))),
+    // count-min frequency sketch: deterministic md5-bucket rows,
+    // min-over-rows estimate — an oracle-gated approximate-count
+    "q_sketch_cms" -> ((s, dir) =>
+      graft.text.CorpusOps.cmsTokenCounts(table(s, dir, "documents"))),
     // per-source corpus profile with an exact discrete median
     "q_domain_stats" -> ((s, dir) =>
       graft.text.CorpusOps.domainStats(table(s, dir, "documents"))),
@@ -662,6 +666,7 @@ object SparkEntry {
     "q_pack" -> DocSql.packSequences(1024L),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
+    "q_sketch_cms" -> DocSql.cmsTokenCounts(4, 1024, 30),
     "q_domain_stats" -> DocSql.domainStats,
     "q_text_rarity" -> DocSql.rarityScore,
     "q_domain_cap" -> DocSql.domainCap(10, "#cap"),

@@ -285,6 +285,29 @@ object DocSql {
        |FROM ex JOIN sk USING (stratum)""".stripMargin
   }
 
+  /** Mirror of CorpusOps.cmsTokenCounts: same salted 8-hex md5 bucket
+    * (`r:token`), same min-over-rows estimate, same (cnt desc, token)
+    * topN pick. sum(BIGINT) widens to HUGEINT — cast back. */
+  def cmsTokenCounts(depth: Int, width: Int, topN: Int): String =
+    s"""WITH tok AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
+       |  FROM documents),
+       |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
+       |rws AS (SELECT r FROM range($depth) t(r)),
+       |bk AS (SELECT r,
+       |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT)
+       |      % $width AS b,
+       |    cnt FROM counts, rws),
+       |sketch AS (SELECT r, b, CAST(sum(cnt) AS BIGINT) AS cms FROM bk GROUP BY r, b),
+       |top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT $topN),
+       |eb AS (SELECT token, cnt, r,
+       |    CAST(('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || token), 1, 8)) AS BIGINT)
+       |      % $width AS b
+       |  FROM top, rws),
+       |j AS (SELECT eb.token, eb.cnt, s.cms FROM eb
+       |  JOIN sketch s ON s.r = eb.r AND s.b = eb.b)
+       |SELECT token, cnt AS true_cnt, min(cms) AS cms_est
+       |FROM j GROUP BY token, cnt""".stripMargin
+
   /** Mirror of CorpusOps.domainStats: per-source aggregates + the
     * lower discrete median via the same row_number rule. */
   val domainStats: String =

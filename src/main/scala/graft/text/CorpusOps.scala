@@ -333,6 +333,50 @@ object CorpusOps {
           .as("est_distinct"))
   }
 
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) over corpus
+    * tokens — the mergeable frequency sketch next to the KMV distinct
+    * sketch: `depth` independent hash rows of `width` counters; a
+    * token's estimate is the MIN over rows of its bucket's sum, always
+    * an over-estimate (one-sided error <= 2N/width w.p. 1-2^-depth).
+    * All integer md5-bucket math, so unlike a sampled or
+    * timestamp-salted sketch the whole thing is a pure function of the
+    * corpus and the DuckDB oracle reproduces it bit-for-bit.
+    *
+    * Output: the topN true-frequency tokens (count desc, token asc —
+    * a total order) as (token, true_cnt, cms_est); the spec asserts
+    * est >= true for every row (the CMS one-sided guarantee) and
+    * exactness when width * depth comfortably exceeds the vocabulary.
+    *
+    * Shape at 100 TB: token counting is the vocab shuffle (partial
+    * hash agg; the ONLY corpus-sized stage); the sketch is built from
+    * the DISTINCT-token count frame x depth — vocabulary-sized, not
+    * occurrence-sized — and lands at depth x width rows (KBs), the
+    * artifact a pipeline ships instead of a billion-row count table.
+    * Merging shards = summing sketches, which is exactly the groupBy.
+    * The topN pick is TakeOrderedAndProject; the estimate join
+    * broadcasts the sketch. */
+  def cmsTokenCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
+      topN: Int = 30, textCol: String = "text"): DataFrame = {
+    require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    def bucket(r: Column, token: Column): Column =
+      TextFunctions.hashBucket(concat(r.cast("string"), lit(":"), token), width)
+    val rowIdx = explode(array((0 until depth).map(r => lit(r)): _*)).as("r")
+    val sketch = counts.select(col("token"), col("cnt"), rowIdx)
+      .select(col("r"), bucket(col("r"), col("token")).as("b"), col("cnt"))
+      .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cms"))
+    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topN)
+    top.select(col("token"), col("cnt"), rowIdx)
+      .select(col("token"), col("cnt"), col("r"), bucket(col("r"), col("token")).as("b"))
+      .join(broadcast(sketch), Seq("r", "b"))
+      .groupBy(col("token"), col("cnt"))
+      .agg(min(col("cms")).as("cms_est"))
+      .select(col("token"), col("cnt").as("true_cnt"), col("cms_est"))
+  }
+
   /** Per-source corpus stats with an exact discrete median — the
     * domain-level profile (C4/RefinedWeb-style pipelines filter and
     * rebalance by source domain): doc count, token volume, distinct

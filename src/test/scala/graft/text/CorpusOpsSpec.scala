@@ -209,6 +209,29 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"estimate $bigEst vs exact $bigExact")
   }
 
+  test("cms sketch: one-sided guarantee, exact at low load, collisions over-estimate only") {
+    import spark.implicits._
+    val d = Seq((1L, "a a a b b c"), (2L, "a b d"), (3L, "e")).toDF("doc_id", "text")
+    // wide sketch: 5 distinct tokens across 4x1024 counters -> in any
+    // row a collision among 5 tokens is possible but min-over-4-rows
+    // makes all estimates exact with overwhelming margin; assert the
+    // hard guarantee (est >= true) everywhere and exactness here
+    val out = CorpusOps.cmsTokenCounts(d, depth = 4, width = 1024, topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(out.length == 5)
+    assert(out.forall { case (_, t, e) => e >= t }) // CMS never under-counts
+    assert(out.toSeq.map(t => (t._1, t._2)).sorted ==
+      Seq(("a", 4L), ("b", 3L), ("c", 1L), ("d", 1L), ("e", 1L)))
+    assert(out.forall { case (_, t, e) => e == t }) // wide sketch -> exact
+    // width=1: every token lands in the single bucket per row -> every
+    // estimate is the total token count (the degenerate over-estimate)
+    val tiny = CorpusOps.cmsTokenCounts(d, depth = 2, width = 1, topN = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    spark.catalog.clearCache()
+    assert(tiny.forall(_._2 == 10L))
+  }
+
   test("domain stats: lower discrete median, deterministic under ties") {
     import spark.implicits._
     // src_even: counts 1,2,3,4 -> cnt=4, rn=(4+1)//2=2 -> median 2
