@@ -403,6 +403,16 @@ object SparkEntry {
       users("error").union(users("purchase")).except(users("click"))
     }),
 
+    // skew-robust salted join: events' 5 event types are the worst-case
+    // key skew for a shuffled join; salting spreads each hot key over
+    // 32 reducers, output identical to the plain join (oracle-gated)
+    "q_join_salted" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("event_id"), col("event_type"))
+      val dim = ev.groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      graft.operators.SaltedJoin(ev, dim, "event_type", col("event_id"), 32)
+        .select(col("event_id"), col("event_type"), col("type_n"))
+    }),
+
     // As-of join, Spark-first: not a range self-join (quadratic within
     // ties, extra shuffle) but ONE sort per user — tag click timestamps,
     // carry the latest forward with a running window, keep purchase
@@ -714,6 +724,7 @@ object SparkEntry {
     "q_events_window" -> EventSql.eventsWindow,
     "q_events_setop" -> EventSql.setOp(95),
     "q_join_asof" -> EventSql.asofJoin,
+    "q_join_salted" -> EventSql.joinSalted,
     "q_sessionize" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
     "q_events_tumbling" -> EventSql.eventsTumbling(graft.streaming.TumblingAgg.WindowUs),
     "q_agg_cube" -> EventSql.cubeAgg,

@@ -33,6 +33,15 @@ object EventSql {
        |  CAST(sum(k) AS BIGINT) AS sum_k
        |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of the q_join_salted result: the salt is internal to the
+    * Spark operator (graft.operators.SaltedJoin), so the oracle is
+    * simply the UNSALTED join — that equality is the operator's
+    * correctness contract. */
+  val joinSalted: String =
+    """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY 1)
+      |SELECT e.event_id, e.event_type, dim.type_n
+      |FROM events e JOIN dim USING (event_type)""".stripMargin
+
   /** Per-user event sequence: lag + delta + row_number over the time
     * order (value is a stored double; delta is one IEEE subtraction). */
   val eventsWindow: String =
