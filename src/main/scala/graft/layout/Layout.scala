@@ -56,6 +56,36 @@ object Layout {
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
 
+  /** Like [[writeHilbertOrdered]], but KEEPS the sort key as column
+    * `keyName`, so range queries can prune on the key itself: a
+    * multi-dimensional box becomes [[graft.core.CurveRanges]]' list of
+    * contiguous key ranges — a pushdown-able disjunction of BETWEENs
+    * on ONE radix-sortable long column ([[curveRangePredicate]]).
+    * Costs 8 bytes/row of storage (delta-encoded well by parquet since
+    * the file is sorted on it) in exchange for scan pruning that no
+    * longer depends on per-dimension footer stats being selective. */
+  def writeHilbertIndexed(df: DataFrame, keyCols: Seq[String], path: String,
+      keyName: String = "hkey", rowGroupBytes: Long = 1L << 20): Unit =
+    df.withColumn(keyName,
+        Curves.hilbertSortKey(keyCols.map(c => col(c).cast("int")): _*))
+      .orderBy(col(keyName))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
+  /** Predicate `keyCol` ∈ any of the u64 `ranges` (from
+    * [[graft.core.CurveRanges.ranges]]). The stored sort key is
+    * u64 ^ Long.MinValue — an order-PRESERVING bijection into signed
+    * longs — so each unsigned range maps to exactly one signed
+    * BETWEEN; the disjunction pushes into the parquet scan as Or'd
+    * range filters on the one sorted column. Callers must AND the
+    * exact per-dimension predicates: ranges PRUNE (may over-cover
+    * after budget coarsening), they never decide membership. */
+  def curveRangePredicate(keyCol: Column, ranges: Seq[(Long, Long)]): Column =
+    ranges.map { case (a, b) =>
+      keyCol.between(lit(a ^ Long.MinValue), lit(b ^ Long.MinValue))
+    }.reduce(_ || _)
+
   /** Write `df` as a bucketed, per-bucket-sorted parquet table: rows
     * are hash-partitioned into `buckets` files by `bucketCol` and the
     * bucketing metadata is registered in the session catalog, so a

@@ -64,6 +64,47 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.toSeq == want)
   }
 
+  test("indexed layout + curve ranges: key-range pruning pushes down, result set intact") {
+    import spark.implicits._
+    graft.functions.Curves.register(spark)
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x * 256 + y, x, y)))
+      .toDF("id", "x", "y")
+      .orderBy(md5(col("id").cast("string")))
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_spec_idx"
+    Layout.writeHilbertIndexed(grid, Seq("x", "y"), base, rowGroupBytes = 16 * 1024)
+
+    val rs = graft.core.CurveRanges.ranges(hilbert = true,
+      Array(32L, 32L), Array(47L, 47L), bits = 32, maxRanges = 16)
+    val q = spark.read.parquet(base)
+      .filter(Layout.curveRangePredicate(col("hkey"), rs) &&
+        col("x").between(32, 47) && col("y").between(32, 47))
+
+    // the hkey range disjunction reaches the parquet scan
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("hkey"),
+      s"expected hkey ranges in PushedFilters:\n$plan")
+
+    // the hkey ranges alone prune row groups the per-dimension stats
+    // also prune — and the final result set is exactly the box
+    val got = q.select("id").as[Int].collect().sorted
+    val want = (32 to 47).flatMap(x => (32 to 47).map(y => x * 256 + y)).sorted
+    assert(got.toSeq == want)
+
+    // pruning power of the key ranges themselves, measured on footer
+    // stats of the ONE sort column: an aligned 16x16 box in hilbert
+    // order is a handful of contiguous key runs, so most groups fall
+    // outside every run
+    val groups = Layout.rowGroupRanges(base, "hkey")
+    val skipped = groups.count { case (mn, mx, _) =>
+      !rs.exists { case (a, b) =>
+        val (sa, sb) = (a ^ Long.MinValue, b ^ Long.MinValue)
+        sa <= mx && sb >= mn
+      }
+    }
+    assert(groups.size > 4 && skipped.toDouble / groups.size > 0.5,
+      s"hkey-range skippable $skipped/${groups.size}")
+  }
+
   test("rowGroupRanges reads footer stats") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i, i * 2)).toDF("a", "b")
