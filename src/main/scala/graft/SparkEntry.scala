@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.CurveRanges
 import graft.dedup.Dedup
 import graft.functions.Curves
 import graft.layout.Layout
@@ -51,6 +52,13 @@ object SparkEntry {
     * written — see q_join_bucketed. Keyed on the session so a fresh
     * session (new catalog/warehouse) rewrites them. */
   private val bucketedTables =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
+
+  /** (session, path) pairs whose hkey-indexed layout copy is already
+    * written — see q_layout_range. Same write-once contract as
+    * [[bucketedTables]]: the pattern's point is paying the sort at
+    * write time, so the bench times the pruned read, not the write. */
+  private val indexedTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
@@ -438,6 +446,10 @@ object SparkEntry {
         graft.streaming.Sessionize.project(events(s, dir)))),
     // one definition, batch or stream: the oracle-gated batch twin of
     // the watermarked tumbling-window streaming aggregation
+    // stream-stream interval join, batch twin (the same definition
+    // runs on two readStream frames; StreamingSpec asserts equality)
+    "q_join_stream" -> ((s, dir) =>
+      graft.streaming.StreamJoin.attribution(events(s, dir), events(s, dir))),
     "q_events_tumbling" -> ((s, dir) =>
       graft.streaming.TumblingAgg.agg(events(s, dir))),
     "q_agg_cube" -> ((s, dir) => {
@@ -567,6 +579,31 @@ object SparkEntry {
       Layout.writeMortonOrdered(table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
       s.read.parquet(path)
         .filter(col("l_partkey").between(400, 599) && col("l_suppkey").between(20, 69))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // curve-RANGE query: the indexed complement of q_layout_filter.
+    // The table is written ONCE per (session, dir) Hilbert-sorted WITH
+    // the key column kept; the 2-D box is decomposed driver-side into
+    // contiguous hkey ranges (CurveRanges — data-independent,
+    // microseconds) that push into the scan as Or'd BETWEENs on the
+    // ONE sorted column, so pruning rides the sort column's own footer
+    // stats instead of per-dimension min/max. The exact box predicates
+    // are re-checked (ranges prune, they never decide), so the result
+    // set equals filtering the source — which is what the oracle does.
+    "q_layout_range" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout_idx/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Layout.writeHilbertIndexed(
+          table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
+      })
+      val rs = CurveRanges.ranges(hilbert = true,
+        Array(100L, 10L), Array(349L, 39L), bits = 32, maxRanges = 64)
+      s.read.parquet(path)
+        .filter(Layout.curveRangePredicate(col("hkey"), rs) &&
+          col("l_partkey").between(100, 349) && col("l_suppkey").between(10, 39))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
@@ -720,6 +757,9 @@ object SparkEntry {
     "q_layout_morton" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
         |WHERE l_partkey BETWEEN 400 AND 599 AND l_suppkey BETWEEN 20 AND 69""".stripMargin,
+    "q_layout_range" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 349 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
     "q_events_window" -> EventSql.eventsWindow,
     "q_events_setop" -> EventSql.setOp(95),
@@ -727,6 +767,7 @@ object SparkEntry {
     "q_join_salted" -> EventSql.joinSalted,
     "q_sessionize" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
     "q_events_tumbling" -> EventSql.eventsTumbling(graft.streaming.TumblingAgg.WindowUs),
+    "q_join_stream" -> EventSql.streamAttribution(graft.streaming.StreamJoin.HorizonUs),
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),

@@ -33,6 +33,21 @@ object EventSql {
        |  CAST(sum(k) AS BIGINT) AS sum_k
        |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of graft.streaming.StreamJoin.attribution on static
+    * frames: view→purchase pairs of the same user with
+    * 0 <= lag <= horizon. Timestamps are µs-truncated (epoch_us on
+    * TIMESTAMP_NS == Spark's ns // 1000) BEFORE the comparison, so
+    * boundary rows agree bit-for-bit; lag stays BIGINT (no window
+    * sum, no HUGEINT widening). */
+  def streamAttribution(horizonUs: Long): String =
+    s"""WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vus
+       |  FROM events WHERE event_type = 'view'),
+       |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pus
+       |  FROM events WHERE event_type = 'purchase')
+       |SELECT v.view_id, p.purchase_id, v.user_id, p.pus - v.vus AS lag_us
+       |FROM v JOIN p USING (user_id)
+       |WHERE p.pus >= v.vus AND p.pus - v.vus <= $horizonUs""".stripMargin
+
   /** Mirror of the q_join_salted result: the salt is internal to the
     * Spark operator (graft.operators.SaltedJoin), so the oracle is
     * simply the UNSALTED join — that equality is the operator's

@@ -56,6 +56,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batched)
   }
 
+  test("stream-stream interval join matches the batch attribution") {
+    val inDir = Files.createTempDirectory("graft_stream_join_in")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val batch = spark.read.parquet(inDir.toString)
+    val schema = batch.schema
+    def stream() =
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inDir.toString)
+
+    // the PRODUCT definition, once on two streams, once on two batches
+    val q = StreamJoin.attribution(stream(), stream())
+      .writeStream.format("memory").queryName("ev_attr")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("ev_attr").collect().map(key).sorted.toSeq
+    val batched = StreamJoin.attribution(batch, batch).collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+  }
+
   test("curve expressions run unchanged inside a streaming projection") {
     import graft.functions.Curves
     val inDir = Files.createTempDirectory("graft_stream_curve")
