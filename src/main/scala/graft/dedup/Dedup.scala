@@ -355,6 +355,57 @@ object Dedup {
         (col("loc") % locBase).as("keep_chunk"))
   }
 
+  /** Boilerplate REMOVAL — the corpus-rewriting complement of
+    * [[chunkDupes]] (which only reports duplicates): drop every token
+    * window whose text appears in more than `maxDf` distinct documents
+    * (headers, footers, license blocks, navigation chrome — the CCNet/
+    * RefinedWeb cleaning step), and reassemble each document from its
+    * surviving chunks in order. Output: (doc_id, clean_text,
+    * n_dropped) for EVERY input document (a fully-boilerplate doc
+    * comes back with clean_text = "" — callers drop or keep by
+    * n_dropped, the operator never loses rows).
+    *
+    * Shape at 100 TB: chunking is the same narrow projection as
+    * [[chunkDupes]]; the df count is one partial-agg'd hash shuffle on
+    * chunk hash; the boilerplate dictionary (chunks with df > maxDf)
+    * is then BROADCAST for the membership probe, and reassembly is one
+    * groupBy(doc_id) with an in-group array_sort. Broadcast
+    * boundedness CONTRACT: distinct chunks exceeding maxDf docs number
+    * at most totalChunks / maxDf, and boilerplate is by definition the
+    * thin head of the chunk-frequency distribution — production tunes
+    * maxDf so the dictionary is ≪ corpus (it is 15 chunks at sf0.01);
+    * a corpus where it is not (maxDf too low) should raise maxDf or
+    * swap the broadcast for a shuffled anti-join with AQE skew
+    * handling, trading the hot-chunk reducer for dictionary size. Only
+    * hashes travel in the broadcast, not chunk text. */
+  def removeBoilerplate(docs: DataFrame, chunkTokens: Int = 10, maxDf: Int = 2,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(chunkTokens > 0 && maxDf >= 1, s"chunkTokens=$chunkTokens maxDf=$maxDf")
+    val toks = TextFunctions.tokens(col(textCol))
+    val nChunks = TextFunctions.intDiv(
+      size(toks).cast("long") + (chunkTokens - 1), lit(chunkTokens.toLong))
+    val chunks = docs.select(
+        col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
+          concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"), lit(chunkTokens)))))
+          .as(Seq("chunk_idx", "chunk")))
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+    val boiler = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") > maxDf)
+      .select(col("chunk_hash"), lit(true).as("bp"))
+    chunks
+      .join(broadcast(boiler), Seq("chunk_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        concat_ws(" ", transform(
+          array_sort(collect_list(
+            when(col("bp").isNull, struct(col("chunk_idx"), col("chunk"))))),
+          s => s.getField("chunk"))).as("clean_text"),
+        count(col("bp")).as("n_dropped"))
+  }
+
   /** Parameters for [[substrPairs]]. Guarantee: any passage of at
     * least `w + k - 1` tokens (11 at the defaults) shared VERBATIM
     * between two documents — at ANY offset in either — produces at
@@ -442,15 +493,22 @@ object Dedup {
     * [[graft.similarity.Similarity.cosinePairs]] — as long as the two
     * id columns share a key space.
     *
-    * Shape at 100 TB: each round is one equi-join (labels into edges)
-    * plus one partial hash aggregation (min per node) — no driver-side
-    * graph, no all-pairs stage; rounds needed = the pair graph's
-    * diameter. Near-dup graphs keep that small by construction: LSH
-    * buckets emit cliques (diameter 1) and over-cap buckets emit stars
-    * (diameter 2; [[cappedBucketPairs]]), so components converge in a
-    * handful of rounds — the same regime where published MapReduce
-    * connected-components algorithms (Kiveris et al. 2014's
-    * two-phase / star contractions) operate. Convergence is checked,
+    * Shape at 100 TB, two regimes by pair-graph size
+    * ([[LocalSolveEdges]]): below the threshold the collapse is an
+    * exact driver-side union-find (pair graphs are duplicate-sized,
+    * not corpus-sized — the bounded endgame, like a broadcast join's
+    * small side); above it, distributed supersteps of [[SubSteps]]
+    * fused equi-join + partial-min-aggregation propagation sub-steps
+    * plus one pointer-jump join (see the superstep comment in the
+    * loop) — no all-pairs stage; materialized rounds needed ≈
+    * (min-node eccentricity) / SubSteps. LSH bucket graphs keep that
+    * ≤ 1 by construction (cliques and stars from
+    * [[cappedBucketPairs]]); THRESHOLD pair graphs (semantic dedup's
+    * near-threshold cosine chains, measured eccentricity 14 at sf0.1)
+    * converge in a handful — the same regime where published
+    * MapReduce connected-components algorithms (Kiveris et al. 2014's
+    * two-phase / star contractions) operate. Both branches reach the
+    * identical fixpoint (asserted in DedupSpec). Convergence is checked,
     * not assumed (one count per round), and each round's labels are
     * eagerly localCheckpoint'ed: an iterative plan whose input is its
     * own previous output doubles its lineage every round — truncating
@@ -470,12 +528,59 @@ object Dedup {
     * records the value per scale factor). */
   @volatile var lastConvergenceRounds: Int = 0
 
+  /** Propagation sub-steps fused into each materialized job of
+    * [[connectedComponents]] — see the superstep comment in the loop. */
+  val SubSteps: Int = 3
+
+  /** Edge-count threshold below which [[connectedComponents]] solves
+    * the component collapse on the driver with an exact union-find
+    * instead of iterating distributed label rounds. Near-dup pair
+    * graphs are orders of magnitude smaller than the corpus (pairs ∝
+    * actual duplicates), and each distributed round costs fixed
+    * job/barrier overhead regardless of size — at sf0.1 the semantic
+    * chain graph (748 edges, min-eccentricity 14) spent ~10 s on
+    * rounds a union-find solves in microseconds. 5M edges is ~80 MB
+    * of longs on the driver — the same driver-memory-bounded endgame
+    * trade Spark itself makes for broadcast joins; graphs above the
+    * threshold take the fully-distributed loop, identical fixpoint
+    * (asserted for both branches in DedupSpec). */
+  val LocalSolveEdges: Long = 5000000L
+
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
-      maxRounds: Int = 50): DataFrame = {
+      maxRounds: Int = 50, localSolveEdges: Long = LocalSolveEdges): DataFrame = {
     val edges = pairs
       .select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEdges = edges.count() // also materializes the persist once
+    if (nEdges <= localSolveEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      edges.unpersist()
+      // union-find with path halving; component label = min member id
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) {
+          val p = parent(x)
+          parent(x) = parent.getOrElse(p, p)
+          x = parent(x)
+        }
+        x
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      lastConvergenceRounds = 0
+      // roots are already component minima: unions always point the
+      // larger root at the smaller
+      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+        .toDF("id", "lbl")
+    }
     // initial label = min(id, min neighbor) — the first propagation
     // round fused into initialization (one aggregate instead of a
     // distinct + a join round)
@@ -498,10 +603,35 @@ object Dedup {
     var changed = true
     var rounds = 0
     while (changed && rounds < maxRounds) {
-      val incoming = edges.join(labels, edges("src") === labels("id"))
-        .select(col("dst").as("id"), col("lbl"))
-      val next = labels.union(incoming)
-        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+      // SUPERSTEP: several propagation sub-steps composed LAZILY into
+      // one materialized job. Convergence needs (eccentricity of the
+      // component's min-id node) propagation steps — ≤2 for LSH bucket
+      // graphs (cliques/stars) but 14 measured for semantic dedup's
+      // near-threshold cosine chain graph at sf0.1 — while the cost of
+      // a round on these pair graphs (orders smaller than the corpus)
+      // is dominated by fixed job/checkpoint overhead, not data. So
+      // run `SubSteps` of them per job: same fixpoint, same result,
+      // ~SubSteps× fewer barriers on long-diameter graphs; the plan
+      // stays bounded (SubSteps joins+aggs, then the checkpoint
+      // truncates). Each sub-step re-aliases its output columns so the
+      // edges frame joined at every level keeps attribute resolution
+      // unambiguous.
+      var cur = labels
+      for (_ <- 1 to SubSteps) {
+        val incoming = edges.join(cur, edges("src") === cur("id"))
+          .select(col("dst").as("id"), col("lbl"))
+        cur = cur.union(incoming)
+          .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+          .select(col("id").as("id"), col("lbl").as("lbl"))
+      }
+      // pointer jump through the previous CHECKPOINTED table
+      // (lbl <- min(lbl, labels_prev(lbl))): a cheap extra join that
+      // shortcuts stale label chains where ids correlate with graph
+      // position; disjoint lineage, so no ambiguous self-join.
+      val jump = labels.select(col("id").as("jid"), col("lbl").as("jlbl"))
+      val next = cur.join(jump, cur("lbl") === jump("jid"), "left")
+        .select(cur("id"),
+          least(cur("lbl"), coalesce(col("jlbl"), cur("lbl"))).as("lbl"))
         .localCheckpoint(false)
       val nextSum = lblSum(next)
       changed = nextSum != prevSum
@@ -510,8 +640,9 @@ object Dedup {
       rounds += 1
     }
     require(!changed,
-      s"connectedComponents did not converge in $maxRounds rounds — " +
-        "pair graph has a longer path than any LSH bucket structure produces")
+      s"connectedComponents did not converge in $maxRounds supersteps " +
+        s"(${maxRounds * SubSteps} propagation steps) — no near-dup " +
+        "pair graph has components that elongated")
     lastConvergenceRounds = rounds
     edges.unpersist()
     labels

@@ -334,11 +334,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("connected components: label propagation crosses multi-hop paths") {
     import spark.implicits._
     // a 9-node path (diameter 8) exercises the convergence loop beyond
-    // the clique/star shapes LSH usually emits
+    // the clique/star shapes LSH usually emits — in BOTH regimes
     val path = (1L to 8L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(path)
+    val want = (1L to 9L).map(_ -> 1L).toMap
+    val local = Dedup.connectedComponents(path)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels == (1L to 9L).map(_ -> 1L).toMap)
+    assert(local == want)
+    val distributed = Dedup.connectedComponents(path, localSolveEdges = -1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(distributed == want)
+  }
+
+  test("connected components: local union-find == distributed supersteps on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(19)
+    // random sparse graph over scrambled ids: chains, small cliques,
+    // isolated pairs — the threshold-graph shapes semantic dedup emits
+    val ids = rnd.shuffle((1L to 120L).toVector)
+    val es = (0 until 90).map { _ =>
+      val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+      (math.min(a, b), math.max(a, b) + 1) // +1 avoids self loops after min/max
+    }
+    val pairs = es.toDF("doc_a", "doc_b")
+    def run(thresh: Long) = Dedup.connectedComponents(pairs, localSolveEdges = thresh)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(run(Long.MaxValue) == run(-1L))
   }
 
   test("clusters: canonical assignment equals brute-force closure of minhash pairs") {
@@ -366,6 +386,26 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got == expected.map { case (d, c) => d -> ((c, sizes(c))) })
     // sanity: the planted structure actually exercised the operator
     assert(expected(3L) == 1L && expected(2L) == 1L)
+  }
+
+  test("boilerplate removal: >maxDf chunks stripped, docs reassembled in order, no rows lost") {
+    // chunk size 2, maxDf 2: "HDR X" opens 3 docs (boilerplate);
+    // "t1 u1".."t3 u3" are unique bodies; doc 4 is ALL boilerplate;
+    // doc 5 shares a chunk with doc 1 only (df 2 <= maxDf -> kept)
+    val df = docs(
+      (1L, "HDR X t1 u1 s1 s2"),
+      (2L, "HDR X t2 u2"),
+      (3L, "HDR X t3 u3"),
+      (4L, "HDR X"),
+      (5L, "s1 s2 t5 u5"))
+    val out = Dedup.removeBoilerplate(df, chunkTokens = 2, maxDf = 2)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out.size == 5) // every doc present
+    assert(out(1L) == (("t1 u1 s1 s2", 1L)))
+    assert(out(2L) == (("t2 u2", 1L)))
+    assert(out(3L) == (("t3 u3", 1L)))
+    assert(out(4L) == (("", 1L))) // fully boilerplate -> empty, not lost
+    assert(out(5L) == (("s1 s2 t5 u5", 0L))) // df-2 chunk kept
   }
 
   test("substring dedup: offset-shifted passage caught where chunk dedup misses it") {
