@@ -281,6 +281,22 @@ object SparkEntry {
 
     // Gopher-style quality filtering signals (repetition = duplicate
     // 3-shingle ratio; case/digit character ratios), exact integer ppm
+    // PII scrub: the corpus has no organic PII, so inject doc_id-
+    // derived email/phone/IP deterministically (same expression in the
+    // oracle), then redact — the real operator is the regex scrub, a
+    // narrow codegen'd projection
+    "q_redact_pii" -> ((s, dir) => {
+      val h6 = substring(md5(col("doc_id").cast("string").cast("binary")), 1, 6)
+      val p4 = lpad(pmod(col("doc_id") * 7919, lit(10000)).cast("string"), 4, "0")
+      val aug = concat(coalesce(col("text"), lit("")), lit(" contact "), h6,
+        lit("@example.com or 555-123-"), p4,
+        lit(" from 10."), pmod(col("doc_id"), lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id") * 3, lit(256)).cast("string"), lit("."),
+        pmod(col("doc_id") * 7, lit(256)).cast("string"))
+      table(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.piiCount(aug).as("n_pii"),
+        TextFunctions.redactPii(aug).as("redacted"))
+    }),
     "q_text_quality" -> ((s, dir) => {
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -340,6 +356,10 @@ object SparkEntry {
     // exact substring dedup: verbatim token runs >= w+k-1 shared at
     // ARBITRARY offsets (winnowing anchors; chunk dedup only catches
     // runs that happen to align with its fixed windows)
+    // boilerplate REMOVAL: the corpus-rewriting complement of chunk
+    // dedup — every doc comes back with its >maxDf-df windows stripped
+    "q_clean_boilerplate" -> ((s, dir) =>
+      Dedup.removeBoilerplate(table(s, dir, "documents"))),
     "q_dedup_substr" -> ((s, dir) =>
       Dedup.substrPairs(table(s, dir, "documents"))),
     // incremental (ingest-time) near-dedup: new batch (= test split)
@@ -599,8 +619,12 @@ object SparkEntry {
         Layout.writeHilbertIndexed(
           table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
       })
+      // maxRanges 16: LayoutBench measured identical row-group skip to
+      // the exact 58-range decomposition at a third of the Or'd-
+      // predicate evaluation cost (BASELINE.md) — wider ranges only
+      // admit false positives the exact predicates drop
       val rs = CurveRanges.ranges(hilbert = true,
-        Array(100L, 10L), Array(349L, 39L), bits = 32, maxRanges = 64)
+        Array(100L, 10L), Array(349L, 39L), bits = 32, maxRanges = 16)
       s.read.parquet(path)
         .filter(Layout.curveRangePredicate(col("hkey"), rs) &&
           col("l_partkey").between(100, 349) && col("l_suppkey").between(10, 39))
@@ -703,6 +727,7 @@ object SparkEntry {
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),
     "q_text_quality" -> DocSql.textQuality(3),
+    "q_redact_pii" -> DocSql.redactPii,
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_vocab" -> DocSql.vocabulary(20),
@@ -734,6 +759,7 @@ object SparkEntry {
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
+    "q_clean_boilerplate" -> DocSql.removeBoilerplate(10, 2),
     "q_dedup_substr" -> DocSql.substrPairs(Dedup.SubstrParams()),
     "q_dedup_incr" -> DocSql.incrementalPairs(Dedup.MinHashParams(),
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L), "train", "test"),

@@ -244,6 +244,55 @@ object DocSql {
        |SELECT g.chunk_hash, n_copies, n_docs, keep_doc, keep_chunk
        |FROM g JOIN f USING (chunk_hash) WHERE n_copies > 1""".stripMargin
 
+  /** Mirror of Dedup.removeBoilerplate: chunkDupes' chunking, df on
+    * the chunk hash, surviving chunks reassembled in chunk order.
+    * string_agg skips the CASE-NULLed boilerplate chunks; the coalesce
+    * covers an all-boilerplate doc (Spark's concat_ws over an empty
+    * collect_list is ''). */
+  def removeBoilerplate(w: Int, maxDf: Int): String =
+    s"""WITH $docsToks,
+       |c AS (SELECT doc_id,
+       |  unnest(generate_series(0, (len(toks) + ${w - 1}) // $w - 1)) AS chunk_idx,
+       |  toks FROM d),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |  array_to_string(toks[chunk_idx * $w + 1 : chunk_idx * $w + $w], ' ') AS chunk
+       |  FROM c),
+       |h AS (SELECT doc_id, chunk_idx, chunk, md5(chunk) AS chunk_hash FROM ch),
+       |b AS (SELECT chunk_hash, true AS bp FROM h GROUP BY 1
+       |  HAVING count(DISTINCT doc_id) > $maxDf)
+       |SELECT h.doc_id,
+       |  coalesce(string_agg(CASE WHEN b.bp IS NULL THEN h.chunk END,
+       |    ' ' ORDER BY h.chunk_idx), '') AS clean_text,
+       |  CAST(count(b.bp) AS BIGINT) AS n_dropped
+       |FROM h LEFT JOIN b USING (chunk_hash)
+       |GROUP BY 1""".stripMargin
+
+  /** Mirror of TextFunctions.redactPii over the same deterministically
+    * PII-augmented text (the synthetic corpus contains no organic PII,
+    * so the query injects doc_id-derived email/phone/IP on BOTH
+    * engines, then scrubs). Patterns come from the ONE shared list
+    * (`TextFunctions.PiiPatterns`) — chosen to behave identically
+    * under Java regex and RE2; replacement order mirrors the Spark
+    * fold (emails first). DuckDB regexp_replace needs the 'g' flag for
+    * global replace (Spark replaces all matches by default). */
+  def redactPii: String = {
+    val Seq((email, eTag), (phone, pTag), (ip, iTag)) =
+      graft.text.TextFunctions.PiiPatterns
+    s"""WITH a AS (SELECT doc_id,
+       |  coalesce(text, '') || ' contact ' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 6) ||
+       |  '@example.com or 555-123-' || lpad(CAST(doc_id * 7919 % 10000 AS VARCHAR), 4, '0') ||
+       |  ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+       |  CAST(doc_id * 3 % 256 AS VARCHAR) || '.' || CAST(doc_id * 7 % 256 AS VARCHAR) AS aug
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(aug, '$email')) +
+       |    len(regexp_extract_all(aug, '$phone')) +
+       |    len(regexp_extract_all(aug, '$ip')) AS BIGINT) AS n_pii,
+       |  regexp_replace(regexp_replace(regexp_replace(aug,
+       |    '$email', '$eTag', 'g'), '$phone', '$pTag', 'g'), '$ip', '$iTag', 'g') AS redacted
+       |FROM a""".stripMargin
+  }
+
   /** Mirror of CorpusOps.tokenizeToIds: same vocab total order for id
     * assignment, same md5-bucket OOV hashing, sequence rebuilt with an
     * ordered list aggregate. */

@@ -141,6 +141,32 @@ object TextFunctions {
     * across runs, engines, and cluster layouts), never on row order or
     * partitioning. Buckets must be <= 2^24 so the 8-hex-digit md5
     * prefix is uniform over them. */
+  /** PII patterns for [[redactPii]] / [[piiCount]] — deliberately
+    * conservative character-class regexes with identical semantics
+    * under Java regex (Spark) and RE2 (DuckDB): no lookaround, no
+    * backreferences, no engine-specific classes. Order matters:
+    * emails are replaced FIRST so their dotted domains can never be
+    * re-matched by the IP pattern; phones (dashes) and IPs (dots) are
+    * disjoint by construction. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("\\d{3}-\\d{3}-\\d{4}", "<PHONE>"),
+    ("\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}", "<IP>"))
+
+  /** `text` with every email / phone / IPv4 match replaced by its tag
+    * — the standard pre-training scrub step. A narrow codegen'd
+    * projection: no shuffle, no UDF. */
+  def redactPii(text: Column): Column =
+    PiiPatterns.foldLeft(coalesce(text, lit(""))) { case (c, (re, tag)) =>
+      regexp_replace(c, lit(re), lit(tag))
+    }
+
+  /** Number of PII matches in `text` (counted BEFORE any replacement,
+    * on the same patterns). */
+  def piiCount(text: Column): Column =
+    PiiPatterns.map { case (re, _) => regexp_count(coalesce(text, lit("")), lit(re)) }
+      .reduce(_ + _).cast("long")
+
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= (1 << 24), "buckets must be in [1, 2^24]")
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)

@@ -71,6 +71,20 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("boilerplate removal: dictionary probe is a broadcast join, no shuffle join") {
+    val p = plan("q_clean_boilerplate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("pii redaction: a narrow codegen'd projection — no exchange, no join") {
+    val p = plan("q_redact_pii")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the simple string
+    assert(p.contains("*(1) Project"), p)
+  }
+
   test("layout read: both range predicates pushed into the parquet scan") {
     val p = plan("q_layout_filter") // includes the curve-ordered write
     assert(p.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), " +

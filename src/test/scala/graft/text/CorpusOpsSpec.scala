@@ -151,6 +151,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("redactPii: emails, phones, IPs tagged; counts match; clean text untouched") {
+    val df = docs(
+      (1L, "write bob.smith+x@mail-host.co.uk or call 555-123-0042 from 10.1.2.3 ok"),
+      (2L, "no pii here just words"),
+      (3L, "almost: user@host (no tld dot), 55-123-0042, 10.1.2"))
+      .select(col("doc_id"),
+        TextFunctions.piiCount(col("text")).as("n"),
+        TextFunctions.redactPii(col("text")).as("r"))
+    val m = df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(m(1L) == ((3L, "write <EMAIL> or call <PHONE> from <IP> ok")))
+    assert(m(2L) == ((0L, "no pii here just words")))
+    // user@host has no dotted TLD, 55- is short a digit, 10.1.2 short an octet
+    assert(m(3L)._1 == 0L && m(3L)._2 == "almost: user@host (no tld dot), 55-123-0042, 10.1.2")
+  }
+
   test("rarityScore: hand-computed mean inverse df") {
     // dfs: a->3, b->2, c->1; inv: a->333333, b->500000, c->1000000
     val out = CorpusOps.rarityScore(
