@@ -78,15 +78,37 @@ object LayoutBench {
     val (rgM, skipM) = Layout.countSkippable(mortonPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
     val (rgN, skipN) = Layout.countSkippable(naturalPath, "l_partkey", loP, hiP, "l_suppkey", loS, hiS)
 
+    // key-indexed variant (q_layout_range's path): same box as
+    // CurveRanges ranges on the ONE stored hkey column — skip measured
+    // against the sort column's own footer stats
+    val idxPath = s"$base/indexed"
+    val tWriteI = timed(Layout.writeHilbertIndexed(li, Seq("l_partkey", "l_suppkey"), idxPath))
+    val ranges = graft.core.CurveRanges.ranges(hilbert = true,
+      Array(loP, loS), Array(hiP, hiS), bits = 32, maxRanges = 16)
+    def filteredIdx(): DataFrame =
+      spark.read.parquet(idxPath)
+        .filter(Layout.curveRangePredicate(col("hkey"), ranges) &&
+          col("l_partkey").between(loP, hiP) && col("l_suppkey").between(loS, hiS))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    noop(filteredIdx())
+    val tScanI = timed(noop(filteredIdx()))
+    val rgsI = Layout.rowGroupRanges(idxPath, "hkey")
+    val skipI = rgsI.count { case (mn, mx, _) =>
+      !ranges.exists { case (a, b) =>
+        (a ^ Long.MinValue) <= mx && (b ^ Long.MinValue) >= mn
+      }
+    }
+
     val json =
       s"""{"metric":"layout","rows":$nRows,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""encode_rows_per_sec":{"hilbert_2d32":${(nRows / tH2).toLong},""" +
         s""""morton_2d32":${(nRows / tM2).toLong},"hilbert_4d16":${(nRows / tH4).toLong}},""" +
-        s""""write_sec":{"hilbert_ordered":$tWriteH,"morton_ordered":$tWriteM,"natural":$tWriteN},""" +
-        s""""filtered_scan_sec":{"hilbert_ordered":$tScanH,"morton_ordered":$tScanM,"natural":$tScanN},""" +
+        s""""write_sec":{"hilbert_ordered":$tWriteH,"morton_ordered":$tWriteM,"natural":$tWriteN,"hilbert_indexed":$tWriteI},""" +
+        s""""filtered_scan_sec":{"hilbert_ordered":$tScanH,"morton_ordered":$tScanM,"natural":$tScanN,"hilbert_indexed_ranges":$tScanI},""" +
         s""""row_groups":{"hilbert":{"total":$rgH,"skippable":$skipH},""" +
         s""""morton":{"total":$rgM,"skippable":$skipM},""" +
-        s""""natural":{"total":$rgN,"skippable":$skipN}}}"""
+        s""""natural":{"total":$rgN,"skippable":$skipN},""" +
+        s""""indexed_hkey_ranges":{"total":${rgsI.size},"skippable":$skipI,"n_ranges":${ranges.size}}}}"""
     Files.writeString(Paths.get("layout_result.json"), json + "\n")
     println(json)
     spark.stop()
