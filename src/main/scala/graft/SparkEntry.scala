@@ -416,6 +416,16 @@ object SparkEntry {
     // pivot (the relational rotate): per user_id%10 bucket, one count
     // column per event type; absent combinations coalesced to 0 so the
     // conditional-aggregation oracle matches exactly
+    // numeric profiling: per-type equi-width histogram of `value`.
+    // bucket = floor(value / width) — one IEEE division + exact floor,
+    // identical on any engine; the top bucket clamps the tail. min/max
+    // are exact selections (no float summation — repo convention).
+    "q_events_hist" -> ((s, dir) => {
+      val b = least(floor(col("value") / lit(25.0)), lit(19.0)).cast("long")
+      events(s, dir)
+        .groupBy(col("event_type"), b.as("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"), max(col("value")).as("hi"))
+    }),
     "q_events_pivot" -> ((s, dir) => {
       val types = Seq("click", "error", "purchase", "signup", "view")
       events(s, dir)
@@ -631,6 +641,24 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // Morton twin of q_layout_range — CurveRanges decomposes for either
+    // curve; same prune-vs-decide contract, same oracle shape
+    "q_layout_range_z" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout_zidx/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Layout.writeMortonIndexed(
+          table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
+      })
+      val rs = CurveRanges.ranges(hilbert = false,
+        Array(100L, 10L), Array(349L, 39L), bits = 32, maxRanges = 16)
+      s.read.parquet(path)
+        .filter(Layout.curveRangePredicate(col("zkey"), rs) &&
+          col("l_partkey").between(100, 349) && col("l_suppkey").between(10, 39))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // co-located bucketed join: both sides written bucketed on doc_id,
     // so the join plans with ZERO exchanges (asserted in
     // BucketedJoinSpec) — the write-once-join-forever layout pattern;
@@ -786,7 +814,11 @@ object SparkEntry {
     "q_layout_range" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 349 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
+    "q_layout_range_z" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 349 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
+    "q_events_hist" -> EventSql.eventsHist(25.0, 19),
     "q_events_window" -> EventSql.eventsWindow,
     "q_events_setop" -> EventSql.setOp(95),
     "q_join_asof" -> EventSql.asofJoin,

@@ -66,12 +66,24 @@ object Layout {
     * longer depends on per-dimension footer stats being selective. */
   def writeHilbertIndexed(df: DataFrame, keyCols: Seq[String], path: String,
       keyName: String = "hkey", rowGroupBytes: Long = 1L << 20): Unit =
-    df.withColumn(keyName,
-        Curves.hilbertSortKey(keyCols.map(c => col(c).cast("int")): _*))
+    writeIndexed(df, keyCols, path, keyName, rowGroupBytes, hilbert = true)
+
+  /** Morton twin of [[writeHilbertIndexed]] — [[graft.core.CurveRanges]]
+    * decomposes boxes for either curve. */
+  def writeMortonIndexed(df: DataFrame, keyCols: Seq[String], path: String,
+      keyName: String = "zkey", rowGroupBytes: Long = 1L << 20): Unit =
+    writeIndexed(df, keyCols, path, keyName, rowGroupBytes, hilbert = false)
+
+  private def writeIndexed(df: DataFrame, keyCols: Seq[String], path: String,
+      keyName: String, rowGroupBytes: Long, hilbert: Boolean): Unit = {
+    val cols = keyCols.map(c => col(c).cast("int"))
+    val key = if (hilbert) Curves.hilbertSortKey(cols: _*) else Curves.mortonSortKey(cols: _*)
+    df.withColumn(keyName, key)
       .orderBy(col(keyName))
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
+  }
 
   /** Predicate `keyCol` ∈ any of the u64 `ranges` (from
     * [[graft.core.CurveRanges.ranges]]). The stored sort key is

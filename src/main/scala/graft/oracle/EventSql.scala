@@ -33,6 +33,16 @@ object EventSql {
        |  CAST(sum(k) AS BIGINT) AS sum_k
        |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** Per-type equi-width histogram of `value`: bucket = one IEEE
+    * double division + exact floor (identical across engines), top
+    * bucket clamps the tail; count is exact, min/max are selections
+    * of stored doubles, never float sums. */
+  def eventsHist(width: Double, maxBucket: Long): String =
+    s"""SELECT event_type,
+       |  CAST(least(floor(value / $width), $maxBucket) AS BIGINT) AS bucket,
+       |  count(*) AS n, min(value) AS lo, max(value) AS hi
+       |FROM events GROUP BY 1, 2""".stripMargin
+
   /** Mirror of graft.streaming.StreamJoin.attribution on static
     * frames: view→purchase pairs of the same user with
     * 0 <= lag <= horizon. Timestamps are µs-truncated (epoch_us on
