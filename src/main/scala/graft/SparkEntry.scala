@@ -338,6 +338,11 @@ object SparkEntry {
 
     // SemDeDup (Abbas et al. 2023): within-coarse-cluster near-dup
     // groups, one representative kept per group; seeded -> oracle-gated
+    // MMR-diversified top-k: greedy lambda=1/2 re-rank of the
+    // relevance shortlist, the whole selection one HOF expression
+    "q_sim_mmr" -> ((s, dir) =>
+      Similarity.mmrTopK(table(s, dir, "embeddings"),
+        col("vec_id") % 50 === 0, k = 8, fetch = 32)),
     "q_dedup_semantic" -> ((s, dir) =>
       Similarity.semanticDedup(table(s, dir, "embeddings"))),
 
@@ -751,6 +756,7 @@ object SparkEntry {
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     "q_dedup_semantic" -> SimSql.semanticDedup(16, 49, 400, 256),
+    "q_sim_mmr" -> SimSql.mmrTopK(50, 8, 32),
     "q_text_stats" -> DocSql.textStats,
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),

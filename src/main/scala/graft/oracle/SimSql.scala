@@ -30,6 +30,48 @@ object SimSql {
        |  FROM s)
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of Similarity.mmrTopK: relevance shortlist (bruteForce
+    * shape, top `fetch`), then the greedy lambda=1/2 MMR selection
+    * unrolled into `k` list-expression layers — the same exact
+    * integer math as the Spark higher-order-function expression. The
+    * first pick is always shortlist position 1 (empty selected set =>
+    * score = relevance, and the shortlist is relevance-ordered); each
+    * later layer picks argmax of rel - max_selected(sim) with ties to
+    * the EARLIER position, via a struct sort on (-score, position). */
+  def mmrTopK(probeMod: Int, k: Int, fetch: Int): String = {
+    val pick =
+      "list_sort([{'s': -(rels[j] - list_max([D[j][p] for p in sel])), 'j': j} " +
+        "for j in generate_series(1, len(rels)) if NOT list_contains(sel, j)])[1].j"
+    val layers = (2 to k).map { i =>
+      s"sel$i AS (SELECT probe_id, ids, rels, D, list_append(sel, $pick) AS sel FROM sel${i - 1})"
+    }.mkString(",\n")
+    s"""WITH $qCte,
+       |p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id % $probeMod = 0),
+       |s AS (SELECT probe_id, q.vec_id AS neighbor_id, ${dotSql("pv", "qv")} AS dot_q
+       |  FROM p, q WHERE q.vec_id != p.probe_id),
+       |r AS (SELECT probe_id, neighbor_id, dot_q,
+       |    row_number() OVER (PARTITION BY probe_id ORDER BY dot_q DESC, neighbor_id) AS rnk
+       |  FROM s),
+       |j AS (SELECT r.probe_id, r.neighbor_id, r.dot_q, r.rnk, q.qv
+       |  FROM r JOIN q ON q.vec_id = r.neighbor_id WHERE r.rnk <= $fetch),
+       |garr AS (SELECT probe_id,
+       |    list(neighbor_id ORDER BY rnk) AS ids,
+       |    list(dot_q ORDER BY rnk) AS rels,
+       |    list(qv ORDER BY rnk) AS qvs
+       |  FROM j GROUP BY probe_id),
+       |m AS (SELECT probe_id, ids, rels,
+       |    [[CAST(list_sum([qvs[a][i] * qvs[b][i]
+       |        for i in generate_series(1, len(qvs[a]))]) AS BIGINT)
+       |      for b in generate_series(1, len(qvs))]
+       |     for a in generate_series(1, len(qvs))] AS D
+       |  FROM garr),
+       |sel1 AS (SELECT probe_id, ids, rels, D, [CAST(1 AS BIGINT)] AS sel FROM m),
+       |$layers
+       |SELECT probe_id, ids[sel[step]] AS neighbor_id, rels[sel[step]] AS rel_q,
+       |  CAST(step AS BIGINT) AS mmr_rank
+       |FROM sel$k, unnest(generate_series(1, $k)) AS u(step)""".stripMargin
+  }
+
   /** Banded curve-bucket ANN: `bands` 4-dim u8 Hilbert keys, bucket =
     * key >> bucketShift, +-1 multi-probe, exact re-rank over the
     * candidate set. Mirrors Similarity.annTopK stage for stage. */

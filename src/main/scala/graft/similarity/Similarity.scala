@@ -146,6 +146,75 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998's maximal
+    * marginal relevance) — the retrieval-diversification step a
+    * curation pipeline runs when plain top-k returns near-duplicates:
+    * greedily select k of the `fetch` most relevant neighbors, each
+    * step maximizing `2*MMR = rel(d) - max_{s selected} sim(d, s)`
+    * (lambda = 1/2 exactly, so doubled scores stay integers; rel and
+    * sim are the fixed-point dot products — deterministic, total
+    * tie-order by relevance rank).
+    *
+    * Shape at 100 TB: stage 1 is [[bruteForceTopK]]'s shortlist shape
+    * (corpus x broadcast probes, WindowGroupLimit partial top-fetch) —
+    * the only corpus-sized work; stage 2 collapses each probe's
+    * shortlist to ONE row of positional arrays and runs the whole
+    * greedy selection as a single builtin higher-order-function
+    * expression (aggregate over k steps, argmax over positions,
+    * zip_with dot products) — no UDF, no driver loop, no per-step
+    * action; per-probe cost is k * fetch * k * dims integer ops on
+    * fetch*(dims+2) longs of state. Swap stage 1 for any ANN variant
+    * ([[pqTopK]], [[ivfSeededTopK]]) at scale — stage 2 only sees the
+    * shortlist.
+    *
+    * Output: (probe_id, neighbor_id, rel_q, mmr_rank) — mmr_rank is
+    * the selection order, 1..k. */
+  def mmrTopK(emb: DataFrame, probePred: Column, k: Int, fetch: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && fetch >= k, s"need fetch >= k >= 1, got k=$k fetch=$fetch")
+    val shortlist = bruteForceTopK(emb, probePred, fetch, idCol, vecCol)
+      .join(emb.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("qv")),
+        "neighbor_id")
+    val g = shortlist
+      .groupBy(col("probe_id"))
+      .agg(array_sort(collect_list(
+        struct(col("rnk"), col("neighbor_id"), col("dot_q"), col("qv")))).as("arr"))
+
+    def entry(p: Column) = element_at(col("arr"), p + 1)
+    def qvAt(p: Column) = entry(p).getField("qv")
+    def relAt(p: Column) = entry(p).getField("dot_q")
+    def dotHof(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
+
+    // greedy selection as ONE expression: positions (0-based, in
+    // relevance order) of the k picks
+    val sel = aggregate(
+      sequence(lit(1), lit(k)),
+      array().cast("array<int>"),
+      (s, _) => {
+        val best = aggregate(
+          sequence(lit(0), size(col("arr")) - 1),
+          struct(lit(Long.MinValue).as("sc"), lit(-1).as("p")),
+          (b, j) => {
+            val maxSim = when(size(s) === 0, lit(0L)).otherwise(
+              aggregate(s, lit(Long.MinValue),
+                (m, p) => greatest(m, dotHof(qvAt(j), qvAt(p)))))
+            val score = relAt(j) - maxSim
+            // strict '>' keeps the earliest (most relevant) position
+            // on ties — a total, engine-independent order
+            when(!array_contains(s, j) && score > b.getField("sc"),
+              struct(score.as("sc"), j.cast("int").as("p"))).otherwise(b)
+          })
+        concat(s, array(best.getField("p")))
+      })
+
+    g.select(col("probe_id"), col("arr"), posexplode(sel).as(Seq("step", "pos")))
+      .select(col("probe_id"),
+        element_at(col("arr"), col("pos") + 1).getField("neighbor_id").as("neighbor_id"),
+        element_at(col("arr"), col("pos") + 1).getField("dot_q").as("rel_q"),
+        (col("step") + 1).cast("long").as("mmr_rank"))
+  }
+
   /** Parameters for [[cosinePairs]]. threshold tau is carried as the
     * exact rational tau^2 = thresholdNum/thresholdDen so the accept
     * test is pure integer math (defaults: 49/400 -> tau = 0.35, tuned

@@ -29,6 +29,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding")
   }
 
+  test("mmrTopK demotes the near-duplicate of an already-selected result") {
+    import spark.implicits._
+    // probe 0 points at x; 1 and 2 are near-identical high-relevance
+    // twins; 3 is less relevant but diverse. Plain top-k: 1, 2, 3.
+    // MMR (lambda=1/2): after picking 1, the twin's rel - sim score
+    // collapses, so the diverse 3 overtakes it -> 1, 3, 2.
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f)),
+      (1L, Seq(1.0f, 0.10f)),
+      (2L, Seq(1.0f, 0.11f)),
+      (3L, Seq(0.5f, -0.90f)))
+      .toDF("vec_id", "embedding")
+    val plain = Similarity.bruteForceTopK(emb, col("vec_id") === 0L, k = 3)
+      .orderBy("rnk").collect().map(_.getLong(1)).toSeq
+    assert(plain == Seq(1L, 2L, 3L))
+    val mmr = Similarity.mmrTopK(emb, col("vec_id") === 0L, k = 3, fetch = 3)
+      .orderBy("mmr_rank").collect().map(_.getLong(1)).toSeq
+    assert(mmr == Seq(1L, 3L, 2L))
+  }
+
   test("bruteForceTopK ranks same-cluster vectors first, excludes self") {
     val out = Similarity.bruteForceTopK(corpus(), col("vec_id") === 0L, k = 2)
       .orderBy("rnk").collect()
