@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{CreateArray, Expression, ExpressionInfo, Literal}
 import org.apache.spark.sql.graft.ColumnShims
@@ -272,6 +273,44 @@ object Curves {
     Examples:
       > SELECT _FUNC_(array(1L, 3L, 5L), array(3L, 4L, 5L));
        2
+  """),
+    FunctionDoc("redact_pii", (args: Seq[Expression]) => args match {
+      // built as resolved catalyst nodes (not via the Column API —
+      // a registry builder must return a resolvable tree, and Column
+      // nodes stay unresolved outside a DataFrame plan)
+      case Seq(t) =>
+        graft.text.TextFunctions.PiiPatterns.foldLeft[Expression](
+          catalyst.expressions.Coalesce(Seq(t, Literal("")))) {
+          case (e, (re, tag)) =>
+            catalyst.expressions.RegExpReplace(e, Literal(re), Literal(tag))
+        }
+      case other => throw new IllegalArgumentException(
+        s"redact_pii expects (text), got ${other.size} arguments")
+    }, "redact_pii(text) - text with emails/phones/IPv4s replaced by <EMAIL>/<PHONE>/<IP> tags",
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpReplace], "string_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_('mail bob@x.co or 555-123-0042');
+       mail <EMAIL> or <PHONE>
+  """),
+    FunctionDoc("pii_count", (args: Seq[Expression]) => args match {
+      case Seq(t) =>
+        val base = catalyst.expressions.Coalesce(Seq(t, Literal("")))
+        graft.text.TextFunctions.PiiPatterns
+          .map { case (re, _) =>
+            catalyst.expressions.Cast(
+              catalyst.expressions.RegExpCount(base, Literal(re)),
+              org.apache.spark.sql.types.LongType): Expression
+          }
+          .reduce[Expression]((a, b) => catalyst.expressions.Add(a, b))
+      case other => throw new IllegalArgumentException(
+        s"pii_count expects (text), got ${other.size} arguments")
+    }, "pii_count(text) - number of email/phone/IPv4 matches (counted before redaction)",
+      classOf[org.apache.spark.sql.catalyst.expressions.RegExpCount], "string_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_('mail bob@x.co or 555-123-0042 from 10.1.2.3');
+       3
   """))
 
   /** ExpressionInfo with usage + examples, so `DESCRIBE FUNCTION
