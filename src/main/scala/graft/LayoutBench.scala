@@ -99,6 +99,45 @@ object LayoutBench {
       }
     }
 
+    // 4-D: the dimensionality where key-range pruning should beat
+    // per-dimension footer stats — a curve-ordered row group is a
+    // compact 4-D cell whose per-dim bounding box intersects far more
+    // boxes than its actual curve interval (corner effects grow with
+    // n). Same box as q_layout_range_4d; both prune counts measured
+    // from the SAME footers.
+    val idx4Path = s"$base/indexed4"
+    Layout.writeHilbertIndexed(li,
+      Seq("l_partkey", "l_suppkey", "l_quantity", "l_linenumber"),
+      idx4Path, "hkey4", elemType = "smallint")
+    val box4 = Seq(("l_partkey", 2000L, 5999L), ("l_suppkey", 100L, 399L),
+      ("l_quantity", 10L, 29L), ("l_linenumber", 1L, 4L))
+    val ranges4 = graft.core.CurveRanges.ranges(hilbert = true,
+      Array(box4.map(_._2): _*), Array(box4.map(_._3): _*), bits = 16, maxRanges = 32)
+    // per-dimension stats: group skippable iff ANY dim's [min,max]
+    // misses the box (what a plain multi-column filter can use)
+    val dimRanges = box4.map { case (c, _, _) => Layout.rowGroupRanges(idx4Path, c) }
+    val nGroups4 = dimRanges.head.size
+    val skipPerDim = (0 until nGroups4).count { g =>
+      box4.zipWithIndex.exists { case ((_, lo, hi), d) =>
+        val (mn, mx, _) = dimRanges(d)(g); mx < lo || mn > hi
+      }
+    }
+    val keyRanges4 = Layout.rowGroupRanges(idx4Path, "hkey4")
+    def keySkips4(g: Int): Boolean = {
+      val (mn, mx, _) = keyRanges4(g)
+      !ranges4.exists { case (a, b) =>
+        (a ^ Long.MinValue) <= mx && (b ^ Long.MinValue) >= mn
+      }
+    }
+    val skipKey4 = (0 until nGroups4).count(keySkips4)
+    // the scan pushes BOTH filter families, so the reader's actual
+    // skip is their union
+    val skipBoth4 = (0 until nGroups4).count { g =>
+      keySkips4(g) || box4.zipWithIndex.exists { case ((_, lo, hi), d) =>
+        val (mn, mx, _) = dimRanges(d)(g); mx < lo || mn > hi
+      }
+    }
+
     val json =
       s"""{"metric":"layout","rows":$nRows,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""encode_rows_per_sec":{"hilbert_2d32":${(nRows / tH2).toLong},""" +
@@ -108,7 +147,10 @@ object LayoutBench {
         s""""row_groups":{"hilbert":{"total":$rgH,"skippable":$skipH},""" +
         s""""morton":{"total":$rgM,"skippable":$skipM},""" +
         s""""natural":{"total":$rgN,"skippable":$skipN},""" +
-        s""""indexed_hkey_ranges":{"total":${rgsI.size},"skippable":$skipI,"n_ranges":${ranges.size}}}}"""
+        s""""indexed_hkey_ranges":{"total":${rgsI.size},"skippable":$skipI,"n_ranges":${ranges.size}},""" +
+        s""""indexed_4d":{"total":$nGroups4,"skippable_per_dim_stats":$skipPerDim,""" +
+        s""""skippable_key_ranges":$skipKey4,"skippable_combined":$skipBoth4,""" +
+        s""""n_ranges":${ranges4.size}}}}"""
     Files.writeString(Paths.get("layout_result.json"), json + "\n")
     println(json)
     spark.stop()

@@ -646,6 +646,32 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // 4-DIMENSIONAL curve-range query: the regime where key-range
+    // pruning beats per-dimension footer stats — a row group is a
+    // compact 4-D cell whose per-dimension bounding box intersects far
+    // more query boxes than its actual curve interval does (corner
+    // effects grow with dimensionality; LayoutBench measures the gap).
+    // 16-bit grid per dimension (4 x 16 = the 64-bit key); quantity's
+    // integral doubles cast exactly.
+    "q_layout_range_4d" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout_idx4/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Layout.writeHilbertIndexed(table(s, dir, "lineitem"),
+          Seq("l_partkey", "l_suppkey", "l_quantity", "l_linenumber"),
+          path, "hkey4", elemType = "smallint")
+      })
+      val rs = CurveRanges.ranges(hilbert = true,
+        Array(2000L, 100L, 10L, 1L), Array(5999L, 399L, 29L, 4L),
+        bits = 16, maxRanges = 32)
+      s.read.parquet(path)
+        .filter(Layout.curveRangePredicate(col("hkey4"), rs) &&
+          col("l_partkey").between(2000, 5999) && col("l_suppkey").between(100, 399) &&
+          col("l_quantity").between(10, 29) && col("l_linenumber").between(1, 4))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
     // Morton twin of q_layout_range — CurveRanges decomposes for either
     // curve; same prune-vs-decide contract, same oracle shape
     "q_layout_range_z" -> ((s, dir) => {
@@ -823,6 +849,10 @@ object SparkEntry {
     "q_layout_range_z" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 349 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
+    "q_layout_range_4d" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_partkey BETWEEN 2000 AND 5999 AND l_suppkey BETWEEN 100 AND 399
+        |  AND l_quantity BETWEEN 10 AND 29 AND l_linenumber BETWEEN 1 AND 4""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
     "q_events_hist" -> EventSql.eventsHist(25.0, 19),
     "q_events_window" -> EventSql.eventsWindow,

@@ -64,19 +64,26 @@ object Layout {
     * Costs 8 bytes/row of storage (delta-encoded well by parquet since
     * the file is sorted on it) in exchange for scan pruning that no
     * longer depends on per-dimension footer stats being selective. */
+  /** `elemType` sets the per-dimension grid width (n * width must fit
+    * the 64-bit sort key): "int" for 2-D/32-bit, "smallint" for
+    * 4-D/16-bit. Production quantizes wider domains into the grid with
+    * an order-preserving right-shift — box decomposition still applies
+    * because the shifted box maps to the same cells. */
   def writeHilbertIndexed(df: DataFrame, keyCols: Seq[String], path: String,
-      keyName: String = "hkey", rowGroupBytes: Long = 1L << 20): Unit =
-    writeIndexed(df, keyCols, path, keyName, rowGroupBytes, hilbert = true)
+      keyName: String = "hkey", rowGroupBytes: Long = 1L << 20,
+      elemType: String = "int"): Unit =
+    writeIndexed(df, keyCols, path, keyName, rowGroupBytes, hilbert = true, elemType)
 
   /** Morton twin of [[writeHilbertIndexed]] — [[graft.core.CurveRanges]]
     * decomposes boxes for either curve. */
   def writeMortonIndexed(df: DataFrame, keyCols: Seq[String], path: String,
-      keyName: String = "zkey", rowGroupBytes: Long = 1L << 20): Unit =
-    writeIndexed(df, keyCols, path, keyName, rowGroupBytes, hilbert = false)
+      keyName: String = "zkey", rowGroupBytes: Long = 1L << 20,
+      elemType: String = "int"): Unit =
+    writeIndexed(df, keyCols, path, keyName, rowGroupBytes, hilbert = false, elemType)
 
   private def writeIndexed(df: DataFrame, keyCols: Seq[String], path: String,
-      keyName: String, rowGroupBytes: Long, hilbert: Boolean): Unit = {
-    val cols = keyCols.map(c => col(c).cast("int"))
+      keyName: String, rowGroupBytes: Long, hilbert: Boolean, elemType: String): Unit = {
+    val cols = keyCols.map(c => col(c).cast(elemType))
     val key = if (hilbert) Curves.hilbertSortKey(cols: _*) else Curves.mortonSortKey(cols: _*)
     df.withColumn(keyName, key)
       .orderBy(col(keyName))
