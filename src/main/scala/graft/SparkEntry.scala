@@ -260,6 +260,20 @@ object SparkEntry {
     "q_sketch_cms" -> ((s, dir) =>
       graft.text.CorpusOps.cmsTokenCounts(table(s, dir, "documents"))),
     // per-source corpus profile with an exact discrete median
+    // dataset profiling: per-column non-null + exact distinct counts
+    // in ONE scan (every aggregate in one pass, then stack to rows).
+    // At 100 TB swap countDistinct for the KMV sketch (q_sketch_kmv)
+    // per column — same shape, bounded state.
+    "q_profile" -> ((s, dir) => {
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap(c => Seq(
+        count(col(c)).as(s"nn_$c"), countDistinct(col(c)).as(s"nd_$c")))
+      val stackArgs = cols.map(c => s"'$c', nn_$c, nd_$c").mkString(", ")
+      table(s, dir, "documents")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(expr(s"stack(${cols.size}, $stackArgs) AS (column, non_null, n_distinct)"),
+          col("n_rows"))
+    }),
     "q_domain_stats" -> ((s, dir) =>
       graft.text.CorpusOps.domainStats(table(s, dir, "documents"))),
     // corpus-relative rarity: mean inverse token df (the gibberish
@@ -800,6 +814,7 @@ object SparkEntry {
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_cms" -> DocSql.cmsTokenCounts(4, 1024, 30),
     "q_domain_stats" -> DocSql.domainStats,
+    "q_profile" -> DocSql.profile(Seq("doc_id", "text", "lang", "source", "n_chars")),
     "q_text_rarity" -> DocSql.rarityScore,
     "q_domain_cap" -> DocSql.domainCap(10, "#cap"),
     "q_token_budget" -> DocSql.tokenBudget(800L, "#budget"),

@@ -267,6 +267,17 @@ object DocSql {
        |FROM h LEFT JOIN b USING (chunk_hash)
        |GROUP BY 1""".stripMargin
 
+  /** Mirror of q_profile: per-column non-null and exact distinct
+    * counts plus the table row count (count/count DISTINCT are BIGINT
+    * in DuckDB — no cast needed, but kept explicit per COMPAT §7). */
+  def profile(cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT '$c' AS "column", CAST(count($c) AS BIGINT) AS non_null,
+         |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+         |  CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_rows
+         |FROM documents""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
   /** Mirror of TextFunctions.redactPii over the same deterministically
     * PII-augmented text (the synthetic corpus contains no organic PII,
     * so the query injects doc_id-derived email/phone/IP on BOTH
