@@ -85,6 +85,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("mmr: shortlist via WindowGroupLimit, one exchange, no shuffle join") {
+    val p = plan("q_sim_mmr")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the window shuffle is the ONLY exchange (broadcasts aside) —
+    // the greedy selection itself adds no stage
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("layout read: both range predicates pushed into the parquet scan") {
     val p = plan("q_layout_filter") // includes the curve-ordered write
     assert(p.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), " +
