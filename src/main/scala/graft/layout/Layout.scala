@@ -105,6 +105,22 @@ object Layout {
       keyCol.between(lit(a ^ Long.MinValue), lit(b ^ Long.MinValue))
     }.reduce(_ || _)
 
+  /** Compaction — the maintenance step that closes the streaming
+    * ingestion loop: [[streamCurvePartitioned]] gives a stream
+    * PARTITION-level locality (each micro-batch fans rows into their
+    * curve-range dirs, but within a partition files arrive in stream
+    * order), and compaction rewrites the accumulated table as the
+    * key-indexed globally-sorted layout — row-group footer stats and
+    * [[curveRangePredicate]] pruning included. Same plan as any
+    * indexed write (range exchange + external sort + parallel sink).
+    * At 100 TB, run it per bucket on the buckets with new files (the
+    * partition dirs make that incremental selection free); a full
+    * rewrite like this one is the whole-table variant. */
+  def compactIndexed(df: DataFrame, keyCols: Seq[String], dstPath: String,
+      keyName: String = "hkey", rowGroupBytes: Long = 1L << 20): Unit =
+    writeHilbertIndexed(
+      df.drop("curve_bucket"), keyCols, dstPath, keyName, rowGroupBytes)
+
   /** Write `df` as a bucketed, per-bucket-sorted parquet table: rows
     * are hash-partitioned into `buckets` files by `bucketCol` and the
     * bucketing metadata is registered in the session catalog, so a

@@ -105,6 +105,49 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"hkey-range skippable $skipped/${groups.size}")
   }
 
+  test("compaction: bucket-partitioned ingest upgraded to a globally key-sorted indexed layout") {
+    import spark.implicits._
+    graft.functions.Curves.register(spark)
+    val grid = (0 until 256).flatMap(x => (0 until 256).map(y => (x * 256 + y, x, y)))
+      .toDF("id", "x", "y")
+      .orderBy(md5(col("id").cast("string"))) // stream-ish arrival order
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_spec_compact"
+    // the streaming sink's layout shape: coarse curve-bucket partitions,
+    // arrival order within each partition
+    grid.withColumn("curve_bucket",
+        Layout.curveBucket(60, col("x").cast("int"), col("y").cast("int")))
+      .write.mode("overwrite").partitionBy("curve_bucket").parquet(s"$base/ingested")
+
+    val ingested = spark.read.parquet(s"$base/ingested")
+    Layout.compactIndexed(ingested, Seq("x", "y"), s"$base/compacted",
+      rowGroupBytes = 16 * 1024)
+
+    val compacted = spark.read.parquet(s"$base/compacted")
+    // no rows lost, bucket column dropped
+    assert(compacted.count() == 256L * 256)
+    assert(!compacted.columns.contains("curve_bucket"))
+
+    // globally key-sorted: consecutive row groups cover increasing,
+    // non-overlapping hkey intervals — the property that makes footer
+    // stats and key-range pruning exact
+    val groups = Layout.rowGroupRanges(s"$base/compacted", "hkey")
+    assert(groups.size > 4)
+    groups.sliding(2).foreach {
+      case Seq((_, max1, _), (min2, _, _)) => assert(min2 >= max1)
+      case _                               =>
+    }
+
+    // and the compacted layout prunes like any indexed write
+    val rs = graft.core.CurveRanges.ranges(hilbert = true,
+      Array(32L, 32L), Array(47L, 47L), bits = 32, maxRanges = 16)
+    val skipped = groups.count { case (mn, mx, _) =>
+      !rs.exists { case (a, b) =>
+        (a ^ Long.MinValue) <= mx && (b ^ Long.MinValue) >= mn
+      }
+    }
+    assert(skipped.toDouble / groups.size > 0.5, s"$skipped/${groups.size}")
+  }
+
   test("rowGroupRanges reads footer stats") {
     import spark.implicits._
     val df = (0 until 1000).map(i => (i, i * 2)).toDF("a", "b")
