@@ -58,7 +58,18 @@ object CurveRanges {
     require(hi.length == n && n >= 1, "lo/hi arity mismatch")
     require(bits >= 1 && n * bits <= 64, s"n=$n bits=$bits exceeds the 64-bit key")
     require(maxRanges >= 1 && maxExpand >= 0)
-    val max = if (bits == 62) Long.MaxValue >> 1 else (1L << bits) - 1L
+    // 1-D: both curves are the identity on a single axis (asserted in
+    // CurveRangesSpec), so the box IS its own single key range. This
+    // also covers bits = 64, where the traversal's (1L << bits)
+    // arithmetic would overflow (round-7 ADVICE); for n >= 2 the
+    // n*bits <= 64 contract caps bits at 32.
+    if (n == 1) {
+      require(java.lang.Long.compareUnsigned(lo(0), hi(0)) <= 0 &&
+        (bits == 64 || java.lang.Long.compareUnsigned(hi(0), (1L << bits) - 1L) <= 0),
+        s"1-D box [${lo(0)}, ${hi(0)}] outside the ${bits}-bit grid (u64 semantics)")
+      return Seq((lo(0), hi(0)))
+    }
+    val max = (1L << bits) - 1L // bits <= 32 here, no overflow
     var d = 0
     while (d < n) {
       require(lo(d) >= 0 && hi(d) <= max && lo(d) <= hi(d),

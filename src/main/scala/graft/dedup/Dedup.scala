@@ -539,11 +539,13 @@ object Dedup {
     * actual duplicates), and each distributed round costs fixed
     * job/barrier overhead regardless of size — at sf0.1 the semantic
     * chain graph (748 edges, min-eccentricity 14) spent ~10 s on
-    * rounds a union-find solves in microseconds. 5M edges is ~80 MB
-    * of longs on the driver — the same driver-memory-bounded endgame
-    * trade Spark itself makes for broadcast joins; graphs above the
-    * threshold take the fully-distributed loop, identical fixpoint
-    * (asserted for both branches in DedupSpec). */
+    * rounds a union-find solves in microseconds. The solve is pure
+    * primitive arrays (see the branch): 16 B/edge + 12 B/node steady
+    * plus a transient collect buffer — ~200 MB + ~200 MB transient at
+    * the 5M-edge / 10M-node worst case, the same driver-memory-bounded
+    * endgame trade Spark itself makes for broadcast joins; graphs
+    * above the threshold take the fully-distributed loop, identical
+    * fixpoint (asserted for both branches in DedupSpec). */
   val LocalSolveEdges: Long = 5000000L
 
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
@@ -556,29 +558,55 @@ object Dedup {
     if (nEdges <= localSolveEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.select(col("src"), col("dst")).as[(Long, Long)].collect()
+      // Primitive-array union-find (round-7 ADVICE: the earlier boxed
+      // HashMap[Long,Long] cost ~50-100 bytes/node — plausibly 0.5-1 GB
+      // at the threshold). Here the steady footprint is exact and
+      // small: 16 B/edge (two long arrays) + 12 B/node (sorted id
+      // array + int parent array) — at the 5M-edge / <=10M-node
+      // threshold, 80 MB + 120 MB, plus a transient Array[Row] from
+      // the collect (~40 B/edge, released before the solve). Same
+      // driver-memory order as a large broadcast join.
+      val rows = edges.select(col("src"), col("dst")).collect()
       edges.unpersist()
-      // union-find with path halving; component label = min member id
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-      def find(x0: Long): Long = {
+      val m = rows.length
+      val srcs = new Array[Long](m)
+      val dsts = new Array[Long](m)
+      var i = 0
+      while (i < m) {
+        srcs(i) = rows(i).getLong(0); dsts(i) = rows(i).getLong(1); i += 1
+      }
+      // distinct sorted node ids: index order == id order, so a
+      // component's minimal ROOT INDEX is also its minimal id
+      val all = new Array[Long](2 * m)
+      System.arraycopy(srcs, 0, all, 0, m)
+      System.arraycopy(dsts, 0, all, m, m)
+      java.util.Arrays.sort(all)
+      var nNodes = 0
+      i = 0
+      while (i < all.length) {
+        if (nNodes == 0 || all(nNodes - 1) != all(i)) { all(nNodes) = all(i); nNodes += 1 }
+        i += 1
+      }
+      val nodes = java.util.Arrays.copyOf(all, nNodes)
+      val parent = new Array[Int](nNodes)
+      i = 0
+      while (i < nNodes) { parent(i) = i; i += 1 }
+      // path halving; unions always point the larger root at the
+      // smaller, so every root stays its component's minimum
+      def find(x0: Int): Int = {
         var x = x0
-        while (parent.getOrElse(x, x) != x) {
-          val p = parent(x)
-          parent(x) = parent.getOrElse(p, p)
-          x = parent(x)
-        }
+        while (parent(x) != x) { parent(x) = parent(parent(x)); x = parent(x) }
         x
       }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
+      i = 0
+      while (i < m) {
+        val ra = find(java.util.Arrays.binarySearch(nodes, srcs(i)))
+        val rb = find(java.util.Arrays.binarySearch(nodes, dsts(i)))
         if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        i += 1
       }
       lastConvergenceRounds = 0
-      // roots are already component minima: unions always point the
-      // larger root at the smaller
-      return parent.keys.toSeq.sorted.map(id => (id, find(id)))
+      return (0 until nNodes).map(j => (nodes(j), nodes(find(j))))
         .toDF("id", "lbl")
     }
     // initial label = min(id, min neighbor) — the first propagation

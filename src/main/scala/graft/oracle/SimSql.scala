@@ -42,9 +42,13 @@ object SimSql {
     val pick =
       "list_sort([{'s': -(rels[j] - list_max([D[j][p] for p in sel])), 'j': j} " +
         "for j in generate_series(1, len(rels)) if NOT list_contains(sel, j)])[1].j"
-    val layers = (2 to k).map { i =>
-      s"sel$i AS (SELECT probe_id, ids, rels, D, list_append(sel, $pick) AS sel FROM sel${i - 1})"
-    }.mkString(",\n")
+    // sel1..selk built as ONE comma-joined list so k = 1 (no later
+    // layers) emits no dangling comma (round-7 ADVICE)
+    val selCtes = (
+      "sel1 AS (SELECT probe_id, ids, rels, D, [CAST(1 AS BIGINT)] AS sel FROM m)" +:
+        (2 to k).map { i =>
+          s"sel$i AS (SELECT probe_id, ids, rels, D, list_append(sel, $pick) AS sel FROM sel${i - 1})"
+        }).mkString(",\n")
     s"""WITH $qCte,
        |p AS (SELECT vec_id AS probe_id, qv AS pv FROM q WHERE vec_id % $probeMod = 0),
        |s AS (SELECT probe_id, q.vec_id AS neighbor_id, ${dotSql("pv", "qv")} AS dot_q
@@ -65,8 +69,7 @@ object SimSql {
        |      for b in generate_series(1, len(qvs))]
        |     for a in generate_series(1, len(qvs))] AS D
        |  FROM garr),
-       |sel1 AS (SELECT probe_id, ids, rels, D, [CAST(1 AS BIGINT)] AS sel FROM m),
-       |$layers
+       |$selCtes
        |SELECT probe_id, ids[sel[step]] AS neighbor_id, rels[sel[step]] AS rel_q,
        |  CAST(step AS BIGINT) AS mmr_rank
        |FROM sel$k, unnest(generate_series(1, $k)) AS u(step)""".stripMargin

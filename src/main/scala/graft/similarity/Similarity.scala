@@ -187,9 +187,14 @@ object Similarity {
       aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
     // greedy selection as ONE expression: positions (0-based, in
-    // relevance order) of the k picks
+    // relevance order) of the k picks. Steps are capped at the
+    // shortlist size: a probe with fewer than k candidates (tiny
+    // corpus, sparse probePred) selects them all — without the cap the
+    // extra steps append the -1 sentinel and element_at(arr, 0) throws
+    // at runtime (round-7 ADVICE). size >= 1 here: an empty shortlist
+    // produces no group row at all.
     val sel = aggregate(
-      sequence(lit(1), lit(k)),
+      sequence(lit(1), least(lit(k), size(col("arr")))),
       array().cast("array<int>"),
       (s, _) => {
         val best = aggregate(

@@ -101,6 +101,30 @@ class CurveRangesSpec extends AnyFunSuite {
     assert(java.lang.Long.compareUnsigned(a.head._1, a.last._2) <= 0)
   }
 
+  test("1-D curves are the identity, so a 1-D box is its own single range — incl. bits=64") {
+    // identity exhaustively at small bits, spot values at full width
+    for (bits <- Seq(3, 8); v <- 0L until (1L << bits)) {
+      assert(SFC.hilbertEncode(Array(v), bits).lo == v)
+      assert(SFC.mortonEncode(Array(v), bits).lo == v)
+    }
+    for (v <- Seq(0L, 1L, 1L << 40, Long.MaxValue, Long.MinValue, -1L)) {
+      assert(SFC.hilbertEncode(Array(v), 64).lo == v)
+      assert(SFC.mortonEncode(Array(v), 64).lo == v)
+    }
+    assert(CurveRanges.ranges(hilbert = true, Array(5L), Array(9L), 8) == Seq((5L, 9L)))
+    // bits=64 (legal per n*bits <= 64 with n=1): previously rejected by
+    // an overflowed max; u64 semantics, -1L = 2^64-1
+    assert(CurveRanges.ranges(hilbert = false, Array(0L), Array(-1L), 64) == Seq((0L, -1L)))
+    assert(CurveRanges.ranges(hilbert = true,
+      Array(Long.MaxValue), Array(Long.MinValue), 64) == Seq((Long.MaxValue, Long.MinValue)))
+    intercept[IllegalArgumentException] {
+      CurveRanges.ranges(hilbert = true, Array(9L), Array(5L), 8)
+    }
+    intercept[IllegalArgumentException] {
+      CurveRanges.ranges(hilbert = true, Array(0L), Array(256L), 8)
+    }
+  }
+
   test("full-grid box at n*bits == 64 returns the whole key line without overflow") {
     val rs = CurveRanges.ranges(hilbert = true,
       Array(0L, 0L), Array((1L << 32) - 1, (1L << 32) - 1), 32, maxRanges = 8)
