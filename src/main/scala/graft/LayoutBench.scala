@@ -138,6 +138,89 @@ object LayoutBench {
       }
     }
 
+    // QUANTIZED real-column layout (q_layout_range_f's path): DOUBLE
+    // columns through the order-preserving grid quantizer, indexed and
+    // pruned exactly like the int layouts — the skip ratio shows the
+    // quantizer preserves curve locality for non-integer columns.
+    import graft.layout.Quantize
+    val idxfPath = s"$base/indexedf"
+    val (pfLo, pfHi, qfLo, qfHi, fBits) = (900.0, 105000.0, 1.0, 50.0, 16)
+    val tWriteF = timed(Layout.writeHilbertIndexedCells(li,
+      Seq(Quantize.grid(col("l_extendedprice"), pfLo, pfHi, fBits).cast("int"),
+        Quantize.grid(col("l_quantity"), qfLo, qfHi, fBits).cast("int")),
+      idxfPath, "hkeyf"))
+    val rangesF = graft.core.CurveRanges.ranges(hilbert = true,
+      Array(Quantize.cell(20000.0, pfLo, pfHi, fBits), Quantize.cell(10.0, qfLo, qfHi, fBits)),
+      Array(Quantize.cell(30000.0, pfLo, pfHi, fBits), Quantize.cell(29.0, qfLo, qfHi, fBits)),
+      bits = 32, maxRanges = 16)
+    def filteredF(): DataFrame =
+      spark.read.parquet(idxfPath)
+        .filter(Layout.curveRangePredicate(col("hkeyf"), rangesF) &&
+          col("l_extendedprice").between(20000.0, 30000.0) &&
+          col("l_quantity").between(10.0, 29.0))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    noop(filteredF())
+    val tScanF = timed(noop(filteredF()))
+    val rgsF = Layout.rowGroupRanges(idxfPath, "hkeyf")
+    val skipF = rgsF.count { case (mn, mx, _) =>
+      !rangesF.exists { case (a, b) =>
+        (a ^ Long.MinValue) <= mx && (b ^ Long.MinValue) >= mn
+      }
+    }
+
+    // INGEST -> COMPACT lifecycle (round-7 verdict ask #7): a
+    // curve-bucket-partitioned table as a stream leaves it (partition
+    // dirs give bucket-level locality, files inside arrive in stream
+    // order) vs the same data after Layout.compactIndexed. Measured on
+    // the SAME footers a reader uses: per-dimension stats skip before,
+    // key-range skip after — the number the maintenance step buys.
+    val ingestPath = s"$base/stream_ingest"
+    val compactPath = s"$base/compacted"
+    // emulate stream arrival order (hash-scrambled) fanned into curve
+    // buckets, one file per bucket, exactly what the streaming sink's
+    // micro-batches accumulate
+    val shift = 22
+    li.orderBy(md5(col("l_orderkey").cast("string")))
+      .withColumn("curve_bucket", Layout.curveBucket(shift,
+        col("l_partkey").cast("int"), col("l_suppkey").cast("int")))
+      .repartition(col("curve_bucket"))
+      .sortWithinPartitions(col("curve_bucket"))
+      .write.mode("overwrite")
+      .option("parquet.block.size", (1L << 20).toString)
+      .partitionBy("curve_bucket").parquet(ingestPath)
+    val nBuckets = new java.io.File(ingestPath).listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("curve_bucket="))
+    def dimSkip(path: String): (Int, Int) = {
+      val a = Layout.rowGroupRanges(path, "l_partkey")
+      val b = Layout.rowGroupRanges(path, "l_suppkey")
+      (a.size, a.zip(b).count { case ((mnA, mxA, _), (mnB, mxB, _)) =>
+        mxA < loP || mnA > hiP || mxB < loS || mnB > hiS
+      })
+    }
+    val (rgIng, skipIng) = dimSkip(ingestPath)
+    def filteredAny(path: String): DataFrame =
+      spark.read.parquet(path)
+        .filter(col("l_partkey").between(loP, hiP) && col("l_suppkey").between(loS, hiS))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    noop(filteredAny(ingestPath))
+    val tScanIng = timed(noop(filteredAny(ingestPath)))
+    val tCompact = timed(Layout.compactIndexed(
+      spark.read.parquet(ingestPath), Seq("l_partkey", "l_suppkey"), compactPath))
+    val (rgComp, skipCompDim) = dimSkip(compactPath)
+    val rgsComp = Layout.rowGroupRanges(compactPath, "hkey")
+    val skipCompKey = rgsComp.count { case (mn, mx, _) =>
+      !ranges.exists { case (a, b) =>
+        (a ^ Long.MinValue) <= mx && (b ^ Long.MinValue) >= mn
+      }
+    }
+    def filteredComp(): DataFrame =
+      spark.read.parquet(compactPath)
+        .filter(Layout.curveRangePredicate(col("hkey"), ranges) &&
+          col("l_partkey").between(loP, hiP) && col("l_suppkey").between(loS, hiS))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    noop(filteredComp())
+    val tScanComp = timed(noop(filteredComp()))
+
     val json =
       s"""{"metric":"layout","rows":$nRows,"cpus":$cpus,"sf":"$sfDir",""" +
         s""""encode_rows_per_sec":{"hilbert_2d32":${(nRows / tH2).toLong},""" +
@@ -150,7 +233,13 @@ object LayoutBench {
         s""""indexed_hkey_ranges":{"total":${rgsI.size},"skippable":$skipI,"n_ranges":${ranges.size}},""" +
         s""""indexed_4d":{"total":$nGroups4,"skippable_per_dim_stats":$skipPerDim,""" +
         s""""skippable_key_ranges":$skipKey4,"skippable_combined":$skipBoth4,""" +
-        s""""n_ranges":${ranges4.size}}}}"""
+        s""""n_ranges":${ranges4.size}},""" +
+        s""""quantized_f":{"total":${rgsF.size},"skippable":$skipF,""" +
+        s""""n_ranges":${rangesF.size},"write_sec":$tWriteF,"scan_sec":$tScanF},""" +
+        s""""compaction":{"n_buckets":$nBuckets,"compact_sec":$tCompact,""" +
+        s""""ingested":{"total":$rgIng,"skippable_per_dim_stats":$skipIng,"scan_sec":$tScanIng},""" +
+        s""""compacted":{"total":$rgComp,"skippable_per_dim_stats":$skipCompDim,""" +
+        s""""skippable_key_ranges":$skipCompKey,"scan_sec":$tScanComp}}}}"""
     Files.writeString(Paths.get("layout_result.json"), json + "\n")
     println(json)
     spark.stop()

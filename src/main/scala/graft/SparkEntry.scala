@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.CurveRanges
 import graft.dedup.Dedup
 import graft.functions.Curves
-import graft.layout.Layout
+import graft.layout.{Layout, Quantize}
 import graft.multimodal.Multimodal
 import graft.oracle.{DocSql, DuckSql, EventSql, SimSql}
 import graft.similarity.Similarity
@@ -666,7 +666,10 @@ object SparkEntry {
     // more query boxes than its actual curve interval does (corner
     // effects grow with dimensionality; LayoutBench measures the gap).
     // 16-bit grid per dimension (4 x 16 = the 64-bit key); quantity's
-    // integral doubles cast exactly.
+    // integral doubles cast exactly. The box sits inside the sf0.01
+    // key domain (partkey < 2000, suppkey < 100) so the driver's
+    // oracle gate compares real rows at its scale (round-7 verdict
+    // ask #6 — the old box matched on 0 rows at sf0.01).
     "q_layout_range_4d" -> ((s, dir) => {
       withCurves(s)
       val path = System.getProperty("java.io.tmpdir") +
@@ -677,12 +680,48 @@ object SparkEntry {
           path, "hkey4", elemType = "smallint")
       })
       val rs = CurveRanges.ranges(hilbert = true,
-        Array(2000L, 100L, 10L, 1L), Array(5999L, 399L, 29L, 4L),
+        Array(200L, 10L, 10L, 1L), Array(1599L, 39L, 29L, 4L),
         bits = 16, maxRanges = 32)
       s.read.parquet(path)
         .filter(Layout.curveRangePredicate(col("hkey4"), rs) &&
-          col("l_partkey").between(2000, 5999) && col("l_suppkey").between(100, 399) &&
+          col("l_partkey").between(200, 1599) && col("l_suppkey").between(10, 39) &&
           col("l_quantity").between(10, 29) && col("l_linenumber").between(1, 4))
+        .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    }),
+
+    // REAL-COLUMN curve-range query (round-7 verdict ask #1): the
+    // indexed layout over DOUBLE columns through the order-preserving
+    // grid quantizer — l_extendedprice (domain [900, 105000]) and
+    // l_quantity ([1, 50]) each onto a 16-bit grid (Quantize.grid),
+    // Hilbert-indexed exactly like the int queries. The query box's
+    // corners quantize DRIVER-side with the bit-identical mirror
+    // (Quantize.cell), decompose to hkey ranges, and the exact DOUBLE
+    // predicates re-check membership — cell-boundary collisions and
+    // clamped outliers only ever widen the scanned superset. This is
+    // the path a real table's price/timestamp columns take into a
+    // curve layout (raw IEEE bits would cluster by magnitude class,
+    // not value — see Quantize's scaladoc).
+    "q_layout_range_f" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout_idxf/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (pLo, pHi) = (900.0d, 105000.0d)
+      val (qLo, qHi) = (1.0d, 50.0d)
+      val bits = 16
+      indexedTables.getOrElseUpdate((s, path), {
+        Layout.writeHilbertIndexedCells(table(s, dir, "lineitem"),
+          Seq(Quantize.grid(col("l_extendedprice"), pLo, pHi, bits).cast("int"),
+            Quantize.grid(col("l_quantity"), qLo, qHi, bits).cast("int")),
+          path, "hkeyf")
+      })
+      val rs = CurveRanges.ranges(hilbert = true,
+        Array(Quantize.cell(20000.0, pLo, pHi, bits), Quantize.cell(10.0, qLo, qHi, bits)),
+        Array(Quantize.cell(30000.0, pLo, pHi, bits), Quantize.cell(29.0, qLo, qHi, bits)),
+        bits = 32, maxRanges = 16)
+      s.read.parquet(path)
+        .filter(Layout.curveRangePredicate(col("hkeyf"), rs) &&
+          col("l_extendedprice").between(20000.0, 30000.0) &&
+          col("l_quantity").between(10.0, 29.0))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
@@ -866,8 +905,12 @@ object SparkEntry {
         |WHERE l_partkey BETWEEN 100 AND 349 AND l_suppkey BETWEEN 10 AND 39""".stripMargin,
     "q_layout_range_4d" ->
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
-        |WHERE l_partkey BETWEEN 2000 AND 5999 AND l_suppkey BETWEEN 100 AND 399
+        |WHERE l_partkey BETWEEN 200 AND 1599 AND l_suppkey BETWEEN 10 AND 39
         |  AND l_quantity BETWEEN 10 AND 29 AND l_linenumber BETWEEN 1 AND 4""".stripMargin,
+    "q_layout_range_f" ->
+      """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
+        |WHERE l_extendedprice BETWEEN 20000.0 AND 30000.0
+        |  AND l_quantity BETWEEN 10.0 AND 29.0""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
     "q_events_hist" -> EventSql.eventsHist(25.0, 19),
     "q_events_window" -> EventSql.eventsWindow,

@@ -92,6 +92,21 @@ object Layout {
       .parquet(path)
   }
 
+  /** [[writeHilbertIndexed]] over caller-supplied CELL expressions —
+    * the [[Quantize]] write path: real double/decimal/timestamp
+    * columns quantize onto an order-preserving integer grid
+    * ([[Quantize.grid]], int-cast by the caller to set the per-dim
+    * width) and the key-indexed layout, box decomposition and footer
+    * pruning then work unchanged on any column type. Same
+    * range-exchange + external-sort + parallel-sink plan. */
+  def writeHilbertIndexedCells(df: DataFrame, cells: Seq[Column], path: String,
+      keyName: String = "hkey", rowGroupBytes: Long = 1L << 20): Unit =
+    df.withColumn(keyName, Curves.hilbertSortKey(cells: _*))
+      .orderBy(col(keyName))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .parquet(path)
+
   /** Predicate `keyCol` ∈ any of the u64 `ranges` (from
     * [[graft.core.CurveRanges.ranges]]). The stored sort key is
     * u64 ^ Long.MinValue — an order-PRESERVING bijection into signed
@@ -184,12 +199,17 @@ object Layout {
       .parquet(path)
 
   /** (min, max, rowCount) of `column` for every row group under
-    * `dir`'s parquet files (footer stats only; no data pages read). */
+    * `dir`'s parquet files (footer stats only; no data pages read).
+    * Recurses into subdirectories so partitioned tables (e.g.
+    * [[streamCurvePartitioned]] output) are measurable too. */
   def rowGroupRanges(dir: String, column: String): Seq[(Long, Long, Long)] = {
     val conf = new Configuration()
-    val files = new java.io.File(dir).listFiles()
-      .filter(f => f.getName.endsWith(".parquet") && f.isFile).sortBy(_.getName)
-    files.toSeq.flatMap { f =>
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().sortBy(_.getName).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".parquet")) Seq(f)
+      else Seq.empty
+    val files = walk(new java.io.File(dir))
+    files.flatMap { f =>
       val in = HadoopInputFile.fromPath(new Path(f.getAbsolutePath), conf)
       val reader = ParquetFileReader.open(in)
       try {
