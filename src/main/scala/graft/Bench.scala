@@ -60,6 +60,15 @@ object Bench {
     val Runs = 3
     def consume(name: String): Either[String, Double] = {
       try {
+        // Force the ContextCleaner to actually release prior queries'
+        // shuffle files before timing: Spark cleans a shuffle only when
+        // its ShuffleDependency is GC'd, so without an explicit GC a
+        // 78-query session accumulates every earlier query's shuffle
+        // files on local disk and the tail of the run times against
+        // that disk/page-cache pressure (round-7 verdict: q_vocab —
+        // alphabetically LAST — read 4.2x its steady state with no code
+        // change; docs/PLANS.md round-8 forensics entry).
+        System.gc()
         // One UNTIMED warmup execution absorbs whatever session state the
         // preceding query left (shuffle files, GC debt, catalog init) —
         // round-6 verdict: q_join_semi_anti's min-of-3 read 0.92 s while

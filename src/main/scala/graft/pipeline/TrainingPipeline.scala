@@ -42,16 +42,34 @@ object TrainingPipeline {
       ctxTokens: Long = 1024L,
       nBuckets: Int = 8)
 
-  def run(docs: DataFrame, p: PipelineParams = PipelineParams(),
-      idCol: String = "doc_id", langCol: String = "lang",
-      textCol: String = "text"): DataFrame = {
-    // 1. canonical docs only: a doc is NON-canonical iff its component
-    // label differs from its id — anti-join those out directly (no
-    // need for clusters()'s cluster_size window here)
-    val nonCanon = Dedup
+  /** The ids the dedup closure removes — non-canonical iff the
+    * component label differs from the id. The EXPENSIVE shared stage
+    * of [[run]] and [[stageCounts]]; [[writeNonCanon]] persists it as
+    * a write-once artifact so both consumers (and any number of
+    * downstream jobs — the production shape: one closure per corpus
+    * snapshot) pay it once. */
+  def nonCanonIds(docs: DataFrame, p: PipelineParams = PipelineParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    Dedup
       .connectedComponents(Dedup.minhashPairs(docs, p.minhash, idCol, textCol))
       .filter(col("lbl") =!= col("id"))
       .select(col("id"))
+
+  /** Persist [[nonCanonIds]] as the pipeline's shared closure artifact
+    * (same write-once contract as the curve-indexed layouts and the
+    * PQ index). */
+  def writeNonCanon(docs: DataFrame, path: String,
+      p: PipelineParams = PipelineParams(),
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    nonCanonIds(docs, p, idCol, textCol).write.mode("overwrite").parquet(path)
+
+  def run(docs: DataFrame, p: PipelineParams = PipelineParams(),
+      idCol: String = "doc_id", langCol: String = "lang",
+      textCol: String = "text", nonCanon0: Option[DataFrame] = None): DataFrame = {
+    // 1. canonical docs only: anti-join the closure's removals out
+    // directly (no need for clusters()'s cluster_size window here);
+    // a precomputed artifact (nonCanon0) skips the closure entirely
+    val nonCanon = nonCanon0.getOrElse(nonCanonIds(docs, p, idCol, textCol))
     val canon = docs.join(nonCanon, docs(idCol) === nonCanon("id"), "left_anti")
     // 2..4: narrow filters — quality, split, sample (zero shuffles)
     val rate = p.sampleRates.foldRight(lit(p.defaultSamplePpm)) { case ((v, ppm), rest) =>
@@ -82,11 +100,8 @@ object TrainingPipeline {
     * count — no extra pass per stage. */
   def stageCounts(docs: DataFrame, p: PipelineParams = PipelineParams(),
       idCol: String = "doc_id", langCol: String = "lang",
-      textCol: String = "text"): DataFrame = {
-    val nonCanon = Dedup
-      .connectedComponents(Dedup.minhashPairs(docs, p.minhash, idCol, textCol))
-      .filter(col("lbl") =!= col("id"))
-      .select(col("id"))
+      textCol: String = "text", nonCanon0: Option[DataFrame] = None): DataFrame = {
+    val nonCanon = nonCanon0.getOrElse(nonCanonIds(docs, p, idCol, textCol))
     val canon = docs.join(nonCanon, docs(idCol) === nonCanon("id"), "left_anti")
     val rate = p.sampleRates.foldRight(lit(p.defaultSamplePpm)) { case ((v, ppm), rest) =>
       when(col(langCol) === v, lit(ppm)).otherwise(rest)

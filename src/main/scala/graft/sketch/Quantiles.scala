@@ -1,0 +1,94 @@
+package graft.sketch
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.layout.Quantize
+import graft.text.TextFunctions
+
+/** Deterministic grid quantile sketch — the order-statistics member of
+  * the sketch family next to the KMV distinct sketch and the count-min
+  * frequency sketch ([[graft.text.CorpusOps.kmvDistinctShingles]],
+  * [[graft.text.CorpusOps.cmsTokenCounts]]): per-stratum counts over
+  * the [[graft.layout.Quantize]] grid, mergeable by plain summation,
+  * from which any quantile is answered within one grid cell WITHOUT a
+  * per-stratum sort. Like its siblings (and unlike t-digest/KLL, whose
+  * estimates depend on merge order and RNG), the sketch is a pure
+  * function of the data, so the DuckDB oracle reproduces every output
+  * bit-for-bit — an oracle-gated approximate-quantile.
+  *
+  * Guarantee (exact, not probabilistic): the estimated cell for rank r
+  * IS the grid cell of the true r-th smallest value — the smallest
+  * cell whose cumulative count reaches r, by monotonicity of
+  * [[Quantize.grid]] — so the value estimate (the cell's upper edge)
+  * is off by at most one cell width (hi-lo)/2^bits. QuantilesSpec
+  * asserts the cell identity and the merge law.
+  *
+  * Shape at 100 TB: the sketch build is ONE partial hash aggregate
+  * (map-side combine collapses each partition to <= strata * 2^bits
+  * rows before the shuffle); the cumulative window runs on the
+  * SKETCH-sized frame, never the corpus. The exact branch kept
+  * alongside (per-stratum row_number — a full sort per stratum) is the
+  * AUDIT at test scale; a sketch-only pipeline drops it and nothing
+  * else changes, same convention as the KMV sketch's exact_distinct.
+  */
+object Quantiles {
+
+  /** The sketch itself: (stratum, cell, cnt), at most strata * 2^bits
+    * rows. Merging shards = summing cnt per (stratum, cell), which is
+    * exactly the groupBy — the same merge-by-aggregation law as the
+    * CMS sketch. */
+  def gridHistogram(df: DataFrame, valueCol: String, strataCol: String,
+      lo: Double, hi: Double, bits: Int): DataFrame =
+    df.select(col(strataCol).as("stratum"),
+        Quantize.grid(col(valueCol), lo, hi, bits).as("cell"))
+      .groupBy(col("stratum"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile estimates from the sketch, with the exact discrete
+    * quantile alongside for audit. `qPpm` are quantile ranks in parts
+    * per million (e.g. 500000 = median); the rank is the lower
+    * discrete quantile r = max(1, ceil(q * n / 1e6)) — the same
+    * deterministic definition as [[graft.text.CorpusOps.domainStats]]'
+    * median. Output: (stratum, q_ppm, n, exact_value, est_cell,
+    * est_value) where est_cell = grid cell of the true quantile value
+    * (asserted) and est_value = the cell's upper edge lo+(cell+1)*step
+    * — every arithmetic step a single IEEE double op mirrored exactly
+    * by the oracle ([[graft.oracle.SketchSql.gridQuantiles]]). */
+  def gridQuantiles(df: DataFrame, valueCol: String, strataCol: String,
+      lo: Double, hi: Double, bits: Int, qPpm: Seq[Long]): DataFrame = {
+    require(qPpm.nonEmpty && qPpm.forall(q => q >= 1 && q <= 1000000L),
+      s"quantile ranks are ppm in [1, 1e6]: $qPpm")
+    val base = df.select(col(strataCol).as("stratum"),
+      col(valueCol).cast("double").as("v"))
+    val cum = gridHistogram(base, "v", "stratum", lo, hi, bits)
+      .withColumn("cum",
+        sum(col("cnt")).over(Window.partitionBy(col("stratum")).orderBy(col("cell"))))
+    // per-(stratum, q) target rank — strata * |qPpm| rows, broadcast
+    val ranks = base.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+      .select(col("stratum"), col("n"),
+        explode(array(qPpm.map(lit): _*)).as("q_ppm"))
+      .select(col("stratum"), col("q_ppm"), col("n"),
+        greatest(lit(1L), TextFunctions.intDiv(
+          col("q_ppm") * col("n") + lit(999999L), lit(1000000L))).as("r"))
+    // smallest cell whose cumulative count reaches the rank — runs on
+    // the sketch frame (<= strata * 2^bits rows)
+    val est = broadcast(ranks).join(cum, "stratum")
+      .filter(col("cum") >= col("r"))
+      .groupBy(col("stratum"), col("q_ppm"), col("n"), col("r"))
+      .agg(min(col("cell")).as("est_cell"))
+    // audit branch: the true r-th smallest value (full per-stratum
+    // sort — dropped at scale, the sketch cells above are the product)
+    val exact = base
+      .withColumn("rn", row_number()
+        .over(Window.partitionBy(col("stratum")).orderBy(col("v"))).cast("long"))
+      .join(broadcast(ranks), Seq("stratum"))
+      .filter(col("rn") === col("r"))
+      .select(col("stratum"), col("q_ppm"), col("v").as("exact_value"))
+    val step = (hi - lo) / Quantize.maxCell(bits)
+    est.join(exact, Seq("stratum", "q_ppm"))
+      .select(col("stratum"), col("q_ppm"), col("n"), col("exact_value"),
+        col("est_cell"),
+        (lit(lo) + (col("est_cell") + lit(1L)) * lit(step)).as("est_value"))
+  }
+}

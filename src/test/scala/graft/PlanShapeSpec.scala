@@ -94,6 +94,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1, p)
   }
 
+  test("pq index probe: no shuffle join — corpus scans feed broadcasts + WindowGroupLimit") {
+    val p = plan("q_sim_pq_indexed")
+    // candidate cut = partial top-reRank per mapper before any exchange
+    assert(p.contains("WindowGroupLimit"), p)
+    // every corpus-touching join must broadcast its bounded side: a
+    // sort-merge or shuffled-hash join here means a corpus-sized
+    // exchange crept into the serving path
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("ShuffledHashJoin"), p)
+    // the scans are the persisted index artifacts, not the embeddings
+    // table — the probe path re-encodes nothing
+    assert(p.contains("graft_pq_index"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+  }
+
   test("layout read: both range predicates pushed into the parquet scan") {
     val p = plan("q_layout_filter") // includes the curve-ordered write
     assert(p.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), " +

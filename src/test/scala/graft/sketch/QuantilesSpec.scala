@@ -1,0 +1,94 @@
+package graft.sketch
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+import scala.util.Random
+import graft.layout.Quantize
+
+/** The grid quantile sketch's three contracts:
+  *  1. cell identity (the exact form of the "within one cell"
+  *     guarantee): est_cell IS the grid cell of the true r-th
+  *     smallest value;
+  *  2. merge law: sketch(A ++ B) = per-(stratum, cell) sum of
+  *     sketch(A) and sketch(B) — what makes it a sketch;
+  *  3. value bound: |est_value - exact_value| <= one cell width (up
+  *     to double rounding) for in-domain data.
+  */
+class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-quantiles-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val (lo, hi, bits) = (0.0, 1000.0, 10)
+
+  private def mkDf(seed: Int, n: Int) = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    (0 until n).map { i =>
+      (if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        rnd.nextDouble() * 1000.0)
+    }.toDF("grp", "x")
+  }
+
+  test("est_cell is exactly the grid cell of the true quantile value") {
+    val df = mkDf(7, 5000)
+    val out = Quantiles.gridQuantiles(df, "x", "grp", lo, hi, bits,
+      Seq(10000L, 250000L, 500000L, 750000L, 990000L, 1000000L)).collect()
+    assert(out.length == 18) // 3 strata x 6 quantiles
+    val step = (hi - lo) / Quantize.maxCell(bits)
+    out.foreach { r =>
+      val exact = r.getAs[Double]("exact_value")
+      val estCell = r.getAs[Long]("est_cell")
+      val estValue = r.getAs[Double]("est_value")
+      assert(estCell == Quantize.cell(exact, lo, hi, bits),
+        s"cell identity broken at $r")
+      assert(math.abs(estValue - exact) <= step * (1 + 1e-9),
+        s"value bound broken at $r")
+    }
+  }
+
+  test("quantile ranks agree with a driver-side sort (all strata, all qs)") {
+    val df = mkDf(11, 2000)
+    val byGrp = df.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (g, vs) => g -> vs.map(_._2).sorted }
+    val qs = Seq(10000L, 500000L, 990000L)
+    val out = Quantiles.gridQuantiles(df, "x", "grp", lo, hi, bits, qs).collect()
+    out.foreach { r =>
+      val vs = byGrp(r.getAs[String]("stratum"))
+      val rank = math.max(1L,
+        (r.getAs[Long]("q_ppm") * vs.length + 999999L) / 1000000L).toInt
+      assert(r.getAs[Long]("n") == vs.length)
+      assert(r.getAs[Double]("exact_value") == vs(rank - 1))
+    }
+  }
+
+  test("merge law: histogram of a union is the sum of histograms") {
+    val a = mkDf(3, 1500)
+    val b = mkDf(5, 1100)
+    def hist(df: org.apache.spark.sql.DataFrame) =
+      Quantiles.gridHistogram(df, "x", "grp", lo, hi, bits)
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val union = hist(a.union(b))
+    val merged = (hist(a).keySet ++ hist(b).keySet).map { k =>
+      k -> (hist(a).getOrElse(k, 0L) + hist(b).getOrElse(k, 0L))
+    }.toMap
+    assert(union == merged && union.nonEmpty)
+  }
+
+  test("out-of-domain values clamp to edge cells and stay counted") {
+    import spark.implicits._
+    val df = Seq(("a", -50.0), ("a", 2000.0), ("a", 500.0)).toDF("grp", "x")
+    val h = Quantiles.gridHistogram(df, "x", "grp", lo, hi, bits)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(h.values.sum == 3)
+    assert(h.contains(0L) && h.contains(Quantize.maxCell(bits)))
+  }
+}
