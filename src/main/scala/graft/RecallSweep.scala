@@ -55,6 +55,28 @@ object RecallSweep {
       println(f"| annTopK (curve-LSH) | bands=$bands shift=$shift | ${recall(res)}%.2f | ${frac * 100}%.0f%% |")
       spark.catalog.clearCache(); truth.cache().count()
     }
+    // spatial multi-probe: own subcube + the 2*4 axis-adjacent
+    // subcubes per band (round-7 verdict ask #8) — same measured-
+    // fraction method, with the probe set rebuilt the spatial way
+    for (bands <- Seq(2, 4, 8); shift <- Seq(24, 20, 16)) {
+      val res = Similarity.annTopK(emb, probePred, k, bands, shift, spatialProbe = true)
+      val buckets = emb
+        .select(col("vec_id"), Similarity.bandKeys(col("embedding"), bands).as("keys"))
+        .select(col("vec_id"),
+          posexplode(transform(col("keys"), key => shiftright(key, shift)))
+            .as(Seq("band_idx", "bucket")))
+      val probeBuckets = emb.filter(probePred)
+        .select(col("vec_id").as("probe_id"),
+          posexplode(array((0 until bands).map(j =>
+            Similarity.spatialBandBuckets(col("embedding"), j, shift)): _*))
+            .as(Seq("band_idx", "bs")))
+        .select(col("probe_id"), col("band_idx"), explode(col("bs")).as("bucket"))
+      val frac = probeBuckets.join(buckets, Seq("band_idx", "bucket"))
+        .filter(col("vec_id") =!= col("probe_id"))
+        .select("probe_id", "vec_id").distinct().count().toDouble / (nProbes * (corpusN - 1))
+      println(f"| annTopK (spatial multi-probe) | bands=$bands shift=$shift | ${recall(res)}%.2f | ${frac * 100}%.0f%% |")
+      spark.catalog.clearCache(); truth.cache().count()
+    }
     for (nlist <- Seq(16, 64); nprobe <- Seq(1, 4, 16) if nprobe <= nlist) {
       val res = Similarity.ivfSeededTopK(emb, probePred, k, nlist, nprobe)
       val r = recall(res)

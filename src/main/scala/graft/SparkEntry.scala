@@ -352,6 +352,13 @@ object SparkEntry {
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
     "q_sim_ann" -> ((s, dir) =>
       Similarity.annTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // spatial multi-probe variant (round-7 verdict ask #8): probes
+    // visit their own subcube + the 2*4 axis-adjacent subcubes per
+    // band — finer buckets (shift 16) at wider reach, lifting recall
+    // at comparable scored fraction (operating points in BASELINE.md)
+    "q_sim_ann_mp" -> ((s, dir) =>
+      Similarity.annTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10,
+        bucketShift = 16, spatialProbe = true)),
     // IVF variant: KMeans coarse quantizer + exact re-rank. No SQL
     // oracle (centroids aren't SQL-reproducible) -> driver records the
     // rows-only check; SimilaritySpec pins recall + determinism.
@@ -872,6 +879,7 @@ object SparkEntry {
     "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
+    "q_sim_ann_mp" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     // identical math through the persisted index -> identical oracle

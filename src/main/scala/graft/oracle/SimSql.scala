@@ -109,6 +109,67 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Spatial multi-probe variant of [[annTopK]] — mirror of
+    * Similarity.annTopK(spatialProbe = true), stage for stage: the
+    * probe set per band is the probe's own subcube plus its 2*4
+    * axis-adjacent subcubes (each u8 coordinate stepped by the
+    * subcube side 2^(bucketShift/4), clamped to [0, 255],
+    * re-encoded); candidates and the exact re-rank are unchanged. The
+    * perturbed coordinates run probe-rows-only chains (WHERE pushes
+    * into every chain's base CTE). */
+  def annSpatialTopK(probeMod: Int, k: Int, bands: Int, bucketShift: Int): String = {
+    require(bucketShift % 4 == 0 && bucketShift > 0,
+      s"spatial probing needs bucketShift % 4 == 0, got $bucketShift")
+    val step = 1 << (bucketShift / 4)
+    def coordExpr(i: Int): String =
+      s"least(floor((CAST(embedding[$i] AS DOUBLE) + 1.0) * 128.0), 255.0)"
+    val chains = (0 until bands).map { j =>
+      val exprs = (0 until 4).map(d => coordExpr(j * 4 + d + 1))
+      DuckSql.hilbertCtes(8, exprs, "embeddings", Seq("vec_id"), s"b${j}_")
+    }
+    val variants: Seq[Map[Int, Int]] = Map.empty[Int, Int] +:
+      (for (d <- 0 until 4; dl <- Seq(-step, step)) yield Map(d -> dl))
+    val probeChains = for {
+      j <- 0 until bands
+      (pert, vi) <- variants.zipWithIndex
+    } yield {
+      val exprs = (0 until 4).map { d =>
+        val c0 = coordExpr(j * 4 + d + 1)
+        pert.get(d) match {
+          case Some(dl) => s"least(greatest($c0 + $dl.0, 0.0), 255.0)"
+          case None     => c0
+        }
+      }
+      (j, DuckSql.hilbertCtes(8, exprs, "embeddings", Seq("vec_id"), s"p${j}v${vi}_",
+        where = Some(s"vec_id % $probeMod = 0")))
+    }
+    val chainSql = (chains.map(_._1) ++ probeChains.map(_._2._1)).mkString(",\n")
+    val bucketRows = chains.zipWithIndex.map { case ((_, fin), j) =>
+      s"  SELECT vec_id, $j AS band_idx, CAST(curve_key AS BIGINT) >> $bucketShift AS bucket FROM $fin"
+    }.mkString("\n  UNION ALL\n")
+    val probeRows = probeChains.map { case (j, (_, fin)) =>
+      s"  SELECT vec_id AS probe_id, $j AS band_idx, " +
+        s"CAST(curve_key AS BIGINT) >> $bucketShift AS bucket FROM $fin"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH $chainSql,
+       |$qCte,
+       |buckets AS (
+       |$bucketRows),
+       |pb AS (SELECT DISTINCT probe_id, band_idx, bucket FROM (
+       |$probeRows)),
+       |cand AS (SELECT DISTINCT probe_id, b.vec_id AS neighbor_id
+       |  FROM pb JOIN buckets b ON b.band_idx = pb.band_idx AND b.bucket = pb.bucket
+       |  WHERE b.vec_id != pb.probe_id),
+       |s AS (SELECT probe_id, neighbor_id, ${dotSql("pq.qv", "nq.qv")} AS dot_q
+       |  FROM cand
+       |  JOIN q pq ON pq.vec_id = cand.probe_id
+       |  JOIN q nq ON nq.vec_id = cand.neighbor_id),
+       |r AS (SELECT probe_id, neighbor_id, dot_q,
+       |    CAST(row_number() OVER (PARTITION BY probe_id ORDER BY dot_q DESC, neighbor_id) AS BIGINT) AS rnk
+       |  FROM s)
+       |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
+  }
+
   /** Mirror of graft.similarity.Similarity.ivfSeededTopK, stage for
     * stage: centroids = the nlist vectors with the smallest
     * (8-hex md5(vec_id), vec_id); assignment = argmax integer dot with

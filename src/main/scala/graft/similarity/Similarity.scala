@@ -122,6 +122,35 @@ object Similarity {
     array((0 until bands).map(j =>
       Curves.hilbertEncodeArray(u8Slice(vec, j * 4, 4), 4)): _*)
 
+  /** Bucket ids of band `j`'s own subcube plus its 2*d axis-adjacent
+    * subcubes — the SPATIAL multi-probe set. Because bucketShift is a
+    * multiple of the band dimensionality (4), dropping bucketShift
+    * bits of a Hilbert key identifies an axis-aligned subcube of side
+    * 2^(bucketShift/4) in u8 space, so stepping each coordinate by
+    * exactly that side length (clamped to the grid) and re-encoding
+    * yields the 8 face-adjacent subcubes' bucket ids. All native
+    * encode expressions — no UDF, probe rows only. Duplicates from
+    * edge clamping collapse via array_distinct. */
+  private[graft] def spatialBandBuckets(vec: Column, j: Int, bucketShift: Int): Column = {
+    require(bucketShift % 4 == 0 && bucketShift > 0,
+      s"spatial probing needs subcube-aligned buckets: bucketShift % 4 == 0, got $bucketShift")
+    val step = 1 << (bucketShift / 4)
+    def bucketOf(perturb: Map[Int, Int]): Column = {
+      val bytes = (0 until 4).map { d =>
+        val x = element_at(vec, j * 4 + d + 1)
+        val c0 = least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
+        val c = perturb.get(d)
+          .map(dl => least(greatest(c0 + lit(dl), lit(0)), lit(255)))
+          .getOrElse(c0)
+        when(c >= 128, c - 256).otherwise(c).cast("byte")
+      }
+      shiftright(Curves.hilbertEncodeArray(array(bytes: _*), 4), bucketShift)
+    }
+    val variants = Map.empty[Int, Int] +:
+      (for (d <- 0 until 4; dl <- Seq(-step, step)) yield Map(d -> dl))
+    array_distinct(array(variants.map(bucketOf): _*))
+  }
+
   /** Exact top-k neighbors by quantized dot product for every probe
     * row (`probePred` selects probes by vec_id). Output:
     * (probe_id, neighbor_id, dot_q, rnk), rnk in 1..k, ties broken by
@@ -737,7 +766,8 @@ object Similarity {
     * convention as [[graft.dedup.Dedup.minhashPairs]] (round-3 ADVICE). */
   def annTopK(emb: DataFrame, probePred: Column, k: Int,
       bands: Int = DefaultBands, bucketShift: Int = DefaultBucketShift,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      spatialProbe: Boolean = false): DataFrame = {
     val base = emb.select(
       col(idCol).as("vec_id"),
       quantize(col(vecCol)).as("qv"),
@@ -746,10 +776,23 @@ object Similarity {
     val buckets = base.select(col("vec_id"),
       posexplode(transform(col("keys"), key => shiftright(key, bucketShift)))
         .as(Seq("band_idx", "bucket")))
-    // +-1 multi-probe on the probe side keeps the join an equi-join
-    val probeBuckets = buckets.filter(probePred)
-      .select(col("vec_id").as("probe_id"), col("band_idx"),
-        explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+    // multi-probe on the probe side keeps the join an equi-join:
+    // +-1 ALONG THE CURVE by default; with spatialProbe, the 2*d
+    // axis-adjacent subcubes IN SPACE (see [[spatialBandBuckets]]) —
+    // curve neighbors are only a subset of spatial neighbors, which is
+    // exactly the recall gap multi-probe closes
+    val probeBuckets =
+      if (!spatialProbe)
+        buckets.filter(probePred)
+          .select(col("vec_id").as("probe_id"), col("band_idx"),
+            explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+      else
+        emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).filter(probePred)
+          .select(col("vec_id").as("probe_id"),
+            posexplode(array((0 until bands).map(j =>
+              spatialBandBuckets(col("v"), j, bucketShift)): _*))
+              .as(Seq("band_idx", "bs")))
+          .select(col("probe_id"), col("band_idx"), explode(col("bs")).as("bucket"))
     val cand = broadcast(probeBuckets)
       .join(buckets, Seq("band_idx", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
