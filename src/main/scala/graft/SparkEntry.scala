@@ -773,6 +773,42 @@ object SparkEntry {
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
 
+    // TIMESTAMP + entity curve layout (round 8) — the log-table shape,
+    // THE production use of curve layouts for event data: events
+    // indexed on (event-time, user_id) through the quantizer (epoch
+    // micros -> double is exact below 2^53, one monotone cast), so a
+    // time-window x user-range box prunes via hkey ranges on the ONE
+    // sorted column. Domains are layout parameters (January 2024, a
+    // 64Ki user space) like any partitioning scheme.
+    "q_layout_range_ts" -> ((s, dir) => {
+      withCurves(s)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_layout_idxts/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val (tLo, tHi) = (1704067200000000.0d, 1706745600000000.0d) // Jan 2024, epoch us
+      val (uLo, uHi) = (0.0d, 65536.0d)
+      val bits = 16
+      indexedTables.getOrElseUpdate((s, path), {
+        Layout.writeHilbertIndexedCells(events(s, dir),
+          Seq(Quantize.grid(TextFunctions.intDiv(col("ts"), lit(1000L)), tLo, tHi, bits)
+              .cast("int"),
+            Quantize.grid(col("user_id"), uLo, uHi, bits).cast("int")),
+          path, "hkeyt")
+      })
+      val (t1, t2) = (1704844800000000L, 1705449600000000L) // 01-10 .. 01-17 UTC
+      val (u1, u2) = (100L, 899L)
+      val rs = CurveRanges.ranges(hilbert = true,
+        Array(Quantize.cell(t1.toDouble, tLo, tHi, bits),
+          Quantize.cell(u1.toDouble, uLo, uHi, bits)),
+        Array(Quantize.cell(t2.toDouble, tLo, tHi, bits),
+          Quantize.cell(u2.toDouble, uLo, uHi, bits)),
+        bits = 32, maxRanges = 16)
+      s.read.parquet(path)
+        .filter(Layout.curveRangePredicate(col("hkeyt"), rs) &&
+          TextFunctions.intDiv(col("ts"), lit(1000L)).between(t1, t2) &&
+          col("user_id").between(u1, u2))
+        .select("event_id", "user_id", "event_type", "value")
+    }),
+
     // Morton twin of q_layout_range — CurveRanges decomposes for either
     // curve; same prune-vs-decide contract, same oracle shape
     "q_layout_range_z" -> ((s, dir) => {
@@ -965,6 +1001,10 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey FROM lineitem
         |WHERE l_extendedprice BETWEEN 20000.0 AND 30000.0
         |  AND l_quantity BETWEEN 10.0 AND 29.0""".stripMargin,
+    "q_layout_range_ts" ->
+      """SELECT event_id, user_id, event_type, value FROM events
+        |WHERE epoch_us(ts) BETWEEN 1704844800000000 AND 1705449600000000
+        |  AND user_id BETWEEN 100 AND 899""".stripMargin,
     "q_events_props" -> EventSql.eventsProps,
     "q_events_hist" -> EventSql.eventsHist(25.0, 19),
     "q_events_window" -> EventSql.eventsWindow,

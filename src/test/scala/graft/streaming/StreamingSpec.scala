@@ -82,6 +82,35 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batched)
   }
 
+  test("grid quantile sketch runs as a streaming aggregation (merge law in the engine)") {
+    // the sketch is mergeable by summation (QuantilesSpec's merge law),
+    // so it IS a valid streaming aggregate: Structured Streaming's
+    // incremental state update per micro-batch is exactly that merge —
+    // the same definition, batch or stream, same cells out
+    val inDir = Files.createTempDirectory("graft_stream_sketch")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(inDir.toString)
+    val schema = batch.schema
+    def sketch(ev: DataFrame) =
+      graft.sketch.Quantiles.gridHistogram(
+        ev.select(org.apache.spark.sql.functions.col("event_type"),
+          org.apache.spark.sql.functions.col("value")),
+        "value", "event_type", 0.0, 500.0, 8)
+    val q = sketch(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+      .writeStream.format("memory").queryName("ev_sketch")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def key(r: org.apache.spark.sql.Row) = (r.getString(0), r.getLong(1), r.getLong(2))
+    val streamed = spark.table("ev_sketch").collect().map(key).sorted.toSeq
+    val batched = sketch(batch).collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+  }
+
   test("curve expressions run unchanged inside a streaming projection") {
     import graft.functions.Curves
     val inDir = Files.createTempDirectory("graft_stream_curve")
