@@ -61,24 +61,34 @@ object Quantiles {
       s"quantile ranks are ppm in [1, 1e6]: $qPpm")
     val base = df.select(col(strataCol).as("stratum"),
       col(valueCol).cast("double").as("v"))
+    // ONE corpus scan builds the sketch; per-stratum totals come from
+    // the sketch itself (a second window over the SAME exchange), not
+    // a second scan. The cum frame is sketch-sized (<= strata * 2^bits
+    // rows) — persisted so the rank table and the estimate read one
+    // materialization (caller releases via clearCache, the annTopK
+    // convention).
     val cum = gridHistogram(base, "v", "stratum", lo, hi, bits)
-      .withColumn("cum",
-        sum(col("cnt")).over(Window.partitionBy(col("stratum")).orderBy(col("cell"))))
+      .select(col("stratum"), col("cell"), col("cnt"),
+        sum(col("cnt")).over(Window.partitionBy(col("stratum")).orderBy(col("cell")))
+          .as("cum"),
+        sum(col("cnt")).over(Window.partitionBy(col("stratum"))).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // per-(stratum, q) target rank — strata * |qPpm| rows, broadcast
-    val ranks = base.groupBy(col("stratum")).agg(count(lit(1)).as("n"))
+    val ranks = cum.select(col("stratum"), col("n")).distinct()
       .select(col("stratum"), col("n"),
         explode(array(qPpm.map(lit): _*)).as("q_ppm"))
       .select(col("stratum"), col("q_ppm"), col("n"),
         greatest(lit(1L), TextFunctions.intDiv(
           col("q_ppm") * col("n") + lit(999999L), lit(1000000L))).as("r"))
     // smallest cell whose cumulative count reaches the rank — runs on
-    // the sketch frame (<= strata * 2^bits rows)
-    val est = broadcast(ranks).join(cum, "stratum")
+    // the sketch frame
+    val est = broadcast(ranks).join(cum.select("stratum", "cell", "cum"), "stratum")
       .filter(col("cum") >= col("r"))
-      .groupBy(col("stratum"), col("q_ppm"), col("n"), col("r"))
+      .groupBy(col("stratum"), col("q_ppm"), col("n"))
       .agg(min(col("cell")).as("est_cell"))
     // audit branch: the true r-th smallest value (full per-stratum
-    // sort — dropped at scale, the sketch cells above are the product)
+    // sort, the ONLY other corpus scan — dropped at scale, the sketch
+    // cells above are the product)
     val exact = base
       .withColumn("rn", row_number()
         .over(Window.partitionBy(col("stratum")).orderBy(col("v"))).cast("long"))
@@ -86,7 +96,7 @@ object Quantiles {
       .filter(col("rn") === col("r"))
       .select(col("stratum"), col("q_ppm"), col("v").as("exact_value"))
     val step = (hi - lo) / Quantize.maxCell(bits)
-    est.join(exact, Seq("stratum", "q_ppm"))
+    est.join(broadcast(exact), Seq("stratum", "q_ppm"))
       .select(col("stratum"), col("q_ppm"), col("n"), col("exact_value"),
         col("est_cell"),
         (lit(lo) + (col("est_cell") + lit(1L)) * lit(step)).as("est_value"))
