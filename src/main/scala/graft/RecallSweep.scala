@@ -65,12 +65,7 @@ object RecallSweep {
         .select(col("vec_id"),
           posexplode(transform(col("keys"), key => shiftright(key, shift)))
             .as(Seq("band_idx", "bucket")))
-      val probeBuckets = emb.filter(probePred)
-        .select(col("vec_id").as("probe_id"),
-          posexplode(array((0 until bands).map(j =>
-            Similarity.spatialBandBuckets(col("embedding"), j, shift)): _*))
-            .as(Seq("band_idx", "bs")))
-        .select(col("probe_id"), col("band_idx"), explode(col("bs")).as("bucket"))
+      val probeBuckets = Similarity.spatialProbeBuckets(emb, probePred, bands, shift)
       val frac = probeBuckets.join(buckets, Seq("band_idx", "bucket"))
         .filter(col("vec_id") =!= col("probe_id"))
         .select("probe_id", "vec_id").distinct().count().toDouble / (nProbes * (corpusN - 1))

@@ -122,33 +122,48 @@ object Similarity {
     array((0 until bands).map(j =>
       Curves.hilbertEncodeArray(u8Slice(vec, j * 4, 4), 4)): _*)
 
-  /** Bucket ids of band `j`'s own subcube plus its 2*d axis-adjacent
-    * subcubes — the SPATIAL multi-probe set. Because bucketShift is a
-    * multiple of the band dimensionality (4), dropping bucketShift
-    * bits of a Hilbert key identifies an axis-aligned subcube of side
-    * 2^(bucketShift/4) in u8 space, so stepping each coordinate by
-    * exactly that side length (clamped to the grid) and re-encoding
-    * yields the 8 face-adjacent subcubes' bucket ids. All native
-    * encode expressions — no UDF, probe rows only. Duplicates from
-    * edge clamping collapse via array_distinct. */
-  private[graft] def spatialBandBuckets(vec: Column, j: Int, bucketShift: Int): Column = {
+  /** (probe_id, band_idx, bucket) rows for SPATIAL multi-probe: each
+    * probe's own subcube plus its 2*d axis-adjacent subcubes per band.
+    * Because bucketShift is a multiple of the band dimensionality (4),
+    * dropping bucketShift bits of a Hilbert key identifies an
+    * axis-aligned subcube of side 2^(bucketShift/4) in u8 space, so
+    * stepping each coordinate by exactly that side length (clamped to
+    * the grid) and re-encoding yields the face-adjacent subcubes'
+    * bucket ids.
+    *
+    * The 9 variants are DATA (an exploded literal (dim, delta) array),
+    * not 9 copies of the encode expression: the one-expression-per-
+    * variant formulation built a ~36-encode tree whose per-run
+    * Catalyst analysis cost ~2.5 s REGARDLESS of data size (measured
+    * sf0.001 == sf0.1; docs/PLANS.md round-8 entry). This shape keeps
+    * ONE encode expression and moves the fan-out into rows — probe
+    * rows only, duplicates from edge clamping dropped by distinct. */
+  private[graft] def spatialProbeBuckets(emb: DataFrame, probePred: Column,
+      bands: Int, bucketShift: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     require(bucketShift % 4 == 0 && bucketShift > 0,
       s"spatial probing needs subcube-aligned buckets: bucketShift % 4 == 0, got $bucketShift")
     val step = 1 << (bucketShift / 4)
-    def bucketOf(perturb: Map[Int, Int]): Column = {
-      val bytes = (0 until 4).map { d =>
-        val x = element_at(vec, j * 4 + d + 1)
-        val c0 = least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
-        val c = perturb.get(d)
-          .map(dl => least(greatest(c0 + lit(dl), lit(0)), lit(255)))
-          .getOrElse(c0)
-        when(c >= 128, c - 256).otherwise(c).cast("byte")
-      }
-      shiftright(Curves.hilbertEncodeArray(array(bytes: _*), 4), bucketShift)
-    }
-    val variants = Map.empty[Int, Int] +:
-      (for (d <- 0 until 4; dl <- Seq(-step, step)) yield Map(d -> dl))
-    array_distinct(array(variants.map(bucketOf): _*))
+    val variants = typedLit((-1, 0) +:
+      (for (d <- 0 until 4; dl <- Seq(-step, step)) yield (d, dl)))
+    val coordArr = array((0 until bands).map { j =>
+      array((0 until 4).map { d =>
+        val x = element_at(col("v"), j * 4 + d + 1)
+        least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
+      }: _*)
+    }: _*)
+    val perturbed = transform(col("cc"), (c, i) =>
+      when(i === col("pt._1"),
+        least(greatest(c + col("pt._2"), lit(0)), lit(255))).otherwise(c))
+    val bytes = transform(col("pc"), c =>
+      when(c >= 128, c - 256).otherwise(c).cast("byte"))
+    emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).filter(probePred)
+      .select(col("vec_id").as("probe_id"), posexplode(coordArr).as(Seq("band_idx", "cc")))
+      .select(col("probe_id"), col("band_idx"), col("cc"), explode(variants).as("pt"))
+      .select(col("probe_id"), col("band_idx"), perturbed.as("pc"))
+      .select(col("probe_id"), col("band_idx"),
+        shiftright(Curves.hilbertEncodeArray(bytes, 4), bucketShift).as("bucket"))
+      .distinct()
   }
 
   /** Exact top-k neighbors by quantized dot product for every probe
@@ -787,12 +802,7 @@ object Similarity {
           .select(col("vec_id").as("probe_id"), col("band_idx"),
             explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
       else
-        emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).filter(probePred)
-          .select(col("vec_id").as("probe_id"),
-            posexplode(array((0 until bands).map(j =>
-              spatialBandBuckets(col("v"), j, bucketShift)): _*))
-              .as(Seq("band_idx", "bs")))
-          .select(col("probe_id"), col("band_idx"), explode(col("bs")).as("bucket"))
+        spatialProbeBuckets(emb, probePred, bands, bucketShift, idCol, vecCol)
     val cand = broadcast(probeBuckets)
       .join(buckets, Seq("band_idx", "bucket"))
       .filter(col("vec_id") =!= col("probe_id"))
