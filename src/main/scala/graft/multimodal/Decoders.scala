@@ -132,6 +132,75 @@ object Decoders {
     }
   }
 
+  /** REAL compressed-image decode (PNG / JPEG / GIF / BMP) via
+    * `javax.imageio` — part of the stock JDK, no native codec library
+    * required, which removes these formats from the stub's territory
+    * (the stub now covers only video, where the JDK ships no codec).
+    * Same output shape as [[PpmDecoder]] (dims, exact channel means,
+    * sampled luma) so the downstream pipeline is format-agnostic.
+    *
+    * Determinism note: PNG/GIF/BMP are lossless, so the decoded
+    * pixels — and therefore every output — are exact functions of the
+    * payload on any compliant JVM. JPEG decode is pixel-deterministic
+    * for a given JRE's decoder; MultimodalSpec gates PNG end-to-end
+    * against source-pixel ground truth and JPEG against the codec's
+    * own round-trip. */
+  object ImageIoDecoder {
+    def isSupported(b: Array[Byte]): Boolean =
+      b != null && b.length >= 8 &&
+        (((b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+          ((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) || // JPEG
+          (b(0) == 'G' && b(1) == 'I' && b(2) == 'F') || // GIF
+          (b(0) == 'B' && b(1) == 'M')) // BMP
+
+    /** Decode to the shared feature shape: exact integer channel means
+      * (floor) and `dims` luma samples at evenly spaced pixel indices
+      * with the same ITU-R 601 integer weights as [[PpmDecoder]]. */
+    def decode(id: Long, bytes: Array[Byte], dims: Int): DecodedImage = {
+      require(isSupported(bytes), "imageio: unsupported magic")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      require(img != null, "imageio: undecodable payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      val n = w.toLong * h
+      require(n > 0, "imageio: empty image")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      val row = new Array[Int](w)
+      var y = 0
+      while (y < h) {
+        img.getRGB(0, y, w, 1, row, 0, w)
+        var x = 0
+        while (x < w) {
+          val p = row(x)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val luma = (0 until dims).map { k =>
+        val pix = (k * n / dims).toInt
+        val p = img.getRGB(pix % w, pix / w)
+        (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
+      }
+      DecodedImage(id, w, h, sr / n, sg / n, sb / n, luma)
+    }
+  }
+
+  /** Batch compressed-image decode — per-partition init disables the
+    * ImageIO temp-file cache ONCE per partition (executor-local state,
+    * the per-partition-decoder-init pattern), then streams payloads
+    * through the in-memory decoder; bytes never leave the executor. */
+  def decodeImageIoBatched(df: DataFrame, dims: Int,
+      idCol: String = "doc_id", binCol: String = "payload"): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition init
+        it.map { case (id, b) => ImageIoDecoder.decode(id, b, dims) }
+      }
+  }
+
   /** Batch image decode — the same per-partition shape as
     * [[Multimodal.decodeFeaturesBatched]], with the REAL PPM parser. */
   def decodeImagesBatched(df: DataFrame, dims: Int,

@@ -103,7 +103,13 @@ object Multimodal {
     * [[fakeDecodeFeatures]] (lowercase-hex conventions match Spark's
     * and DuckDB's md5), so both decode paths and the SQL oracle agree
     * bit-for-bit. Deliberately stateful-per-instance (the MessageDigest)
-    * like a real codec handle. */
+    * like a real codec handle.
+    *
+    * Round 8: with [[Decoders.ImageIoDecoder]] (JDK javax.imageio —
+    * real PNG/JPEG/GIF/BMP decode, no native lib) joining the PPM and
+    * WAV parsers, the stub's remaining territory is VIDEO only (the
+    * JDK ships no H.264/VP9 codec; that genuinely needs native libs
+    * absent from this environment). */
   final class StubDecoder(dims: Int) {
     private val md = java.security.MessageDigest.getInstance("MD5")
 

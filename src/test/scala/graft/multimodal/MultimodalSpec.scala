@@ -147,4 +147,76 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val da = Decoders.decodeAudioBatched(au, windows = 4).collect()
     assert(da.head.window_energy == Seq(100L, 200L, 300L, 400L))
   }
+
+  /** Deterministic RGB test image: pixel (x, y) of image `id` is a
+    * pure function of (id, x, y). Returns (pixels row-major, png
+    * bytes, jpeg bytes). */
+  private def synthImage(id: Long, w: Int, h: Int): (Array[Int], Array[Byte], Array[Byte]) = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = new Array[Int](w * h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val r = ((id * 37 + x * 11 + y * 3) % 256).toInt
+      val g = ((id * 53 + x * 7 + y * 13) % 256).toInt
+      val b = ((id * 71 + x * 5 + y * 17) % 256).toInt
+      val p = (r << 16) | (g << 8) | b
+      px(y * w + x) = p
+      img.setRGB(x, y, p)
+    }
+    def enc(fmt: String): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      bos.toByteArray
+    }
+    (px, enc("png"), enc("jpg"))
+  }
+
+  test("imageio decoder: PNG decode is exact against source-pixel ground truth") {
+    val (px, png, _) = synthImage(11L, 7, 5)
+    val d = Decoders.ImageIoDecoder.decode(11L, png, dims = 4)
+    assert((d.width, d.height) == ((7L, 5L)))
+    val n = px.length.toLong
+    def mean(shift: Int) = px.map(p => ((p >> shift) & 0xff).toLong).sum / n
+    assert((d.mean_r, d.mean_g, d.mean_b) == ((mean(16), mean(8), mean(0))))
+    val luma = (0 until 4).map { k =>
+      val p = px((k * n / 4).toInt)
+      (299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) + 114L * (p & 0xff)) / 1000L
+    }
+    assert(d.luma == luma)
+  }
+
+  test("imageio decoder: JPEG decodes through the same path (codec round-trip)") {
+    val (_, _, jpg) = synthImage(3L, 16, 16)
+    val d = Decoders.ImageIoDecoder.decode(3L, jpg, dims = 4)
+    assert((d.width, d.height) == ((16L, 16L)))
+    // lossy codec: gate against the codec's own round-trip, which is
+    // deterministic for a given JRE decoder
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(jpg))
+    val n = 16L * 16L
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until 16; x <- 0 until 16) {
+      val p = img.getRGB(x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+    }
+    assert((d.mean_r, d.mean_g, d.mean_b) == ((sr / n, sg / n, sb / n)))
+  }
+
+  test("imageio decoder: mixed PNG/JPEG payloads through the mapPartitions batch shape") {
+    import spark.implicits._
+    val rows = (0L until 6L).map { id =>
+      val (_, png, jpg) = synthImage(id, 8, 6)
+      (id, if (id % 2 == 0) png else jpg)
+    }
+    val df = rows.toDF("doc_id", "payload").repartition(3)
+    val out = Decoders.decodeImageIoBatched(df, dims = 3).collect().sortBy(_.doc_id)
+    assert(out.map(_.doc_id).toSeq == (0L until 6L))
+    assert(out.forall(d => d.width == 8 && d.height == 6 && d.luma.length == 3))
+    // PNG rows (lossless) must match a driver-side decode exactly
+    val direct = Decoders.ImageIoDecoder.decode(0L, rows(0)._2, dims = 3)
+    assert(out(0) == direct)
+  }
+
+  test("imageio decoder: rejects non-image payloads loudly") {
+    intercept[IllegalArgumentException](
+      Decoders.ImageIoDecoder.decode(1L, "not an image".getBytes, 2))
+  }
 }
