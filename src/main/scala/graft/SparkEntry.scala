@@ -628,6 +628,37 @@ object SparkEntry {
           concat_ws("_", col("luma")).as("luma_str"))
     }),
 
+    // REAL compressed-format decode through the JDK's javax.imageio,
+    // oracle-gated: a 2x2 24-bit BMP (uncompressed, so the payload is
+    // byte-constructible in BOTH engines like the PPM) whose 12 pixel
+    // bytes come from the text md5; the decode runs the SAME
+    // ImageIoDecoder that handles PNG/JPEG/GIF, so the gated query
+    // exercises the real codec path end-to-end. BMP stores BGR rows
+    // BOTTOM-UP with 4-byte row padding — the oracle mirrors exactly
+    // that byte geometry
+    "q_multimodal_bmp" -> ((s, dir) => {
+      val header = {
+        val bb = java.nio.ByteBuffer.allocate(54)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte); bb.put('M'.toByte)
+        bb.putInt(70); bb.putShort(0); bb.putShort(0); bb.putInt(54) // file header
+        bb.putInt(40); bb.putInt(2); bb.putInt(2) // DIB: size, w, h
+        bb.putShort(1); bb.putShort(24) // planes, bpp
+        bb.putInt(0); bb.putInt(16) // BI_RGB, image size (2 padded rows)
+        bb.putInt(2835); bb.putInt(2835); bb.putInt(0); bb.putInt(0)
+        bb.array()
+      }
+      val hx = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val pad = lit(Array[Byte](0, 0))
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit(header), unhex(substring(hx, 1, 12)), pad,
+          unhex(substring(hx, 13, 12)), pad).as("payload"))
+      graft.multimodal.Decoders.decodeImageIoBatched(src, 4).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          concat_ws("_", col("luma")).as("luma_str"))
+    }),
+
     // REAL audio decode, oracle-gated: a minimal RIFF/WAVE PCM-16
     // payload whose 8 data bytes (4 samples) come from the text md5;
     // DuckDB recomputes the per-window energies with explicit 16-bit
@@ -1019,6 +1050,7 @@ object SparkEntry {
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),
     "q_multimodal_ppm" -> EventSql.multimodalPpm,
+    "q_multimodal_bmp" -> EventSql.multimodalBmp,
     "q_multimodal_wav" -> EventSql.multimodalWav,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",

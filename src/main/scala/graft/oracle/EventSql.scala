@@ -185,6 +185,27 @@ object EventSql {
        |FROM h""".stripMargin
   }
 
+  /** Oracle for the REAL BMP decode through javax.imageio: file bytes
+    * b0..b11 are the md5 prefix laid out as BGR pixels in BOTTOM-UP
+    * rows (BMP geometry), so image-row-major pixel k maps to
+    * (R,G,B) = p0:(b8,b7,b6), p1:(b11,b10,b9), p2:(b2,b1,b0),
+    * p3:(b5,b4,b3); means are order-independent, lumas follow the
+    * pixel order. Same ITU-R 601 integer weights as the PPM oracle. */
+  val multimodalBmp: String = {
+    def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    def luma(r: Int, g: Int, b: Int) =
+      s"(299 * ${px(r)} + 587 * ${px(g)} + 114 * ${px(b)}) // 1000"
+    s"""WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+       |SELECT doc_id,
+       |  CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+       |  (${px(2)} + ${px(5)} + ${px(8)} + ${px(11)}) // 4 AS mean_r,
+       |  (${px(1)} + ${px(4)} + ${px(7)} + ${px(10)}) // 4 AS mean_g,
+       |  (${px(0)} + ${px(3)} + ${px(6)} + ${px(9)}) // 4 AS mean_b,
+       |  array_to_string([${luma(8, 7, 6)}, ${luma(11, 10, 9)},
+       |    ${luma(2, 1, 0)}, ${luma(5, 4, 3)}], '_') AS luma_str
+       |FROM h""".stripMargin
+  }
+
   /** Oracle for the REAL WAV decode: 4 PCM-16 LE samples from the
     * first 8 md5 bytes; per-window mean |amplitude| with explicit
     * sign extension. */
