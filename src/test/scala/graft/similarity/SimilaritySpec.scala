@@ -79,6 +79,37 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.map(_.getLong(1)).toSet == Set(1L, 2L))
   }
 
+  test("spatial multi-probe reaches a face-adjacent subcube that curve-±1 misses") {
+    import spark.implicits._
+    val shift = 8
+    val side = 1 << (shift / 4) // subcube side = 4 in u8 space
+    def bucket(cs: Array[Long]): Long =
+      (graft.core.SFC.hilbertEncode(cs, 8).toBigInt >> shift).toLong
+    // find an axis-adjacent u8 pair (dim 0, mid elsewhere) whose
+    // Hilbert buckets are MORE than 1 apart along the curve — true
+    // neighbors in space that ±1 curve probing cannot reach
+    val base = Array(128L, 128L, 128L, 128L)
+    val pair = (side until 256 by side).map { b =>
+      val lo = base.clone; lo(0) = b - 1
+      val hi = base.clone; hi(0) = b
+      (lo, hi)
+    }.find { case (lo, hi) => math.abs(bucket(lo) - bucket(hi)) > 1L }
+    assert(pair.nonEmpty, "no far-apart face-adjacent pair at this resolution")
+    val (loC, hiC) = pair.get
+    // mid-cell floats ((2c+1)/256 — exact in float), so quantization
+    // lands back on exactly the intended u8 coords
+    def toVec(cs: Array[Long]): Seq[Float] =
+      cs.map(c => ((c.toDouble + 0.5) / 128.0 - 1.0).toFloat).toSeq
+    val emb = Seq((0L, toVec(loC)), (1L, toVec(hiC))).toDF("vec_id", "embedding")
+    def run(spatial: Boolean) =
+      Similarity.annTopK(emb, col("vec_id") === 0L, k = 1,
+        bands = 1, bucketShift = shift, spatialProbe = spatial)
+        .collect().map(_.getLong(1)).toSeq
+    assert(run(spatial = false).isEmpty) // curve-±1 cannot cross the jump
+    assert(run(spatial = true) == Seq(1L)) // the face-adjacent probe can
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
     def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
       nlist = 3, nprobe = 1, seed = 7L)
