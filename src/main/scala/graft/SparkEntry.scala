@@ -589,6 +589,27 @@ object SparkEntry {
       graft.pipeline.TrainingPipeline.stageCounts(table(s, dir, "documents"),
         nonCanon0 = Some(pipelineNonCanon(s, dir)))),
 
+    // --- sources: JSONL round-trip ---------------------------------------
+    // Training corpora arrive as JSONL, not parquet — the source the
+    // "switching user" actually has. Write-once: documents -> JSONL
+    // text files; the query reads them back with an EXPLICIT schema
+    // (never infer at 100 TB: inference is a full extra pass and a
+    // schema drift hazard) and proves BYTE-exact fidelity by hashing
+    // the round-tripped text against the parquet-side oracle. JSON
+    // unicode/newline escaping and NULL-field round-trip are exactly
+    // what this gate exercises.
+    "q_source_jsonl" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_jsonl/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        table(s, dir, "documents").write.mode("overwrite").json(path)
+      })
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .json(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("content_hash"))
+    }),
+
     // --- multimodal: binary payload + struct metadata -------------------
     "q_multimodal" -> ((s, dir) => {
       val bin = Multimodal.payload(col("text"))
@@ -1049,6 +1070,9 @@ object SparkEntry {
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),
+    "q_source_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
+        |FROM documents""".stripMargin,
     "q_multimodal_ppm" -> EventSql.multimodalPpm,
     "q_multimodal_bmp" -> EventSql.multimodalBmp,
     "q_multimodal_wav" -> EventSql.multimodalWav,
