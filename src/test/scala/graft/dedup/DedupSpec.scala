@@ -321,6 +321,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(capped == Set((999L, 1L)))
   }
 
+  test("incremental dedup through the persisted signature index == direct form") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val newDocs = docs(
+      100L -> base.replace("tok7", "tokX"),
+      101L -> (1 to 40).map(i => s"qqq$i").mkString(" "))
+    val oldDocs = docs(1L -> base, 2L -> base)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val direct = rows(Dedup.minhashPairsAgainst(newDocs, oldDocs))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_sig_idx_spec").toString + "/sigs"
+    Dedup.writeSignatureIndex(oldDocs, path)
+    val viaIndex = rows(
+      Dedup.minhashPairsAgainstIndex(newDocs, spark.read.parquet(path)))
+    assert(direct == viaIndex && direct.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("connected components: a chain A~B, B~C with no A~C edge is ONE cluster") {
     import spark.implicits._
     // exactly the transitivity shape pair-listing cannot express:

@@ -110,6 +110,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("persisted PQ index probe == derive-per-run pqTopK") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val direct = rows(Similarity.pqTopK(corpus(), col("vec_id") % 10 === 0, k = 3,
+      m = 2, ncent = 4, reRank = 5))
+    spark.catalog.clearCache()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_pq_idx_spec").toString + "/idx"
+    Similarity.pqIndexBuild(corpus(), path, m = 2, ncent = 4)
+    val viaIndex = rows(Similarity.pqIndexTopK(spark, path,
+      col("vec_id") % 10 === 0, k = 3, m = 2, reRank = 5))
+    assert(direct == viaIndex && direct.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
     def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
       nlist = 3, nprobe = 1, seed = 7L)
