@@ -294,30 +294,122 @@ object Dedup {
     pairsAgainstSigs(newDocs, oldSigs, p, idCol, textCol)
   }
 
-  /** Persist the corpus's MinHash signatures as a write-once artifact
-    * — the stored signature index the [[minhashPairsAgainst]] scaladoc
-    * promises for production (one narrow signature pass per corpus
-    * snapshot; every ingest batch afterwards reads signatures, never
-    * old text). Schema: (doc_id, sig array<long>). */
+  /** Exploded (id, band_idx, band_hash) rows of a (id, sig) frame. */
+  private def explodedBands(sigs: DataFrame, idCol: String, p: MinHashParams): DataFrame =
+    sigs.select(col(idCol),
+      posexplode(bandHashes(col("sig"), p)).as(Seq("band_idx", "band_hash")))
+
+  /** Persist the corpus's MinHash signatures AND their band tables as a
+    * write-once artifact — the stored signature index the
+    * [[minhashPairsAgainst]] scaladoc promises for production (one
+    * narrow signature pass per corpus snapshot; every ingest batch
+    * afterwards reads signatures, never old text). Layout under `path`:
+    *
+    *  - `sigs/`       (doc_id, sig array<long>) — the verify side.
+    *  - `band_stats/` (band_idx, band_hash, n, min_id) — one PARTIAL
+    *    row per bucket PER WRITE (append adds partials; counts and
+    *    mins merge associatively at probe time).
+    *  - `band_rows/`  (band_idx, band_hash, old_id) — bucket member
+    *    lists, written ONLY for buckets whose partial is within the
+    *    skew cap; an over-cap partial forces the whole merged bucket
+    *    over cap, so its members are never needed (the star rule uses
+    *    the merged min from `band_stats`).
+    *
+    * The skew-cap decision is deliberately NOT baked into the rows at
+    * write time: [[minhashPairsAgainstIndex]] re-derives it from the
+    * MERGED partial stats, so build+append is bit-identical to a
+    * from-scratch build of the union (DedupSpec asserts this) — and
+    * the round-8 per-batch cost bug is gone: the old side's explode
+    * and skew-cap window now happen once, here, at build time. */
   def writeSignatureIndex(docs: DataFrame, path: String,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): Unit =
-    docs.select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
-      .write.mode("overwrite").parquet(path)
+    writeIndexPartition(docs, path, p, idCol, textCol, "overwrite")
+
+  /** Append one ingest batch's signatures + band partials to an
+    * existing [[writeSignatureIndex]] artifact, so the NEXT batch
+    * dedups against this one too — the actual production ingest loop.
+    * Probe-time merge of the bucket partials keeps results identical
+    * to rebuilding the index from the union (DedupSpec asserts). */
+  def appendSignatureIndex(docs: DataFrame, path: String,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeIndexPartition(docs, path, p, idCol, textCol, "append")
+
+  private def writeIndexPartition(docs: DataFrame, path: String, p: MinHashParams,
+      idCol: String, textCol: String, mode: String): Unit = {
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      sigs.write.mode(mode).parquet(s"$path/sigs")
+      val ex = explodedBands(sigs, "doc_id", p)
+      ex.groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+        .write.mode(mode).parquet(s"$path/band_stats")
+      // the one skew-cap window, over THIS write's rows only (build
+      // cost ∝ the batch being written, never the whole index)
+      val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+      ex.withColumn("bn", count(lit(1)).over(w))
+        .filter(col("bn") <= p.maxBucketSize)
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
+        .write.mode(mode).parquet(s"$path/band_rows")
+    } finally sigs.unpersist()
+  }
 
   /** [[minhashPairsAgainst]] over a PERSISTED old-side signature index
-    * ([[writeSignatureIndex]]): identical output (same oracle), but
-    * the old corpus's TEXT is never touched per batch — the serving
-    * split of ingest-time dedup. The index is deliberately NOT
-    * persisted in memory: its two consumers are columnar scans of a
-    * narrow (id, sig) table, which at 100 TB should stream from
-    * storage rather than occupy the cache pool. */
-  def minhashPairsAgainstIndex(newDocs: DataFrame, sigIndex: DataFrame,
+    * ([[writeSignatureIndex]] / [[appendSignatureIndex]]): identical
+    * output (same oracle), but the old corpus's TEXT is never touched
+    * per batch AND — unlike round 8's version, which re-exploded the
+    * old side's bands and ran the skew-cap window over the full old
+    * corpus on every batch — the per-batch plan touches the old side
+    * only through (a) a plain equi-join of the new batch's bands
+    * against the stored bucket tables and (b) the final signature
+    * verify join. No window, no explode, no aggregation over the old
+    * side (PlanShapeSpec pins this), so per-batch cost is proportional
+    * to the batch, with index-side scans of narrow stored columns.
+    *
+    * Bucket-partial merge: `band_stats` holds one (n, min_id) row per
+    * bucket per write; after the equi-join restricts to buckets the
+    * batch actually touches, partials merge by sum/min (batch-sized
+    * aggregation). Merged n <= cap implies every partial was <= cap,
+    * so `band_rows` is complete for that bucket; merged n > cap takes
+    * the star rule through the merged min — exactly the semantics of
+    * computing bn/bmin over the union from scratch.
+    *
+    * The index is deliberately NOT persisted in memory: its consumers
+    * are columnar scans of narrow tables, which at 100 TB should
+    * stream from storage rather than occupy the cache pool. */
+  def minhashPairsAgainstIndex(newDocs: DataFrame, path: String,
       p: MinHashParams = MinHashParams(),
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    pairsAgainstSigs(newDocs,
-      sigIndex.select(col("doc_id").as("old_id"), col("sig").as("osig")),
-      p, idCol, textCol)
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = newDocs.sparkSession
+    val newSigs = newDocs
+      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nb = explodedBands(newSigs.withColumnRenamed("nsig", "sig"), "new_id", p)
+    val stats = spark.read.parquet(s"$path/band_stats")
+    val rows = spark.read.parquet(s"$path/band_rows")
+    val merged = nb.join(stats, Seq("band_idx", "band_hash"))
+      .groupBy(col("new_id"), col("band_idx"), col("band_hash"))
+      .agg(sum(col("n")).as("bn"), min(col("min_id")).as("bmin"))
+    val underCand = merged.filter(col("bn") <= p.maxBucketSize)
+      .join(rows, Seq("band_idx", "band_hash"))
+      .select(col("new_id"), col("old_id"))
+    val overCand = merged.filter(col("bn") > p.maxBucketSize)
+      .select(col("new_id"), col("bmin").as("old_id"))
+    val cand = underCand.union(overCand).distinct()
+    val oldSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("doc_id").as("old_id"), col("sig").as("osig"))
+    cand.join(newSigs, "new_id").join(oldSigs, "old_id")
+      .select(col("new_id"), col("old_id"),
+        size(filter(zip_with(col("nsig"), col("osig"), (x, y) => x === y), b => b))
+          .cast("long").as("minhash_matches"))
+      .filter(col("minhash_matches") >= p.minMatches)
+      // a doc already in the index is not a duplicate of itself — makes
+      // probing a batch AFTER appending it safe (no self-pairs)
+      .filter(col("new_id") =!= col("old_id"))
+  }
 
   private def pairsAgainstSigs(newDocs: DataFrame, oldSigs: DataFrame,
       p: MinHashParams,

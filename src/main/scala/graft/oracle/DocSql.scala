@@ -191,9 +191,17 @@ object DocSql {
     * `newSplit` docs, old = `oldSplit` docs; asymmetric band join with
     * the old-side representative cap. */
   def incrementalPairs(p: MinHashParams, cuts: Seq[(String, Long)],
-      oldSplit: String, newSplit: String): String = {
+      oldSplit: String, newSplit: String): String =
+    incrementalPairsMulti(p, cuts, Seq(oldSplit), newSplit)
+
+  /** [[incrementalPairs]] with a multi-split old side — the oracle for
+    * the appended signature index (old = original corpus ∪ appended
+    * batches), computed from scratch over the union. */
+  def incrementalPairsMulti(p: MinHashParams, cuts: Seq[(String, Long)],
+      oldSplits: Seq[String], newSplit: String): String = {
     val cases = cuts.init
       .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ")
+    val oldIn = oldSplits.map(s => s"'$s'").mkString(", ")
     val matchSum = (0 until p.numHashes)
       .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH $docsToks,
@@ -206,7 +214,7 @@ object DocSql {
        |nb AS (SELECT b.doc_id AS new_id, band_idx, band
        |  FROM bands0 b JOIN sp ON sp.doc_id = b.doc_id WHERE sp.split = '$newSplit'),
        |ob0 AS (SELECT b.doc_id AS old_id, band_idx, band
-       |  FROM bands0 b JOIN sp ON sp.doc_id = b.doc_id WHERE sp.split = '$oldSplit'),
+       |  FROM bands0 b JOIN sp ON sp.doc_id = b.doc_id WHERE sp.split IN ($oldIn)),
        |obw AS (SELECT old_id, band_idx, band,
        |    count(*) OVER (PARTITION BY band_idx, band) AS bn,
        |    min(old_id) OVER (PARTITION BY band_idx, band) AS bmin

@@ -109,6 +109,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("embeddings.parquet"), p)
   }
 
+  test("indexed incremental dedup probe: no window or explode over the stored index") {
+    val p = plan("q_dedup_incr_indexed")
+    // round-8 regression class: the probe used to re-explode the old
+    // side's bands and run the skew-cap window over the full old corpus
+    // per batch. With the band tables in the artifact, the only Window
+    // is gone and the only Generate (posexplode) is the NEW batch's
+    // band fan-out.
+    assert(!p.contains("Window"), p)
+    // every Generate fans out the NEW side (its output list carries
+    // new_id); an old-side re-explode would emit old_id rows. (The
+    // union's two branches each print a copy of the new-side explode;
+    // AQE's ReusedExchange collapses them at runtime.)
+    val gens = p.linesIterator.filter(_.contains("Generate posexplode")).toSeq
+    assert(gens.nonEmpty && gens.forall(l => l.contains("new_id") && !l.contains("old_id")), p)
+    // the old side enters only through the stored artifact
+    assert(p.contains("graft_sig_index_v2"), p)
+  }
+
   test("layout read: both range predicates pushed into the parquet scan") {
     val p = plan("q_layout_filter") // includes the curve-ordered write
     assert(p.contains("PushedFilters: [IsNotNull(l_partkey), IsNotNull(l_suppkey), " +

@@ -331,11 +331,56 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
     val direct = rows(Dedup.minhashPairsAgainst(newDocs, oldDocs))
     val path = java.nio.file.Files
-      .createTempDirectory("graft_sig_idx_spec").toString + "/sigs"
+      .createTempDirectory("graft_sig_idx_spec").toString + "/idx"
     Dedup.writeSignatureIndex(oldDocs, path)
-    val viaIndex = rows(
-      Dedup.minhashPairsAgainstIndex(newDocs, spark.read.parquet(path)))
+    val viaIndex = rows(Dedup.minhashPairsAgainstIndex(newDocs, path))
     assert(direct == viaIndex && direct.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
+  test("signature index append: build+append == from-scratch union, incl. cap crossing") {
+    // 40 identical docs in batch A, 40 more in batch B: each batch's
+    // bucket partial is under the 64-doc cap, but the MERGED bucket
+    // (80) is over it — exactly the case where baking the cap into the
+    // written rows would be wrong. The probe must take the star rule
+    // through the merged min (old_id 1), same as a from-scratch build.
+    val batchA = docs((1L to 40L).map(i => i -> "u v w x y z q r s t"): _*)
+    val batchB = docs((41L to 80L).map(i => i -> "u v w x y z q r s t"): _*)
+    val probe = docs(999L -> "u v w x y z q r s t")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_app_spec").toString
+    Dedup.writeSignatureIndex(batchA, tmp + "/appended")
+    Dedup.appendSignatureIndex(batchB, tmp + "/appended")
+    Dedup.writeSignatureIndex(batchA.union(batchB), tmp + "/scratch")
+    val appended = rows(Dedup.minhashPairsAgainstIndex(probe, tmp + "/appended"))
+    val scratch = rows(Dedup.minhashPairsAgainstIndex(probe, tmp + "/scratch"))
+    assert(appended == scratch && appended.nonEmpty)
+    assert(appended.map(t => (t._1, t._2)) == Seq((999L, 1L))) // star through merged min
+    // under-cap merge as well: two small distinct batches, probe links
+    // to near-dups from BOTH writes
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val oldA = docs(1L -> base)
+    val oldB = docs(2L -> base)
+    val nd = docs(100L -> base.replace("tok7", "tokX"))
+    Dedup.writeSignatureIndex(oldA, tmp + "/u")
+    Dedup.appendSignatureIndex(oldB, tmp + "/u")
+    assert(rows(Dedup.minhashPairsAgainstIndex(nd, tmp + "/u"))
+      .map(t => (t._1, t._2)) == Seq((100L, 1L), (100L, 2L)))
+    spark.catalog.clearCache()
+  }
+
+  test("signature index: probing a batch already appended yields no self-pairs") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val batch = docs(1L -> base, 2L -> base.replace("tok7", "tokX"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_self_spec").toString
+    Dedup.writeSignatureIndex(batch, tmp + "/idx")
+    // ingest crash-retry shape: the batch was appended, then probed
+    // again — each doc must NOT report itself as a duplicate, but
+    // genuine in-batch near-dups still surface (both directions)
+    val out = Dedup.minhashPairsAgainstIndex(batch, tmp + "/idx")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 2L), (2L, 1L)))
     spark.catalog.clearCache()
   }
 
