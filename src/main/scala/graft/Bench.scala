@@ -68,7 +68,11 @@ object Bench {
         // that disk/page-cache pressure (round-7 verdict: q_vocab —
         // alphabetically LAST — read 4.2x its steady state with no code
         // change; docs/PLANS.md round-8 forensics entry).
-        System.gc()
+        // SPARK_GRAFT_NOGC=1 disables this for A/B runs (round-9
+        // forensics: the round-8 readings of q_sim_ivfpq /
+        // q_events_tumbling / q_dedup_semantic were suspected of being
+        // caused by this GC; measured, they are not — see PLANS.md).
+        if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
         // One UNTIMED warmup execution absorbs whatever session state the
         // preceding query left (shuffle files, GC debt, catalog init) —
         // round-6 verdict: q_join_semi_anti's min-of-3 read 0.92 s while
