@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextFunctions
+
+/** Diagnostic main: is the signature-index probe's per-batch cost flat
+  * as the INDEX grows (round-8 verdict "What's wrong #2" done-check)?
+  * Builds two indexes — 1x (40% of the corpus) and 2x (80%) — and
+  * probes the SAME batch (the 10% test split) against each, min of 3
+  * with warmup. A probe whose cost is proportional to the batch should
+  * read near-flat across the doubling; the round-8 shape (band explode
+  * + skew-cap window over the whole old side per batch) scaled with
+  * the index instead. Prints one JSON line.
+  */
+object DedupIndexBench {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val cuts = Seq("a" -> 400000L, "b" -> 800000L, "mid" -> 900000L, "test" -> 1000000L)
+    val lbl = TextFunctions.splitLabel(col("doc_id"), cuts)
+    val batch = docs.filter(lbl === "test")
+    val tmp = System.getProperty("java.io.tmpdir")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def minOf3(f: => Unit): Double = {
+      f; spark.catalog.clearCache()
+      (1 to 3).map { _ => val t = timed(f); spark.catalog.clearCache(); t }.min
+    }
+
+    val p1 = tmp + "/graft_sig_bench_1x"
+    val p2 = tmp + "/graft_sig_bench_2x"
+    val tBuild1 = timed(Dedup.writeSignatureIndex(docs.filter(lbl === "a"), p1))
+    val tBuild2 = timed(Dedup.writeSignatureIndex(
+      docs.filter(lbl === "a" || lbl === "b"), p2))
+    val tProbe1 = minOf3(noop(Dedup.minhashPairsAgainstIndex(batch, p1)))
+    val tProbe2 = minOf3(noop(Dedup.minhashPairsAgainstIndex(batch, p2)))
+    val n1 = spark.read.parquet(s"$p1/sigs").count()
+    val n2 = spark.read.parquet(s"$p2/sigs").count()
+    val nb = batch.count()
+    println(s"""{"metric":"sig_index_growth","sf":"$sfDir","batch_rows":$nb,""" +
+      s""""index_1x":{"rows":$n1,"build_sec":$tBuild1,"probe_sec":$tProbe1},""" +
+      s""""index_2x":{"rows":$n2,"build_sec":$tBuild2,"probe_sec":$tProbe2}}""")
+    spark.stop()
+  }
+}

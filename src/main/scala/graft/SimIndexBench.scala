@@ -5,12 +5,15 @@ import org.apache.spark.sql.functions._
 
 import graft.similarity.Similarity
 
-/** Diagnostic main (like [[LayoutBench]]): measures the persisted PQ
-  * index's build/probe split — the write-once serving shape's payoff
-  * as a number. Build = pqIndexBuild (the one corpus-sized encode +
-  * artifact writes); probe = pqIndexTopK end-to-end (min of 3, warm),
-  * reading the artifacts with zero re-encode; reference = pqTopK
-  * deriving everything per run. Prints one JSON line.
+/** Diagnostic main (like [[LayoutBench]]): measures the persisted
+  * similarity indexes' build/probe split — the write-once serving
+  * shape's payoff as numbers. Per index family: build = the one
+  * corpus-sized encode + artifact writes; probe = the indexed top-k
+  * end-to-end (min of 3, warm), reading the artifacts with zero
+  * re-encode; reference = the derive-per-run form. clearCache runs
+  * BETWEEN timed runs, outside the measured region (round-8 ADVICE:
+  * it was inside, inflating both absolute numbers). Prints one JSON
+  * line.
   */
 object SimIndexBench {
   def main(args: Array[String]): Unit = {
@@ -25,27 +28,41 @@ object SimIndexBench {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val probePred = col("vec_id") % 50 === 0
-    val path = System.getProperty("java.io.tmpdir") + "/graft_pq_index_bench"
+    val tmp = System.getProperty("java.io.tmpdir")
 
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def noop(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
-    def minOf3(f: => Unit): Double = { f; (1 to 3).map(_ => timed(f)).min }
+    // warmup run, then min of 3 timed runs; caches dropped between
+    // runs so every run does all the work, but the drop itself is
+    // NOT measured
+    def minOf3(f: => Unit): Double = {
+      f; spark.catalog.clearCache()
+      (1 to 3).map { _ =>
+        val t = timed(f); spark.catalog.clearCache(); t
+      }.min
+    }
 
-    val tBuild = timed(Similarity.pqIndexBuild(emb, path))
-    val tProbe = minOf3 {
-      noop(Similarity.pqIndexTopK(spark, path, probePred, 10))
-      spark.catalog.clearCache()
-    }
-    val tDerive = minOf3 {
-      noop(Similarity.pqTopK(emb, probePred, 10))
-      spark.catalog.clearCache()
-    }
+    val pqPath = tmp + "/graft_pq_index_bench"
+    val tBuildPq = timed(Similarity.pqIndexBuild(emb, pqPath))
+    val tProbePq = minOf3(noop(Similarity.pqIndexTopK(spark, pqPath, probePred, 10)))
+    val tDerivePq = minOf3(noop(Similarity.pqTopK(emb, probePred, 10)))
+
+    val annPath = tmp + "/graft_ann_index_bench"
+    val tBuildAnn = timed(Similarity.annIndexBuild(emb, annPath))
+    val tProbeAnn = minOf3(noop(Similarity.annIndexTopK(spark, annPath, probePred, 10,
+      bucketShift = 16, spatialProbe = true)))
+    val tDeriveAnn = minOf3(noop(Similarity.annTopK(emb, probePred, 10,
+      bucketShift = 16, spatialProbe = true)))
+
     val n = emb.count()
-    println(s"""{"metric":"pq_index","rows":$n,"sf":"$sfDir",""" +
-      s""""build_sec":$tBuild,"probe_sec":$tProbe,"derive_per_run_sec":$tDerive}""")
+    println(s"""{"metric":"sim_index","rows":$n,"sf":"$sfDir",""" +
+      s""""pq":{"build_sec":$tBuildPq,"probe_sec":$tProbePq,""" +
+      s""""derive_per_run_sec":$tDerivePq},""" +
+      s""""ann":{"build_sec":$tBuildAnn,"probe_sec":$tProbeAnn,""" +
+      s""""derive_per_run_sec":$tDeriveAnn}}""")
     spark.stop()
   }
 }

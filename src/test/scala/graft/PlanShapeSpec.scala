@@ -109,6 +109,15 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("embeddings.parquet"), p)
   }
 
+  test("ann index probe: scans the stored index only — corpus never re-encoded") {
+    val p = plan("q_sim_ann_indexed")
+    // the scans are the persisted index artifacts, not the embeddings
+    // table: corpus buckets are a shiftright of the stored key column,
+    // and the only curve encodes are the probe rows' spatial variants
+    assert(p.contains("graft_ann_index"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+  }
+
   test("indexed incremental dedup probe: no window or explode over the stored index") {
     val p = plan("q_dedup_incr_indexed")
     // round-8 regression class: the probe used to re-explode the old

@@ -91,4 +91,46 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toSet
     assert(got == want && want.nonEmpty)
   }
+
+  test("layout descriptor sidecar: stored params drive the query box; drift is impossible") {
+    import spark.implicits._
+    val rnd = new Random(43)
+    val rows = (0 until 4000).map(i => (i.toLong, rnd.nextDouble() * 1000, rnd.nextDouble() * 50))
+    val df = rows.toDF("id", "price", "qty")
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sidecar_spec"
+    def write(bits: Int, priceHi: Double): Unit =
+      Layout.writeQuantizedIndexed(df,
+        Seq(col("price") -> Layout.QuantDim("price", 0.0, priceHi, bits),
+          col("qty") -> Layout.QuantDim("qty", 0.0, 50.0, bits)),
+        s"$base/idx", "hk", rowGroupBytes = 16 * 1024)
+    def query(): Set[Long] = {
+      // NO grid parameters at the query site — only the box values;
+      // everything else comes from the table's sidecar
+      val layout = Layout.openQuantized(s"$base/idx")
+      spark.read.parquet(s"$base/idx")
+        .filter(layout.rangePredicate(Seq(200.0, 10.0), Seq(400.0, 20.0)) &&
+          col("price").between(200.0, 400.0) && col("qty").between(10.0, 20.0))
+        .select("id").as[Long].collect().toSet
+    }
+    val want = rows.collect {
+      case (id, p, q) if p >= 200.0 && p <= 400.0 && q >= 10.0 && q <= 20.0 => id
+    }.toSet
+
+    write(bits = 12, priceHi = 1000.0)
+    val d = Layout.openQuantized(s"$base/idx")
+    assert(d.curve == "hilbert" && d.keyName == "hk" && d.elemBits == 32)
+    assert(d.dims == Seq(Layout.QuantDim("price", 0.0, 1000.0, 12),
+      Layout.QuantDim("qty", 0.0, 50.0, 12)))
+    assert(query() == want && want.nonEmpty)
+
+    // the round-8 drift scenario: the table is REWRITTEN with different
+    // grid parameters (new bits, new domain) and the query code is not
+    // touched — with query-site literals this silently broke pruning;
+    // through the sidecar the same query stays exact because its box is
+    // rebuilt from the updated stored parameters
+    write(bits = 9, priceHi = 2000.0)
+    assert(Layout.openQuantized(s"$base/idx").dims.head ==
+      Layout.QuantDim("price", 0.0, 2000.0, 9))
+    assert(query() == want)
+  }
 }

@@ -125,6 +125,25 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("persisted ANN bucket index == derive-per-run annTopK, both probe modes and shifts") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ann_idx_spec").toString + "/idx"
+    Similarity.annIndexBuild(corpus(), path, bands = 2)
+    // ONE fixed index serves multiple granularities and both probe
+    // modes — bucketShift is applied to the STORED keys at query time
+    for (shift <- Seq(8, 12); spatial <- Seq(false, true)) {
+      val direct = rows(Similarity.annTopK(corpus(), col("vec_id") % 10 === 0, k = 2,
+        bands = 2, bucketShift = shift, spatialProbe = spatial))
+      spark.catalog.clearCache()
+      val viaIndex = rows(Similarity.annIndexTopK(spark, path,
+        col("vec_id") % 10 === 0, k = 2, bucketShift = shift, spatialProbe = spatial))
+      assert(direct == viaIndex && direct.nonEmpty, s"shift=$shift spatial=$spatial")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
     def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
       nlist = 3, nprobe = 1, seed = 7L)
