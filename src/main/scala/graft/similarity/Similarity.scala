@@ -716,10 +716,22 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ncent: Int = 16,
       reRank: Int = 40,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val pad = 32L
-    require(ncent <= pad, s"ncent=$ncent exceeds the tie-break pack width")
     val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val (cents, seeds, codes) = ivfPqArtifacts(q, nlist, m, ncent)
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    ivfPqProbe(q, cents, seeds, codes, probes, k, nprobe, m, reRank)
+  }
+
+  /** Coarse centroids + residual codebook + residual PQ codes from a
+    * quantized (vec_id, qv) frame — the index derivation shared by
+    * [[ivfPqTopK]] (per run) and [[ivfPqIndexBuild]] (write once).
+    * All three are pure functions of the corpus. Caller persists `q`. */
+  private def ivfPqArtifacts(q: DataFrame, nlist: Int, m: Int, ncent: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val pad = 32L
+    require(ncent <= pad, s"ncent=$ncent exceeds the tie-break pack width")
     val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     val cents = q.select(col("vec_id"), col("qv"), hv.as("hv"))
@@ -750,8 +762,16 @@ object Similarity {
       .agg(codeAggs.head, codeAggs.tail: _*)
       .select(col("vec_id"), col("list_id"),
         array((0 until m).map(s => (col(s"c$s") % pad).cast("int")): _*).as("codes"))
-    val probes = q.filter(probePred)
-      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    (cents, seeds, codes)
+  }
+
+  /** Probed-list ADC scan + exact re-rank over prepared IVF-PQ frames —
+    * the probe stage shared by [[ivfPqTopK]] and [[ivfPqIndexTopK]].
+    * The scan side reads ~nprobe/nlist of the codes frame; every
+    * corpus-touching join broadcasts its bounded side. */
+  private def ivfPqProbe(q: DataFrame, cents: DataFrame, seeds: DataFrame,
+      codes: DataFrame, probes: DataFrame, k: Int, nprobe: Int, m: Int,
+      reRank: Int): DataFrame = {
     val wl = Window.partitionBy("probe_id").orderBy(col("cdot").desc, col("list_id"))
     val probeLists = probes.crossJoin(broadcast(cents))
       .select(col("probe_id"), col("pv"), col("list_id"), col("cq"),
@@ -783,6 +803,43 @@ object Similarity {
       .select(col("probe_id"), col("neighbor_id"), dotQ(col("pv"), col("nv")).as("dot_q"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** Build the persisted IVF-PQ index ONCE — the production ANN
+    * serving shape ([[pqIndexBuild]]'s write-once split applied to the
+    * full IVFADC composite, round-8 verdict ask #6). Artifacts under
+    * `path`: `vectors` (quantized corpus), `cents` (coarse centroids),
+    * `seeds` (residual codebook), `codes` (list assignment + m small
+    * ints per vector). The build pays the one corpus-sized assign +
+    * residual-encode; probes start from the artifacts with zero
+    * re-encode and scan only their probed lists' codes. */
+  def ivfPqIndexBuild(emb: DataFrame, path: String,
+      nlist: Int = 16, m: Int = 16, ncent: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val (cents, seeds, codes) = ivfPqArtifacts(q, nlist, m, ncent)
+      q.write.mode("overwrite").parquet(s"$path/vectors")
+      cents.write.mode("overwrite").parquet(s"$path/cents")
+      seeds.write.mode("overwrite").parquet(s"$path/seeds")
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+    } finally { q.unpersist(); () }
+  }
+
+  /** Probe a [[ivfPqIndexBuild]] index: same math, output, and oracle
+    * as [[ivfPqTopK]], but assignment, residuals, and codes are read
+    * from the artifacts — the corpus is never re-encoded, and the ADC
+    * scan still touches only the probed lists' code rows. */
+  def ivfPqIndexTopK(spark: SparkSession, path: String, probePred: Column, k: Int,
+      nprobe: Int = 4, m: Int = 16, reRank: Int = 40): DataFrame = {
+    val q = spark.read.parquet(s"$path/vectors")
+    val cents = spark.read.parquet(s"$path/cents")
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val codes = spark.read.parquet(s"$path/codes")
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
+    ivfPqProbe(q, cents, seeds, codes, probes, k, nprobe, m, reRank)
   }
 
   /** Approximate top-k via banded curve buckets + exact re-rank; same

@@ -109,6 +109,14 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("embeddings.parquet"), p)
   }
 
+  test("ivfpq index probe: scans the stored index only — no shuffle join, no re-encode") {
+    val p = plan("q_sim_ivfpq_indexed")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("graft_ivfpq_index"), p)
+    assert(!p.contains("embeddings.parquet"), p)
+  }
+
   test("ann index probe: scans the stored index only — corpus never re-encoded") {
     val p = plan("q_sim_ann_indexed")
     // the scans are the persisted index artifacts, not the embeddings

@@ -125,6 +125,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("persisted IVF-PQ index probe == derive-per-run ivfPqTopK") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val direct = rows(Similarity.ivfPqTopK(corpus(), col("vec_id") % 10 === 0, k = 3,
+      nlist = 3, nprobe = 2, m = 2, ncent = 4, reRank = 5))
+    spark.catalog.clearCache()
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_ivfpq_idx_spec").toString + "/idx"
+    Similarity.ivfPqIndexBuild(corpus(), path, nlist = 3, m = 2, ncent = 4)
+    val viaIndex = rows(Similarity.ivfPqIndexTopK(spark, path,
+      col("vec_id") % 10 === 0, k = 3, nprobe = 2, m = 2, reRank = 5))
+    assert(direct == viaIndex && direct.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("persisted ANN bucket index == derive-per-run annTopK, both probe modes and shifts") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
