@@ -28,9 +28,11 @@ import graft.text.TextFunctions
   * (map-side combine collapses each partition to <= strata * 2^bits
   * rows before the shuffle); the cumulative window runs on the
   * SKETCH-sized frame, never the corpus. The exact branch kept
-  * alongside (per-stratum row_number — a full sort per stratum) is the
-  * AUDIT at test scale; a sketch-only pipeline drops it and nothing
-  * else changes, same convention as the KMV sketch's exact_distinct.
+  * alongside is the AUDIT: since round 9 it no longer sorts the
+  * corpus — the sketch localizes each true quantile to its cell and
+  * in-cell rank, so the audit scan filters to target-cell rows and
+  * sorts only those. A sketch-only pipeline drops it and nothing else
+  * changes, same convention as the KMV sketch's exact_distinct.
   */
 object Quantiles {
 
@@ -63,40 +65,54 @@ object Quantiles {
       col(valueCol).cast("double").as("v"))
     // ONE corpus scan builds the sketch; per-stratum totals come from
     // the sketch itself (a second window over the SAME exchange), not
-    // a second scan. The cum frame is sketch-sized (<= strata * 2^bits
-    // rows) — persisted so the rank table and the estimate read one
-    // materialization (caller releases via clearCache, the annTopK
-    // convention).
+    // a second scan. Everything after runs on the sketch-sized frame.
     val cum = gridHistogram(base, "v", "stratum", lo, hi, bits)
       .select(col("stratum"), col("cell"), col("cnt"),
         sum(col("cnt")).over(Window.partitionBy(col("stratum")).orderBy(col("cell")))
           .as("cum"),
         sum(col("cnt")).over(Window.partitionBy(col("stratum"))).as("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // per-(stratum, q) target rank — strata * |qPpm| rows, broadcast
-    val ranks = cum.select(col("stratum"), col("n")).distinct()
-      .select(col("stratum"), col("n"),
+    // Estimate + audit locator in ONE sketch-sized aggregation: each
+    // sketch row carries its stratum's n, so the target rank needs no
+    // separate rank table (round 8 built ranks via a distinct + two
+    // broadcast joins back into the sketch — three stages this fuses
+    // away, round-8 verdict ask #7). min(struct) picks the smallest
+    // cell whose cumulative count reaches the rank, carrying that
+    // cell's (cum, cnt) along for the audit's in-cell rank.
+    val est = cum
+      .select(col("stratum"), col("cell"), col("cnt"), col("cum"), col("n"),
         explode(array(qPpm.map(lit): _*)).as("q_ppm"))
-      .select(col("stratum"), col("q_ppm"), col("n"),
-        greatest(lit(1L), TextFunctions.intDiv(
-          col("q_ppm") * col("n") + lit(999999L), lit(1000000L))).as("r"))
-    // smallest cell whose cumulative count reaches the rank — runs on
-    // the sketch frame
-    val est = broadcast(ranks).join(cum.select("stratum", "cell", "cum"), "stratum")
+      .withColumn("r", greatest(lit(1L), TextFunctions.intDiv(
+        col("q_ppm") * col("n") + lit(999999L), lit(1000000L))))
       .filter(col("cum") >= col("r"))
-      .groupBy(col("stratum"), col("q_ppm"), col("n"))
-      .agg(min(col("cell")).as("est_cell"))
-    // audit branch: the true r-th smallest value (full per-stratum
-    // sort, the ONLY other corpus scan — dropped at scale, the sketch
-    // cells above are the product)
+      .groupBy(col("stratum"), col("q_ppm"), col("n"), col("r"))
+      .agg(min(struct(col("cell"), col("cum"), col("cnt"))).as("mc"))
+      .select(col("stratum"), col("q_ppm"), col("n"),
+        col("mc").getField("cell").as("est_cell"),
+        (col("r") - (col("mc").getField("cum") - col("mc").getField("cnt")))
+          .as("loc_r"))
+    // audit branch: the true r-th smallest value. Round-8 shipped this
+    // as a corpus-wide per-stratum row_number sort — the query's 2nd
+    // corpus scan and most of its bench cost. The sketch itself makes
+    // that sort unnecessary: the true quantile value LIVES in est_cell
+    // (the cell-identity guarantee), its ranks within the stratum
+    // occupy exactly (cum - cnt, cum], and equal values always share a
+    // cell — so the r-th smallest overall is the loc_r-th smallest
+    // WITHIN the cell. The second scan is a narrow projection +
+    // broadcast-join filter keeping only target-cell rows, and the
+    // sort window runs on those few rows, never the corpus. Same value
+    // out, bit for bit (QuantilesSpec asserts against a driver-side
+    // full sort, incl. heavy ties).
     val exact = base
+      .withColumn("cell", Quantize.grid(col("v"), lo, hi, bits))
+      .join(broadcast(est), Seq("stratum")) // fans out per matching q
+      .filter(col("cell") === col("est_cell"))
       .withColumn("rn", row_number()
-        .over(Window.partitionBy(col("stratum")).orderBy(col("v"))).cast("long"))
-      .join(broadcast(ranks), Seq("stratum"))
-      .filter(col("rn") === col("r"))
+        .over(Window.partitionBy(col("stratum"), col("q_ppm")).orderBy(col("v")))
+        .cast("long"))
+      .filter(col("rn") === col("loc_r"))
       .select(col("stratum"), col("q_ppm"), col("v").as("exact_value"))
     val step = (hi - lo) / Quantize.maxCell(bits)
-    est.join(broadcast(exact), Seq("stratum", "q_ppm"))
+    broadcast(est).join(exact, Seq("stratum", "q_ppm"))
       .select(col("stratum"), col("q_ppm"), col("n"), col("exact_value"),
         col("est_cell"),
         (lit(lo) + (col("est_cell") + lit(1L)) * lit(step)).as("est_value"))

@@ -70,6 +70,27 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("exact audit survives heavy ties (rank falls inside a run of equal values)") {
+    import spark.implicits._
+    // 100 copies each of 10 distinct values per stratum: most ranks
+    // land strictly inside an equal-value run, the case the in-cell
+    // rank-localized audit (round 9) must get right — the r-th
+    // smallest VALUE is well-defined even though row order inside a
+    // run is not
+    val df = (for (g <- Seq("a", "b"); v <- 0 until 10; _ <- 0 until 100)
+      yield (g, v * 100.0 + 50.0)).toDF("grp", "x")
+    val qs = Seq(1L, 100000L, 345678L, 500000L, 999999L, 1000000L)
+    val out = Quantiles.gridQuantiles(df, "x", "grp", lo, hi, bits, qs).collect()
+    assert(out.length == 12)
+    out.foreach { r =>
+      val rank = math.max(1L, (r.getAs[Long]("q_ppm") * 1000L + 999999L) / 1000000L)
+      val want = ((rank - 1) / 100) * 100.0 + 50.0
+      assert(r.getAs[Double]("exact_value") == want, s"at $r")
+      assert(r.getAs[Long]("est_cell") ==
+        Quantize.cell(want, lo, hi, bits), s"cell identity at $r")
+    }
+  }
+
   test("merge law: histogram of a union is the sum of histograms") {
     val a = mkDf(3, 1500)
     val b = mkDf(5, 1100)
