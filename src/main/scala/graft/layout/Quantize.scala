@@ -54,11 +54,20 @@ object Quantize {
   }
 
   /** Grid cell of column `c` (cast to double) on the `bits`-wide grid
-    * over [lo, hi] — executor side. Long-typed, in [0, 2^bits-1]. */
+    * over [lo, hi] — executor side. Long-typed, in [0, 2^bits-1].
+    * NaN maps to the TOP cell explicitly in BOTH mirrors (round-8
+    * ADVICE: Spark's least/greatest sort NaN above any double while
+    * java.lang.Math propagates it, so the implicit behaviors diverged
+    * — executor wrote the top cell, driver computed 0). Like clamped
+    * out-of-domain values, NaN rows are scanned whenever their edge
+    * cell is and the exact predicates re-decide membership. */
   def grid(c: Column, lo: Double, hi: Double, bits: Int): Column = {
     val s = scale(lo, hi, bits)
-    floor(least(greatest((c.cast("double") - lit(lo)) * lit(s), lit(0.0d)),
-      lit(maxCell(bits).toDouble)))
+    val v = c.cast("double")
+    when(isnan(v), lit(maxCell(bits))) // long, keeping the cell bigint
+      .otherwise(
+        floor(least(greatest((v - lit(lo)) * lit(s), lit(0.0d)),
+          lit(maxCell(bits).toDouble))))
   }
 
   /** Driver-side mirror of [[grid]] — same IEEE ops in the same order,
@@ -66,6 +75,7 @@ object Quantize {
     * did. Used to build [[graft.core.CurveRanges]] boxes. */
   def cell(v: Double, lo: Double, hi: Double, bits: Int): Long = {
     val s = scale(lo, hi, bits)
-    math.floor(math.min(math.max((v - lo) * s, 0.0d), maxCell(bits).toDouble)).toLong
+    if (v.isNaN) maxCell(bits)
+    else math.floor(math.min(math.max((v - lo) * s, 0.0d), maxCell(bits).toDouble)).toLong
   }
 }

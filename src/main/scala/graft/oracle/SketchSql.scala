@@ -22,7 +22,8 @@ object SketchSql {
     val step = (hi - lo) / maxCell
     val qs = qPpm.map(q => s"(CAST($q AS BIGINT))").mkString(", ")
     s"""WITH base AS (
-       |  SELECT $strataCol AS stratum, CAST($valueCol AS DOUBLE) AS v FROM $table),
+       |  SELECT $strataCol AS stratum, CAST($valueCol AS DOUBLE) AS v FROM $table
+       |  WHERE $valueCol IS NOT NULL),
        |sk AS (
        |  SELECT stratum,
        |    CAST(floor(least(greatest(

@@ -61,8 +61,13 @@ object Quantiles {
       lo: Double, hi: Double, bits: Int, qPpm: Seq[Long]): DataFrame = {
     require(qPpm.nonEmpty && qPpm.forall(q => q >= 1 && q <= 1000000L),
       s"quantile ranks are ppm in [1, 1e6]: $qPpm")
+    // NULL values carry no rank: Spark would sort a NULL cell FIRST in
+    // the cumulative window while DuckDB defaults to NULLS LAST,
+    // shifting every count (round-8 ADVICE) — both engines drop them
+    // up front instead, so n counts exactly the ranked values.
     val base = df.select(col(strataCol).as("stratum"),
       col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
     // ONE corpus scan builds the sketch; per-stratum totals come from
     // the sketch itself (a second window over the SAME exchange), not
     // a second scan. Everything after runs on the sketch-sized frame.

@@ -65,6 +65,13 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     vals.foreach { v =>
       assert(got(v) == Quantize.cell(v, lo, hi, bits), s"v=$v")
     }
+    // NaN: both mirrors agree on the TOP cell explicitly (round-8
+    // ADVICE: Spark's least/greatest vs java.lang.Math NaN semantics
+    // silently diverged — executor top cell, driver 0)
+    val nanCell = Seq(Double.NaN).toDF("v")
+      .select(Quantize.grid(col("v"), lo, hi, bits)).head().getLong(0)
+    assert(nanCell == Quantize.maxCell(bits))
+    assert(Quantize.cell(Double.NaN, lo, hi, bits) == Quantize.maxCell(bits))
   }
 
   test("quantized hilbert-indexed layout answers a double box exactly (end-to-end)") {

@@ -104,6 +104,19 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(union == merged && union.nonEmpty)
   }
 
+  test("NULL values carry no rank: results match the null-free frame exactly") {
+    import spark.implicits._
+    val clean = mkDf(17, 1000)
+    val dirty = clean.union(
+      Seq.fill(50)(("a", Option.empty[Double])).toDF("grp", "x"))
+    val qs = Seq(10000L, 500000L, 990000L)
+    def out(df: org.apache.spark.sql.DataFrame) =
+      Quantiles.gridQuantiles(df, "x", "grp", lo, hi, bits, qs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4))).sorted.toSeq
+    assert(out(dirty) == out(clean)) // n excludes NULLs; no rank shift
+  }
+
   test("out-of-domain values clamp to edge cells and stay counted") {
     import spark.implicits._
     val df = Seq(("a", -50.0), ("a", 2000.0), ("a", 500.0)).toDF("grp", "x")
