@@ -743,6 +743,30 @@ object SparkEntry {
           concat_ws("_", col("luma")).as("luma_str"))
     }),
 
+    // REAL LZW decode through the same javax.imageio path (round-8
+    // verdict stretch #8), oracle-gated WITHOUT an LZW encoder in SQL:
+    // the GIF's compressed index stream is a CONSTANT (2x2 pixels with
+    // indices 0,1,2,3 — LZW bytes hand-derived, spec-verified), and
+    // the md5 variability rides in the 12 RAW global-color-table
+    // bytes, so decoded pixel k = palette[k] = md5 bytes 3k..3k+2 —
+    // byte-for-byte the PPM oracle's geometry (same oracle SQL)
+    "q_multimodal_gif" -> ((s, dir) => {
+      val prefix: Array[Byte] = "GIF89a".getBytes("US-ASCII") ++
+        Array[Byte](2, 0, 2, 0, 0x91.toByte, 0, 0) // 2x2 LSD, 4-color GCT
+      val suffix: Array[Byte] = Array[Byte](
+        0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0, // image descriptor 2x2
+        2,                               // LZW min code size
+        3, 0x44, 0x34, 0x05,             // one sub-block: CLEAR 0 1 2 3 EOI
+        0, 0x3B)                         // block terminator, trailer
+      val hx = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit(prefix), unhex(substring(hx, 1, 24)), lit(suffix)).as("payload"))
+      graft.multimodal.Decoders.decodeImageIoBatched(src, 4).toDF()
+        .select(col("doc_id"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          concat_ws("_", col("luma")).as("luma_str"))
+    }),
+
     // REAL audio decode, oracle-gated: a minimal RIFF/WAVE PCM-16
     // payload whose 8 data bytes (4 samples) come from the text md5;
     // DuckDB recomputes the per-window energies with explicit 16-bit
@@ -1144,6 +1168,10 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     "q_multimodal_ppm" -> EventSql.multimodalPpm,
     "q_multimodal_bmp" -> EventSql.multimodalBmp,
+    // the GIF palette holds the md5 bytes in direct RGB pixel order,
+    // so the decode MUST yield exactly what the PPM decode yields —
+    // one oracle, two codecs
+    "q_multimodal_gif" -> EventSql.multimodalPpm,
     "q_multimodal_wav" -> EventSql.multimodalWav,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",

@@ -200,6 +200,29 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert((d.mean_r, d.mean_g, d.mean_b) == ((sr / n, sg / n, sb / n)))
   }
 
+  test("imageio decoder: hand-built GIF LZW stream decodes to palette entries in order") {
+    // the q_multimodal_gif payload shape: constant LZW bytes encoding
+    // pixel indices [0,1,2,3], variability only in the 12 raw palette
+    // bytes — assert the JDK's GIF decoder agrees with the hand-packed
+    // bitstream (CLEAR 0 1 2 3 EOI at widths 3,3,3,3,4,4 -> 44 34 05)
+    val palette = (0 until 12).map(i => (i * 19 + 7).toByte).toArray
+    val gif = "GIF89a".getBytes("US-ASCII") ++
+      Array[Byte](2, 0, 2, 0, 0x91.toByte, 0, 0) ++ palette ++
+      Array[Byte](0x2C, 0, 0, 0, 0, 2, 0, 2, 0, 0, 2, 3, 0x44, 0x34, 0x05, 0, 0x3B)
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(gif))
+    assert(img != null && img.getWidth == 2 && img.getHeight == 2)
+    for (k <- 0 until 4) {
+      val p = img.getRGB(k % 2, k / 2)
+      val (r, g, b) = (palette(3 * k) & 0xff, palette(3 * k + 1) & 0xff,
+        palette(3 * k + 2) & 0xff)
+      assert(((p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff) == ((r, g, b)), s"pixel $k")
+    }
+    // and through the decoder's feature shape
+    val d = Decoders.ImageIoDecoder.decode(1L, gif, dims = 4)
+    def ch(off: Int) = (0 until 4).map(k => (palette(3 * k + off) & 0xff).toLong).sum / 4
+    assert((d.mean_r, d.mean_g, d.mean_b) == ((ch(0), ch(1), ch(2))))
+  }
+
   test("imageio decoder: mixed PNG/JPEG payloads through the mapPartitions batch shape") {
     import spark.implicits._
     val rows = (0L until 6L).map { id =>
