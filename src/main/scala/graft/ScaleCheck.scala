@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Diagnostic main (round-8 verdict stretch #9): one decade of scale
+  * beyond the driver's bench — synthesize an sf1-sized corpus (10×
+  * sf0.1) LOCALLY under /tmp and re-run the most expensive queries at
+  * both scales, printing the sf0.1 → sf1 wall-clock ratios.
+  *
+  * Synthesis: 10 id-shifted copies of each source table, with each
+  * document copy's text salted by its copy index and each embedding
+  * copy scaled by a per-copy factor. Honest caveat recorded with the
+  * numbers: copies of a document are NEAR-DUPLICATES of each other
+  * (~95% shingle overlap) and scaled embeddings keep their direction,
+  * so this corpus is duplication-HEAVY — for the dedup/similarity
+  * operators that is the stress case where the skew caps and star
+  * rules engage, not a neutral 10× sample. Layout/sketch queries over
+  * lineitem scale neutrally (copies are disjoint key ranges).
+  */
+object ScaleCheck {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val src = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val dst = System.getProperty("java.io.tmpdir") + "/graft_sf1"
+    val copies = 10
+    val shift = 100000000L
+
+    if (!new java.io.File(s"$dst/_built").exists()) {
+      def tenfold(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
+        val base = spark.read.parquet(s"$src/$name.parquet")
+        (0 until copies).map(k => f(base, k)).reduce(_ union _)
+          .repartition(32)
+          .write.mode("overwrite").parquet(s"$dst/$name.parquet")
+      }
+      tenfold("documents", (d, k) => d.select(
+        (col("doc_id") + lit(k * shift)).as("doc_id"),
+        concat(col("text"), lit(s" cpy$k")).as("text"),
+        col("lang"), col("source"), col("n_chars")))
+      tenfold("embeddings", (d, k) => d.select(
+        (col("vec_id") + lit(k * shift)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x * lit(1.0f - k * 0.003f)).cast("float")).as("embedding"),
+        col("label")))
+      tenfold("lineitem", (d, k) => d.select(
+        (col("l_orderkey") + lit(k * shift)).as("l_orderkey") +:
+          d.columns.filter(_ != "l_orderkey").map(col): _*))
+      new java.io.File(s"$dst/_built").createNewFile()
+    }
+
+    val names = Seq("q_dedup_semantic", "q_sim_ivfpq", "q_layout_filter",
+      "q_dedup_clusters", "q_dedup_jaccard", "q_sim_ann_mp",
+      "q_dedup_incr_indexed", "q_sketch_quantile")
+
+    def timed(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def run(name: String, dir: String): Double = {
+      def once(): Unit = {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      }
+      once() // warmup
+      math.min(timed(once()), timed(once()))
+    }
+
+    val rows = names.map { n =>
+      val a = run(n, src)
+      val b = run(n, dst)
+      (n, a, b)
+    }
+    def jstr(s: String) = "\"" + s + "\""
+    val qs = rows.map { case (n, a, b) =>
+      f"${jstr(n)}:{${jstr("sf01_sec")}:$a%.3f,${jstr("sf1_sec")}:$b%.3f," +
+        f"${jstr("ratio")}:${b / a}%.2f}"
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"scale_check","copies":$copies,"queries":$qs}""")
+    spark.stop()
+  }
+}

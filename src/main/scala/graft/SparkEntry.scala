@@ -418,6 +418,21 @@ object SparkEntry {
       Similarity.annIndexTopK(s, path, col("vec_id") % 50 === 0, 10,
         bucketShift = 16, spatialProbe = true)
     }),
+    // the GROWING ANN index: build from an 80% slice, append the rest,
+    // probe the union — per-row-pure artifacts make append trivially
+    // exact, so this gates the ingest lifecycle with the same oracle
+    // as the full-corpus index
+    "q_sim_ann_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ann_index_app/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.annIndexBuild(emb.filter(col("vec_id") % 5 =!= 0), path)
+        Similarity.annIndexAppend(emb.filter(col("vec_id") % 5 === 0), path)
+      })
+      Similarity.annIndexTopK(s, path, col("vec_id") % 50 === 0, 10,
+        bucketShift = 16, spatialProbe = true)
+    }),
 
     // SemDeDup (Abbas et al. 2023): within-coarse-cluster near-dup
     // groups, one representative kept per group; seeded -> oracle-gated
@@ -1051,6 +1066,8 @@ object SparkEntry {
     "q_sim_ann_mp" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     // identical math through the persisted bucket index -> same oracle
     "q_sim_ann_indexed" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
+    // appended index covers the same corpus -> same oracle again
+    "q_sim_ann_append" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     // identical math through the persisted index -> identical oracle

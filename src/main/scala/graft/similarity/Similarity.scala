@@ -914,18 +914,33 @@ object Similarity {
     * artifact). The coordinate column feeds spatial multi-probe's
     * perturb-and-encode on PROBE rows only. */
   def annIndexBuild(emb: DataFrame, path: String, bands: Int = DefaultBands,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    annIndexWrite(emb, path, bands, idCol, vecCol, "overwrite")
+
+  /** Append a batch of new vectors to an existing [[annIndexBuild]]
+    * index — the similarity twin of
+    * [[graft.dedup.Dedup.appendSignatureIndex]]. Exactness is free
+    * here: keys, coordinates, and quantized vectors are all pure
+    * PER-ROW functions (no corpus-level statistics), so build+append
+    * is trivially identical to a from-scratch build of the union
+    * (SimilaritySpec asserts anyway). */
+  def annIndexAppend(emb: DataFrame, path: String, bands: Int = DefaultBands,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    annIndexWrite(emb, path, bands, idCol, vecCol, "append")
+
+  private def annIndexWrite(emb: DataFrame, path: String, bands: Int,
+      idCol: String, vecCol: String, mode: String): Unit = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .select(col("vec_id"), quantize(col("v")).as("qv"),
         bandKeys(col("v"), bands).as("keys"), bandCoordArr(bands).as("coords"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      base.select(col("vec_id"), col("qv")).write.mode("overwrite").parquet(s"$path/vectors")
+      base.select(col("vec_id"), col("qv")).write.mode(mode).parquet(s"$path/vectors")
       base.select(col("vec_id"),
           posexplode(arrays_zip(col("keys"), col("coords"))).as(Seq("band_idx", "kc")))
         .select(col("vec_id"), col("band_idx"),
           col("kc").getField("keys").as("key"), col("kc").getField("coords").as("cc"))
-        .write.mode("overwrite").parquet(s"$path/keys")
+        .write.mode(mode).parquet(s"$path/keys")
     } finally { base.unpersist(); () }
   }
 

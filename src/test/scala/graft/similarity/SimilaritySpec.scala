@@ -159,6 +159,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("ANN index append == from-scratch build of the union") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_app_spec").toString
+    val emb = corpus()
+    Similarity.annIndexBuild(emb.filter(col("vec_id") % 3 =!= 0), tmp + "/app", bands = 2)
+    Similarity.annIndexAppend(emb.filter(col("vec_id") % 3 === 0), tmp + "/app", bands = 2)
+    Similarity.annIndexBuild(emb, tmp + "/scratch", bands = 2)
+    val a = rows(Similarity.annIndexTopK(spark, tmp + "/app",
+      col("vec_id") % 10 === 0, k = 2, bucketShift = 8, spatialProbe = true))
+    val b = rows(Similarity.annIndexTopK(spark, tmp + "/scratch",
+      col("vec_id") % 10 === 0, k = 2, bucketShift = 8, spatialProbe = true))
+    assert(a == b && a.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
     def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
       nlist = 3, nprobe = 1, seed = 7L)
