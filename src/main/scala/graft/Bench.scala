@@ -72,7 +72,12 @@ object Bench {
         // forensics: the round-8 readings of q_sim_ivfpq /
         // q_events_tumbling / q_dedup_semantic were suspected of being
         // caused by this GC; measured, they are not — see PLANS.md).
-        if (!sys.env.contains("SPARK_GRAFT_NOGC")) System.gc()
+        // parse the value, don't just test presence: NOGC=0 must mean
+        // "GC on" or an A/B that sets 0/1 for its two arms measures
+        // nothing (round-9 review)
+        val noGc = sys.env.get("SPARK_GRAFT_NOGC")
+          .exists(v => v.nonEmpty && v != "0" && v.toLowerCase != "false")
+        if (!noGc) System.gc()
         // One UNTIMED warmup execution absorbs whatever session state the
         // preceding query left (shuffle files, GC debt, catalog init) —
         // round-6 verdict: q_join_semi_anti's min-of-3 read 0.92 s while

@@ -32,15 +32,8 @@ object DedupIndexBench {
     val batch = docs.filter(lbl === "test")
     val tmp = System.getProperty("java.io.tmpdir")
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    def minOf3(f: => Unit): Double = {
-      f; spark.catalog.clearCache()
-      (1 to 3).map { _ => val t = timed(f); spark.catalog.clearCache(); t }.min
-    }
+    import BenchUtil.{noop, timed}
+    def minOf3(f: => Unit): Double = BenchUtil.minOfN(spark)(f)
 
     val p1 = tmp + "/graft_sig_bench_1x"
     val p2 = tmp + "/graft_sig_bench_2x"

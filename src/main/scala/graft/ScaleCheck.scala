@@ -33,7 +33,13 @@ object ScaleCheck {
     val copies = 10
     val shift = 100000000L
 
-    if (!new java.io.File(s"$dst/_built").exists()) {
+    // the marker records WHICH source was scaled up: a changed
+    // SPARK_GRAFT_SF_DIR must trigger re-synthesis, not silently
+    // compare fresh src timings against a stale dst corpus
+    val marker = java.nio.file.Paths.get(s"$dst/_built")
+    val stale = !java.nio.file.Files.exists(marker) ||
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != src
+    if (stale) {
       def tenfold(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
         val base = spark.read.parquet(s"$src/$name.parquet")
         (0 until copies).map(k => f(base, k)).reduce(_ union _)
@@ -52,25 +58,21 @@ object ScaleCheck {
       tenfold("lineitem", (d, k) => d.select(
         (col("l_orderkey") + lit(k * shift)).as("l_orderkey") +:
           d.columns.filter(_ != "l_orderkey").map(col): _*))
-      new java.io.File(s"$dst/_built").createNewFile()
+      java.nio.file.Files.write(marker, src.getBytes("UTF-8"))
     }
 
     val names = Seq("q_dedup_semantic", "q_sim_ivfpq", "q_layout_filter",
       "q_dedup_clusters", "q_dedup_jaccard", "q_sim_ann_mp",
       "q_dedup_incr_indexed", "q_sketch_quantile")
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def run(name: String, dir: String): Double = {
-      def once(): Unit = {
-        SparkEntry.queries(name)(spark, dir)
-          .write.format("noop").mode("overwrite").save()
-        spark.catalog.clearCache()
+    // cache drops run BETWEEN timed runs, outside the measured region
+    // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay
+    // ~10x more untracked unpersist time than the sf0.1 runs and bias
+    // every published ratio upward (round-9 review)
+    def run(name: String, dir: String): Double =
+      BenchUtil.minOfN(spark, runs = 2) {
+        BenchUtil.noop(SparkEntry.queries(name)(spark, dir))
       }
-      once() // warmup
-      math.min(timed(once()), timed(once()))
-    }
 
     val rows = names.map { n =>
       val a = run(n, src)

@@ -30,20 +30,8 @@ object SimIndexBench {
     val probePred = col("vec_id") % 50 === 0
     val tmp = System.getProperty("java.io.tmpdir")
 
-    def timed(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }
-    def noop(df: org.apache.spark.sql.DataFrame): Unit =
-      df.write.format("noop").mode("overwrite").save()
-    // warmup run, then min of 3 timed runs; caches dropped between
-    // runs so every run does all the work, but the drop itself is
-    // NOT measured
-    def minOf3(f: => Unit): Double = {
-      f; spark.catalog.clearCache()
-      (1 to 3).map { _ =>
-        val t = timed(f); spark.catalog.clearCache(); t
-      }.min
-    }
+    import BenchUtil.{noop, timed}
+    def minOf3(f: => Unit): Double = BenchUtil.minOfN(spark)(f)
 
     val pqPath = tmp + "/graft_pq_index_bench"
     val tBuildPq = timed(Similarity.pqIndexBuild(emb, pqPath))

@@ -144,6 +144,15 @@ object Layout {
 
   private def sidecarPath(path: String) = new Path(path, "_graft_layout.json")
 
+  /** The session's Hadoop configuration when one is active (the same
+    * fs settings the parquet writes beside the sidecar use —
+    * credentials, fs.defaultFS, etc.); a bare Configuration only as
+    * the sessionless fallback. */
+  private def hadoopConf(): Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new Configuration())
+
   /** [[writeHilbertIndexedCells]] with the grid parameters persisted:
     * quantizes each (source expression, [[QuantDim]]) onto its grid,
     * curve-orders on the combined key, writes the parquet table, and
@@ -180,7 +189,7 @@ object Layout {
         s""""elem_bits":${desc.elemBits},"dims":$ds}"""
     }
     val p = sidecarPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -191,7 +200,7 @@ object Layout {
     * literal-drift class is gone by construction. */
   def openQuantized(path: String): QuantizedLayoutDesc = {
     val p = sidecarPath(path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(hadoopConf())
     val in = fs.open(p)
     val json = try {
       val bytes = new java.io.ByteArrayOutputStream()

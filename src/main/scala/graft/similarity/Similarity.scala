@@ -122,6 +122,16 @@ object Similarity {
     array((0 until bands).map(j =>
       Curves.hilbertEncodeArray(u8Slice(vec, j * 4, 4), 4)): _*)
 
+  /** Per-band u8 coordinate arrays of an embedding column `v` — the
+    * spatial-probe representation (ints 0..255, pre-wrap). */
+  private def bandCoordArr(bands: Int): Column =
+    array((0 until bands).map { j =>
+      array((0 until 4).map { d =>
+        val x = element_at(col("v"), j * 4 + d + 1)
+        least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
+      }: _*)
+    }: _*)
+
   /** (probe_id, band_idx, bucket) rows for SPATIAL multi-probe: each
     * probe's own subcube plus its 2*d axis-adjacent subcubes per band.
     * Because bucketShift is a multiple of the band dimensionality (4),
@@ -138,16 +148,6 @@ object Similarity {
     * sf0.001 == sf0.1; docs/PLANS.md round-8 entry). This shape keeps
     * ONE encode expression and moves the fan-out into rows — probe
     * rows only, duplicates from edge clamping dropped by distinct. */
-  /** Per-band u8 coordinate arrays of an embedding column `v` — the
-    * spatial-probe representation (ints 0..255, pre-wrap). */
-  private def bandCoordArr(bands: Int): Column =
-    array((0 until bands).map { j =>
-      array((0 until 4).map { d =>
-        val x = element_at(col("v"), j * 4 + d + 1)
-        least(floor((x.cast("double") + lit(1.0d)) * lit(128.0d)).cast("int"), lit(255))
-      }: _*)
-    }: _*)
-
   private[graft] def spatialProbeBuckets(emb: DataFrame, probePred: Column,
       bands: Int, bucketShift: Int,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
