@@ -98,6 +98,47 @@ object StreamDedup {
       }
   }
 
+  /** The streaming INGEST loop over the persisted signature index —
+    * what production runs at the front door of a 100 TB corpus: each
+    * micro-batch (1) probes the index for its documents' near-dup
+    * matches in everything ingested before it (new-vs-old only, the
+    * [[graft.dedup.Dedup.minhashPairsAgainstIndex]] semantics, cost ∝
+    * the batch) and (2) appends its own signatures + band partials
+    * ([[graft.dedup.Dedup.appendSignatureIndex]]) so every LATER
+    * batch dedups against this one — the foreachBatch form of the
+    * build→append→probe lifecycle `q_dedup_incr_append` gates.
+    *
+    * Delivery: a `_batches/<id>` marker skips micro-batches already
+    * processed, so the common restart/retry path neither re-appends
+    * signatures nor re-emits matches. The residual window (crash
+    * AFTER the index append but BEFORE the marker write) re-appends
+    * one batch's signatures on recovery: self-pairs are filtered and
+    * the verify join re-decides every candidate, but doubled bucket
+    * PARTIALS inflate merged counts, which can tip a near-cap bucket
+    * into the star rule (pairs to the representative instead of every
+    * member) — a recall reduction on exactly that batch's buckets,
+    * not a correctness failure elsewhere. Production closes the
+    * window by committing the batch's files and marker atomically
+    * (e.g. a table format's transactional commit). StreamingSpec
+    * asserts the two-batch stream equals the sequential batch calls. */
+  def ingestDedup(docs: DataFrame, indexPath: String, resultPath: String,
+      checkpoint: String, p: MinHashParams = MinHashParams())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(s"$indexPath/_batches/$batchId")
+        if (!marker.exists()) {
+          Dedup.minhashPairsAgainstIndex(batch, indexPath, p)
+            .write.mode("append").parquet(resultPath)
+          Dedup.appendSignatureIndex(batch, indexPath, p)
+          marker.getParentFile.mkdirs()
+          marker.createNewFile()
+          ()
+        }
+      }
+      .start()
+
   /** Executable batch SPEC of [[nearDupPairs]] (with an unbounded
     * horizon): per band bucket, the anchor is the min-(ts_us, doc_id)
     * member and every other member pairs with it. Returns the DISTINCT

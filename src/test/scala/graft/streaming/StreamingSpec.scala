@@ -255,6 +255,48 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!paired.contains(3L) && !paired.contains(6L))
   }
 
+  test("streaming ingest dedup through the persisted index == sequential batch calls") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_ingest").toString
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val other = (1 to 40).map(i => s"aaa$i").mkString(" ")
+    // base index: docs 1-2; stream batch 1: a near-dup of 1 + noise;
+    // stream batch 2: an exact dup of the BATCH-1 noise doc — catching
+    // it requires batch 1's signatures to have been APPENDED
+    val baseDocs = Seq((1L, base), (2L, other)).toDF("doc_id", "text")
+    val b1 = Seq((10L, base.replace("tok7", "tokX")),
+      (11L, (1 to 40).map(i => s"qqq$i").mkString(" ")))
+    val b2 = Seq((20L, (1 to 40).map(i => s"qqq$i").mkString(" ")))
+    graft.dedup.Dedup.writeSignatureIndex(baseDocs, s"$tmp/idx")
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val schema = b1.toDF("doc_id", "text").schema
+    val q = StreamDedup.ingestDedup(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/idx", s"$tmp/matches", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$tmp/matches")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // sequential batch replay of the same lifecycle
+    graft.dedup.Dedup.writeSignatureIndex(baseDocs, s"$tmp/idx2")
+    val m1 = graft.dedup.Dedup.minhashPairsAgainstIndex(
+      b1.toDF("doc_id", "text"), s"$tmp/idx2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.dedup.Dedup.appendSignatureIndex(b1.toDF("doc_id", "text"), s"$tmp/idx2")
+    val m2 = graft.dedup.Dedup.minhashPairsAgainstIndex(
+      b2.toDF("doc_id", "text"), s"$tmp/idx2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == (m1 ++ m2))
+    // the planted structure: cross-index near-dup AND cross-batch dup
+    assert(streamed.contains((10L, 1L)) && streamed.contains((20L, 11L)))
+    spark.catalog.clearCache()
+  }
+
   test("streaming MinHash near-dedup: horizon expires bucket anchors") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_stream_minhash_hz")
