@@ -404,6 +404,22 @@ object SparkEntry {
       })
       Similarity.ivfPqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
     }),
+    // the GROWING PQ index — FAISS's add-after-train semantics: the
+    // codebook is FROZEN at build time (80% of the corpus), appended
+    // vectors are encoded against it, rebuilds absorb drift on a
+    // cadence. NOT equal to rebuilding from the union (that is the
+    // trade); exactly reproducible, so the oracle pins its codebook
+    // CTE to the build-time corpus and hash-gates the lifecycle.
+    "q_sim_pq_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_pq_index_app/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.pqIndexBuild(emb.filter(col("vec_id") % 5 =!= 0), path)
+        Similarity.pqIndexAppend(emb.filter(col("vec_id") % 5 === 0), path)
+      })
+      Similarity.pqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
+    }),
     // PERSISTED curve-LSH bucket index (round-8 verdict Missing #2):
     // band keys stored ONCE at full granularity; the probe derives its
     // buckets as stored_key >> shift and widens spatially by perturbing
@@ -1072,6 +1088,9 @@ object SparkEntry {
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     // identical math through the persisted index -> identical oracle
     "q_sim_pq_indexed" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
+    // frozen codebook: seeds from the build-time 80%, codes over all
+    "q_sim_pq_append" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40,
+      "WHERE vec_id % 5 != 0"),
     "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     // identical math through the persisted IVF-PQ index -> same oracle
     "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),

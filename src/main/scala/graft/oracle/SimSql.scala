@@ -210,7 +210,13 @@ object SimSql {
     * ivfSeededTopK), per-subspace squared-L2 encode with the packed
     * `dist*32 + (j-1)` argmin tie-break, per-probe ADC tables, approx
     * top-reRank cut, exact dot re-rank. */
-  def pqSeededTopK(probeMod: Int, k: Int, m: Int, ncent: Int, reRank: Int): String = {
+  /** `seedWhere` restricts the codebook-seed pool (e.g.
+    * `"WHERE vec_id % 5 != 0"`) — the oracle form of a FROZEN
+    * codebook: q_sim_pq_append's index derives its codebook from the
+    * build-time corpus only, while codes/probes cover the appended
+    * union. Empty = codebook from the whole corpus (q_sim_pq). */
+  def pqSeededTopK(probeMod: Int, k: Int, m: Int, ncent: Int, reRank: Int,
+      seedWhere: String = ""): String = {
     val sub = s"list_transform(generate_series(0, ${m - 1}), s -> " +
       s"list_sum(list_transform(generate_series(1, wd), i -> " +
       "(xq[s*wd + i] - cq[s*wd + i]) * (xq[s*wd + i] - cq[s*wd + i]))))"
@@ -225,7 +231,7 @@ object SimSql {
        |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS j,
        |    qv AS cq
-       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $ncent)),
+       |  FROM (SELECT * FROM hq $seedWhere ORDER BY hv, vec_id LIMIT $ncent)),
        |sd AS (SELECT q.vec_id, c.j, $sub AS ds
        |  FROM (SELECT vec_id, qv AS xq, len(qv) // $m AS wd FROM q) q, cents c),
        |codes0 AS (SELECT vec_id,

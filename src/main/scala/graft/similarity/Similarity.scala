@@ -591,26 +591,33 @@ object Similarity {
     * subvectors; codes = per-subspace packed argmin over corpus x
     * broadcast(seeds), one row per vector out of the mappers). */
   private def pqArtifacts(q: DataFrame, m: Int, ncent: Int): (DataFrame, DataFrame) = {
-    val pad = 32L
-    require(ncent <= pad, s"ncent=$ncent exceeds the tie-break pack width")
+    require(ncent <= 32L, s"ncent=$ncent exceeds the tie-break pack width")
     val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     val seeds = q.select(col("vec_id"), col("qv"), hv.as("hv"))
       .orderBy(col("hv"), col("vec_id")).limit(ncent)
       .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
       .select(col("j"), col("qv").as("cq"))
-    // per-subspace squared L2 distances ||x_s - c_s||^2, s = 0..m-1 —
-    // native one-pass expression; [[subspaceSqDistsBuiltin]] is the
-    // executable SPEC (equality asserted in SimilaritySpec)
+    (seeds, pqEncode(q, seeds, m))
+  }
+
+  /** PQ-encode a quantized (vec_id, qv) frame against a FIXED (j, cq)
+    * codebook: per-subspace squared L2 distances ||x_s - c_s||^2 via
+    * the native one-pass expression ([[subspaceSqDistsBuiltin]] is the
+    * executable SPEC, equality asserted in SimilaritySpec), packed
+    * `dist*32 + (j-1)` argmin tie-break. Shared by [[pqArtifacts]]
+    * (codebook derived from the same corpus) and [[pqIndexAppend]]
+    * (codebook read from the stored index). */
+  private def pqEncode(q: DataFrame, seeds: DataFrame, m: Int): DataFrame = {
+    val pad = 32L
     val codeAggs = (0 until m).map(s =>
       min(element_at(col("ds"), s + 1) * pad + (col("j") - 1)).as(s"c$s"))
-    val codes = q.crossJoin(broadcast(seeds))
+    q.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("j"), subspaceSqDists(col("qv"), col("cq"), m).as("ds"))
       .groupBy(col("vec_id"))
       .agg(codeAggs.head, codeAggs.tail: _*)
       .select(col("vec_id"),
         array((0 until m).map(s => (col(s"c$s") % pad).cast("int")): _*).as("codes"))
-    (seeds, codes)
   }
 
   /** ADC scan + exact re-rank over prepared index frames — the probe
@@ -666,6 +673,30 @@ object Similarity {
       q.write.mode("overwrite").parquet(s"$path/vectors")
       seeds.write.mode("overwrite").parquet(s"$path/seeds")
       codes.write.mode("overwrite").parquet(s"$path/codes")
+    } finally { q.unpersist(); () }
+  }
+
+  /** Append a batch of new vectors to a [[pqIndexBuild]] index by
+    * encoding them against the STORED codebook — the production PQ
+    * growth semantics (FAISS's add-after-train): the codebook is
+    * frozen at build time, appended vectors get codes in that
+    * codebook, and the index is periodically rebuilt when the corpus
+    * has drifted far enough from the training snapshot. Unlike the
+    * signature/ANN indexes this is NOT equivalent to a from-scratch
+    * build of the union (a rebuild would pick codebook seeds from the
+    * union — that is exactly the quantization-drift trade being made);
+    * it IS exactly reproducible, so `q_sim_pq_append` hash-gates the
+    * whole lifecycle against an oracle whose codebook CTE is pinned to
+    * the build-time corpus. */
+  def pqIndexAppend(emb: DataFrame, path: String, m: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      q.write.mode("append").parquet(s"$path/vectors")
+      pqEncode(q, seeds, m).write.mode("append").parquet(s"$path/codes")
     } finally { q.unpersist(); () }
   }
 

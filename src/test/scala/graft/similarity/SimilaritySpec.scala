@@ -159,6 +159,27 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("PQ index append: frozen codebook, appended vectors immediately probeable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_app_spec").toString
+    // build on everything except vec 2 (cluster-mate of 0 and 1),
+    // append vec 2 with the FROZEN codebook
+    Similarity.pqIndexBuild(corpus().filter(col("vec_id") =!= 2L), tmp + "/idx",
+      m = 2, ncent = 4)
+    val seedsBefore = spark.read.parquet(tmp + "/idx/seeds")
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.pqIndexAppend(corpus().filter(col("vec_id") === 2L), tmp + "/idx", m = 2)
+    // the codebook did not move...
+    val seedsAfter = spark.read.parquet(tmp + "/idx/seeds")
+      .collect().map(_.toString).sorted.toSeq
+    assert(seedsBefore == seedsAfter)
+    // ...and the appended vector is found as its cluster-mates' neighbor
+    val out = Similarity.pqIndexTopK(spark, tmp + "/idx",
+      col("vec_id") === 0L, k = 2, m = 2, reRank = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 2L))
+    spark.catalog.clearCache()
+  }
+
   test("ANN index append == from-scratch build of the union") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
