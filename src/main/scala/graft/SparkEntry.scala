@@ -404,6 +404,21 @@ object SparkEntry {
       })
       Similarity.ivfPqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
     }),
+    // the GROWING IVF-PQ index: both quantizers (coarse centroids +
+    // residual codebook) frozen at build time over the 80% slice,
+    // appended vectors assigned and encoded against them — the
+    // add-after-train lifecycle, oracle quantizer CTEs pinned to the
+    // build-time corpus
+    "q_sim_ivfpq_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivfpq_index_app/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.ivfPqIndexBuild(emb.filter(col("vec_id") % 5 =!= 0), path, ncent = 32)
+        Similarity.ivfPqIndexAppend(emb.filter(col("vec_id") % 5 === 0), path)
+      })
+      Similarity.ivfPqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
+    }),
     // the GROWING PQ index — FAISS's add-after-train semantics: the
     // codebook is FROZEN at build time (80% of the corpus), appended
     // vectors are encoded against it, rebuilds absorb drift on a
@@ -1094,6 +1109,10 @@ object SparkEntry {
     "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     // identical math through the persisted IVF-PQ index -> same oracle
     "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
+    // frozen quantizers: centroid + codebook pools from the build-time
+    // 80%, codes over all
+    "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,
+      "WHERE vec_id % 5 != 0"),
     "q_dedup_semantic" -> SimSql.semanticDedup(16, 49, 400, 256),
     "q_sim_mmr" -> SimSql.mmrTopK(50, 8, 32),
     "q_text_stats" -> DocSql.textStats,

@@ -264,8 +264,13 @@ object SimSql {
     * the ncent seeds' own residuals, per-subspace packed-argmin
     * encode, per-(probe, list) ADC tables over the probe's residual,
     * top-reRank cut, exact dot re-rank. */
+  /** `seedWhere` (e.g. `"WHERE vec_id % 5 != 0"`) pins BOTH frozen
+    * quantizers — the coarse centroid pool and the residual codebook
+    * pool — to the build-time corpus, the oracle form of
+    * q_sim_ivfpq_append's add-after-train index. Empty = both derived
+    * from the whole corpus (q_sim_ivfpq). */
   def ivfPqTopK(probeMod: Int, k: Int, nlist: Int, nprobe: Int,
-      m: Int, ncent: Int, reRank: Int): String = {
+      m: Int, ncent: Int, reRank: Int, seedWhere: String = ""): String = {
     val sub = s"list_transform(generate_series(0, ${m - 1}), s -> " +
       s"list_sum(list_transform(generate_series(1, wd), i -> " +
       "(xq[s*wd + i] - cq[s*wd + i]) * (xq[s*wd + i] - cq[s*wd + i]))))"
@@ -278,7 +283,7 @@ object SimSql {
        |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
        |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS list_id,
        |    qv AS cq
-       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $nlist)),
+       |  FROM (SELECT * FROM hq $seedWhere ORDER BY hv, vec_id LIMIT $nlist)),
        |asg0 AS (SELECT q.vec_id, c.list_id, ${dotSql("q.qv", "c.cq")} AS cdot
        |  FROM q, cents c),
        |asg AS (SELECT vec_id, list_id FROM (
@@ -291,7 +296,7 @@ object SimSql {
        |  JOIN cents c ON c.list_id = a.list_id),
        |seeds AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS j,
        |    rv AS cr
-       |  FROM (SELECT * FROM resid ORDER BY hv, vec_id LIMIT $ncent)),
+       |  FROM (SELECT * FROM resid $seedWhere ORDER BY hv, vec_id LIMIT $ncent)),
        |sd AS (SELECT r.vec_id, r.list_id, c.j, $sub AS ds
        |  FROM (SELECT vec_id, list_id, rv AS xq, len(rv) // $m AS wd FROM resid) r,
        |    (SELECT j, cr AS cq FROM seeds) c),

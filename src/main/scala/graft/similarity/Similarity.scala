@@ -761,8 +761,7 @@ object Similarity {
     * All three are pure functions of the corpus. Caller persists `q`. */
   private def ivfPqArtifacts(q: DataFrame, nlist: Int, m: Int, ncent: Int)
       : (DataFrame, DataFrame, DataFrame) = {
-    val pad = 32L
-    require(ncent <= pad, s"ncent=$ncent exceeds the tie-break pack width")
+    require(ncent <= 32L, s"ncent=$ncent exceeds the tie-break pack width")
     val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     val cents = q.select(col("vec_id"), col("qv"), hv.as("hv"))
@@ -770,30 +769,48 @@ object Similarity {
       .withColumn("list_id",
         row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
       .select(col("list_id"), col("qv").as("cq"))
+    val resid = ivfAssignResiduals(q, cents)
+      .withColumn("hv", hv)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // residual codebook: the ncent seed vectors' OWN residuals
+    val seeds = resid.orderBy(col("hv"), col("vec_id")).limit(ncent)
+      .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
+      .select(col("j"), col("rv").as("cr"))
+    (cents, seeds, residCodes(resid, seeds, m))
+  }
+
+  /** Coarse-assign a quantized (vec_id, qv) frame to its best centroid
+    * (argmax integer dot, ties to the lower list) and compute integer
+    * residuals r = x - c(list) — against a FIXED (list_id, cq)
+    * centroid frame. Shared by [[ivfPqArtifacts]] (centroids derived
+    * from the same corpus) and [[ivfPqIndexAppend]] (centroids read
+    * from the stored index). */
+  private def ivfAssignResiduals(q: DataFrame, cents: DataFrame): DataFrame = {
     val asg = q.crossJoin(broadcast(cents))
       .select(col("vec_id"), col("list_id"), dotQ(col("qv"), col("cq")).as("cdot"))
       .groupBy(col("vec_id"))
       .agg(max(struct(col("cdot"), (-col("list_id")).as("nl"))).as("mx"))
       .select(col("vec_id"), (-col("mx").getField("nl")).as("list_id"))
     // residual r = x - c(list): a narrow zip_with after broadcast joins
-    val resid = q.join(asg, "vec_id").join(broadcast(cents), "list_id")
+    q.join(asg, "vec_id").join(broadcast(cents), "list_id")
       .select(col("vec_id"), col("list_id"),
-        zip_with(col("qv"), col("cq"), (a, b) => a - b).as("rv"), hv.as("hv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // residual codebook: the ncent seed vectors' OWN residuals
-    val seeds = resid.orderBy(col("hv"), col("vec_id")).limit(ncent)
-      .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
-      .select(col("j"), col("rv").as("cr"))
+        zip_with(col("qv"), col("cq"), (a, b) => a - b).as("rv"))
+  }
+
+  /** Residual-PQ codes of a (vec_id, list_id, rv) frame against a
+    * FIXED (j, cr) residual codebook — the packed-argmin encode shared
+    * by build and append. */
+  private def residCodes(resid: DataFrame, seeds: DataFrame, m: Int): DataFrame = {
+    val pad = 32L
     val codeAggs = (0 until m).map(s =>
       min(element_at(col("ds"), s + 1) * pad + (col("j") - 1)).as(s"c$s"))
-    val codes = resid.crossJoin(broadcast(seeds))
+    resid.crossJoin(broadcast(seeds))
       .select(col("vec_id"), col("list_id"), col("j"),
         subspaceSqDists(col("rv"), col("cr"), m).as("ds"))
       .groupBy(col("vec_id"), col("list_id"))
       .agg(codeAggs.head, codeAggs.tail: _*)
       .select(col("vec_id"), col("list_id"),
         array((0 until m).map(s => (col(s"c$s") % pad).cast("int")): _*).as("codes"))
-    (cents, seeds, codes)
   }
 
   /** Probed-list ADC scan + exact re-rank over prepared IVF-PQ frames —
@@ -855,6 +872,28 @@ object Similarity {
       cents.write.mode("overwrite").parquet(s"$path/cents")
       seeds.write.mode("overwrite").parquet(s"$path/seeds")
       codes.write.mode("overwrite").parquet(s"$path/codes")
+    } finally { q.unpersist(); () }
+  }
+
+  /** Append a batch of new vectors to a [[ivfPqIndexBuild]] index with
+    * BOTH quantizers frozen — the coarse centroids assign the new
+    * vectors to their lists and the stored residual codebook encodes
+    * them, the same add-after-train semantics as [[pqIndexAppend]]
+    * (and the same trade: rebuilds absorb quantizer drift; exactly
+    * reproducible, so `q_sim_ivfpq_append` hash-gates the lifecycle
+    * against an oracle whose centroid AND codebook CTEs are pinned to
+    * the build-time corpus). */
+  def ivfPqIndexAppend(emb: DataFrame, path: String, m: Int = 16,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit = {
+    val spark = emb.sparkSession
+    val cents = spark.read.parquet(s"$path/cents")
+    val seeds = spark.read.parquet(s"$path/seeds")
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      q.write.mode("append").parquet(s"$path/vectors")
+      residCodes(ivfAssignResiduals(q, cents), seeds, m)
+        .write.mode("append").parquet(s"$path/codes")
     } finally { q.unpersist(); () }
   }
 

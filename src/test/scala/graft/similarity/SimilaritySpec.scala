@@ -180,6 +180,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("IVF-PQ index append: both quantizers frozen, appended vectors immediately probeable") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ivfpq_app_spec").toString
+    Similarity.ivfPqIndexBuild(corpus().filter(col("vec_id") =!= 2L), tmp + "/idx",
+      nlist = 3, m = 2, ncent = 4)
+    def snap(t: String) = spark.read.parquet(s"$tmp/idx/$t")
+      .collect().map(_.toString).sorted.toSeq
+    val (c0, s0) = (snap("cents"), snap("seeds"))
+    Similarity.ivfPqIndexAppend(corpus().filter(col("vec_id") === 2L), tmp + "/idx", m = 2)
+    assert((snap("cents"), snap("seeds")) == ((c0, s0))) // quantizers did not move
+    val out = Similarity.ivfPqIndexTopK(spark, tmp + "/idx",
+      col("vec_id") === 0L, k = 2, nprobe = 2, m = 2, reRank = 5)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(1L, 2L)) // the appended cluster-mate is found
+    spark.catalog.clearCache()
+  }
+
   test("ANN index append == from-scratch build of the union") {
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
