@@ -719,6 +719,32 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("content_hash"))
     }),
 
+    // CSV twin of q_source_jsonl: RFC-4180 conventions (quote
+    // doubling, not backslash escapes — what DuckDB/Excel/Postgres
+    // speak), an explicit \N null sentinel so NULL and '' round-trip
+    // DISTINCTLY (the Hive/MySQL dump convention), multiLine read for
+    // embedded newlines, and an explicit schema — never infer at
+    // 100 TB. Same identity oracle as JSONL; SourceSpec fuzzes
+    // commas/quotes/newlines/unicode through the round trip.
+    "q_source_csv" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_csv/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        table(s, dir, "documents").write.mode("overwrite")
+          .option("escape", "\"").option("nullValue", "\\N")
+          .option("ignoreLeadingWhiteSpace", "false")
+          .option("ignoreTrailingWhiteSpace", "false")
+          .csv(path)
+      })
+      s.read.schema("doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG")
+        .option("escape", "\"").option("nullValue", "\\N").option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("content_hash"))
+    }),
+
     // --- multimodal: binary payload + struct metadata -------------------
     "q_multimodal" -> ((s, dir) => {
       val bin = Multimodal.payload(col("text"))
@@ -1219,6 +1245,10 @@ object SparkEntry {
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),
     "q_source_jsonl" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    // identity round trip -> same oracle as JSONL
+    "q_source_csv" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
         |FROM documents""".stripMargin,
     "q_multimodal_ppm" -> EventSql.multimodalPpm,
