@@ -546,6 +546,11 @@ object SparkEntry {
     // doc_id -> canonical_id (transitive closure via min-label
     // propagation) so duplicates can actually be dropped
     "q_dedup_clusters" -> ((s, dir) => Dedup.clusters(table(s, dir, "documents"))),
+    // quality-aware keeper selection: per cluster keep the argmax
+    // quality_ppm member (tie -> min doc_id), not the min id — the
+    // keeper rule a real training pipeline uses
+    "q_dedup_clusters_best" -> ((s, dir) =>
+      Dedup.clustersBest(table(s, dir, "documents"))),
     // embedding-cosine near-dup: sign-LSH blocking + exact fixed-point
     // cosine verify (tau = 0.35 fits the synthetic near-random corpus;
     // real pipelines run tau >= 0.85 — see Similarity.CosineParams)
@@ -1180,6 +1185,7 @@ object SparkEntry {
     "q_dedup_simhash" -> DocSql.simhash,
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
+    "q_dedup_clusters_best" -> DocSql.dedupClustersBest(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
     "q_clean_boilerplate" -> DocSql.removeBoilerplate(10, 2),
     "q_dedup_substr" -> DocSql.substrPairs(Dedup.SubstrParams()),

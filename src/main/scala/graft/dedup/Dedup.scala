@@ -823,4 +823,34 @@ object Dedup {
     assigned.withColumn("cluster_size",
       count(lit(1)).over(Window.partitionBy(col("canonical_id"))))
   }
+
+  /** Quality-aware duplicate-cluster resolution: keep the
+    * HIGHEST-QUALITY member of each near-dup cluster instead of the
+    * minimum id — what a production training-data pipeline actually
+    * does (the min-id keeper of [[clusters]] can be the worst copy).
+    * Quality = [[TextFunctions.qualityPpm]] (type-token ratio, exact
+    * integer ppm so both engines agree); ties broken by MIN doc_id so
+    * the keeper is deterministic.
+    *
+    * Output: one row per cluster (canonical_id, keep_id,
+    * keep_quality_ppm, cluster_size).
+    *
+    * Scale shape: the argmax is `max(struct(quality, -doc_id))` inside
+    * a hash aggregation on canonical_id — partial-aggregates map-side,
+    * no per-cluster window, one shuffle beyond [[clusters]]. */
+  def clustersBest(docs: DataFrame, p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cl = clusters(docs, p, idCol, textCol)
+    val q = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.qualityPpm(col(textCol)).as("q"))
+    cl.join(q, Seq("doc_id"))
+      .groupBy(col("canonical_id"))
+      .agg(
+        max(struct(col("q"), (-col("doc_id")).as("neg_id"))).as("best"),
+        max(col("cluster_size")).as("cluster_size"))
+      .select(col("canonical_id"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("best.q").as("keep_quality_ppm"),
+        col("cluster_size"))
+  }
 }

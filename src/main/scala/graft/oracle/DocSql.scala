@@ -491,6 +491,23 @@ object DocSql {
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
 
+  /** Mirror of Dedup.clustersBest: per-cluster keeper = argmax
+    * quality_ppm (type-token ratio, exact integer ppm), ties broken by
+    * MIN doc_id. Computed via an explicit row_number so the tie-break
+    * is deterministic (DuckDB's arg_max is not on ties). */
+  def dedupClustersBest(p: MinHashParams): String =
+    s"""WITH RECURSIVE ${minhashPairCtes(p)},
+       |${closureCtes(p)},
+       |assigned AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id,
+       |  CAST(len(list_distinct(d.toks)) * 1000000 // len(d.toks) AS BIGINT) AS q
+       |  FROM d LEFT JOIN comp c ON c.id = d.doc_id),
+       |sized AS (SELECT *,
+       |  CAST(count(*) OVER (PARTITION BY canonical_id) AS BIGINT) AS cluster_size,
+       |  row_number() OVER (PARTITION BY canonical_id ORDER BY q DESC, doc_id ASC) AS rn
+       |  FROM assigned)
+       |SELECT canonical_id, doc_id AS keep_id, q AS keep_quality_ppm, cluster_size
+       |FROM sized WHERE rn = 1""".stripMargin
+
   /** Mirror of CorpusOps.rarityScore: exact mean inverse document
     * frequency in ppm. */
   val rarityScore: String =

@@ -451,6 +451,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(expected(3L) == 1L && expected(2L) == 1L)
   }
 
+  test("clustersBest: keeper is argmax quality (tie -> min id), one row per cluster") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val lowQ = base.replace("tok40", "tok7") // duplicated token -> 39/40 distinct
+    val corpus = docs(
+      (1L, lowQ), (2L, base), (3L, lowQ),
+      (4L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (5L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (6L, (1 to 40).map(i => s"zzz${i % 20}").mkString(" ")))
+    val got = Dedup.clustersBest(corpus)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 3) // one row per cluster, not per doc
+    // {1,2,3}: canonical 1, but the keeper is 2 — the only all-distinct copy
+    assert(got(1L) == ((2L, 1000000L, 3L)))
+    // {4,5}: equal quality -> tie broken by min doc_id
+    assert(got(4L) == ((4L, 1000000L, 2L)))
+    // singleton keeps itself, carrying its own (low) quality
+    assert(got(6L) == ((6L, 500000L, 1L)))
+  }
+
   test("boilerplate removal: >maxDf chunks stripped, docs reassembled in order, no rows lost") {
     // chunk size 2, maxDf 2: "HDR X" opens 3 docs (boilerplate);
     // "t1 u1".."t3 u3" are unique bodies; doc 4 is ALL boilerplate;
