@@ -750,6 +750,23 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("content_hash"))
     }),
 
+    // ORC twin: the other columnar format large Hadoop/Hive/Trino
+    // estates hold. Schema and types live in the file footer, so
+    // unlike CSV/JSONL there is no explicit-schema or null-sentinel
+    // dance — the gate proves the type-exact round trip (incl. NULL
+    // text), and ORC gives stripe-level predicate pushdown for free
+    // on layout-style reads.
+    "q_source_orc" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_orc/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        table(s, dir, "documents").write.mode("overwrite").orc(path)
+      })
+      s.read.orc(path)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          md5(col("text").cast("binary")).as("content_hash"))
+    }),
+
     // --- multimodal: binary payload + struct metadata -------------------
     "q_multimodal" -> ((s, dir) => {
       val bin = Multimodal.payload(col("text"))
@@ -1255,6 +1272,9 @@ object SparkEntry {
         |FROM documents""".stripMargin,
     // identity round trip -> same oracle as JSONL
     "q_source_csv" ->
+      """SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
+        |FROM documents""".stripMargin,
+    "q_source_orc" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
         |FROM documents""".stripMargin,
     "q_multimodal_ppm" -> EventSql.multimodalPpm,

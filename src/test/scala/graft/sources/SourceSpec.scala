@@ -51,6 +51,9 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
       case "json" =>
         df.write.mode("overwrite").json(tmp)
         spark.read.schema("doc_id LONG, text STRING").json(tmp)
+      case "orc" =>
+        df.write.mode("overwrite").orc(tmp)
+        spark.read.orc(tmp)
     }
     read.collect()
       .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
@@ -66,5 +69,11 @@ class SourceSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = hostile().collect()
       .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
     assert(roundTrip("json") == want)
+  }
+
+  test("orc round-trip is the identity on the same hostile content") {
+    val want = hostile().collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1).toSeq
+    assert(roundTrip("orc") == want)
   }
 }
