@@ -297,6 +297,10 @@ object SparkEntry {
     }),
     "q_domain_stats" -> ((s, dir) =>
       graft.text.CorpusOps.domainStats(table(s, dir, "documents"))),
+    // temperature-scaled source mixing (p ~ tokens^(1/2)): the
+    // multilingual up-sampling rule, exact-integer via floor(sqrt)
+    "q_mix_weights" -> ((s, dir) =>
+      graft.text.CorpusOps.mixtureWeights(table(s, dir, "documents"))),
     // corpus-relative rarity: mean inverse token df (the gibberish
     // signal intra-document quality stats cannot see)
     "q_text_rarity" -> ((s, dir) =>
@@ -1183,6 +1187,7 @@ object SparkEntry {
       "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
       Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
     "q_domain_stats" -> DocSql.domainStats,
+    "q_mix_weights" -> DocSql.mixtureWeights,
     "q_profile" -> DocSql.profile(Seq("doc_id", "text", "lang", "source", "n_chars")),
     "q_text_rarity" -> DocSql.rarityScore,
     "q_domain_cap" -> DocSql.domainCap(10, "#cap"),

@@ -394,6 +394,27 @@ object DocSql {
        |SELECT source, n_docs, total_tokens, n_langs, median_tokens
        |FROM a JOIN m USING (source)""".stripMargin
 
+  /** Mirror of CorpusOps.mixtureWeights: alpha=1/2 mixture via the
+    * same floor(sqrt(double)) integer sqrt; sums cast back to BIGINT
+    * because DuckDB widens sum(BIGINT) to HUGEINT. */
+  val mixtureWeights: String =
+    s"""WITH d AS (SELECT source,
+       |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+       |  FROM d GROUP BY 1),
+       |isq_t AS (SELECT source, total_tokens,
+       |  CAST(floor(sqrt(CAST(total_tokens AS DOUBLE))) AS BIGINT) AS isq FROM per),
+       |tot AS (SELECT CAST(sum(total_tokens) AS BIGINT) AS sum_tok,
+       |  CAST(sum(isq) AS BIGINT) AS sum_isq FROM isq_t),
+       |w AS (SELECT source, total_tokens,
+       |  total_tokens * 1000000 // sum_tok AS raw_ppm,
+       |  isq * 1000000 // sum_isq AS weight_ppm
+       |  FROM isq_t, tot)
+       |SELECT source, total_tokens, raw_ppm, weight_ppm,
+       |  weight_ppm * 1000000 // greatest(raw_ppm, 1) AS boost_ppm
+       |FROM w""".stripMargin
+
   /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
     * h0..hN affine-family signature -> exploded bands -> distinct
     * candidate pairs, where in-cap buckets self-join all pairs and

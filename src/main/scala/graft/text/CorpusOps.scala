@@ -409,6 +409,41 @@ object CorpusOps {
     aggd.join(med, "source")
   }
 
+  /** Temperature-scaled source-mixture weights — the multilingual /
+    * multi-domain sampling rule (p_s proportional to n_s^alpha with
+    * alpha < 1) that up-samples small sources so the biggest domain
+    * doesn't drown the rest. alpha is fixed at 1/2 so the power is an
+    * integer sqrt: floor of the correctly-rounded IEEE sqrt, which is
+    * bit-identical in Spark and DuckDB for totals far below 2^53 (the
+    * nearest-integer gap 1/(2*sqrt(n)) dwarfs the double ulp there),
+    * keeping the whole result exact-integer ppm.
+    *
+    * Output: one row per source — (source, total_tokens, raw_ppm,
+    * weight_ppm, boost_ppm): raw corpus share, alpha-scaled sampling
+    * weight, and the up/down-sampling factor between them (1e6 =
+    * unchanged).
+    *
+    * Shape at 100 TB: one partial-agg corpus scan to per-source
+    * totals; the grand totals are a broadcast 1x1 frame; everything
+    * after is a narrow projection over the (tiny) per-source frame. */
+  def mixtureWeights(docs: DataFrame, sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val per = docs
+      .groupBy(col(sourceCol).as("source"))
+      .agg(sum(TextFunctions.tokenCount(col(textCol))).as("total_tokens"))
+      .withColumn("isq", floor(sqrt(col("total_tokens").cast("double"))).cast("long"))
+    val tot = per.agg(
+      sum(col("total_tokens")).as("sum_tok"),
+      sum(col("isq")).as("sum_isq"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("total_tokens"),
+        TextFunctions.intDiv(col("total_tokens") * lit(1000000L), col("sum_tok")).as("raw_ppm"),
+        TextFunctions.intDiv(col("isq") * lit(1000000L), col("sum_isq")).as("weight_ppm"))
+      .withColumn("boost_ppm",
+        TextFunctions.intDiv(col("weight_ppm") * lit(1000000L),
+          greatest(col("raw_ppm"), lit(1L))))
+  }
+
   /** Corpus-relative rarity score: the integer mean over a document's
     * tokens of 1e6 / df(token) — high for documents full of tokens the
     * rest of the corpus never uses (gibberish, OCR noise, random

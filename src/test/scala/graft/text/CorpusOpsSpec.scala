@@ -264,6 +264,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("src_ties") == ((3L, 19L, 2L, 5L)))
   }
 
+  test("mixtureWeights: alpha=1/2 up-samples small sources, exact integer ppm") {
+    import spark.implicits._
+    // big: 100 tokens, small: 4, tiny: 1 -> isq 10/2/1, sums 105/13
+    val rows =
+      (1 to 10).map(i => ("big", (1 to 10).map(j => s"b$i$j").mkString(" "))) ++
+      Seq(("small", "s1 s2 s3 s4"), ("tiny", "t1"))
+    val out = CorpusOps.mixtureWeights(rows.toDF("source", "text"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out("big") == ((100L, 952380L, 769230L, 807692L)))   // down-sampled
+    assert(out("small") == ((4L, 38095L, 153846L, 4038482L)))   // ~4x up
+    assert(out("tiny") == ((1L, 9523L, 76923L, 8077601L)))      // ~8x up
+    // weights sum to ~1e6 (floor rounding leaves at most n_sources ulps)
+    val wsum = out.values.map(_._3).sum
+    assert(wsum > 999990L && wsum <= 1000000L)
+  }
+
   test("contamination: cached and recomputed postings plans agree exactly") {
     // cachePostings only changes WHERE the postings come from (cache
     // pool vs three narrow re-scans) — the result must be identical
