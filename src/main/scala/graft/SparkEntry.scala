@@ -301,6 +301,10 @@ object SparkEntry {
     // multilingual up-sampling rule, exact-integer via floor(sqrt)
     "q_mix_weights" -> ((s, dir) =>
       graft.text.CorpusOps.mixtureWeights(table(s, dir, "documents"))),
+    // apply the mixture: per-source keep rate boost/max(boost), hash
+    // selection -> reproducible alpha-shaped downsample
+    "q_mix_sample" -> ((s, dir) =>
+      graft.text.CorpusOps.mixtureSample(table(s, dir, "documents"))),
     // corpus-relative rarity: mean inverse token df (the gibberish
     // signal intra-document quality stats cannot see)
     "q_text_rarity" -> ((s, dir) =>
@@ -1188,6 +1192,7 @@ object SparkEntry {
       Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
     "q_domain_stats" -> DocSql.domainStats,
     "q_mix_weights" -> DocSql.mixtureWeights,
+    "q_mix_sample" -> DocSql.mixtureSample("#mix"),
     "q_profile" -> DocSql.profile(Seq("doc_id", "text", "lang", "source", "n_chars")),
     "q_text_rarity" -> DocSql.rarityScore,
     "q_domain_cap" -> DocSql.domainCap(10, "#cap"),

@@ -394,11 +394,13 @@ object DocSql {
        |SELECT source, n_docs, total_tokens, n_langs, median_tokens
        |FROM a JOIN m USING (source)""".stripMargin
 
-  /** Mirror of CorpusOps.mixtureWeights: alpha=1/2 mixture via the
-    * same floor(sqrt(double)) integer sqrt; sums cast back to BIGINT
-    * because DuckDB widens sum(BIGINT) to HUGEINT. */
-  val mixtureWeights: String =
-    s"""WITH d AS (SELECT source,
+  /** Shared CTE chain for CorpusOps.mixtureWeights/mixtureSample:
+    * alpha=1/2 mixture via the same floor(sqrt(double)) integer sqrt;
+    * sums cast back to BIGINT because DuckDB widens sum(BIGINT) to
+    * HUGEINT. Ends in `mixw(source, total_tokens, raw_ppm,
+    * weight_ppm, boost_ppm)`. */
+  private val mixtureCtes: String =
+    s"""d AS (SELECT source,
        |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
        |  FROM documents),
        |per AS (SELECT source, CAST(sum(n_tokens) AS BIGINT) AS total_tokens
@@ -410,10 +412,25 @@ object DocSql {
        |w AS (SELECT source, total_tokens,
        |  total_tokens * 1000000 // sum_tok AS raw_ppm,
        |  isq * 1000000 // sum_isq AS weight_ppm
-       |  FROM isq_t, tot)
-       |SELECT source, total_tokens, raw_ppm, weight_ppm,
-       |  weight_ppm * 1000000 // greatest(raw_ppm, 1) AS boost_ppm
-       |FROM w""".stripMargin
+       |  FROM isq_t, tot),
+       |mixw AS (SELECT source, total_tokens, raw_ppm, weight_ppm,
+       |  weight_ppm * 1000000 // greatest(raw_ppm, 1) AS boost_ppm FROM w)""".stripMargin
+
+  /** Mirror of CorpusOps.mixtureWeights. */
+  val mixtureWeights: String =
+    s"""WITH $mixtureCtes
+       |SELECT source, total_tokens, raw_ppm, weight_ppm, boost_ppm FROM mixw""".stripMargin
+
+  /** Mirror of CorpusOps.mixtureSample: per-source keep rate =
+    * boost / max(boost), selection by the shared salted hash bucket. */
+  def mixtureSample(salt: String): String =
+    s"""WITH $mixtureCtes,
+       |mx AS (SELECT CAST(max(boost_ppm) AS BIGINT) AS max_boost FROM mixw),
+       |rates AS (SELECT source, boost_ppm * 1000000 // max_boost AS keep_ppm
+       |  FROM mixw, mx)
+       |SELECT doc_id, source, keep_ppm
+       |FROM documents JOIN rates USING (source)
+       |WHERE ${sampleBucketExpr("doc_id", salt)} < keep_ppm""".stripMargin
 
   /** Shared CTE chain: shingles -> base hash per shingle (one md5) ->
     * h0..hN affine-family signature -> exploded bands -> distinct

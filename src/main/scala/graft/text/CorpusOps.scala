@@ -444,6 +444,35 @@ object CorpusOps {
           greatest(col("raw_ppm"), lit(1L))))
   }
 
+  /** Apply the alpha-mixture of [[mixtureWeights]] by deterministic
+    * downsampling: each source keeps boost_s / max(boost) of its
+    * documents (the most up-sampled source keeps 100%), so the sampled
+    * corpus's source distribution moves to the alpha-scaled target
+    * without duplication — the up-sampling side is realized by epoch
+    * repetition at the trainer, a batch sampler can only remove.
+    * Selection is the salted hash bucket of doc_id, so the sample is
+    * stable across runs, engines, and partitionings exactly like
+    * [[stratifiedSample]].
+    *
+    * Output: surviving (doc_id, source, keep_ppm).
+    *
+    * Shape at 100 TB: two corpus scans (per-source totals, then the
+    * filtered projection) joined through a BROADCAST per-source rate
+    * frame — bounded by the source count, never a corpus shuffle. */
+  def mixtureSample(docs: DataFrame, sourceCol: String = "source",
+      idCol: String = "doc_id", textCol: String = "text",
+      salt: String = "#mix"): DataFrame = {
+    val w = mixtureWeights(docs, sourceCol, textCol)
+    val maxB = w.agg(max(col("boost_ppm")).as("max_boost"))
+    val rates = w.crossJoin(broadcast(maxB))
+      .select(col("source"),
+        TextFunctions.intDiv(col("boost_ppm") * lit(1000000L), col("max_boost")).as("keep_ppm"))
+    docs.select(col(idCol).as("doc_id"), col(sourceCol).as("source"))
+      .join(broadcast(rates), Seq("source"))
+      .filter(sampleBucket(col("doc_id"), salt) < col("keep_ppm"))
+      .select(col("doc_id"), col("source"), col("keep_ppm"))
+  }
+
   /** Corpus-relative rarity score: the integer mean over a document's
     * tokens of 1e6 / df(token) — high for documents full of tokens the
     * rest of the corpus never uses (gibberish, OCR noise, random

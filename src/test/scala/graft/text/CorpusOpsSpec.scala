@@ -281,6 +281,28 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(wsum > 999990L && wsum <= 1000000L)
   }
 
+  test("mixtureSample: most-boosted source keeps 100%, others hash-thinned at boost/max") {
+    import spark.implicits._
+    // big: 32 docs x 25 tokens (800), small: 4 docs x 4 tokens (16)
+    // -> isq 28/4, boosts 892500/6375274, keep_ppm 139993 / 1000000
+    val rows = (1 to 32).map(i => ("big", (1 to 25).map(j => s"b${i}x$j").mkString(" "))) ++
+      (1 to 4).map(i => ("small", s"s$i a b c"))
+    val df = rows.zipWithIndex.map { case ((src, t), i) => (i.toLong, src, t) }
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.mixtureSample(df).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val small = out.filter(_._2 == "small")
+    assert(small.length == 4 && small.forall(_._3 == 1000000L))
+    // big survivors are exactly the docs whose salted bucket < 139993
+    val expectBig = df.filter($"source" === "big")
+      .withColumn("bk", CorpusOps.sampleBucket($"doc_id", "#mix"))
+      .filter($"bk" < 139993L).collect().map(_.getLong(0)).toSet
+    val gotBig = out.filter(_._2 == "big")
+    assert(gotBig.map(_._1).toSet == expectBig)
+    assert(gotBig.forall(_._3 == 139993L))
+    assert(gotBig.length < 32) // the thinning actually removed rows
+  }
+
   test("contamination: cached and recomputed postings plans agree exactly") {
     // cachePostings only changes WHERE the postings come from (cache
     // pool vs three narrow re-scans) — the result must be identical
