@@ -305,6 +305,10 @@ object SparkEntry {
     // selection -> reproducible alpha-shaped downsample
     "q_mix_sample" -> ((s, dir) =>
       graft.text.CorpusOps.mixtureSample(table(s, dir, "documents"))),
+    // RAG-prep chunking: overlapping win/stride token windows, tail
+    // always covered by one full-width window; narrow flatMap
+    "q_chunk_windows" -> ((s, dir) =>
+      graft.text.CorpusOps.chunkWindows(table(s, dir, "documents"))),
     // corpus-relative rarity: mean inverse token df (the gibberish
     // signal intra-document quality stats cannot see)
     "q_text_rarity" -> ((s, dir) =>
@@ -1193,6 +1197,7 @@ object SparkEntry {
     "q_domain_stats" -> DocSql.domainStats,
     "q_mix_weights" -> DocSql.mixtureWeights,
     "q_mix_sample" -> DocSql.mixtureSample("#mix"),
+    "q_chunk_windows" -> DocSql.chunkWindows(32, 24),
     "q_profile" -> DocSql.profile(Seq("doc_id", "text", "lang", "source", "n_chars")),
     "q_text_rarity" -> DocSql.rarityScore,
     "q_domain_cap" -> DocSql.domainCap(10, "#cap"),

@@ -394,6 +394,26 @@ object DocSql {
        |SELECT source, n_docs, total_tokens, n_langs, median_tokens
        |FROM a JOIN m USING (source)""".stripMargin
 
+  /** Mirror of CorpusOps.chunkWindows: same start grid (1, 1+stride,
+    * ... capped at max(n-win+1, 1), cap appended when off-grid), same
+    * arithmetic chunk_idx, 1-based inclusive list slicing. */
+  def chunkWindows(win: Int, stride: Int): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |s AS (SELECT doc_id, toks,
+       |  greatest(len(toks) - $win + 1, 1) AS last_start FROM d),
+       |st AS (SELECT doc_id, toks, CASE WHEN ((last_start - 1) % $stride) = 0
+       |  THEN range(1, last_start + 1, $stride)
+       |  ELSE list_append(range(1, last_start + 1, $stride), last_start) END AS starts
+       |  FROM s),
+       |e AS (SELECT doc_id, toks, unnest(starts) AS start FROM st)
+       |SELECT doc_id,
+       |  CAST((start + $stride - 2) // $stride AS BIGINT) AS chunk_idx,
+       |  CAST(start AS BIGINT) AS start_tok,
+       |  CAST(len(toks[start:start + $win - 1]) AS BIGINT) AS n_chunk_tokens,
+       |  array_to_string(toks[start:start + $win - 1], ' ') AS chunk_text
+       |FROM e""".stripMargin
+
   /** Shared CTE chain for CorpusOps.mixtureWeights/mixtureSample:
     * alpha=1/2 mixture via the same floor(sqrt(double)) integer sqrt;
     * sums cast back to BIGINT because DuckDB widens sum(BIGINT) to

@@ -444,6 +444,42 @@ object CorpusOps {
           greatest(col("raw_ppm"), lit(1L))))
   }
 
+  /** Overlapping token-window chunking — the RAG/embedding prep step:
+    * split each document into windows of `win` tokens advancing by
+    * `stride` (stride < win gives overlap so no boundary context is
+    * lost). Window starts are 1, 1+stride, ... capped at
+    * max(n - win + 1, 1); if the cap is not on the stride grid a final
+    * window is emitted AT the cap, so the document tail is always
+    * covered by one full-width window and no window is a strict suffix
+    * of another. chunk_idx is derived arithmetically from the start
+    * ((start + stride - 2) div stride), not from an explode ordinal,
+    * so both engines agree without ordering assumptions.
+    *
+    * Output: (doc_id, chunk_idx, start_tok, n_chunk_tokens,
+    * chunk_text).
+    *
+    * Shape at 100 TB: a narrow flatMap (sequence + explode + slice) —
+    * no shuffle, no state; parallelism is the scan's. */
+  def chunkWindows(docs: DataFrame, win: Int = 32, stride: Int = 24,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(win > 0 && stride > 0 && stride <= win,
+      s"need 0 < stride <= win: win=$win stride=$stride")
+    val df = docs
+      .select(col(idCol).as("doc_id"), TextFunctions.tokens(col(textCol)).as("toks"))
+      .withColumn("last_start", greatest(size(col("toks")) - win + 1, lit(1)))
+      .withColumn("starts0", sequence(lit(1), col("last_start"), lit(stride)))
+      .withColumn("starts",
+        when(element_at(col("starts0"), -1) === col("last_start"), col("starts0"))
+          .otherwise(concat(col("starts0"), array(col("last_start")))))
+    df.select(col("doc_id"), col("toks"), explode(col("starts")).as("start"))
+      .select(col("doc_id"),
+        TextFunctions.intDiv(col("start").cast("long") + (stride - 2), lit(stride.toLong))
+          .as("chunk_idx"),
+        col("start").cast("long").as("start_tok"),
+        size(slice(col("toks"), col("start"), lit(win))).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(win))).as("chunk_text"))
+  }
+
   /** Apply the alpha-mixture of [[mixtureWeights]] by deterministic
     * downsampling: each source keeps boost_s / max(boost) of its
     * documents (the most up-sampled source keeps 100%), so the sampled

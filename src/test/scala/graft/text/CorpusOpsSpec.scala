@@ -264,6 +264,28 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("src_ties") == ((3L, 19L, 2L, 5L)))
   }
 
+  test("chunkWindows: stride grid, off-grid tail window, arithmetic chunk_idx") {
+    val d = docs(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // cap 3 off-grid -> starts 1,3
+      (2L, (1 to 8).map(i => s"t$i").mkString(" ")),  // exactly one full window
+      (3L, "a b c"),                                  // short doc -> one short chunk
+      (4L, (1 to 17).map(i => s"t$i").mkString(" "))) // starts 1,5,9 + off-grid cap 10
+    val out = CorpusOps.chunkWindows(d, win = 8, stride = 4)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    def t(a: Int, b: Int) = (a to b).map(i => s"t$i").mkString(" ")
+    assert(out.filter(_._1 == 1L) == Seq(
+      (1L, 0L, 1L, 8L, t(1, 8)), (1L, 1L, 3L, 8L, t(3, 10))))
+    assert(out.filter(_._1 == 2L) == Seq((2L, 0L, 1L, 8L, t(1, 8))))
+    assert(out.filter(_._1 == 3L) == Seq((3L, 0L, 1L, 3L, "a b c")))
+    assert(out.filter(_._1 == 4L) == Seq(
+      (4L, 0L, 1L, 8L, t(1, 8)), (4L, 1L, 5L, 8L, t(5, 12)),
+      (4L, 2L, 9L, 8L, t(9, 16)), (4L, 3L, 10L, 8L, t(10, 17))))
+    // invariant: every token index is inside some window (tail covered)
+    assert(out.filter(_._1 == 4L).map(x => x._3 + x._4 - 1).max == 17L)
+  }
+
   test("mixtureWeights: alpha=1/2 up-samples small sources, exact integer ppm") {
     import spark.implicits._
     // big: 100 tokens, small: 4, tiny: 1 -> isq 10/2/1, sums 105/13
