@@ -85,6 +85,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("chunk windows: a narrow flatMap — no exchange, no join") {
+    val p = plan("q_chunk_windows")
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("mixture sample: corpus joins the per-source rate frame by broadcast only") {
+    val p = plan("q_mix_sample")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
   test("mmr: shortlist via WindowGroupLimit, one exchange, no shuffle join") {
     val p = plan("q_sim_mmr")
     assert(p.contains("WindowGroupLimit"), p)
