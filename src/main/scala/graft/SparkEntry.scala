@@ -669,6 +669,10 @@ object SparkEntry {
       graft.streaming.StreamJoin.attribution(events(s, dir), events(s, dir))),
     "q_events_tumbling" -> ((s, dir) =>
       graft.streaming.TumblingAgg.agg(events(s, dir))),
+    // hopping twin: 1 h windows every 30 min -> each event in exactly
+    // 2 windows; same watermark-valid streaming aggregate
+    "q_events_hopping" -> ((s, dir) =>
+      graft.streaming.TumblingAgg.hopping(events(s, dir))),
     "q_agg_cube" -> ((s, dir) => {
       // project the JSON extraction BEFORE the cube so Expand
       // replicates a parsed long, not the parse itself
@@ -1277,6 +1281,8 @@ object SparkEntry {
     "q_join_salted" -> EventSql.joinSalted,
     "q_sessionize" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
     "q_events_tumbling" -> EventSql.eventsTumbling(graft.streaming.TumblingAgg.WindowUs),
+    "q_events_hopping" -> EventSql.eventsHopping(
+      graft.streaming.TumblingAgg.WindowUs, graft.streaming.TumblingAgg.SlideUs),
     "q_join_stream" -> EventSql.streamAttribution(graft.streaming.StreamJoin.HorizonUs),
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_join_semi_anti" -> EventSql.semiAnti,

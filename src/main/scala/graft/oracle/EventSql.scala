@@ -33,6 +33,22 @@ object EventSql {
        |  CAST(sum(k) AS BIGINT) AS sum_k
        |FROM e GROUP BY 1, 2""".stripMargin
 
+  /** Mirror of TumblingAgg.hopping: each event lands in the windows
+    * whose slide-floored starts (shift sh in 0..win/slide-1) still
+    * cover it; with win = 2*slide both shifts always qualify, but the
+    * coverage filter is kept so the SQL states the general rule. */
+  def eventsHopping(windowUs: Long, slideUs: Long): String = {
+    val shifts = (0 until (windowUs / slideUs).toInt).mkString("[", ", ", "]")
+    s"""WITH e AS (SELECT epoch_us(ts) AS ts_us, event_type, $kExpr AS k FROM events),
+       |x AS (SELECT ts_us, event_type, k, unnest($shifts) AS sh FROM e),
+       |w AS (SELECT ts_us, event_type, k,
+       |  (ts_us - ts_us % $slideUs) - sh * $slideUs AS window_start_us FROM x)
+       |SELECT window_start_us, event_type, count(*) AS n,
+       |  CAST(sum(k) AS BIGINT) AS sum_k
+       |FROM w WHERE window_start_us + $windowUs > ts_us
+       |GROUP BY 1, 2""".stripMargin
+  }
+
   /** Per-type equi-width histogram of `value`: bucket = one IEEE
     * double division + exact floor (identical across engines), top
     * bucket clamps the tail; count is exact, min/max are selections

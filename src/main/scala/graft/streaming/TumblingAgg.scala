@@ -45,4 +45,25 @@ object TumblingAgg {
       .select(unix_micros(col("window.start")).as("window_start_us"),
         col("event_type"), col("n"), col("sum_k"))
   }
+
+  val SlideUs: Long = 1800000000L // 30 min
+
+  /** Hopping (sliding) twin of [[agg]]: 1-hour windows every 30
+    * minutes, so each event lands in exactly win/slide = 2 windows —
+    * the standard smoothed-rate readout. Same watermark rules apply
+    * under readStream; state is bounded by (windows in the watermark
+    * horizon) x event types. The oracle reproduces the window set by
+    * pure epoch arithmetic (the sh in 0..1 shifts of the slide-floored
+    * start). */
+  def hopping(events: DataFrame): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    events
+      .select(timestamp_micros(TextFunctions.intDiv(col("ts"), lit(1000L))).as("tsm"),
+        col("event_type"), k.as("k"))
+      .withWatermark("tsm", "1 hour")
+      .groupBy(window(col("tsm"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_k"))
+  }
 }

@@ -56,6 +56,32 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == batched)
   }
 
+  test("file-stream hopping-window aggregation matches the batch result") {
+    val inDir = Files.createTempDirectory("graft_stream_hop_in")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/events.parquet"),
+      inDir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val batch = spark.read.parquet(inDir.toString)
+    val q = TumblingAgg.hopping(
+        spark.readStream.schema(batch.schema)
+          .option("maxFilesPerTrigger", "1").parquet(inDir.toString))
+      .writeStream.format("memory").queryName("ev_hopping")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3))
+    val streamed = spark.table("ev_hopping").collect().map(key).sorted.toSeq
+    val batched = TumblingAgg.hopping(batch).collect().map(key).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+    // each event lands in exactly win/slide = 2 windows
+    val nTumbling = TumblingAgg.agg(batch).agg(sum("n")).collect()(0).getLong(0)
+    assert(streamed.map(_._3).sum == 2 * nTumbling)
+  }
+
   test("stream-stream interval join matches the batch attribution") {
     val inDir = Files.createTempDirectory("graft_stream_join_in")
     Files.copy(
