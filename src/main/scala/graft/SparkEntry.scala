@@ -658,6 +658,11 @@ object SparkEntry {
     }),
     // sessionization (gaps-and-islands; the streaming twin runs the
     // same semantics via flatMapGroupsWithState — StreamingSpec)
+    // the declarative session_window twin — same result, zero custom
+    // state code (gap boundary aligned by +1us, see Sessionize)
+    "q_sessionize_sw" -> ((s, dir) =>
+      graft.streaming.Sessionize.sessionWindow(
+        graft.streaming.Sessionize.project(events(s, dir)))),
     "q_sessionize" -> ((s, dir) =>
       graft.streaming.Sessionize.batch(
         graft.streaming.Sessionize.project(events(s, dir)))),
@@ -1280,6 +1285,8 @@ object SparkEntry {
     "q_join_asof" -> EventSql.asofJoin,
     "q_join_salted" -> EventSql.joinSalted,
     "q_sessionize" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
+    // identical semantics -> same oracle as q_sessionize
+    "q_sessionize_sw" -> EventSql.sessionize(graft.streaming.Sessionize.DefaultGapUs),
     "q_events_tumbling" -> EventSql.eventsTumbling(graft.streaming.TumblingAgg.WindowUs),
     "q_events_hopping" -> EventSql.eventsHopping(
       graft.streaming.TumblingAgg.WindowUs, graft.streaming.TumblingAgg.SlideUs),

@@ -69,6 +69,26 @@ object Sessionize {
       .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_k")
   }
 
+  /** Declarative twin of [[batch]]/[[stream]] via Spark's built-in
+    * `session_window` — no custom state code at all, and the SAME
+    * definition is a valid watermarked streaming aggregation. Boundary
+    * alignment: Spark merges an event into a session when its start is
+    * <= the session's end (INCLUSIVE — verified by the boundary case
+    * in StreamingSpec), so a gap of exactly gapUs merges diff <= gapUs
+    * and breaks at gapUs + 1: identical to [[batch]]'s strictly-greater
+    * break rule with no adjustment. Same one-exchange-on-user_id
+    * shape. */
+  def sessionWindow(ev: DataFrame, gapUs: Long = DefaultGapUs): DataFrame =
+    ev.withColumn("tsm", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"),
+        session_window(col("tsm"), s"$gapUs microseconds"))
+      .agg(
+        min(col("ts_us")).as("session_start_us"),
+        max(col("ts_us")).as("session_end_us"),
+        count(lit(1)).as("n_events"),
+        sum(col("k")).as("sum_k"))
+      .select("user_id", "session_start_us", "session_end_us", "n_events", "sum_k")
+
   /** Streaming sessionization of a [[project]]-shaped (streaming)
     * frame via flatMapGroupsWithState. Within a micro-batch, a group's
     * events are sorted by (ts_us, event_id) — the same total order the

@@ -359,6 +359,27 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed == Set((11L, 12L))) // 1 expired; 11 anchors 12
   }
 
+  test("session_window twin equals gaps-and-islands, including the exact-gap boundary") {
+    import spark.implicits._
+    val gap = 1000L // µs
+    // user 1: diff exactly gap (must MERGE — batch breaks only on
+    // strictly greater), then gap+1 (must break); user 2: one break
+    val ev = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 1000L, 10L), (1L, 3L, 2001L, 10L),
+      (2L, 4L, 0L, 5L), (2L, 5L, 5000L, 5L))
+      .toDF("user_id", "event_id", "ts_us", "k")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sorted.toSeq
+    val a = rows(Sessionize.batch(ev, gap))
+    val b = rows(Sessionize.sessionWindow(ev, gap))
+    assert(a == b)
+    assert(a.contains((1L, 0L, 1000L, 2L, 20L))) // the exact-gap pair merged
+    // and on the real events table at the default gap
+    val real = Sessionize.project(spark.read.parquet("/root/testdata/sf0.001/events.parquet"))
+    assert(rows(Sessionize.batch(real)) == rows(Sessionize.sessionWindow(real)))
+  }
+
   test("flatMapGroupsWithState sessionization matches the batch gaps-and-islands") {
     import spark.implicits._
     val gapUs = Sessionize.DefaultGapUs
