@@ -708,6 +708,30 @@ object SparkEntry {
           .withColumn("flag", lit("no_orders")))
     }),
 
+    // classic star join (the TPC-H Q5 shape): fact x fact co-keyed
+    // shuffle joins, FIXED-cardinality dims (nation 25, region 5)
+    // broadcast, date filter pushed to the orders scan. customer is
+    // deliberately NOT broadcast — it scales with the data, so at
+    // 100 TB it must stay on the shuffle path (AQE may still demote).
+    // Measures are exact (count + integral-quantity sum) so the gate
+    // is order-independent.
+    "q_join_star" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val nat = table(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"))
+      val reg = table(s, dir, "region").select(col("r_regionkey"), col("r_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+    }),
+
     // --- end-to-end: the composed training-data pipeline ----------------
     // near-dup cluster drop -> quality filter -> train split ->
     // stratified sample -> sequence packing, as ONE DataFrame program
@@ -1293,6 +1317,16 @@ object SparkEntry {
     "q_join_stream" -> EventSql.streamAttribution(graft.streaming.StreamJoin.HorizonUs),
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_join_semi_anti" -> EventSql.semiAnti,
+    "q_join_star" ->
+      """SELECT r_name, count(*) AS n_items,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),
     "q_source_jsonl" ->

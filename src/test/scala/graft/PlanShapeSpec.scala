@@ -85,6 +85,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("star join: date filter pushed to the orders scan, dims broadcast") {
+    val p = plan("q_join_star")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
   test("chunk windows: a narrow flatMap — no exchange, no join") {
     val p = plan("q_chunk_windows")
     assert(!p.contains("Exchange"), p)
