@@ -795,6 +795,24 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("content_hash"))
     }),
 
+    // hive-partitioned sink + partition-PRUNED read-back: the layout
+    // that makes per-language jobs touch only their directories at
+    // 100 TB. Write-once partitionBy(lang); the query reads two of
+    // five partitions — PlanShapeSpec pins PartitionFilters so the
+    // pruning is structural (directory-level), not row-level.
+    "q_sink_partitioned" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_part/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        table(s, dir, "documents").write.mode("overwrite")
+          .partitionBy("lang").parquet(path)
+      })
+      s.read.parquet(path)
+        .filter(col("lang").isin("en", "de"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+    }),
+
     // ORC twin: the other columnar format large Hadoop/Hive/Trino
     // estates hold. Schema and types live in the file footer, so
     // unlike CSV/JSONL there is no explicit-schema or null-sentinel
@@ -1339,6 +1357,11 @@ object SparkEntry {
     "q_source_orc" ->
       """SELECT doc_id, lang, source, n_chars, md5(text) AS content_hash
         |FROM documents""".stripMargin,
+    "q_sink_partitioned" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE lang IN ('en', 'de')
+        |GROUP BY 1, 2""".stripMargin,
     "q_multimodal_ppm" -> EventSql.multimodalPpm,
     "q_multimodal_bmp" -> EventSql.multimodalBmp,
     // the GIF palette holds the md5 bytes in direct RGB pixel order,

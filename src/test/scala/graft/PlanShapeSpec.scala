@@ -91,6 +91,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("partitioned sink read: lang pruning is directory-level PartitionFilters") {
+    val p = plan("q_sink_partitioned")
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("lang#") && (p.contains("IN (en,de)") || p.contains("in(lang")), p)
+  }
+
   test("chunk windows: a narrow flatMap — no exchange, no join") {
     val p = plan("q_chunk_windows")
     assert(!p.contains("Exchange"), p)
