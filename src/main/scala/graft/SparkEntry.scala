@@ -687,6 +687,29 @@ object SparkEntry {
         .cube(col("event_type"), (col("user_id") % 10).as("user_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
     }),
+    // rollup: the hierarchical (prefix-only) grouping-set twin of the
+    // cube — same Expand-based plan, half the replicated rows
+    "q_agg_rollup" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .rollup(col("event_type"), (col("user_id") % 10).as("user_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+    // CDC-style latest-record compaction: one row per user, the max by
+    // the (ts, event_id) total order. row_number-over-desc + rn=1 runs
+    // as WindowGroupLimit (per-partition top-1 heaps, no full sort —
+    // plan-pinned), the upsert-log compaction shape at 100 TB.
+    "q_events_latest" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"),
+          graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
+          col("event_type"), col("value"))
+    }),
     // non-equi range join: tiny band table broadcast against the event
     // stream (BroadcastNestedLoopJoin — the right plan when one side is
     // a handful of ranges)
@@ -1334,6 +1357,8 @@ object SparkEntry {
       graft.streaming.TumblingAgg.WindowUs, graft.streaming.TumblingAgg.SlideUs),
     "q_join_stream" -> EventSql.streamAttribution(graft.streaming.StreamJoin.HorizonUs),
     "q_agg_cube" -> EventSql.cubeAgg,
+    "q_agg_rollup" -> EventSql.rollupAgg,
+    "q_events_latest" -> EventSql.eventsLatest,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_join_star" ->
       """SELECT r_name, count(*) AS n_items,

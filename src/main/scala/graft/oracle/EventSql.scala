@@ -143,6 +143,24 @@ object EventSql {
        |  count(*) AS n, CAST(sum($kExpr) AS BIGINT) AS sum_k
        |FROM events GROUP BY CUBE(event_type, user_id % 10)""".stripMargin
 
+  /** Hierarchical (prefix-only) twin of [[cubeAgg]]. */
+  val rollupAgg: String =
+    s"""SELECT event_type, user_id % 10 AS user_mod,
+       |  count(*) AS n, CAST(sum($kExpr) AS BIGINT) AS sum_k
+       |FROM events GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin
+
+  /** Mirror of q_events_latest: CDC-style latest-record compaction —
+    * one surviving row per user, the max by the (ts, event_id) total
+    * order; value is a SELECTION of a stored double (never float
+    * arithmetic), so the gate stays exact. */
+  val eventsLatest: String =
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       |  event_type, value,
+       |  row_number() OVER (PARTITION BY user_id
+       |    ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+       |SELECT user_id, event_id, ts_us, event_type, value
+       |FROM e WHERE rn = 1""".stripMargin
+
   /** Gaps-and-islands sessionization — mirrors
     * graft.streaming.Sessionize.batch (12 h default gap, µs
     * timestamps, exact integer sums). */

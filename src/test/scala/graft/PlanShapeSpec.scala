@@ -91,6 +91,11 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
   }
 
+  test("latest-record compaction: per-user top-1 runs as WindowGroupLimit") {
+    val p = plan("q_events_latest")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("partitioned sink read: lang pruning is directory-level PartitionFilters") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("PartitionFilters"), p)
