@@ -351,6 +351,23 @@ object SparkEntry {
         TextFunctions.upperPpm(col("text")).as("upper_ppm"),
         TextFunctions.digitPpm(col("text")).as("digit_ppm"))
     }),
+    // quality-decile curation filter: keep the top-3 deciles per source
+    // by TTR quality — "train on the best 30% of each source" as a
+    // RELATIVE bar (a fixed threshold drifts as sources differ; a
+    // decile self-calibrates). ntile over the engine-independent total
+    // order (quality DESC, doc_id); one shuffle on source, per-source
+    // sort — parallel across sources. At corpus-per-source scale the
+    // same cut comes from the grid quantile sketch (q_sketch_quantile)
+    // as a threshold instead of a global sort; this is the exact form.
+    "q_quality_deciles" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("quality_ppm").desc, col("doc_id"))
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextFunctions.qualityPpm(col("text")).as("quality_ppm"))
+        .withColumn("decile", ntile(10).over(w).cast("long"))
+        .filter(col("decile") <= 3)
+    }),
     "q_text_fingerprint" -> ((s, dir) => {
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -362,6 +379,13 @@ object SparkEntry {
     // probes = vec_id % 50 == 0 (10 probes at sf0.01, 40 at sf0.1)
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // cosine RANGE search: all neighbors above an exact rational
+    // similarity bar (tau^2 = 1/16, i.e. cos >= 0.25) — the radius
+    // query that returns EMPTY when nothing is close enough, where
+    // top-k would pad with junk
+    "q_sim_range" -> ((s, dir) =>
+      Similarity.rangeSearch(table(s, dir, "embeddings"), col("vec_id") % 50 === 0,
+        thresholdNum = 1, thresholdDen = 16)),
     "q_sim_ann" -> ((s, dir) =>
       Similarity.annTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
     // spatial multi-probe variant (round-7 verdict ask #8): probes
@@ -695,6 +719,58 @@ object SparkEntry {
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .rollup(col("event_type"), (col("user_id") % 10).as("user_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+    // explicit GROUPING SETS: the general grouping-set form that cube
+    // and rollup specialize — here {(type, mod), (type), (mod)}: both
+    // one-dimension margins but NO grand total, a set neither cube nor
+    // rollup can express. grouping() flags ride along as separate 0/1
+    // columns (not a packed grouping_id) so "NULL because grouped out"
+    // vs "NULL group value" is decided without engine bit-order trivia.
+    // Same Expand-based plan as cube: one scan, sets-many replicated
+    // rows, one hash aggregate.
+    "q_agg_grouping_sets" -> ((s, dir) => {
+      events(s, dir)
+        .select(col("event_type"), (col("user_id") % 10).as("user_mod"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupingSets(
+          Seq(Seq(col("event_type"), col("user_mod")),
+            Seq(col("event_type")), Seq(col("user_mod"))),
+          col("event_type"), col("user_mod"))
+        .agg(grouping(col("event_type")).cast("long").as("g_type"),
+          grouping(col("user_mod")).cast("long").as("g_mod"),
+          count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+    }),
+    // wide -> long reshape (unpivot/melt): per-user event-type counts
+    // melted back to (user_id, metric, n) rows via Dataset.unpivot —
+    // Expand-based like cube (3 replicated rows per input row, no
+    // shuffle beyond the aggregate that built the wide table). The
+    // oracle states the semantics as the UNION ALL unpivot is defined
+    // to equal.
+    "q_events_unpivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("clicks"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("errors"))
+        .unpivot(Array(col("user_id")),
+          Array(col("clicks"), col("purchases"), col("errors")), "metric", "n")
+    }),
+    // SCD-2 validity intervals from the event log: each row becomes a
+    // (valid_from, valid_to) version, valid_to = the NEXT event's
+    // timestamp (NULL = current) — the warehouse dimension-history
+    // shape, one lead() over the same per-user window the CDC
+    // compaction uses. Deterministic because per-user timestamps are
+    // unique at us granularity (documented data precondition).
+    "q_events_scd2" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"),
+        graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("valid_from_us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from_us"), col("event_id"))
+      e.withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+        .withColumn("is_current",
+          when(col("valid_to_us").isNull, 1L).otherwise(0L))
     }),
     // CDC-style latest-record compaction: one row per user, the max by
     // the (ts, event_id) total order. row_number-over-desc + rn=1 runs
@@ -1226,6 +1302,7 @@ object SparkEntry {
       """SELECT event_id, r_regionkey AS band, value FROM events
         |JOIN region ON value >= r_regionkey * 100.0 AND value < r_regionkey * 100.0 + 100.0""".stripMargin,
     "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
+    "q_sim_range" -> SimSql.rangeSearch(50, 1, 16),
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
     "q_sim_ann_mp" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
@@ -1253,6 +1330,7 @@ object SparkEntry {
     "q_text_langid" -> DocSql.langId(Seq("a", "the"), 60000L),
     "q_text_fingerprint" -> DocSql.fingerprint(3),
     "q_text_quality" -> DocSql.textQuality(3),
+    "q_quality_deciles" -> DocSql.qualityDeciles(3),
     "q_redact_pii" -> DocSql.redactPii,
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
@@ -1358,6 +1436,9 @@ object SparkEntry {
     "q_join_stream" -> EventSql.streamAttribution(graft.streaming.StreamJoin.HorizonUs),
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_agg_rollup" -> EventSql.rollupAgg,
+    "q_agg_grouping_sets" -> EventSql.groupingSetsAgg,
+    "q_events_unpivot" -> EventSql.eventsUnpivot,
+    "q_events_scd2" -> EventSql.eventsScd2,
     "q_events_latest" -> EventSql.eventsLatest,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_join_star" ->

@@ -58,6 +58,23 @@ object DocSql {
   /** Gopher-style quality signals — mirrors
     * TextFunctions.repetitionPpm / upperPpm / digitPpm exactly
     * (integer ppm math, greatest(len,1) division guard). */
+  /** Mirror of q_quality_deciles: per-source quality deciles (ntile
+    * over the engine-independent total order quality DESC, doc_id),
+    * keeping the top `keep` deciles. ntile is the SQL-standard
+    * balanced bucketing, identical in both engines given a
+    * deterministic order. */
+  def qualityDeciles(keep: Int): String =
+    s"""WITH t AS (SELECT doc_id, source,
+       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |q AS (SELECT doc_id, source,
+       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm
+       |  FROM t),
+       |n AS (SELECT doc_id, source, quality_ppm,
+       |  CAST(ntile(10) OVER (PARTITION BY source
+       |    ORDER BY quality_ppm DESC, doc_id) AS BIGINT) AS decile FROM q)
+       |SELECT doc_id, source, quality_ppm, decile FROM n
+       |WHERE decile <= $keep""".stripMargin
+
   def textQuality(k: Int): String =
     s"""WITH $docsToks,
        |sh AS (SELECT doc_id, text, greatest(len(toks) - ${k - 1}, 1) AS total,

@@ -149,6 +149,46 @@ object EventSql {
        |  count(*) AS n, CAST(sum($kExpr) AS BIGINT) AS sum_k
        |FROM events GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin
 
+  /** Explicit GROUPING SETS (the general form cube/rollup specialize)
+    * with per-column GROUPING() flags — emitted as separate 0/1
+    * columns, not a packed grouping_id, so the gate is immune to
+    * engine bit-order choices. */
+  val groupingSetsAgg: String =
+    s"""WITH e AS (SELECT event_type, user_id % 10 AS user_mod,
+       |  $kExpr AS k FROM events)
+       |SELECT event_type, user_mod,
+       |  CAST(GROUPING(event_type) AS BIGINT) AS g_type,
+       |  CAST(GROUPING(user_mod) AS BIGINT) AS g_mod,
+       |  count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k
+       |FROM e
+       |GROUP BY GROUPING SETS ((event_type, user_mod), (event_type), (user_mod))""".stripMargin
+
+  /** Mirror of q_events_unpivot: the wide->long reshape expressed as
+    * the UNION ALL it is defined to equal — independent of any
+    * engine's UNPIVOT/stack implementation. */
+  val eventsUnpivot: String =
+    """WITH w AS (SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS clicks,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchases,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors
+      |  FROM events GROUP BY user_id)
+      |SELECT user_id, 'clicks' AS metric, clicks AS n FROM w
+      |UNION ALL SELECT user_id, 'purchases' AS metric, purchases AS n FROM w
+      |UNION ALL SELECT user_id, 'errors' AS metric, errors AS n FROM w""".stripMargin
+
+  /** Mirror of q_events_scd2: SCD-2 validity intervals from an event
+    * log — valid_to = next change's valid_from (NULL = current row).
+    * Deterministic because per-user timestamps are unique at us
+    * granularity (documented data precondition). */
+  val eventsScd2: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |  epoch_us(ts) AS valid_from_us FROM events),
+      |v AS (SELECT *, lead(valid_from_us) OVER (PARTITION BY user_id
+      |    ORDER BY valid_from_us, event_id) AS valid_to_us FROM e)
+      |SELECT user_id, event_id, event_type, valid_from_us, valid_to_us,
+      |  CAST(CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      |FROM v""".stripMargin
+
   /** Mirror of q_events_latest: CDC-style latest-record compaction —
     * one surviving row per user, the max by the (ts, event_id) total
     * order; value is a SELECTION of a stored double (never float

@@ -30,6 +30,22 @@ object SimSql {
        |  FROM s)
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of Similarity.rangeSearch: all neighbors within the exact
+    * rational cosine radius (den * dot^2 >= num * |a|^2 * |b|^2,
+    * dot >= 0) of each probe. */
+  def rangeSearch(probeMod: Int, num: Long, den: Long): String =
+    s"""WITH $qCte,
+       |n AS (SELECT vec_id, qv, ${dotSql("qv", "qv")} AS n2 FROM q),
+       |p AS (SELECT vec_id AS probe_id, qv AS pv, n2 AS pn2 FROM n
+       |  WHERE vec_id % $probeMod = 0),
+       |s AS (SELECT probe_id, n.vec_id AS neighbor_id,
+       |    ${dotSql("pv", "qv")} AS dot_q, n2, pn2
+       |  FROM p, n WHERE n.vec_id != p.probe_id)
+       |SELECT probe_id, neighbor_id, dot_q FROM s
+       |WHERE dot_q >= 0
+       |  AND CAST(dot_q AS HUGEINT) * CAST(dot_q AS HUGEINT) * $den
+       |      >= CAST(n2 AS HUGEINT) * CAST(pn2 AS HUGEINT) * $num""".stripMargin
+
   /** Mirror of Similarity.mmrTopK: relevance shortlist (bruteForce
     * shape, top `fetch`), then the greedy lambda=1/2 MMR selection
     * unrolled into `k` list-expression layers — the same exact

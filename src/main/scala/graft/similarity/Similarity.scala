@@ -205,6 +205,35 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Exact cosine RANGE search: every neighbor whose cosine with the
+    * probe is >= sqrt(thresholdNum/thresholdDen) — the radius-query
+    * twin of [[bruteForceTopK]] (top-k fixes the count, range fixes
+    * the quality bar; retrieval-augmented pipelines want the latter
+    * when "no good neighbor" must come back EMPTY, not padded).
+    * Accept test is [[cosinePairs]]'s exact integer rational: dot >= 0
+    * and den * dot^2 >= num * |a|^2 * |b|^2 over the fixed-point
+    * quantized vectors — no float compare anywhere, so the result is
+    * engine-exact and oracle-gated. Same scale shape as brute force:
+    * the bounded probe set broadcasts, the corpus scans once with a
+    * codegen'd dot per (row, probe), no corpus shuffle. */
+  def rangeSearch(emb: DataFrame, probePred: Column,
+      thresholdNum: Long, thresholdDen: Long,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dec = DecimalType(38, 0)
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+      .withColumn("n2", dotQ(col("qv"), col("qv")))
+    val probes = q.filter(probePred)
+      .select(col("vec_id").as("probe_id"), col("qv").as("pv"), col("n2").as("pn2"))
+    q.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        dotQ(col("pv"), col("qv")).as("dot_q"), col("n2"), col("pn2"))
+      .filter(col("dot_q") >= 0 &&
+        col("dot_q").cast(dec) * col("dot_q").cast(dec) * lit(thresholdDen) >=
+          col("n2").cast(dec) * col("pn2").cast(dec) * lit(thresholdNum))
+      .select(col("probe_id"), col("neighbor_id"), col("dot_q"))
+  }
+
   /** MMR-diversified top-k (Carbonell & Goldstein 1998's maximal
     * marginal relevance) — the retrieval-diversification step a
     * curation pipeline runs when plain top-k returns near-duplicates:

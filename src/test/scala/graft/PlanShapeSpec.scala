@@ -96,6 +96,38 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("grouping sets: one scan through Expand, no join") {
+    val p = plan("q_agg_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("unpivot: Expand over the aggregated wide frame, one exchange total") {
+    val p = plan("q_events_unpivot")
+    assert(p.contains("Expand"), p)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("scd2: one per-user window shuffle, no join") {
+    val p = plan("q_events_scd2")
+    assert(!p.contains("Join"), p)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("range search: corpus joins the probe set by broadcast only, no window") {
+    val p = plan("q_sim_range")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("WindowGroupLimit") && !p.contains("Window "), p)
+  }
+
+  test("quality deciles: one per-source window shuffle, no join") {
+    val p = plan("q_quality_deciles")
+    assert(!p.contains("Join"), p)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 1, p)
+  }
+
   test("partitioned sink read: lang pruning is directory-level PartitionFilters") {
     val p = plan("q_sink_partitioned")
     assert(p.contains("PartitionFilters"), p)

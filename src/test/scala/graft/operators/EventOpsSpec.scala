@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Behavioral contracts of the host-SQL event operators that the
+  * oracle's value-hash can't state as an INVARIANT: SCD-2 intervals
+  * must chain gaplessly per user, grouping-set flags must mirror the
+  * set structure, and quality deciles must be balanced buckets.
+  */
+class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-eventops-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("scd2: per-user intervals chain gaplessly, exactly one current row") {
+    val rows = SparkEntry.queries("q_events_scd2")(spark, dir)
+      .select("user_id", "valid_from_us", "valid_to_us", "is_current")
+      .collect()
+      .groupBy(_.getLong(0))
+    assert(rows.nonEmpty)
+    rows.foreach { case (user, rs) =>
+      val sorted = rs.sortBy(_.getLong(1))
+      // every non-final interval closes at the next one's open
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(!a.isNullAt(2) && a.getLong(2) == b.getLong(1),
+            s"user $user: interval ${a.getLong(1)} closes at " +
+              s"${if (a.isNullAt(2)) "NULL" else a.getLong(2)}, next opens ${b.getLong(1)}")
+        case _ => ()
+      }
+      // the final interval is open-ended and is the ONLY current row
+      assert(sorted.last.isNullAt(2), s"user $user: last interval not open")
+      assert(sorted.count(_.getLong(3) == 1L) == 1, s"user $user: current-count != 1")
+      assert(sorted.filter(_.getLong(3) == 1L).head.getLong(1) == sorted.last.getLong(1))
+    }
+  }
+
+  test("grouping sets: flags mirror the declared sets; (0,0) rows == plain groupBy") {
+    val df = SparkEntry.queries("q_agg_grouping_sets")(spark, dir)
+      .select("g_type", "g_mod", "n").collect()
+    // exactly the three declared sets appear — no grand total
+    val flags = df.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(flags == Set((0L, 0L), (0L, 1L), (1L, 0L)), flags)
+    // the fully-grouped stratum is the plain two-column groupBy
+    val full = df.filter(r => r.getLong(0) == 0L && r.getLong(1) == 0L)
+    val plain = {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/events.parquet")
+        .groupBy(col("event_type"), (col("user_id") % 10).as("user_mod"))
+        .count().collect()
+    }
+    assert(full.length == plain.length)
+    assert(full.map(_.getLong(2)).sum == plain.map(_.getLong(2)).sum)
+  }
+
+  test("quality deciles: balanced buckets, only the top-3 kept") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val perSource = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = SparkEntry.queries("q_quality_deciles")(spark, dir)
+      .groupBy("source", "decile").count().collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val sizes = rs.map(r => r.getLong(1) -> r.getLong(2)).toMap
+      assert(sizes.keySet.subsetOf(Set(1L, 2L, 3L)), s"$src: $sizes")
+      // ntile buckets differ by at most one row
+      assert(sizes.values.max - sizes.values.min <= 1, s"$src: $sizes")
+      // and each is n/10 rounded — the balanced-bucket contract
+      val n = perSource(src)
+      assert(sizes.values.forall(s => s == n / 10 || s == n / 10 + 1), s"$src: $sizes n=$n")
+    }
+  }
+}

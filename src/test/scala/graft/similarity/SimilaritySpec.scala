@@ -49,6 +49,20 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mmr == Seq(1L, 3L, 2L))
   }
 
+  test("rangeSearch returns exactly the neighbors inside the radius; empty when none") {
+    // cos >= sqrt(1/2): only probe 0's own cluster mates (cos ~ 1.0)
+    // clear the bar; cross-cluster cos ~ 0 stays out
+    val in = Similarity.rangeSearch(corpus(), col("vec_id") === 0L,
+      thresholdNum = 1, thresholdDen = 2).collect()
+    assert(in.map(_.getLong(0)).forall(_ == 0L))
+    assert(in.map(_.getLong(1)).toSet == Set(1L, 2L))
+    // an unsatisfiable radius (cos^2 >= 2) returns EMPTY — the
+    // no-good-neighbor contract top-k can't express
+    val none = Similarity.rangeSearch(corpus(), col("vec_id") === 0L,
+      thresholdNum = 2, thresholdDen = 1).collect()
+    assert(none.isEmpty)
+  }
+
   test("bruteForceTopK ranks same-cluster vectors first, excludes self") {
     val out = Similarity.bruteForceTopK(corpus(), col("vec_id") === 0L, k = 2)
       .orderBy("rnk").collect()
