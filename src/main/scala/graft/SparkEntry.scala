@@ -720,6 +720,63 @@ object SparkEntry {
         .rollup(col("event_type"), (col("user_id") % 10).as("user_mod"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
     }),
+    // per-user DAILY resample with zero-fill: regularize the event log
+    // onto a dense time grid (sequence + explode per user, left join
+    // the per-day aggregate, missing days -> 0) — what a model
+    // training on activity time series needs the log reshaped into.
+    // sequence() is bounded by each user's own span, so the explode is
+    // ∝ output; the join keys on (user, day) — both sides already
+    // aggregated, orders of magnitude smaller than the log.
+    "q_events_resample" -> ((s, dir) => {
+      val DayNs = 86400000000000L
+      val e = events(s, dir).select(col("user_id"),
+        graft.text.TextFunctions.intDiv(col("ts"), lit(DayNs)).as("day_idx"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      val grid = e.groupBy(col("user_id"))
+        .agg(min(col("day_idx")).as("d0"), max(col("day_idx")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"))).as("day_idx"))
+      val perDay = e.groupBy(col("user_id"), col("day_idx"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sk"))
+      grid.join(perDay, Seq("user_id", "day_idx"), "left")
+        .select(col("user_id"), col("day_idx"),
+          coalesce(col("n"), lit(0L)).as("n_events"),
+          coalesce(col("sk"), lit(0L)).as("sum_k"))
+    }),
+    // strictly-ordered funnel: first view -> first click AFTER it ->
+    // first purchase AFTER that. Each stage is a per-user aggregate
+    // joined back on user_id — stage frames are user-sized (tiny vs
+    // the log), so every join broadcasts at scale; NULLs mark the
+    // stages a user never reached, which is the drop-off the funnel
+    // measures.
+    "q_events_funnel" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
+        col("event_type"))
+      val v = e.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("view_us"))
+      val c = e.filter(col("event_type") === "click")
+        .join(v, "user_id").filter(col("ts_us") > col("view_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("click_us"))
+      val p = e.filter(col("event_type") === "purchase")
+        .join(c, "user_id").filter(col("ts_us") > col("click_us"))
+        .groupBy(col("user_id")).agg(min(col("ts_us")).as("purchase_us"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+    }),
+    // cohort-retention triangle: users bucketed by first-seen day,
+    // activity counted per (cohort, day-offset) — the standard
+    // engagement report. One pass derives the cohort frame (user-
+    // sized, broadcastable); the distinct-user count shuffles on the
+    // (cohort, offset) pair, ~span^2/2 groups regardless of log size.
+    "q_retention" -> ((s, dir) => {
+      val DayNs = 86400000000000L
+      val e = events(s, dir).select(col("user_id"),
+        graft.text.TextFunctions.intDiv(col("ts"), lit(DayNs)).as("day_idx"))
+      val f = e.groupBy(col("user_id")).agg(min(col("day_idx")).as("cohort_day"))
+      e.join(f, "user_id")
+        .groupBy(col("cohort_day"), (col("day_idx") - col("cohort_day")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
     // explicit GROUPING SETS: the general grouping-set form that cube
     // and rollup specialize — here {(type, mod), (type), (mod)}: both
     // one-dimension margins but NO grand total, a set neither cube nor
@@ -1437,6 +1494,9 @@ object SparkEntry {
     "q_agg_cube" -> EventSql.cubeAgg,
     "q_agg_rollup" -> EventSql.rollupAgg,
     "q_agg_grouping_sets" -> EventSql.groupingSetsAgg,
+    "q_events_resample" -> EventSql.eventsResample,
+    "q_events_funnel" -> EventSql.eventsFunnel,
+    "q_retention" -> EventSql.retention,
     "q_events_unpivot" -> EventSql.eventsUnpivot,
     "q_events_scd2" -> EventSql.eventsScd2,
     "q_events_latest" -> EventSql.eventsLatest,

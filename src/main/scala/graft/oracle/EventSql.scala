@@ -149,6 +149,45 @@ object EventSql {
        |  count(*) AS n, CAST(sum($kExpr) AS BIGINT) AS sum_k
        |FROM events GROUP BY ROLLUP(event_type, user_id % 10)""".stripMargin
 
+  /** Mirror of q_events_resample: per-user DAILY time grid with
+    * zero-fill — every day between the user's first and last event
+    * appears, empty days as (0, 0). */
+  val eventsResample: String =
+    s"""WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx,
+       |  $kExpr AS k FROM events),
+       |b AS (SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1
+       |  FROM e GROUP BY user_id),
+       |g AS (SELECT user_id, unnest(generate_series(d0, d1)) AS day_idx FROM b),
+       |c AS (SELECT user_id, day_idx, count(*) AS n, sum(k) AS sk
+       |  FROM e GROUP BY user_id, day_idx)
+       |SELECT g.user_id, g.day_idx,
+       |  coalesce(c.n, 0) AS n_events, CAST(coalesce(c.sk, 0) AS BIGINT) AS sum_k
+       |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day_idx = c.day_idx""".stripMargin
+
+  /** Mirror of q_events_funnel: strictly-ordered stage times — first
+    * view, first click AFTER that view, first purchase AFTER that
+    * click; users keep NULLs for the stages they never reach. */
+  val eventsFunnel: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_type FROM events),
+      |v AS (SELECT user_id, min(ts_us) AS view_us FROM e
+      |  WHERE event_type = 'view' GROUP BY user_id),
+      |c AS (SELECT e.user_id, min(ts_us) AS click_us FROM e JOIN v USING (user_id)
+      |  WHERE event_type = 'click' AND ts_us > view_us GROUP BY e.user_id),
+      |p AS (SELECT e.user_id, min(ts_us) AS purchase_us FROM e JOIN c USING (user_id)
+      |  WHERE event_type = 'purchase' AND ts_us > click_us GROUP BY e.user_id)
+      |SELECT v.user_id, view_us, click_us, purchase_us
+      |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""".stripMargin
+
+  /** Mirror of q_retention: classic cohort-retention triangle — users
+    * bucketed by first-event day, activity counted per day offset. */
+  val retention: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events),
+      |f AS (SELECT user_id, min(day_idx) AS cohort_day FROM e GROUP BY user_id)
+      |SELECT cohort_day, e.day_idx - cohort_day AS day_offset,
+      |  CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+      |FROM e JOIN f USING (user_id)
+      |GROUP BY cohort_day, day_offset""".stripMargin
+
   /** Explicit GROUPING SETS (the general form cube/rollup specialize)
     * with per-column GROUPING() flags — emitted as separate 0/1
     * columns, not a packed grouping_id, so the gate is immune to

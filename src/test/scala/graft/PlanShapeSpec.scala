@@ -96,6 +96,24 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("WindowGroupLimit"), p)
   }
 
+  test("resample: grid explode is a Generate bounded by per-user spans, no cartesian") {
+    val p = plan("q_events_resample")
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("funnel: user-sized stage frames join without a sort-merge") {
+    val p = plan("q_events_funnel")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("retention: cohort frame broadcasts back onto the log") {
+    val p = plan("q_retention")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("grouping sets: one scan through Expand, no join") {
     val p = plan("q_agg_grouping_sets")
     assert(p.contains("Expand"), p)
