@@ -743,6 +743,22 @@ object SparkEntry {
           coalesce(col("n"), lit(0L)).as("n_events"),
           coalesce(col("sk"), lit(0L)).as("sum_k"))
     }),
+    // per-user inter-arrival profile: lag() gaps bucketed to minutes
+    // (capped so the tail is one bucket) then counted — the
+    // arrival-process histogram that sizes sessionization gaps and
+    // stream watermarks. One window shuffle, then a tiny aggregate.
+    "q_events_interarrival" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"),
+        graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
+        col("event_id"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts_us"), col("event_id"))
+      e.withColumn("prev_us", lag(col("ts_us"), 1).over(w))
+        .filter(col("prev_us").isNotNull)
+        .select(least(graft.text.TextFunctions.intDiv(
+          col("ts_us") - col("prev_us"), lit(60000000L)), lit(120L)).as("minute_bucket"))
+        .groupBy(col("minute_bucket"))
+        .agg(count(lit(1)).as("n"))
+    }),
     // strictly-ordered funnel: first view -> first click AFTER it ->
     // first purchase AFTER that. Each stage is a per-user aggregate
     // joined back on user_id — stage frames are user-sized (tiny vs
@@ -903,6 +919,58 @@ object SparkEntry {
     "q_pipeline_stages" -> ((s, dir) =>
       graft.pipeline.TrainingPipeline.stageCounts(table(s, dir, "documents"),
         nonCanon0 = Some(pipelineNonCanon(s, dir)))),
+
+    // incremental aggregate maintenance (the materialized-view loop):
+    // the historical corpus's per-(source, lang) stats live as a
+    // STORED partial-aggregate artifact (count/sum/min/max are all
+    // mergeable states); each new batch aggregates only itself and
+    // merges with the stored partial — the full history is never
+    // rescanned. The oracle recomputes the direct aggregate over
+    // everything, so the gate IS the maintenance invariant
+    // merge(partial_old, agg(batch)) == agg(old ∪ batch). Here the
+    // batch filter stands in for reading the batch's own files; the
+    // plan-level point is the query-time scan of the history being the
+    // group-sized artifact, not the corpus.
+    "q_agg_incremental" -> ((s, dir) => {
+      def stats(df: DataFrame) = df.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+      val docs = table(s, dir, "documents").withColumn("bucket",
+        TextFunctions.hashBucket(col("doc_id"), 1000000))
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_agg_partial/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        stats(docs.filter(col("bucket") < 800000))
+          .write.mode("overwrite").parquet(path)
+      })
+      s.read.parquet(path)
+        .unionByName(stats(docs.filter(col("bucket") >= 800000)))
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_chars")).as("sum_chars"),
+          min(col("min_id")).as("min_id"), max(col("max_id")).as("max_id"))
+    }),
+    // schema evolution: the corpus was first written WITHOUT the
+    // `source` column, later batches added it — mergeSchema reads the
+    // union schema and early rows surface NULL in the added column,
+    // exactly what a 100 TB estate accumulated over years looks like.
+    // Write-once two-batch layout; explicit mergeSchema (it costs a
+    // footer pass per file, so it is opt-in, never ambient).
+    "q_source_evolution" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_evolution/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        val docs = table(s, dir, "documents").withColumn("bucket",
+          TextFunctions.hashBucket(col("doc_id"), 1000000))
+        docs.filter(col("bucket") < 500000)
+          .select(col("doc_id"), col("lang"), col("n_chars"))
+          .write.mode("overwrite").parquet(path + "/b1")
+        docs.filter(col("bucket") >= 500000)
+          .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+          .write.mode("overwrite").parquet(path + "/b2")
+      })
+      s.read.option("mergeSchema", "true").parquet(path + "/b1", path + "/b2")
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("source"))
+    }),
 
     // --- sources: JSONL round-trip ---------------------------------------
     // Training corpora arrive as JSONL, not parquet — the source the
@@ -1495,6 +1563,9 @@ object SparkEntry {
     "q_agg_rollup" -> EventSql.rollupAgg,
     "q_agg_grouping_sets" -> EventSql.groupingSetsAgg,
     "q_events_resample" -> EventSql.eventsResample,
+    "q_events_interarrival" -> EventSql.eventsInterarrival,
+    "q_agg_incremental" -> DocSql.aggIncremental,
+    "q_source_evolution" -> DocSql.sourceEvolution,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,
     "q_events_unpivot" -> EventSql.eventsUnpivot,

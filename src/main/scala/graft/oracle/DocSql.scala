@@ -58,6 +58,26 @@ object DocSql {
   /** Gopher-style quality signals — mirrors
     * TextFunctions.repetitionPpm / upperPpm / digitPpm exactly
     * (integer ppm math, greatest(len,1) division guard). */
+  /** Mirror of q_agg_incremental: the maintained partial + batch merge
+    * must equal the direct aggregate over the whole corpus — the
+    * oracle computes the latter. */
+  val aggIncremental: String =
+    """SELECT source, lang, count(*) AS n_docs,
+      |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  min(doc_id) AS min_id, max(doc_id) AS max_id
+      |FROM documents GROUP BY source, lang""".stripMargin
+
+  /** Mirror of q_source_evolution: rows written before the schema grew
+    * read back with NULL in the added column; the hash split replays
+    * which rows those were. */
+  val sourceEvolution: String =
+    """WITH b AS (SELECT *,
+      |  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000 AS bucket
+      |  FROM documents)
+      |SELECT doc_id, lang, n_chars,
+      |  CASE WHEN bucket < 500000 THEN NULL ELSE source END AS source
+      |FROM b""".stripMargin
+
   /** Mirror of q_quality_deciles: per-source quality deciles (ntile
     * over the engine-independent total order quality DESC, doc_id),
     * keeping the top `keep` deciles. ntile is the SQL-standard

@@ -164,6 +164,17 @@ object EventSql {
        |  coalesce(c.n, 0) AS n_events, CAST(coalesce(c.sk, 0) AS BIGINT) AS sum_k
        |FROM g LEFT JOIN c ON g.user_id = c.user_id AND g.day_idx = c.day_idx""".stripMargin
 
+  /** Mirror of q_events_interarrival: per-user inter-event gaps
+    * bucketed to minutes (capped at 120) — the arrival-process
+    * profile. */
+  val eventsInterarrival: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id FROM events),
+      |d AS (SELECT ts_us - lag(ts_us) OVER (PARTITION BY user_id
+      |    ORDER BY ts_us, event_id) AS delta FROM e)
+      |SELECT least(delta // 60000000, 120) AS minute_bucket, count(*) AS n
+      |FROM d WHERE delta IS NOT NULL
+      |GROUP BY least(delta // 60000000, 120)""".stripMargin
+
   /** Mirror of q_events_funnel: strictly-ordered stage times — first
     * view, first click AFTER that view, first purchase AFTER that
     * click; users keep NULLs for the stages they never reach. */

@@ -114,6 +114,25 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("incremental aggregate: the history side reads the stored partial, not the corpus") {
+    val p = plan("q_agg_incremental")
+    assert(p.contains("graft_agg_partial"), p)
+    // the corpus is scanned ONCE — for the new batch only
+    assert("documents\\.parquet".r.findAllIn(p).size == 1, p)
+  }
+
+  test("schema evolution: both generations read in a single merged-schema scan") {
+    val p = plan("q_source_evolution")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join") && !p.contains("Union"), p)
+  }
+
+  test("interarrival: one window shuffle then a tiny aggregate, no join") {
+    val p = plan("q_events_interarrival")
+    assert(!p.contains("Join"), p)
+    assert("(?<!Broadcast)Exchange".r.findAllIn(p).size == 2, p) // window + final agg
+  }
+
   test("grouping sets: one scan through Expand, no join") {
     val p = plan("q_agg_grouping_sets")
     assert(p.contains("Expand"), p)
