@@ -759,6 +759,26 @@ object SparkEntry {
         .groupBy(col("minute_bucket"))
         .agg(count(lit(1)).as("n"))
     }),
+    // DAU + trailing-7-day actives: the engagement counters every
+    // activity dashboard runs, both EXACT distinct counts. A rolling
+    // DISTINCT is not a mergeable window state, so the trailing window
+    // is a range join of the deduped (day, user) pairs against the
+    // DAY frame — the frame is span-sized (tiny), so it broadcasts
+    // and the join fans each pair out to at most 7 days.
+    "q_events_dau" -> ((s, dir) => {
+      val DayNs = 86400000000000L
+      val e = events(s, dir).select(
+        graft.text.TextFunctions.intDiv(col("ts"), lit(DayNs)).as("day_idx"),
+        col("user_id")).distinct()
+      val days = e.select(col("day_idx").as("d")).distinct()
+      val dau = e.groupBy(col("day_idx")).agg(count(lit(1)).as("dau"))
+      val wau = e.join(broadcast(days),
+          col("day_idx") >= col("d") - 6 && col("day_idx") <= col("d"))
+        .groupBy(col("d"))
+        .agg(countDistinct(col("user_id")).as("wau7"))
+        .withColumnRenamed("d", "day_idx")
+      dau.join(wau, "day_idx")
+    }),
     // strictly-ordered funnel: first view -> first click AFTER it ->
     // first purchase AFTER that. Each stage is a per-user aggregate
     // joined back on user_id — stage frames are user-sized (tiny vs
@@ -1566,6 +1586,7 @@ object SparkEntry {
     "q_events_interarrival" -> EventSql.eventsInterarrival,
     "q_agg_incremental" -> DocSql.aggIncremental,
     "q_source_evolution" -> DocSql.sourceEvolution,
+    "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,
     "q_events_unpivot" -> EventSql.eventsUnpivot,

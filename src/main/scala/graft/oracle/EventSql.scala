@@ -175,6 +175,20 @@ object EventSql {
       |FROM d WHERE delta IS NOT NULL
       |GROUP BY least(delta // 60000000, 120)""".stripMargin
 
+  /** Mirror of q_events_dau: daily actives + trailing-7-day actives,
+    * both EXACT distinct counts (the trailing window via a range join
+    * against the day frame — a rolling distinct is not a mergeable
+    * window aggregate, so the join states the semantics). */
+  val eventsDau: String =
+    """WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
+      |  FROM events),
+      |d AS (SELECT DISTINCT day_idx FROM e),
+      |dau AS (SELECT day_idx, count(*) AS dau FROM e GROUP BY day_idx),
+      |w AS (SELECT d.day_idx, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau7
+      |  FROM d JOIN e ON e.day_idx BETWEEN d.day_idx - 6 AND d.day_idx
+      |  GROUP BY d.day_idx)
+      |SELECT dau.day_idx, dau.dau, w.wau7 FROM dau JOIN w USING (day_idx)""".stripMargin
+
   /** Mirror of q_events_funnel: strictly-ordered stage times — first
     * view, first click AFTER that view, first purchase AFTER that
     * click; users keep NULLs for the stages they never reach. */

@@ -102,6 +102,12 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("dau: the trailing-window fan-out joins the broadcast day frame, no shuffle join for it") {
+    val p = plan("q_events_dau")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("funnel: user-sized stage frames join without a sort-merge") {
     val p = plan("q_events_funnel")
     assert(!p.contains("SortMergeJoin"), p)
