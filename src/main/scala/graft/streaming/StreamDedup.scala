@@ -110,7 +110,10 @@ object StreamDedup {
     *
     * Delivery: a `_batches/<id>` marker skips micro-batches already
     * processed, so the common restart/retry path neither re-appends
-    * signatures nor re-emits matches. The residual window (crash
+    * signatures nor re-emits matches. The marker is resolved through
+    * the Hadoop FileSystem API (same resolution as the index's own
+    * parquet paths), so the guard works wherever the index lives —
+    * HDFS/S3, not just the driver's local disk. The residual window (crash
     * AFTER the index append but BEFORE the marker write) re-appends
     * one batch's signatures on recovery: self-pairs are filtered and
     * the verify join re-decides every candidate, but doubled bucket
@@ -127,13 +130,15 @@ object StreamDedup {
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new java.io.File(s"$indexPath/_batches/$batchId")
-        if (!marker.exists()) {
-          Dedup.minhashPairsAgainstIndex(batch, indexPath, p)
-            .write.mode("append").parquet(resultPath)
+        val marker = new org.apache.hadoop.fs.Path(s"$indexPath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          // eager probe: writes matches AND releases the batch's
+          // persisted signatures (no cache growth across micro-batches)
+          Dedup.probeIndexInto(batch, indexPath, resultPath, p)
           Dedup.appendSignatureIndex(batch, indexPath, p)
-          marker.getParentFile.mkdirs()
-          marker.createNewFile()
+          fs.create(marker, true).close()
           ()
         }
       }

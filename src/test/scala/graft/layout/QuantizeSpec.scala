@@ -140,4 +140,57 @@ class QuantizeSpec extends AnyFunSuite with BeforeAndAfterAll {
       Layout.QuantDim("price", 0.0, 2000.0, 9))
     assert(query() == want)
   }
+
+  test("int-grid sidecar: stored curve/width/key drive the query; rewrite cannot drift it") {
+    import spark.implicits._
+    val rnd = new Random(47)
+    val rows = (0 until 4000).map(i =>
+      (i.toLong, rnd.nextInt(1000), rnd.nextInt(50)))
+    val df = rows.toDF("id", "x", "y")
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sidecar_int_spec"
+    def query(): Set[Long] = {
+      // NO curve/bits/key-name at the query site — only the box
+      val layout = Layout.openIndexed(s"$base/idx")
+      spark.read.parquet(s"$base/idx")
+        .filter(layout.rangePredicate(Seq(200L, 10L), Seq(400L, 20L)) &&
+          col("x").between(200, 400) && col("y").between(10, 20))
+        .select("id").as[Long].collect().toSet
+    }
+    val want = rows.collect {
+      case (id, x, y) if x >= 200 && x <= 400 && y >= 10 && y <= 20 => id
+    }.toSet
+
+    Layout.writeHilbertIndexed(df, Seq("x", "y"), s"$base/idx",
+      rowGroupBytes = 16 * 1024)
+    val d = Layout.openIndexed(s"$base/idx")
+    assert(d == Layout.IndexedLayoutDesc("hilbert", "hkey", 32, Seq("x", "y")))
+    assert(query() == want && want.nonEmpty)
+
+    // the drift scenario for int grids: the table is REWRITTEN with a
+    // different curve, element width AND key column name — the query
+    // code is untouched and stays exact because everything but the box
+    // comes from the updated sidecar
+    Layout.writeMortonIndexed(df, Seq("x", "y"), s"$base/idx",
+      keyName = "zk16", rowGroupBytes = 16 * 1024, elemType = "smallint")
+    assert(Layout.openIndexed(s"$base/idx") ==
+      Layout.IndexedLayoutDesc("morton", "zk16", 16, Seq("x", "y")))
+    assert(query() == want)
+
+    // kind mismatch is a loud error, not a mis-parse
+    val e = intercept[IllegalArgumentException](Layout.openQuantized(s"$base/idx"))
+    assert(e.getMessage.contains("openIndexed"))
+  }
+
+  test("sidecar JSON escapes hostile dim names (quote/backslash) round-trip") {
+    import spark.implicits._
+    val df = (0 until 100).map(i => (i.toLong, i % 10 * 1.0, i % 7 * 1.0))
+      .toDF("id", "a", "b")
+    val base = System.getProperty("java.io.tmpdir") + "/graft_sidecar_esc_spec"
+    val hostile = """price "usd" \ raw"""
+    Layout.writeQuantizedIndexed(df,
+      Seq(col("a") -> Layout.QuantDim(hostile, 0.0, 10.0, 8),
+        col("b") -> Layout.QuantDim("b", 0.0, 7.0, 8)),
+      s"$base/idx", "hk", rowGroupBytes = 16 * 1024)
+    assert(Layout.openQuantized(s"$base/idx").dims.head.name == hostile)
+  }
 }
