@@ -311,6 +311,21 @@ object Curves {
     Examples:
       > SELECT _FUNC_('mail bob@x.co or 555-123-0042 from 10.1.2.3');
        3
+  """),
+    FunctionDoc("nfc_normalize", (args: Seq[Expression]) => args match {
+      case Seq(t) => NfcNormalize(t)
+      case other => throw new IllegalArgumentException(
+        s"nfc_normalize expects (text), got ${other.size} arguments")
+    }, "nfc_normalize(text) - Unicode NFC normalization (canonical compose); " +
+      "run before tokenization/fingerprinting so composed and decomposed " +
+      "forms of the same text hash identically",
+      classOf[NfcNormalize], "string_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_('café');
+       café
+      > SELECT length(_FUNC_('café'));
+       4
   """))
 
   /** ExpressionInfo with usage + examples, so `DESCRIBE FUNCTION

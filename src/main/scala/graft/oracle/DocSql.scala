@@ -349,6 +349,24 @@ object DocSql {
        |FROM a""".stripMargin
   }
 
+  /** Mirror of SparkEntry's q_text_nfc: the same per-doc_id injection
+    * of decomposed/composed sequences, normalized with DuckDB's
+    * `nfc_normalize` (utf8proc) against Spark's Java-Normalizer
+    * expression — both UAX #15 NFC, proven byte-identical by the hash
+    * gate. chr() codepoints, not string literals, so the SQL dump
+    * can never be silently re-normalized by an editor/serializer. */
+  def textNfc: String =
+    s"""WITH a AS (SELECT doc_id,
+       |  coalesce(text, '') || ' caf' ||
+       |  ([ 'e' || chr(769), 'A' || chr(778), 'n' || chr(771),
+       |     'o' || chr(776), chr(233) ])[CAST(doc_id % 5 AS INT) + 1] ||
+       |  ' x' || chr(769) AS aug
+       |  FROM documents)
+       |SELECT doc_id, nfc_normalize(aug) AS text_nfc,
+       |  CAST(length(aug) AS BIGINT) AS n_chars_raw,
+       |  CAST(length(nfc_normalize(aug)) AS BIGINT) AS n_chars_nfc
+       |FROM a""".stripMargin
+
   /** Mirror of CorpusOps.tokenizeToIds: same vocab total order for id
     * assignment, same md5-bucket OOV hashing, sequence rebuilt with an
     * ordered list aggregate. */

@@ -25,6 +25,19 @@ object TextFunctions {
     ColumnShims.column(new IntegralDivide(
       ColumnShims.expression(a), ColumnShims.expression(b)))
 
+  /** Unicode NFC normalization (canonical compose) — a native
+    * codegen'd expression ([[graft.functions.NfcNormalize]]); the
+    * no-op fast path returns the input value unchanged. Multilingual
+    * corpora should normalize BEFORE [[tokens]] / fingerprinting /
+    * content hashing: the composed and decomposed spellings of the
+    * same text differ byte-wise, so un-normalized exact dedup,
+    * shingle MinHash and vocabulary counts all treat them as distinct
+    * content. The pipeline convention is normalize-then-tokenize —
+    * `tokens(nfc(text))` — gated by q_text_nfc against DuckDB's
+    * `nfc_normalize`. */
+  def nfc(text: Column): Column =
+    ColumnShims.column(graft.functions.NfcNormalize(ColumnShims.expression(text)))
+
   /** Whitespace tokens of a text column. NULL text is treated as the
     * empty string (-> a single empty token) so that Spark and the
     * DuckDB oracle agree on NULL rows: without the coalesce, Spark's

@@ -21,6 +21,38 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("nfc: composes decomposed sequences, idempotent, identity on ASCII/NFC, null-safe") {
+    import spark.implicits._
+    val dec = "cafe\u0301"            // decomposed e + combining acute
+    val comp = "caf\u00e9"            // composed
+    val rows = Seq(
+      (1L, dec),                      // decomposed -> composed
+      (2L, comp),                     // already composed -> unchanged
+      (3L, "plain ascii"),            // fast path
+      (4L, "A\u030a B n\u0303"),      // two marks in one string
+      (5L, null.asInstanceOf[String])) // null propagates
+      .toDF("id", "t")
+      .select(col("id"), TextFunctions.nfc(col("t")).as("n"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(rows(1L) == Some(comp))
+    assert(rows(2L) == Some(comp))
+    assert(rows(3L) == Some("plain ascii"))
+    assert(rows(4L) == Some("\u00c5 B \u00f1"))
+    assert(rows(5L).isEmpty)
+    // idempotence: nfc(nfc(x)) == nfc(x)
+    val twice = Seq(dec + " o\u0308").toDF("t")
+      .select(TextFunctions.nfc(TextFunctions.nfc(col("t"))) ===
+        TextFunctions.nfc(col("t"))).head().getBoolean(0)
+    assert(twice)
+    // normalize-then-tokenize: the two spellings of the same word are
+    // the SAME token after nfc, different tokens without it
+    val toks = Seq((dec, comp)).toDF("a", "b")
+      .select((TextFunctions.nfc(col("a")) === TextFunctions.nfc(col("b"))).as("same"),
+        (col("a") === col("b")).as("raw"))
+      .head()
+    assert(toks.getBoolean(0) && !toks.getBoolean(1))
+  }
+
   test("vocabulary: tf/df counts and the (tf, df, token) total order") {
     val df = CorpusOps.vocabulary(
       docs((1L, "a a b"), (2L, "a c"), (3L, "b c")), topK = 2)
