@@ -265,6 +265,26 @@ object EventSql {
        |SELECT user_id, event_id, ts_us, event_type, value
        |FROM e WHERE rn = 1""".stripMargin
 
+  /** Mirror of q_sink_upsert: replay the two batches declaratively —
+    * base = the full log, changes = every 7th user's click/purchase
+    * rows bumped one hour and +1000.0 — and keep the newest row per
+    * event_id (ts desc), exactly the merge the partition-scoped
+    * upsert applies to the touched partitions. ts arithmetic in
+    * integer NANOseconds (epoch_ns) to mirror the Spark side's long
+    * nanos, divided to µs only at the output boundary. */
+  val sinkUpsert: String =
+    s"""WITH base AS (SELECT event_id, user_id, event_type,
+       |  epoch_ns(ts) AS tsn, value FROM events),
+       |chg AS (SELECT event_id, user_id, event_type,
+       |  tsn + 3600000000000 AS tsn, value + 1000.0 AS value
+       |  FROM base
+       |  WHERE event_type IN ('click', 'purchase') AND user_id % 7 = 0),
+       |u AS (SELECT * FROM base UNION ALL SELECT * FROM chg),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY event_id
+       |  ORDER BY tsn DESC) AS rn FROM u)
+       |SELECT event_id, user_id, event_type, tsn // 1000 AS ts_us, value
+       |FROM r WHERE rn = 1""".stripMargin
+
   /** Gaps-and-islands sessionization — mirrors
     * graft.streaming.Sessionize.batch (12 h default gap, µs
     * timestamps, exact integer sums). */

@@ -129,6 +129,27 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("sink upsert: the existing-side scan is pruned to the TOUCHED partitions only") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = System.getProperty("java.io.tmpdir") + "/graft_planshape_upsert"
+    Seq((1L, "touchedpart", 1L), (2L, "untouchedpart", 1L), (3L, "otherpart", 1L))
+      .toDF("k", "p", "v")
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    val changes = Seq((1L, "touchedpart", 2L)).toDF("k", "p", "v")
+    val merged = graft.layout.Layout.upsertMerged(
+      base, changes, "p", Seq("k"), Seq(col("v").desc))
+    val p = merged.queryExecution.executedPlan.toString()
+    // directory-level pruning: the touched value appears in the scan's
+    // PartitionFilters; the untouched values appear NOWHERE in the plan
+    assert(p.contains("PartitionFilters"), p)
+    assert(p.contains("touchedpart"), p)
+    assert(!p.contains("untouchedpart") && !p.contains("otherpart"), p)
+    // one per-key window does the merge; no cartesian anywhere
+    assert(p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("incremental aggregate: the history side reads the stored partial, not the corpus") {
     val p = plan("q_agg_incremental")
     assert(p.contains("graft_agg_partial"), p)

@@ -157,4 +157,48 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ranges.map(_._3).sum == 1000L)
     assert(ranges.map(_._1).min == 0L && ranges.map(_._2).max == 999L)
   }
+
+  test("partition-scoped upsert: merge is exact, untouched partition keeps its exact files") {
+    import spark.implicits._
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_upsert_spec"
+    // wipe any previous run: file-identity assertions below need a
+    // fresh write
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val rows = (1L to 300L).map(i => (i, s"p${i % 3}", i * 10, s"v$i"))
+    rows.toDF("k", "p", "ver", "payload")
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$base/p=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = Map("p0" -> files("p0"), "p1" -> files("p1"), "p2" -> files("p2"))
+
+    // change batch: update half of p1's keys with a newer version and
+    // insert one brand-new key into p1; p0 and p2 untouched
+    val changes = ((1L to 300L).filter(i => i % 3 == 1 && i % 2 == 0)
+      .map(i => (i, "p1", i * 10 + 1, s"upd$i")) :+ ((1000L, "p1", 5L, "new")))
+      .toDF("k", "p", "ver", "payload")
+    Layout.upsertPartitioned(base, changes, "p", Seq("k"), Seq(col("ver").desc))
+
+    // semantics: newest version per key; untouched partitions intact
+    // read-back schema: (k, ver, payload) + appended partition col p
+    val got = spark.read.parquet(base)
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(1), r.getString(3)))
+      .toSet
+    val want = (rows.map { case (k, p, ver, pay) =>
+      if (p == "p1" && k % 2 == 0) (k, s"upd$k", ver + 1, p) else (k, pay, ver, p)
+    } :+ ((1000L, "new", 5L, "p1"))).toSet
+    assert(got == want)
+
+    // the untouched partition DIRECTORIES still hold byte-identical
+    // file sets (same names, same mtimes) — not rewritten, not merely
+    // equal content
+    assert(files("p0") == before("p0"))
+    assert(files("p2") == before("p2"))
+    // the touched partition was rewritten
+    assert(files("p1") != before("p1"))
+  }
 }
