@@ -986,11 +986,19 @@ object Similarity {
   /** Exact re-rank of an ANN candidate list against a quantized
     * (vec_id, qv) frame — shared tail of [[annTopK]] and
     * [[annIndexTopK]]. */
-  private def annRerank(cand: DataFrame, qv: DataFrame, k: Int): DataFrame = {
+  private def annRerank(cand: DataFrame, qv: DataFrame, k: Int): DataFrame =
+    annRerank(cand, qv, qv, k)
+
+  /** Re-rank with distinct probe-side and neighbor-side vector frames
+    * — the ingest-loop case, where probes are a batch NOT (yet) in the
+    * stored index. */
+  private def annRerank(cand: DataFrame, probeQv: DataFrame,
+      neighborQv: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
     cand
-      .join(qv.withColumnRenamed("vec_id", "probe_id").withColumnRenamed("qv", "pv"), "probe_id")
-      .join(qv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+      .join(probeQv.withColumnRenamed("vec_id", "probe_id")
+        .withColumnRenamed("qv", "pv"), "probe_id")
+      .join(neighborQv.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
       .select(col("probe_id"), col("neighbor_id"), dotQ(col("pv"), col("qv")).as("dot_q"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
@@ -1051,6 +1059,43 @@ object Similarity {
     * PROBE rows' stored coordinates, and the re-rank reads the stored
     * quantized vectors. Build amortized once per corpus snapshot;
     * probes pay candidate join + re-rank only. */
+  /** Probe an [[annIndexBuild]] index with a BATCH of query vectors
+    * that are NOT (yet) in the index — the streaming-ingest probe
+    * ([[graft.streaming.StreamSim.ingestTopK]]): batch rows encode
+    * per-row (band keys + quantization, cost ∝ the batch, the same
+    * pure functions the index stores), candidates come from the
+    * STORED bucket tables via a broadcast equi-join (±1 bucket
+    * multi-probe, [[annIndexTopK]]'s default widening), and the exact
+    * re-rank reads neighbor vectors from the stored artifact and
+    * probe vectors from the batch. The corpus is never re-encoded;
+    * index-side work is a narrow columnar scan. Output (probe_id,
+    * neighbor_id, dot_q, rnk) — identical semantics to appending the
+    * batch AFTER probing, so probe-then-append per micro-batch equals
+    * the sequential batch lifecycle (StreamingSpec asserts). */
+  def annIndexTopKBatch(batch: DataFrame, path: String, k: Int,
+      bands: Int = DefaultBands, bucketShift: Int = DefaultBucketShift,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = batch.sparkSession
+    val buckets = spark.read.parquet(s"$path/keys")
+      .select(col("vec_id"), col("band_idx"),
+        shiftright(col("key"), bucketShift).as("bucket"))
+    val pb = batch
+      .select(col(idCol).as("probe_id"),
+        posexplode(bandKeys(col(vecCol), bands)).as(Seq("band_idx", "key")))
+      .select(col("probe_id"), col("band_idx"),
+        explode(array(shiftright(col("key"), bucketShift) - 1,
+          shiftright(col("key"), bucketShift),
+          shiftright(col("key"), bucketShift) + 1)).as("bucket"))
+    val cand = broadcast(pb)
+      .join(buckets, Seq("band_idx", "bucket"))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"))
+      .distinct()
+    annRerank(cand,
+      batch.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")),
+      spark.read.parquet(s"$path/vectors"), k)
+  }
+
   def annIndexTopK(spark: SparkSession, path: String, probePred: Column, k: Int,
       bucketShift: Int = DefaultBucketShift, spatialProbe: Boolean = false): DataFrame = {
     val keys = spark.read.parquet(s"$path/keys")

@@ -323,6 +323,53 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming ANN ingest through the persisted index == sequential batch calls") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_ann").toString
+    def v(axis: Int, eps: Float): Seq[Float] =
+      (0 until 8).map(d =>
+        (if (d == axis) 0.9f else 0.0f) + (if (d == (axis + 1) % 8) eps else 0.0f))
+    // base index: cluster-0 pair + one cluster-3 vector; stream batch 1:
+    // a cluster-0 probe (matches the base) + a cluster-6 vector (nothing
+    // to match yet); stream batch 2: a cluster-6 probe — matching it
+    // requires batch 1's vectors to have been APPENDED to the index
+    val baseVecs = Seq((0L, v(0, 0.01f)), (1L, v(0, 0.02f)), (10L, v(3, 0.01f)))
+      .toDF("vec_id", "embedding")
+    val b1 = Seq((30L, v(0, 0.03f)), (31L, v(6, 0.01f)))
+    val b2 = Seq((40L, v(6, 0.02f)))
+    graft.similarity.Similarity.annIndexBuild(baseVecs, s"$tmp/idx", bands = 2)
+    b1.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val schema = b1.toDF("vec_id", "embedding").schema
+    val q = StreamSim.ingestTopK(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/idx", s"$tmp/matches", s"$tmp/ckpt", k = 2,
+      bands = 2, bucketShift = 8)
+    try {
+      q.processAllAvailable()
+      b2.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val streamed = rows(spark.read.parquet(s"$tmp/matches"))
+    // sequential batch replay of the same lifecycle
+    graft.similarity.Similarity.annIndexBuild(baseVecs, s"$tmp/idx2", bands = 2)
+    val m1 = rows(graft.similarity.Similarity.annIndexTopKBatch(
+      b1.toDF("vec_id", "embedding"), s"$tmp/idx2", k = 2, bands = 2, bucketShift = 8))
+    graft.similarity.Similarity.annIndexAppend(
+      b1.toDF("vec_id", "embedding"), s"$tmp/idx2", bands = 2)
+    val m2 = rows(graft.similarity.Similarity.annIndexTopKBatch(
+      b2.toDF("vec_id", "embedding"), s"$tmp/idx2", k = 2, bands = 2, bucketShift = 8))
+    assert(streamed == (m1 ++ m2) && streamed.nonEmpty)
+    // the planted structure: cross-index match AND the cross-batch
+    // match that only an APPENDED batch-1 makes possible
+    assert(streamed.exists(t => t._1 == 30L && Set(0L, 1L).contains(t._2)))
+    assert(streamed.exists(t => t._1 == 40L && t._2 == 31L))
+    spark.catalog.clearCache()
+  }
+
   test("streaming MinHash near-dedup: horizon expires bucket anchors") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_stream_minhash_hz")
