@@ -460,6 +460,20 @@ object SparkEntry {
       })
       Similarity.ivfPqIndexTopK(s, path, col("vec_id") % 50 === 0, 10)
     }),
+    // IVF list-occupancy diagnostics (round-9 verdict stretch #8):
+    // per-list counts + the max/mean imbalance factor from the STORED
+    // index codes — the one unmeasured skew surface in the index
+    // family. Shares the q_sim_ivfpq_indexed artifact (write-once);
+    // the oracle re-derives the seeded assignment and must agree
+    // exactly, which also cross-checks the stored list assignments.
+    "q_sim_ivf_stats" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.ivfPqIndexBuild(table(s, dir, "embeddings"), path, ncent = 32)
+      })
+      Similarity.ivfListStats(s, path)
+    }),
     // the GROWING IVF-PQ index: both quantizers (coarse centroids +
     // residual codebook) frozen at build time over the 80% slice,
     // appended vectors assigned and encoded against them — the
@@ -1257,6 +1271,68 @@ object SparkEntry {
           concat_ws("_", col("window_energy")).as("energy_str"))
     }),
 
+    // video container METADATA probe (round-9 verdict stretch #9):
+    // hand-packed spec-conformant MP4 (even doc_id) and AVI (odd)
+    // headers with md5-derived duration/frame-count and dimensions
+    // spliced into the fixed templates (the q_multimodal_wav/_bmp
+    // pattern), parsed back by the real box/RIFF walkers. Only frame
+    // DECODE remains stub territory (needs native codecs); the
+    // metadata pass a pipeline runs first is fully real and gated.
+    "q_multimodal_video" -> ((s, dir) => {
+      def be(v: Int): Array[Byte] =
+        java.nio.ByteBuffer.allocate(4).putInt(v).array()
+      def le(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      def cc(s4: String): Array[Byte] = s4.getBytes("US-ASCII")
+      val unityMatrix = be(0x10000) ++ be(0) ++ be(0) ++ be(0) ++ be(0x10000) ++
+        be(0) ++ be(0) ++ be(0) ++ be(0x40000000)
+      // MP4: ftyp(16) + moov(337){ mvhd(108) + trak(221){ tkhd(92) +
+      // mdia(121){ mdhd(32) + hdlr(33) + minf(48){stbl(40){stsd(32)}}}}}
+      val mp4A = // ...through mvhd timescale; hole: duration (4B BE)
+        be(16) ++ cc("ftyp") ++ cc("isom") ++ be(0) ++
+        be(337) ++ cc("moov") ++
+        be(108) ++ cc("mvhd") ++ be(0) ++ be(0) ++ be(0) ++ be(1000)
+      val mp4B = // mvhd tail + trak hdr + tkhd through matrix; holes: w, h
+        be(0x10000) ++ Array[Byte](0, 1) ++ Array.fill[Byte](10)(0) ++
+        unityMatrix ++ Array.fill[Byte](24)(0) ++ be(2) ++
+        be(221) ++ cc("trak") ++
+        be(92) ++ cc("tkhd") ++ be(0) ++ be(0) ++ be(0) ++ be(1) ++ be(0) ++
+        be(0) ++ be(0) ++ be(0) ++ Array[Byte](0, 0, 0, 0, 0, 0, 0, 0) ++
+        unityMatrix
+      val mp4C = // the whole mdia subtree (static)
+        be(121) ++ cc("mdia") ++
+        be(32) ++ cc("mdhd") ++ be(0) ++ be(0) ++ be(0) ++ be(1000) ++ be(0) ++
+        Array[Byte](0x55, ('4' + 0).toByte, 0, 0) ++
+        be(33) ++ cc("hdlr") ++ be(0) ++ be(0) ++ cc("vide") ++
+        Array.fill[Byte](12)(0) ++ Array[Byte](0) ++
+        be(48) ++ cc("minf") ++
+        be(40) ++ cc("stbl") ++
+        be(32) ++ cc("stsd") ++ be(0) ++ be(1) ++
+        be(16) ++ cc("avc1") ++ Array.fill[Byte](6)(0) ++ Array[Byte](0, 1)
+      // AVI: RIFF(164){ LIST hdrl(144){ avih(56) + LIST strl(68){strh(56)}}}
+      val aviA = // through avih flags; hole: totalFrames (4B LE raw md5)
+        cc("RIFF") ++ le(156) ++ cc("AVI ") ++
+        cc("LIST") ++ le(144) ++ cc("hdrl") ++
+        cc("avih") ++ le(56) ++ le(40000) ++ le(0) ++ le(0) ++ le(0)
+      val aviB = le(0) ++ le(1) ++ le(0) // initial, streams, sugBuf; holes: w, h
+      val aviC = // reserved + the strl LIST (static)
+        Array.fill[Byte](16)(0) ++
+        cc("LIST") ++ le(68) ++ cc("strl") ++
+        cc("strh") ++ le(56) ++ cc("vids") ++ cc("MJPG") ++ le(0) ++
+        le(0) ++ le(0) ++ le(1) ++ le(25) ++ le(0) ++ le(0) ++ le(0) ++
+        le(0) ++ le(0) ++ Array.fill[Byte](8)(0)
+      val hx = md5(coalesce(col("text"), lit("")).cast("binary"))
+      val z2 = lit(Array[Byte](0, 0))
+      val z3 = lit(Array[Byte](0, 0, 0))
+      val mp4Payload = concat(lit(mp4A), unhex(substring(hx, 1, 8)), lit(mp4B),
+        unhex(substring(hx, 9, 4)), z2, unhex(substring(hx, 13, 4)), z2, lit(mp4C))
+      val aviPayload = concat(lit(aviA), unhex(substring(hx, 1, 8)), lit(aviB),
+        unhex(substring(hx, 9, 2)), z3, unhex(substring(hx, 11, 2)), z3, lit(aviC))
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 2 === 0, mp4Payload).otherwise(aviPayload).as("payload"))
+      graft.multimodal.Decoders.probeVideoBatched(src).toDF()
+    }),
+
     // --- layout optimization: the reference's purpose -------------------
     // Curve-order lineitem into parquet, then run a selective 2-D range
     // filter over the re-read (row groups pruned by footer stats; same
@@ -1531,6 +1607,7 @@ object SparkEntry {
     "q_sim_ivfpq" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     // identical math through the persisted IVF-PQ index -> same oracle
     "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
+    "q_sim_ivf_stats" -> SimSql.ivfListStats(16),
     // frozen quantizers: centroid + codebook pools from the build-time
     // 80%, codes over all
     "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,
@@ -1695,6 +1772,7 @@ object SparkEntry {
     // one oracle, two codecs
     "q_multimodal_gif" -> EventSql.multimodalPpm,
     "q_multimodal_wav" -> EventSql.multimodalWav,
+    "q_multimodal_video" -> EventSql.multimodalVideo,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey"))

@@ -221,4 +221,153 @@ object Decoders {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.map { case (id, b) => WavDecoder.decode(id, b, windows) })
   }
+
+  /** Container-level video metadata: duration, track count, the first
+    * video track's codec fourcc and pixel dimensions. */
+  final case class VideoMeta(doc_id: Long, container: String, duration_ms: Long,
+      n_tracks: Long, video_codec: String, width: Long, height: Long)
+
+  /** Video container METADATA probe — MP4 (ISO BMFF) and AVI (RIFF)
+    * header parsing, pure JVM (round-9 verdict stretch #9): shrinks
+    * the StubDecoder's remaining territory to frame DECODE only, which
+    * genuinely needs native codec libraries this environment lacks.
+    * Duration/codec/track-layout/dimensions all live in the container
+    * headers, so a metadata pass over a 100 TB video corpus — the
+    * filter/bucketing stage a training pipeline runs FIRST — reads a
+    * few hundred header bytes per file and never touches a codec.
+    *
+    * MP4: walks the box tree (size,fourcc framing) — `mvhd` for
+    * timescale+duration (v0 and v1), each `trak`'s `hdlr` handler,
+    * `stsd` first-entry fourcc and `tkhd` 16.16 dimensions; unknown
+    * boxes skip by size, as the spec requires. AVI: walks RIFF chunks
+    * (word-aligned) — `avih` for frame timing + dimensions, `strl`
+    * lists for track count and the `vids` handler fourcc. */
+  object VideoProbe {
+    private def u32(b: Array[Byte], i: Int): Long =
+      ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+        ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+    private def u64(b: Array[Byte], i: Int): Long = (u32(b, i) << 32) | u32(b, i + 4)
+    private def u32le(b: Array[Byte], i: Int): Long =
+      ((b(i + 3) & 0xffL) << 24) | ((b(i + 2) & 0xffL) << 16) |
+        ((b(i + 1) & 0xffL) << 8) | (b(i) & 0xffL)
+    private def fourcc(b: Array[Byte], i: Int): String = new String(b, i, 4, "US-ASCII")
+
+    def isMp4(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && fourcc(b, 4) == "ftyp"
+    def isAvi(b: Array[Byte]): Boolean =
+      b != null && b.length >= 12 && fourcc(b, 0) == "RIFF" && fourcc(b, 8) == "AVI "
+
+    def decode(id: Long, bytes: Array[Byte]): VideoMeta =
+      if (isMp4(bytes)) mp4(id, bytes)
+      else if (isAvi(bytes)) avi(id, bytes)
+      else throw new IllegalArgumentException(s"doc $id: not an MP4/AVI container")
+
+    /** Iterate ISO-BMFF boxes in [from, to): f(type, contentStart, boxEnd). */
+    private def boxes(b: Array[Byte], from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = u32(b, i)
+        val typ = fourcc(b, i + 4)
+        require(size >= 8 && i + size <= to, s"mp4: bad box $typ size $size at $i")
+        f(typ, i + 8, i + size.toInt)
+        i += size.toInt
+      }
+    }
+
+    private def mp4(id: Long, b: Array[Byte]): VideoMeta = {
+      var timescale = 1L; var duration = 0L
+      var nTracks = 0L; var codec: String = null
+      var width = 0L; var height = 0L
+      boxes(b, 0, b.length) {
+        case ("moov", s, e) =>
+          boxes(b, s, e) {
+            case ("mvhd", ms, _) =>
+              if ((b(ms) & 0xff) == 0) { timescale = u32(b, ms + 12); duration = u32(b, ms + 16) }
+              else { timescale = u32(b, ms + 20); duration = u64(b, ms + 24) }
+            case ("trak", ts, te) =>
+              nTracks += 1
+              var handler: String = null; var fcc: String = null
+              var tw = 0L; var th = 0L
+              boxes(b, ts, te) {
+                case ("tkhd", _, ke) =>
+                  // width/height are the LAST 8 bytes (16.16 fixed) in
+                  // both tkhd versions
+                  tw = u32(b, ke - 8) >> 16; th = u32(b, ke - 4) >> 16
+                case ("mdia", ds, de) =>
+                  boxes(b, ds, de) {
+                    case ("hdlr", hs, _) => handler = fourcc(b, hs + 8)
+                    case ("minf", is, ie) => boxes(b, is, ie) {
+                      case ("stbl", ss, se) => boxes(b, ss, se) {
+                        // verflags(4) entry_count(4), first sample
+                        // entry's fourcc is at +12
+                        case ("stsd", es, _) => fcc = fourcc(b, es + 12)
+                        case _ => ()
+                      }
+                      case _ => ()
+                    }
+                    case _ => ()
+                  }
+                case _ => ()
+              }
+              if (handler == "vide" && codec == null) {
+                codec = fcc; width = tw; height = th
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      VideoMeta(id, "mp4", duration * 1000L / timescale, nTracks, codec, width, height)
+    }
+
+    /** Iterate RIFF chunks in [from, to): f(fourcc, contentStart,
+      * contentEnd); chunks are word-aligned. */
+    private def chunks(b: Array[Byte], from: Int, to: Int)(
+        f: (String, Int, Int) => Unit): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val cc = fourcc(b, i)
+        val size = u32le(b, i + 4)
+        val end = i + 8 + size.toInt
+        require(size >= 0 && end <= to, s"avi: bad chunk $cc size $size at $i")
+        f(cc, i + 8, end)
+        i = end + (size.toInt & 1)
+      }
+    }
+
+    private def avi(id: Long, b: Array[Byte]): VideoMeta = {
+      var usPerFrame = 0L; var frames = 0L
+      var width = 0L; var height = 0L
+      var nStreams = 0L; var codec: String = null
+      chunks(b, 12, b.length) {
+        case ("LIST", s, e) if fourcc(b, s) == "hdrl" =>
+          chunks(b, s + 4, e) {
+            case ("avih", as, _) =>
+              usPerFrame = u32le(b, as); frames = u32le(b, as + 16)
+              width = u32le(b, as + 32); height = u32le(b, as + 36)
+            case ("LIST", ls, le) if fourcc(b, ls) == "strl" =>
+              nStreams += 1
+              chunks(b, ls + 4, le) {
+                case ("strh", ss, _) =>
+                  if (fourcc(b, ss) == "vids" && codec == null) codec = fourcc(b, ss + 4)
+                case _ => ()
+              }
+            case _ => ()
+          }
+        case _ => ()
+      }
+      VideoMeta(id, "avi", usPerFrame * frames / 1000L, nStreams, codec, width, height)
+    }
+  }
+
+  /** Batch video-metadata probe — per-partition, real MP4/AVI header
+    * parsers; payload bytes never leave the executor. */
+  def probeVideoBatched(df: DataFrame,
+      idCol: String = "doc_id", binCol: String = "payload"): Dataset[VideoMeta] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(binCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) => VideoProbe.decode(id, b) })
+  }
 }

@@ -109,7 +109,10 @@ object Multimodal {
     * real PNG/JPEG/GIF/BMP decode, no native lib) joining the PPM and
     * WAV parsers, the stub's remaining territory is VIDEO only (the
     * JDK ships no H.264/VP9 codec; that genuinely needs native libs
-    * absent from this environment). */
+    * absent from this environment). Round 10 narrows it further:
+    * [[Decoders.VideoProbe]] parses MP4/AVI CONTAINER metadata
+    * (duration, tracks, codec fourcc, dimensions) pure-JVM, so only
+    * frame-pixel DECODE remains stubbed. */
   final class StubDecoder(dims: Int) {
     private val md = java.security.MessageDigest.getInstance("MD5")
 

@@ -367,6 +367,30 @@ object EventSql {
   /** Oracle for the REAL WAV decode: 4 PCM-16 LE samples from the
     * first 8 md5 bytes; per-window mean |amplitude| with explicit
     * sign extension. */
+  /** Mirror of q_multimodal_video: the payload headers are built from
+    * md5 bytes, so every metadata field the parser must recover is a
+    * closed-form function of the digest — BE interpretation for the
+    * MP4 fields, LE byte arithmetic for the AVI fields. n_tracks is 1
+    * (one video trak/strl) and the codec fourccs are the template
+    * constants; duration: MP4 = mvhd duration at timescale 1000 (ms
+    * 1:1), AVI = 40000 µs/frame * totalFrames / 1000. */
+  val multimodalVideo: String = {
+    def be(at: Int, n: Int) = s"CAST(('0x' || substr(hx, $at, $n)) AS BIGINT)"
+    def leByte(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    val leFrames =
+      s"${leByte(0)} + 256 * ${leByte(1)} + 65536 * ${leByte(2)} + 16777216 * ${leByte(3)}"
+    s"""WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+       |SELECT doc_id,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'mp4' ELSE 'avi' END AS container,
+       |  CASE WHEN doc_id % 2 = 0 THEN ${be(1, 8)}
+       |       ELSE 40000 * ($leFrames) // 1000 END AS duration_ms,
+       |  CAST(1 AS BIGINT) AS n_tracks,
+       |  CASE WHEN doc_id % 2 = 0 THEN 'avc1' ELSE 'MJPG' END AS video_codec,
+       |  CASE WHEN doc_id % 2 = 0 THEN ${be(9, 4)} ELSE ${be(9, 2)} END AS width,
+       |  CASE WHEN doc_id % 2 = 0 THEN ${be(13, 4)} ELSE ${be(11, 2)} END AS height
+       |FROM h""".stripMargin
+  }
+
   val multimodalWav: String = {
     def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
     def sample(k: Int) = s"s$k AS (SELECT doc_id, ${px(2 * k)} + 256 * ${px(2 * k + 1)} AS x FROM h)"

@@ -351,6 +351,31 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Mirror of Similarity.ivfListStats over the q_sim_ivfpq_indexed
+    * artifact: re-derives the seeded coarse assignment (ivfPqTopK's
+    * CTE prefix) and aggregates per-list counts + the max/mean
+    * imbalance factor — exact integer division throughout. */
+  def ivfListStats(nlist: Int): String =
+    s"""WITH $qCte,
+       |hq AS (SELECT vec_id, qv,
+       |  CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) AS hv FROM q),
+       |cents AS (SELECT CAST(row_number() OVER (ORDER BY hv, vec_id) AS BIGINT) AS list_id,
+       |    qv AS cq
+       |  FROM (SELECT * FROM hq ORDER BY hv, vec_id LIMIT $nlist)),
+       |asg0 AS (SELECT q.vec_id, c.list_id, ${dotSql("q.qv", "c.cq")} AS cdot
+       |  FROM q, cents c),
+       |asg AS (SELECT vec_id, list_id FROM (
+       |    SELECT vec_id, list_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id) AS rn
+       |    FROM asg0) WHERE rn = 1),
+       |per AS (SELECT list_id, CAST(count(*) AS BIGINT) AS n FROM asg GROUP BY list_id),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total, CAST(max(n) AS BIGINT) AS max_n,
+       |  CAST(count(*) AS BIGINT) AS n_lists FROM per)
+       |SELECT list_id, n,
+       |  n * 1000000 // total AS frac_ppm,
+       |  max_n * n_lists * 1000 // total AS imbalance_milli
+       |FROM per, tot""".stripMargin
+
   /** Mirror of graft.similarity.Similarity.semanticDedup stage for
     * stage: seeded coarse centroids + argmax-dot assignment
     * (ivfSeededTopK's CTEs), within-cluster candidate pairs with the

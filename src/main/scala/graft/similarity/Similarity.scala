@@ -904,6 +904,32 @@ object Similarity {
     } finally { q.unpersist(); () }
   }
 
+  /** Per-list occupancy of a stored [[ivfPqIndexBuild]] index — the
+    * coarse quantizer's skew diagnostic (round-9 verdict stretch #8).
+    * The seeded centroids carry NO balance guarantee, and probe cost
+    * is proportional to the PROBED lists' code counts — so a hot list
+    * is a latency tail that per-query timings hide. One narrow
+    * aggregate over the stored `codes` (never the vectors): per list
+    * its count and corpus fraction, plus the index-wide imbalance
+    * factor max/mean (milli units, exact integer math so the gate is
+    * hash-exact) replicated on every row for a one-scan report.
+    * Operational rule (BASELINE.md): rebuild with more lists or a
+    * refined quantizer when imbalance drifts past the probe-latency
+    * budget; append-only growth cannot rebalance (frozen centroids). */
+  def ivfListStats(spark: SparkSession, path: String): DataFrame = {
+    val per = spark.read.parquet(s"$path/codes")
+      .groupBy(col("list_id")).agg(count(lit(1)).as("n"))
+    val tot = per.agg(sum(col("n")).as("total"), max(col("n")).as("max_n"),
+      count(lit(1)).as("n_lists"))
+    per.crossJoin(broadcast(tot))
+      .select(col("list_id"), col("n"),
+        graft.text.TextFunctions.intDiv(col("n") * lit(1000000L), col("total"))
+          .as("frac_ppm"),
+        graft.text.TextFunctions.intDiv(
+          col("max_n") * col("n_lists") * lit(1000L), col("total"))
+          .as("imbalance_milli"))
+  }
+
   /** Append a batch of new vectors to a [[ivfPqIndexBuild]] index with
     * BOTH quantizers frozen — the coarse centroids assign the new
     * vectors to their lists and the stored residual codebook encodes

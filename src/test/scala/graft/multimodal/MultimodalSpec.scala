@@ -242,4 +242,58 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       Decoders.ImageIoDecoder.decode(1L, "not an image".getBytes, 2))
   }
+
+  // --- video container metadata probe --------------------------------
+
+  private def be(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).putInt(v).array()
+  private def be64(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).putLong(v).array()
+  private def le(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+    .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+  private def cc(s: String): Array[Byte] = s.getBytes("US-ASCII")
+  private def box(typ: String, content: Array[Byte]): Array[Byte] =
+    be(8 + content.length) ++ cc(typ) ++ content
+
+  test("mp4 probe: v1 mvhd 64-bit duration, unknown boxes skipped, audio+video traks") {
+    def trak(handler: String, fourcc: String, w: Int, h: Int): Array[Byte] = {
+      val tkhd = box("tkhd", be(0) ++ Array.fill[Byte](72)(0) ++ be(w << 16) ++ be(h << 16))
+      val stsd = box("stsd", be(0) ++ be(1) ++ box(fourcc, Array.fill[Byte](8)(0)))
+      val hdlr = box("hdlr", be(0) ++ be(0) ++ cc(handler) ++ Array.fill[Byte](12)(0))
+      val mdia = box("mdia", hdlr ++ box("minf", box("stbl", stsd)))
+      box("trak", tkhd ++ mdia)
+    }
+    // v1 mvhd: verflags(1<<24) c(8) m(8) timescale(4) duration(8)
+    val mvhd = box("mvhd",
+      be(1 << 24) ++ be64(0) ++ be64(0) ++ be(600) ++ be64(90000L) ++ Array.fill[Byte](76)(0))
+    val junk = box("free", Array.fill[Byte](13)(7)) // must be skipped by size
+    val moov = box("moov",
+      junk ++ mvhd ++ trak("soun", "mp4a", 0, 0) ++ trak("vide", "hvc1", 1920, 1080))
+    val bytes = box("ftyp", cc("isom") ++ be(0)) ++ junk ++ moov
+    val m = Decoders.VideoProbe.decode(7L, bytes)
+    assert(m == Decoders.VideoMeta(7L, "mp4", 90000L * 1000 / 600, 2, "hvc1", 1920, 1080))
+  }
+
+  test("avi probe: odd-sized chunk alignment, vids codec, avih timing") {
+    def chunk(typ: String, content: Array[Byte]): Array[Byte] =
+      cc(typ) ++ le(content.length) ++ content ++
+        (if (content.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    // an odd-sized junk chunk BEFORE hdrl exercises word alignment
+    val junk = chunk("JUNK", Array.fill[Byte](7)(9))
+    val avih = chunk("avih", le(33367) ++ le(0) ++ le(0) ++ le(0) ++ le(800) ++
+      le(0) ++ le(1) ++ le(0) ++ le(640) ++ le(480) ++ Array.fill[Byte](16)(0))
+    val strh = chunk("strh", cc("vids") ++ cc("XVID") ++ Array.fill[Byte](48)(0))
+    val strl = chunk("LIST", cc("strl") ++ strh)
+    val hdrl = chunk("LIST", cc("hdrl") ++ avih ++ strl)
+    val body = junk ++ hdrl
+    val bytes = cc("RIFF") ++ le(4 + body.length) ++ cc("AVI ") ++ body
+    val m = Decoders.VideoProbe.decode(8L, bytes)
+    // 33367 µs/frame * 800 frames / 1000 = 26693 ms (floor)
+    assert(m == Decoders.VideoMeta(8L, "avi", 33367L * 800 / 1000, 1, "XVID", 640, 480))
+  }
+
+  test("video probe rejects non-container payloads loudly") {
+    intercept[IllegalArgumentException](
+      Decoders.VideoProbe.decode(1L, "not a video".getBytes))
+  }
 }
