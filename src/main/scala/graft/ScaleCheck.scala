@@ -33,12 +33,18 @@ object ScaleCheck {
     val copies = 10
     val shift = 100000000L
 
-    // the marker records WHICH source was scaled up: a changed
-    // SPARK_GRAFT_SF_DIR must trigger re-synthesis, not silently
-    // compare fresh src timings against a stale dst corpus
+    // ts is stored as TIMESTAMP_NS; read it as long nanos like the
+    // product queries do (SparkEntry.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    // the marker records WHICH source was scaled up (and the synthesis
+    // recipe version): a changed SPARK_GRAFT_SF_DIR — or an extended
+    // recipe, like round 10 adding the events table — must trigger
+    // re-synthesis, not silently compare against a stale dst corpus
     val marker = java.nio.file.Paths.get(s"$dst/_built")
+    val markerWant = s"$src|v2-events"
     val stale = !java.nio.file.Files.exists(marker) ||
-      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != src
+      new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != markerWant
     if (stale) {
       def tenfold(name: String, f: (DataFrame, Int) => DataFrame): Unit = {
         val base = spark.read.parquet(s"$src/$name.parquet")
@@ -58,12 +64,24 @@ object ScaleCheck {
       tenfold("lineitem", (d, k) => d.select(
         (col("l_orderkey") + lit(k * shift)).as("l_orderkey") +:
           d.columns.filter(_ != "l_orderkey").map(col): _*))
-      java.nio.file.Files.write(marker, src.getBytes("UTF-8"))
+      // events: 10x USERS over the SAME time window — the natural way
+      // an event log grows (same days, more people), so the span- and
+      // day-dependent terms (resample grid, retention triangle, DAU
+      // day frame) stay fixed while per-day row counts scale 10x
+      tenfold("events", (d, k) => d.select(
+        (col("event_id") + lit(k * shift)).as("event_id"), col("ts"),
+        (col("user_id") + lit(k * shift)).as("user_id"),
+        col("event_type"), col("value"), col("props")))
+      java.nio.file.Files.write(marker, markerWant.getBytes("UTF-8"))
     }
 
     val names = Seq("q_dedup_semantic", "q_sim_ivfpq", "q_layout_filter",
       "q_dedup_clusters", "q_dedup_jaccard", "q_sim_ann_mp",
-      "q_dedup_incr_indexed", "q_sketch_quantile")
+      "q_dedup_incr_indexed", "q_sketch_quantile",
+      // round-10 (round-9 verdict ask #7): the analytics queries with
+      // data-shape-dependent terms — span-bounded explode, span^2/2
+      // retention groups, 7x DAU fan-out
+      "q_events_resample", "q_retention", "q_events_dau")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay
