@@ -71,9 +71,20 @@ object Bench {
     // regression; interleaved, the same burst hits one PASS of many
     // queries instead, so it shows up as intra-query spread (one
     // outlier run among fast ones) in runs_s — self-identifying, no
-    // forensics round needed. The first pass is an untimed warmup
-    // (absorbs JIT/codegen/footer-cache state; same execution count as
-    // the old per-query warmup).
+    // forensics round needed.
+    //
+    // Each timed run is PRIMED by one untimed execution immediately
+    // before it: interleaving deliberately separates runs of the same
+    // query by the whole suite, so a bare timed run would measure
+    // 119 queries' worth of evicted page-cache/JIT state on top of the
+    // query (measured: a median 1.67× inflation across code-unchanged
+    // queries vs the round-9 AAA numbers — methodology, not
+    // regression; docs/PLANS.md round-10 entry). The prime restores
+    // the warm steady-state min every earlier round published, so
+    // round-over-round comparisons stay apples-to-apples, while the
+    // timed runs themselves remain suite-separated for burst
+    // visibility. Execution count: 6 per query (3 × prime+timed) vs
+    // the old 4 (warmup + 3 back-to-back).
     val Runs = 3
     // Force the ContextCleaner to actually release prior queries'
     // shuffle files before timing: Spark cleans a shuffle only when
@@ -137,15 +148,19 @@ object Bench {
       case Some(only) => only.split(",").map(_.trim).filter(_.nonEmpty).toSeq
       case None => SparkEntry.queries.keys.toSeq.sorted
     }
-    // pass 0 = untimed warmup; passes 1..Runs timed and recorded. A
-    // query that fails is recorded once and skipped in later passes.
+    // Runs interleaved passes; within a pass each query runs twice —
+    // untimed prime, then the timed run. A query that fails is
+    // recorded once and skipped in later passes.
     val timesByName = scala.collection.mutable.LinkedHashMap(
       names.map(_ -> Vector.empty[Double]): _*)
     val errByName = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    for (pass <- 0 to Runs; name <- names if !errByName.contains(name)) {
-      runOnce(name, record = pass > 0) match {
-        case Right(t) => if (pass > 0) timesByName(name) :+= t
+    for (pass <- 1 to Runs; name <- names if !errByName.contains(name)) {
+      runOnce(name, record = false) match {
         case Left(e) => errByName(name) = e
+        case Right(_) => runOnce(name, record = true) match {
+          case Right(t) => timesByName(name) :+= t
+          case Left(e) => errByName(name) = e
+        }
       }
     }
     // observed row counts arrive on the async listener bus — wait
@@ -188,7 +203,7 @@ object Bench {
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_s":$runsS,""" +
         s""""rows":$rs,"errors":$es,""" +
-        s""""runs":$Runs,"agg":"min","passes":"interleaved","warmup":true,""" +
+        s""""runs":$Runs,"agg":"min","passes":"interleaved-primed","warmup":true,""" +
         s""""cpus":$cpus,"sf":${jstr(sfDir)}}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)

@@ -1,0 +1,54 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.layout.Layout
+
+/** Streaming CDC maintenance of a hive-partitioned sink — the loop
+  * that closes [[graft.layout.Layout.upsertPartitioned]] the way
+  * [[StreamDedup.ingestDedup]] closes the signature index and
+  * [[StreamSim.ingestTopK]] the ANN index: a stream of change rows
+  * drives partition-scoped upserts, one merge per micro-batch.
+  */
+object StreamUpsert {
+
+  /** Per micro-batch of change rows: merge the batch into ONLY the
+    * sink partitions it touches ([[Layout.upsertPartitioned]] —
+    * directory-pruned existing-side read, newest-row-per-key window,
+    * dynamic partition overwrite; untouched partition directories are
+    * neither read nor rewritten). The sink must exist before the
+    * stream starts (the initial load writes it partitioned by
+    * `partCol`).
+    *
+    * Ordering note: a key updated in TWO micro-batches converges to
+    * the `orderCols`-newest version regardless of batch boundaries,
+    * because each merge re-decides per key over existing ∪ batch —
+    * StreamingSpec asserts the two-batch stream equals sequential
+    * upsertPartitioned calls, including a key updated in both.
+    *
+    * Delivery: the same Hadoop-FS `_batches/<id>` idempotence marker
+    * as the ingest loops — a replayed micro-batch is skipped, so
+    * restart/retry does not re-merge (upserts are idempotent per key
+    * anyway for identical change rows; the marker spares the
+    * partition rewrite). The residual crash window (merge committed,
+    * marker not yet written) re-runs one merge on recovery, which is
+    * a no-op on the data: the newest-row-per-key decision is stable
+    * under re-application. */
+  def ingestUpsert(changes: DataFrame, sinkPath: String, checkpoint: String,
+      partCol: String, keyCols: Seq[String], orderCols: Seq[String])
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$sinkPath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          Layout.upsertPartitioned(sinkPath, batch, partCol, keyCols,
+            orderCols.map(c => org.apache.spark.sql.functions.col(c).desc))
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+}

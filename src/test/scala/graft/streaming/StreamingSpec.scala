@@ -370,6 +370,49 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming CDC upsert of the partitioned sink == sequential upsertPartitioned calls") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_upsert").toString
+    val base = (1L to 60L).map(i => (i, s"p${i % 3}", 0L, s"v$i"))
+    def load(path: String): Unit = base.toDF("k", "p", "ver", "payload")
+      .write.mode("overwrite").partitionBy("p").parquet(path)
+    // batch 1 updates keys 4 and 7; batch 2 updates 7 AGAIN (higher
+    // version) and inserts a new key — key 7 must converge to ver 3
+    // across the batch boundary
+    val b1 = Seq((4L, "p1", 2L, "b1-4"), (7L, "p1", 2L, "b1-7"))
+    val b2 = Seq((7L, "p1", 3L, "b2-7"), (1000L, "p2", 1L, "b2-new"))
+    val schema = b1.toDF("k", "p", "ver", "payload").schema
+
+    load(s"$tmp/sink")
+    b1.toDF("k", "p", "ver", "payload").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamUpsert.ingestUpsert(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/sink", s"$tmp/ckpt", "p", Seq("k"), Seq("ver"))
+    try {
+      q.processAllAvailable()
+      b2.toDF("k", "p", "ver", "payload").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(path: String) = spark.read.parquet(path).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getString(3))).toSet
+
+    // sequential replay of the same two merges
+    load(s"$tmp/sink2")
+    import org.apache.spark.sql.functions.col
+    graft.layout.Layout.upsertPartitioned(s"$tmp/sink2",
+      b1.toDF("k", "p", "ver", "payload"), "p", Seq("k"), Seq(col("ver").desc))
+    graft.layout.Layout.upsertPartitioned(s"$tmp/sink2",
+      b2.toDF("k", "p", "ver", "payload"), "p", Seq("k"), Seq(col("ver").desc))
+    assert(rows(s"$tmp/sink") == rows(s"$tmp/sink2"))
+    // key 7 converged across the batch boundary; the insert landed
+    val byKey = rows(s"$tmp/sink").groupBy(_._1)
+    assert(byKey(7L).head._3 == "b2-7" || byKey(7L).head._4 == "b2-7")
+    assert(byKey.contains(1000L) && byKey(7L).size == 1)
+    spark.catalog.clearCache()
+  }
+
   test("streaming MinHash near-dedup: horizon expires bucket anchors") {
     import spark.implicits._
     val inDir = Files.createTempDirectory("graft_stream_minhash_hz")
