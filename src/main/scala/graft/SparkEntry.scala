@@ -277,6 +277,18 @@ object SparkEntry {
     // inverted-index join + exact integer containment)
     "q_decontaminate" -> ((s, dir) =>
       graft.text.CorpusOps.contamination(table(s, dir, "documents"))),
+    // Bloom-filter decontamination: the benchmark split compressed to
+    // a broadcast KB bitset, the corpus side a shuffle-free scan +
+    // lookup — the artifact-shipping prefilter to q_decontaminate's
+    // exact join; deterministic bit math, so even the false positives
+    // are oracle-gated
+    "q_filter_bloom" -> ((s, dir) =>
+      graft.text.CorpusOps.bloomDecontaminate(table(s, dir, "documents"))),
+    // deterministic WEIGHTED sampling (∝ token count): systematic
+    // stride over the packed token axis — no RNG, rerun-stable,
+    // long docs sampled proportionally more
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.text.CorpusOps.weightedSample(table(s, dir, "documents"), 399L, 8)),
     // sequence packing: concat-and-chunk token stream offsets via the
     // two-level distributed prefix sum (no global single-task window)
     "q_pack" -> ((s, dir) =>
@@ -288,6 +300,18 @@ object SparkEntry {
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
       graft.text.CorpusOps.kmvDistinctShingles(table(s, dir, "documents"))),
+    // HyperLogLog distinct sketch: fixed 64-register max-rho state,
+    // duplicate-insensitive (no distinct pre-shuffle — ONE partial
+    // max aggregate), raw estimate as one exact integral division —
+    // an oracle-gated HLL next to KMV's bottom-k
+    "q_sketch_hll" -> ((s, dir) =>
+      graft.text.CorpusOps.hllDistinctShingles(table(s, dir, "documents"))),
+    // KMV set algebra: pairwise union/intersection/Jaccard estimates
+    // computed ON the per-stratum sketches (strata*k rows) — the
+    // cross-source overlap audit answered from the artifact, no
+    // corpus re-scan
+    "q_sketch_kmv_merge" -> ((s, dir) =>
+      graft.text.CorpusOps.kmvSetOps(table(s, dir, "documents"))),
     // count-min frequency sketch: deterministic md5-bucket rows,
     // min-over-rows estimate — an oracle-gated approximate-count
     "q_sketch_cms" -> ((s, dir) =>
@@ -415,6 +439,27 @@ object SparkEntry {
     "q_sim_ann_mp" -> ((s, dir) =>
       Similarity.annTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10,
         bucketShift = 16, spatialProbe = true)),
+    // recall@k EVALUATION: ANN top-k vs the exact brute force, per
+    // probe — the measurement loop every ANN deployment runs when
+    // tuning an operating point (BASELINE.md's recall tables, now as
+    // an oracle-gated operator). Overlap is a pair equi-join of two
+    // k-row-per-probe frames; recall in exact ppm.
+    "q_sim_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pred = col("vec_id") % 50 === 0
+      val exact = Similarity.bruteForceTopK(emb, pred, 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ann = Similarity.annTopK(emb, pred, 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = exact.join(ann, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("overlap"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          TextFunctions.intDiv(coalesce(col("overlap"), lit(0L)) * lit(1000000L),
+            col("n_exact")).as("recall_ppm"))
+    }),
     // IVF variant: KMeans coarse quantizer + exact re-rank. No SQL
     // oracle (centroids aren't SQL-reproducible) -> driver records the
     // rows-only check; SimilaritySpec pins recall + determinism.
@@ -799,6 +844,30 @@ object SparkEntry {
     // is a range join of the deduped (day, user) pairs against the
     // DAY frame — the frame is span-sized (tiny), so it broadcasts
     // and the join fans each pair out to at most 7 days.
+    // 3-sigma daily-volume anomaly flags per event type, with the
+    // sigma test cleared of divisions into EXACT integer form:
+    // |x - mean| > 3*sigma  <=>  (n*x - S)^2 > 9*(n*Q - S^2), where
+    // S/Q are the per-type sum and sum-of-squares of daily counts —
+    // so the flag is oracle-gated bit-for-bit (a float sigma never
+    // is). Squares in Decimal(38,0)/HUGEINT: daily counts at 100 TB
+    // overflow a squared BIGINT. Per-type stats are a types-sized
+    // frame (broadcast); the daily aggregate is the only corpus scan.
+    "q_events_anomaly" -> ((s, dir) => {
+      val DayNs = 86400000000000L
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          graft.text.TextFunctions.intDiv(col("ts"), lit(DayNs)).as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      val stats = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).cast(dec).as("n"), sum(col("cnt")).cast(dec).as("s"),
+          sum(col("cnt").cast(dec) * col("cnt").cast(dec)).as("q"))
+      daily.join(broadcast(stats), "event_type")
+        .withColumn("dev", col("n") * col("cnt").cast(dec) - col("s"))
+        .select(col("event_type"), col("day_idx"), col("cnt"),
+          (col("dev") * col("dev") >
+            lit(9) * (col("n") * col("q") - col("s") * col("s"))).as("is_anomaly"))
+    }),
     "q_events_dau" -> ((s, dir) => {
       val DayNs = 86400000000000L
       val e = events(s, dir).select(
@@ -1595,6 +1664,8 @@ object SparkEntry {
     "q_sim_ann_mp" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     // identical math through the persisted bucket index -> same oracle
     "q_sim_ann_indexed" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
+    "q_sim_recall" -> SimSql.annRecall(50, 10,
+      Similarity.DefaultBands, Similarity.DefaultBucketShift),
     // appended index covers the same corpus -> same oracle again
     "q_sim_ann_append" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
@@ -1631,7 +1702,12 @@ object SparkEntry {
     "q_pack" -> DocSql.packSequences(1024L),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
+    "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
+    "q_sketch_kmv_merge" -> DocSql.kmvSetOps(16, 3),
     "q_sketch_cms" -> DocSql.cmsTokenCounts(4, 1024, 30),
+    "q_filter_bloom" -> DocSql.bloomDecontaminate(8192,
+      graft.text.CorpusOps.ContaminationParams()),
+    "q_sample_weighted" -> DocSql.weightedSample(399L),
     "q_sketch_quantile" -> SketchSql.gridQuantiles("lineitem",
       "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
       Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
@@ -1730,6 +1806,7 @@ object SparkEntry {
     "q_events_interarrival" -> EventSql.eventsInterarrival,
     "q_agg_incremental" -> DocSql.aggIncremental,
     "q_source_evolution" -> DocSql.sourceEvolution,
+    "q_events_anomaly" -> EventSql.eventsAnomaly,
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

@@ -408,6 +408,132 @@ object DocSql {
        |FROM ex JOIN sk USING (stratum)""".stripMargin
   }
 
+  /** Mirror of CorpusOps.hllDistinctShingles: same 60-bit hashes split
+    * 6 register bits / 54 rank bits, same raw harmonic-mean estimate
+    * as one HUGEINT integral division (the numerator 709*4096*2^55
+    * exceeds BIGINT). bin() drops leading zeros in both engines, so
+    * rho = 55 - length(bin(rem)) agrees bit-for-bit. */
+  def hllDistinctShingles(shingleK: Int): String = {
+    val num = (BigInt(709) * 4096 * (BigInt(1) << 55)).toString
+    val twoPow55 = (BigInt(1) << 55).toString
+    s"""WITH $docsToks,
+       |sh AS (SELECT lang AS stratum,
+       |  unnest(list_distinct(list_transform(${shinglesExpr(shingleK)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS h
+       |  FROM d),
+       |r AS (SELECT stratum, h >> 54 AS reg,
+       |    CASE WHEN (h & ((CAST(1 AS BIGINT) << 54) - 1)) = 0 THEN 55
+       |         ELSE 55 - length(bin(h & ((CAST(1 AS BIGINT) << 54) - 1))) END AS rho
+       |  FROM sh),
+       |m AS (SELECT stratum, reg, max(rho) AS mx FROM r GROUP BY 1, 2),
+       |agg AS (SELECT stratum, CAST(count(*) AS BIGINT) AS present,
+       |    CAST(sum(CAST(1 AS BIGINT) << CAST(55 - mx AS INT)) AS BIGINT) AS sp
+       |  FROM m GROUP BY 1)
+       |SELECT stratum, CAST(64 - present AS BIGINT) AS n_zero_regs,
+       |  CAST(CAST('$num' AS HUGEINT)
+       |    // (CAST(sp + (64 - present) * CAST('$twoPow55' AS BIGINT) AS HUGEINT) * 1000)
+       |    AS BIGINT) AS est_distinct
+       |FROM agg""".stripMargin
+  }
+
+  /** Mirror of CorpusOps.kmvSetOps: per-stratum bottom-k sketches,
+    * pairwise union sketch = bottom-k of the merged hash sets,
+    * membership flags -> k_inter, same HUGEINT estimates. */
+  def kmvSetOps(k: Int, shingleK: Int): String = {
+    val num = (BigInt(k - 1) << 60).toString
+    s"""WITH $docsToks,
+       |dh AS (SELECT DISTINCT lang AS stratum,
+       |  unnest(list_transform(${shinglesExpr(shingleK)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h
+       |  FROM d),
+       |sk AS (SELECT stratum, h FROM (
+       |    SELECT stratum, h, row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn
+       |    FROM dh)
+       |  WHERE rn <= $k),
+       |st AS (SELECT DISTINCT stratum FROM sk),
+       |pairs AS (SELECT a.stratum AS sa, b.stratum AS sb
+       |  FROM st a, st b WHERE a.stratum < b.stratum),
+       |uni AS (SELECT p.sa, p.sb, s.h,
+       |    max(CASE WHEN s.stratum = p.sa THEN 1 ELSE 0 END) AS in_a,
+       |    max(CASE WHEN s.stratum = p.sb THEN 1 ELSE 0 END) AS in_b
+       |  FROM pairs p JOIN sk s ON s.stratum IN (p.sa, p.sb)
+       |  GROUP BY 1, 2, 3),
+       |botk AS (SELECT * FROM (
+       |    SELECT sa, sb, h, in_a, in_b,
+       |      row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+       |    FROM uni)
+       |  WHERE rn <= $k),
+       |res AS (SELECT sa AS stratum_a, sb AS stratum_b,
+       |    CAST(count(*) AS BIGINT) AS nk, max(h) AS kth,
+       |    CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS k_inter
+       |  FROM botk GROUP BY 1, 2),
+       |ue AS (SELECT *,
+       |    CASE WHEN nk < $k THEN nk
+       |         ELSE CAST(CAST('$num' AS HUGEINT) // kth AS BIGINT) END AS union_est
+       |  FROM res)
+       |SELECT stratum_a, stratum_b, union_est, k_inter,
+       |  k_inter * 1000000 // nk AS jaccard_ppm,
+       |  CAST(CAST(k_inter AS HUGEINT) * union_est // nk AS BIGINT) AS inter_est
+       |FROM ue""".stripMargin
+  }
+
+  /** Mirror of CorpusOps.weightedSample: the packSequences global
+    * prefix sum plus the systematic-pick count
+    * floor((start+n)/stride) - floor(start/stride). */
+  def weightedSample(stride: Long): String =
+    s"""WITH d AS (SELECT doc_id,
+       |  CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens
+       |  FROM documents),
+       |p AS (SELECT doc_id, n_tokens,
+       |  CAST(coalesce(SUM(n_tokens) OVER (ORDER BY doc_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS start_offset
+       |  FROM d)
+       |SELECT doc_id, n_tokens, start_offset,
+       |  (start_offset + n_tokens) // $stride - start_offset // $stride AS n_picks
+       |FROM p
+       |WHERE (start_offset + n_tokens) // $stride - start_offset // $stride >= 1""".stripMargin
+
+  /** Mirror of CorpusOps.bloomDecontaminate: same split hash, same two
+    * probe bits (h % m, (h >> 30) % m), same bit_or word bitset, same
+    * left-join probe (unset word = 0), false positives reproduced
+    * bit-for-bit. Masks are HUGEINT because DuckDB's BIGINT `<< 63`
+    * raises overflow (Spark's shiftleft wraps); the words never leave
+    * the CTE, and `(bits & mask) != 0` is sign-agnostic, so the hit
+    * flags agree with Spark's negative-Long word encoding. */
+  def bloomDecontaminate(words: Int, p: graft.text.CorpusOps.ContaminationParams): String = {
+    val mBits = words * 64L
+    val cases = p.cuts.init
+      .map { case (n, hi) => s"WHEN bucket < $hi THEN '$n'" }.mkString(" ")
+    s"""WITH $docsToks,
+       |sp AS (SELECT doc_id, toks,
+       |  CASE $cases ELSE '${p.cuts.last._1}' END AS split FROM (
+       |    SELECT doc_id, toks,
+       |      CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |        % 1000000 AS bucket FROM d)),
+       |sh AS (SELECT doc_id, split, unnest(list_distinct(list_transform(
+       |  ${shinglesExpr(p.shingleK)},
+       |  s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)))) AS h FROM sp),
+       |bbit AS (SELECT DISTINCT unnest([h % $mBits, (h >> 30) % $mBits]) AS bit
+       |  FROM sh WHERE split = '${p.benchSplit}'),
+       |wds AS (SELECT bit // 64 AS word,
+       |    bit_or(CAST(1 AS HUGEINT) << CAST(bit % 64 AS INT)) AS bits
+       |  FROM bbit GROUP BY 1),
+       |tr AS (SELECT doc_id, h % $mBits AS b1, (h >> 30) % $mBits AS b2
+       |  FROM sh WHERE split = '${p.corpusSplit}'),
+       |probe AS (SELECT t.doc_id,
+       |    CASE WHEN (coalesce(w1.bits, CAST(0 AS HUGEINT)) & (CAST(1 AS HUGEINT) << CAST(t.b1 % 64 AS INT))) != 0
+       |          AND (coalesce(w2.bits, CAST(0 AS HUGEINT)) & (CAST(1 AS HUGEINT) << CAST(t.b2 % 64 AS INT))) != 0
+       |      THEN 1 ELSE 0 END AS hit
+       |  FROM tr t
+       |  LEFT JOIN wds w1 ON w1.word = t.b1 // 64
+       |  LEFT JOIN wds w2 ON w2.word = t.b2 // 64)
+       |SELECT doc_id AS train_id, CAST(count(*) AS BIGINT) AS n_sh,
+       |  CAST(sum(hit) AS BIGINT) AS n_hits
+       |FROM probe GROUP BY 1 HAVING sum(hit) >= 1""".stripMargin
+  }
+
   /** Mirror of CorpusOps.cmsTokenCounts: same salted 8-hex md5 bucket
     * (`r:token`), same min-over-rows estimate, same (cnt desc, token)
     * topN pick. sum(BIGINT) widens to HUGEINT — cast back. */

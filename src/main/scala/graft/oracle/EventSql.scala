@@ -179,6 +179,22 @@ object EventSql {
     * both EXACT distinct counts (the trailing window via a range join
     * against the day frame — a rolling distinct is not a mergeable
     * window aggregate, so the join states the semantics). */
+  /** Mirror of q_events_anomaly: per-type daily counts, the 3-sigma
+    * test in the cleared-denominator exact-integer form
+    * (n*x - S)^2 > 9*(n*Q - S^2) — HUGEINT squares, BIGINT out. */
+  val eventsAnomaly: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(cnt) AS HUGEINT) AS s,
+      |    sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)) AS q
+      |  FROM daily GROUP BY 1)
+      |SELECT d.event_type, d.day_idx, d.cnt,
+      |  (st.n * d.cnt - st.s) * (st.n * d.cnt - st.s) > 9 * (st.n * st.q - st.s * st.s)
+      |    AS is_anomaly
+      |FROM daily d JOIN st USING (event_type)""".stripMargin
+
   val eventsDau: String =
     """WITH e AS (SELECT DISTINCT epoch_us(ts) // 86400000000 AS day_idx, user_id
       |  FROM events),

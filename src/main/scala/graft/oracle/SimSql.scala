@@ -125,6 +125,28 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** Mirror of q_sim_recall: recall@k of the banded-curve ANN against
+    * the exact brute force, per probe — the two full oracles nested as
+    * subqueries (DuckDB scopes their CTEs locally), overlap counted on
+    * (probe_id, neighbor_id) pairs, recall in exact ppm. */
+  def annRecall(probeMod: Int, k: Int, bands: Int, bucketShift: Int): String =
+    s"""WITH exact AS (SELECT probe_id, neighbor_id FROM (
+       |${bruteForceTopK(probeMod, k)}
+       |)),
+       |ann AS (SELECT probe_id, neighbor_id FROM (
+       |${annTopK(probeMod, k, bands, bucketShift)}
+       |)),
+       |hits AS (SELECT e.probe_id, CAST(count(*) AS BIGINT) AS overlap
+       |  FROM exact e JOIN ann a
+       |    ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1),
+       |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM exact GROUP BY 1)
+       |SELECT ne.probe_id, ne.n_exact,
+       |  CAST(coalesce(hits.overlap, 0) AS BIGINT) AS overlap,
+       |  coalesce(hits.overlap, 0) * 1000000 // ne.n_exact AS recall_ppm
+       |FROM ne LEFT JOIN hits USING (probe_id)""".stripMargin
+
   /** Spatial multi-probe variant of [[annTopK]] — mirror of
     * Similarity.annTopK(spatialProbe = true), stage for stage: the
     * probe set per band is the probe's own subcube plus its 2*4

@@ -609,4 +609,218 @@ object CorpusOps {
       .filter(col("cum_before") < budgetTokens)
       .select(col("doc_id"), col("source"), col("n_tokens"), col("cum_before"))
   }
+
+  /** HyperLogLog distinct-count sketch per stratum (Flajolet et al.
+    * 2007) — the fixed-size sibling of [[kmvDistinctShingles]]: m = 64
+    * registers (p = 6), register j keeps the max rank rho (position of
+    * the highest set bit) among the hashes routed to it. Because the
+    * hashes are the shared deterministic 60-bit md5 prefix, the whole
+    * sketch — and therefore the estimate — is a pure function of the
+    * data, reproduced bit-for-bit by the DuckDB oracle
+    * ([[graft.oracle.DocSql.hllDistinctShingles]]): an oracle-gated
+    * HLL, which approx_count_distinct (randomized, merge-order-
+    * dependent) can never be.
+    *
+    * The estimate is the RAW HLL harmonic mean kept in exact integer
+    * form: with S = sum over registers of 2^(55 - rho_j) (absent
+    * registers contribute 2^55, i.e. rho = 0), the textbook
+    * alpha_64 * m^2 / sum(2^-rho) becomes
+    * (709 * 4096 * 2^55) // (1000 * S) — one integral division of
+    * exact integers (numerator > 2^63, hence Decimal/HUGEINT). The
+    * small-range (linear counting) and large-range corrections are
+    * float log operations applied at READ time in production; they are
+    * deliberately not applied here so the artifact stays engine-exact
+    * (n_zero_regs is emitted so a reader CAN apply them). At the test
+    * corpus's n/m ~ 100s the raw regime is the right one anyway;
+    * SketchSpec audits the estimate against the exact count.
+    *
+    * Shape at 100 TB: HLL is duplicate-insensitive (max absorbs
+    * repeats), so unlike KMV there is NO distinct pre-shuffle — the
+    * ONLY exchange is the partial max aggregate on (stratum,
+    * register), which map-side-combines each partition down to
+    * <= 64 * strata rows. That is the entire point of shipping HLL
+    * next to KMV: the sketch build is one narrow pass, and merging
+    * shards is max-per-register, which is exactly the groupBy. */
+  def hllDistinctShingles(docs: DataFrame, shingleK: Int = 3,
+      strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    val RemBits = 54 // 60-bit hash = 6 register bits + 54 rank bits
+    val rem = col("h").bitwiseAND(lit((1L << RemBits) - 1))
+    val regs = docs
+      .select(col(strataCol).as("stratum"),
+        explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
+      .select(col("stratum"), shiftright(col("h"), RemBits).as("reg"),
+        // rho = 1 + leading zeros of the 54-bit remainder: bin() drops
+        // leading zeros in both engines, so rho = 55 - len(bin(rem));
+        // an all-zero remainder saturates at 55
+        when(rem === 0L, lit(RemBits + 1))
+          .otherwise(lit(RemBits + 1) - length(bin(rem))).as("rho"))
+      .groupBy(col("stratum"), col("reg")).agg(max(col("rho")).as("mx"))
+    // numerator alpha_num * m^2 * 2^55 = 709 * 4096 * 2^55 > 2^63
+    val numLit = lit(new java.math.BigDecimal(
+      (BigInt(709) * 4096 * (BigInt(1) << 55)).bigInteger))
+    regs.groupBy(col("stratum"))
+      .agg(count(lit(1)).as("present"),
+        // 2^(55 - rho): rho in [1, 55] keeps the shift in [0, 54]
+        sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(55 - mx AS INT))")).as("sp"))
+      .select(col("stratum"), (lit(64L) - col("present")).as("n_zero_regs"),
+        TextFunctions.intDiv(numLit,
+          (col("sp") + (lit(64L) - col("present")) * lit(1L << 55))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0)) * lit(1000))
+          .as("est_distinct"))
+  }
+
+  /** KMV sketch set operations (Beyer et al. 2007 §4) — what makes
+    * bottom-k sketches an ALGEBRA rather than a counter: for every
+    * pair of strata, the union sketch is the bottom-k of the two
+    * sketches' merged hash sets (no corpus access), and the members of
+    * that union sketch present in BOTH input sketches estimate the
+    * Jaccard similarity and intersection size. Output per stratum pair
+    * (a < b): union_est (the KMV estimate on the union sketch),
+    * k_inter (matching members), jaccard_ppm = k_inter * 1e6 // nk,
+    * inter_est = k_inter * union_est // nk — all exact integer math on
+    * the shared 60-bit hashes, oracle-gated bit-for-bit
+    * ([[graft.oracle.DocSql.kmvSetOps]]).
+    *
+    * Shape at 100 TB: the per-stratum sketches are built exactly as
+    * [[kmvDistinctShingles]] builds them (distinct shuffle + bounded
+    * WindowGroupLimit); everything pairwise happens on the SKETCHES —
+    * strata * k rows — so the pair stage costs nothing at any corpus
+    * size: sketch once, answer all O(strata^2) overlap questions from
+    * the artifact. That is the workflow this operator exists for
+    * (cross-source overlap audits without re-scanning). */
+  def kmvSetOps(docs: DataFrame, k: Int = 16, shingleK: Int = 3,
+      strataCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(k > 1, s"KMV needs k >= 2, got $k")
+    val dh = docs
+      .select(col(strataCol).as("stratum"),
+        explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
+      .distinct()
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    val sk = dh.withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("stratum"), col("h"))
+    // all frames below are sketch-sized (strata * k rows): the strata
+    // pair frame is a broadcast NLJ of two <= strata-row sides
+    val strata = sk.select(col("stratum")).distinct()
+    val pairs = strata.select(col("stratum").as("sa"))
+      .join(broadcast(strata.select(col("stratum").as("sb"))), col("sa") < col("sb"))
+    val ua = pairs.join(sk.withColumnRenamed("stratum", "sa"), "sa")
+      .select(col("sa"), col("sb"), col("h"), lit(1L).as("in_a"), lit(0L).as("in_b"))
+    val ub = pairs.join(sk.withColumnRenamed("stratum", "sb"), "sb")
+      .select(col("sa"), col("sb"), col("h"), lit(0L).as("in_a"), lit(1L).as("in_b"))
+    val wk = Window.partitionBy(col("sa"), col("sb")).orderBy(col("h"))
+    val botk = ua.union(ub)
+      .groupBy(col("sa"), col("sb"), col("h"))
+      .agg(max(col("in_a")).as("in_a"), max(col("in_b")).as("in_b"))
+      .withColumn("rn", row_number().over(wk)).filter(col("rn") <= k)
+    val numLit = lit(new java.math.BigDecimal((BigInt(k - 1) << 60).bigInteger))
+    botk.groupBy(col("sa").as("stratum_a"), col("sb").as("stratum_b"))
+      .agg(count(lit(1)).as("nk"), max(col("h")).as("kth"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("k_inter"))
+      .withColumn("union_est",
+        when(col("nk") < k, col("nk"))
+          .otherwise(TextFunctions.intDiv(numLit, col("kth"))))
+      .select(col("stratum_a"), col("stratum_b"), col("union_est"), col("k_inter"),
+        TextFunctions.intDiv(col("k_inter") * lit(1000000L), col("nk"))
+          .as("jaccard_ppm"),
+        TextFunctions.intDiv(col("k_inter") * col("union_est"), col("nk"))
+          .as("inter_est"))
+  }
+
+  /** Deterministic weighted sampling, weight proportional to token
+    * count — systematic (fixed-stride) sampling over the corpus's
+    * token axis: lay every document's tokens end to end in doc_id
+    * order (the [[packSequences]] prefix sum) and pick every
+    * `stride`-th token position; a document is sampled once per pick
+    * landing inside its span, so n_picks is hypergeometric-free,
+    * EXACTLY floor((start+n)/stride) - floor(start/stride) — long
+    * documents are sampled proportionally more, short ones with
+    * probability n_tokens/stride, and the whole draw is a pure
+    * function of the data (no RNG, no seed): the oracle reproduces it
+    * bit-for-bit, and re-running on the same corpus snapshot yields
+    * the same sample — the reproducibility property training-data
+    * protocols actually need.
+    *
+    * Shape at 100 TB: everything is [[packSequences]]'s two-level
+    * bucket-decomposed prefix sum (no global window over the corpus);
+    * the pick arithmetic is a narrow projection. */
+  def weightedSample(docs: DataFrame, stride: Long, nBuckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(stride > 0, s"stride must be positive: $stride")
+    // packSequences with ctxTokens = stride: its bin_idx IS
+    // floor(start_offset / stride)
+    packSequences(docs, stride, nBuckets, idCol, textCol)
+      .withColumn("n_picks",
+        TextFunctions.intDiv(col("start_offset") + col("n_tokens"), lit(stride))
+          - col("bin_idx"))
+      .filter(col("n_picks") >= 1L)
+      .select(col("doc_id"), col("n_tokens"), col("start_offset"), col("n_picks"))
+  }
+
+  /** Bloom-filter decontamination — the shippable-artifact variant of
+    * [[contamination]]: the benchmark split's distinct shingle hashes
+    * are folded into a `words * 64`-bit Bloom bitset (two probes per
+    * shingle, drawn from disjoint bit ranges of the shared 60-bit md5
+    * hash), and every training document is scored by how many of its
+    * shingles hit the filter. One-sided by construction: a shingle
+    * actually present in the benchmark ALWAYS hits (no false
+    * negatives), so n_hits >= the true shared-shingle count and every
+    * truly contaminated document is flagged; false positives occur at
+    * the classic (1 - e^(-2n/m))^2 rate and are PART OF THE CONTRACT —
+    * the filter is deterministic integer math end to end, so the
+    * DuckDB oracle reproduces every hit bit-for-bit, false positives
+    * included ([[graft.oracle.DocSql.bloomDecontaminate]]).
+    *
+    * Why next to [[contamination]]: the inverted-index join reports
+    * exact overlaps but needs the benchmark postings co-shuffled with
+    * the corpus; the Bloom filter compresses the benchmark side to a
+    * fixed KB-scale bitset BROADCAST to every executor — at 100 TB the
+    * corpus-sized side is a narrow scan + broadcast lookup with NO
+    * shuffle at all (the aggregate is per-document, map-side
+    * combinable). Benchmark suites are fixed-size, so `words` (sized
+    * from the BENCHMARK, not the corpus) does not grow with the data.
+    * The workflow: bloom pass prunes the corpus to the flagged sliver,
+    * exact [[contamination]] confirms on the survivors. Output:
+    * (train_id, n_sh, n_hits) for flagged training docs. */
+  def bloomDecontaminate(docs: DataFrame, words: Int = 8192,
+      p: ContaminationParams = ContaminationParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(words > 0 && (words & (words - 1)) == 0,
+      s"words must be a positive power of two: $words")
+    val mBits = words * 64L
+    val sh = docs.select(col(idCol).as("doc_id"),
+        TextFunctions.splitLabel(col(idCol), p.cuts).as("split"),
+        explode(Dedup.shingleHashes(col(textCol), p.shingleK)).as("h"))
+    // two probe bit positions from disjoint ranges of the 60-bit hash
+    def bit1(h: Column): Column = h % mBits
+    def bit2(h: Column): Column = shiftright(h, 30) % mBits
+    // build: distinct bit positions -> bit_or into <= `words` rows.
+    // sum-after-distinct would equal bit_or; bit_or states the intent
+    // and never overflows
+    val bits = sh.filter(col("split") === p.benchSplit)
+      .select(explode(array(bit1(col("h")), bit2(col("h")))).as("bit"))
+      .distinct()
+      .groupBy(TextFunctions.intDiv(col("bit"), lit(64L)).as("word"))
+      .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)))")
+        .as("bits"))
+    // probe: two broadcast lookups per shingle (left joins — a word
+    // nobody set is an implicit 0), then a per-document aggregate
+    val train = sh.filter(col("split") === p.corpusSplit)
+      .select(col("doc_id"), col("h"),
+        TextFunctions.intDiv(bit1(col("h")), lit(64L)).as("w1"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST((h % $mBits) % 64 AS INT))").as("m1"),
+        TextFunctions.intDiv(bit2(col("h")), lit(64L)).as("w2"),
+        expr(s"shiftleft(CAST(1 AS BIGINT), CAST((shiftright(h, 30) % $mBits) % 64 AS INT))").as("m2"))
+      .join(broadcast(bits.select(col("word").as("w1"), col("bits").as("bits1"))),
+        Seq("w1"), "left")
+      .join(broadcast(bits.select(col("word").as("w2"), col("bits").as("bits2"))),
+        Seq("w2"), "left")
+      .select(col("doc_id"),
+        (coalesce(col("bits1"), lit(0L)).bitwiseAND(col("m1")) =!= 0L &&
+          coalesce(col("bits2"), lit(0L)).bitwiseAND(col("m2")) =!= 0L).as("hit"))
+    train.groupBy(col("doc_id").as("train_id"))
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("hit"), 1L).otherwise(0L)).as("n_hits"))
+      .filter(col("n_hits") >= 1L)
+  }
 }

@@ -85,6 +85,36 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("bloom probe: KB-sized bitset broadcasts onto the corpus scan, no shuffle join") {
+    // unlike the sf-local AQE pins, this broadcast IS a scale
+    // invariant: the bitset is `words` rows regardless of corpus size
+    val p = plan("q_filter_bloom")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("anomaly flags: per-type stats broadcast back onto the daily frame, no shuffle join") {
+    // the stats frame is event-type-sized (bounded vocabulary), so the
+    // broadcast survives any corpus scale
+    val p = plan("q_events_anomaly")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("hll sketch: duplicate-insensitive build — no distinct pre-shuffle, no window") {
+    // KMV needs distinct + WindowGroupLimit; HLL's max-per-register
+    // absorbs repeats, so the whole build is two hash aggregates
+    val p = plan("q_sketch_hll")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("weighted sample: inherits pack's bucket-partitioned window (no global sort)") {
+    val p = plan("q_sample_weighted")
+    assert(p.contains("hashpartitioning(bucket"), p)
+  }
+
   test("star join: date filter pushed to the orders scan, dims broadcast") {
     val p = plan("q_join_star")
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)

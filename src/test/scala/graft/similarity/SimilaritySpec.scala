@@ -49,6 +49,44 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(mmr == Seq(1L, 3L, 2L))
   }
 
+  test("recall audit: ann-vs-exact overlap counted independently; full recall on clustered data") {
+    // the q_sim_recall assembly, re-derived by hand on the tiny corpus:
+    // exact and ANN top-2 per probe, overlap = |pair intersection|
+    val pred = col("vec_id") === 0L || col("vec_id") === 10L
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(corpus(), pred, k = 2))
+    val ann = pairs(Similarity.annTopK(corpus(), pred, k = 2,
+      bands = 2, bucketShift = 8))
+    spark.catalog.clearCache()
+    val overlapByProbe = exact.intersect(ann).groupBy(_._1).view.mapValues(_.size).toMap
+    // run the SparkEntry assembly shape against the same inputs
+    val got = {
+      val e = Similarity.bruteForceTopK(corpus(), pred, 2)
+        .select(col("probe_id"), col("neighbor_id"))
+      val a = Similarity.annTopK(corpus(), pred, 2, bands = 2, bucketShift = 8)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = e.join(a, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("overlap"))
+      val out = e.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), Option(r.get(2)).fold(0L)(_.asInstanceOf[Long]))))
+        .toMap
+      spark.catalog.clearCache()
+      out
+    }
+    assert(got.keySet == Set(0L, 10L))
+    got.foreach { case (p, (nExact, overlap)) =>
+      assert(nExact == 2L)
+      assert(overlap == overlapByProbe.getOrElse(p, 0).toLong)
+      assert(overlap >= 0L && overlap <= nExact)
+    }
+    // clustered data + curve buckets: the ANN finds every exact
+    // neighbor here, so the audit reads recall 1.0 end to end
+    assert(got.values.forall { case (n, o) => o == n })
+  }
+
   test("rangeSearch returns exactly the neighbors inside the radius; empty when none") {
     // cos >= sqrt(1/2): only probe 0's own cluster mates (cos ~ 1.0)
     // clear the bar; cross-cluster cos ~ 0 stays out

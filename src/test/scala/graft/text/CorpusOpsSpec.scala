@@ -256,6 +256,119 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"estimate $bigEst vs exact $bigExact")
   }
 
+  test("hll sketch: estimate within tolerance, duplicate-insensitive, partitioning-invariant") {
+    import spark.implicits._
+    val rows =
+      (1L to 3L).map(i => ("small", i, s"a b c d$i")) ++
+        (1L to 200L).map(i => ("big", 100 + i, (0 to 20).map(j => s"t${i}_$j").mkString(" ")))
+    val d = rows.toDF("lang", "doc_id", "text")
+    val out = CorpusOps.hllDistinctShingles(d)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.get(2).toString.toLong))).toMap
+    // exact distinct shingle count per stratum, computed independently
+    val exact = d.select(col("lang"),
+        explode(graft.dedup.Dedup.shingleHashes(col("text"), 3)).as("h"))
+      .distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // m=64 raw HLL: ~13% standard error; 3-sigma bound on the big stratum
+    val (_, bigEst) = out("big")
+    assert(math.abs(bigEst - exact("big")).toDouble / exact("big") < 0.4,
+      s"estimate $bigEst vs exact ${exact("big")}")
+    // small stratum: most registers empty, raw estimate still positive
+    assert(out("small")._1 > 0 && out("small")._2 > 0)
+    // duplicate-insensitive: the doubled corpus has the SAME sketch
+    assert(CorpusOps.hllDistinctShingles(d.union(d))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.get(2).toString.toLong))).toMap == out)
+    // pure function of the data: partitioning cannot move any register
+    assert(CorpusOps.hllDistinctShingles(d.repartition(13))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.get(2).toString.toLong))).toMap == out)
+  }
+
+  test("kmv set ops: identical strata -> jaccard 1e6; disjoint -> 0; union est within tolerance") {
+    import spark.implicits._
+    val mk = (s: String, off: Int) => (1L to 100L).map(i =>
+      (s, off + i, (0 to 20).map(j => s"$s${i}_$j").mkString(" ")))
+    // "a1"/"a2" carry IDENTICAL shingle sets; "zz" is disjoint from both
+    val rows = mk("a1", 0).map { case (_, i, t) => ("a1", i, t) } ++
+      mk("a1", 1000).map { case (_, i, t) => ("a2", i, t) } ++
+      mk("zz", 2000)
+    val d = rows.toDF("lang", "doc_id", "text")
+    val out = CorpusOps.kmvSetOps(d, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(out.size == 3) // all (a < b) stratum pairs
+    // identical strata: every union-sketch member is in both sketches
+    val (u12, kInter12, j12, i12) = out(("a1", "a2"))
+    assert(kInter12 == 16L && j12 == 1000000L && i12 == u12)
+    // disjoint strata: 60-bit hashes of disjoint shingle sets never collide here
+    val (_, kInterAz, jAz, iAz) = out(("a1", "zz"))
+    assert(kInterAz == 0L && jAz == 0L && iAz == 0L)
+    // union estimate vs the exact distinct count of the union
+    val exactUnion = d.filter(col("lang").isin("a1", "zz"))
+      .select(explode(graft.dedup.Dedup.shingleHashes(col("text"), 3)).as("h"))
+      .distinct().count()
+    val (uAz, _, _, _) = out(("a1", "zz"))
+    assert(math.abs(uAz - exactUnion).toDouble / exactUnion < 0.55,
+      s"union estimate $uAz vs exact $exactUnion")
+  }
+
+  test("weightedSample: matches the naive prefix-sum spec; picks telescope to floor(T/stride)") {
+    // sparse unordered ids, varying lengths — same shape as the pack test
+    val d = docs(Seq(7L, 100L, 3L, 42L, 999L, 500L).zipWithIndex.map {
+      case (id, i) => id -> (0 to 2 * i).map(j => s"w$j").mkString(" ")
+    }: _*)
+    val stride = 4L
+    // naive spec: sort by doc_id, exclusive prefix sum, systematic picks
+    val naive = d.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      .scanLeft((0L, 0L, 0L)) { case ((_, _, acc), (id, n)) => (id, n, acc + n) }
+      .drop(1)
+      .map { case (id, n, end) =>
+        (id, n, end - n, (end / stride) - ((end - n) / stride))
+      }
+    val expected = naive.filter(_._4 >= 1)
+      .map { case (id, n, st, p) => id -> ((n, st, p)) }.toMap
+    val total = naive.map(_._2).sum
+    for (nBuckets <- Seq(1, 4, 32)) {
+      val got = CorpusOps.weightedSample(d, stride, nBuckets)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+        .toMap
+      assert(got == expected, s"nBuckets=$nBuckets")
+      // the picks partition the token axis: sum telescopes exactly
+      assert(got.values.map(_._3).sum == total / stride, s"nBuckets=$nBuckets")
+    }
+  }
+
+  test("bloom decontamination: no false negatives vs the exact join; hits bounded; deterministic") {
+    val p = CorpusOps.ContaminationParams(minOverlap = 1L)
+    val ids = docs((1L to 200L).map(i => i -> "x"): _*)
+      .select(col("doc_id"), TextFunctions.splitLabel(col("doc_id"), p.cuts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trainId = ids.collectFirst { case (i, "train") => i }.get
+    val testId = ids.collectFirst { case (i, "test") => i }.get
+    val otherTrain = ids.collectFirst { case (i, "train") if i != trainId => i }.get
+    val d = docs(
+      trainId -> "w1 w2 w3 w4 w5",  // shares all 3 shingles with the bench doc
+      testId -> "w1 w2 w3 w4 w5",
+      otherTrain -> "q1 q2 q3 q4")  // disjoint from the benchmark
+    val out = CorpusOps.bloomDecontaminate(d, words = 8192, p)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // one-sided: the truly contaminated doc is ALWAYS flagged, with
+    // n_hits at least its true shared-shingle count (3)
+    assert(out.contains(trainId) && out(trainId)._2 >= 3L)
+    // hits never exceed the doc's own shingle count
+    assert(out.forall { case (_, (nSh, nHits)) => nHits <= nSh })
+    // 524288-bit filter, 6 benchmark bits set -> the disjoint doc's 2
+    // probes miss (deterministic for this fixed data)
+    assert(!out.contains(otherTrain))
+    // pure function of the data
+    val again = CorpusOps.bloomDecontaminate(d.repartition(7), words = 8192, p)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(again == out)
+  }
+
   test("cms sketch: one-sided guarantee, exact at low load, collisions over-estimate only") {
     import spark.implicits._
     val d = Seq((1L, "a a a b b c"), (2L, "a b d"), (3L, "e")).toDF("doc_id", "text")
