@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+import graft.text.CorpusOps
+
+/** Streaming decontamination gate — the ingest-time shape of
+  * [[graft.text.CorpusOps.bloomDecontaminate]]: the benchmark split's
+  * Bloom bitset is built ONCE and persisted as a KB-scale (word, bits)
+  * parquet artifact; documents arriving as a stream are scored against
+  * it per micro-batch and flagged rows appended to `resultPath`.
+  *
+  * This is the easy case of the three ingest loops: unlike the
+  * signature index ([[StreamDedup.ingestDedup]]) and the ANN index
+  * ([[StreamSim.ingestTopK]]), the filter artifact is READ-ONLY — the
+  * benchmark suite is fixed, nothing appends — and the probe is a
+  * pure per-row function of (document, bitset). So stream == batch
+  * needs no probe-then-append ordering argument at all; StreamingSpec
+  * asserts the micro-batched loop equals one batch [[CorpusOps
+  * .bloomProbe]] call over the same rows.
+  */
+object StreamFilter {
+
+  /** Build and persist the filter artifact from the corpus snapshot's
+    * benchmark split (run once before the stream starts). */
+  def writeBloomFilter(docs: DataFrame, bitsPath: String, words: Int = 8192,
+      p: CorpusOps.ContaminationParams = CorpusOps.ContaminationParams()): Unit =
+    CorpusOps.bloomFilterBits(docs, words, p)
+      .write.mode("overwrite").parquet(bitsPath)
+
+  /** Per micro-batch of (doc_id, text) rows: probe the stored bitset,
+    * append flagged (train_id, n_sh, n_hits) rows to `resultPath`.
+    * The same Hadoop-FS `_batches/<id>` idempotence marker as the
+    * other ingest loops (kept under `resultPath` — the filter itself
+    * is never written) makes restart/retry emit each batch once,
+    * wherever the paths live (HDFS/S3/local). */
+  def ingestBloom(docs: DataFrame, bitsPath: String, resultPath: String,
+      checkpoint: String, words: Int = 8192,
+      p: CorpusOps.ContaminationParams = CorpusOps.ContaminationParams())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$resultPath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val bits = batch.sparkSession.read.parquet(bitsPath)
+          CorpusOps.bloomProbe(batch, bits, words, p)
+            .write.mode("append").parquet(resultPath)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+}

@@ -640,12 +640,26 @@ object CorpusOps {
     * register), which map-side-combines each partition down to
     * <= 64 * strata rows. That is the entire point of shipping HLL
     * next to KMV: the sketch build is one narrow pass, and merging
-    * shards is max-per-register, which is exactly the groupBy. */
+    * shards is max-per-register, which is exactly the groupBy.
+    *
+    * Split as [[hllRegisters]] (the mergeable state — ONE aggregation,
+    * so it is also a valid STREAMING aggregate like
+    * [[graft.sketch.Quantiles.gridHistogram]]: max-per-register IS
+    * Structured Streaming's incremental state merge, stream == batch
+    * asserted in StreamingSpec) + [[hllEstimate]] (the read-time
+    * finisher over the <= 64 * strata register rows). */
   def hllDistinctShingles(docs: DataFrame, shingleK: Int = 3,
+      strataCol: String = "lang", textCol: String = "text"): DataFrame =
+    hllEstimate(hllRegisters(docs, shingleK, strataCol, textCol))
+
+  /** The HLL register frame (stratum, reg, mx) — the sketch's
+    * mergeable state: merging any shard decomposition is max-per-
+    * (stratum, reg), which is exactly this ONE aggregation. */
+  def hllRegisters(docs: DataFrame, shingleK: Int = 3,
       strataCol: String = "lang", textCol: String = "text"): DataFrame = {
     val RemBits = 54 // 60-bit hash = 6 register bits + 54 rank bits
     val rem = col("h").bitwiseAND(lit((1L << RemBits) - 1))
-    val regs = docs
+    docs
       .select(col(strataCol).as("stratum"),
         explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
       .select(col("stratum"), shiftright(col("h"), RemBits).as("reg"),
@@ -655,6 +669,11 @@ object CorpusOps {
         when(rem === 0L, lit(RemBits + 1))
           .otherwise(lit(RemBits + 1) - length(bin(rem))).as("rho"))
       .groupBy(col("stratum"), col("reg")).agg(max(col("rho")).as("mx"))
+  }
+
+  /** Read-time finisher: raw harmonic-mean estimate from a register
+    * frame (sketch-sized input — never the corpus). */
+  def hllEstimate(regs: DataFrame): DataFrame = {
     // numerator alpha_num * m^2 * 2^55 = 709 * 4096 * 2^55 > 2^63
     val numLit = lit(new java.math.BigDecimal(
       (BigInt(709) * 4096 * (BigInt(1) << 55)).bigInteger))
@@ -784,32 +803,51 @@ object CorpusOps {
     * (train_id, n_sh, n_hits) for flagged training docs. */
   def bloomDecontaminate(docs: DataFrame, words: Int = 8192,
       p: ContaminationParams = ContaminationParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    bloomProbe(
+      docs.filter(TextFunctions.splitLabel(col(idCol), p.cuts) === p.corpusSplit),
+      bloomFilterBits(docs, words, p, idCol, textCol), words, p, idCol, textCol)
+
+  /** The filter artifact: (word, bits) rows from the BENCHMARK split —
+    * <= `words` rows, built once and shippable (the KB-scale bitset
+    * the scaladoc above describes). */
+  def bloomFilterBits(docs: DataFrame, words: Int = 8192,
+      p: ContaminationParams = ContaminationParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(words > 0 && (words & (words - 1)) == 0,
       s"words must be a positive power of two: $words")
     val mBits = words * 64L
-    val sh = docs.select(col(idCol).as("doc_id"),
-        TextFunctions.splitLabel(col(idCol), p.cuts).as("split"),
-        explode(Dedup.shingleHashes(col(textCol), p.shingleK)).as("h"))
-    // two probe bit positions from disjoint ranges of the 60-bit hash
-    def bit1(h: Column): Column = h % mBits
-    def bit2(h: Column): Column = shiftright(h, 30) % mBits
     // build: distinct bit positions -> bit_or into <= `words` rows.
     // sum-after-distinct would equal bit_or; bit_or states the intent
     // and never overflows
-    val bits = sh.filter(col("split") === p.benchSplit)
-      .select(explode(array(bit1(col("h")), bit2(col("h")))).as("bit"))
+    docs
+      .filter(TextFunctions.splitLabel(col(idCol), p.cuts) === p.benchSplit)
+      .select(explode(Dedup.shingleHashes(col(textCol), p.shingleK)).as("h"))
+      .select(explode(array(col("h") % mBits, shiftright(col("h"), 30) % mBits)).as("bit"))
       .distinct()
       .groupBy(TextFunctions.intDiv(col("bit"), lit(64L)).as("word"))
       .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT)))")
         .as("bits"))
-    // probe: two broadcast lookups per shingle (left joins — a word
-    // nobody set is an implicit 0), then a per-document aggregate
-    val train = sh.filter(col("split") === p.corpusSplit)
+  }
+
+  /** The probe: score `train` docs against a prebuilt filter frame —
+    * stateless per row, so it runs unchanged over a STREAMING corpus
+    * (the ingest-time decontamination gate; StreamingSpec asserts the
+    * micro-batched loop equals this batch call). */
+  def bloomProbe(train0: DataFrame, bits: DataFrame, words: Int = 8192,
+      p: ContaminationParams = ContaminationParams(),
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mBits = words * 64L
+    // two probe bit positions from disjoint ranges of the 60-bit hash;
+    // two broadcast lookups per shingle (left joins — a word nobody
+    // set is an implicit 0), then a per-document aggregate
+    val train = train0
+      .select(col(idCol).as("doc_id"),
+        explode(Dedup.shingleHashes(col(textCol), p.shingleK)).as("h"))
       .select(col("doc_id"), col("h"),
-        TextFunctions.intDiv(bit1(col("h")), lit(64L)).as("w1"),
+        TextFunctions.intDiv(col("h") % mBits, lit(64L)).as("w1"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST((h % $mBits) % 64 AS INT))").as("m1"),
-        TextFunctions.intDiv(bit2(col("h")), lit(64L)).as("w2"),
+        TextFunctions.intDiv(shiftright(col("h"), 30) % mBits, lit(64L)).as("w2"),
         expr(s"shiftleft(CAST(1 AS BIGINT), CAST((shiftright(h, 30) % $mBits) % 64 AS INT))").as("m2"))
       .join(broadcast(bits.select(col("word").as("w1"), col("bits").as("bits1"))),
         Seq("w1"), "left")

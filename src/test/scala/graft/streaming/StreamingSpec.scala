@@ -370,6 +370,85 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("hll register sketch runs as a streaming aggregation; duplicate batches change nothing") {
+    // like the grid quantile sketch: the register frame's merge law
+    // (max per (stratum, reg)) IS Structured Streaming's incremental
+    // state update, so hllRegisters is a valid streaming aggregate.
+    // The file is staged TWICE -> two micro-batches of identical data:
+    // duplicate-insensitivity means the streamed sketch still equals
+    // the single-copy batch sketch.
+    val inDir = Files.createTempDirectory("graft_stream_hll")
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      inDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(
+      Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      inDir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batch = spark.read.parquet(inDir.toString)
+    val schema = batch.schema
+    val q = graft.text.CorpusOps.hllRegisters(
+        spark.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+          .parquet(inDir.toString))
+      .writeStream.format("memory").queryName("doc_hll")
+      .outputMode("complete").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def est(regs: DataFrame) =
+      graft.text.CorpusOps.hllEstimate(regs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val streamed = est(spark.table("doc_hll"))
+    val batched = est(graft.text.CorpusOps.hllRegisters(
+      spark.read.parquet(inDir.resolve("a.parquet").toString)))
+    assert(streamed.nonEmpty)
+    assert(streamed == batched)
+  }
+
+  test("streaming bloom decontamination gate == one batch probe over the same rows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_bloom").toString
+    val p = graft.text.CorpusOps.ContaminationParams()
+    // find ids in each split by the actual split hash
+    val labels = (1L to 300L).toDF("doc_id")
+      .select(col("doc_id"),
+        graft.text.TextFunctions.splitLabel(col("doc_id"), p.cuts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val trains = labels.collect { case (i, "train") => i }.toSeq.sorted
+    val testId = labels.collectFirst { case (i, "test") => i }.get
+    val (t1, t2, tClean) = (trains(0), trains(1), trains(2))
+    val shared = "w1 w2 w3 w4 w5"
+    // snapshot holds the benchmark doc; the filter is built from it once
+    val snapshot = Seq(testId -> shared).toDF("doc_id", "text")
+    StreamFilter.writeBloomFilter(snapshot, s"$tmp/bits", words = 8192, p)
+    // stream: batch 1 carries a contaminated train doc, batch 2 a
+    // second contaminated doc + a clean one
+    val b1 = Seq(t1 -> shared)
+    val b2 = Seq(t2 -> shared, tClean -> "q1 q2 q3 q4")
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val schema = b1.toDF("doc_id", "text").schema
+    val q = StreamFilter.ingestBloom(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/bits", s"$tmp/flags", s"$tmp/ckpt", words = 8192, p)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$tmp/flags"))
+    // the read-only filter + stateless probe: stream == ONE batch call
+    val batched = rows(graft.text.CorpusOps.bloomProbe(
+      (b1 ++ b2).toDF("doc_id", "text"),
+      spark.read.parquet(s"$tmp/bits"), words = 8192, p))
+    assert(streamed == batched)
+    // both contaminated docs flagged with every shingle hitting; the
+    // clean doc's probes miss the 6-bit filter
+    assert(streamed.map(_._1) == Set(t1, t2))
+    assert(streamed.forall { case (_, nSh, nHits) => nSh == 3L && nHits == 3L })
+  }
+
   test("streaming CDC upsert of the partitioned sink == sequential upsertPartitioned calls") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_upsert").toString
