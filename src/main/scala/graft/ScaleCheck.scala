@@ -81,7 +81,12 @@ object ScaleCheck {
       // round-10 (round-9 verdict ask #7): the analytics queries with
       // data-shape-dependent terms — span-bounded explode, span^2/2
       // retention groups, 7x DAU fan-out
-      "q_events_resample", "q_retention", "q_events_dau")
+      "q_events_resample", "q_retention", "q_events_dau",
+      // round-10 continuation: the new sketch/filter/sample operators,
+      // whose 100 TB story IS the fixed-size-artifact claim — HLL's
+      // register frame and the bloom bitset must stay flat while the
+      // corpus-side scan scales with rows
+      "q_sketch_hll", "q_filter_bloom", "q_sample_weighted")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay

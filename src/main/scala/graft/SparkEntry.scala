@@ -312,6 +312,35 @@ object SparkEntry {
     // corpus re-scan
     "q_sketch_kmv_merge" -> ((s, dir) =>
       graft.text.CorpusOps.kmvSetOps(table(s, dir, "documents"))),
+    // persisted sketch lifecycle, exact-merge regime: build from 2/3
+    // of the corpus, append the rest as partial frames (pure file
+    // add), serve by max-merging partials at read time — associative
+    // idempotent merge makes the whole lifecycle estimate IDENTICALLY
+    // to one full-corpus build, so the plain oracle gates it
+    "q_sketch_hll_append" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_hll_sketch/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeHllSketch(docs.filter(col("doc_id") % 3 =!= 0), path)
+        graft.text.CorpusOps.appendHllSketch(docs.filter(col("doc_id") % 3 === 0), path)
+      })
+      graft.text.CorpusOps.hllSketchEstimate(s, path)
+    }),
+    // KMV twin: stored bottom-k partials, distinct + bottom-k of the
+    // union at read (classic KMV mergeability — exact, gated the same
+    // way; no exact-distinct audit column: not derivable from a
+    // sketch, which is the point of shipping one)
+    "q_sketch_kmv_append" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_kmv_sketch/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeKmvSketch(docs.filter(col("doc_id") % 3 =!= 0), path)
+        graft.text.CorpusOps.appendKmvSketch(docs.filter(col("doc_id") % 3 === 0), path)
+      })
+      graft.text.CorpusOps.kmvSketchEstimate(s, path)
+    }),
     // count-min frequency sketch: deterministic md5-bucket rows,
     // min-over-rows estimate — an oracle-gated approximate-count
     "q_sketch_cms" -> ((s, dir) =>
@@ -1703,6 +1732,10 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
+    // the persisted-partials lifecycle merges exactly -> the plain
+    // full-corpus oracles gate build+append+serve end to end
+    "q_sketch_hll_append" -> DocSql.hllDistinctShingles(3),
+    "q_sketch_kmv_append" -> DocSql.kmvSketchEstimate(16, 3),
     "q_sketch_kmv_merge" -> DocSql.kmvSetOps(16, 3),
     "q_sketch_cms" -> DocSql.cmsTokenCounts(4, 1024, 30),
     "q_filter_bloom" -> DocSql.bloomDecontaminate(8192,

@@ -408,6 +408,28 @@ object DocSql {
        |FROM ex JOIN sk USING (stratum)""".stripMargin
   }
 
+  /** Mirror of CorpusOps.kmvSketchEstimate over the FULL corpus — the
+    * persisted-partials lifecycle merges exactly, so the stored-sketch
+    * query q_sketch_kmv_append is gated by this plain one-shot build
+    * (n_sketch = min(k, distinct), no exact-distinct audit column). */
+  def kmvSketchEstimate(k: Int, shingleK: Int): String = {
+    val num = (BigInt(k - 1) << 60).toString
+    s"""WITH $docsToks,
+       |dh AS (SELECT DISTINCT lang AS stratum,
+       |  unnest(list_transform(${shinglesExpr(shingleK)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h
+       |  FROM d),
+       |sk AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_sketch,
+       |    max(h) AS kth_min
+       |  FROM (SELECT stratum, h,
+       |      row_number() OVER (PARTITION BY stratum ORDER BY h) AS rn FROM dh)
+       |  WHERE rn <= $k GROUP BY 1)
+       |SELECT stratum, n_sketch,
+       |  CASE WHEN n_sketch < $k THEN n_sketch
+       |       ELSE CAST(CAST('$num' AS HUGEINT) // kth_min AS BIGINT) END AS est_distinct
+       |FROM sk""".stripMargin
+  }
+
   /** Mirror of CorpusOps.hllDistinctShingles: same 60-bit hashes split
     * 6 register bits / 54 rank bits, same raw harmonic-mean estimate
     * as one HUGEINT integral division (the numerator 709*4096*2^55

@@ -688,6 +688,88 @@ object CorpusOps {
           .as("est_distinct"))
   }
 
+  /** Persisted sketch lifecycle — build/append/serve for the distinct
+    * sketches, closing the same artifact loop as the signature index
+    * ([[graft.dedup.Dedup.writeSignatureIndex]]) and the ANN indexes,
+    * in the EXACT-merge regime: sketches are stored as PARTIAL frames
+    * and appends only ADD FILES (no read-modify-write, no rewrite
+    * race); the read-time merge (max per HLL register; distinct +
+    * bottom-k for KMV) is associative, commutative and idempotent, so
+    * build + any sequence of appends estimates IDENTICALLY to one
+    * from-scratch build over the union corpus — unlike the
+    * frozen-quantizer PQ appends, nothing can drift (spec'd, and
+    * q_sketch_hll_append / q_sketch_kmv_append gate the whole
+    * lifecycle against the plain full-corpus oracle).
+    *
+    * Shape at 100 TB: each append writes <= 64 * strata (HLL) or
+    * k * strata (KMV) rows — the per-batch cost is the batch's own
+    * scan; the artifact grows by partial-frame files that the
+    * estimate merges in KBs. A compaction (rewrite the merged frame)
+    * is an optional maintenance step, not a correctness need. */
+  def writeHllSketch(docs: DataFrame, path: String, shingleK: Int = 3,
+      strataCol: String = "lang", textCol: String = "text"): Unit =
+    hllRegisters(docs, shingleK, strataCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a batch's register partials (pure file add). */
+  def appendHllSketch(batch: DataFrame, path: String, shingleK: Int = 3,
+      strataCol: String = "lang", textCol: String = "text"): Unit =
+    hllRegisters(batch, shingleK, strataCol, textCol)
+      .write.mode("append").parquet(path)
+
+  /** Serve the estimate from the stored partials: max-merge then the
+    * read-time finisher — sketch-sized work, no corpus access. */
+  def hllSketchEstimate(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    hllEstimate(spark.read.parquet(path)
+      .groupBy(col("stratum"), col("reg")).agg(max(col("mx")).as("mx")))
+
+  /** KMV twin: store each batch's per-stratum bottom-k member rows. */
+  def writeKmvSketch(docs: DataFrame, path: String, k: Int = 16,
+      shingleK: Int = 3, strataCol: String = "lang",
+      textCol: String = "text"): Unit =
+    kmvPartial(docs, k, shingleK, strataCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  def appendKmvSketch(batch: DataFrame, path: String, k: Int = 16,
+      shingleK: Int = 3, strataCol: String = "lang",
+      textCol: String = "text"): Unit =
+    kmvPartial(batch, k, shingleK, strataCol, textCol)
+      .write.mode("append").parquet(path)
+
+  private def kmvPartial(docs: DataFrame, k: Int, shingleK: Int,
+      strataCol: String, textCol: String): DataFrame = {
+    require(k > 1, s"KMV needs k >= 2, got $k")
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    docs
+      .select(col(strataCol).as("stratum"),
+        explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("stratum"), col("h"))
+  }
+
+  /** Serve the KMV estimate from the stored partials: distinct (two
+    * batches may share a shingle) + bottom-k of the union — which IS
+    * bottom-k of the union corpus's hash set (classic KMV
+    * mergeability). Output (stratum, n_sketch, est_distinct); the
+    * exact-distinct audit column of [[kmvDistinctShingles]] is
+    * deliberately absent — it is not derivable from a sketch, which
+    * is the entire point of shipping one. */
+  def kmvSketchEstimate(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int = 16): DataFrame = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    val numLit = lit(new java.math.BigDecimal((BigInt(k - 1) << 60).bigInteger))
+    spark.read.parquet(path).distinct()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .groupBy(col("stratum"))
+      .agg(count(lit(1)).as("n_sketch"), max(col("h")).as("kth_min"))
+      .select(col("stratum"), col("n_sketch"),
+        when(col("n_sketch") < k, col("n_sketch"))
+          .otherwise(TextFunctions.intDiv(numLit, col("kth_min")))
+          .as("est_distinct"))
+  }
+
   /** KMV sketch set operations (Beyer et al. 2007 §4) — what makes
     * bottom-k sketches an ALGEBRA rather than a counter: for every
     * pair of strata, the union sketch is the bottom-k of the two

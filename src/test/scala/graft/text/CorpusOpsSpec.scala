@@ -314,6 +314,36 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"union estimate $uAz vs exact $exactUnion")
   }
 
+  test("sketch lifecycle: partial-file appends estimate identically to a from-scratch build") {
+    import spark.implicits._
+    // overlapping content ACROSS batches (i % 37) so the read-time
+    // merge actually sees duplicate hashes from different partials
+    val rows = (1L to 120L).map(i => (if (i % 2 == 0) "en" else "zh", i,
+      (0 to 10).map(j => s"t${i % 37}_$j").mkString(" ")))
+    val d = rows.toDF("lang", "doc_id", "text")
+    val parts = (0 to 2).map(m => d.filter(col("doc_id") % 3 === m))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_life").toString
+    // HLL: build + two appends == one full build (max merge law)
+    CorpusOps.writeHllSketch(parts(0), s"$tmp/hll")
+    CorpusOps.appendHllSketch(parts(1), s"$tmp/hll")
+    CorpusOps.appendHllSketch(parts(2), s"$tmp/hll")
+    val hllServed = CorpusOps.hllSketchEstimate(spark, s"$tmp/hll")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val hllFull = CorpusOps.hllDistinctShingles(d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(hllServed == hllFull && hllServed.nonEmpty)
+    // KMV: bottom-k of unioned partials == bottom-k of the union corpus
+    CorpusOps.writeKmvSketch(parts(0), s"$tmp/kmv")
+    CorpusOps.appendKmvSketch(parts(1), s"$tmp/kmv")
+    CorpusOps.appendKmvSketch(parts(2), s"$tmp/kmv")
+    val kmvServed = CorpusOps.kmvSketchEstimate(spark, s"$tmp/kmv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val kmvFull = CorpusOps.kmvDistinctShingles(d)
+      .collect().map(r => (r.getString(0),
+        math.min(16L, r.getLong(1)), r.getLong(2))).sorted.toSeq
+    assert(kmvServed == kmvFull && kmvServed.nonEmpty)
+  }
+
   test("weightedSample: matches the naive prefix-sum spec; picks telescope to floor(T/stride)") {
     // sparse unordered ids, varying lengths — same shape as the pack test
     val d = docs(Seq(7L, 100L, 3L, 42L, 999L, 500L).zipWithIndex.map {
