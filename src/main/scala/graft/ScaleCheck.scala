@@ -33,8 +33,10 @@ object ScaleCheck {
     val copies = 10
     val shift = 100000000L
 
-    // ts is stored as TIMESTAMP_NS; read it as long nanos like the
-    // product queries do (SparkEntry.events)
+    // ts passes through the synthesis untouched in whatever physical
+    // shape the source parquet has (nanos long or timestamp[us]) —
+    // the queries normalize at their read boundary (EventTime); the
+    // flag keeps a TIMESTAMP(NANOS) source readable at all
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
     // the marker records WHICH source was scaled up (and the synthesis
@@ -42,7 +44,9 @@ object ScaleCheck {
     // recipe, like round 10 adding the events table — must trigger
     // re-synthesis, not silently compare against a stale dst corpus
     val marker = java.nio.file.Paths.get(s"$dst/_built")
-    val markerWant = s"$src|v2-events"
+    // v3: the driver regenerated the testdata mid-round-10 (ts became
+    // timestamp[us]) — force one re-synthesis so sf1 matches sf0.1
+    val markerWant = s"$src|v3-events-us"
     val stale = !java.nio.file.Files.exists(marker) ||
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != markerWant
     if (stale) {

@@ -27,21 +27,24 @@ object SparkEntry {
   private def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** events.ts is TIMESTAMP(NANOS) parquet, which Spark 4 rejects by
-    * default; read it as a nanos-since-epoch long instead. Ordering
-    * (all we use ts for) is identical, and the DuckDB oracle orders by
-    * its native ns timestamp — same total order.
+  /** The events read boundary — TYPE-ROBUST (round-10 verdict #1):
+    * the on-disk `ts` has been TIMESTAMP(NANOS) (readable by Spark 4
+    * only as a long, via `nanosAsLong`) and timestamp[us] (read as
+    * TIMESTAMP_NTZ) at different points of this build, so nothing
+    * downstream may assume a physical shape.
+    * [[graft.sources.EventTime.normalizeNs]] inspects the Catalyst
+    * type and establishes the engine's single convention — `ts` as a
+    * BIGINT of nanos since epoch — for every consumer.
     *
-    * The flag is session-level by necessity: the scan re-reads it at
-    * execution time, so a set/restore around this (lazy) read breaks
-    * the later action, and the parquet reader ignores it as a per-read
-    * option (verified empirically on Spark 4.1). Leaving it set is
-    * benign — Spark 4 has no timestamp path for NANOS parquet at all,
-    * so the only behavior this changes elsewhere in the session is a
-    * hard PARQUET_TYPE_ILLEGAL error becoming a long column. */
+    * The `nanosAsLong` flag stays set session-wide for the NANOS
+    * case: the scan re-reads it at execution time, so a set/restore
+    * around this (lazy) read breaks the later action, and the parquet
+    * reader ignores it as a per-read option (verified on Spark 4.1).
+    * Leaving it set is benign — without it a NANOS column is a hard
+    * PARQUET_TYPE_ILLEGAL error, and it is a no-op for µs parquet. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, dir, "events")
+    graft.sources.EventTime.normalizeNs(table(spark, dir, "events"))
   }
 
   private def withCurves(spark: SparkSession): SparkSession = {

@@ -42,11 +42,12 @@ object Sessionize {
   val DefaultGapUs: Long = 43200000000L
 
   /** events table -> (user_id, event_id, ts_us, k): the projected
-    * input both paths share. ts is the nanos-since-epoch long of the
-    * TIMESTAMP(NANOS) parquet, emitted at µs like the as-of join
-    * (DuckDB reads the same parquet truncated to µs). */
+    * input both paths share. `ts` may arrive as a nanos long OR a
+    * timestamp — [[graft.sources.EventTime.normalizeNs]] establishes
+    * the long-ns convention here, emitted at µs like the as-of join
+    * (the DuckDB oracle reads the same parquet via epoch_us). */
   def project(events: DataFrame): DataFrame =
-    events.select(
+    graft.sources.EventTime.normalizeNs(events).select(
       col("user_id").cast("long").as("user_id"),
       col("event_id").cast("long").as("event_id"),
       TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),

@@ -36,10 +36,12 @@ object StreamJoin {
   val HorizonUs: Long = 3600000000L // 1 hour
 
   /** Raw events frame -> one side of the join: (id, user, event-time)
-    * for rows of `eventType`. `ts` is nanos-since-epoch long (same
-    * `nanosAsLong` convention as [[Sessionize.project]]). */
+    * for rows of `eventType`. `ts` may arrive in any supported
+    * physical shape — [[graft.sources.EventTime.normalizeNs]]
+    * establishes the long-ns convention here. */
   private def side(ev: DataFrame, eventType: String, prefix: String): DataFrame =
-    ev.filter(col("event_type") === eventType)
+    graft.sources.EventTime.normalizeNs(ev)
+      .filter(col("event_type") === eventType)
       .select(col("event_id").as(s"${prefix}_id"),
         col("user_id").as(s"${prefix}_user"),
         timestamp_micros(TextFunctions.intDiv(col("ts"), lit(1000L))).as(s"${prefix}_ts"))

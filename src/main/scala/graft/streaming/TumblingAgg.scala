@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import graft.sources.EventTime
 import graft.text.TextFunctions
 
 /** Watermarked tumbling-window aggregation over the events table — the
@@ -32,11 +33,12 @@ object TumblingAgg {
   val WindowUs: Long = 3600000000L // 1 hour
 
   /** events -> (window_start_us, event_type, n, sum_k); input is the
-    * raw events table (ts = nanos-since-epoch long under
-    * `nanosAsLong`, same convention as [[Sessionize.project]]). */
+    * raw events table with `ts` in ANY supported physical shape —
+    * [[graft.sources.EventTime.normalizeNs]] establishes the long-ns
+    * convention at the operator's own boundary. */
   def agg(events: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
-    events
+    EventTime.normalizeNs(events)
       .select(timestamp_micros(TextFunctions.intDiv(col("ts"), lit(1000L))).as("tsm"),
         col("event_type"), k.as("k"))
       .withWatermark("tsm", "1 hour")
@@ -57,7 +59,7 @@ object TumblingAgg {
     * start). */
   def hopping(events: DataFrame): DataFrame = {
     val k = get_json_object(col("props"), "$.k").cast("long")
-    events
+    EventTime.normalizeNs(events)
       .select(timestamp_micros(TextFunctions.intDiv(col("ts"), lit(1000L))).as("tsm"),
         col("event_type"), k.as("k"))
       .withWatermark("tsm", "1 hour")

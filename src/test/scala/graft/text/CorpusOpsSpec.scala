@@ -286,6 +286,78 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
         ((r.getLong(1), r.get(2).toString.toLong))).toMap == out)
   }
 
+  test("hll corrected estimate: linear counting beats raw on a small stratum, no-op on a big one") {
+    import spark.implicits._
+    val rows =
+      (1L to 3L).map(i => ("small", i, s"a b c d$i")) ++
+        (1L to 200L).map(i => ("big", 100 + i, (0 to 20).map(j => s"t${i}_$j").mkString(" ")))
+    val d = rows.toDF("lang", "doc_id", "text")
+    val exact = d.select(col("lang"),
+        explode(graft.dedup.Dedup.shingleHashes(col("text"), 3)).as("h"))
+      .distinct().groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = CorpusOps.hllCorrectedEstimate(
+        CorpusOps.hllDistinctShingles(d))
+      .collect().map(r => r.getString(0) ->
+        ((r.get(2).toString.toLong, r.getDouble(3)))).toMap
+    val (smallRaw, smallCor) = out("small")
+    // the raw m=64 harmonic mean saturates near alpha*m (~45) however
+    // small the stratum; linear counting recovers the true scale
+    assert(math.abs(smallCor - exact("small")) <
+      math.abs(smallRaw.toDouble - exact("small")),
+      s"corrected $smallCor raw $smallRaw exact ${exact("small")}")
+    assert(math.abs(smallCor - exact("small")) / exact("small") < 0.3,
+      s"corrected $smallCor exact ${exact("small")}")
+    // big stratum: raw regime, correction passes the raw value through
+    val (bigRaw, bigCor) = out("big")
+    assert(bigCor == bigRaw.toDouble, s"big: $bigCor vs raw $bigRaw")
+  }
+
+  test("bloom sizer: minimal power-of-two words; achieved FP rate within 2x of target") {
+    import spark.implicits._
+    val p = CorpusOps.ContaminationParams(minOverlap = 1L)
+    // partition candidate ids into the hash-assigned splits, exactly
+    // like the decontamination operator will
+    val ids = docs((1L to 1200L).map(i => i -> "x"): _*)
+      .select(col("doc_id"), TextFunctions.splitLabel(col("doc_id"), p.cuts).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val benchIds = ids.collect { case (i, "test") => i }.toSeq.sorted.take(50)
+    val trainIds = ids.collect { case (i, "train") => i }.toSeq.sorted.take(550)
+    assert(benchIds.size == 50 && trainIds.size == 550)
+    var tok = 0
+    def uniqueText(prefix: String): String = {
+      tok += 1; (0 until 40).map(j => s"$prefix${tok}_$j").mkString(" ")
+    }
+    val d = docs(
+      benchIds.map(i => i -> uniqueText("b")) ++
+        trainIds.map(i => i -> uniqueText("t")): _*)
+    val bench = d.filter(TextFunctions.splitLabel(col("doc_id"), p.cuts) === "test")
+    val nShingles = bench
+      .select(explode(graft.dedup.Dedup.shingleHashes(col("text"), p.shingleK)).as("h"))
+      .distinct().count()
+    val target = 20000L // 2% in ppm
+    val words = CorpusOps.bloomWordsFor(nShingles, target)
+    // minimality against the same closed form the sizer uses
+    def fppm(w: Long): Double = {
+      val inner = 1.0 - math.exp(-2.0 * nShingles / (w * 64.0))
+      inner * inner * 1e6
+    }
+    assert((words & (words - 1)) == 0 && fppm(words) <= target)
+    assert(words == 1 || fppm(words / 2) > target, s"words=$words not minimal")
+    // achieved rate, measured empirically: train shingles are DISJOINT
+    // from the benchmark's, so every hit is a false positive
+    val out = CorpusOps.bloomDecontaminate(d, words = words, p = p)
+    val fpHits = out.agg(coalesce(sum(col("n_hits")), lit(0L))).collect()(0).getLong(0)
+    val probed = d.filter(TextFunctions.splitLabel(col("doc_id"), p.cuts) === "train")
+      .select(explode(graft.dedup.Dedup.shingleHashes(col("text"), p.shingleK)))
+      .count()
+    val measuredPpm = fpHits.toDouble * 1e6 / probed
+    assert(measuredPpm <= 2.0 * target,
+      s"measured $measuredPpm ppm vs target $target (words=$words, n=$nShingles)")
+    assert(measuredPpm >= target / 8.0, // sized, not absurdly oversized
+      s"measured $measuredPpm ppm suspiciously low vs target $target")
+  }
+
   test("kmv set ops: identical strata -> jaccard 1e6; disjoint -> 0; union est within tolerance") {
     import spark.implicits._
     val mk = (s: String, off: Int) => (1L to 100L).map(i =>
