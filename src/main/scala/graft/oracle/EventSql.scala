@@ -407,6 +407,30 @@ object EventSql {
        |FROM h""".stripMargin
   }
 
+  /** Oracle for the AVI DIB frame decode: each 2x2 frame's 12 pixel
+    * bytes are a window of the md5 digest (frame 0 at byte 0, frame 1
+    * at byte 4) in the SAME bottom-up BGR padded-row geometry as the
+    * BMP — so per frame the pixel mapping is [[multimodalBmp]]'s with
+    * the window offset added; one row per (doc, frame). */
+  val multimodalFrames: String = {
+    def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
+    def luma(r: Int, g: Int, b: Int) =
+      s"(299 * ${px(r)} + 587 * ${px(g)} + 114 * ${px(b)}) // 1000"
+    def frame(o: Int, idx: Int) =
+      s"""SELECT doc_id, CAST($idx AS BIGINT) AS frame_idx,
+         |  CAST(2 AS BIGINT) AS width, CAST(2 AS BIGINT) AS height,
+         |  (${px(o + 2)} + ${px(o + 5)} + ${px(o + 8)} + ${px(o + 11)}) // 4 AS mean_r,
+         |  (${px(o + 1)} + ${px(o + 4)} + ${px(o + 7)} + ${px(o + 10)}) // 4 AS mean_g,
+         |  (${px(o)} + ${px(o + 3)} + ${px(o + 6)} + ${px(o + 9)}) // 4 AS mean_b,
+         |  array_to_string([${luma(o + 8, o + 7, o + 6)}, ${luma(o + 11, o + 10, o + 9)},
+         |    ${luma(o + 2, o + 1, o)}, ${luma(o + 5, o + 4, o + 3)}], '_') AS luma_str
+         |FROM h""".stripMargin
+    s"""WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+       |${frame(0, 0)}
+       |UNION ALL
+       |${frame(4, 1)}""".stripMargin
+  }
+
   val multimodalWav: String = {
     def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
     def sample(k: Int) = s"s$k AS (SELECT doc_id, ${px(2 * k)} + 256 * ${px(2 * k + 1)} AS x FROM h)"

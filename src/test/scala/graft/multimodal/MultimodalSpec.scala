@@ -296,4 +296,62 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[IllegalArgumentException](
       Decoders.VideoProbe.decode(1L, "not a video".getBytes))
   }
+
+  /** Minimal conformant DIB AVI: one vids strl with a BI_RGB strf,
+    * then LIST movi holding the given frame chunks. */
+  private def dibAvi(w: Int, h: Int, bpp: Int, compression: Int,
+      frames: Array[Byte]*): Array[Byte] = {
+    def chunk(typ: String, content: Array[Byte]): Array[Byte] =
+      cc(typ) ++ le(content.length) ++ content ++
+        (if (content.length % 2 == 1) Array[Byte](0) else Array.empty[Byte])
+    val avih = chunk("avih", le(40000) ++ Array.fill[Byte](12)(0) ++
+      le(frames.size) ++ le(0) ++ le(1) ++ le(0) ++ le(w) ++ le(h) ++
+      Array.fill[Byte](16)(0))
+    val strh = chunk("strh", cc("vids") ++ cc("DIB ") ++ Array.fill[Byte](48)(0))
+    val strf = chunk("strf", le(40) ++ le(w) ++ le(h) ++
+      le(1 | (bpp << 16)) ++ le(compression) ++ Array.fill[Byte](20)(0))
+    val hdrl = chunk("LIST", cc("hdrl") ++ avih ++ chunk("LIST", cc("strl") ++ strh ++ strf))
+    val movi = chunk("LIST", cc("movi") ++
+      frames.flatMap(f => chunk("00db", f)).toArray)
+    val body = hdrl ++ movi
+    cc("RIFF") ++ le(4 + body.length) ++ cc("AVI ") ++ body
+  }
+
+  test("avi frame decode: bottom-up BGR rows, exact means/lumas, per-frame indexing") {
+    // 2x2, rows padded to 8 bytes; STORED first row is the BOTTOM row.
+    // bottom row: blue(255,0,0 BGR), green(0,255,0); top: red, white
+    val f0 = Array[Byte](-1, 0, 0, 0, -1, 0, 0, 0, // bottom: blue, green + pad
+      0, 0, -1, -1, -1, -1, 0, 0)                  // top: red, white + pad
+    val f1 = Array.fill[Byte](16)(0)               // all black
+    val out = Decoders.AviFrameDecoder.decode(5L, dibAvi(2, 2, 24, 0, f0, f1))
+    assert(out.size == 2)
+    // image row-major: p0=red(255,0,0) p1=white p2=blue(0,0,255) p3=green
+    assert(out(0) == Decoders.VideoFrame(5L, 0L, 2L, 2L,
+      (255L + 255 + 0 + 0) / 4, (0L + 255 + 0 + 255) / 4, (0L + 255 + 255 + 0) / 4,
+      Seq(299L * 255 / 1000, (299L * 255 + 587 * 255 + 114 * 255) / 1000,
+        114L * 255 / 1000, 587L * 255 / 1000)))
+    assert(out(1) == Decoders.VideoFrame(5L, 1L, 2L, 2L, 0L, 0L, 0L,
+      Seq(0L, 0L, 0L, 0L)))
+  }
+
+  test("avi frame decode: odd width pads rows to 4 bytes") {
+    // 3x1: 9 pixel bytes + 3 pad = 12-byte row; pixels L->R: r=1,2,3
+    val f = Array[Byte](0, 0, 1, 0, 0, 2, 0, 0, 3, 0, 0, 0)
+    val out = Decoders.AviFrameDecoder.decode(6L, dibAvi(3, 1, 24, 0, f))
+    assert(out == Seq(Decoders.VideoFrame(6L, 0L, 3L, 1L, 2L, 0L, 0L,
+      Seq(299L * 1 / 1000, 299L * 2 / 1000, 299L * 3 / 1000))))
+  }
+
+  test("avi frame decode rejects compressed streams and bad frame sizes loudly") {
+    val f = Array.fill[Byte](16)(0)
+    // MJPG-compressed stream: a declared error, never a silent stub
+    intercept[IllegalArgumentException](
+      Decoders.AviFrameDecoder.decode(7L, dibAvi(2, 2, 24, 0x47504A4D, f)))
+    // frame chunk size disagreeing with the strf geometry
+    intercept[IllegalArgumentException](
+      Decoders.AviFrameDecoder.decode(8L, dibAvi(2, 2, 24, 0, f.take(12))))
+    // not an AVI at all
+    intercept[IllegalArgumentException](
+      Decoders.AviFrameDecoder.decode(9L, "plain bytes".getBytes))
+  }
 }
