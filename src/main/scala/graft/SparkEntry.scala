@@ -455,6 +455,11 @@ object SparkEntry {
     // probes = vec_id % 50 == 0 (10 probes at sf0.01, 40 at sf0.1)
     "q_sim_topk" -> ((s, dir) =>
       Similarity.bruteForceTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+    // hard-negative mining (contrastive-training data): per anchor,
+    // the top-k most similar DIFFERENT-label vectors — brute-force
+    // shape + one label inequality, exact integer dots, oracle-gated
+    "q_sim_negatives" -> ((s, dir) =>
+      Similarity.hardNegatives(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
     // cosine RANGE search: all neighbors above an exact rational
     // similarity bar (tau^2 = 1/16, i.e. cos >= 0.25) — the radius
     // query that returns EMPTY when nothing is close enough, where
@@ -1732,6 +1737,7 @@ object SparkEntry {
       """SELECT event_id, r_regionkey AS band, value FROM events
         |JOIN region ON value >= r_regionkey * 100.0 AND value < r_regionkey * 100.0 + 100.0""".stripMargin,
     "q_sim_topk" -> SimSql.bruteForceTopK(50, 10),
+    "q_sim_negatives" -> SimSql.hardNegatives(50, 10),
     "q_sim_range" -> SimSql.rangeSearch(50, 1, 16),
     "q_sim_ann" -> SimSql.annTopK(50, 10,
       Similarity.DefaultBands, Similarity.DefaultBucketShift),

@@ -30,6 +30,24 @@ object SimSql {
        |  FROM s)
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of Similarity.hardNegatives: per anchor the top-k most
+    * similar DIFFERENT-label vectors, ranked by quantized dot desc,
+    * negative_id asc. */
+  def hardNegatives(probeMod: Int, k: Int): String =
+    s"""WITH ql AS (SELECT vec_id, CAST(label AS BIGINT) AS lbl,
+       |    list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv FROM embeddings),
+       |p AS (SELECT vec_id AS anchor_id, qv AS pv, lbl AS anchor_label FROM ql
+       |  WHERE vec_id % $probeMod = 0),
+       |s AS (SELECT anchor_id, anchor_label, ql.vec_id AS negative_id,
+       |    ql.lbl AS negative_label, ${dotSql("pv", "qv")} AS dot_q
+       |  FROM p, ql WHERE ql.lbl != p.anchor_label),
+       |r AS (SELECT anchor_id, anchor_label, negative_id, negative_label, dot_q,
+       |    CAST(row_number() OVER (PARTITION BY anchor_id
+       |      ORDER BY dot_q DESC, negative_id) AS BIGINT) AS rnk FROM s)
+       |SELECT anchor_id, anchor_label, negative_id, negative_label, dot_q, rnk
+       |FROM r WHERE rnk <= $k""".stripMargin
+
   /** Mirror of Similarity.rangeSearch: all neighbors within the exact
     * rational cosine radius (den * dot^2 >= num * |a|^2 * |b|^2,
     * dot >= 0) of each probe. */

@@ -205,6 +205,39 @@ object Similarity {
       .filter(col("rnk") <= k)
   }
 
+  /** Hard-negative mining for contrastive training: per anchor, the
+    * top-k most SIMILAR vectors carrying a DIFFERENT label — the
+    * negatives a triplet/InfoNCE objective learns most from (the
+    * "hardest" end of Schroff et al. 2015's negative spectrum; random
+    * negatives are trivially separable and waste gradient). Emits the
+    * labels on both sides so the pair generator downstream can stratify.
+    *
+    * Exactly [[bruteForceTopK]]'s scale shape — the bounded anchor set
+    * broadcasts, the corpus scans ONCE with a codegen'd integer dot
+    * per (row, anchor), per-anchor top-k runs as WindowGroupLimit —
+    * plus one label inequality riding the same projection (no extra
+    * join for the label: it travels with the quantized vector). Same
+    * probe-boundedness contract as [[bruteForceTopK]]; for
+    * every-vector mining, shard the anchor predicate and union. */
+  def hardNegatives(emb: DataFrame, anchorPred: Column, k: Int,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"),
+      col(labelCol).cast("long").as("lbl"))
+    val anchors = q.filter(anchorPred)
+      .select(col("vec_id").as("anchor_id"), col("qv").as("pv"),
+        col("lbl").as("anchor_label"))
+    val w = Window.partitionBy("anchor_id")
+      .orderBy(col("dot_q").desc, col("negative_id"))
+    q.crossJoin(broadcast(anchors))
+      .filter(col("lbl") =!= col("anchor_label"))
+      .select(col("anchor_id"), col("anchor_label"),
+        col("vec_id").as("negative_id"), col("lbl").as("negative_label"),
+        dotQ(col("pv"), col("qv")).as("dot_q"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Exact cosine RANGE search: every neighbor whose cosine with the
     * probe is >= sqrt(thresholdNum/thresholdDen) — the radius-query
     * twin of [[bruteForceTopK]] (top-k fixes the count, range fixes

@@ -225,6 +225,13 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("WindowGroupLimit") && !p.contains("Window "), p)
   }
 
+  test("hard negatives: anchors broadcast onto one corpus scan, top-k as WindowGroupLimit") {
+    val p = plan("q_sim_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("quality deciles: one per-source window shuffle, no join") {
     val p = plan("q_quality_deciles")
     assert(!p.contains("Join"), p)

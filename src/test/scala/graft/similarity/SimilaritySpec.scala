@@ -366,6 +366,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSet == Set(1L, 2L))
   }
 
+  test("hardNegatives: top-k different-label mining equals the independent spec") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val out = Similarity.hardNegatives(emb, col("vec_id") % 50 === 0, k = 5)
+      .collect()
+    assert(out.nonEmpty)
+    // contract: every emitted pair crosses labels
+    assert(out.forall(r => r.getLong(1) != r.getLong(3)))
+    // independent expectation: quantized dots computed via the plain
+    // column path, ranked driver-side per anchor
+    val q = emb.select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"),
+        col("label").cast("long").as("lbl"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2)))
+    val anchors = q.filter(_._1 % 50 == 0)
+    val expected = anchors.flatMap { case (aid, pv, albl) =>
+      q.filter(_._3 != albl)
+        .map { case (nid, qv, nlbl) =>
+          (aid, albl, nid, nlbl, pv.zip(qv).map { case (x, y) => x * y }.sum)
+        }
+        .sortBy { case (_, _, nid, _, dot) => (-dot, nid) }
+        .take(5).zipWithIndex
+        .map { case ((a, al, n, nl, d), i) => (a, al, n, nl, d, i + 1L) }
+    }.toSet
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(got == expected)
+  }
+
   test("pqTopK: recall on the sf0.01 embeddings meets the swept operating point") {
     val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
     val probePred = col("vec_id") % 50 === 0
