@@ -497,6 +497,26 @@ object SparkEntry {
           TextFunctions.intDiv(coalesce(col("overlap"), lit(0L)) * lit(1000000L),
             col("n_exact")).as("recall_ppm"))
     }),
+    // IVF recall audit (completing the recall family q_sim_recall
+    // opened for the banded ANN): seeded-IVF top-k vs exact brute
+    // force, per probe, exact ppm — quantifies what nprobe/nlist
+    // pruning costs, the number an IVF deployment tunes against
+    "q_sim_ivf_recall" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pred = col("vec_id") % 50 === 0
+      val exact = Similarity.bruteForceTopK(emb, pred, 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val ivf = Similarity.ivfSeededTopK(emb, pred, 10)
+        .select(col("probe_id"), col("neighbor_id"))
+      val hits = exact.join(ivf, Seq("probe_id", "neighbor_id"), "left_semi")
+        .groupBy(col("probe_id")).agg(count(lit(1)).as("overlap"))
+      exact.groupBy(col("probe_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("probe_id"), "left")
+        .select(col("probe_id"), col("n_exact"),
+          coalesce(col("overlap"), lit(0L)).as("overlap"),
+          TextFunctions.intDiv(coalesce(col("overlap"), lit(0L)) * lit(1000000L),
+            col("n_exact")).as("recall_ppm"))
+    }),
     // IVF variant: KMeans coarse quantizer + exact re-rank. No SQL
     // oracle (centroids aren't SQL-reproducible) -> driver records the
     // rows-only check; SimilaritySpec pins recall + determinism.
@@ -1749,6 +1769,7 @@ object SparkEntry {
     // appended index covers the same corpus -> same oracle again
     "q_sim_ann_append" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
+    "q_sim_ivf_recall" -> SimSql.ivfRecall(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),
     // identical math through the persisted index -> identical oracle
     "q_sim_pq_indexed" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),

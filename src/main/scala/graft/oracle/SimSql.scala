@@ -165,6 +165,27 @@ object SimSql {
        |  coalesce(hits.overlap, 0) * 1000000 // ne.n_exact AS recall_ppm
        |FROM ne LEFT JOIN hits USING (probe_id)""".stripMargin
 
+  /** Mirror of the IVF recall audit: overlap of [[ivfSeededTopK]]
+    * against [[bruteForceTopK]], per probe, exact ppm — the same
+    * composition as [[annRecall]] with the IVF probe path. */
+  def ivfRecall(probeMod: Int, k: Int, nlist: Int, nprobe: Int): String =
+    s"""WITH exact AS (SELECT probe_id, neighbor_id FROM (
+       |${bruteForceTopK(probeMod, k)}
+       |)),
+       |ivf AS (SELECT probe_id, neighbor_id FROM (
+       |${ivfSeededTopK(probeMod, k, nlist, nprobe)}
+       |)),
+       |hits AS (SELECT e.probe_id, CAST(count(*) AS BIGINT) AS overlap
+       |  FROM exact e JOIN ivf a
+       |    ON a.probe_id = e.probe_id AND a.neighbor_id = e.neighbor_id
+       |  GROUP BY 1),
+       |ne AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_exact
+       |  FROM exact GROUP BY 1)
+       |SELECT ne.probe_id, ne.n_exact,
+       |  CAST(coalesce(hits.overlap, 0) AS BIGINT) AS overlap,
+       |  coalesce(hits.overlap, 0) * 1000000 // ne.n_exact AS recall_ppm
+       |FROM ne LEFT JOIN hits USING (probe_id)""".stripMargin
+
   /** Spatial multi-probe variant of [[annTopK]] — mirror of
     * Similarity.annTopK(spatialProbe = true), stage for stage: the
     * probe set per band is the probe's own subcube plus its 2*4
