@@ -804,6 +804,48 @@ object CorpusOps {
           .as("est_distinct"))
   }
 
+  /** Compact a persisted sketch in place (the maintenance step the
+    * lifecycle scaladoc above promises): read every partial file,
+    * apply the artifact's own idempotent merge — max-per-(stratum,
+    * register) for HLL, distinct + per-stratum bottom-k for KMV — and
+    * atomically replace the directory with the single merged frame.
+    * Because the merge is exactly what every read already performs,
+    * the served estimate is bit-identical before and after (spec'd);
+    * what compaction buys is the file count: an append-per-batch
+    * workflow accumulates one partial per batch, and a reader pays
+    * file-listing + footer overhead ∝ batches until compacted. The
+    * swap goes through a sibling temp directory + Hadoop FS rename, so
+    * a reader never observes a half-written directory on any FS with
+    * atomic directory rename. */
+  def compactHllSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    replaceDir(spark, path,
+      spark.read.parquet(path)
+        .groupBy(col("stratum"), col("reg")).agg(max(col("mx")).as("mx")))
+
+  /** KMV twin of [[compactHllSketch]]: distinct + bottom-k per
+    * stratum — the stored shape [[kmvSketchEstimate]] derives. */
+  def compactKmvSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String, k: Int = 16): Unit = {
+    val w = Window.partitionBy(col("stratum")).orderBy(col("h"))
+    replaceDir(spark, path,
+      spark.read.parquet(path).distinct()
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("stratum"), col("h")))
+  }
+
+  private def replaceDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, merged: DataFrame): Unit = {
+    val tmp = path + "_compacting"
+    // a sketch is KBs at any corpus size — one output file IS the point
+    merged.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
+      s"compaction swap failed for $path")
+  }
+
   /** KMV sketch set operations (Beyer et al. 2007 §4) — what makes
     * bottom-k sketches an ALGEBRA rather than a counter: for every
     * pair of strata, the union sketch is the bottom-k of the two

@@ -414,6 +414,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getString(0),
         math.min(16L, r.getLong(1)), r.getLong(2))).sorted.toSeq
     assert(kmvServed == kmvFull && kmvServed.nonEmpty)
+    // compaction: served estimates bit-identical, partial files merged
+    def dataFiles(p: String) = new java.io.File(p).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val hllFilesBefore = dataFiles(s"$tmp/hll")
+    CorpusOps.compactHllSketch(spark, s"$tmp/hll")
+    assert(CorpusOps.hllSketchEstimate(spark, s"$tmp/hll")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq == hllServed)
+    assert(dataFiles(s"$tmp/hll") < hllFilesBefore,
+      s"hll: ${dataFiles(s"$tmp/hll")} vs $hllFilesBefore")
+    val kmvFilesBefore = dataFiles(s"$tmp/kmv")
+    CorpusOps.compactKmvSketch(spark, s"$tmp/kmv")
+    assert(CorpusOps.kmvSketchEstimate(spark, s"$tmp/kmv")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sorted.toSeq == kmvServed)
+    assert(dataFiles(s"$tmp/kmv") < kmvFilesBefore,
+      s"kmv: ${dataFiles(s"$tmp/kmv")} vs $kmvFilesBefore")
   }
 
   test("weightedSample: matches the naive prefix-sum spec; picks telescope to floor(T/stride)") {
