@@ -270,6 +270,10 @@ object SparkEntry {
     // the k-th boundary is engine-independent
     "q_vocab" -> ((s, dir) =>
       graft.text.CorpusOps.vocabulary(table(s, dir, "documents"), 20)),
+    // per-source OOV rate against that vocabulary: the tokenizer-
+    // coverage audit, exact ppm, vocabulary broadcast onto one scan
+    "q_vocab_coverage" -> ((s, dir) =>
+      graft.text.CorpusOps.vocabCoverage(table(s, dir, "documents"), 200)),
     // deterministic stratified sampling: per-lang keep rates, selected
     // purely by a salted hash of the key (reproducible at any scale)
     "q_sample_stratified" -> ((s, dir) =>
@@ -1796,6 +1800,7 @@ object SparkEntry {
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_vocab" -> DocSql.vocabulary(20),
+    "q_vocab_coverage" -> DocSql.vocabCoverage(200),
     "q_sample_stratified" -> DocSql.stratifiedSample(
       Seq("en" -> 500000L, "zh" -> 250000L), 100000L, "#sample"),
     "q_decontaminate" -> DocSql.contamination(

@@ -135,6 +135,22 @@ object DocSql {
        |ORDER BY tf DESC, df DESC, token
        |LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusOps.vocabCoverage: per-source OOV counts against
+    * the same topK (tf, df, token)-ordered vocabulary. */
+  def vocabCoverage(topK: Int): String =
+    s"""WITH tok AS (SELECT doc_id, source,
+       |  unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents),
+       |v AS (SELECT token FROM (
+       |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM tok GROUP BY token
+       |  ORDER BY tf DESC, df DESC, token LIMIT $topK)),
+       |j AS (SELECT tok.source, CASE WHEN v.token IS NULL THEN 1 ELSE 0 END AS oov
+       |  FROM tok LEFT JOIN v ON tok.token = v.token)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  CAST(sum(oov) AS BIGINT) AS n_oov,
+       |  CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+       |FROM j GROUP BY source""".stripMargin
+
   /** Mirror of CorpusOps.sampleBucket: 8-hex md5 prefix of
     * (key || salt), mod 1e6. */
   private def sampleBucketExpr(keyExpr: String, salt: String): String =

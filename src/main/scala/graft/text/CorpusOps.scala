@@ -41,6 +41,37 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("df").desc, col("token"))
       .limit(topK)
 
+  /** Vocabulary OOV-coverage audit per source — the check run BEFORE
+    * committing to a tokenizer: for the same topK (tf, df, token)-
+    * ordered vocabulary [[tokenizeToIds]] would freeze, the per-source
+    * in/out-of-vocabulary token counts and the OOV rate in exact ppm.
+    * A source with a high oov_ppm is under-served by the vocabulary
+    * and will fragment into UNK/byte fallbacks at training time — the
+    * number that decides whether vocabSize (or the corpus mixture)
+    * needs revisiting, per source rather than corpus-wide where a big
+    * clean source can mask a broken one.
+    *
+    * Shape at 100 TB: the vocabulary is topK rows (broadcast); the
+    * corpus side is ONE tokens explode + broadcast probe + per-source
+    * aggregate with map-side combine — no corpus shuffle at all
+    * beyond the sources-sized aggregate exchange. */
+  def vocabCoverage(docs: DataFrame, vocabSize: Int,
+      sourceCol: String = "source", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val vids = vocabulary(docs, vocabSize, idCol, textCol)
+      .select(col("token"), lit(1L).as("in_vocab"))
+    docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(vids), Seq("token"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        TextFunctions.intDiv(col("n_oov") * lit(1000000L), col("n_tokens"))
+          .as("oov_ppm"))
+  }
+
   /** Sampling bucket in [0, 1e6): [[TextFunctions.hashBucket]] over the
     * salted key. The salt decorrelates sampling from every other
     * hash-of-key decision (e.g. the train/val/test split), so a 50%

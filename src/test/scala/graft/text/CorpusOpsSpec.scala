@@ -68,6 +68,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == again)
   }
 
+  test("vocabCoverage: per-source OOV counts against the frozen topK vocabulary") {
+    import spark.implicits._
+    // vocab (topK=2) = {a, b} (tf order); source s1 all in-vocab,
+    // s2 mixes in-vocab with OOV tokens
+    val d = Seq(
+      (1L, "s1", "a a b"), (2L, "s1", "a b"),
+      (3L, "s2", "a x y"), (4L, "s2", "b x"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.vocabCoverage(d, vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out("s1") == ((5L, 0L, 0L)))
+    // s2: 5 tokens, 3 OOV (x, x, y) -> 600000 ppm
+    assert(out("s2") == ((5L, 3L, 600000L)))
+  }
+
   test("stratified sample: per-stratum rates, pure function of the key") {
     import spark.implicits._
     val d = (1L to 400L).map(i => (i, if (i % 2 == 0) "en" else "zh"))
