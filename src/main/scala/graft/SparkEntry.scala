@@ -274,6 +274,17 @@ object SparkEntry {
     // coverage audit, exact ppm, vocabulary broadcast onto one scan
     "q_vocab_coverage" -> ((s, dir) =>
       graft.text.CorpusOps.vocabCoverage(table(s, dir, "documents"), 200)),
+    // Gopher-style repetition signal: the most frequent bigram's share
+    // of each document, computed WITHIN the row (sorted-array run
+    // count — no per-(doc, ngram) shuffle; see topBigramCount)
+    "q_text_repetition" -> ((s, dir) =>
+      table(s, dir, "documents").select(col("doc_id"),
+          greatest(TextFunctions.tokenCount(col("text")) - 1L, lit(0L)).as("n_bigrams"),
+          TextFunctions.topBigramCount(col("text")).as("top_bigram_n"))
+        .withColumn("top_bigram_ppm",
+          when(col("n_bigrams") === 0L, 0L)
+            .otherwise(TextFunctions.intDiv(
+              col("top_bigram_n") * lit(1000000L), col("n_bigrams"))))),
     // deterministic stratified sampling: per-lang keep rates, selected
     // purely by a salted hash of the key (reproducible at any scale)
     "q_sample_stratified" -> ((s, dir) =>
@@ -1801,6 +1812,7 @@ object SparkEntry {
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),
+    "q_text_repetition" -> DocSql.textRepetition,
     "q_sample_stratified" -> DocSql.stratifiedSample(
       Seq("en" -> 500000L, "zh" -> 250000L), 100000L, "#sample"),
     "q_decontaminate" -> DocSql.contamination(

@@ -151,6 +151,25 @@ object DocSql {
        |  CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
        |FROM j GROUP BY source""".stripMargin
 
+  /** Mirror of q_text_repetition: per-doc top-bigram share. The
+    * comprehension over generate_series(1, len-1) is naturally empty
+    * below 2 tokens (DuckDB's generate_series(1, 0) = []). */
+  val textRepetition: String =
+    s"""WITH tok AS (SELECT doc_id,
+       |  string_split(coalesce(text, ''), ' ') AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |  [t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)] AS bg,
+       |  GREATEST(len(t) - 1, 0) AS n_bigrams FROM tok),
+       |e AS (SELECT doc_id, unnest(bg) AS g FROM b),
+       |c AS (SELECT doc_id, g, count(*) AS n FROM e GROUP BY 1, 2),
+       |m AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY 1)
+       |SELECT b.doc_id, CAST(b.n_bigrams AS BIGINT) AS n_bigrams,
+       |  CAST(coalesce(m.top_n, 0) AS BIGINT) AS top_bigram_n,
+       |  CAST(CASE WHEN b.n_bigrams = 0 THEN 0
+       |    ELSE coalesce(m.top_n, 0) * 1000000 // b.n_bigrams END AS BIGINT)
+       |    AS top_bigram_ppm
+       |FROM b LEFT JOIN m USING (doc_id)""".stripMargin
+
   /** Mirror of CorpusOps.sampleBucket: 8-hex md5 prefix of
     * (key || salt), mod 1e6. */
   private def sampleBucketExpr(keyExpr: String, salt: String): String =

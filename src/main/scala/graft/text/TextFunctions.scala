@@ -49,6 +49,33 @@ object TextFunctions {
   /** Token count (BIGINT). */
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** Adjacent token bigrams ("a b" strings); empty below 2 tokens.
+    * The guard matters: `sequence(0, -1)` would DESCEND in Spark. */
+  def bigrams(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 2, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 2),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
+  }
+
+  /** Count of the most frequent bigram, computed WITHIN the row: sort
+    * the bigram array, then one aggregate() pass counts the longest
+    * equal-run — no per-(doc, ngram) shuffle, the whole repetition
+    * signal stays a narrow projection (the 100 TB point: Gopher-style
+    * repetition filters run over every document; keying a shuffle by
+    * (doc, ngram) would dwarf the query). 0 for < 2 tokens. */
+  def topBigramCount(text: Column): Column =
+    aggregate(array_sort(bigrams(text)),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x === acc.getField("prev"), acc.getField("run") + 1L)
+          .otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
+
   /** Distinct-token count (BIGINT). */
   def distinctTokenCount(text: Column): Column =
     size(array_distinct(tokens(text))).cast("long")

@@ -68,6 +68,20 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(once == again)
   }
 
+  test("topBigramCount: in-row run count matches hand-computed repetition") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "a b a b a b"),   // bigrams: ab ba ab ba ab -> top "a b" x3
+      (2L, "x y z"),         // all distinct -> 1
+      (3L, "solo"),          // < 2 tokens -> 0
+      (4L, null.asInstanceOf[String]), // null -> 0
+      (5L, "t t t t"))       // "t t" x3
+      .toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.topBigramCount(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 3L))
+  }
+
   test("vocabCoverage: per-source OOV counts against the frozen topK vocabulary") {
     import spark.implicits._
     // vocab (topK=2) = {a, b} (tf order); source s1 all in-vocab,
