@@ -311,6 +311,11 @@ object SparkEntry {
     // two-level distributed prefix sum (no global single-task window)
     "q_pack" -> ((s, dir) =>
       graft.text.CorpusOps.packSequences(table(s, dir, "documents"), 1024L, 8)),
+    // deterministic global shuffle: dense position [0, N) in salted-
+    // hash order via the same two-level prefix sum — the RNG-free
+    // epoch permutation a 100 TB training run precomputes
+    "q_shuffle_global" -> ((s, dir) =>
+      graft.text.CorpusOps.globalShuffle(table(s, dir, "documents"), "#shuffle", 8)),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -441,6 +446,26 @@ object SparkEntry {
         TextFunctions.repetitionPpm(col("text"), 3).as("repetition_ppm"),
         TextFunctions.upperPpm(col("text")).as("upper_ppm"),
         TextFunctions.digitPpm(col("text")).as("digit_ppm"))
+    }),
+    // group-relative quality gate: keep the best 40% of each language,
+    // gated on the (group, score) DISTRIBUTION (bounded class frame +
+    // broadcast semi-join) — no corpus-sized window, unlike the ntile
+    // decile variant below; quotas are ceilings at whole score classes
+    "q_quality_gate" -> ((s, dir) =>
+      graft.text.CorpusOps.qualityGate(table(s, dir, "documents"), 400000L)),
+    // the FROZEN gate lifecycle: cuts calibrated once on the snapshot
+    // and persisted (groups-sized artifact), then applied to an ingest
+    // batch as a broadcast join — admission stays stable while the
+    // crawl streams in; recalibration = rebuild, like the ANN indexes
+    "q_quality_gate_apply" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_quality_gate/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.qualityGateBuild(table(s, dir, "documents"), path, 400000L)
+      })
+      graft.text.CorpusOps.qualityGateApply(
+        table(s, dir, "documents").filter(col("doc_id") % 7 === 3),
+        s.read.parquet(path))
     }),
     // quality-decile curation filter: keep the top-3 deciles per source
     // by TTR quality — "train on the best 30% of each source" as a
@@ -583,6 +608,11 @@ object SparkEntry {
     // family. Shares the q_sim_ivfpq_indexed artifact (write-once);
     // the oracle re-derives the seeded assignment and must agree
     // exactly, which also cross-checks the stored list assignments.
+    // embedding-store integrity audit: per-label counts, distinct
+    // dims, zero vectors, exact fixed-point norm2 stats — one map-side-
+    // combining aggregate, the pre-flight check before any index build
+    "q_emb_audit" -> ((s, dir) =>
+      Similarity.embAudit(table(s, dir, "embeddings"))),
     "q_sim_ivf_stats" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1795,6 +1825,7 @@ object SparkEntry {
     // identical math through the persisted IVF-PQ index -> same oracle
     "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     "q_sim_ivf_stats" -> SimSql.ivfListStats(16),
+    "q_emb_audit" -> SimSql.embAudit,
     // frozen quantizers: centroid + codebook pools from the build-time
     // 80%, codes over all
     "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,
@@ -1807,6 +1838,8 @@ object SparkEntry {
     "q_text_fingerprint" -> DocSql.fingerprint(3),
     "q_text_quality" -> DocSql.textQuality(3),
     "q_quality_deciles" -> DocSql.qualityDeciles(3),
+    "q_quality_gate" -> DocSql.qualityGate(400000L),
+    "q_quality_gate_apply" -> DocSql.qualityGateApply(400000L, 7L, 3L),
     "q_redact_pii" -> DocSql.redactPii,
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
@@ -1818,6 +1851,7 @@ object SparkEntry {
     "q_decontaminate" -> DocSql.contamination(
       graft.text.CorpusOps.ContaminationParams()),
     "q_pack" -> DocSql.packSequences(1024L),
+    "q_shuffle_global" -> DocSql.globalShuffle("#shuffle"),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),

@@ -95,6 +95,44 @@ object DocSql {
        |SELECT doc_id, source, quality_ppm, decile FROM n
        |WHERE decile <= $keep""".stripMargin
 
+  /** Mirror of CorpusOps.qualityGate: whole-score-class gate from the
+    * per-group score distribution (kept iff cum_above + class count
+    * fits in the ppm quota), then a semi-join back on (lang, score). */
+  def qualityGate(keepPpm: Long): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm
+       |  FROM t),
+       |c AS (SELECT lang, quality_ppm, count(*) AS cnt FROM q GROUP BY 1, 2),
+       |k AS (SELECT lang, quality_ppm,
+       |  coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY quality_ppm DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_above,
+       |  cnt, sum(cnt) OVER (PARTITION BY lang) AS n FROM c)
+       |SELECT q.doc_id, q.lang, q.quality_ppm FROM q
+       |JOIN k ON q.lang = k.lang AND q.quality_ppm = k.quality_ppm
+       |WHERE k.cum_above + k.cnt <= k.n * $keepPpm // 1000000""".stripMargin
+
+  /** Mirror of CorpusOps.qualityGateBuild + qualityGateApply: the cut
+    * frame recomputed from the calibration corpus (per-group min kept
+    * score), applied to the `doc_id % mod = rem` ingest slice. */
+  def qualityGateApply(keepPpm: Long, mod: Long, rem: Long): String =
+    s"""WITH t AS (SELECT doc_id, lang,
+       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |q AS (SELECT doc_id, lang,
+       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm
+       |  FROM t),
+       |c AS (SELECT lang, quality_ppm, count(*) AS cnt FROM q GROUP BY 1, 2),
+       |k AS (SELECT lang, quality_ppm,
+       |  coalesce(sum(cnt) OVER (PARTITION BY lang ORDER BY quality_ppm DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_above,
+       |  cnt, sum(cnt) OVER (PARTITION BY lang) AS n FROM c),
+       |cut AS (SELECT lang, CAST(min(quality_ppm) AS BIGINT) AS cut_ppm FROM k
+       |  WHERE cum_above + cnt <= n * $keepPpm // 1000000 GROUP BY 1)
+       |SELECT q.doc_id, q.lang, q.quality_ppm FROM q
+       |JOIN cut ON q.lang = cut.lang
+       |WHERE q.quality_ppm >= cut.cut_ppm AND q.doc_id % $mod = $rem""".stripMargin
+
   def textQuality(k: Int): String =
     s"""WITH $docsToks,
        |sh AS (SELECT doc_id, text, greatest(len(toks) - ${k - 1}, 1) AS total,
@@ -175,6 +213,15 @@ object DocSql {
   private def sampleBucketExpr(keyExpr: String, salt: String): String =
     s"CAST(('0x' || substr(md5(CAST($keyExpr AS VARCHAR) || '${salt.replace("'", "''")}')," +
       " 1, 8)) AS BIGINT) % 1000000"
+
+  /** Mirror of CorpusOps.globalShuffle: one global row_number window
+    * over (salted hash, doc_id) — fine at oracle scale; the Spark side
+    * decomposes the same total order into the two-level prefix sum. */
+  def globalShuffle(salt: String): String =
+    s"""SELECT doc_id,
+       |  CAST(row_number() OVER (
+       |    ORDER BY ${sampleBucketExpr("doc_id", salt)}, doc_id) - 1 AS BIGINT) AS pos
+       |FROM documents""".stripMargin
 
   /** Mirror of CorpusOps.stratifiedSample over documents.lang. */
   def stratifiedSample(rates: Seq[(String, Long)], defaultPpm: Long, salt: String): String = {

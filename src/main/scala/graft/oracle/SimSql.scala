@@ -30,6 +30,25 @@ object SimSql {
        |  FROM s)
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of Similarity.embAudit: per label the vector count,
+    * distinct dimensionalities, zero-vector count, and min/max/sum of
+    * the exact fixed-point squared L2 norm (HUGEINT cross-row sum,
+    * emitted as DECIMAL(38,0) to match Spark). */
+  def embAudit: String =
+    s"""WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+       |  CAST(len(embedding) AS BIGINT) AS dim,
+       |  CAST(coalesce(list_sum(list_transform(embedding, x ->
+       |    CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT) *
+       |    CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT))), 0) AS BIGINT) AS norm2
+       |  FROM embeddings)
+       |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       |  CAST(count(DISTINCT dim) AS BIGINT) AS n_dims,
+       |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       |  CAST(min(norm2) AS BIGINT) AS min_norm2,
+       |  CAST(max(norm2) AS BIGINT) AS max_norm2,
+       |  CAST(sum(CAST(norm2 AS HUGEINT)) AS DECIMAL(38, 0)) AS sum_norm2
+       |FROM n GROUP BY 1""".stripMargin
+
   /** Mirror of Similarity.hardNegatives: per anchor the top-k most
     * similar DIFFERENT-label vectors, ranked by quantized dot desc,
     * negative_id asc. */

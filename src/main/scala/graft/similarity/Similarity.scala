@@ -963,6 +963,38 @@ object Similarity {
           .as("imbalance_milli"))
   }
 
+  /** Embedding-table integrity audit — the pre-flight check before any
+    * index build or ANN serving over a 100 TB embedding store: per
+    * label, the vector count, the number of DISTINCT dimensionalities
+    * (anything but 1 means a corrupted or mixed-model export), the
+    * zero-vector count (dead encoder outputs that poison cosine math),
+    * and min/max/sum of the exact fixed-point squared L2 norm — a
+    * drifting norm distribution is the standard signal of an encoder
+    * version change.
+    *
+    * All exact integer math on the shared [[quantize]] convention, so
+    * the oracle reproduces every cell bit-for-bit: per-row norm² =
+    * dotQ(qv, qv) fits a BIGINT for dims ≤ 4096 (≤ 2^40 per element);
+    * the cross-row sum is Decimal(38,0)/HUGEINT.
+    *
+    * Shape at 100 TB: one narrow projection + ONE map-side-combining
+    * hash aggregate keyed on the labels-sized group — no joins, no
+    * windows, nothing corpus-sized ever leaves the mappers. */
+  def embAudit(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    emb.select(col(labelCol).cast("long").as("label"),
+        size(col(vecCol)).cast("long").as("dim"),
+        dotQ(quantize(col(vecCol)), quantize(col(vecCol))).as("norm2"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vecs"),
+        countDistinct(col("dim")).as("n_dims"),
+        sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        min(col("norm2")).as("min_norm2"),
+        max(col("norm2")).as("max_norm2"),
+        sum(col("norm2").cast(dec)).as("sum_norm2"))
+  }
+
   /** Append a batch of new vectors to a [[ivfPqIndexBuild]] index with
     * BOTH quantizers frozen — the coarse centroids assign the new
     * vectors to their lists and the stored residual codebook encodes

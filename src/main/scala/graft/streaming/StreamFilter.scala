@@ -34,6 +34,33 @@ object StreamFilter {
     * other ingest loops (kept under `resultPath` — the filter itself
     * is never written) makes restart/retry emit each batch once,
     * wherever the paths live (HDFS/S3/local). */
+  /** Streaming admission through a FROZEN quality gate — the other
+    * read-only-artifact filter: [[CorpusOps.qualityGateBuild]] persists
+    * the groups-sized per-group cut frame once, each micro-batch is
+    * scored by the same pure function and admitted via
+    * [[CorpusOps.qualityGateApply]] (a broadcast join, shuffle-free on
+    * the batch side), admitted rows appended to `resultPath`. Same
+    * read-only contract as [[ingestBloom]]: stream == batch because
+    * admission is a pure per-row function of (document, artifact). */
+  def ingestQualityGate(docs: DataFrame, cutsPath: String, resultPath: String,
+      checkpoint: String, groupCol: String = "lang")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$resultPath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val cuts = batch.sparkSession.read.parquet(cutsPath)
+          CorpusOps.qualityGateApply(batch, cuts, groupCol)
+            .write.mode("append").parquet(resultPath)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+
   def ingestBloom(docs: DataFrame, bitsPath: String, resultPath: String,
       checkpoint: String, words: Int = 8192,
       p: CorpusOps.ContaminationParams = CorpusOps.ContaminationParams())

@@ -235,6 +235,130 @@ object CorpusOps {
         TextFunctions.intDiv(col("start_offset"), lit(ctxTokens)).as("bin_idx"))
   }
 
+  /** Deterministic global shuffle — the "shuffle the corpus once
+    * before training" step every epoch-0 data loader wants done ahead
+    * of time: assign each document a dense position [0, N) in the
+    * order of a salted hash of its id. Downstream, writing the corpus
+    * sorted by `pos` (or feeding [[packSequences]] with `pos` as the
+    * order key) yields a reproducible global permutation with NO RNG
+    * state — re-running any failed stage regenerates the identical
+    * permutation, and a different `salt` is a fresh epoch's shuffle.
+    *
+    * Position assignment is the same two-level distributed prefix sum
+    * as [[packSequences]] (a global `row_number` window would funnel
+    * 100 TB through one task): the salted hash bucket in [0, 1e6) is
+    * range-partitioned into `nBuckets` contiguous slices (order-
+    * preserving, so bucket order == hash order), ranks are windowed
+    * per bucket in parallel, and the exclusive prefix over the
+    * nBuckets-row COUNT totals is broadcast back. Ties inside one
+    * hash value break by doc_id — the order is total, so the
+    * permutation is engine-independent and the oracle's single
+    * `row_number() OVER (ORDER BY hash, doc_id)` window reproduces it
+    * bit-for-bit.
+    *
+    * Output: (doc_id, pos). */
+  def globalShuffle(docs: DataFrame, salt: String = "#shuffle",
+      nBuckets: Int = 32, idCol: String = "doc_id"): DataFrame = {
+    require(nBuckets > 0, s"nBuckets=$nBuckets")
+    val d = docs.select(col(idCol).as("doc_id"),
+        sampleBucket(col(idCol), salt).as("b"))
+      // contiguous hash ranges: bucket order == hash order, the
+      // two-level decomposition's requirement
+      .withColumn("bucket", TextFunctions.intDiv(col("b") * nBuckets, lit(1000000L)))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("b"), col("doc_id"))
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("bucket_total"))
+      // single-partition window over nBuckets ROWS, not the corpus
+      .withColumn("bucket_offset", coalesce(sum(col("bucket_total")).over(wB), lit(0L)))
+      .select(col("bucket"), col("bucket_offset"))
+    d.withColumn("within_rank", row_number().over(wIn).cast("long") - 1L)
+      .join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), (col("bucket_offset") + col("within_rank")).as("pos"))
+  }
+
+  /** Group-relative quality gate — "keep the best `keepPpm` of each
+    * language" (CCNet-style per-language curation) with the gate
+    * computed from the SCORE DISTRIBUTION, never a corpus-sized
+    * window: the sibling of the ntile-window q_quality_deciles whose
+    * shape survives a group that is most of the corpus.
+    *
+    * Semantics (deterministic, whole score classes): per group, rank
+    * the distinct integer quality scores descending; a score class is
+    * kept iff all docs at strictly-better scores plus the whole class
+    * fit inside quota = n * keepPpm / 1e6. A tie class that straddles
+    * the quota is dropped wholesale — quotas are ceilings, the
+    * undershoot is at most one score class — so membership is a pure
+    * function of (group, score) and no per-document rank (i.e. no
+    * window over a possibly-huge tie class) is ever needed.
+    *
+    * Shape at 100 TB: score is a narrow projection; the class frame is
+    * a map-side-combining aggregate bounded by groups × 1e6 distinct
+    * ppm scores (NOT corpus-sized); the cumulative/quota windows run
+    * over that bounded frame; membership returns to the corpus as one
+    * broadcast semi-join on (group, score).
+    *
+    * Output: (doc_id, group, quality_ppm) of the kept docs. */
+  def qualityGate(docs: DataFrame, keepPpm: Long,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val scored = docs.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+      TextFunctions.qualityPpm(col(textCol)).as("quality_ppm"))
+    scored.join(broadcast(qualityGateCuts(docs, keepPpm, groupCol, textCol)), "grp")
+      .filter(col("quality_ppm") >= col("cut_ppm"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("quality_ppm"))
+  }
+
+  /** The gate distilled to its serveable artifact: per group, the
+    * minimum quality score that survives [[qualityGate]]'s whole-class
+    * quota — kept classes are always a top-prefix of the score order
+    * (the cumulative-above count is monotone), so "score >= cut_ppm"
+    * reproduces class membership exactly. Groups where no class fits
+    * the quota emit NO row — a frozen gate drops them wholesale, the
+    * conservative default for a group the build corpus couldn't
+    * calibrate. The frame is groups-sized: the thing to persist. */
+  def qualityGateCuts(docs: DataFrame, keepPpm: Long,
+      groupCol: String = "lang", textCol: String = "text"): DataFrame = {
+    require(keepPpm >= 0 && keepPpm <= 1000000L, s"keepPpm=$keepPpm")
+    val wAbove = Window.partitionBy(col("grp")).orderBy(col("quality_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(groupCol).as("grp"),
+        TextFunctions.qualityPpm(col(textCol)).as("quality_ppm"))
+      .groupBy(col("grp"), col("quality_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_above", coalesce(sum(col("cnt")).over(wAbove), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over(Window.partitionBy(col("grp"))))
+      .filter(col("cum_above") + col("cnt") <=
+        TextFunctions.intDiv(col("n") * keepPpm, lit(1000000L)))
+      .groupBy(col("grp")).agg(min(col("quality_ppm")).as("cut_ppm"))
+  }
+
+  /** Persist the FROZEN gate (run once on the calibration snapshot). */
+  def qualityGateBuild(docs: DataFrame, path: String, keepPpm: Long,
+      groupCol: String = "lang", textCol: String = "text"): Unit =
+    qualityGateCuts(docs, keepPpm, groupCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
+  /** Apply a persisted [[qualityGateBuild]] gate to a NEW batch — the
+    * ingest-time shape: incoming docs are scored by the same pure
+    * function and filtered against the frozen per-group cut, so
+    * admission is stable while the crawl streams in (recalibrate by
+    * rebuilding the artifact, exactly like the ANN/PQ indexes absorb
+    * quantizer drift by rebuild). Docs in groups absent from the
+    * artifact are dropped (see [[qualityGateCuts]]).
+    *
+    * Shape: a narrow projection + one broadcast join of the
+    * groups-sized cut frame — shuffle-free on the batch side. */
+  def qualityGateApply(batch: DataFrame, cuts: DataFrame,
+      groupCol: String = "lang", idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    batch.select(col(idCol).as("doc_id"), col(groupCol).as("grp"),
+        TextFunctions.qualityPpm(col(textCol)).as("quality_ppm"))
+      .join(broadcast(cuts), "grp")
+      .filter(col("quality_ppm") >= col("cut_ppm"))
+      .select(col("doc_id"), col("grp").as(groupCol), col("quality_ppm"))
+
   /** Exact-integer BM25-style relevance ranking of the corpus against a
     * literal term list — retrieval-flavored corpus scoring (e.g.
     * "find the training docs most relevant to this eval topic").

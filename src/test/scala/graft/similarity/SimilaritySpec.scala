@@ -29,6 +29,26 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding")
   }
 
+  test("embAudit: per-label counts, mixed dims, zero vectors, exact norm2 stats") {
+    import spark.implicits._
+    // label 1: two clean 2-dim unit-ish vectors; label 2: one zero
+    // vector and one 3-dim vector (a dim mismatch to catch)
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1),
+      (1L, Seq(0.0f, 0.5f), 1),
+      (2L, Seq(0.0f, 0.0f), 2),
+      (3L, Seq(0.5f, 0.5f, 0.5f), 2))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embAudit(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDecimal(6).longValueExact()))).toMap
+    val s = 1048576L // 2^20
+    val one = s * s            // quantize(1.0f)^2
+    val half = (s / 2) * (s / 2)
+    assert(out(1L) == ((2L, 1L, 0L, half, one, one + half)))
+    assert(out(2L) == ((2L, 2L, 1L, 0L, 3L * half, 3L * half)))
+  }
+
   test("mmrTopK demotes the near-duplicate of an already-selected result") {
     import spark.implicits._
     // probe 0 points at x; 1 and 2 are near-identical high-relevance

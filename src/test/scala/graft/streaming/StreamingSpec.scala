@@ -449,6 +449,45 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.forall { case (_, nSh, nHits) => nSh == 3L && nHits == 3L })
   }
 
+  test("streaming frozen quality gate == one batch apply over the same rows") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_qgate").toString
+    // calibration snapshot, lang "en": half the docs fully distinct
+    // (1e6), half half-distinct (5e5) -> keepPpm=500000 cuts at 1e6;
+    // lang "xx" has ONE class that can't fit a 0-quota -> dropped group
+    val snap = (1L to 10L).map(i =>
+        (i, "en", if (i <= 5) s"a$i b$i c$i" else s"d$i d$i")) ++
+      Seq((90L, "xx", "z z"))
+    graft.text.CorpusOps.qualityGateBuild(
+      snap.toDF("doc_id", "lang", "text"), s"$tmp/cuts", keepPpm = 500000L)
+    // stream: batch 1 has an admissible en doc + a rejectable en doc;
+    // batch 2 an admissible en doc + an xx doc (group frozen-out)
+    val b1 = Seq((101L, "en", "p q r"), (102L, "en", "m m"))
+    val b2 = Seq((103L, "en", "s t"), (104L, "xx", "z y x"))
+    val schema = b1.toDF("doc_id", "lang", "text").schema
+    b1.toDF("doc_id", "lang", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamFilter.ingestQualityGate(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/cuts", s"$tmp/kept", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "lang", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$tmp/kept"))
+    val batched = rows(graft.text.CorpusOps.qualityGateApply(
+      (b1 ++ b2).toDF("doc_id", "lang", "text"),
+      spark.read.parquet(s"$tmp/cuts")))
+    assert(streamed == batched)
+    // only the fully-distinct en docs pass the frozen 1e6 cut; the
+    // xx doc is dropped because its group has no calibrated cut
+    assert(streamed.map(_._1) == Set(101L, 103L))
+  }
+
   test("streaming CDC upsert of the partitioned sink == sequential upsertPartitioned calls") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_upsert").toString

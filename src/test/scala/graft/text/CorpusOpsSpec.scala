@@ -165,6 +165,54 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(32) == naive)  // more buckets than docs still works
   }
 
+  test("globalShuffle: dense [0, N) permutation in salted-hash order, any bucket count") {
+    val d = docs((1L to 40L).map(i => i -> s"text $i"): _*)
+    def run(salt: String, nBuckets: Int) =
+      CorpusOps.globalShuffle(d, salt, nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // naive spec: one global sort by (hash, doc_id)
+    val naive = d.select(col("doc_id"),
+        CorpusOps.sampleBucket(col("doc_id"), "#shuffle").as("b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy { case (id, b) => (b, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> i.toLong }.toMap
+    for (nBuckets <- Seq(1, 4, 32))
+      assert(run("#shuffle", nBuckets) == naive, s"nBuckets=$nBuckets")
+    // a permutation: positions are exactly 0..N-1
+    assert(naive.values.toSeq.sorted == (0L until 40L))
+    // determinism: a rerun is bit-identical
+    assert(run("#shuffle", 4) == run("#shuffle", 4))
+    // a different salt is a genuinely different epoch permutation
+    assert(run("#epoch1", 4) != naive)
+  }
+
+  test("qualityGate: whole score classes from the top, quota is a ceiling") {
+    import spark.implicits._
+    // lang "a": 10 docs — 2 at quality 1e6 (all-distinct tokens), 3 at
+    // 500000 ("x x"-style half-distinct), 5 at 333333 (one-third).
+    // quota at keepPpm=500000 is 5 -> the 1e6 class (2) fits, the
+    // 500000 class (2+3=5) fits exactly, the 333333 class would
+    // overflow and is dropped wholesale.
+    val a = Seq.tabulate(2)(i => (i.toLong, "a", s"u$i v$i")) ++
+      Seq.tabulate(3)(i => (10L + i, "a", s"w$i w$i")) ++
+      Seq.tabulate(5)(i => (20L + i, "a", s"z$i z$i z$i"))
+    // lang "b": 3 docs all tied at one score; quota 1 < 3 -> none kept
+    val b = Seq.tabulate(3)(i => (30L + i, "b", s"t$i t$i"))
+    val d = (a ++ b).toDF("doc_id", "lang", "text")
+    val out = CorpusOps.qualityGate(d, keepPpm = 500000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.map(_._1).sorted.toSeq == Seq(0L, 1L, 10L, 11L, 12L))
+    assert(out.forall(_._2 == "a"))
+    // keepPpm=1e6 keeps everything; 0 keeps nothing
+    assert(CorpusOps.qualityGate(d, 1000000L).count() == d.count())
+    assert(CorpusOps.qualityGate(d, 0L).count() == 0)
+    // the frozen-cut apply path reproduces the gate on the build
+    // corpus exactly (kept classes are a top-prefix of the score order)
+    val applied = CorpusOps.qualityGateApply(d, CorpusOps.qualityGateCuts(d, 500000L))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(applied == out.toSet)
+  }
+
   private def srcDocs(rows: (Long, String, String)*) = {
     import spark.implicits._
     rows.toDF("doc_id", "source", "text")
