@@ -316,6 +316,11 @@ object SparkEntry {
     // epoch permutation a 100 TB training run precomputes
     "q_shuffle_global" -> ((s, dir) =>
       graft.text.CorpusOps.globalShuffle(table(s, dir, "documents"), "#shuffle", 8)),
+    // curriculum ordering: best-quality-band first, hash-shuffled
+    // WITHIN each band (decorrelated batches under a coarse easy→hard
+    // schedule); bands are whole score classes from the distribution
+    "q_curriculum" -> ((s, dir) =>
+      graft.text.CorpusOps.curriculumOrder(table(s, dir, "documents"), 4, "#curriculum", 8)),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -1852,6 +1857,7 @@ object SparkEntry {
       graft.text.CorpusOps.ContaminationParams()),
     "q_pack" -> DocSql.packSequences(1024L),
     "q_shuffle_global" -> DocSql.globalShuffle("#shuffle"),
+    "q_curriculum" -> DocSql.curriculumOrder(4, "#curriculum"),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),

@@ -223,6 +223,24 @@ object DocSql {
        |    ORDER BY ${sampleBucketExpr("doc_id", salt)}, doc_id) - 1 AS BIGINT) AS pos
        |FROM documents""".stripMargin
 
+  /** Mirror of CorpusOps.curriculumOrder: distribution-derived
+    * whole-class quality bands (floor(cum_above * nBands / n)), then
+    * one global row_number window over (band, salted hash, doc_id). */
+  def curriculumOrder(nBands: Int, salt: String): String =
+    s"""WITH t AS (SELECT doc_id,
+       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |q AS (SELECT doc_id,
+       |  CAST(len(list_distinct(toks)) * 1000000 // len(toks) AS BIGINT) AS quality_ppm,
+       |  ${sampleBucketExpr("doc_id", salt)} AS b FROM t),
+       |c AS (SELECT quality_ppm, count(*) AS cnt FROM q GROUP BY 1),
+       |bd AS (SELECT quality_ppm,
+       |  coalesce(sum(cnt) OVER (ORDER BY quality_ppm DESC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) * $nBands
+       |    // sum(cnt) OVER () AS band FROM c)
+       |SELECT q.doc_id, CAST(bd.band AS BIGINT) AS band,
+       |  CAST(row_number() OVER (ORDER BY bd.band, q.b, q.doc_id) - 1 AS BIGINT) AS pos
+       |FROM q JOIN bd ON q.quality_ppm = bd.quality_ppm""".stripMargin
+
   /** Mirror of CorpusOps.stratifiedSample over documents.lang. */
   def stratifiedSample(rates: Seq[(String, Long)], defaultPpm: Long, salt: String): String = {
     val cases = rates

@@ -310,6 +310,58 @@ object CorpusOps {
       .select(col("doc_id"), col("grp").as(groupCol), col("quality_ppm"))
   }
 
+  /** Curriculum ordering — the data-ordering step of quality-annealed
+    * training: documents are laid out best-quality-band first, and
+    * SHUFFLED within each band (a raw quality sort would correlate
+    * adjacent training batches; the within-band salted-hash shuffle
+    * decorrelates them while preserving the coarse easy→hard
+    * schedule). Output: (doc_id, band, pos) with pos dense in [0, N)
+    * over the total order (band asc, shuffle-hash, doc_id).
+    *
+    * Band assignment is distribution-derived and whole-class like
+    * [[qualityGateCuts]]: a score class's band is
+    * floor(cum_above * nBands / n) — the quantile its TOP falls in —
+    * so membership is a pure function of (score distribution, score),
+    * no per-document rank. Position assignment is the
+    * [[globalShuffle]] two-level prefix sum with the band as the
+    * leading key: per-(band, bucket) windows in parallel, one
+    * exclusive prefix over the (nBands × nBuckets)-row totals frame
+    * broadcast back. Deterministic end to end; the oracle reproduces
+    * it with single global windows. */
+  def curriculumOrder(docs: DataFrame, nBands: Int = 10,
+      salt: String = "#curriculum", nBuckets: Int = 32,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(nBands > 0 && nBuckets > 0, s"nBands=$nBands nBuckets=$nBuckets")
+    val scored = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.qualityPpm(col(textCol)).as("quality_ppm"),
+      sampleBucket(col(idCol), salt).as("b"))
+    val wAbove = Window.orderBy(col("quality_ppm").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // classes frame: bounded by the 1e6+1 distinct ppm scores — the
+    // only single-partition windows run over it, never the corpus
+    val bands = scored.groupBy(col("quality_ppm"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_above", coalesce(sum(col("cnt")).over(wAbove), lit(0L)))
+      .withColumn("n", sum(col("cnt")).over())
+      .select(col("quality_ppm"),
+        TextFunctions.intDiv(col("cum_above") * nBands, col("n")).as("band"))
+    val d = scored.join(broadcast(bands), "quality_ppm")
+      .withColumn("bucket", TextFunctions.intDiv(col("b") * nBuckets, lit(1000000L)))
+    val wIn = Window.partitionBy(col("band"), col("bucket"))
+      .orderBy(col("b"), col("doc_id"))
+    val wB = Window.orderBy(col("band"), col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = d.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("bucket_total"))
+      // single-partition window over nBands*nBuckets ROWS, not the corpus
+      .withColumn("bucket_offset", coalesce(sum(col("bucket_total")).over(wB), lit(0L)))
+      .select(col("band"), col("bucket"), col("bucket_offset"))
+    d.withColumn("within_rank", row_number().over(wIn).cast("long") - 1L)
+      .join(broadcast(offsets), Seq("band", "bucket"))
+      .select(col("doc_id"), col("band"),
+        (col("bucket_offset") + col("within_rank")).as("pos"))
+  }
+
   /** The gate distilled to its serveable artifact: per group, the
     * minimum quality score that survives [[qualityGate]]'s whole-class
     * quota — kept classes are always a top-prefix of the score order

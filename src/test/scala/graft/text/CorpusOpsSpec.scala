@@ -213,6 +213,32 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(applied == out.toSet)
   }
 
+  test("curriculumOrder: band-major positions, shuffled within bands, any bucket count") {
+    import spark.implicits._
+    // two quality classes: 6 docs fully distinct (1e6), 6 half (5e5);
+    // nBands=2 puts the classes in bands 0 and 1 exactly
+    val d = ((1L to 6L).map(i => (i, s"a$i b$i")) ++
+      (11L to 16L).map(i => (i, s"c$i c$i"))).toDF("doc_id", "text")
+    def run(nBuckets: Int) =
+      CorpusOps.curriculumOrder(d, nBands = 2, nBuckets = nBuckets)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // naive spec: band by class top quantile, order (band, hash, id)
+    val hash = d.select(col("doc_id"),
+        CorpusOps.sampleBucket(col("doc_id"), "#curriculum").as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val naive = ((1L to 6L).map(i => (i, 0L)) ++ (11L to 16L).map(i => (i, 1L)))
+      .sortBy { case (id, band) => (band, hash(id), id) }
+      .zipWithIndex.map { case ((id, band), i) => (id, band, i.toLong) }.toSet
+    for (nBuckets <- Seq(1, 4, 32))
+      assert(run(nBuckets).toSet == naive, s"nBuckets=$nBuckets")
+    // high-quality band occupies strictly lower positions than low
+    val byBand = run(4).groupBy(_._2).view.mapValues(_.map(_._3)).toMap
+    assert(byBand(0L).max < byBand(1L).min)
+    // within a band the layout is the salted-hash order, not id order
+    val band0Ids = run(4).filter(_._2 == 0L).sortBy(_._3).map(_._1).toSeq
+    assert(band0Ids == (1L to 6L).sortBy(i => (hash(i), i)))
+  }
+
   private def srcDocs(rows: (Long, String, String)*) = {
     import spark.implicits._
     rows.toDF("doc_id", "source", "text")
