@@ -321,6 +321,20 @@ object SparkEntry {
     // schedule); bands are whole score classes from the distribution
     "q_curriculum" -> ((s, dir) =>
       graft.text.CorpusOps.curriculumOrder(table(s, dir, "documents"), 4, "#curriculum", 8)),
+    // snapshot diff: two deterministic snapshots of the corpus (old
+    // drops doc_id%11==3; new drops %13==5 and revises %7==0) diffed
+    // by content hash into added/removed/changed/unchanged counts —
+    // the audit run between two crawl dumps that decides what the
+    // incremental pipeline reprocesses
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+      val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(coalesce(col("text"), lit("")), lit(" v2")))
+          .otherwise(col("text")))
+      graft.operators.Diagnostics.corpusDiff(oldSnap, newSnap)
+    }),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -975,6 +989,12 @@ object SparkEntry {
           (col("dev") * col("dev") >
             lit(9) * (col("n") * col("q") - col("s") * col("s"))).as("is_anomaly"))
     }),
+    // join-key skew pre-flight: top-10 heaviest user_id keys with
+    // exact ppm shares and skew-vs-average multiples — the
+    // one-aggregate audit that decides whether a downstream join on
+    // this key needs salting (q_salted) or a plain hash shuffle
+    "q_skew_profile" -> ((s, dir) =>
+      graft.operators.Diagnostics.skewProfile(events(s, dir), "user_id", 10)),
     "q_events_dau" -> ((s, dir) => {
       val DayNs = 86400000000000L
       val e = events(s, dir).select(
@@ -1859,6 +1879,7 @@ object SparkEntry {
     "q_shuffle_global" -> DocSql.globalShuffle("#shuffle"),
     "q_curriculum" -> DocSql.curriculumOrder(4, "#curriculum"),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
+    "q_corpus_diff" -> DocSql.corpusDiff,
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain
@@ -1969,6 +1990,7 @@ object SparkEntry {
     "q_agg_incremental" -> DocSql.aggIncremental,
     "q_source_evolution" -> DocSql.sourceEvolution,
     "q_events_anomaly" -> EventSql.eventsAnomaly,
+    "q_skew_profile" -> EventSql.skewProfile(10),
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational pre-flight diagnostics — the cheap one-scan audits a
+  * pipeline runs BEFORE committing to an expensive shuffle shape.
+  *
+  * All outputs are exact integer math (ppm shares via integer
+  * division), so the DuckDB oracle reproduces them bit-for-bit.
+  */
+object Diagnostics {
+
+  /** Join/aggregation-key skew profile: the top-k heaviest keys with
+    * their exact row share and skew-vs-average multiple, plus the
+    * global (n_rows, n_keys) context on every row.
+    *
+    * This is the number that decides the physical plan downstream:
+    * `skew_x_avg_ppm` >> 1e6 on the top key means a plain hash
+    * shuffle on this key will straggle and the join needs salting
+    * ([[graft.operators.SaltedJoin]]) or AQE skew splitting; a flat
+    * profile means the plain shuffle is fine. Running the profile is
+    * one aggregate — strictly cheaper than discovering the same fact
+    * from a 10×-straggling stage at 100 TB.
+    *
+    * Shape at 100 TB: per-key counts are ONE hash aggregate with
+    * map-side partial combine (the only corpus-sized exchange, and
+    * it's (key, long) rows, not payloads); the top-k is
+    * TakeOrderedAndProject over that counts frame (per-partition
+    * heaps, never a full sort); the global totals are a single-row
+    * aggregate of the same counts frame; ranking and the final
+    * context attach run on k and 1 rows respectively (broadcast
+    * NLJ). The deterministic total order (n desc, key asc) makes the
+    * k-th boundary engine- and partitioning-independent. */
+  def skewProfile(df: DataFrame, keyCol: String, k: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.agg(
+      sum(col("n")).as("n_rows"), count(lit(1)).as("n_keys"))
+    val top = counts
+      .orderBy(col("n").desc, col("key"))
+      .limit(k)
+      // k rows by construction — the single-partition window is fine
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("n").desc, col("key")))
+          .cast("long"))
+    top.crossJoin(broadcast(totals))
+      .select(
+        col("rank"), col("key"), col("n"),
+        col("n_rows"), col("n_keys"),
+        graft.text.TextFunctions.intDiv(
+          col("n") * lit(1000000L), col("n_rows")).as("share_ppm"),
+        graft.text.TextFunctions.intDiv(
+          col("n") * col("n_keys") * lit(1000000L), col("n_rows"))
+          .as("skew_x_avg_ppm"))
+  }
+
+  /** Corpus snapshot diff: classify every id across two snapshots of
+    * the same table as added / removed / changed / unchanged by
+    * content hash — the audit run between two crawl dumps (or two
+    * pipeline runs) before deciding what to reprocess. Incremental
+    * processing at 100 TB starts here: reprocess `added`+`changed`,
+    * tombstone `removed`, skip `unchanged` (usually ~99% of bytes).
+    *
+    * Emits per-class counts (classes with no members are absent), so
+    * the result is a bounded ≤4-row frame regardless of corpus size;
+    * the per-id classification frame is an intermediate a caller can
+    * reuse via [[diffClassify]].
+    *
+    * Shape at 100 TB: one full outer equi-join on the id (the only
+    * corpus exchange; both sides pre-hashed to (id, digest) rows —
+    * narrow, payload-free), then a 4-group aggregate with map-side
+    * combine. No sort, no window, no broadcast of anything
+    * corpus-sized. */
+  def corpusDiff(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    diffClassify(oldSnap, newSnap, idCol, textCol)
+      .groupBy(col("class"))
+      .agg(count(lit(1)).as("n"))
+
+  /** The per-id classification behind [[corpusDiff]]: one row per id
+    * present in either snapshot, with its diff class. */
+  def diffClassify(oldSnap: DataFrame, newSnap: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    def digest(df: DataFrame) = df.select(
+      col(idCol).as("id"), md5(coalesce(col(textCol), lit(""))).as("h"))
+    val a = digest(oldSnap).withColumnRenamed("h", "h_old")
+    val b = digest(newSnap).withColumnRenamed("h", "h_new")
+    a.join(b, Seq("id"), "full_outer")
+      .select(col("id"),
+        when(col("h_old").isNull, lit("added"))
+          .when(col("h_new").isNull, lit("removed"))
+          .when(col("h_old") === col("h_new"), lit("unchanged"))
+          .otherwise(lit("changed")).as("class"))
+  }
+}

@@ -1066,4 +1066,24 @@ object DocSql {
        |  JOIN dsh b ON b.doc_id = cand.doc_b)
        |SELECT doc_a, doc_b, inter, sz_sum - inter AS uni
        |FROM pairs WHERE 2 * inter >= sz_sum - inter""".stripMargin
+
+  /** Mirror of q_corpus_diff: two deterministic snapshots derived
+    * from the documents table (old drops doc_id%11==3; new drops
+    * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by
+    * content hash via a full outer join. */
+  val corpusDiff: String =
+    s"""WITH olds AS (SELECT doc_id AS id, md5(coalesce(text, '')) AS h_old
+       |  FROM documents WHERE doc_id % 11 <> 3),
+       |news AS (SELECT doc_id AS id,
+       |  md5(coalesce(CASE WHEN doc_id % 7 = 0
+       |    THEN coalesce(text, '') || ' v2' ELSE text END, '')) AS h_new
+       |  FROM documents WHERE doc_id % 13 <> 5),
+       |j AS (SELECT h_old, h_new
+       |  FROM olds FULL OUTER JOIN news ON olds.id = news.id)
+       |SELECT CASE WHEN h_old IS NULL THEN 'added'
+       |    WHEN h_new IS NULL THEN 'removed'
+       |    WHEN h_old = h_new THEN 'unchanged'
+       |    ELSE 'changed' END AS class,
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM j GROUP BY 1""".stripMargin
 }

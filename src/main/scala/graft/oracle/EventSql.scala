@@ -448,6 +448,23 @@ object EventSql {
        |JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of Diagnostics.skewProfile on events.user_id: the key is
+    * canonicalized to VARCHAR on both sides, so the (n desc, key asc)
+    * tie-break and the top-k boundary are the same total order in
+    * both engines. */
+  def skewProfile(k: Int): String =
+    s"""WITH c AS (SELECT CAST(user_id AS VARCHAR) AS key, count(*) AS n
+       |  FROM events GROUP BY 1),
+       |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+       |  CAST(count(*) AS BIGINT) AS n_keys FROM c),
+       |top AS (SELECT key, n,
+       |  CAST(row_number() OVER (ORDER BY n DESC, key) AS BIGINT) AS rank
+       |  FROM c ORDER BY n DESC, key LIMIT $k)
+       |SELECT rank, key, CAST(n AS BIGINT) AS n, n_rows, n_keys,
+       |  CAST(n * 1000000 // n_rows AS BIGINT) AS share_ppm,
+       |  CAST(n * n_keys * 1000000 // n_rows AS BIGINT) AS skew_x_avg_ppm
+       |FROM top, t""".stripMargin
+
   def multimodal(headBytes: Int, stride: Int): String =
     s"""SELECT doc_id,
        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkEntry
+
+/** Behavioral contracts of the pre-flight diagnostics that the
+  * oracle's value-hash can't state as an invariant: the skew profile
+  * must rank by exact counts with a flat-profile identity, and the
+  * snapshot diff classes must partition the id universe.
+  */
+class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-diagnostics-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("skewProfile: ranks are 1..k, shares match exact recounts") {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val prof = Diagnostics.skewProfile(ev, "user_id", 5).collect()
+      .sortBy(_.getAs[Long]("rank"))
+    assert(prof.map(_.getAs[Long]("rank")).toSeq == (1L to prof.length))
+    // monotone non-increasing counts down the ranking
+    prof.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getAs[Long]("n") >= b.getAs[Long]("n"))
+      case _ =>
+    }
+    // every row carries the same global context, recounted exactly
+    val nRows = ev.count()
+    val nKeys = ev.select("user_id").distinct().count()
+    prof.foreach { r =>
+      assert(r.getAs[Long]("n_rows") == nRows)
+      assert(r.getAs[Long]("n_keys") == nKeys)
+      assert(r.getAs[Long]("share_ppm") ==
+        r.getAs[Long]("n") * 1000000L / nRows)
+      assert(r.getAs[Long]("skew_x_avg_ppm") ==
+        r.getAs[Long]("n") * nKeys * 1000000L / nRows)
+    }
+    // the top key's count matches a direct recount
+    val top = prof.head
+    val recount = ev.filter(col("user_id").cast("string") === top.getAs[String]("key")).count()
+    assert(top.getAs[Long]("n") == recount)
+  }
+
+  test("skewProfile: a perfectly flat key has skew_x_avg exactly 1e6") {
+    import spark.implicits._
+    val flat = (0 until 40).map(i => (i % 8, s"v$i")).toDF("k", "v")
+    val prof = Diagnostics.skewProfile(flat, "k", 3).collect()
+    assert(prof.nonEmpty)
+    prof.foreach { r =>
+      assert(r.getAs[Long]("skew_x_avg_ppm") == 1000000L)
+    }
+  }
+
+  test("corpusDiff classes partition the id universe and match set algebra") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
+    val newSnap = docs.filter(col("doc_id") % 13 =!= 5)
+      .withColumn("text", when(col("doc_id") % 7 === 0,
+        concat(coalesce(col("text"), lit("")), lit(" v2")))
+        .otherwise(col("text")))
+    val byClass = Diagnostics.corpusDiff(oldSnap, newSnap)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val oldIds = oldSnap.select("doc_id").collect().map(_.getLong(0)).toSet
+    val newIds = newSnap.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(byClass.getOrElse("added", 0L) == (newIds -- oldIds).size)
+    assert(byClass.getOrElse("removed", 0L) == (oldIds -- newIds).size)
+    val common = (oldIds & newIds).size
+    assert(byClass.getOrElse("changed", 0L) +
+      byClass.getOrElse("unchanged", 0L) == common)
+    // changed is exactly the revised (%7==0) ids that survive both snapshots
+    assert(byClass.getOrElse("changed", 0L) ==
+      (oldIds & newIds).count(_ % 7 == 0))
+    // totals partition the union
+    assert(byClass.values.sum == (oldIds | newIds).size)
+  }
+
+  test("diffClassify emits exactly one row per id in either snapshot") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val oldSnap = docs.filter(col("doc_id") < 400)
+    val newSnap = docs.filter(col("doc_id") >= 200)
+    val cls = Diagnostics.diffClassify(oldSnap, newSnap, "doc_id", "text")
+    assert(cls.count() == docs.count())
+    assert(cls.select("id").distinct().count() == cls.count())
+    // identical texts on the overlap: everything common is unchanged
+    val m = cls.groupBy("class").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.getOrElse("changed", 0L) == 0L)
+  }
+}
