@@ -335,6 +335,17 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.operators.Diagnostics.corpusDiff(oldSnap, newSnap)
     }),
+    // fuzzy record linkage between two derived registries (4-char vs
+    // 5-char sources): rare-shingle inverted-index blocking (df-capped
+    // on BOTH sides — deterministic 100% recall over the blocking
+    // predicate, fan-out ≤ maxDf² per shingle), exact Jaccard verify,
+    // best match per left row
+    "q_link_entities" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.text.Linkage.linkBestMatch(
+        docs.filter(length(col("source")) === 4),
+        docs.filter(length(col("source")) === 5))
+    }),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -1880,6 +1891,7 @@ object SparkEntry {
     "q_curriculum" -> DocSql.curriculumOrder(4, "#curriculum"),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_corpus_diff" -> DocSql.corpusDiff,
+    "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

@@ -1067,6 +1067,42 @@ object DocSql {
        |SELECT doc_a, doc_b, inter, sz_sum - inter AS uni
        |FROM pairs WHERE 2 * inter >= sz_sum - inter""".stripMargin
 
+  /** Mirror of Linkage.linkBestMatch over the two derived registries
+    * (left = 4-char sources src0..src9, right = 5-char src10..src19):
+    * rare-shingle blocking, exact 60-bit-hash Jaccard verify, top-1
+    * per left id. Shares shinglesExpr's short-doc convention and the
+    * md5-prefix hash convention with the Spark side. */
+  def linkBestMatch(maxDf: Int, threshPpm: Long, shingleK: Int): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id AS left_id, ${shinglesExpr(shingleK)} AS sh
+       |  FROM d WHERE length(source) = 4),
+       |r AS (SELECT doc_id AS right_id, ${shinglesExpr(shingleK)} AS sh
+       |  FROM d WHERE length(source) = 5),
+       |le AS (SELECT left_id, unnest(list_distinct(sh)) AS s FROM l),
+       |re AS (SELECT right_id, unnest(list_distinct(sh)) AS s FROM r),
+       |rare AS (SELECT s FROM
+       |  (SELECT s, count(*) AS dfl FROM le GROUP BY 1) a
+       |  JOIN (SELECT s, count(*) AS dfr FROM re GROUP BY 1) b USING (s)
+       |  WHERE dfl <= $maxDf AND dfr <= $maxDf),
+       |cand AS (SELECT DISTINCT left_id, right_id
+       |  FROM le JOIN rare USING (s) JOIN re USING (s)),
+       |lh AS (SELECT left_id, list_distinct(list_transform(sh,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS h FROM l),
+       |rh AS (SELECT right_id, list_distinct(list_transform(sh,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS h FROM r),
+       |scored AS (SELECT left_id, right_id,
+       |    CAST(len(list_filter(lh.h, x -> list_contains(rh.h, x))) AS BIGINT) AS inter,
+       |    CAST(len(lh.h) + len(rh.h) AS BIGINT) AS sz_sum
+       |  FROM cand JOIN lh USING (left_id) JOIN rh USING (right_id)),
+       |j AS (SELECT left_id, right_id, inter, sz_sum - inter AS uni,
+       |    inter * 1000000 // (sz_sum - inter) AS jaccard_ppm
+       |  FROM scored WHERE inter * 1000000 // (sz_sum - inter) >= $threshPpm)
+       |SELECT left_id, right_id, inter, uni, jaccard_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |    ORDER BY jaccard_ppm DESC, right_id) AS rn FROM j)
+       |WHERE rn = 1""".stripMargin
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by

@@ -1,0 +1,96 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ColumnShims
+
+import graft.dedup.Dedup
+import graft.functions.IntersectCountSorted
+
+/** Fuzzy record linkage (entity resolution) between two HETEROGENEOUS
+  * tables — the cross-registry sibling of [[graft.dedup.Dedup]]'s
+  * self-join near-dedup. Where dedup asks "which rows of this corpus
+  * are the same document", linkage asks "which row of registry B is
+  * this registry-A row", and emits the best match per left row with
+  * an exact similarity score.
+  *
+  * Candidate generation is deterministic RARE-SHINGLE INVERTED-INDEX
+  * BLOCKING, not MinHash LSH: every pair sharing at least one shingle
+  * with document frequency ≤ maxDf on BOTH sides is a candidate —
+  * 100% recall over that blocking predicate (no probabilistic misses
+  * to tune), and the df cap bounds the per-shingle join fan-out at
+  * maxDf² pairs, so no reducer ever goes quadratic in either table.
+  * This is the classic record-linkage trade (Fellegi-Sunter style
+  * blocking): LSH recall curves suit self-join dedup at web scale;
+  * linkage between two registries wants auditable, deterministic
+  * candidate completeness.
+  *
+  * All outputs are exact integer math on the shared 60-bit md5
+  * shingle-hash convention (graft.oracle.DocSql), so the DuckDB
+  * oracle reproduces the result bit-for-bit.
+  */
+object Linkage {
+
+  /** Best fuzzy match in `right` for each `left` row, by exact
+    * distinct-k-shingle Jaccard over rare-shingle-blocked candidates:
+    * (left_id, right_id, inter, uni, jaccard_ppm), one row per left
+    * id that has a candidate at or above `threshPpm`, ties broken by
+    * smallest right_id.
+    *
+    * Shape at 100 TB: shingle explosion is a narrow flatMap; the df
+    * cap is one hash aggregate over (shingle → per-side df) with
+    * map-side combine; candidates are ONE equi-join on the shingle
+    * string (fan-out ≤ maxDf² per shingle BY CONSTRUCTION — the cap
+    * is the skew guard, playing the role LSH bucket caps play in
+    * dedup), deduplicated to distinct pairs; the verify joins
+    * materialize sorted hash arrays ONLY for rows that appear in some
+    * candidate pair, and the argmax is one per-left-id
+    * WindowGroupLimit (per-partition top-1 heaps, never a full sort).
+    * Both inputs are scanned twice (blocking + verify) — at scale the
+    * blocking index of the static registry side is a persisted
+    * artifact, and the probe side streams through it. */
+  def linkBestMatch(left: DataFrame, right: DataFrame,
+      maxDf: Int = 5, threshPpm: Long = 200000L, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    def exploded(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"),
+        explode(array_distinct(TextFunctions.shingles(col(textCol), shingleK)))
+          .as("s"))
+    val ls = exploded(left, "left")
+    val rs = exploded(right, "right")
+    // per-side document frequency; rare = discriminative AND bounded
+    val rare = ls.groupBy(col("s")).agg(count(lit(1)).as("dfl"))
+      .join(rs.groupBy(col("s")).agg(count(lit(1)).as("dfr")), "s")
+      .filter(col("dfl") <= maxDf && col("dfr") <= maxDf)
+      .select(col("s"))
+    val cand = ls.join(rare, "s").join(rs, "s")
+      .select(col("left_id"), col("right_id")).distinct()
+
+    def hashes(df: DataFrame, side: String) = df
+      .join(cand.select(col(s"${side}_id")).distinct(),
+        df(idCol) === col(s"${side}_id"), "left_semi")
+      .select(col(idCol).as(s"${side}_id"),
+        Dedup.shingleHashes(col(textCol), shingleK).as(s"sh_$side"))
+
+    val scored = cand
+      .join(hashes(left, "left"), "left_id")
+      .join(hashes(right, "right"), "right_id")
+      .select(col("left_id"), col("right_id"),
+        ColumnShims.column(IntersectCountSorted(
+          ColumnShims.expression(col("sh_left")),
+          ColumnShims.expression(col("sh_right")))).as("inter"),
+        (size(col("sh_left")) + size(col("sh_right"))).cast("long").as("sz_sum"))
+      .withColumn("uni", col("sz_sum") - col("inter"))
+      .withColumn("jaccard_ppm",
+        TextFunctions.intDiv(col("inter") * lit(1000000L), col("uni")))
+      .filter(col("jaccard_ppm") >= threshPpm)
+    scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("left_id"))
+          .orderBy(col("jaccard_ppm").desc, col("right_id"))))
+      .filter(col("rn") === 1)
+      .select(col("left_id"), col("right_id"), col("inter"), col("uni"),
+        col("jaccard_ppm"))
+  }
+}
