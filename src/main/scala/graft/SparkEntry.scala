@@ -346,6 +346,24 @@ object SparkEntry {
         docs.filter(length(col("source")) === 4),
         docs.filter(length(col("source")) === 5))
     }),
+    // exact phrase search over positional postings: occurrence count +
+    // first position per matching doc; probe cost scales with the
+    // phrase tokens' df, never the corpus
+    "q_text_phrase" -> ((s, dir) =>
+      graft.text.Postings.phraseSearch(
+        graft.text.Postings.positional(table(s, dir, "documents")),
+        Seq("slow", "hash", "batch"))),
+    // the serving shape: the same phrase probed against the PERSISTED
+    // token-sorted postings artifact (write-once; the probe's token
+    // filters push down into the clustered parquet scan)
+    "q_text_phrase_indexed" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_postings/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.Postings.buildIndex(table(s, dir, "documents"), path)
+      })
+      graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
+    }),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -1892,6 +1910,8 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
+    "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
+    "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

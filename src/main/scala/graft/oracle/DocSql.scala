@@ -1103,6 +1103,27 @@ object DocSql {
        |    ORDER BY jaccard_ppm DESC, right_id) AS rn FROM j)
        |WHERE rn = 1""".stripMargin
 
+  /** Mirror of Postings.phraseSearch: positional postings via zipped
+    * unnest (0-based positions matching Spark's posexplode), one CTE
+    * slice per phrase token shifted to its start position, joined on
+    * (doc_id, start). */
+  def phraseSearch(phrase: Seq[String]): String = {
+    def esc(t: String) = t.replace("'", "''")
+    val slices = phrase.zipWithIndex.map { case (t, i) =>
+      s"s$i AS (SELECT doc_id, pos - $i AS strt FROM p WHERE token = '${esc(t)}')"
+    }.mkString(",\n")
+    val joins = (1 until phrase.length)
+      .map(i => s"JOIN s$i USING (doc_id, strt)").mkString(" ")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token,
+       |    unnest(generate_series(0, len(toks) - 1)) AS pos FROM d),
+       |$slices
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       |  CAST(min(strt) AS BIGINT) AS first_pos
+       |FROM s0 $joins GROUP BY doc_id""".stripMargin
+  }
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by

@@ -1,0 +1,73 @@
+package graft.text
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Behavioral contracts of the positional-postings phrase search:
+  * exact consecutive-sequence semantics (including overlapping and
+  * repeated-token phrases), build/serve equivalence, and the pushed
+  * token filter on the persisted index's scan.
+  */
+class PostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-postings-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("phrase semantics: consecutive only, overlapping and repeated tokens") {
+    val docs = df(
+      1L -> "a b c a b c",   // "a b c" twice, at 0 and 3
+      2L -> "a c b",         // tokens present, sequence absent
+      3L -> "x a b c y",     // once, at 1
+      4L -> "a a a")         // "a a" overlaps: starts 0 and 1
+    val p = Postings.positional(docs)
+    val abc = Postings.phraseSearch(p, Seq("a", "b", "c"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(abc == Map(1L -> ((2L, 0L)), 3L -> ((1L, 1L))))
+    val aa = Postings.phraseSearch(p, Seq("a", "a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(aa == Map(4L -> ((2L, 0L))))
+    // single-token phrase degenerates to term frequency + first position
+    val a1 = Postings.phraseSearch(p, Seq("a"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(a1 == Map(1L -> ((2L, 0L)), 2L -> ((1L, 0L)), 3L -> ((1L, 1L)),
+      4L -> ((3L, 0L))))
+  }
+
+  test("indexed probe equals the one-shot search on real data") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val phrase = Seq("data", "query")
+    val oneShot = Postings.phraseSearch(Postings.positional(docs), phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(oneShot.nonEmpty, "expected 'data query' hits at sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("postings").toString
+    Postings.buildIndex(docs, path)
+    val served = Postings.phraseSearchIndexed(spark, path, phrase)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(served == oneShot)
+  }
+
+  test("indexed probe pushes the token filter into the parquet scan") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("postings").toString
+    Postings.buildIndex(docs, path)
+    val plan = Postings.phraseSearchIndexed(spark, path, Seq("data", "query"))
+      .queryExecution.executedPlan.toString()
+    assert(plan.contains("EqualTo(token,data)"),
+      s"token filter must reach the scan as a pushed predicate:\n$plan")
+    assert(plan.contains("EqualTo(token,query)"),
+      s"every phrase token's filter must push down:\n$plan")
+  }
+}
