@@ -335,6 +335,17 @@ object SparkEntry {
           .otherwise(col("text")))
       graft.operators.Diagnostics.corpusDiff(oldSnap, newSnap)
     }),
+    // link-analysis document scoring: 3 power iterations of exact
+    // integer PageRank over the MinHash similarity graph — the
+    // weighted-propagation graph primitive alongside union-find's
+    // connected components; divide-before-sum keeps every iteration
+    // order-independent and oracle-gated (a float PageRank never is)
+    "q_graph_rank" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.graph.GraphRank.pageRank(
+        docs.select(col("doc_id")),
+        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+    }),
     // fuzzy record linkage between two derived registries (4-char vs
     // 5-char sources): rare-shingle inverted-index blocking (df-capped
     // on BOTH sides — deterministic 100% recall over the blocking
@@ -1910,6 +1921,7 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
+    "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),

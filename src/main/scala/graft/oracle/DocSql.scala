@@ -824,6 +824,32 @@ object DocSql {
        |SELECT doc_a, doc_b, minhash_matches FROM m
        |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
 
+  /** Mirror of GraphRank.pageRank over the MinHash pair graph:
+    * symmetrized edges + outdegrees, then `iters` unrolled power
+    * iterations in exact integer math (divide-before-sum makes each
+    * contribution order-independent; HUGEINT intermediates cast back
+    * to BIGINT at the end — docs/COMPAT.md convention). */
+  def graphRank(p: MinHashParams, iters: Int): String = {
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS doc_id, sum(r${k - 1}.r // e.outdeg) AS c
+         |  FROM ed e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src GROUP BY 1),
+         |r$k AS (SELECT n.doc_id, $base + 85 * coalesce(c$k.c, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$k USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, CAST($scale AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
+  }
+
   /** Transitive closure of the MinHash pair graph as CTEs ending in
     * `comp(id, lbl)` — a recursive CTE floods every node's id along
     * the (symmetrized) edges; each node keeps the minimum id that
