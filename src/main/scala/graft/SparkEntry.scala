@@ -375,6 +375,21 @@ object SparkEntry {
       })
       graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
     }),
+    // the GROWING postings index: base build (doc_id%5!=0) + one
+    // appended batch (%5==0) serves identically to a from-scratch
+    // full-corpus build — postings are per-row-pure, so appends are
+    // pure file adds in the strongest (nothing-can-drift) regime;
+    // gated by the PLAIN full-corpus phrase oracle
+    "q_text_phrase_append" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_postings_grown/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.Postings.buildIndex(docs.filter(col("doc_id") % 5 =!= 0), path)
+        graft.text.Postings.appendIndex(docs.filter(col("doc_id") % 5 === 0), path)
+      })
+      graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
+    }),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -1924,6 +1939,7 @@ object SparkEntry {
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
+    "q_text_phrase_append" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

@@ -66,4 +66,37 @@ object Postings {
   def phraseSearchIndexed(spark: SparkSession, path: String,
       phrase: Seq[String]): DataFrame =
     phraseSearch(spark.read.parquet(path), phrase)
+
+  /** Grow the index with a new batch — a pure FILE ADD (no
+    * read-modify-write of existing files). Postings are per-row-pure
+    * (each (token, doc_id, pos) row is a function of its own document
+    * alone), so build + any append sequence serves IDENTICALLY to a
+    * from-scratch build over the union — the strongest append regime,
+    * same as the sketch family. The cost is physical, not logical:
+    * appended files are batch-clustered rather than token-clustered,
+    * so row-group skipping degrades on them until [[compactIndex]]
+    * restores the global token order. */
+  def appendIndex(batch: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    positional(batch, idCol, textCol)
+      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      .write.mode("append").parquet(path)
+
+  /** Re-sort the whole index into token-clustered files after a run
+    * of appends — the postings twin of the layout/sketch compactors:
+    * one range exchange over the stored rows (never the corpus), an
+    * atomic directory swap, zero logical change (serve-equivalence
+    * spec'd). */
+  def compactIndex(spark: SparkSession, path: String): Unit = {
+    val tmp = path + "_compacting"
+    spark.read.parquet(path)
+      .repartitionByRange(col("token"))
+      .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(hPath, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
+      s"compaction swap failed for $path")
+  }
 }

@@ -59,6 +59,27 @@ class PostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == oneShot)
   }
 
+  test("build + appends serve identically to a from-scratch union build") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val phrase = Seq("data", "query")
+    def probe(path: String) =
+      Postings.phraseSearchIndexed(spark, path, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // three-way split appended in two batches
+    val grown = java.nio.file.Files.createTempDirectory("postings_grown").toString
+    Postings.buildIndex(docs.filter(col("doc_id") % 3 === 0), grown)
+    Postings.appendIndex(docs.filter(col("doc_id") % 3 === 1), grown)
+    Postings.appendIndex(docs.filter(col("doc_id") % 3 === 2), grown)
+    val full = java.nio.file.Files.createTempDirectory("postings_full").toString
+    Postings.buildIndex(docs, full)
+    val grownHits = probe(grown)
+    assert(grownHits.nonEmpty)
+    assert(grownHits == probe(full))
+    // compaction is a physical re-sort with zero logical change
+    Postings.compactIndex(spark, grown)
+    assert(probe(grown) == grownHits)
+  }
+
   test("indexed probe pushes the token filter into the parquet scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val path = java.nio.file.Files.createTempDirectory("postings").toString
