@@ -390,6 +390,12 @@ object SparkEntry {
       })
       graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
     }),
+    // hybrid retrieval: BM25 + exact-phrase rankings fused by integer
+    // reciprocal-rank fusion — fusion runs on rankers×r rows, never
+    // the corpus; no score normalization to tune or drift
+    "q_rank_fusion" -> ((s, dir) =>
+      graft.text.Fusion.hybridSearch(table(s, dir, "documents"),
+        Seq("table", "scan", "merge"), Seq("slow", "hash", "batch"), 15)),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -1940,6 +1946,8 @@ object SparkEntry {
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_append" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
+    "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),
+      Seq("slow", "hash", "batch"), 20, 15, 60L),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

@@ -1150,6 +1150,24 @@ object DocSql {
        |FROM s0 $joins GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of Fusion.hybridSearch: BM25 and phrase rankings (each
+    * bounded to top-r by its own total order) fused by integer RRF.
+    * The ranker SQLs nest as subqueries with their own WITH chains. */
+  def rrfFusion(terms: Seq[String], phrase: Seq[String],
+      r: Int, k: Int, kRrf: Long): String =
+    s"""WITH bm AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY score DESC, doc_id) AS rnk
+       |  FROM (${bm25Rank(terms, r)})),
+       |ph0 AS (SELECT * FROM (${phraseSearch(phrase)})
+       |  ORDER BY n_hits DESC, first_pos, doc_id LIMIT $r),
+       |ph AS (SELECT doc_id,
+       |    row_number() OVER (ORDER BY n_hits DESC, first_pos, doc_id) AS rnk
+       |  FROM ph0),
+       |u AS (SELECT doc_id, rnk FROM bm UNION ALL SELECT doc_id, rnk FROM ph)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_rankers,
+       |  CAST(sum(1000000 // ($kRrf + rnk)) AS BIGINT) AS rrf_score
+       |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT $k""".stripMargin
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by
