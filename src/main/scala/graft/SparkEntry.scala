@@ -390,6 +390,11 @@ object SparkEntry {
       })
       graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
     }),
+    // per-source distinctive terms: top-3 tokens by exact integer
+    // lift vs the corpus-wide rate — the domain-signature audit run
+    // before trusting a source's self-declared topic
+    "q_domain_terms" -> ((s, dir) =>
+      graft.text.CorpusOps.domainTerms(table(s, dir, "documents"), 3)),
     // hybrid retrieval: BM25 + exact-phrase rankings fused by integer
     // reciprocal-rank fusion — fusion runs on rankers×r rows, never
     // the corpus; no score normalization to tune or drift
@@ -1948,6 +1953,7 @@ object SparkEntry {
     "q_text_phrase_append" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),
       Seq("slow", "hash", "batch"), 20, 15, 60L),
+    "q_domain_terms" -> DocSql.domainTerms(3, 5L),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

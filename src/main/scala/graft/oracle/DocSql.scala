@@ -1168,6 +1168,26 @@ object DocSql {
        |  CAST(sum(1000000 // ($kRrf + rnk)) AS BIGINT) AS rrf_score
        |FROM u GROUP BY 1 ORDER BY rrf_score DESC, doc_id LIMIT $k""".stripMargin
 
+  /** Mirror of CorpusOps.domainTerms: per-source top-k tokens by
+    * integer lift vs the corpus-wide rate. */
+  def domainTerms(k: Int, minTf: Long): String =
+    s"""WITH tok AS (SELECT source,
+       |    unnest(string_split(coalesce(text, ''), ' ')) AS token FROM documents),
+       |st AS (SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+       |gt AS (SELECT token, CAST(sum(tf) AS BIGINT) AS tf_global FROM st GROUP BY 1),
+       |stot AS (SELECT source, CAST(sum(tf) AS BIGINT) AS src_tokens
+       |  FROM st GROUP BY 1),
+       |tot AS (SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens FROM stot),
+       |scored AS (SELECT st.source, st.token, CAST(st.tf AS BIGINT) AS tf,
+       |    CAST(st.tf * total_tokens * 1000000 // (src_tokens * tf_global)
+       |      AS BIGINT) AS lift_ppm
+       |  FROM st JOIN gt USING (token) JOIN stot USING (source), tot
+       |  WHERE st.tf >= $minTf)
+       |SELECT source, CAST(rnk AS BIGINT) AS rnk, token, tf, lift_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY source
+       |    ORDER BY lift_ppm DESC, token) AS rnk FROM scored)
+       |WHERE rnk <= $k""".stripMargin
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by

@@ -616,6 +616,49 @@ object CorpusOps {
     aggd.join(med, "source")
   }
 
+  /** Per-source DISTINCTIVE terms — the domain-signature audit: for
+    * each source its top-k tokens by integer LIFT, lift_ppm =
+    * (tf_in_source · total_tokens · 1e6) // (source_tokens ·
+    * tf_global) — how over-represented the token is in this source
+    * vs the corpus (1e6 = corpus-typical). The tf-idf question
+    * ("what characterizes this domain") asked with a ratio instead
+    * of a log, so the answer is exact integer math and oracle-gated;
+    * a minimum in-source tf floor keeps one-off tokens from posting
+    * infinite-looking lifts.
+    *
+    * Shape at 100 TB: ONE (source, token) hash aggregate with
+    * map-side combine over the exploded token stream (the only
+    * corpus-sized exchange); global per-token tfs roll up from that
+    * frame (vocabulary-sized, not corpus-sized); per-source totals
+    * broadcast; the per-source top-k is WindowGroupLimit (per-
+    * partition heaps). */
+  def domainTerms(docs: DataFrame, k: Int, minTf: Long = 5L,
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val st = docs
+      .select(col(sourceCol).as("source"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val gt = st.groupBy(col("token")).agg(sum(col("tf")).as("tf_global"))
+    val srcTotals = st.groupBy(col("source")).agg(sum(col("tf")).as("src_tokens"))
+    val totals = srcTotals.agg(sum(col("src_tokens")).as("total_tokens"))
+    val scored = st.filter(col("tf") >= minTf)
+      .join(gt, "token")
+      .join(broadcast(srcTotals), "source")
+      .crossJoin(broadcast(totals))
+      .select(col("source"), col("token"), col("tf"),
+        TextFunctions.intDiv(
+          col("tf") * col("total_tokens") * lit(1000000L),
+          col("src_tokens") * col("tf_global")).as("lift_ppm"))
+    scored
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source"))
+          .orderBy(col("lift_ppm").desc, col("token"))).cast("long"))
+      .filter(col("rnk") <= k)
+      .select(col("source"), col("rnk"), col("token"), col("tf"), col("lift_ppm"))
+  }
+
   /** Temperature-scaled source-mixture weights — the multilingual /
     * multi-domain sampling rule (p_s proportional to n_s^alpha with
     * alpha < 1) that up-samples small sources so the biggest domain

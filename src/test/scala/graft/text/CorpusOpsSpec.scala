@@ -341,6 +341,24 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((3L, s"1_0_${oov("x")}")))
   }
 
+  test("domainTerms: hand-computed lift, tf floor, per-source top-k") {
+    import spark.implicits._
+    // source a: 6 tokens (x x x y z w), source b: 6 tokens (y y y z w q)
+    val d = Seq(
+      (1L, "a", "x x x y z w"),
+      (2L, "b", "y y y z w q")).toDF("doc_id", "source", "text")
+    val out = CorpusOps.domainTerms(d, 2, minTf = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getString(2), r.getLong(3), r.getLong(4)))).toMap
+    spark.catalog.clearCache()
+    // lift(x in a) = 3 * 12 * 1e6 // (6 * 3) = 2e6 (all of x is in a)
+    assert(out(("a", 1L)) == (("x", 3L, 2000000L)))
+    assert(out(("b", 1L)) == (("y", 3L, 3 * 12 * 1000000L / (6 * 4))))
+    // rank 2 in each source: the only other token at tf >= 2 is absent
+    // (z, w, q all tf 1 per source) -> exactly one row per source
+    assert(!out.contains(("a", 2L)) && !out.contains(("b", 2L)))
+  }
+
   test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
     import spark.implicits._
     // stratum "small": 3 docs, few distinct shingles (< k) -> exact path
