@@ -390,6 +390,11 @@ object SparkEntry {
       })
       graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
     }),
+    // bigram-LM surprisal quality proxy: per-doc mean inverse bigram
+    // conditional in exact ppm — the KenLM-filter signal with a
+    // bit-for-bit oracle instead of a float perplexity
+    "q_text_lm" -> ((s, dir) =>
+      graft.text.CorpusOps.lmSurprisal(table(s, dir, "documents"))),
     // per-source distinctive terms: top-3 tokens by exact integer
     // lift vs the corpus-wide rate — the domain-signature audit run
     // before trusting a source's self-declared topic
@@ -1954,6 +1959,7 @@ object SparkEntry {
     "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),
       Seq("slow", "hash", "batch"), 20, 15, 60L),
     "q_domain_terms" -> DocSql.domainTerms(3, 5L),
+    "q_text_lm" -> DocSql.lmSurprisal,
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

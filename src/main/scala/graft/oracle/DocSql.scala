@@ -1188,6 +1188,29 @@ object DocSql {
        |    ORDER BY lift_ppm DESC, token) AS rnk FROM scored)
        |WHERE rnk <= $k""".stripMargin
 
+  /** Mirror of CorpusOps.lmSurprisal: per-doc instance-weighted mean
+    * of the corpus inverse bigram conditional in ppm. Shares
+    * textRepetition's strict bigram comprehension (empty below 2
+    * tokens) and first-space prefix extraction with the Spark side. */
+  val lmSurprisal: String =
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |  unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS g
+       |  FROM d),
+       |dg AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2),
+       |c2 AS (SELECT g, CAST(sum(n) AS BIGINT) AS c2 FROM dg GROUP BY 1),
+       |c1 AS (SELECT split_part(g, ' ', 1) AS prev,
+       |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb,
+       |    CAST(sum(n * (c1 * 1000000 // c2)) AS BIGINT) AS ssum
+       |  FROM dg JOIN c2 USING (g)
+       |  JOIN c1 ON c1.prev = split_part(dg.g, ' ', 1) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(CASE WHEN coalesce(nb, 0) = 0 THEN 0
+       |    ELSE ssum // nb END AS BIGINT) AS surprisal_ppm
+       |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by

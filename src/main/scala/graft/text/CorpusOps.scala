@@ -659,6 +659,52 @@ object CorpusOps {
       .select(col("source"), col("rnk"), col("token"), col("tf"), col("lift_ppm"))
   }
 
+  /** Per-document bigram-LM surprisal proxy — the KenLM-perplexity
+    * quality filter rationalized to exact integer math: for each
+    * adjacent bigram (prev, cur), the corpus-level inverse conditional
+    * probability 1/p(cur|prev) = c(prev·)·1e6 // c(prev,cur) in ppm,
+    * and per document the instance-weighted mean. Word salad scores
+    * high (its bigrams are corpus-rare given their prefixes), fluent
+    * repeated phrasing scores low — the standard LM-filter signal,
+    * here with a bit-for-bit oracle instead of a float perplexity.
+    *
+    * Shape at 100 TB: bigram explosion is narrow; per-(doc, bigram)
+    * counts are ONE map-side-combining hash aggregate (the only
+    * corpus-sized exchange); the corpus bigram/prefix tables roll up
+    * from that frame (vocabulary²-bounded, not corpus-bounded) and
+    * join back on the bigram key; the per-doc mean is a partial
+    * aggregate. In production the c1/c2 count tables are the frozen
+    * LM artifact (their merge law is plain sum, so appends are exact
+    * like the sketch family); here they derive in-query. */
+  def lmSurprisal(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val dg = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.bigrams(col(textCol))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val c2 = dg.groupBy(col("g")).agg(sum(col("n")).as("c2"))
+    val c1 = c2
+      .withColumn("prev", substring_index(col("g"), " ", 1))
+      .groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val sc = dg
+      .join(c2, "g")
+      .withColumn("prev", substring_index(col("g"), " ", 1))
+      .join(c1, "prev")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("nb"),
+        sum(col("n") * TextFunctions.intDiv(col("c1") * lit(1000000L), col("c2")))
+          .as("ssum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("nb"), lit(0L)) === 0L, 0L)
+          .otherwise(TextFunctions.intDiv(col("ssum"), col("nb")))
+          .as("surprisal_ppm"))
+  }
+
   /** Temperature-scaled source-mixture weights — the multilingual /
     * multi-domain sampling rule (p_s proportional to n_s^alpha with
     * alpha < 1) that up-samples small sources so the biggest domain

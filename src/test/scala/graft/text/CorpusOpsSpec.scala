@@ -359,6 +359,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out.contains(("a", 2L)) && !out.contains(("b", 2L)))
   }
 
+  test("lmSurprisal: hand-computed inverse conditionals, empty-doc zero") {
+    // corpus: c2(a b)=3, c2(b a)=2, c2(a c)=1; c1(a)=4, c1(b)=2
+    // s(a b)=4e6//3=1333333, s(b a)=2e6//2=1e6, s(a c)=4e6//1=4e6
+    val d = docs(1L -> "a b", 2L -> "a b a b a", 3L -> "a c", 4L -> "x")
+    val out = CorpusOps.lmSurprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    d.sparkSession.catalog.clearCache()
+    assert(out(1L) == ((1L, 1333333L)))
+    // doc 2's 4 bigrams: (a b)(b a)(a b)(b a)
+    // mean = (2*1333333 + 2*1000000) // 4 = 1166666
+    assert(out(2L) == ((4L, (2 * 1333333L + 2 * 1000000L) / 4)))
+    assert(out(4L) == ((0L, 0L)))
+    // the rarer continuation scores strictly higher than the common one
+    assert(out(3L)._2 > out(1L)._2)
+  }
+
   test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
     import spark.implicits._
     // stratum "small": 3 docs, few distinct shingles (< k) -> exact path
