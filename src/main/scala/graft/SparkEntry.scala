@@ -1060,6 +1060,36 @@ object SparkEntry {
           (col("dev") * col("dev") >
             lit(9) * (col("n") * col("q") - col("s") * col("s"))).as("is_anomaly"))
     }),
+    // the ROBUST twin of q_events_anomaly: 3×MAD around the discrete
+    // lower median — one genuine spike inflates a stddev enough to
+    // mask a second spike, but moves a median not at all; both
+    // medians are row_number picks over a (value, day) total order,
+    // so the flags stay exact-integer and oracle-gated
+    "q_events_anomaly_mad" -> ((s, dir) => {
+      val DayNs = 86400000000000L
+      val daily = events(s, dir)
+        .groupBy(col("event_type"),
+          graft.text.TextFunctions.intDiv(col("ts"), lit(DayNs)).as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+      // per-type frames are days-sized; the windows never see the corpus
+      def lowerMedian(df: DataFrame, valCol: String, outCol: String) = {
+        val w = Window.partitionBy(col("event_type"))
+          .orderBy(col(valCol), col("day_idx"))
+        val wc = Window.partitionBy(col("event_type"))
+        df.withColumn("rn", row_number().over(w))
+          .withColumn("nn", count(lit(1)).over(wc))
+          .filter(col("rn") === graft.text.TextFunctions.intDiv(
+            col("nn") + 1L, lit(2L)))
+          .select(col("event_type"), col(valCol).as(outCol))
+      }
+      val med = lowerMedian(daily, "cnt", "med")
+      val dev = daily.join(broadcast(med), "event_type")
+        .withColumn("dv", abs(col("cnt") - col("med")))
+      val mad = lowerMedian(dev, "dv", "mad")
+      dev.join(broadcast(mad), "event_type")
+        .select(col("event_type"), col("day_idx"), col("cnt"), col("med"),
+          col("mad"), (col("dv") > lit(3L) * col("mad")).as("is_anomaly"))
+    }),
     // join-key skew pre-flight: top-10 heaviest user_id keys with
     // exact ppm shares and skew-vs-average multiples — the
     // one-aggregate audit that decides whether a downstream join on
@@ -2071,6 +2101,7 @@ object SparkEntry {
     "q_source_evolution" -> DocSql.sourceEvolution,
     "q_events_anomaly" -> EventSql.eventsAnomaly,
     "q_skew_profile" -> EventSql.skewProfile(10),
+    "q_events_anomaly_mad" -> EventSql.eventsAnomalyMad,
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

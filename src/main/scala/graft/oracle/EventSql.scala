@@ -448,6 +448,31 @@ object EventSql {
        |JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of q_events_anomaly_mad: the ROBUST twin of
+    * eventsAnomaly — lower discrete median and median absolute
+    * deviation via row_number over the (value, day_idx) total order,
+    * flag |cnt - med| > 3·mad. All exact integers; the lower-median
+    * convention matches CorpusOps.domainStats. */
+  val eventsAnomalyMad: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |m AS (SELECT event_type, cnt AS med FROM (
+      |  SELECT event_type, cnt,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY cnt, day_idx) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM daily)
+      |  WHERE rn = (n + 1) // 2),
+      |dev AS (SELECT d.event_type, d.day_idx, d.cnt, m.med,
+      |    abs(d.cnt - m.med) AS dv FROM daily d JOIN m USING (event_type)),
+      |md AS (SELECT event_type, dv AS mad FROM (
+      |  SELECT event_type, dv,
+      |    row_number() OVER (PARTITION BY event_type ORDER BY dv, day_idx) AS rn,
+      |    count(*) OVER (PARTITION BY event_type) AS n FROM dev)
+      |  WHERE rn = (n + 1) // 2)
+      |SELECT dev.event_type, dev.day_idx, dev.cnt, dev.med, md.mad,
+      |  dev.dv > 3 * md.mad AS is_anomaly
+      |FROM dev JOIN md USING (event_type)""".stripMargin
+
   /** Mirror of Diagnostics.skewProfile on events.user_id: the key is
     * canonicalized to VARCHAR on both sides, so the (n desc, key asc)
     * tie-break and the top-k boundary are the same total order in

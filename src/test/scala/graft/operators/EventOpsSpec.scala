@@ -25,6 +25,24 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("anomaly_mad: median/MAD/flags match an independent driver recount") {
+    val rows = SparkEntry.queries("q_events_anomaly_mad")(spark, dir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      // recompute the discrete lower median over (value, day) order
+      def lowerMed(vs: Seq[Long]): Long = vs.sorted.apply((vs.length + 1) / 2 - 1)
+      val med = lowerMed(rs.toSeq.sortBy(_.getLong(1)).map(_.getLong(2)))
+      val mad = lowerMed(rs.toSeq.map(r => math.abs(r.getLong(2) - med)))
+      rs.foreach { r =>
+        assert(r.getLong(3) == med, s"median mismatch: $r")
+        assert(r.getLong(4) == mad, s"mad mismatch: $r")
+        assert(r.getBoolean(5) == (math.abs(r.getLong(2) - med) > 3 * mad),
+          s"flag mismatch: $r")
+      }
+    }
+  }
+
   test("scd2: per-user intervals chain gaplessly, exactly one current row") {
     val rows = SparkEntry.queries("q_events_scd2")(spark, dir)
       .select("user_id", "valid_from_us", "valid_to_us", "is_current")
