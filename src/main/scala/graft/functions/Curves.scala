@@ -312,6 +312,20 @@ object Curves {
       > SELECT _FUNC_('mail bob@x.co or 555-123-0042 from 10.1.2.3');
        3
   """),
+    FunctionDoc("top_bigram_count", (args: Seq[Expression]) => args match {
+      case Seq(t) => TopBigramCount(t)
+      case other => throw new IllegalArgumentException(
+        s"top_bigram_count expects (tokens), got ${other.size} arguments")
+    }, "top_bigram_count(tokens) - multiplicity of the most frequent " +
+      "adjacent token bigram (the in-row repetition signal); 0 below 2 tokens",
+      classOf[TopBigramCount], "array_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(split('a b a b a', ' '));
+       2
+      > SELECT _FUNC_(split('one', ' '));
+       0
+  """),
     FunctionDoc("nfc_normalize", (args: Seq[Expression]) => args match {
       case Seq(t) => NfcNormalize(t)
       case other => throw new IllegalArgumentException(

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Count of the most frequent adjacent token BIGRAM, in one native
+  * pass over the token array — the Gopher-style in-row repetition
+  * signal (q_text_repetition).
+  *
+  * Semantically equal to the builtin-composed
+  * `aggregate(array_sort(bigrams(text)), …)` run-counter
+  * ([[graft.text.TextFunctions.topBigramCountBuiltin]], the
+  * executable SPEC — equality asserted in CorpusOpsSpec), but ~10×
+  * faster: Catalyst's higher-order functions are CodegenFallback and
+  * evaluate their lambda per element on boxed rows, which made this
+  * the single slowest query of the round-11 bench (2.97 s for a
+  * 5,000-row narrow projection). Here the bigram never materializes
+  * as a string at all: start indices are sorted by (token_i,
+  * token_i+1) pairs — bigram-string equality is pair equality because
+  * the join character is the split character — and one run-count pass
+  * reads off the max. 0 below 2 tokens.
+  */
+case class TopBigramCount(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "top_bigram_count"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"top_bigram_count expects array<string>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopBigramRuntime.topCount(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopBigramRuntime.topCount($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TopBigramCount =
+    copy(child = newChild)
+}
+
+object TopBigramRuntime {
+
+  /** Max adjacent-bigram multiplicity of a token array. */
+  def topCount(toks: ArrayData): Long = {
+    val n = toks.numElements()
+    if (n < 2) return 0L
+    val ts = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { ts(i) = toks.getUTF8String(i); i += 1 }
+    // sort bigram start indices by (first, second) token; any total
+    // order groups equal bigrams adjacently, which is all we need
+    val idx = new Array[Integer](n - 1)
+    i = 0
+    while (i < n - 1) { idx(i) = Integer.valueOf(i); i += 1 }
+    java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
+      override def compare(a: Integer, b: Integer): Int = {
+        val c = ts(a.intValue).compareTo(ts(b.intValue))
+        if (c != 0) c else ts(a.intValue + 1).compareTo(ts(b.intValue + 1))
+      }
+    })
+    var best = 1L
+    var run = 1L
+    i = 1
+    while (i < n - 1) {
+      val p = idx(i - 1).intValue
+      val q = idx(i).intValue
+      if (ts(p).compareTo(ts(q)) == 0 && ts(p + 1).compareTo(ts(q + 1)) == 0) {
+        run += 1L
+        if (run > best) best = run
+      } else run = 1L
+      i += 1
+    }
+    best
+  }
+}

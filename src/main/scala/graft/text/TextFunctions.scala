@@ -58,13 +58,24 @@ object TextFunctions {
         i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
   }
 
-  /** Count of the most frequent bigram, computed WITHIN the row: sort
-    * the bigram array, then one aggregate() pass counts the longest
-    * equal-run — no per-(doc, ngram) shuffle, the whole repetition
-    * signal stays a narrow projection (the 100 TB point: Gopher-style
-    * repetition filters run over every document; keying a shuffle by
-    * (doc, ngram) would dwarf the query). 0 for < 2 tokens. */
+  /** Count of the most frequent bigram, computed WITHIN the row — no
+    * per-(doc, ngram) shuffle, the whole repetition signal stays a
+    * narrow projection (the 100 TB point: Gopher-style repetition
+    * filters run over every document; keying a shuffle by (doc,
+    * ngram) would dwarf the query). 0 for < 2 tokens. Native
+    * single-pass expression ([[graft.functions.TopBigramCount]]);
+    * [[topBigramCountBuiltin]] is the executable spec. */
   def topBigramCount(text: Column): Column =
+    ColumnShims.column(graft.functions.TopBigramCount(
+      ColumnShims.expression(tokens(text))))
+
+  /** Builtin-composed [[topBigramCount]] — the executable SPEC
+    * (CorpusOpsSpec asserts equality with the native expression):
+    * sort the bigram array, then one aggregate() pass counts the
+    * longest equal-run. Catalyst HOFs are CodegenFallback (per-element
+    * interpreted lambdas), which made this the round-11 bench's
+    * slowest query at 2.97 s — kept only as the spec. */
+  def topBigramCountBuiltin(text: Column): Column =
     aggregate(array_sort(bigrams(text)),
       struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
         lit(0L).as("best")),

@@ -82,6 +82,15 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 3L))
   }
 
+  test("topBigramCount: native expression == builtin-composed spec on real data") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        TextFunctions.topBigramCount(col("text")).as("native"),
+        TextFunctions.topBigramCountBuiltin(col("text")).as("builtin"))
+    assert(d.filter(col("native") =!= col("builtin")).count() == 0)
+    assert(d.filter(col("native") > 0).count() > 0)
+  }
+
   test("vocabCoverage: per-source OOV counts against the frozen topK vocabulary") {
     import spark.implicits._
     // vocab (topK=2) = {a, b} (tf order); source s1 all in-vocab,
