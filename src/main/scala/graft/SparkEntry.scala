@@ -395,6 +395,32 @@ object SparkEntry {
     // bit-for-bit oracle instead of a float perplexity
     "q_text_lm" -> ((s, dir) =>
       graft.text.CorpusOps.lmSurprisal(table(s, dir, "documents"))),
+    // the FROZEN LM artifact's serve path: score the corpus against
+    // the persisted bigram count table (write-once); same oracle as
+    // q_text_lm because the artifact derives from the same corpus
+    "q_text_lm_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_lm_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeLmIndex(docs, path)
+      })
+      graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
+    }),
+    // the GROWING LM artifact: base build (doc_id%4!=0) + appended
+    // batch (%4==0) — partial counts merge by plain sum, so the grown
+    // artifact scores identically to a from-scratch build (gated by
+    // the PLAIN full-corpus q_text_lm oracle)
+    "q_text_lm_append" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_lm_grown/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeLmIndex(docs.filter(col("doc_id") % 4 =!= 0), path)
+        graft.text.CorpusOps.appendLmIndex(docs.filter(col("doc_id") % 4 === 0), path)
+      })
+      graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
+    }),
     // per-source distinctive terms: top-3 tokens by exact integer
     // lift vs the corpus-wide rate — the domain-signature audit run
     // before trusting a source's self-declared topic
@@ -1990,6 +2016,8 @@ object SparkEntry {
       Seq("slow", "hash", "batch"), 20, 15, 60L),
     "q_domain_terms" -> DocSql.domainTerms(3, 5L),
     "q_text_lm" -> DocSql.lmSurprisal,
+    "q_text_lm_indexed" -> DocSql.lmSurprisal,
+    "q_text_lm_append" -> DocSql.lmSurprisal,
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

@@ -705,6 +705,64 @@ object CorpusOps {
           .as("surprisal_ppm"))
   }
 
+  /** The scoring half of [[lmSurprisal]] against an explicit bigram
+    * count table (g, n): c2 = per-bigram totals, c1 = per-prefix
+    * totals rolled up from c2, then the per-doc instance-weighted
+    * mean. Counts need not come from `docs` — this is the serve path
+    * of the frozen LM artifact. */
+  def lmScoreWith(docs: DataFrame, counts: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val c2 = counts.groupBy(col("g")).agg(sum(col("n")).as("c2"))
+    val c1 = c2
+      .withColumn("prev", substring_index(col("g"), " ", 1))
+      .groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
+    val sc = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.bigrams(col(textCol))).as("g"))
+      .groupBy(col("doc_id"), col("g"))
+      .agg(count(lit(1)).as("n"))
+      .join(c2, "g")
+      .withColumn("prev", substring_index(col("g"), " ", 1))
+      .join(c1, "prev")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("nb"),
+        sum(col("n") * TextFunctions.intDiv(col("c1") * lit(1000000L), col("c2")))
+          .as("ssum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nb"), lit(0L)).as("n_bigrams"),
+        when(coalesce(col("nb"), lit(0L)) === 0L, 0L)
+          .otherwise(TextFunctions.intDiv(col("ssum"), col("nb")))
+          .as("surprisal_ppm"))
+  }
+
+  /** Persist the LM count artifact: per-batch PARTIAL bigram counts
+    * (g, n). The merge law is plain sum — associative, commutative —
+    * so [[appendLmIndex]] is a pure file add and build + any append
+    * sequence scores IDENTICALLY to a from-scratch full-corpus build
+    * (the sketch-family exact regime; spec'd in CorpusOpsSpec). At
+    * 100 TB this is the frozen LM a quality-filter fleet ships:
+    * vocabulary²-bounded, rebuilt never, refreshed by appending the
+    * new crawl's partials. */
+  def writeLmIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    docs.select(explode(TextFunctions.bigrams(col(textCol))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(path)
+
+  def appendLmIndex(batch: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    batch.select(explode(TextFunctions.bigrams(col(textCol))).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(path)
+
+  /** Serve path: score a frame against the stored LM counts. */
+  def lmScoreIndexed(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    lmScoreWith(docs, spark.read.parquet(path), idCol, textCol)
+
   /** Temperature-scaled source-mixture weights — the multilingual /
     * multi-domain sampling rule (p_s proportional to n_s^alpha with
     * alpha < 1) that up-samples small sources so the biggest domain

@@ -384,6 +384,24 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L)._2 > out(1L)._2)
   }
 
+  test("lm artifact: build+appends score identically to from-scratch; serve == one-shot") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val oneShot = scores(CorpusOps.lmSurprisal(d))
+    spark.catalog.clearCache()
+    // full build serve == one-shot
+    val full = java.nio.file.Files.createTempDirectory("lm_full").toString
+    CorpusOps.writeLmIndex(d, full)
+    assert(scores(CorpusOps.lmScoreIndexed(spark, d, full)) == oneShot)
+    // three-way grown artifact == from-scratch
+    val grown = java.nio.file.Files.createTempDirectory("lm_grown").toString
+    CorpusOps.writeLmIndex(d.filter(col("doc_id") % 3 === 0), grown)
+    CorpusOps.appendLmIndex(d.filter(col("doc_id") % 3 === 1), grown)
+    CorpusOps.appendLmIndex(d.filter(col("doc_id") % 3 === 2), grown)
+    assert(scores(CorpusOps.lmScoreIndexed(spark, d, grown)) == oneShot)
+  }
+
   test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
     import spark.implicits._
     // stratum "small": 3 docs, few distinct shingles (< k) -> exact path
