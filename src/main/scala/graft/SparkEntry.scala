@@ -1116,6 +1116,19 @@ object SparkEntry {
         .select(col("event_type"), col("day_idx"), col("cnt"), col("med"),
           col("mad"), (col("dv") > lit(3L) * col("mad")).as("is_anomaly"))
     }),
+    // watermark sizing audit: replay events in a deterministically
+    // jittered arrival order (md5 delay 0..2h — the engine's RNG-free
+    // stand-in for network jitter) and count what each candidate
+    // watermark would drop; running max via the two-level prefix-max,
+    // never a global single-task window
+    "q_events_late" -> ((s, dir) => {
+      val e = events(s, dir).withColumn("arrival",
+        col("ts") + graft.text.TextFunctions.hashBucket(
+          concat(col("event_id").cast("string"), lit("#arrival")), 7200)
+          * lit(1000000000L))
+      graft.operators.Diagnostics.watermarkAudit(e,
+        Seq(600000000000L, 3600000000000L))
+    }),
     // join-key skew pre-flight: top-10 heaviest user_id keys with
     // exact ppm shares and skew-vs-average multiples — the
     // one-aggregate audit that decides whether a downstream join on
@@ -2130,6 +2143,8 @@ object SparkEntry {
     "q_events_anomaly" -> EventSql.eventsAnomaly,
     "q_skew_profile" -> EventSql.skewProfile(10),
     "q_events_anomaly_mad" -> EventSql.eventsAnomalyMad,
+    "q_events_late" -> EventSql.watermarkAudit(
+      Seq(600000000L, 3600000000L), 7200),
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

@@ -56,6 +56,62 @@ object Diagnostics {
           .as("skew_x_avg_ppm"))
   }
 
+  /** Watermark-lateness audit — the batch pre-flight that SIZES a
+    * streaming watermark before deployment: replay the events in
+    * arrival order and, for each candidate watermark W, count the
+    * events whose event time is more than W behind the maximum event
+    * time already seen at their arrival (exactly the rows
+    * `withWatermark(W)` would drop). Output one row per candidate:
+    * (watermark_us, n_events, n_late, late_ppm).
+    *
+    * The running "max seen so far" is the same two-level
+    * decomposition as packSequences' prefix sum — a global
+    * `max() OVER (ORDER BY arrival)` window would funnel 100 TB
+    * through one task. Arrival values are range-bucketed into
+    * contiguous slices (order-preserving), the exclusive running max
+    * is windowed per bucket in parallel, and the exclusive prefix
+    * over the nBuckets-row bucket-max frame is broadcast back; the
+    * effective max-before is the greatest of the two. The (arrival,
+    * order) order is total, so flags are engine-independent and the
+    * oracle's single global window reproduces them bit-for-bit. */
+  def watermarkAudit(df: DataFrame, watermarksNs: Seq[Long],
+      tsCol: String = "ts", arrivalCol: String = "arrival",
+      orderCol: String = "event_id", nBuckets: Int = 8): DataFrame = {
+    require(watermarksNs.nonEmpty && nBuckets > 0)
+    val d = df.select(col(tsCol).as("t"), col(arrivalCol).as("arr"),
+      col(orderCol).as("oid"))
+    val span = d.agg(min(col("arr")).as("lo"), max(col("arr")).as("hi"))
+    val bucketed = d.crossJoin(broadcast(span))
+      .withColumn("bucket", graft.text.TextFunctions.intDiv(
+        (col("arr") - col("lo")) * nBuckets, col("hi") - col("lo") + 1))
+    val wIn = Window.partitionBy(col("bucket")).orderBy(col("arr"), col("oid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wB = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = bucketed.groupBy(col("bucket"))
+      .agg(max(col("t")).as("bmax"))
+      // single-partition window over nBuckets ROWS, not the corpus
+      .withColumn("pmax", max(col("bmax")).over(wB))
+      .select(col("bucket"), col("pmax"))
+    val base = bucketed
+      .withColumn("wmax", max(col("t")).over(wIn))
+      .join(broadcast(prefix), "bucket")
+      // greatest skips nulls (first row of first bucket stays null)
+      .withColumn("mx", greatest(col("wmax"), col("pmax")))
+    val aggs = count(lit(1)).as("n_events") +:
+      watermarksNs.zipWithIndex.map { case (w, i) =>
+        sum(when(col("mx").isNotNull && col("t") < col("mx") - w, 1L)
+          .otherwise(0L)).as(s"late_$i")
+      }
+    val one = base.agg(aggs.head, aggs.tail: _*)
+    watermarksNs.zipWithIndex.map { case (w, i) =>
+      one.select(lit(w / 1000L).as("watermark_us"), col("n_events"),
+        col(s"late_$i").as("n_late"),
+        graft.text.TextFunctions.intDiv(
+          col(s"late_$i") * lit(1000000L), col("n_events")).as("late_ppm"))
+    }.reduce(_ unionAll _)
+  }
+
   /** Corpus snapshot diff: classify every id across two snapshots of
     * the same table as added / removed / changed / unchanged by
     * content hash — the audit run between two crawl dumps (or two

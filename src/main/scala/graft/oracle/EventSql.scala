@@ -473,6 +473,29 @@ object EventSql {
       |  dev.dv > 3 * md.mad AS is_anomaly
       |FROM dev JOIN md USING (event_type)""".stripMargin
 
+  /** Mirror of q_events_late: md5-jittered arrival order, one global
+    * exclusive running-max window (the Spark side decomposes the same
+    * total order two-level), per-watermark drop counts. All µs here,
+    * ns on the engine side — flags identical since ns = µs·1000. */
+  def watermarkAudit(watermarksUs: Seq[Long], jitterMod: Int): String = {
+    val lates = watermarksUs.zipWithIndex.map { case (w, i) =>
+      s"CAST(sum(CASE WHEN mx IS NOT NULL AND t < mx - $w THEN 1 ELSE 0 END) AS BIGINT) AS l$i"
+    }.mkString(",\n  ")
+    val rows = watermarksUs.zipWithIndex.map { case (w, i) =>
+      s"SELECT CAST($w AS BIGINT) AS watermark_us, n_events, l$i AS n_late, " +
+        s"CAST(l$i * 1000000 // n_events AS BIGINT) AS late_ppm FROM a"
+    }.mkString("\nUNION ALL ")
+    s"""WITH e AS (SELECT event_id, epoch_us(ts) AS t,
+       |    epoch_us(ts) + (CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)
+       |      || '#arrival'), 1, 8)) AS BIGINT) % $jitterMod) * 1000000 AS arr
+       |  FROM events),
+       |r AS (SELECT t, max(t) OVER (ORDER BY arr, event_id
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mx FROM e),
+       |a AS (SELECT CAST(count(*) AS BIGINT) AS n_events,
+       |  $lates FROM r)
+       |$rows""".stripMargin
+  }
+
   /** Mirror of Diagnostics.skewProfile on events.user_id: the key is
     * canonicalized to VARCHAR on both sides, so the (n desc, key asc)
     * tie-break and the top-k boundary are the same total order in

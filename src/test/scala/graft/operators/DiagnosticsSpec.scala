@@ -63,6 +63,31 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("watermarkAudit: equals the naive global-window recount, bucket-invariant") {
+    import spark.implicits._
+    // hand-built arrival disorder: event 4 (t=100) arrives before
+    // event 3 (t=40, 60 late), event 6 (t=90, 110 late after t=200)
+    val rows = Seq(
+      (1L, 10000L, 1L), (2L, 30000L, 2L), (4L, 100000L, 3L), (3L, 40000L, 4L),
+      (5L, 200000L, 5L), (6L, 90000L, 6L))
+    val df = rows.toDF("event_id", "ts", "arrival")
+    def audit(nB: Int) = Diagnostics.watermarkAudit(
+      df, Seq(50000L, 120000L), nBuckets = nB).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // naive recount: running max in arrival order (exclusive)
+    val sorted = rows.sortBy(r => (r._3, r._1))
+    def naive(w: Long) = sorted.zipWithIndex.count { case ((_, t, _), i) =>
+      i > 0 && t < sorted.take(i).map(_._2).max - w
+    }.toLong
+    val a = audit(3)
+    assert(a(50L) == ((6L, naive(50000L), naive(50000L) * 1000000L / 6)))
+    assert(a(50L)._2 == 2L) // events 3 and 6 are >50µs behind the max seen
+    // the wider watermark catches both stragglers: nothing dropped
+    assert(a(120L)._2 == naive(120000L) && a(120L)._2 == 0L)
+    // bucket decomposition is invisible: any nBuckets, same answer
+    assert(audit(1) == a && audit(7) == a)
+  }
+
   test("corpusDiff classes partition the id universe and match set algebra") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
