@@ -61,6 +61,32 @@ object StreamFilter {
       }
       .start()
 
+  /** Streaming LM quality scoring — the third read-only-artifact
+    * filter: the frozen bigram-count LM
+    * ([[CorpusOps.writeLmIndex]], sum-merge exact appends) scores
+    * each arriving micro-batch via [[CorpusOps.lmScoreWith]] and the
+    * scored rows append to `resultPath`. Stream == batch for the
+    * same reason as the bloom/quality gates: scoring is a pure
+    * function of (document, artifact) — each doc's score never
+    * depends on other docs in its batch (asserted in StreamingSpec). */
+  def ingestLmScore(docs: DataFrame, lmPath: String, resultPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$resultPath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val counts = batch.sparkSession.read.parquet(lmPath)
+          CorpusOps.lmScoreWith(batch, counts)
+            .write.mode("append").parquet(resultPath)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+
   def ingestBloom(docs: DataFrame, bitsPath: String, resultPath: String,
       checkpoint: String, words: Int = 8192,
       p: CorpusOps.ContaminationParams = CorpusOps.ContaminationParams())

@@ -709,7 +709,12 @@ object CorpusOps {
     * count table (g, n): c2 = per-bigram totals, c1 = per-prefix
     * totals rolled up from c2, then the per-doc instance-weighted
     * mean. Counts need not come from `docs` — this is the serve path
-    * of the frozen LM artifact. */
+    * of the frozen LM artifact. Bigrams the LM has never seen are
+    * SKIPPED (n_bigrams counts only LM-known bigrams): the score
+    * stays a mean over defined conditionals rather than inventing a
+    * smoothing constant the oracle would have to replicate; a serving
+    * pipeline that wants unseen-as-max-surprisal can compare
+    * n_bigrams against [[graft.text.TextFunctions.tokenCount]]-1. */
   def lmScoreWith(docs: DataFrame, counts: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val c2 = counts.groupBy(col("g")).agg(sum(col("n")).as("c2"))

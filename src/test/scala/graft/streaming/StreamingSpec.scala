@@ -488,6 +488,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.map(_._1) == Set(101L, 103L))
   }
 
+  test("streaming LM scoring through the frozen count artifact == one batch call") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_lm").toString
+    // frozen LM from a calibration snapshot: "a b" common, "a c" rare
+    val snap = Seq((1L, "a b a b a b"), (2L, "a b"), (3L, "a c"))
+    graft.text.CorpusOps.writeLmIndex(snap.toDF("doc_id", "text"), s"$tmp/lm")
+    val b1 = Seq((101L, "a b a b"), (102L, "a c a c"))
+    val b2 = Seq((103L, "a b"), (104L, "q q"))
+    val schema = b1.toDF("doc_id", "text").schema
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamFilter.ingestLmScore(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/lm", s"$tmp/scored", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rows(df: DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows(spark.read.parquet(s"$tmp/scored"))
+    val batched = rows(graft.text.CorpusOps.lmScoreWith(
+      (b1 ++ b2).toDF("doc_id", "text"),
+      spark.read.parquet(s"$tmp/lm")))
+    assert(streamed == batched)
+    // the rare-continuation doc outranks the common-phrase doc; the
+    // out-of-vocabulary doc scores 0 bigrams (no LM rows to join)
+    val byId = streamed.map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(byId(102L)._2 > byId(101L)._2)
+    assert(byId(104L) == ((0L, 0L)))
+  }
+
   test("streaming CDC upsert of the partitioned sink == sequential upsertPartitioned calls") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_upsert").toString
