@@ -336,6 +336,55 @@ object Dedup {
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     writeIndexPartition(docs, path, p, idCol, textCol, "append")
 
+  /** Compact a grown signature index after a run of appends — the
+    * dedup twin of the sketch/postings compactors, and the only one
+    * whose merge does real WORK at read time: every probe re-merges
+    * the per-append bucket partials (`sum(n)`, `min(min_id)`) and
+    * re-filters `band_rows` by the merged count. Compaction
+    * materializes that merge once: band_stats collapses to one row
+    * per bucket, and band_rows drops the rows of buckets that crossed
+    * the skew cap ACROSS appends (each append could only cap within
+    * itself — a bucket under the cap in every append but over it
+    * merged keeps dead rows the probe never reads). Signatures are
+    * rewritten as-is. Probe results are bit-identical before/after
+    * (DedupSpec asserts); merged-under-cap buckets always have all
+    * their rows because any append-side drop implies the merged count
+    * is over the cap too.
+    *
+    * Shape at 100 TB: one hash aggregate over the (buckets-sized)
+    * stats partials, one semi-join filter over band_rows, one rewrite
+    * of sigs — all ∝ the index, never the corpus, and the swap is
+    * per-subdirectory rename. Run it when probe-side `bn` merges show
+    * many multi-partial buckets (the same trigger as the sketch
+    * compactors' file-count heuristic). */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: MinHashParams = MinHashParams()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def swapIn(sub: String, df: DataFrame): Unit =
+      df.write.mode("overwrite").parquet(s"$path/${sub}_compacting")
+    def finish(sub: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(live, true)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"), live),
+        s"compaction swap failed for $path/$sub")
+    }
+    val stats = spark.read.parquet(s"$path/band_stats")
+      .groupBy(col("band_idx"), col("band_hash"))
+      .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))
+    val under = stats.filter(col("n") <= p.maxBucketSize)
+      .select(col("band_idx"), col("band_hash"))
+    val rows = spark.read.parquet(s"$path/band_rows")
+      .join(under, Seq("band_idx", "band_hash"), "left_semi")
+    val sigs = spark.read.parquet(s"$path/sigs")
+    // materialize ALL merged frames before swapping any source dir
+    swapIn("band_stats", stats)
+    swapIn("band_rows", rows)
+    swapIn("sigs", sigs)
+    finish("band_stats"); finish("band_rows"); finish("sigs")
+  }
+
   private def writeIndexPartition(docs: DataFrame, path: String, p: MinHashParams,
       idCol: String, textCol: String, mode: String): Unit = {
     val sigs = docs

@@ -370,6 +370,45 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("signature index compaction: probe-identical, stats collapse, dead rows dropped") {
+    // the cap-crossing shape again: two 40-doc identical batches put
+    // the merged bucket (80) over the 64 cap while each append stored
+    // its rows — compaction must drop those dead rows AND keep the
+    // probe answer (star through merged min) bit-identical
+    val batchA = docs((1L to 40L).map(i => i -> "u v w x y z q r s t"): _*)
+    val batchB = docs((41L to 80L).map(i => i -> "u v w x y z q r s t"): _*)
+    // plus an under-cap pair of near-dup batches that must survive intact
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val oldA = docs(901L -> base)
+    val oldB = docs(902L -> base)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sig_compact").toString
+    Dedup.writeSignatureIndex(batchA, tmp + "/idx")
+    Dedup.appendSignatureIndex(batchB, tmp + "/idx")
+    Dedup.appendSignatureIndex(oldA, tmp + "/idx")
+    Dedup.appendSignatureIndex(oldB, tmp + "/idx")
+    val probe = docs(999L -> "u v w x y z q r s t",
+      998L -> base.replace("tok7", "tokX"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val before = rows(Dedup.minhashPairsAgainstIndex(probe, tmp + "/idx"))
+    assert(before.map(t => (t._1, t._2)).contains((999L, 1L)))
+    assert(before.map(t => (t._1, t._2)).contains((998L, 901L)))
+    val statsBefore = spark.read.parquet(tmp + "/idx/band_stats").count()
+    val rowsBefore = spark.read.parquet(tmp + "/idx/band_rows").count()
+    Dedup.compactSignatureIndex(spark, tmp + "/idx")
+    assert(rows(Dedup.minhashPairsAgainstIndex(probe, tmp + "/idx")) == before)
+    // one row per bucket now, and the over-cap bucket's rows are gone
+    val statsAfter = spark.read.parquet(tmp + "/idx/band_stats")
+    assert(statsAfter.count() < statsBefore)
+    assert(statsAfter.groupBy("band_idx", "band_hash").count()
+      .filter(col("count") > 1).count() == 0)
+    assert(spark.read.parquet(tmp + "/idx/band_rows").count() < rowsBefore)
+    // compaction is idempotent
+    Dedup.compactSignatureIndex(spark, tmp + "/idx")
+    assert(rows(Dedup.minhashPairsAgainstIndex(probe, tmp + "/idx")) == before)
+    spark.catalog.clearCache()
+  }
+
   test("signature index: probing a batch already appended yields no self-pairs") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val batch = docs(1L -> base, 2L -> base.replace("tok7", "tokX"))
