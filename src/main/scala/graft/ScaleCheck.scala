@@ -90,7 +90,16 @@ object ScaleCheck {
       // whose 100 TB story IS the fixed-size-artifact claim — HLL's
       // register frame and the bloom bitset must stay flat while the
       // corpus-side scan scales with rows
-      "q_sketch_hll", "q_filter_bloom", "q_sample_weighted")
+      "q_sketch_hll", "q_filter_bloom", "q_sample_weighted",
+      // round-11 continuation: the iterative graph rank (K joins over
+      // a duplication-heavy pair graph — the stress case), linkage
+      // (rare-shingle blocking under 10x df inflation: copies push
+      // shared shingles OVER the df cap, so candidates shrink — the
+      // cap doing its job), the LM score (vocabulary²-bounded count
+      // tables must stay flat), and the phrase probe (cost ∝ phrase
+      // df, which scales linearly)
+      "q_graph_rank", "q_link_entities", "q_text_lm",
+      "q_text_phrase_indexed", "q_rank_fusion")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay

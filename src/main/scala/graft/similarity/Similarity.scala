@@ -1126,6 +1126,34 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     annIndexWrite(emb, path, bands, idCol, vecCol, "append")
 
+  /** Compact a grown ANN bucket index: re-cluster the keys table by
+    * (band_idx, key) and rewrite the vectors table, so probes prune
+    * by row-group min/max again instead of touching every appended
+    * file. Purely physical — keys/coords/quantized vectors are
+    * per-row-pure, so the merge has NO logical component (unlike
+    * [[graft.dedup.Dedup.compactSignatureIndex]]'s partial
+    * collapse); SimilaritySpec asserts probe equality. Cost ∝ the
+    * index, never the corpus; per-subdirectory rename swap. */
+  def compactAnnIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def finish(sub: String): Unit = {
+      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
+      fs.delete(live, true)
+      require(fs.rename(
+        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"), live),
+        s"compaction swap failed for $path/$sub")
+    }
+    spark.read.parquet(s"$path/keys")
+      .repartitionByRange(col("band_idx"), col("key"))
+      .sortWithinPartitions(col("band_idx"), col("key"), col("vec_id"))
+      .write.mode("overwrite").parquet(s"$path/keys_compacting")
+    spark.read.parquet(s"$path/vectors")
+      .write.mode("overwrite").parquet(s"$path/vectors_compacting")
+    finish("keys"); finish("vectors")
+  }
+
   private def annIndexWrite(emb: DataFrame, path: String, bands: Int,
       idCol: String, vecCol: String, mode: String): Unit = {
     val base = emb.select(col(idCol).as("vec_id"), col(vecCol).as("v"))

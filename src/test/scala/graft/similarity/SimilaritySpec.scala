@@ -281,6 +281,11 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = rows(Similarity.annIndexTopK(spark, tmp + "/scratch",
       col("vec_id") % 10 === 0, k = 2, bucketShift = 8, spatialProbe = true))
     assert(a == b && a.nonEmpty)
+    // compaction re-clusters the grown keys with zero logical change
+    Similarity.compactAnnIndex(spark, tmp + "/app")
+    val c = rows(Similarity.annIndexTopK(spark, tmp + "/app",
+      col("vec_id") % 10 === 0, k = 2, bucketShift = 8, spatialProbe = true))
+    assert(c == a)
     spark.catalog.clearCache()
   }
 
