@@ -1300,6 +1300,40 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
     }),
 
+    // TPC-H Q5-shape six-table analytic: revenue per nation for one
+    // region-year, with the same-nation customer/supplier condition.
+    // Money math in exact integer CENTS (round(x*100) is IEEE-
+    // deterministic on identical input bits and both engines round
+    // half away from zero for positives), so a float-revenue query
+    // becomes hash-gated. Dims broadcast (region/nation always tiny;
+    // supplier at this sf — at 100 TB AQE falls back to a shuffle
+    // join on the same plan); facts join co-partitioned on their keys
+    "q_olap_revenue" -> ((s, dir) => {
+      val cents = (c: org.apache.spark.sql.Column) => round(c * 100).cast("long")
+      val li = table(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+        cents(col("l_extendedprice")).as("price_c"),
+        cents(col("l_discount")).as("disc_pct"))
+      val ord = table(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("2001-01-01").cast("timestamp"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val cust = table(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+      val sup = table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+      val nat = table(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey"), col("n_name"))
+      val reg = table(s, dir, "region").filter(col("r_name") === "ASIA")
+        .select(col("r_regionkey"))
+      cust.join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(graft.text.TextFunctions.intDiv(
+            col("price_c") * (lit(100L) - col("disc_pct")), lit(100L)))
+          .as("revenue_c"), count(lit(1)).as("n"))
+    }),
+
     // --- end-to-end: the composed training-data pipeline ----------------
     // near-dup cluster drop -> quality filter -> train split ->
     // stratified sample -> sequence packing, as ONE DataFrame program
@@ -2162,6 +2196,22 @@ object SparkEntry {
         |JOIN nation ON c_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |GROUP BY 1""".stripMargin,
+    "q_olap_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |    * (100 - CAST(round(l_discount*100) AS BIGINT)) // 100) AS BIGINT)
+        |    AS revenue_c,
+        |  count(*) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '2000-01-01'
+        |  AND o_orderdate < TIMESTAMP '2001-01-01'
         |GROUP BY 1""".stripMargin,
     "q_multimodal" -> EventSql.multimodal(16, 8),
     "q_multimodal_decode" -> EventSql.multimodalDecode(8),

@@ -327,4 +327,18 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     // "*(n)" prefixes mark WholeStageCodegen spans in the simple string
     assert(p.contains("*(1) Project"), p)
   }
+
+  test("olap revenue: date range pushed to the orders scan, fact columns pruned") {
+    val df = SparkEntry.queries("q_olap_revenue")(spark, dir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    spark.catalog.clearCache()
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+    assert(p.contains("LessThan(o_orderdate"), p)
+    // the 11-column fact table reads only its 4 needed columns
+    assert(!p.contains("l_tax") && !p.contains("l_quantity"), p)
+    // equi-joins only; the sole exchange is the nations-sized aggregate
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
