@@ -729,6 +729,11 @@ object SparkEntry {
     // combining aggregate, the pre-flight check before any index build
     "q_emb_audit" -> ((s, dir) =>
       Similarity.embAudit(table(s, dir, "embeddings"))),
+    // class-separability audit: per-label within-class scatter and
+    // centroid energy, divisions cleared via the variance identity so
+    // a variance-shaped statistic hash-gates exactly
+    "q_emb_scatter" -> ((s, dir) =>
+      Similarity.embScatter(table(s, dir, "embeddings"))),
     "q_sim_ivf_stats" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -2025,6 +2030,7 @@ object SparkEntry {
     "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     "q_sim_ivf_stats" -> SimSql.ivfListStats(16),
     "q_emb_audit" -> SimSql.embAudit,
+    "q_emb_scatter" -> SimSql.embScatter,
     // frozen quantizers: centroid + codebook pools from the build-time
     // 80%, codes over all
     "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,

@@ -49,6 +49,30 @@ object SimSql {
        |  CAST(sum(CAST(norm2 AS HUGEINT)) AS DECIMAL(38, 0)) AS sum_norm2
        |FROM n GROUP BY 1""".stripMargin
 
+  /** Mirror of Similarity.embScatter: per label the divide-free
+    * within-class scatter numerator n·Σ‖x‖² − ‖Σx‖² and the
+    * centroid-direction energy ‖Σx‖², all in HUGEINT emitted as
+    * DECIMAL(38,0). */
+  def embScatter: String =
+    s"""WITH ql AS (SELECT CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |pv AS (SELECT label, qv,
+       |    CAST(coalesce(list_sum(list_transform(qv, x -> x * x)), 0) AS HUGEINT)
+       |      AS norm2 FROM ql),
+       |e AS (SELECT label, unnest(generate_series(1, len(qv))) AS dim_idx,
+       |    unnest(qv) AS q FROM ql),
+       |s AS (SELECT label, dim_idx, CAST(sum(q) AS HUGEINT) AS sq
+       |  FROM e GROUP BY 1, 2),
+       |cn AS (SELECT label, sum(sq * sq) AS c2 FROM s GROUP BY 1),
+       |nn AS (SELECT label, CAST(count(*) AS HUGEINT) AS n,
+       |    sum(norm2) AS s2 FROM pv GROUP BY 1)
+       |SELECT nn.label, CAST(nn.n AS BIGINT) AS n_vecs,
+       |  CAST(cn.c2 AS DECIMAL(38, 0)) AS centroid_num,
+       |  CAST(nn.n * nn.s2 - cn.c2 AS DECIMAL(38, 0)) AS scatter_num
+       |FROM nn JOIN cn USING (label)""".stripMargin
+
   /** Mirror of Similarity.hardNegatives: per anchor the top-k most
     * similar DIFFERENT-label vectors, ranked by quantized dot desc,
     * negative_id asc. */

@@ -1126,6 +1126,43 @@ object Similarity {
       idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
     annIndexWrite(emb, path, bands, idCol, vecCol, "append")
 
+  /** Per-label embedding SCATTER audit — the class-separability
+    * pre-flight run before trusting labels for hard-negative mining
+    * or stratified eval: for each label, the exact fixed-point
+    * within-class scatter numerator n·Σ‖x‖² − ‖Σx‖² (= n² times the
+    * variance around the class centroid — the variance identity
+    * cleared of divisions, same move as q_events_anomaly's sigma
+    * test, so the result is oracle-gated bit-for-bit where a float
+    * variance never is) alongside ‖Σx‖² (the centroid-direction
+    * energy). A label whose scatter_num/n² dwarfs the others' is
+    * mislabeled or multi-modal — the number that decides whether
+    * label-stratified operators can trust this column.
+    *
+    * Shape at 100 TB: one narrow posexplode to (label, dim, q) and
+    * TWO map-side-combining hash aggregates ((label, dim) sums, then
+    * label rollups) joined to the labels-sized per-vector rollup —
+    * no window, no corpus join; Decimal(38,0) throughout because a
+    * squared per-dim sum overflows BIGINT at corpus scale. */
+  def embScatter(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val perVec = emb.select(col(labelCol).cast("long").as("label"),
+        quantize(col(vecCol)).as("qv"))
+      .select(col("label"), col("qv"), dotQ(col("qv"), col("qv")).as("norm2"))
+    val dimSums = perVec
+      .select(col("label"), posexplode(col("qv")).as(Seq("dim_idx", "q")))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(sum(col("q")).cast(dec).as("sq"))
+    val centroid = dimSums.groupBy(col("label"))
+      .agg(sum(col("sq") * col("sq")).as("c2"))
+    perVec.groupBy(col("label"))
+      .agg(count(lit(1)).cast(dec).as("n"), sum(col("norm2").cast(dec)).as("s2"))
+      .join(centroid, "label")
+      .select(col("label"), col("n").cast("long").as("n_vecs"),
+        col("c2").cast(dec).as("centroid_num"),
+        (col("n") * col("s2") - col("c2")).cast(dec).as("scatter_num"))
+  }
+
   /** Compact a grown ANN bucket index: re-cluster the keys table by
     * (band_idx, key) and rewrite the vectors table, so probes prune
     * by row-group min/max again instead of touching every appended

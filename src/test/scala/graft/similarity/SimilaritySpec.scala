@@ -512,6 +512,36 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a.filter(_._3 == 1L).map(_._1).toSet == Set(0L, 10L, 20L))
   }
 
+  test("embScatter: variance identity against a driver recount; identical class is zero") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(1.0f, 0.0f), 0),
+      (2L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(0.5f, 0.5f), 0),
+      (10L, Seq(0.25f, 0.75f), 1),   // label 1: identical vectors
+      (11L, Seq(0.25f, 0.75f), 1),
+      (12L, Seq(0.25f, 0.75f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embScatter(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1),
+        r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact()))).toMap
+    spark.catalog.clearCache()
+    // driver recount in exact fixed point
+    def q(x: Float) = math.floor(x.toDouble * Similarity.Scale).toLong
+    def recount(vs: Seq[Seq[Float]]) = {
+      val qs = vs.map(_.map(q))
+      val n = qs.length.toLong
+      val s2 = qs.map(v => v.map(x => x * x).sum).sum
+      val dims = qs.head.indices.map(d => qs.map(_(d)).sum)
+      val c2 = dims.map(s => s * s).sum
+      (n, c2, n * s2 - c2)
+    }
+    assert(out(0L) == recount(Seq(Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), Seq(0.5f, 0.5f))))
+    // an identical-vector class has exactly zero scatter
+    assert(out(1L)._3 == 0L)
+    assert(out(0L)._3 > 0L)
+  }
+
   test("cosinePairs star-caps an over-cap bucket instead of dropping it") {
     import spark.implicits._
     // 70 near-identical vectors: every band bucket holds all 70 (> cap
