@@ -1121,6 +1121,25 @@ object SparkEntry {
         .select(col("event_type"), col("day_idx"), col("cnt"), col("med"),
           col("mad"), (col("dv") > lit(3L) * col("mad")).as("is_anomaly"))
     }),
+    // event-type transition matrix (Markov next-action analysis):
+    // consecutive per-user event pairs via one user-partitioned lead
+    // window (parallel across users — never a global sort), rolled up
+    // to (from, to) counts with exact transition probabilities in ppm
+    "q_events_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val t = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+      val counts = t.groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = counts.groupBy(col("from_type")).agg(sum(col("n")).as("tot"))
+      counts.join(broadcast(totals), "from_type")
+        .select(col("from_type"), col("to_type"), col("n"),
+          graft.text.TextFunctions.intDiv(col("n") * lit(1000000L), col("tot"))
+            .as("p_ppm"))
+    }),
     // watermark sizing audit: replay events in a deterministically
     // jittered arrival order (md5 delay 0..2h — the engine's RNG-free
     // stand-in for network jitter) and count what each candidate
@@ -2185,6 +2204,7 @@ object SparkEntry {
     "q_events_anomaly_mad" -> EventSql.eventsAnomalyMad,
     "q_events_late" -> EventSql.watermarkAudit(
       Seq(600000000L, 3600000000L), 7200),
+    "q_events_transitions" -> EventSql.eventsTransitions,
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

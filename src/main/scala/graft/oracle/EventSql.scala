@@ -473,6 +473,21 @@ object EventSql {
       |  dev.dv > 3 * md.mad AS is_anomaly
       |FROM dev JOIN md USING (event_type)""".stripMargin
 
+  /** Mirror of q_events_transitions: per-user consecutive event-type
+    * pairs via lead over the (ts, event_id) total order, (from, to)
+    * counts and exact per-from-state probabilities in ppm. */
+  val eventsTransitions: String =
+    """WITH t AS (SELECT event_type AS from_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |      ORDER BY epoch_us(ts), event_id) AS to_type
+      |  FROM events),
+      |c AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+      |  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n,
+      |  CAST(c.n * 1000000 // tot.tot AS BIGINT) AS p_ppm
+      |FROM c JOIN tot USING (from_type)""".stripMargin
+
   /** Mirror of q_events_late: md5-jittered arrival order, one global
     * exclusive running-max window (the Spark side decomposes the same
     * total order two-level), per-watermark drop counts. All µs here,

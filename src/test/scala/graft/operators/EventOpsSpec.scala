@@ -43,6 +43,22 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("transitions: totals balance and probabilities partition each from-state") {
+    val rows = SparkEntry.queries("q_events_transitions")(spark, dir).collect()
+    assert(rows.nonEmpty)
+    // per from-state: sum of floor-divided ppm is within (#rows) of 1e6
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val tot = rs.map(_.getLong(2)).sum
+      rs.foreach(r => assert(r.getLong(3) == r.getLong(2) * 1000000L / tot))
+      val ppmSum = rs.map(_.getLong(3)).sum
+      assert(ppmSum <= 1000000L && ppmSum > 1000000L - rs.length)
+    }
+    // total transitions == total events minus one per active user
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    val expected = ev.count() - ev.select("user_id").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == expected)
+  }
+
   test("scd2: per-user intervals chain gaplessly, exactly one current row") {
     val rows = SparkEntry.queries("q_events_scd2")(spark, dir)
       .select("user_id", "valid_from_us", "valid_to_us", "is_current")
