@@ -328,6 +328,21 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("*(1) Project"), p)
   }
 
+  test("linkage: the best-match argmax runs as WindowGroupLimit, joins are equi") {
+    val p = plan("q_link_entities")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("graph rank: the degree-annotated edge list is cached once and reused") {
+    val p = plan("q_graph_rank")
+    // 3 iterations must read the SAME persisted edge frame, not
+    // recompute the MinHash pair generation per iteration
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("olap revenue: date range pushed to the orders scan, fact columns pruned") {
     val df = SparkEntry.queries("q_olap_revenue")(spark, dir)
     val p = df.queryExecution.explainString(
