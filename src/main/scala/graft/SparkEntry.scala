@@ -432,6 +432,16 @@ object SparkEntry {
     "q_rank_fusion" -> ((s, dir) =>
       graft.text.Fusion.hybridSearch(table(s, dir, "documents"),
         Seq("table", "scan", "merge"), Seq("slow", "hash", "batch"), 15)),
+    // edit-distance linkage: the character-level verify over the same
+    // rare-shingle blocking — catches dense single-character edit
+    // near-dups that shift every k-shingle; classic unit-cost DP in
+    // both engines, so the scores hash-gate
+    "q_link_edit" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.text.Linkage.linkEditDistance(
+        docs.filter(length(col("source")) === 4),
+        docs.filter(length(col("source")) === 5))
+    }),
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
@@ -2080,6 +2090,7 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
+    "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3),
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),

@@ -1129,6 +1129,35 @@ object DocSql {
        |    ORDER BY jaccard_ppm DESC, right_id) AS rn FROM j)
        |WHERE rn = 1""".stripMargin
 
+  /** Mirror of Linkage.linkEditDistance: the same blocking CTEs, a
+    * Levenshtein verify, top-1 per left by (dist, right_id). */
+  def linkEditDistance(maxDf: Int, maxNormPpm: Long, shingleK: Int): String =
+    s"""WITH d AS (SELECT doc_id, source, coalesce(text, '') AS txt,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |l AS (SELECT doc_id AS left_id, txt AS lt, ${shinglesExpr(shingleK)} AS sh
+       |  FROM d WHERE length(source) = 4),
+       |r AS (SELECT doc_id AS right_id, txt AS rt, ${shinglesExpr(shingleK)} AS sh
+       |  FROM d WHERE length(source) = 5),
+       |le AS (SELECT left_id, unnest(list_distinct(sh)) AS s FROM l),
+       |re AS (SELECT right_id, unnest(list_distinct(sh)) AS s FROM r),
+       |rare AS (SELECT s FROM
+       |  (SELECT s, count(*) AS dfl FROM le GROUP BY 1) a
+       |  JOIN (SELECT s, count(*) AS dfr FROM re GROUP BY 1) b USING (s)
+       |  WHERE dfl <= $maxDf AND dfr <= $maxDf),
+       |cand AS (SELECT DISTINCT left_id, right_id
+       |  FROM le JOIN rare USING (s) JOIN re USING (s)),
+       |sc AS (SELECT left_id, right_id,
+       |    CAST(levenshtein(l.lt, r.rt) AS BIGINT) AS dist,
+       |    CAST(greatest(length(l.lt), length(r.rt)) AS BIGINT) AS max_len
+       |  FROM cand JOIN l USING (left_id) JOIN r USING (right_id)),
+       |j AS (SELECT left_id, right_id, dist, max_len,
+       |    dist * 1000000 // greatest(max_len, 1) AS norm_ppm FROM sc
+       |  WHERE dist * 1000000 // greatest(max_len, 1) <= $maxNormPpm)
+       |SELECT left_id, right_id, dist, max_len, norm_ppm FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY left_id
+       |    ORDER BY dist, right_id) AS rn FROM j)
+       |WHERE rn = 1""".stripMargin
+
   /** Mirror of Postings.phraseSearch: positional postings via zipped
     * unnest (0-based positions matching Spark's posexplode), one CTE
     * slice per phrase token shifted to its start position, joined on

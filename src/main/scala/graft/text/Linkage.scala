@@ -50,9 +50,11 @@ object Linkage {
     * Both inputs are scanned twice (blocking + verify) — at scale the
     * blocking index of the static registry side is a persisted
     * artifact, and the probe side streams through it. */
-  def linkBestMatch(left: DataFrame, right: DataFrame,
-      maxDf: Int = 5, threshPpm: Long = 200000L, shingleK: Int = 3,
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+  /** The shared blocking stage: distinct (left_id, right_id)
+    * candidates whose texts share at least one shingle with df ≤
+    * maxDf on BOTH sides. */
+  private def blockedCandidates(left: DataFrame, right: DataFrame,
+      maxDf: Int, shingleK: Int, idCol: String, textCol: String): DataFrame = {
     def exploded(df: DataFrame, side: String) = df
       .select(col(idCol).as(s"${side}_id"),
         explode(array_distinct(TextFunctions.shingles(col(textCol), shingleK)))
@@ -64,8 +66,14 @@ object Linkage {
       .join(rs.groupBy(col("s")).agg(count(lit(1)).as("dfr")), "s")
       .filter(col("dfl") <= maxDf && col("dfr") <= maxDf)
       .select(col("s"))
-    val cand = ls.join(rare, "s").join(rs, "s")
+    ls.join(rare, "s").join(rs, "s")
       .select(col("left_id"), col("right_id")).distinct()
+  }
+
+  def linkBestMatch(left: DataFrame, right: DataFrame,
+      maxDf: Int = 5, threshPpm: Long = 200000L, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = blockedCandidates(left, right, maxDf, shingleK, idCol, textCol)
 
     def hashes(df: DataFrame, side: String) = df
       .join(cand.select(col(s"${side}_id")).distinct(),
@@ -92,5 +100,43 @@ object Linkage {
       .filter(col("rn") === 1)
       .select(col("left_id"), col("right_id"), col("inter"), col("uni"),
         col("jaccard_ppm"))
+  }
+
+  /** Edit-distance linkage — the CHARACTER-level verify over the same
+    * rare-shingle blocking: best right match per left row by
+    * Levenshtein distance, kept when the length-normalized distance
+    * is at or below `maxNormPpm`. Catches the near-dup class shingle
+    * Jaccard under-scores (dense single-character edits shift every
+    * k-shingle, but move the edit distance only per edit); both
+    * engines implement the classic unit-cost DP, so the scores
+    * hash-gate.
+    *
+    * Shape at 100 TB: blocking as [[linkBestMatch]]; the verify is a
+    * narrow per-candidate-pair projection (O(len²) per pair — the df
+    * cap bounding the pair count is what makes that affordable), and
+    * the argmax one WindowGroupLimit. */
+  def linkEditDistance(left: DataFrame, right: DataFrame,
+      maxDf: Int = 5, maxNormPpm: Long = 500000L, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val cand = blockedCandidates(left, right, maxDf, shingleK, idCol, textCol)
+    val lt = left.select(col(idCol).as("left_id"),
+      coalesce(col(textCol), lit("")).as("lt"))
+    val rt = right.select(col(idCol).as("right_id"),
+      coalesce(col(textCol), lit("")).as("rt"))
+    cand.join(lt, "left_id").join(rt, "right_id")
+      .select(col("left_id"), col("right_id"),
+        levenshtein(col("lt"), col("rt")).cast("long").as("dist"),
+        greatest(length(col("lt")), length(col("rt"))).cast("long").as("max_len"))
+      // greatest(…, 1): two empty texts are a 0-distance perfect match,
+      // not a division by zero
+      .withColumn("norm_ppm", TextFunctions.intDiv(
+        col("dist") * lit(1000000L), greatest(col("max_len"), lit(1L))))
+      .filter(col("norm_ppm") <= maxNormPpm)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("left_id"))
+          .orderBy(col("dist"), col("right_id"))))
+      .filter(col("rn") === 1)
+      .select(col("left_id"), col("right_id"), col("dist"), col("max_len"),
+        col("norm_ppm"))
   }
 }

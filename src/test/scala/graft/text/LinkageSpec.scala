@@ -68,6 +68,36 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("linkEditDistance: exact distances, catches the shingle-shifting edit class") {
+    import spark.implicits._
+    // right 100 differs from left 1 by one char at tokens 0 and 5:
+    // the 5 shingles touching an edit all shift (Jaccard drops to
+    // 2/12) while the edit distance stays 2 — the class this verify
+    // exists for; the middle run keeps shared shingles so blocking
+    // still fires
+    val l = Seq((1L, "alpha beta gamma delta epsilon zeta eta theta iota")).toDF("doc_id", "text")
+    val rgt = Seq(
+      (100L, "alphX beta gamma delta epsilon zetX eta theta iota"),
+      (101L, "completely different words here with nothing shared at all x"))
+      .toDF("doc_id", "text")
+    val out = Linkage.linkEditDistance(l, rgt, maxDf = 5).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("right_id") == 100L)
+    assert(r.getAs[Long]("dist") == 2L)
+    assert(r.getAs[Long]("norm_ppm") ==
+      2L * 1000000L / r.getAs[Long]("max_len"))
+  }
+
+  test("linkEditDistance: identical empty texts are a perfect 0-distance match") {
+    import spark.implicits._
+    val l = Seq((1L, "")).toDF("doc_id", "text")
+    val rgt = Seq((2L, "")).toDF("doc_id", "text")
+    val out = Linkage.linkEditDistance(l, rgt, maxDf = 5).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("dist") == 0L &&
+      out.head.getAs[Long]("norm_ppm") == 0L)
+  }
+
   test("df cap bounds candidate generation: a common shingle never blocks") {
     import spark.implicits._
     // 8 left rows sharing one ubiquitous shingle; df cap 5 excludes it,
