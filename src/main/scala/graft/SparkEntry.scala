@@ -1131,6 +1131,25 @@ object SparkEntry {
         .select(col("event_type"), col("day_idx"), col("cnt"), col("med"),
           col("mad"), (col("dv") > lit(3L) * col("mad")).as("is_anomaly"))
     }),
+    // ingestion-completeness audit: per event type the active-day
+    // count vs the first→last calendar span — missing_days > 0 means
+    // a feed gap (the check run before trusting any daily aggregate)
+    "q_events_gaps" -> ((s, dir) => {
+      val DayNs = 86400000000000L
+      events(s, dir)
+        .groupBy(col("event_type"),
+          graft.text.TextFunctions.intDiv(col("ts"), lit(DayNs)).as("day_idx"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("event_type"))
+        .agg(min(col("day_idx")).as("first_day"),
+          max(col("day_idx")).as("last_day"),
+          count(lit(1)).as("active_days"))
+        .select(col("event_type"), col("first_day"), col("last_day"),
+          (col("last_day") - col("first_day") + 1L).as("span_days"),
+          col("active_days"),
+          (col("last_day") - col("first_day") + 1L - col("active_days"))
+            .as("missing_days"))
+    }),
     // event-type transition matrix (Markov next-action analysis):
     // consecutive per-user event pairs via one user-partitioned lead
     // window (parallel across users — never a global sort), rolled up
@@ -2216,6 +2235,7 @@ object SparkEntry {
     "q_events_late" -> EventSql.watermarkAudit(
       Seq(600000000L, 3600000000L), 7200),
     "q_events_transitions" -> EventSql.eventsTransitions,
+    "q_events_gaps" -> EventSql.eventsGaps,
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

@@ -473,6 +473,18 @@ object EventSql {
       |  dev.dv > 3 * md.mad AS is_anomaly
       |FROM dev JOIN md USING (event_type)""".stripMargin
 
+  /** Mirror of q_events_gaps: per-type active days vs calendar span. */
+  val eventsGaps: String =
+    """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx
+      |  FROM events GROUP BY 1, 2)
+      |SELECT event_type,
+      |  CAST(min(day_idx) AS BIGINT) AS first_day,
+      |  CAST(max(day_idx) AS BIGINT) AS last_day,
+      |  CAST(max(day_idx) - min(day_idx) + 1 AS BIGINT) AS span_days,
+      |  CAST(count(*) AS BIGINT) AS active_days,
+      |  CAST(max(day_idx) - min(day_idx) + 1 - count(*) AS BIGINT) AS missing_days
+      |FROM daily GROUP BY 1""".stripMargin
+
   /** Mirror of q_events_transitions: per-user consecutive event-type
     * pairs via lead over the (ts, event_id) total order, (from, to)
     * counts and exact per-from-state probabilities in ppm. */
