@@ -48,7 +48,61 @@ case class TopBigramCount(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent token bigrams ("a b" strings) of a token array in one
+  * native pass — the array the LM scorer and repetition signal
+  * explode. Semantically equal to the builtin-composed
+  * `transform(sequence(...), i -> concat(t[i], ' ', t[i+1]))`
+  * ([[graft.text.TextFunctions.bigramsBuiltin]], the executable SPEC)
+  * but skips the per-element interpreted lambda + boxed element_at
+  * that made the bigram explode ~13 µs/element (3.5 s for a 265k-row
+  * explode at sf0.1 — the round-11 bench's LM-trio bottleneck).
+  * Empty below 2 tokens; a null token nulls its bigrams (concat
+  * semantics). */
+case class TokenBigrams(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_bigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_bigrams expects array<string>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopBigramRuntime.bigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopBigramRuntime.bigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenBigrams =
+    copy(child = newChild)
+}
+
 object TopBigramRuntime {
+
+  private val Space = UTF8String.fromString(" ")
+
+  /** Adjacent bigram strings; empty array below 2 tokens. */
+  def bigrams(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 2) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val out = new Array[Any](n - 1)
+    var prev = toks.getUTF8String(0)
+    var i = 0
+    while (i < n - 1) {
+      val next = toks.getUTF8String(i + 1)
+      out(i) = if (prev == null || next == null) null
+        else UTF8String.concat(prev, Space, next)
+      prev = next
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Max adjacent-bigram multiplicity of a token array. */
   def topCount(toks: ArrayData): Long = {

@@ -50,8 +50,17 @@ object TextFunctions {
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
   /** Adjacent token bigrams ("a b" strings); empty below 2 tokens.
-    * The guard matters: `sequence(0, -1)` would DESCEND in Spark. */
-  def bigrams(text: Column): Column = {
+    * Native single-pass expression
+    * ([[graft.functions.TokenBigrams]]); [[bigramsBuiltin]] is the
+    * executable spec. */
+  def bigrams(text: Column): Column =
+    ColumnShims.column(graft.functions.TokenBigrams(
+      ColumnShims.expression(tokens(text))))
+
+  /** Builtin-composed [[bigrams]] — the executable SPEC (CorpusOpsSpec
+    * asserts equality with the native expression). The guard matters:
+    * `sequence(0, -1)` would DESCEND in Spark. */
+  def bigramsBuiltin(text: Column): Column = {
     val t = tokens(text)
     when(size(t) < 2, array().cast("array<string>"))
       .otherwise(transform(sequence(lit(0), size(t) - 2),

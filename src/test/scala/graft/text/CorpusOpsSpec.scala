@@ -82,6 +82,17 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows == Map(1L -> 3L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 3L))
   }
 
+  test("bigrams: native expression == builtin-composed spec, incl. edge cases") {
+    import spark.implicits._
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("text")).union(Seq("solo", "", "a b", null).toDF("text"))
+      .select(
+        TextFunctions.bigrams(col("text")).as("native"),
+        TextFunctions.bigramsBuiltin(col("text")).as("builtin"))
+    assert(d.filter(not(col("native") <=> col("builtin"))).count() == 0)
+    assert(d.filter(size(col("native")) > 0).count() > 0)
+  }
+
   test("topBigramCount: native expression == builtin-composed spec on real data") {
     val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select(col("doc_id"),
