@@ -312,6 +312,20 @@ object Curves {
       > SELECT _FUNC_('mail bob@x.co or 555-123-0042 from 10.1.2.3');
        3
   """),
+    FunctionDoc("token_bigrams", (args: Seq[Expression]) => args match {
+      case Seq(t) => TokenBigrams(t)
+      case other => throw new IllegalArgumentException(
+        s"token_bigrams expects (tokens), got ${other.size} arguments")
+    }, "token_bigrams(tokens) - adjacent token bigrams as 'a b' strings; " +
+      "empty below 2 tokens",
+      classOf[TokenBigrams], "array_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(split('a b c', ' '));
+       [a b,b c]
+      > SELECT _FUNC_(split('one', ' '));
+       []
+  """),
     FunctionDoc("top_bigram_count", (args: Seq[Expression]) => args match {
       case Seq(t) => TopBigramCount(t)
       case other => throw new IllegalArgumentException(
