@@ -2109,7 +2109,7 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
-    "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3),
+    "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),

@@ -1105,8 +1105,10 @@ object DocSql {
        |  FROM d WHERE length(source) = 4),
        |r AS (SELECT doc_id AS right_id, ${shinglesExpr(shingleK)} AS sh
        |  FROM d WHERE length(source) = 5),
-       |le AS (SELECT left_id, unnest(list_distinct(sh)) AS s FROM l),
-       |re AS (SELECT right_id, unnest(list_distinct(sh)) AS s FROM r),
+       |le AS (SELECT left_id, unnest(list_distinct(list_transform(sh,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)))) AS s FROM l),
+       |re AS (SELECT right_id, unnest(list_distinct(list_transform(sh,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)))) AS s FROM r),
        |rare AS (SELECT s FROM
        |  (SELECT s, count(*) AS dfl FROM le GROUP BY 1) a
        |  JOIN (SELECT s, count(*) AS dfr FROM re GROUP BY 1) b USING (s)
@@ -1131,21 +1133,25 @@ object DocSql {
 
   /** Mirror of Linkage.linkEditDistance: the same blocking CTEs, a
     * Levenshtein verify, top-1 per left by (dist, right_id). */
-  def linkEditDistance(maxDf: Int, maxNormPpm: Long, shingleK: Int): String =
+  def linkEditDistance(maxDf: Int, maxNormPpm: Long, shingleK: Int,
+      minShared: Int): String =
     s"""WITH d AS (SELECT doc_id, source, coalesce(text, '') AS txt,
        |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
        |l AS (SELECT doc_id AS left_id, txt AS lt, ${shinglesExpr(shingleK)} AS sh
        |  FROM d WHERE length(source) = 4),
        |r AS (SELECT doc_id AS right_id, txt AS rt, ${shinglesExpr(shingleK)} AS sh
        |  FROM d WHERE length(source) = 5),
-       |le AS (SELECT left_id, unnest(list_distinct(sh)) AS s FROM l),
-       |re AS (SELECT right_id, unnest(list_distinct(sh)) AS s FROM r),
+       |le AS (SELECT left_id, unnest(list_distinct(list_transform(sh,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)))) AS s FROM l),
+       |re AS (SELECT right_id, unnest(list_distinct(list_transform(sh,
+       |  x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)))) AS s FROM r),
        |rare AS (SELECT s FROM
        |  (SELECT s, count(*) AS dfl FROM le GROUP BY 1) a
        |  JOIN (SELECT s, count(*) AS dfr FROM re GROUP BY 1) b USING (s)
        |  WHERE dfl <= $maxDf AND dfr <= $maxDf),
-       |cand AS (SELECT DISTINCT left_id, right_id
-       |  FROM le JOIN rare USING (s) JOIN re USING (s)),
+       |cand AS (SELECT left_id, right_id
+       |  FROM le JOIN rare USING (s) JOIN re USING (s)
+       |  GROUP BY 1, 2 HAVING count(*) >= $minShared),
        |sc AS (SELECT left_id, right_id,
        |    CAST(levenshtein(l.lt, r.rt) AS BIGINT) AS dist,
        |    CAST(greatest(length(l.lt), length(r.rt)) AS BIGINT) AS max_len

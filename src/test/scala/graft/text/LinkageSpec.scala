@@ -93,7 +93,8 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
     import spark.implicits._
     val l = Seq((1L, "")).toDF("doc_id", "text")
     val rgt = Seq((2L, "")).toDF("doc_id", "text")
-    val out = Linkage.linkEditDistance(l, rgt, maxDf = 5).collect()
+    // an empty text has ONE (empty) shingle, so minShared must be 1
+    val out = Linkage.linkEditDistance(l, rgt, maxDf = 5, minShared = 1).collect()
     assert(out.length == 1 && out.head.getAs[Long]("dist") == 0L &&
       out.head.getAs[Long]("norm_ppm") == 0L)
   }
