@@ -375,6 +375,14 @@ object SparkEntry {
       })
       graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
     }),
+    // keyword-in-context (concordance): every occurrence of a term
+    // with ±3 tokens of context — the snippet view served next to
+    // retrieval hits; cost ∝ term df, never the corpus
+    "q_text_kwic" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.text.Postings.keywordInContext(
+        graft.text.Postings.positional(docs), docs, "merge", 3)
+    }),
     // the GROWING postings index: base build (doc_id%5!=0) + one
     // appended batch (%5==0) serves identically to a from-scratch
     // full-corpus build — postings are per-row-pure, so appends are
@@ -2112,6 +2120,7 @@ object SparkEntry {
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
+    "q_text_kwic" -> DocSql.keywordInContext("merge", 3),
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_append" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),

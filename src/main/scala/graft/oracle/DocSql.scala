@@ -1246,6 +1246,22 @@ object DocSql {
        |    ELSE ssum // nb END AS BIGINT) AS surprisal_ppm
        |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** Mirror of Postings.keywordInContext: 0-based positions from the
+    * zipped unnest, 1-based inclusive list slice with a clamped left
+    * edge. */
+  def keywordInContext(term: String, window: Int): String = {
+    val esc = term.replace("'", "''")
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |p AS (SELECT doc_id, unnest(toks) AS token,
+       |    unnest(generate_series(0, len(toks) - 1)) AS pos FROM d),
+       |occ AS (SELECT doc_id, pos FROM p WHERE token = '$esc')
+       |SELECT occ.doc_id, CAST(occ.pos AS BIGINT) AS pos,
+       |  array_to_string(d.toks[greatest(occ.pos - $window + 1, 1)
+       |    : occ.pos + $window + 1], ' ') AS context
+       |FROM occ JOIN d USING (doc_id)""".stripMargin
+  }
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by

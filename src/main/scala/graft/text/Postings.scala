@@ -67,6 +67,35 @@ object Postings {
       phrase: Seq[String]): DataFrame =
     phraseSearch(spark.read.parquet(path), phrase)
 
+  /** Keyword-in-context (concordance): every occurrence of `term`
+    * with `window` tokens of context on each side — the classic
+    * corpus-linguistics view, and the snippet generator a retrieval
+    * stack serves next to its hits. Output (doc_id, pos, context)
+    * with the context tokens space-joined.
+    *
+    * Shape at 100 TB: occurrences come from the postings frame (an
+    * equi-filter on the term — over the persisted index that is a
+    * pushed predicate into the token-clustered scan), then ONE
+    * equi-join back to the documents table re-tokenizes only matching
+    * docs and slices the window in-row. Cost ∝ term df, never the
+    * corpus. */
+  def keywordInContext(postings: DataFrame, docs: DataFrame, term: String,
+      window: Int = 3, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val occ = postings.filter(col("token") === term)
+      .select(col("doc_id"), col("pos"))
+    val toks = docs.select(col(idCol).as("doc_id"),
+      TextFunctions.tokens(col(textCol)).as("t"))
+    occ.join(toks, "doc_id")
+      .select(col("doc_id"), col("pos"),
+        // slice is 1-based; clamp the left edge, length covers both sides
+        concat_ws(" ", slice(col("t"),
+          greatest(col("pos") - window + 1, lit(1)).cast("int"),
+          (col("pos") + window + 1 -
+            greatest(col("pos") - window + 1, lit(1)) + 1).cast("int")))
+          .as("context"))
+  }
+
   /** Grow the index with a new batch — a pure FILE ADD (no
     * read-modify-write of existing files). Postings are per-row-pure
     * (each (token, doc_id, pos) row is a function of its own document

@@ -59,6 +59,18 @@ class PostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served == oneShot)
   }
 
+  test("keywordInContext: window slices clamp at both document edges") {
+    val docs = df(1L -> "x a b c x", 2L -> "x y", 3L -> "a x")
+    val out = Postings.keywordInContext(
+      Postings.positional(docs), docs, "x", window = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getString(2)).toMap
+    assert(out == Map(
+      (1L, 0L) -> "x a b",        // left edge clamps
+      (1L, 4L) -> "b c x",        // right edge clamps
+      (2L, 0L) -> "x y",
+      (3L, 1L) -> "a x"))
+  }
+
   test("build + appends serve identically to a from-scratch union build") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val phrase = Seq("data", "query")
