@@ -302,6 +302,25 @@ object SparkEntry {
     // are oracle-gated
     "q_filter_bloom" -> ((s, dir) =>
       graft.text.CorpusOps.bloomDecontaminate(table(s, dir, "documents"))),
+    // exactly-k reproducible uniform sample: TakeOrderedAndProject on
+    // the salted key hash — the "give me exactly 10k docs" ask, RNG-
+    // free and rerun/engine/partitioning-stable (vs the rate-based
+    // stratified sampler whose output size is binomial)
+    "q_sample_topk" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          graft.text.TextFunctions.hashBucket(
+            concat(col("doc_id").cast("string"), lit("#ksample")), 1000000)
+            .as("hb"))
+        .orderBy(col("hb"), col("doc_id")).limit(100)),
+    // dedup threshold calibration: candidate-pair counts by MinHash
+    // match level over the UNthresholded pair set — the curve read
+    // before choosing minMatches (where does the bimodal split sit?)
+    "q_dedup_calibration" -> ((s, dir) =>
+      Dedup.minhashPairs(table(s, dir, "documents"),
+          Dedup.MinHashParams(minMatches = 0))
+        .groupBy(col("minhash_matches"))
+        .agg(count(lit(1)).as("n_pairs"))),
     // deterministic WEIGHTED sampling (∝ token count): systematic
     // stride over the packed token axis — no RNG, rerun-stable,
     // long docs sampled proportionally more
@@ -2121,6 +2140,17 @@ object SparkEntry {
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_kwic" -> DocSql.keywordInContext("merge", 3),
+    "q_sample_topk" ->
+      """SELECT doc_id, source, hb FROM (
+        |  SELECT doc_id, source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '#ksample'), 1, 8))
+        |      AS BIGINT) % 1000000 AS hb
+        |  FROM documents)
+        |ORDER BY hb, doc_id LIMIT 100""".stripMargin,
+    "q_dedup_calibration" ->
+      s"""SELECT minhash_matches, CAST(count(*) AS BIGINT) AS n_pairs
+         |FROM (${DocSql.minhashPairs(Dedup.MinHashParams(minMatches = 0))})
+         |GROUP BY 1""".stripMargin,
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_append" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),

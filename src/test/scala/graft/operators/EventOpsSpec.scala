@@ -43,6 +43,30 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("sample_topk: exactly k, partitioning-invariant, a pure function of ids") {
+    val a = SparkEntry.queries("q_sample_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    val expected = math.min(100L,
+      spark.read.parquet(s"$dir/documents.parquet").count())
+    assert(a.size.toLong == expected)
+    // rerun sees the identical set (no RNG, no order dependence)
+    val b = SparkEntry.queries("q_sample_topk")(spark, dir)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("dedup_calibration: level counts sum to the unthresholded candidate total") {
+    val levels = SparkEntry.queries("q_dedup_calibration")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val total = graft.dedup.Dedup.minhashPairs(
+      spark.read.parquet(s"$dir/documents.parquet"),
+      graft.dedup.Dedup.MinHashParams(minMatches = 0)).count()
+    spark.catalog.clearCache()
+    assert(levels.values.sum == total && total > 0)
+    assert(levels.keys.forall(k => k >= 0 && k <= 12))
+  }
+
   test("transitions: totals balance and probabilities partition each from-state") {
     val rows = SparkEntry.queries("q_events_transitions")(spark, dir).collect()
     assert(rows.nonEmpty)
