@@ -1158,6 +1158,36 @@ object SparkEntry {
         .select(col("event_type"), col("day_idx"), col("cnt"), col("med"),
           col("mad"), (col("dv") > lit(3L) * col("mad")).as("is_anomaly"))
     }),
+    // two-proportion A/B significance test in EXACT integer math:
+    // variant by user-id parity, conversion = reached 'purchase';
+    // z² > 1.96² cleared of divisions (same move as the sigma test):
+    // (x1·n2−x2·n1)²·N·10⁴ > 38416·n1·n2·X·(N−X) in Decimal(38,0) —
+    // a frequentist test an engine can hash-gate, which a float
+    // z-score never is
+    "q_events_abtest" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val perUser = events(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("converted"))
+        .withColumn("variant", (col("user_id") % 2).cast("int"))
+      val arms = perUser.groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("converted")).as("x"))
+      val a = arms.filter(col("variant") === 0)
+        .select(col("n").as("n1"), col("x").as("x1"))
+      val b = arms.filter(col("variant") === 1)
+        .select(col("n").as("n2"), col("x").as("x2"))
+      a.crossJoin(b)
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          (col("x1").cast(dec) * col("n2").cast(dec) -
+            col("x2").cast(dec) * col("n1").cast(dec)).as("d"),
+          (col("n1") + col("n2")).cast(dec).as("nn"),
+          (col("x1") + col("x2")).cast(dec).as("xx"))
+        .select(col("n1"), col("x1"), col("n2"), col("x2"),
+          (col("d") * col("d") * col("nn") * lit(10000) >
+            lit(38416) * col("n1").cast(dec) * col("n2").cast(dec) *
+              col("xx") * (col("nn") - col("xx"))).as("significant"))
+    }),
     // ingestion-completeness audit: per event type the active-day
     // count vs the first→last calendar span — missing_days > 0 means
     // a feed gap (the check run before trusting any daily aggregate)
@@ -2275,6 +2305,7 @@ object SparkEntry {
       Seq(600000000L, 3600000000L), 7200),
     "q_events_transitions" -> EventSql.eventsTransitions,
     "q_events_gaps" -> EventSql.eventsGaps,
+    "q_events_abtest" -> EventSql.eventsAbtest,
     "q_events_dau" -> EventSql.eventsDau,
     "q_events_funnel" -> EventSql.eventsFunnel,
     "q_retention" -> EventSql.retention,

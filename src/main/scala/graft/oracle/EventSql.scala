@@ -473,6 +473,25 @@ object EventSql {
       |  dev.dv > 3 * md.mad AS is_anomaly
       |FROM dev JOIN md USING (event_type)""".stripMargin
 
+  /** Mirror of q_events_abtest: the pooled two-proportion z² test
+    * cleared of divisions, HUGEINT intermediates. */
+  val eventsAbtest: String =
+    """WITH pu AS (SELECT user_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted,
+      |    CAST(user_id % 2 AS INTEGER) AS variant
+      |  FROM events GROUP BY user_id),
+      |arms AS (SELECT variant, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(converted) AS BIGINT) AS x FROM pu GROUP BY 1),
+      |a AS (SELECT n AS n1, x AS x1 FROM arms WHERE variant = 0),
+      |b AS (SELECT n AS n2, x AS x2 FROM arms WHERE variant = 1)
+      |SELECT n1, x1, n2, x2,
+      |  (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+      |    * (CAST(x1 AS HUGEINT) * n2 - CAST(x2 AS HUGEINT) * n1)
+      |    * (n1 + n2) * 10000 >
+      |  38416 * CAST(n1 AS HUGEINT) * n2 * (x1 + x2)
+      |    * (CAST(n1 AS HUGEINT) + n2 - x1 - x2) AS significant
+      |FROM a, b""".stripMargin
+
   /** Mirror of q_events_gaps: per-type active days vs calendar span. */
   val eventsGaps: String =
     """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day_idx

@@ -67,6 +67,28 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(levels.keys.forall(k => k >= 0 && k <= 12))
   }
 
+  test("abtest: the integer inequality equals the float z-test away from the boundary") {
+    val r = SparkEntry.queries("q_events_abtest")(spark, dir).collect().head
+    val (n1, x1, n2, x2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 > 0 && n2 > 0 && x1 <= n1 && x2 <= n2)
+    // recompute the divide-free inequality in BigInt
+    def intSig(n1: Long, x1: Long, n2: Long, x2: Long): Boolean = {
+      val (bn1, bx1, bn2, bx2) = (BigInt(n1), BigInt(x1), BigInt(n2), BigInt(x2))
+      val d = bx1 * bn2 - bx2 * bn1
+      val nn = bn1 + bn2; val xx = bx1 + bx2
+      d * d * nn * 10000 > BigInt(38416) * bn1 * bn2 * xx * (nn - xx)
+    }
+    assert(r.getBoolean(4) == intSig(n1, x1, n2, x2))
+    // the rational form tracks the float z² on a grid of clear cases
+    for ((a1, c1, a2, c2) <- Seq((100L, 50L, 100L, 90L), (100L, 50L, 100L, 52L),
+      (1000L, 100L, 1000L, 200L), (50L, 10L, 50L, 11L))) {
+      val p1 = c1.toDouble / a1; val p2 = c2.toDouble / a2
+      val pp = (c1 + c2).toDouble / (a1 + a2)
+      val z2 = math.pow(p1 - p2, 2) / (pp * (1 - pp) * (1.0 / a1 + 1.0 / a2))
+      assert(intSig(a1, c1, a2, c2) == (z2 > 3.8416), s"($a1,$c1,$a2,$c2) z2=$z2")
+    }
+  }
+
   test("transitions: totals balance and probabilities partition each from-state") {
     val rows = SparkEntry.queries("q_events_transitions")(spark, dir).collect()
     assert(rows.nonEmpty)
