@@ -448,6 +448,39 @@ object SparkEntry {
       })
       graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
     }),
+    // source×lang association audit: the χ² statistic with every
+    // division a defined IntegralDivide — per cell
+    // (O·N − R·C)²·1e6 // (R·C·N), summed — so a contingency test
+    // hash-gates; high chi2_ppm means language mix depends on source
+    // (expected in real crawls; a uniform mix here is itself a finding)
+    "q_contingency" -> ((s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val cells = table(s, dir, "documents")
+        .groupBy(col("source"), col("lang")).agg(count(lit(1)).as("o"))
+      val rows = cells.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val cols = cells.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      val tot = cells.agg(sum(col("o")).as("n"),
+        countDistinct(col("source")).as("n_sources"),
+        countDistinct(col("lang")).as("n_langs"))
+      // the FULL marginal grid (dims-sized), so absent combos
+      // contribute their R·C/N term like the textbook statistic
+      rows.crossJoin(cols)
+        .join(cells, Seq("source", "lang"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(tot))
+        .select(
+          graft.text.TextFunctions.intDiv(
+            (col("o").cast(dec) * col("n") - col("r").cast(dec) * col("c")) *
+              (col("o").cast(dec) * col("n") - col("r").cast(dec) * col("c")) *
+              lit(1000000),
+            col("r").cast(dec) * col("c").cast(dec) * col("n").cast(dec))
+            .as("cell_ppm"),
+          col("n"), col("n_sources"), col("n_langs"))
+        .groupBy(col("n"), col("n_sources"), col("n_langs"))
+        .agg(sum(col("cell_ppm")).cast(dec).as("chi2_ppm"))
+        .select(col("chi2_ppm"),
+          ((col("n_sources") - 1) * (col("n_langs") - 1)).as("df"), col("n"))
+    }),
     // per-source distinctive terms: top-3 tokens by exact integer
     // lift vs the corpus-wide rate — the domain-signature audit run
     // before trusting a source's self-declared topic
@@ -2186,6 +2219,7 @@ object SparkEntry {
     "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),
       Seq("slow", "hash", "batch"), 20, 15, 60L),
     "q_domain_terms" -> DocSql.domainTerms(3, 5L),
+    "q_contingency" -> DocSql.contingency,
     "q_text_lm" -> DocSql.lmSurprisal,
     "q_text_lm_indexed" -> DocSql.lmSurprisal,
     "q_text_lm_append" -> DocSql.lmSurprisal,

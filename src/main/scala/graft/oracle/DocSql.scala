@@ -1262,6 +1262,27 @@ object DocSql {
        |FROM occ JOIN d USING (doc_id)""".stripMargin
   }
 
+  /** Mirror of q_contingency: full-marginal-grid χ² with every
+    * division a defined integer op. */
+  val contingency: String =
+    s"""WITH cells AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+       |  FROM documents GROUP BY 1, 2),
+       |rows_ AS (SELECT source, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+       |cols_ AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+       |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs FROM cells),
+       |grid AS (SELECT source, r, lang, c FROM rows_, cols_),
+       |f AS (SELECT g.r, g.c, coalesce(cells.o, 0) AS o
+       |  FROM grid g LEFT JOIN cells USING (source, lang))
+       |SELECT CAST(sum(
+       |    (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+       |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+       |    * 1000000 // (CAST(r AS HUGEINT) * c * n)) AS DECIMAL(38, 0))
+       |  AS chi2_ppm,
+       |  CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS df, n
+       |FROM f, tot GROUP BY df, n""".stripMargin
+
   /** Mirror of q_corpus_diff: two deterministic snapshots derived
     * from the documents table (old drops doc_id%11==3; new drops
     * doc_id%13==5 and appends ' v2' to %7==0 texts), classified by

@@ -88,6 +88,29 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(audit(1) == a && audit(7) == a)
   }
 
+  test("contingency: integer chi2_ppm tracks the float statistic within cell rounding") {
+    val r = SparkEntry.queries("q_contingency")(spark, dir).collect().head
+    val chi2Ppm = r.getDecimal(0).longValueExact()
+    val df = r.getLong(1)
+    val n = r.getLong(2)
+    // independent exact recount from the raw rows, in BigInt
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select("source", "lang").collect()
+      .map(x => (x.getString(0), x.getString(1))).toSeq
+    val cells = docs.groupBy(identity).map { case (k, v) => k -> v.size }
+    val rows = docs.groupBy(_._1).map { case (k, v) => k -> v.size }
+    val cols = docs.groupBy(_._2).map { case (k, v) => k -> v.size }
+    val bigN = BigInt(docs.size)
+    val recount = (for (s <- rows.keys.toSeq; l <- cols.keys.toSeq) yield {
+      val o = BigInt(cells.getOrElse((s, l), 0))
+      val d = o * bigN - BigInt(rows(s)) * BigInt(cols(l))
+      d * d * 1000000 / (BigInt(rows(s)) * BigInt(cols(l)) * bigN)
+    }).sum
+    assert(df == (rows.size - 1L) * (cols.size - 1L))
+    assert(n == docs.size.toLong)
+    assert(BigInt(chi2Ppm) == recount, s"chi2_ppm=$chi2Ppm recount=$recount")
+  }
+
   test("corpusDiff classes partition the id universe and match set algebra") {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
     val oldSnap = docs.filter(col("doc_id") % 11 =!= 3)
