@@ -45,8 +45,9 @@ object ScaleCheck {
     // re-synthesis, not silently compare against a stale dst corpus
     val marker = java.nio.file.Paths.get(s"$dst/_built")
     // v3: the driver regenerated the testdata mid-round-10 (ts became
-    // timestamp[us]) — force one re-synthesis so sf1 matches sf0.1
-    val markerWant = s"$src|v3-events-us"
+    // timestamp[us]); v4: round-11 adds the star-schema tables (orders
+    // 10x, dims 1:1) for the OLAP scale row
+    val markerWant = s"$src|v4-star-dims"
     val stale = !java.nio.file.Files.exists(marker) ||
       new String(java.nio.file.Files.readAllBytes(marker), "UTF-8") != markerWant
     if (stale) {
@@ -76,6 +77,16 @@ object ScaleCheck {
         (col("event_id") + lit(k * shift)).as("event_id"), col("ts"),
         (col("user_id") + lit(k * shift)).as("user_id"),
         col("event_type"), col("value"), col("props")))
+      // orders: 10x FACTS against 1x dims — the realistic growth shape
+      // (order keys shift in lockstep with lineitem's l_orderkey; the
+      // customer/supplier/nation/region DIMENSIONS are copied 1:1, so
+      // every shifted fact still resolves)
+      tenfold("orders", (d, k) => d.select(
+        (col("o_orderkey") + lit(k * shift)).as("o_orderkey") +:
+          d.columns.filter(_ != "o_orderkey").map(col): _*))
+      for (t <- Seq("customer", "supplier", "nation", "region", "part"))
+        spark.read.parquet(s"$src/$t.parquet")
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
       java.nio.file.Files.write(marker, markerWant.getBytes("UTF-8"))
     }
 
@@ -99,7 +110,12 @@ object ScaleCheck {
       // tables must stay flat), and the phrase probe (cost ∝ phrase
       // df, which scales linearly)
       "q_graph_rank", "q_link_entities", "q_text_lm",
-      "q_text_phrase_indexed", "q_rank_fusion")
+      "q_text_phrase_indexed", "q_rank_fusion",
+      // fifth round-11 batch: the edit-distance linkage (the minShared
+      // cap + prefilter must hold the O(len²) verify sublinear under
+      // 10x df inflation), the six-table OLAP join, and the per-user
+      // transition window
+      "q_link_edit", "q_olap_revenue", "q_events_transitions")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay
