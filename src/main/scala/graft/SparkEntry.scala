@@ -1443,6 +1443,21 @@ object SparkEntry {
           sum(col("l_quantity").cast("long")).as("sum_qty"))
     }),
 
+    // curve-cell spatial join: probe rows matched to all rows within
+    // a ±2×±2 box in (partkey, suppkey) space via Morton-cell
+    // blocking + 3×3 neighborhood probe — ONE equi-join on the cell
+    // key, geometric (not probabilistic) completeness, equal to the
+    // plain inequality join the oracle runs
+    "q_spatial_join" -> ((s, dir) => {
+      withCurves(s)
+      def pts(df: DataFrame) = df.select(
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("key"),
+        col("l_partkey").as("x"), col("l_suppkey").as("y"))
+      val li = table(s, dir, "lineitem")
+      graft.layout.SpatialJoin.boxJoin(
+        pts(li.filter(col("l_orderkey") % 199 === 0)), pts(li),
+        dx = 2, dy = 2, cellBits = 2)
+    }),
     // TPC-H Q5-shape six-table analytic: revenue per nation for one
     // region-year, with the same-nation customer/supplier condition.
     // Money math in exact integer CENTS (round(x*100) is IEEE-
@@ -2220,6 +2235,16 @@ object SparkEntry {
       Seq("slow", "hash", "batch"), 20, 15, 60L),
     "q_domain_terms" -> DocSql.domainTerms(3, 5L),
     "q_contingency" -> DocSql.contingency,
+    "q_spatial_join" ->
+      """WITH a AS (SELECT l_orderkey * 10 + l_linenumber AS a_key,
+        |    l_partkey AS ax, l_suppkey AS ay
+        |  FROM lineitem WHERE l_orderkey % 199 = 0),
+        |b AS (SELECT l_orderkey * 10 + l_linenumber AS b_key,
+        |    l_partkey AS bx, l_suppkey AS by FROM lineitem)
+        |SELECT a_key, b_key, CAST(bx - ax AS BIGINT) AS dx,
+        |  CAST(by - ay AS BIGINT) AS dy
+        |FROM a JOIN b ON abs(ax - bx) <= 2 AND abs(ay - by) <= 2
+        |  AND a_key != b_key""".stripMargin,
     "q_text_lm" -> DocSql.lmSurprisal,
     "q_text_lm_indexed" -> DocSql.lmSurprisal,
     "q_text_lm_append" -> DocSql.lmSurprisal,
