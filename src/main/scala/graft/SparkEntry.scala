@@ -477,7 +477,10 @@ object SparkEntry {
             .as("cell_ppm"),
           col("n"), col("n_sources"), col("n_langs"))
         .groupBy(col("n"), col("n_sources"), col("n_langs"))
-        .agg(sum(col("cell_ppm")).cast(dec).as("chi2_ppm"))
+        // >64-bit exact totals cross the gate as canonical digit
+        // strings: DECIMAL(38,0) output columns diverge in the
+        // driver's hash pipeline (docs/COMPAT.md §7)
+        .agg(sum(col("cell_ppm")).cast(dec).cast("string").as("chi2_ppm"))
         .select(col("chi2_ppm"),
           ((col("n_sources") - 1) * (col("n_langs") - 1)).as("df"), col("n"))
     }),

@@ -1275,10 +1275,11 @@ object DocSql {
        |grid AS (SELECT source, r, lang, c FROM rows_, cols_),
        |f AS (SELECT g.r, g.c, coalesce(cells.o, 0) AS o
        |  FROM grid g LEFT JOIN cells USING (source, lang))
-       |SELECT CAST(sum(
+       |SELECT CAST(CAST(sum(
        |    (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
        |    * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
-       |    * 1000000 // (CAST(r AS HUGEINT) * c * n)) AS DECIMAL(38, 0))
+       |    * 1000000 // (CAST(r AS HUGEINT) * c * n)
+       |    ) AS DECIMAL(38, 0)) AS VARCHAR)
        |  AS chi2_ppm,
        |  CAST((n_sources - 1) * (n_langs - 1) AS BIGINT) AS df, n
        |FROM f, tot GROUP BY df, n""".stripMargin

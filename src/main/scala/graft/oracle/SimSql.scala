@@ -33,7 +33,8 @@ object SimSql {
   /** Mirror of Similarity.embAudit: per label the vector count,
     * distinct dimensionalities, zero-vector count, and min/max/sum of
     * the exact fixed-point squared L2 norm (HUGEINT cross-row sum,
-    * emitted as DECIMAL(38,0) to match Spark). */
+    * emitted as canonical VARCHAR digits — a DECIMAL(38,0) output
+    * column diverges in the driver hash pipeline, docs/COMPAT.md §7). */
   def embAudit: String =
     s"""WITH n AS (SELECT CAST(label AS BIGINT) AS label,
        |  CAST(len(embedding) AS BIGINT) AS dim,
@@ -46,13 +47,14 @@ object SimSql {
        |  CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
        |  CAST(min(norm2) AS BIGINT) AS min_norm2,
        |  CAST(max(norm2) AS BIGINT) AS max_norm2,
-       |  CAST(sum(CAST(norm2 AS HUGEINT)) AS DECIMAL(38, 0)) AS sum_norm2
+       |  CAST(CAST(sum(CAST(norm2 AS HUGEINT))
+       |    AS DECIMAL(38, 0)) AS VARCHAR) AS sum_norm2
        |FROM n GROUP BY 1""".stripMargin
 
   /** Mirror of Similarity.embScatter: per label the divide-free
     * within-class scatter numerator n·Σ‖x‖² − ‖Σx‖² and the
     * centroid-direction energy ‖Σx‖², all in HUGEINT emitted as
-    * DECIMAL(38,0). */
+    * canonical VARCHAR digits (docs/COMPAT.md §7). */
   def embScatter: String =
     s"""WITH ql AS (SELECT CAST(label AS BIGINT) AS label,
        |    list_transform(embedding, x ->
@@ -69,8 +71,9 @@ object SimSql {
        |nn AS (SELECT label, CAST(count(*) AS HUGEINT) AS n,
        |    sum(norm2) AS s2 FROM pv GROUP BY 1)
        |SELECT nn.label, CAST(nn.n AS BIGINT) AS n_vecs,
-       |  CAST(cn.c2 AS DECIMAL(38, 0)) AS centroid_num,
-       |  CAST(nn.n * nn.s2 - cn.c2 AS DECIMAL(38, 0)) AS scatter_num
+       |  CAST(CAST(cn.c2 AS DECIMAL(38, 0)) AS VARCHAR) AS centroid_num,
+       |  CAST(CAST(nn.n * nn.s2 - cn.c2 AS DECIMAL(38, 0)) AS VARCHAR)
+       |    AS scatter_num
        |FROM nn JOIN cn USING (label)""".stripMargin
 
   /** Mirror of Similarity.hardNegatives: per anchor the top-k most

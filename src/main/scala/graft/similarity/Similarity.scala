@@ -992,7 +992,10 @@ object Similarity {
         sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
         min(col("norm2")).as("min_norm2"),
         max(col("norm2")).as("max_norm2"),
-        sum(col("norm2").cast(dec)).as("sum_norm2"))
+        // >64-bit totals cross the gate as canonical digit strings:
+        // a DECIMAL(38,0) output column diverges in the driver's
+        // hash pipeline (docs/COMPAT.md §7)
+        sum(col("norm2").cast(dec)).cast("string").as("sum_norm2"))
   }
 
   /** Append a batch of new vectors to a [[ivfPqIndexBuild]] index with
@@ -1159,8 +1162,10 @@ object Similarity {
       .agg(count(lit(1)).cast(dec).as("n"), sum(col("norm2").cast(dec)).as("s2"))
       .join(centroid, "label")
       .select(col("label"), col("n").cast("long").as("n_vecs"),
-        col("c2").cast(dec).as("centroid_num"),
-        (col("n") * col("s2") - col("c2")).cast(dec).as("scatter_num"))
+        // digit strings, not DECIMAL(38,0) — docs/COMPAT.md §7
+        col("c2").cast(dec).cast("string").as("centroid_num"),
+        (col("n") * col("s2") - col("c2")).cast(dec).cast("string")
+          .as("scatter_num"))
   }
 
   /** Compact a grown ANN bucket index: re-cluster the keys table by

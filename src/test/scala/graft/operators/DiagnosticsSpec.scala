@@ -90,7 +90,7 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("contingency: integer chi2_ppm tracks the float statistic within cell rounding") {
     val r = SparkEntry.queries("q_contingency")(spark, dir).collect().head
-    val chi2Ppm = r.getDecimal(0).longValueExact()
+    val chi2Ppm = BigInt(r.getString(0))
     val df = r.getLong(1)
     val n = r.getLong(2)
     // independent exact recount from the raw rows, in BigInt
@@ -108,7 +108,7 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }).sum
     assert(df == (rows.size - 1L) * (cols.size - 1L))
     assert(n == docs.size.toLong)
-    assert(BigInt(chi2Ppm) == recount, s"chi2_ppm=$chi2Ppm recount=$recount")
+    assert(chi2Ppm == recount, s"chi2_ppm=$chi2Ppm recount=$recount")
   }
 
   test("corpusDiff classes partition the id universe and match set algebra") {

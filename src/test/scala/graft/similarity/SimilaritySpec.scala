@@ -41,7 +41,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.embAudit(emb).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
-        r.getLong(4), r.getLong(5), r.getDecimal(6).longValueExact()))).toMap
+        r.getLong(4), r.getLong(5), r.getString(6).toLong))).toMap
     val s = 1048576L // 2^20
     val one = s * s            // quantize(1.0f)^2
     val half = (s / 2) * (s / 2)
@@ -524,7 +524,7 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("vec_id", "embedding", "label")
     val out = Similarity.embScatter(emb).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1),
-        r.getDecimal(2).longValueExact(), r.getDecimal(3).longValueExact()))).toMap
+        r.getString(2).toLong, r.getString(3).toLong))).toMap
     spark.catalog.clearCache()
     // driver recount in exact fixed point
     def q(x: Float) = math.floor(x.toDouble * Similarity.Scale).toLong
