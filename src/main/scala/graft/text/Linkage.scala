@@ -131,10 +131,21 @@ object Linkage {
     * Shape at 100 TB: blocking as [[linkBestMatch]]; the verify is a
     * per-candidate-pair projection whose cost profile is INVERTED
     * from normal Spark work — tiny bytes, O(len²) CPU per row — so
-    * two defenses matter: (1) a length prefilter with NO false
-    * negatives (dist ≥ |len_a − len_b|, so a pair whose length gap
-    * alone breaks the normalized threshold can never pass; drops the
-    * bulk of random candidates before any DP runs) and (2) an
+    * three defenses matter: (1) a length prefilter that mirrors the
+    * final floored test EXACTLY (dist ≥ |len_a − len_b| and floored
+    * normalization is monotone in dist, so a pair whose length gap
+    * alone fails `intDiv(|Δlen|·1e6, max_len) ≤ maxNormPpm` can never
+    * pass — no false negatives, bit-for-bit, unlike the former
+    * `|Δlen|·1e6 ≤ maxNormPpm·max_len` form which was one floor
+    * stricter for megabyte-scale texts); (2) the DP itself is the
+    * BOUNDED 3-arg `levenshtein(lt, rt, bound)` with the per-pair
+    * maximal passing distance `bound = ((maxNormPpm+1)·max_len − 1)
+    * / 1e6` — the banded DP early-exits in O(bound·len) instead of
+    * O(len²) and returns −1 above the bound, and because `bound` is
+    * exactly the largest dist with `intDiv(dist·1e6, max_len) ≤
+    * maxNormPpm`, the −1 rows are precisely the rows the unbounded
+    * form filters out (LinkageSpec proves the boundary pair), so the
+    * unbounded DuckDB oracle still matches bit-for-bit; and (3) an
     * explicit numbered repartition before the DP — AQE coalesces the
     * verify's input to one partition by SIZE, serializing minutes of
     * CPU through one core (measured: the unpinned form ran 15+ min at
@@ -150,18 +161,33 @@ object Linkage {
     val rt = right.select(col(idCol).as("right_id"),
       coalesce(col(textCol), lit("")).as("rt"))
     val nPart = left.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    // greatest(…, 1): two empty texts are a 0-distance perfect match,
+    // not a division by zero
+    val maxLen = greatest(length(col("lt")), length(col("rt")), lit(1))
+      .cast("long")
+    // the largest dist that still passes the floored normalized test:
+    // intDiv(dist·1e6, max_len) ≤ maxNormPpm  ⟺  dist ≤ bound
+    val bound = TextFunctions.intDiv(
+      (lit(maxNormPpm) + 1L) * maxLen - 1L, lit(1000000L))
     cand.join(lt, "left_id").join(rt, "right_id")
-      // (1) no-false-negative length prefilter: dist >= |Δlen|
-      .filter(abs(length(col("lt")) - length(col("rt"))) * 1000000L <=
-        lit(maxNormPpm) * greatest(length(col("lt")), length(col("rt")), lit(1)))
+      // (1) exact-mirror length prefilter: dist >= |Δlen|
+      .filter(TextFunctions.intDiv(
+        abs(length(col("lt")) - length(col("rt"))).cast("long") * 1000000L,
+        maxLen) <= maxNormPpm)
       // (2) numbered repartition: AQE never coalesces an explicit
-      // user-count exchange, so the O(len²) DP parallelizes
+      // user-count exchange, so the banded DP parallelizes
       .repartition(nPart, col("left_id"), col("right_id"))
       .select(col("left_id"), col("right_id"),
-        levenshtein(col("lt"), col("rt")).cast("long").as("dist"),
+        ColumnShims.column(org.apache.spark.sql.catalyst.expressions
+          .Levenshtein(
+            ColumnShims.expression(col("lt")),
+            ColumnShims.expression(col("rt")),
+            Some(ColumnShims.expression(bound.cast("int")))))
+          .cast("long").as("dist"),
         greatest(length(col("lt")), length(col("rt"))).cast("long").as("max_len"))
-      // greatest(…, 1): two empty texts are a 0-distance perfect match,
-      // not a division by zero
+      // the bounded DP's -1 sentinel marks dist > bound, i.e. exactly
+      // the pairs the normalized filter rejects
+      .filter(col("dist") >= 0L)
       .withColumn("norm_ppm", TextFunctions.intDiv(
         col("dist") * lit(1000000L), greatest(col("max_len"), lit(1L))))
       .filter(col("norm_ppm") <= maxNormPpm)

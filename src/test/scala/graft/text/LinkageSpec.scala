@@ -99,6 +99,40 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.head.getAs[Long]("norm_ppm") == 0L)
   }
 
+  test("bounded DP keeps the exact boundary distance and drops one past it") {
+    import spark.implicits._
+    // Candidate pairs whose distance sits exactly AT and exactly ONE
+    // PAST the largest dist passing intDiv(dist*1e6, max_len) <=
+    // maxNormPpm. len=10 texts sharing a rare 7-token run (blocking
+    // fires); trailing-edit count controls the distance. At
+    // maxNormPpm=200000 and max_len=51 the bound is
+    // ((200000+1)*51-1)//1e6 = 10: dist=10 has norm_ppm=196078
+    // (passes), dist=11 has 215686 (fails). The bounded 3-arg DP must
+    // return the true distance at the bound and -1 one past it —
+    // proving the -1 rows are exactly the unbounded filter's rejects.
+    val base = "alpha beta gamma delta epsilon zeta eta AAAAAAAAAAA"
+    assert(base.length == 51)
+    def edited(n: Int) =
+      base.dropRight(n) + ("B" * n) // n substitutions at the tail
+    val l = Seq((1L, base)).toDF("doc_id", "text")
+    val rgt = Seq((100L, edited(10)), (101L, edited(11)))
+      .toDF("doc_id", "text")
+    val out = Linkage.linkEditDistance(l, rgt, maxDf = 5,
+      maxNormPpm = 200000L, minShared = 1).collect()
+    // only the at-bound pair survives, with its exact distance
+    assert(out.length == 1)
+    assert(out.head.getAs[Long]("right_id") == 100L)
+    assert(out.head.getAs[Long]("dist") == 10L)
+    assert(out.head.getAs[Long]("norm_ppm") == 10L * 1000000L / 51L)
+    // one-notch-looser threshold re-admits the dist=11 pair with its
+    // true distance (the -1 sentinel never leaks a wrong distance)
+    val loose = Linkage.linkEditDistance(l, rgt, maxDf = 5,
+      maxNormPpm = 215686L, minShared = 1)
+      .collect().map(r => r.getAs[Long]("right_id") ->
+        r.getAs[Long]("dist")).toMap
+    assert(loose == Map(100L -> 10L)) // best match still dist=10
+  }
+
   test("df cap bounds candidate generation: a common shingle never blocks") {
     import spark.implicits._
     // 8 left rows sharing one ubiquitous shingle; df cap 5 excludes it,
