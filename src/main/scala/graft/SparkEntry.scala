@@ -365,6 +365,15 @@ object SparkEntry {
         docs.select(col("doc_id")),
         Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
     }),
+    // weighted PageRank over the SAME similarity graph: each neighbor
+    // receives (r·w)//Σw where w is the MinHash match count — strong
+    // near-dups endorse each other harder than borderline pairs; the
+    // divide-before-sum integer regime keeps it oracle-gated
+    "q_graph_rank_w" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.graph.GraphRank.pageRankWeighted(
+        docs.select(col("doc_id")), Dedup.minhashPairs(docs))
+    }),
     // fuzzy record linkage between two derived registries (4-char vs
     // 5-char sources): rare-shingle inverted-index blocking (df-capped
     // on BOTH sides — deterministic 100% recall over the blocking
@@ -2219,6 +2228,7 @@ object SparkEntry {
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
+    "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_kwic" -> DocSql.keywordInContext("merge", 3),
     "q_sample_topk" ->

@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -20,49 +20,96 @@ import graft.text.TextFunctions
   * contribution order-independent, which a float PageRank never is.
   *
   * Shape at 100 TB: one iteration = one equi-join of the rank frame
-  * with the degree-annotated edge list on src (both sides hash-
+  * with the weight-annotated edge list on src (both sides hash-
   * partitioned on the join key; the edge list is persisted ONCE and
   * reused by every iteration, so iterations repartition only the
   * narrow (doc_id, r) rank frame) + one map-side-combining sum by
   * dst + one left join back to the node frame for dangling nodes.
   * K iterations = K such rounds — the inherent shape of power
-  * iteration; at cluster scale the rank frame would be checkpointed
-  * every few iterations to cut lineage, and the edge list bucketed by
-  * src so the per-iteration join co-locates without a shuffle on the
-  * edge side. Ranks are conserved-mass bounded: r ≤ base +
-  * dNum/dDen · (total in-mass), so with scale=1e12 a LongType rank
-  * holds corpora to ~10^6 nodes per connected star; beyond that pass
-  * a smaller scale (the math is scale-invariant up to rounding).
+  * iteration. The rank frame is `localCheckpoint`ed every
+  * `checkpointEvery` iterations, so a deep run (iters=20) never
+  * builds a 20-join lineage/plan — analysis time and failure-replay
+  * depth stay bounded by the cadence, not by K (on a real cluster
+  * with a checkpoint dir configured, swap `localCheckpoint` for
+  * reliable `checkpoint`; the cadence logic is the same). The edge
+  * list would additionally be bucketed by src so the per-iteration
+  * join co-locates without a shuffle on the edge side. Ranks are
+  * conserved-mass bounded: r ≤ base + dNum/dDen · (total in-mass),
+  * so with scale=1e12 a LongType rank holds corpora to ~10^6 nodes
+  * per connected star; beyond that pass a smaller scale (the math is
+  * scale-invariant up to rounding). The weighted variant's per-edge
+  * product r·w must also fit a Long: with bounded integer weights
+  * (e.g. minhash match counts ≤ numHashes, or ppm weights ≤ 1e6)
+  * that bound is r·maxW ≤ ~1e18 at the default scale — inside Long,
+  * but shrink `scale` before raising both together.
   */
 object GraphRank {
 
-  /** Fixed-iteration damped PageRank: (doc_id, rank_e12) for every
-    * node, where rank_e12 is the fixed-point rank scaled by `scale`.
-    * `pairs` is an undirected unique-pair edge list (doc_a, doc_b);
-    * isolated nodes converge to the base rank (1-d)·scale. */
-  def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 3,
-      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100): DataFrame = {
-    val ab = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-    val edges = ab.union(ab.select(col("dst"), col("src")))
-    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-    // persisted once; every iteration's join reuses it
-    val edgesDeg = edges.join(deg, "src")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val ids = nodes.select(col("doc_id"))
+  /** The shared power-iteration core over a weight-annotated
+    * symmetrized edge list (src, dst, w, sumw): per edge the
+    * contribution is intDiv(r·w, sumw) — divide-before-sum, so the
+    * aggregate is order-independent and the unweighted form (w=1,
+    * sumw=outdeg) is bit-identical to intDiv(r, outdeg). */
+  private def rankLoop(ids: DataFrame, edgesW: DataFrame, iters: Int,
+      scale: Long, dNum: Long, dDen: Long, checkpointEvery: Int): DataFrame = {
     val base = scale * (dDen - dNum) / dDen
     var r = ids.select(col("doc_id"), lit(scale).as("r"))
-    for (_ <- 0 until iters) {
-      val contrib = edgesDeg
+    for (i <- 0 until iters) {
+      val contrib = edgesW
         .join(r.withColumnRenamed("doc_id", "src"), "src")
         .select(col("dst"),
-          TextFunctions.intDiv(col("r"), col("outdeg")).as("c"))
+          TextFunctions.intDiv(col("r") * col("w"), col("sumw")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("c"))
       r = ids
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
           (lit(base) + TextFunctions.intDiv(
             lit(dNum) * coalesce(col("c"), lit(0L)), lit(dDen))).as("r"))
+      // cut the lineage every `checkpointEvery` rounds: without this a
+      // deep run carries an iters-deep join plan into every subsequent
+      // analysis and any task-failure replay recomputes from iteration 0
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        r = r.localCheckpoint()
     }
     r.select(col("doc_id"), col("r").as("rank_e12"))
   }
+
+  /** Symmetrize an undirected unique-pair edge list carrying a weight
+    * expression, annotate each edge with its src's total out-weight,
+    * and persist — every iteration's join reuses the one artifact. */
+  private def symmetrized(pairs: DataFrame, w: Column): DataFrame = {
+    val ab = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
+      w.cast("long").as("w"))
+    val edges = ab.union(ab.select(col("dst"), col("src"), col("w")))
+    val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
+    edges.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Fixed-iteration damped PageRank: (doc_id, rank_e12) for every
+    * node, where rank_e12 is the fixed-point rank scaled by `scale`.
+    * `pairs` is an undirected unique-pair edge list (doc_a, doc_b);
+    * isolated nodes converge to the base rank (1-d)·scale. */
+  def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 3,
+      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
+      checkpointEvery: Int = 5): DataFrame =
+    rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, lit(1L)),
+      iters, scale, dNum, dDen, checkpointEvery)
+
+  /** Weight-proportional damped PageRank: each neighbor receives
+    * intDiv(r·w, Σw) of the node's rank instead of an equal
+    * outdeg-share — the natural scorer over a SIMILARITY graph, where
+    * an edge's weight (e.g. the MinHash match count from
+    * [[graft.dedup.Dedup.minhashPairs]]) measures how strongly two
+    * documents endorse each other. Same exact-integer regime as
+    * [[pageRank]] (divide-before-sum per edge), so the oracle
+    * reproduces it bit-for-bit; with every weight equal it reduces
+    * exactly to the unweighted form (spec-asserted). `pairs` must
+    * carry (doc_a, doc_b, weightCol) with strictly positive integer
+    * weights. */
+  def pageRankWeighted(nodes: DataFrame, pairs: DataFrame,
+      weightCol: String = "minhash_matches", iters: Int = 3,
+      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
+      checkpointEvery: Int = 5): DataFrame =
+    rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, col(weightCol)),
+      iters, scale, dNum, dDen, checkpointEvery)
 }

@@ -850,6 +850,34 @@ object DocSql {
        |SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
   }
 
+  /** Mirror of GraphRank.pageRankWeighted over the MinHash pair
+    * graph with the match count as the edge weight: symmetrized
+    * weighted edges + per-src total out-weight, then `iters` unrolled
+    * power iterations where each edge carries (r·w) // Σw —
+    * divide-before-sum, bit-for-bit like the unweighted mirror. */
+  def graphRankWeighted(p: MinHashParams, iters: Int): String = {
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS doc_id,
+         |    sum((r${k - 1}.r * e.w) // e.sumw) AS c
+         |  FROM ed e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src GROUP BY 1),
+         |r$k AS (SELECT n.doc_id, $base + 85 * coalesce(c$k.c, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$k USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b, minhash_matches AS w FROM m
+       |  WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM pr
+       |  UNION ALL SELECT doc_b, doc_a, w FROM pr),
+       |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sumw FROM edges GROUP BY 1),
+       |ed AS (SELECT e.src, e.dst, e.w, s.sumw FROM edges e JOIN sw s USING (src)),
+       |nodes AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, CAST($scale AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
+  }
+
   /** Transitive closure of the MinHash pair graph as CTEs ending in
     * `comp(id, lbl)` — a recursive CTE floods every node's id along
     * the (symmetrized) edges; each node keeps the minimum id that

@@ -68,4 +68,61 @@ class GraphRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     val b = ranks(nodes(1L, 2L, 3L, 4L, 5L), pairs(es.map(_.swap): _*))
     assert(a == b)
   }
+
+  test("checkpoint cadence is invisible: deep iters=12 matches the unchunked run, analysis stays flat") {
+    // a PATH graph: degree asymmetry (endpoints 1, interior 2) makes
+    // power iteration converge slowly, so iter 12 ≠ iter 3 — a
+    // 2-regular graph would already sit at the fixed point
+    val n = nodes(1L, 2L, 3L, 4L, 5L, 6L, 9L)
+    val p = pairs(1L -> 2L, 2L -> 3L, 3L -> 4L, 4L -> 5L, 5L -> 6L)
+    def run(every: Int) = {
+      val m = GraphRank.pageRank(n, p, iters = 12, checkpointEvery = every)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.catalog.clearCache()
+      m
+    }
+    val t0 = System.nanoTime()
+    val chunked = run(5)                // 2 lineage cuts inside 12 iters
+    val chunkedMs = (System.nanoTime() - t0) / 1000000L
+    val unchunked = run(1000)           // cadence never fires
+    assert(chunked == unchunked)
+    // ranks actually moved past the 3-iter state (the deep run is real)
+    val threeIter = ranks(n, p)
+    assert(chunked != threeIter)
+    // flat-analysis guard: a 12-iter chunked run must not blow up into
+    // plan-analysis minutes; generous wall bound, catches regressions
+    // where the checkpoint stops truncating lineage
+    assert(chunkedMs < 60000L, s"chunked 12-iter run took ${chunkedMs}ms")
+  }
+
+  test("uniform weights reduce the weighted form to the unweighted, bit-for-bit") {
+    import spark.implicits._
+    val n = nodes(1L, 2L, 3L, 4L, 5L)
+    val es = Seq(1L -> 2L, 2L -> 3L, 1L -> 4L, 4L -> 5L, 3L -> 5L)
+    val wp = es.map { case (a, b) => (a, b, 7L) }
+      .toDF("doc_a", "doc_b", "minhash_matches")
+    val w = GraphRank.pageRankWeighted(n, wp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    // equal weights cancel: (r·7)//(7·outdeg) == r//outdeg ONLY up to
+    // flooring — with scale=1e12 both floors land identically on this
+    // graph, and the unweighted path itself runs w=1 through the same
+    // core, so the stronger claim is exact equality to pageRank
+    assert(w == ranks(n, pairs(es: _*)))
+  }
+
+  test("weighted rank follows the heavy edge: the strong neighbor outranks the weak one") {
+    import spark.implicits._
+    val n = nodes(0L, 1L, 2L)
+    // hub 0 endorses node 1 nine times as strongly as node 2
+    val wp = Seq((0L, 1L, 9L), (0L, 2L, 1L))
+      .toDF("doc_a", "doc_b", "minhash_matches")
+    val w = GraphRank.pageRankWeighted(n, wp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(w(1L) > w(2L), s"heavy-edge neighbor must outrank: $w")
+    // unweighted on the same topology ties them
+    val u = ranks(n, pairs(0L -> 1L, 0L -> 2L))
+    assert(u(1L) == u(2L))
+  }
 }
