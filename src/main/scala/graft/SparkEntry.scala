@@ -1914,6 +1914,58 @@ object SparkEntry {
           col("mean_r"), col("mean_g"), col("mean_b"),
           concat_ws("_", col("luma")).as("luma_str"))
     }),
+    // REAL COMPRESSED-codec video frame decode, pure JVM (round-11
+    // verdict ask #5): an MJPG-fourcc AVI whose movi chunks are each a
+    // complete hand-packed baseline JPEG, decoded by the same
+    // javax.imageio codec as q_multimodal_bmp. Oracle-gated by the GIF
+    // trick generalized: the JPEG template (all-ones quant table,
+    // byte-aligned single-code Huffman tables) encodes one CONSTANT
+    // gray 8x8 block whose DC value byte is spliced from an md5
+    // nibble, v = 0x80|(n<<3) — a DC-only block decodes to a constant
+    // whose 16 possible sRGB values are spec-verified against the real
+    // decoder (MultimodalSpec), so the oracle is a closed-form
+    // 16-entry lookup. Real DCT entropy-decode on the Spark side;
+    // closed form only in SQL.
+    "q_multimodal_mjpeg" -> ((s, dir) => {
+      def le(v: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+      def le2(lo: Int, hi: Int): Array[Byte] = le(lo | (hi << 16))
+      def cc(s4: String): Array[Byte] = s4.getBytes("US-ASCII")
+      val jpegPre = graft.multimodal.Decoders.MjpegTemplate.Prefix
+      val jpegSuf = graft.multimodal.Decoders.MjpegTemplate.Suffix
+      val jpegLen = jpegPre.length + 1 + jpegSuf.length // 143, odd
+      val frameChunk = 8 + jpegLen + 1                  // header + pad
+      val header =
+        cc("RIFF") ++ le(4 + 200 + 8 + 4 + 2 * frameChunk) ++ cc("AVI ") ++
+        cc("LIST") ++ le(192) ++ cc("hdrl") ++
+        cc("avih") ++ le(56) ++ le(40000) ++ le(0) ++ le(0) ++ le(0) ++
+        le(2) ++ le(0) ++ le(1) ++ le(16) ++ le(8) ++ le(8) ++
+        Array.fill[Byte](16)(0) ++
+        cc("LIST") ++ le(116) ++ cc("strl") ++
+        cc("strh") ++ le(56) ++ cc("vids") ++ cc("MJPG") ++ le(0) ++ le(0) ++
+        le(0) ++ le(1) ++ le(25) ++ le(0) ++ le(2) ++ le(16) ++ le(0) ++
+        le(0) ++ Array.fill[Byte](8)(0) ++
+        cc("strf") ++ le(40) ++ le(40) ++ le(8) ++ le(8) ++ le2(1, 24) ++
+        cc("MJPG") ++ le(jpegLen) ++ le(0) ++ le(0) ++ le(0) ++ le(0) ++
+        cc("LIST") ++ le(4 + 2 * frameChunk) ++ cc("movi")
+      val hx = md5(coalesce(col("text"), lit("")).cast("binary"))
+      // the DC value byte for nibble n is 0x80|(n<<3) — a 16-entry
+      // hex-pair table indexed by the digest nibble, SQL-expressible
+      // on both sides
+      val valueHex = array((0 until 16).map(n =>
+        lit(f"${0x80 | (n << 3)}%02X")): _*)
+      def frame(k: Int) = concat(
+        lit(cc("00dc") ++ le(jpegLen) ++ jpegPre),
+        unhex(element_at(valueHex,
+          conv(substring(hx, k, 1), 16, 10).cast("int") + 1)),
+        lit(jpegSuf ++ Array[Byte](0))) // odd chunk size -> pad byte
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit(header), frame(1), frame(2)).as("payload"))
+      graft.multimodal.Decoders.decodeAviFramesBatched(src).toDF()
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("mean_r"), col("mean_g"), col("mean_b"),
+          concat_ws("_", col("luma")).as("luma_str"))
+    }),
 
     // --- layout optimization: the reference's purpose -------------------
     // Curve-order lineitem into parquet, then run a selective 2-D range
@@ -2438,6 +2490,7 @@ object SparkEntry {
     "q_multimodal_wav" -> EventSql.multimodalWav,
     "q_multimodal_video" -> EventSql.multimodalVideo,
     "q_multimodal_frame" -> EventSql.multimodalFrames,
+    "q_multimodal_mjpeg" -> EventSql.multimodalMjpeg,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey"))

@@ -431,6 +431,31 @@ object EventSql {
        |${frame(4, 1)}""".stripMargin
   }
 
+  /** Oracle for the MJPEG-in-AVI frame decode: the hand-packed JPEG
+    * template encodes one CONSTANT gray 8×8 block whose DC value byte
+    * comes from md5 nibble k (frame k at hex char k+1), so each
+    * frame's decode is a closed-form 16-entry lookup — the table is
+    * `Decoders.MjpegTemplate.ExpectedGray`, spec-verified against the
+    * real `javax.imageio` decoder. Constant pixels make every channel
+    * mean the constant and every one of the 64 lumas
+    * (299c+587c+114c)//1000 = c. */
+  val multimodalMjpeg: String = {
+    val lut = graft.multimodal.Decoders.MjpegTemplate.ExpectedGray
+      .mkString("[", ", ", "]")
+    def frame(k: Int, idx: Int) =
+      s"""SELECT doc_id, CAST($idx AS BIGINT) AS frame_idx,
+         |  CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+         |  c AS mean_r, c AS mean_g, c AS mean_b,
+         |  ltrim(repeat('_' || CAST(c AS VARCHAR), 64), '_') AS luma_str
+         |FROM (SELECT doc_id, CAST(($lut)[
+         |    strpos('0123456789abcdef', substr(hx, $k, 1))] AS BIGINT) AS c
+         |  FROM h)""".stripMargin
+    s"""WITH h AS (SELECT doc_id, md5(coalesce(text, '')) AS hx FROM documents)
+       |${frame(1, 0)}
+       |UNION ALL
+       |${frame(2, 1)}""".stripMargin
+  }
+
   val multimodalWav: String = {
     def px(i: Int) = s"CAST(('0x' || substr(hx, ${2 * i + 1}, 2)) AS BIGINT)"
     def sample(k: Int) = s"s$k AS (SELECT doc_id, ${px(2 * k)} + 256 * ${px(2 * k + 1)} AS x FROM h)"

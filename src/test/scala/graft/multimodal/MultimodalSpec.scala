@@ -344,14 +344,57 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("avi frame decode rejects compressed streams and bad frame sizes loudly") {
     val f = Array.fill[Byte](16)(0)
-    // MJPG-compressed stream: a declared error, never a silent stub
+    // inter-frame codec (H264 fourcc): a declared error, never a
+    // silent stub — MJPG is now a supported intra-frame codec
     intercept[IllegalArgumentException](
-      Decoders.AviFrameDecoder.decode(7L, dibAvi(2, 2, 24, 0x47504A4D, f)))
+      Decoders.AviFrameDecoder.decode(7L, dibAvi(2, 2, 24, 0x34363248, f)))
     // frame chunk size disagreeing with the strf geometry
     intercept[IllegalArgumentException](
       Decoders.AviFrameDecoder.decode(8L, dibAvi(2, 2, 24, 0, f.take(12))))
     // not an AVI at all
     intercept[IllegalArgumentException](
       Decoders.AviFrameDecoder.decode(9L, "plain bytes".getBytes))
+  }
+
+  private val Mjpg = 0x47504A4D // 'MJPG' as LE biCompression
+
+  test("mjpeg frame decode: every DC template decodes to its oracle constant") {
+    // THE gate that licenses the q_multimodal_mjpeg oracle: for each
+    // nibble n the hand-packed constant-gray JPEG must decode —
+    // through the real javax.imageio codec — to exactly the constant
+    // the closed-form SQL lookup table claims. A JRE whose gray→sRGB
+    // conversion drifts fails HERE, not silently at the driver gate.
+    val t = Decoders.MjpegTemplate
+    (0 until 16).foreach { n =>
+      val out = Decoders.AviFrameDecoder.decode(40L + n,
+        dibAvi(8, 8, 24, Mjpg, t.payload(n)))
+      assert(out.size == 1)
+      val f = out.head
+      val c = t.ExpectedGray(n)
+      assert((f.width, f.height) == ((8L, 8L)), s"n=$n dims")
+      assert((f.mean_r, f.mean_g, f.mean_b) == ((c, c, c)),
+        s"n=$n means ${(f.mean_r, f.mean_g, f.mean_b)} != $c")
+      // constant pixels: luma (299c+587c+114c)//1000 = c, all 64
+      assert(f.luma == Seq.fill(64)(c), s"n=$n luma")
+    }
+  }
+
+  test("mjpeg frame decode: multi-frame indexing and the movi walk") {
+    val t = Decoders.MjpegTemplate
+    val out = Decoders.AviFrameDecoder.decode(60L,
+      dibAvi(8, 8, 24, Mjpg, t.payload(0), t.payload(15)))
+    assert(out.map(f => (f.frame_idx, f.mean_r)) ==
+      Seq((0L, t.ExpectedGray(0)), (1L, t.ExpectedGray(15))))
+  }
+
+  test("mjpeg frame decode: dimension mismatch and garbage payloads are loud") {
+    val t = Decoders.MjpegTemplate
+    // strf declares 4x4 but the JPEG is 8x8
+    intercept[IllegalArgumentException](
+      Decoders.AviFrameDecoder.decode(61L, dibAvi(4, 4, 24, Mjpg, t.payload(0))))
+    // an MJPG stream whose chunk is not a decodable JPEG
+    intercept[IllegalArgumentException](
+      Decoders.AviFrameDecoder.decode(62L,
+        dibAvi(8, 8, 24, Mjpg, Array.fill[Byte](16)(0))))
   }
 }
