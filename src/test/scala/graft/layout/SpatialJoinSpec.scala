@@ -68,4 +68,51 @@ class SpatialJoinSpec extends AnyFunSuite with BeforeAndAfterAll {
       SpatialJoin.boxJoin(d, d, dx = 5, dy = 1, cellBits = 2)
     }
   }
+
+  private def dpts(rows: (Long, Double, Double)*) = {
+    import spark.implicits._
+    graft.functions.Curves.register(spark)
+    rows.toDF("key", "x", "y")
+  }
+
+  test("double box join matches the naive inequality join, including cell-boundary pairs") {
+    // irrational-ish coords spread over [0,100)x[0,10): no alignment
+    // with any grid the quantizer picks
+    val rows = (0 until 150).map(i =>
+      (i.toLong, (i * 37 % 100) + i * 0.013, (i * 29 % 10) + i * 0.007))
+    val df = dpts(rows: _*)
+    val fast = SpatialJoin.boxJoinDouble(df, df, rx = 2.5, ry = 0.75,
+      xLo = 0.0, xHi = 110.0, yLo = 0.0, yHi = 12.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val naive = (for {
+      (ka, xa, ya) <- rows; (kb, xb, yb) <- rows
+      if ka != kb && math.abs(xa - xb) <= 2.5 && math.abs(ya - yb) <= 0.75
+    } yield (ka, kb)).toSet
+    assert(fast == naive && naive.nonEmpty)
+  }
+
+  test("double box join: exact-radius pairs survive quantization (boundary completeness)") {
+    // partners at EXACTLY the radius in each axis — the pairs a
+    // rounding-careless grid would lose; margin keeps them 3×3-visible
+    val a = dpts((1L, 50.0, 5.0))
+    val b = dpts((10L, 52.5, 5.0), (11L, 47.5, 5.0),
+      (12L, 50.0, 5.75), (13L, 52.5, 5.75), (14L, 52.6, 5.0))
+    val out = SpatialJoin.boxJoinDouble(a, b, rx = 2.5, ry = 0.75,
+      xLo = 0.0, xHi = 110.0, yLo = 0.0, yHi = 12.0)
+      .collect().map(_.getLong(1)).toSet
+    assert(out == Set(10L, 11L, 12L, 13L)) // 14 is past the radius
+  }
+
+  test("double box join: NaN coordinates never match; oversized radius is rejected") {
+    val a = dpts((1L, Double.NaN, 5.0), (2L, 50.0, 5.0))
+    val b = dpts((10L, 50.0, 5.0), (11L, Double.NaN, 5.0))
+    val out = SpatialJoin.boxJoinDouble(a, b, rx = 2.5, ry = 0.75,
+      xLo = 0.0, xHi = 110.0, yLo = 0.0, yHi = 12.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((2L, 10L)))
+    intercept[IllegalArgumentException] {
+      SpatialJoin.boxJoinDouble(a, b, rx = 200.0, ry = 0.75,
+        xLo = 0.0, xHi = 110.0, yLo = 0.0, yHi = 12.0)
+    }
+  }
 }
