@@ -363,13 +363,10 @@ object Dedup {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     def swapIn(sub: String, df: DataFrame): Unit =
       df.write.mode("overwrite").parquet(s"$path/${sub}_compacting")
-    def finish(sub: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(live, true)
-      require(fs.rename(
-        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"), live),
-        s"compaction swap failed for $path/$sub")
-    }
+    def finish(sub: String): Unit =
+      graft.core.DirSwap.swap(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$sub"),
+        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"))
     val stats = spark.read.parquet(s"$path/band_stats")
       .groupBy(col("band_idx"), col("band_hash"))
       .agg(sum(col("n")).as("n"), min(col("min_id")).as("min_id"))

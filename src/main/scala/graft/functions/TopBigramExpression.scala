@@ -104,7 +104,21 @@ object TopBigramRuntime {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
-  /** Max adjacent-bigram multiplicity of a token array. */
+  /** Null-safe token order: null sorts first. Only used to GROUP for
+    * the run pass — a null-containing bigram never matches anything
+    * there, so the order among nulls is irrelevant. */
+  private def cmpNullSafe(a: UTF8String, b: UTF8String): Int =
+    if (a eq null) { if (b eq null) 0 else -1 }
+    else if (b eq null) 1
+    else a.compareTo(b)
+
+  /** Max adjacent-bigram multiplicity of a token array. A bigram with
+    * a null member follows the builtin spec's `null === prev` SQL
+    * semantics ([[graft.text.TextFunctions.topBigramCountBuiltin]]):
+    * it starts a fresh run of 1 and never extends one — so an
+    * all-null input still returns 1, not 0 (and never NPEs, which
+    * matters for the SQL-registered surface where any
+    * array<string> literal can arrive). */
   def topCount(toks: ArrayData): Long = {
     val n = toks.numElements()
     if (n < 2) return 0L
@@ -118,8 +132,9 @@ object TopBigramRuntime {
     while (i < n - 1) { idx(i) = Integer.valueOf(i); i += 1 }
     java.util.Arrays.sort(idx, new java.util.Comparator[Integer] {
       override def compare(a: Integer, b: Integer): Int = {
-        val c = ts(a.intValue).compareTo(ts(b.intValue))
-        if (c != 0) c else ts(a.intValue + 1).compareTo(ts(b.intValue + 1))
+        val c = cmpNullSafe(ts(a.intValue), ts(b.intValue))
+        if (c != 0) c
+        else cmpNullSafe(ts(a.intValue + 1), ts(b.intValue + 1))
       }
     })
     var best = 1L
@@ -128,7 +143,9 @@ object TopBigramRuntime {
     while (i < n - 1) {
       val p = idx(i - 1).intValue
       val q = idx(i).intValue
-      if (ts(p).compareTo(ts(q)) == 0 && ts(p + 1).compareTo(ts(q + 1)) == 0) {
+      if (ts(p) != null && ts(p + 1) != null && ts(q) != null &&
+        ts(q + 1) != null && ts(p).compareTo(ts(q)) == 0 &&
+        ts(p + 1).compareTo(ts(q + 1)) == 0) {
         run += 1L
         if (run > best) best = run
       } else run = 1L

@@ -1180,13 +1180,10 @@ object Similarity {
       path: String): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def finish(sub: String): Unit = {
-      val live = new org.apache.hadoop.fs.Path(s"$path/$sub")
-      fs.delete(live, true)
-      require(fs.rename(
-        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"), live),
-        s"compaction swap failed for $path/$sub")
-    }
+    def finish(sub: String): Unit =
+      graft.core.DirSwap.swap(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$sub"),
+        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"))
     spark.read.parquet(s"$path/keys")
       .repartitionByRange(col("band_idx"), col("key"))
       .sortWithinPartitions(col("band_idx"), col("key"), col("vec_id"))

@@ -1199,10 +1199,11 @@ object CorpusOps {
     // a sketch is KBs at any corpus size — one output file IS the point
     merged.coalesce(1).write.mode("overwrite").parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
-      s"compaction swap failed for $path")
+    // crash-safe two-rename swap; stream-ingest markers survive
+    graft.core.DirSwap.preserveBatchMarkers(fs, hPath, hTmp)
+    graft.core.DirSwap.swap(fs, hPath, hTmp)
   }
 
   /** KMV sketch set operations (Beyer et al. 2007 §4) — what makes

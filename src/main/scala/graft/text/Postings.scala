@@ -113,9 +113,14 @@ object Postings {
 
   /** Re-sort the whole index into token-clustered files after a run
     * of appends — the postings twin of the layout/sketch compactors:
-    * one range exchange over the stored rows (never the corpus), an
-    * atomic directory swap, zero logical change (serve-equivalence
-    * spec'd). */
+    * one range exchange over the stored rows (never the corpus), a
+    * crash-safe two-rename directory swap ([[graft.core.DirSwap]] —
+    * the old index stays recoverable at every crash point), zero
+    * logical change (serve-equivalence spec'd). The stream-ingest
+    * `_batches` idempotence markers are carried into the compacted
+    * directory before the swap, so a restarted stream's re-delivered
+    * batch still finds its marker and append == from-scratch
+    * serve-equivalence survives compaction. */
   def compactIndex(spark: SparkSession, path: String): Unit = {
     val tmp = path + "_compacting"
     spark.read.parquet(path)
@@ -123,9 +128,9 @@ object Postings {
       .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
       .write.mode("overwrite").parquet(tmp)
     val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(hPath, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(tmp), hPath),
-      s"compaction swap failed for $path")
+    graft.core.DirSwap.preserveBatchMarkers(fs, hPath, hTmp)
+    graft.core.DirSwap.swap(fs, hPath, hTmp)
   }
 }

@@ -102,6 +102,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.filter(col("native") > 0).count() > 0)
   }
 
+  test("top_bigram_count: null array elements follow the builtin null semantics, no NPE") {
+    // the SQL surface accepts any array<string>, including null
+    // elements the internal tokenizer never produces: a
+    // null-containing bigram starts a run of 1 and never extends one
+    // (null === prev propagates to no-match in the builtin spec)
+    graft.functions.Curves.register(spark)
+    val rows = spark.sql(
+      """SELECT top_bigram_count(array('a', NULL, 'b')) AS a,
+        |  top_bigram_count(array(CAST(NULL AS STRING), NULL, NULL)) AS b,
+        |  top_bigram_count(array('x', 'y', 'x', 'y', 'x')) AS c,
+        |  top_bigram_count(array('a', NULL)) AS d""".stripMargin).head()
+    assert((rows.getLong(0), rows.getLong(1), rows.getLong(2), rows.getLong(3))
+      == ((1L, 1L, 2L, 1L)))
+  }
+
   test("vocabCoverage: per-source OOV counts against the frozen topK vocabulary") {
     import spark.implicits._
     // vocab (topK=2) = {a, b} (tf order); source s1 all in-vocab,

@@ -92,6 +92,49 @@ class PostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(grown) == grownHits)
   }
 
+  test("compaction preserves stream-ingest _batches markers and leaves no _old debris") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val path = java.nio.file.Files.createTempDirectory("postings_markers").toString
+    Postings.buildIndex(docs.filter(col("doc_id") % 2 === 0), path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a stream having delivered batches 0 and 7
+    Seq(0L, 7L).foreach { id =>
+      fs.create(new org.apache.hadoop.fs.Path(s"$path/_batches/$id"), true).close()
+    }
+    Postings.compactIndex(spark, path)
+    // re-delivery protection survives the swap; the swap cleans up
+    Seq(0L, 7L).foreach { id =>
+      assert(fs.exists(new org.apache.hadoop.fs.Path(s"$path/_batches/$id")),
+        s"marker $id must survive compaction")
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_old")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "_compacting")))
+  }
+
+  test("DirSwap keeps the old directory recoverable until the new one is live") {
+    // the crash-window contract: a leftover _old from a previously
+    // crashed swap is cleared, and a swap with a healthy tmp ends
+    // with live == tmp contents and no debris
+    val fs = new org.apache.hadoop.fs.Path("/tmp")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val base = java.nio.file.Files.createTempDirectory("dirswap").toString
+    def mk(p: String, tag: String): org.apache.hadoop.fs.Path = {
+      val hp = new org.apache.hadoop.fs.Path(p)
+      fs.mkdirs(hp)
+      fs.create(new org.apache.hadoop.fs.Path(hp, tag), true).close()
+      hp
+    }
+    val live = mk(s"$base/idx", "v1")
+    val tmp = mk(s"$base/idx_compacting", "v2")
+    mk(s"$base/idx_old", "stale") // debris from a hypothetical crash
+    graft.core.DirSwap.swap(fs, live, tmp)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(live, "v2")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live, "v1")))
+    assert(!fs.exists(tmp))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$base/idx_old")))
+  }
+
   test("indexed probe pushes the token filter into the parquet scan") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val path = java.nio.file.Files.createTempDirectory("postings").toString
