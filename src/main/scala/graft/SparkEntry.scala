@@ -385,6 +385,16 @@ object SparkEntry {
         docs.filter(length(col("source")) === 4),
         docs.filter(length(col("source")) === 5))
     }),
+    // EXACT threshold set-similarity join (AllPairs prefix filter):
+    // every cross-registry pair at shingle-Jaccard >= 30% — lossless
+    // deterministic recall (the full quadratic join's result) without
+    // LSH tuning or a df cap; candidates only from rare-first prefixes
+    "q_join_setsim" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.text.Linkage.setSimJoin(
+        docs.filter(length(col("source")) === 4),
+        docs.filter(length(col("source")) === 5))
+    }),
     // exact phrase search over positional postings: occurrence count +
     // first position per matching doc; probe cost scales with the
     // phrase tokens' df, never the corpus
@@ -2298,6 +2308,7 @@ object SparkEntry {
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
+    "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_kwic" -> DocSql.keywordInContext("merge", 3),
     "q_sample_topk" ->

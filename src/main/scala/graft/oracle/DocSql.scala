@@ -1121,6 +1121,29 @@ object DocSql {
        |SELECT doc_a, doc_b, inter, sz_sum - inter AS uni
        |FROM pairs WHERE 2 * inter >= sz_sum - inter""".stripMargin
 
+  /** Mirror of Linkage.setSimJoin over the two derived registries:
+    * the FULL quadratic exact-Jaccard join on distinct-k-shingle
+    * 60-bit hash sets — no prefix filter needed oracle-side, because
+    * the filter is lossless (that losslessness is exactly what this
+    * oracle hash-gates). */
+  def setSimJoin(threshPpm: Long, shingleK: Int): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, source, ${shinglesExpr(shingleK)} AS sh FROM d),
+       |l AS (SELECT doc_id AS left_id, list_distinct(list_transform(sh,
+       |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS sh
+       |  FROM s0 WHERE length(source) = 4),
+       |r AS (SELECT doc_id AS right_id, list_distinct(list_transform(sh,
+       |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS sh
+       |  FROM s0 WHERE length(source) = 5),
+       |p AS (SELECT left_id, right_id,
+       |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS BIGINT)
+       |      AS inter,
+       |    CAST(len(l.sh) + len(r.sh) AS BIGINT) AS sz FROM l, r)
+       |SELECT left_id, right_id, inter, sz - inter AS uni,
+       |  CAST(inter * 1000000 // (sz - inter) AS BIGINT) AS jaccard_ppm
+       |FROM p WHERE inter * 1000000 >= $threshPpm * (sz - inter)""".stripMargin
+
   /** Mirror of Linkage.linkBestMatch over the two derived registries
     * (left = 4-char sources src0..src9, right = 5-char src10..src19):
     * rare-shingle blocking, exact 60-bit-hash Jaccard verify, top-1

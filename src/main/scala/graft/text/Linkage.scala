@@ -198,4 +198,76 @@ object Linkage {
       .select(col("left_id"), col("right_id"), col("dist"), col("max_len"),
         col("norm_ppm"))
   }
+
+  /** EXACT threshold set-similarity JOIN via df-ordered prefix
+    * filtering (the AllPairs/PPJoin family, Bayardo et al. WWW'07 /
+    * Chaudhuri et al. ICDE'06) — every (left, right) pair whose
+    * distinct-k-shingle Jaccard meets `threshPpm`, with DETERMINISTIC
+    * 100% recall: where the MinHash family trades recall curves for
+    * speed and [[blockedCandidates]] trades a df-cap blocking
+    * predicate, the prefix filter is lossless by a set-theoretic
+    * argument, so the result IS the full quadratic join's.
+    *
+    * The filter: order each row's hashes globally rare-first (df
+    * ascending over BOTH sides, ties by hash). A pair at Jaccard ≥ t
+    * has overlap ≥ α_x = ⌈t·|x|⌉ on each side, and two consistently
+    * ordered sets with overlap ≥ α must collide within their first
+    * |x| − α_x + 1 elements (if the prefixes were disjoint, every
+    * common element would sit past the LATER prefix end on one side —
+    * contradiction with the overlap bound). So candidates = the
+    * equi-join of the two PREFIX token streams, and rare-first
+    * ordering makes those streams collide on the LOW-df hashes —
+    * bounded fan-out without losing completeness, unlike a df CAP.
+    *
+    * Shape at 100 TB: one hash aggregate for the global df table, one
+    * per-row window (partitioned by doc id — never corpus-wide) to
+    * rank each row's own hashes, one equi-join of the prefix streams,
+    * and the same sorted-array verify as [[linkBestMatch]]. The
+    * quadratic join this replaces is (left × right); the prefix join
+    * fans out per LOW-df hash only. */
+  def setSimJoin(left: DataFrame, right: DataFrame,
+      threshPpm: Long = 300000L, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshPpm > 0 && threshPpm <= 1000000L, s"threshPpm=$threshPpm")
+    def hashed(df: DataFrame, side: String) = df
+      .select(col(idCol).as(s"${side}_id"),
+        Dedup.shingleHashes(col(textCol), shingleK).as(s"sh_$side"))
+    val lt = hashed(left, "left")
+    val rt = hashed(right, "right")
+    def exploded(df: DataFrame, side: String) = df
+      .select(col(s"${side}_id"), size(col(s"sh_$side")).cast("long").as("n"),
+        explode(col(s"sh_$side")).as("h"))
+    val le = exploded(lt, "left")
+    val re = exploded(rt, "right")
+    // global rare-first order: df over BOTH sides (any consistent
+    // total order preserves completeness; rare-first minimizes the
+    // candidate fan-out)
+    val dfs = le.select(col("h")).unionAll(re.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    def prefix(ex: DataFrame, side: String) = {
+      val w = Window.partitionBy(col(s"${side}_id"))
+        .orderBy(col("df"), col("h"))
+      // overlap lower bound α = ⌈t·n⌉ exactly in integer ppm
+      val alpha = TextFunctions.intDiv(
+        lit(threshPpm) * col("n") + 999999L, lit(1000000L))
+      ex.join(dfs, "h")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("n") - alpha + 1)
+        .select(col(s"${side}_id"), col("h"))
+    }
+    val cand = prefix(le, "left").join(prefix(re, "right"), "h")
+      .select(col("left_id"), col("right_id")).distinct()
+    cand.join(lt, "left_id").join(rt, "right_id")
+      .select(col("left_id"), col("right_id"),
+        ColumnShims.column(IntersectCountSorted(
+          ColumnShims.expression(col("sh_left")),
+          ColumnShims.expression(col("sh_right")))).as("inter"),
+        (size(col("sh_left")) + size(col("sh_right"))).cast("long").as("sz_sum"))
+      .withColumn("uni", col("sz_sum") - col("inter"))
+      .withColumn("jaccard_ppm",
+        TextFunctions.intDiv(col("inter") * lit(1000000L), col("uni")))
+      .filter(col("jaccard_ppm") >= threshPpm)
+      .select(col("left_id"), col("right_id"), col("inter"), col("uni"),
+        col("jaccard_ppm"))
+  }
 }

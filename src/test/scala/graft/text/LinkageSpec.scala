@@ -133,6 +133,47 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(loose == Map(100L -> 10L)) // best match still dist=10
   }
 
+  test("setSimJoin equals the naive quadratic Jaccard join (lossless prefix filter)") {
+    val left = docs.filter(length(col("source")) === 4)
+    val right = docs.filter(length(col("source")) === 5)
+    val fast = Linkage.setSimJoin(left, right, threshPpm = 300000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    // naive: every pair, exact sorted-hash intersection, same math
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        graft.dedup.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val naive = (for {
+      (la, sa) <- sets(left); (rb, sb) <- sets(right)
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      uni = sa.size + sb.size - inter
+      jac = inter * 1000000L / uni
+      if jac >= 300000L
+    } yield (la, rb) -> ((inter, uni, jac))).toMap
+    spark.catalog.clearCache()
+    assert(fast == naive && naive.nonEmpty)
+  }
+
+  test("setSimJoin threshold boundary: a pair at exactly t stays, one under t drops") {
+    import spark.implicits._
+    // 4 distinct shingles per side, overlap 3 of 5 union -> jaccard
+    // exactly 600000 ppm; the second right row shares 2 of 6 -> 333333
+    val l = Seq((1L, "a b c d e f")).toDF("doc_id", "text") // shingles: abc bcd cde def
+    val rgt = Seq(
+      (10L, "a b c d e x"),  // abc bcd cde dex -> inter 3, uni 5
+      (11L, "a b c x y z"))  // abc bcx cxy xyz -> inter 1, uni 7
+      .toDF("doc_id", "text")
+    val at = Linkage.setSimJoin(l, rgt, threshPpm = 600000L)
+      .collect().map(r => (r.getLong(1), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    assert(at == Map(10L -> 600000L))
+    // one ppm tighter: the exact-boundary pair drops too
+    assert(Linkage.setSimJoin(l, rgt, threshPpm = 600001L).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("df cap bounds candidate generation: a common shingle never blocks") {
     import spark.implicits._
     // 8 left rows sharing one ubiquitous shingle; df cap 5 excludes it,
