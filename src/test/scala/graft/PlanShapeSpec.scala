@@ -343,6 +343,30 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("weighted graph rank: same cached-edge shape as the unweighted form") {
+    val p = plan("q_graph_rank_w")
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("set-similarity join: prefix-filtered equi-joins only, never a theta join") {
+    val p = plan("q_join_setsim")
+    // the lossless prefix filter replaces the quadratic pair space —
+    // a cartesian/NLJ here means the filter degenerated
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+    // the per-row rare-first ranking partitions by the row id, never
+    // corpus-wide
+    assert(p.contains("hashpartitioning(left_id") ||
+      p.contains("hashpartitioning(right_id"), p)
+  }
+
+  test("double spatial join: candidates from ONE cell equi-join, no theta join") {
+    val p = plan("q_spatial_join_f")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("olap revenue: date range pushed to the orders scan, fact columns pruned") {
     val df = SparkEntry.queries("q_olap_revenue")(spark, dir)
     val p = df.queryExecution.explainString(
