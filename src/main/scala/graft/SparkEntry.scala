@@ -395,6 +395,17 @@ object SparkEntry {
         docs.filter(length(col("source")) === 4),
         docs.filter(length(col("source")) === 5))
     }),
+    // EXACT set-CONTAINMENT join: right docs holding >= 60% of the
+    // left doc's distinct shingles — the plagiarism/contamination
+    // audit shape, where Jaccard under-scores short-in-long
+    // containment; left-prefix filter only (containment bounds only
+    // the probe side), still lossless
+    "q_join_contain" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.text.Linkage.containJoin(
+        docs.filter(length(col("source")) === 4),
+        docs.filter(length(col("source")) === 5))
+    }),
     // exact phrase search over positional postings: occurrence count +
     // first position per matching doc; probe cost scales with the
     // phrase tokens' df, never the corpus
@@ -2309,6 +2320,7 @@ object SparkEntry {
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),
+    "q_join_contain" -> DocSql.containJoin(600000L, 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_kwic" -> DocSql.keywordInContext("merge", 3),
     "q_sample_topk" ->

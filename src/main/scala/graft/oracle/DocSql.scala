@@ -1144,6 +1144,27 @@ object DocSql {
        |  CAST(inter * 1000000 // (sz - inter) AS BIGINT) AS jaccard_ppm
        |FROM p WHERE inter * 1000000 >= $threshPpm * (sz - inter)""".stripMargin
 
+  /** Mirror of Linkage.containJoin: the full quadratic exact
+    * containment join — left-prefix losslessness is what the driver
+    * hash-gates, like [[setSimJoin]]. */
+  def containJoin(threshPpm: Long, shingleK: Int): String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |s0 AS (SELECT doc_id, source, ${shinglesExpr(shingleK)} AS sh FROM d),
+       |l AS (SELECT doc_id AS left_id, list_distinct(list_transform(sh,
+       |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS sh
+       |  FROM s0 WHERE length(source) = 4),
+       |r AS (SELECT doc_id AS right_id, list_distinct(list_transform(sh,
+       |    x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT))) AS sh
+       |  FROM s0 WHERE length(source) = 5),
+       |p AS (SELECT left_id, right_id,
+       |    CAST(len(list_filter(l.sh, x -> list_contains(r.sh, x))) AS BIGINT)
+       |      AS inter,
+       |    CAST(len(l.sh) AS BIGINT) AS n_left FROM l, r)
+       |SELECT left_id, right_id, inter, n_left,
+       |  CAST(inter * 1000000 // n_left AS BIGINT) AS contain_ppm
+       |FROM p WHERE inter * 1000000 >= $threshPpm * n_left""".stripMargin
+
   /** Mirror of Linkage.linkBestMatch over the two derived registries
     * (left = 4-char sources src0..src9, right = 5-char src10..src19):
     * rare-shingle blocking, exact 60-bit-hash Jaccard verify, top-1

@@ -270,4 +270,60 @@ object Linkage {
       .select(col("left_id"), col("right_id"), col("inter"), col("uni"),
         col("jaccard_ppm"))
   }
+
+  /** EXACT threshold set-CONTAINMENT join — every (left, right) pair
+    * where at least `threshPpm` of the LEFT row's distinct k-shingles
+    * appear in the right row: the asymmetric sibling of [[setSimJoin]]
+    * and the shape of plagiarism / contamination audits ("which
+    * registry-B document subsumes this one"), where Jaccard
+    * under-scores a short document contained in a long one.
+    *
+    * Containment bounds only the left side (o ≥ ⌈t·|x|⌉; the right
+    * set can be arbitrarily large), so the prefix filter applies to
+    * the LEFT stream only and joins against the FULL right stream —
+    * still lossless: if the left prefix missed every common element,
+    * the overlap would fit in the suffix's α−1 elements,
+    * contradicting the bound. Rare-first ordering again keeps the
+    * candidate fan-out on low-df hashes. Result equals the full
+    * quadratic containment join (the oracle).
+    *
+    * Shape at 100 TB: identical to [[setSimJoin]] minus the right
+    * prefix window — df aggregate, one per-left-row window, one
+    * equi-join of (left prefix × right postings), sorted-array
+    * verify. */
+  def containJoin(left: DataFrame, right: DataFrame,
+      threshPpm: Long = 600000L, shingleK: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(threshPpm > 0 && threshPpm <= 1000000L, s"threshPpm=$threshPpm")
+    val lt = left.select(col(idCol).as("left_id"),
+      Dedup.shingleHashes(col(textCol), shingleK).as("sh_left"))
+    val rt = right.select(col(idCol).as("right_id"),
+      Dedup.shingleHashes(col(textCol), shingleK).as("sh_right"))
+    val le = lt.select(col("left_id"),
+      size(col("sh_left")).cast("long").as("n"),
+      explode(col("sh_left")).as("h"))
+    val re = rt.select(col("right_id"), explode(col("sh_right")).as("h"))
+    val dfs = le.select(col("h")).unionAll(re.select(col("h")))
+      .groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("left_id")).orderBy(col("df"), col("h"))
+    val alpha = TextFunctions.intDiv(
+      lit(threshPpm) * col("n") + 999999L, lit(1000000L))
+    val cand = le.join(dfs, "h")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n") - alpha + 1)
+      .select(col("left_id"), col("h"))
+      .join(re, "h")
+      .select(col("left_id"), col("right_id")).distinct()
+    cand.join(lt, "left_id").join(rt, "right_id")
+      .select(col("left_id"), col("right_id"),
+        ColumnShims.column(IntersectCountSorted(
+          ColumnShims.expression(col("sh_left")),
+          ColumnShims.expression(col("sh_right")))).as("inter"),
+        size(col("sh_left")).cast("long").as("n_left"))
+      .withColumn("contain_ppm",
+        TextFunctions.intDiv(col("inter") * lit(1000000L), col("n_left")))
+      .filter(col("contain_ppm") >= threshPpm)
+      .select(col("left_id"), col("right_id"), col("inter"), col("n_left"),
+        col("contain_ppm"))
+  }
 }

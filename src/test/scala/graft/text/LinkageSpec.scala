@@ -174,6 +174,43 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("containJoin equals the naive quadratic containment join") {
+    val left = docs.filter(length(col("source")) === 4)
+    val right = docs.filter(length(col("source")) === 5)
+    val fast = Linkage.containJoin(left, right, threshPpm = 600000L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.catalog.clearCache()
+    def sets(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("doc_id"),
+        graft.dedup.Dedup.shingleHashes(col("text"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toSeq
+    val naive = (for {
+      (la, sa) <- sets(left); (rb, sb) <- sets(right)
+      inter = sa.toSet.intersect(sb.toSet).size.toLong
+      ppm = inter * 1000000L / sa.size
+      if ppm >= 600000L
+    } yield (la, rb) -> ((inter, sa.size.toLong, ppm))).toMap
+    spark.catalog.clearCache()
+    assert(fast == naive && naive.nonEmpty)
+  }
+
+  test("containJoin is asymmetric: a short doc contained in a long one passes where Jaccard fails") {
+    import spark.implicits._
+    // left's 4 shingles all appear in right (containment 1e6) but the
+    // union is large, so Jaccard is only 4/24 — the short-in-long
+    // class the containment join exists for
+    val leftText = "a b c d e f"
+    val rightText = ("a b c d e f " + (1 to 20).map(i => s"w$i").mkString(" "))
+    val l = Seq((1L, leftText)).toDF("doc_id", "text")
+    val rgt = Seq((10L, rightText)).toDF("doc_id", "text")
+    val c = Linkage.containJoin(l, rgt, threshPpm = 1000000L).collect()
+    assert(c.length == 1 && c.head.getLong(4) == 1000000L)
+    spark.catalog.clearCache()
+    assert(Linkage.setSimJoin(l, rgt, threshPpm = 600000L).count() == 0)
+    spark.catalog.clearCache()
+  }
+
   test("df cap bounds candidate generation: a common shingle never blocks") {
     import spark.implicits._
     // 8 left rows sharing one ubiquitous shingle; df cap 5 excludes it,
