@@ -115,7 +115,16 @@ object ScaleCheck {
       // cap + prefilter must hold the O(len²) verify sublinear under
       // 10x df inflation), the six-table OLAP join, and the per-user
       // transition window
-      "q_link_edit", "q_olap_revenue", "q_events_transitions")
+      "q_link_edit", "q_olap_revenue", "q_events_transitions",
+      // round-12 batch: the exact prefix-filtered joins (their
+      // candidate space tracks TRUE-pair density — the duplication-
+      // heavy 10x corpus multiplies cross-registry dup pairs ~copies²,
+      // so growth here is OUTPUT growth, not filter failure), the
+      // weighted graph rank (same K-join stress as the unweighted),
+      // and the double spatial join (10x denser cells → ~10x
+      // candidates per probe at fixed radius)
+      "q_join_setsim", "q_join_contain", "q_graph_rank_w",
+      "q_spatial_join_f")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay
