@@ -837,6 +837,12 @@ object SparkEntry {
     // a variance-shaped statistic hash-gates exactly
     "q_emb_scatter" -> ((s, dir) =>
       Similarity.embScatter(table(s, dir, "embeddings"))),
+    // embedding-collapse audit: the dominant Gram direction by exact
+    // integer power iteration — the direction an anisotropic space
+    // secretly ranks every cosine query by; corpus touched only in
+    // the d²-cell Gram build, iterations run on KBs
+    "q_emb_direction" -> ((s, dir) =>
+      Similarity.embDominantDirection(table(s, dir, "embeddings"))),
     "q_sim_ivf_stats" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -2286,6 +2292,7 @@ object SparkEntry {
     "q_sim_ivf_stats" -> SimSql.ivfListStats(16),
     "q_emb_audit" -> SimSql.embAudit,
     "q_emb_scatter" -> SimSql.embScatter,
+    "q_emb_direction" -> SimSql.embDominantDirection(3),
     // frozen quantizers: centroid + codebook pools from the build-time
     // 80%, codes over all
     "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,

@@ -76,6 +76,30 @@ object SimSql {
        |    AS scatter_num
        |FROM nn JOIN cn USING (label)""".stripMargin
 
+  /** Mirror of Similarity.embDominantDirection: the Gram matrix as a
+    * d²-cell aggregate, then `iters` unrolled power iterations with
+    * the ±1e6 max-abs normalization — HUGEINT throughout (DuckDB's
+    * integer `//` truncates toward zero exactly like Spark's
+    * IntegralDivide, so negative components divide identically). */
+  def embDominantDirection(iters: Int): String = {
+    val iterCtes = (1 to iters).map { k =>
+      s"""w$k AS (SELECT g.i, sum(g.gij * v${k - 1}.vi) AS wi
+         |  FROM g JOIN v${k - 1} ON v${k - 1}.i = g.j GROUP BY 1),
+         |m$k AS (SELECT greatest(max(abs(wi)), 1) AS mx FROM w$k),
+         |v$k AS (SELECT i, wi * 1000000 // mx AS vi FROM w$k, m$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $qCte,
+       |e AS (SELECT vec_id, unnest(generate_series(1, len(qv))) - 1 AS i,
+       |    unnest(qv) AS q FROM q),
+       |g AS (SELECT a.i, b.i AS j,
+       |    CAST(sum(CAST(a.q AS HUGEINT) * b.q) AS HUGEINT) AS gij
+       |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+       |v0 AS (SELECT DISTINCT j AS i, CAST(1000000 AS HUGEINT) AS vi FROM g),
+       |$iterCtes
+       |SELECT CAST(i AS BIGINT) AS dim_idx, CAST(vi AS BIGINT) AS v_e6
+       |FROM v$iters""".stripMargin
+  }
+
   /** Mirror of Similarity.hardNegatives: per anchor the top-k most
     * similar DIFFERENT-label vectors, ranked by quantized dot desc,
     * negative_id asc. */

@@ -1168,6 +1168,56 @@ object Similarity {
           .as("scatter_num"))
   }
 
+  /** Embedding-COLLAPSE audit: the dominant principal direction of
+    * the corpus's (uncentered) second-moment Gram matrix G = Σ q·qᵀ,
+    * by `iters` fixed power iterations in exact integer math — an
+    * anisotropic ("collapsed") embedding space ranks every cosine
+    * query by nearly the same direction, so this is the audit run
+    * before trusting cosine retrieval or SemDeDup on a new embedding
+    * column. All arithmetic is the shared [[quantize]] fixed-point
+    * convention with Decimal(38,0) intermediates: the Gram build is
+    * one d²-cell map-side-combining aggregate, each iteration one
+    * matvec (d²-row join + d-row aggregate) and a max-abs
+    * normalization to ±1e6 via IntegralDivide (truncation-toward-zero
+    * division, which DuckDB's integer `//` matches even for negative
+    * components), so the DuckDB oracle reproduces every iteration
+    * bit-for-bit — a power iteration that hash-gates, which a float
+    * eigensolver never is. G is PSD, so iterating from the all-ones
+    * vector converges monotonically (no sign oscillation).
+    *
+    * Shape at 100 TB: the corpus appears ONLY in the Gram build —
+    * d² partial sums combined map-side, one d-sized row per
+    * partition; the iterations run on the d²-cell frame (KBs for
+    * d=64..1024) regardless of corpus size. */
+  def embDominantDirection(emb: DataFrame, iters: Int = 3,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qv = emb.select(col(idCol).as("vec_id"),
+      posexplode(quantize(col(vecCol))).as(Seq("i", "qi")))
+    val g = qv
+      .join(qv.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
+        "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast(dec)).as("gij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var v = g.select(col("j").as("i")).distinct()
+      .select(col("i"), lit(1000000L).cast(dec).as("vi"))
+    for (_ <- 1 to iters) {
+      val w = g.join(v.select(col("i").as("j"), col("vi")), "j")
+        .groupBy(col("i")).agg(sum(col("gij") * col("vi")).as("wi"))
+      // normalize the magnitude back to ±1e6 so iterates stay inside
+      // Decimal(38,0) at any corpus size; greatest(…,1) guards the
+      // all-zero degenerate corpus
+      val mx = w.agg(greatest(max(abs(col("wi"))), lit(1L).cast(dec)).as("mx"))
+      v = w.crossJoin(broadcast(mx))
+        .select(col("i"),
+          graft.text.TextFunctions.intDiv(
+            col("wi") * lit(1000000L), col("mx")).cast(dec).as("vi"))
+    }
+    v.select(col("i").cast("long").as("dim_idx"),
+      col("vi").cast("long").as("v_e6"))
+  }
+
   /** Compact a grown ANN bucket index: re-cluster the keys table by
     * (band_idx, key) and rewrite the vectors table, so probes prune
     * by row-group min/max again instead of touching every appended

@@ -542,6 +542,37 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(0L)._3 > 0L)
   }
 
+  test("embDominantDirection: finds the planted axis; matches a BigInt driver recount") {
+    import spark.implicits._
+    // vectors concentrated along axis 1 with small axis-0 noise: the
+    // dominant Gram direction must peak (normalized to ±1e6) at dim 1
+    val emb = Seq(
+      (0L, Seq(0.1f, 0.9f, 0.0f)),
+      (1L, Seq(-0.1f, 0.8f, 0.1f)),
+      (2L, Seq(0.05f, 1.0f, -0.05f)),
+      (3L, Seq(0.0f, 0.7f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.embDominantDirection(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(out(1L) == 1000000L, s"dominant axis must normalize to 1e6: $out")
+    assert(math.abs(out(0L)) < 1000000L && math.abs(out(2L)) < 1000000L)
+    // independent exact recount of the same 3 iterations in BigInt
+    def q(x: Float) = BigInt(math.floor(x.toDouble * Similarity.Scale).toLong)
+    val vecs = Seq(Seq(0.1f, 0.9f, 0.0f), Seq(-0.1f, 0.8f, 0.1f),
+      Seq(0.05f, 1.0f, -0.05f), Seq(0.0f, 0.7f, 0.05f)).map(_.map(q))
+    val g = Array.tabulate(3, 3)((i, j) => vecs.map(v => v(i) * v(j)).sum)
+    var v = Array.fill(3)(BigInt(1000000))
+    for (_ <- 1 to 3) {
+      val w = Array.tabulate(3)(i => (0 until 3).map(j => g(i)(j) * v(j)).sum)
+      val mx = w.map(_.abs).max.max(BigInt(1))
+      v = w.map(x => x * 1000000 / mx) // BigInt / truncates toward zero
+    }
+    assert((0 until 3).forall(i => out(i.toLong) == v(i).toLong),
+      s"recount ${v.toSeq} != ${out}")
+  }
+
   test("cosinePairs star-caps an over-cap bucket instead of dropping it") {
     import spark.implicits._
     // 70 near-identical vectors: every band bucket holds all 70 (> cap
