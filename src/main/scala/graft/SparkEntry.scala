@@ -843,6 +843,21 @@ object SparkEntry {
     // the d²-cell Gram build, iterations run on KBs
     "q_emb_direction" -> ((s, dir) =>
       Similarity.embDominantDirection(table(s, dir, "embeddings"))),
+    // the persisted-Gram lifecycle: build on 3/4 of the corpus,
+    // append the rest as a pure file-add partial, serve from the
+    // merged artifact — sum-merge is associative, so build + append
+    // == from-scratch and the PLAIN q_emb_direction oracle gates it
+    // (the sketch-family append regime, now on the embedding audit)
+    "q_emb_direction_append" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_gram/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.gramBuild(emb.filter(col("vec_id") % 4 =!= 0), path)
+        Similarity.gramAppend(emb.filter(col("vec_id") % 4 === 0), path)
+      })
+      Similarity.directionFromGram(s, path)
+    }),
     "q_sim_ivf_stats" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -2293,6 +2308,7 @@ object SparkEntry {
     "q_emb_audit" -> SimSql.embAudit,
     "q_emb_scatter" -> SimSql.embScatter,
     "q_emb_direction" -> SimSql.embDominantDirection(3),
+    "q_emb_direction_append" -> SimSql.embDominantDirection(3),
     // frozen quantizers: centroid + codebook pools from the build-time
     // 80%, codes over all
     "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,

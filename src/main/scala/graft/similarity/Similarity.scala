@@ -1191,15 +1191,15 @@ object Similarity {
     * d=64..1024) regardless of corpus size. */
   def embDominantDirection(emb: DataFrame, iters: Int = 3,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val qv = emb.select(col(idCol).as("vec_id"),
-      posexplode(quantize(col(vecCol))).as(Seq("i", "qi")))
-    val g = qv
-      .join(qv.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
-        "vec_id")
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("qi") * col("qj")).cast(dec)).as("gij"))
+    val g = gramPartial(emb, idCol, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    powerIterate(g, iters)
+  }
+
+  /** The shared fixed-point power-iteration core over a merged
+    * d²-cell Gram frame (i, j, gij Decimal(38,0)). */
+  private def powerIterate(g: DataFrame, iters: Int): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     var v = g.select(col("j").as("i")).distinct()
       .select(col("i"), lit(1000000L).cast(dec).as("vi"))
     // the whole-frame max as a WINDOW over the d-row iterate, not a
@@ -1227,6 +1227,50 @@ object Similarity {
     }
     v.select(col("i").cast("long").as("dim_idx"),
       col("vi").cast("long").as("v_e6"))
+  }
+
+  /** Persisted Gram-PARTIAL artifact for [[embDominantDirection]] —
+    * the embedding audit joins the sketch family's strongest append
+    * regime: G = Σ q·qᵀ is a plain sum over rows, so the stored
+    * artifact is per-batch d²-cell PARTIAL frames, appends only ADD
+    * files (no read-modify-write), and the read-time merge (sum per
+    * (i,j) cell) is associative/commutative — build + any append
+    * sequence serves IDENTICALLY to a from-scratch full-corpus build,
+    * gated by the PLAIN [[embDominantDirection]] oracle. At 100 TB
+    * the nightly audit becomes: append the day's partials (cost ∝
+    * the batch), re-iterate on the KB-sized merged frame. */
+  def gramBuild(emb: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    gramPartial(emb, idCol, vecCol).write.mode("overwrite").parquet(path)
+
+  /** Pure file-add growth of a [[gramBuild]] artifact. */
+  def gramAppend(emb: DataFrame, path: String,
+      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
+    gramPartial(emb, idCol, vecCol).write.mode("append").parquet(path)
+
+  private def gramPartial(emb: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val qv = emb.select(col(idCol).as("vec_id"),
+      posexplode(quantize(col(vecCol))).as(Seq("i", "qi")))
+    qv.join(qv.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
+        "vec_id")
+      .groupBy(col("i"), col("j"))
+      .agg(sum((col("qi") * col("qj")).cast(dec)).as("gij"))
+  }
+
+  /** Serve the dominant direction from a persisted Gram artifact:
+    * merge the stored partials (one KB-sized sum aggregate — the
+    * corpus is never touched), then the same power iteration as
+    * [[embDominantDirection]], bit-for-bit. */
+  def directionFromGram(spark: org.apache.spark.sql.SparkSession,
+      path: String, iters: Int = 3): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val g = spark.read.parquet(path)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("gij")).cast(dec).as("gij"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    powerIterate(g, iters)
   }
 
   /** Compact a grown ANN bucket index: re-cluster the keys table by

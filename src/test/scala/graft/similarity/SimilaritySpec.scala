@@ -573,6 +573,21 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
       s"recount ${v.toSeq} != ${out}")
   }
 
+  test("gram artifact: build + appends serve identically to a from-scratch direction") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val path = java.nio.file.Files.createTempDirectory("gram").toString
+    Similarity.gramBuild(emb.filter(col("vec_id") % 3 === 0), path)
+    Similarity.gramAppend(emb.filter(col("vec_id") % 3 === 1), path)
+    Similarity.gramAppend(emb.filter(col("vec_id") % 3 === 2), path)
+    val served = Similarity.directionFromGram(spark, path).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val scratch = Similarity.embDominantDirection(emb).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(served == scratch && scratch.nonEmpty)
+  }
+
   test("cosinePairs star-caps an over-cap bucket instead of dropping it") {
     import spark.implicits._
     // 70 near-identical vectors: every band bucket holds all 70 (> cap
