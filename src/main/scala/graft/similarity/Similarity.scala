@@ -1251,12 +1251,22 @@ object Similarity {
   private def gramPartial(emb: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val qv = emb.select(col(idCol).as("vec_id"),
-      posexplode(quantize(col(vecCol))).as(Seq("i", "qi")))
-    qv.join(qv.select(col("vec_id"), col("i").as("j"), col("qi").as("qj")),
-        "vec_id")
-      .groupBy(col("i"), col("j"))
-      .agg(sum((col("qi") * col("qj")).cast(dec)).as("gij"))
+    // per-row outer product as a MAP-SIDE double generator over the
+    // UPPER triangle (the slice starts at element i, so j = i + pos):
+    // no shuffle touches the N·d exploded frame — the former
+    // self-join on vec_id exchanged it twice — and symmetry halves
+    // the generated rows; the mirror below runs on the d²/2-cell
+    // AGGREGATED frame, so it is free at any corpus size
+    val qv = emb.select(quantize(col(vecCol)).as("qv"))
+      .select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
+      .select(col("i"), col("qi"),
+        posexplode(slice(col("qv"), col("i") + 1, size(col("qv")) - col("i")))
+          .as(Seq("pos", "qj")))
+      .select(col("i"), (col("i") + col("pos")).as("j"),
+        (col("qi") * col("qj")).cast(dec).as("p"))
+      .groupBy(col("i"), col("j")).agg(sum(col("p")).as("gij"))
+    qv.unionAll(qv.where(col("j") > col("i"))
+      .select(col("j").as("i"), col("i").as("j"), col("gij")))
   }
 
   /** Serve the dominant direction from a persisted Gram artifact:
