@@ -374,6 +374,15 @@ object SparkEntry {
       graft.graph.GraphRank.pageRankWeighted(
         docs.select(col("doc_id")), Dedup.minhashPairs(docs))
     }),
+    // exact per-node triangle counts over the SAME similarity graph:
+    // degree-oriented wedge join — each triangle found once at its
+    // orientation-minimal corner, hub-skew-immune (out-degree O(√m));
+    // dense triangle neighborhoods = template-farm communities
+    "q_graph_triangles" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.graph.Triangles.perNode(
+        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+    }),
     // fuzzy record linkage between two derived registries (4-char vs
     // 5-char sources): rare-shingle inverted-index blocking (df-capped
     // on BOTH sides — deterministic 100% recall over the blocking
@@ -2342,6 +2351,7 @@ object SparkEntry {
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
+    "q_graph_triangles" -> DocSql.graphTriangles(Dedup.MinHashParams()),
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),
     "q_join_contain" -> DocSql.containJoin(600000L, 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),

@@ -878,6 +878,23 @@ object DocSql {
        |SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
   }
 
+  /** Mirror of Triangles.perNode over the MinHash pair graph: the
+    * naive id-ordered 3-way self-join enumerates each triangle once
+    * (x < y < z since pairs are canonical doc_a < doc_b), then
+    * per-node counts by unioning the three corners — same result set
+    * as the engine's degree-oriented enumeration, which only changes
+    * WHICH corner finds each triangle. */
+  def graphTriangles(p: MinHashParams): String =
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |tri AS (SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+       |  FROM pr p1
+       |  JOIN pr p2 ON p2.doc_a = p1.doc_b
+       |  JOIN pr p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+       |tn AS (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY 1""".stripMargin
+
   /** Transitive closure of the MinHash pair graph as CTEs ending in
     * `comp(id, lbl)` — a recursive CTE floods every node's id along
     * the (symmetrized) edges; each node keeps the minimum id that
