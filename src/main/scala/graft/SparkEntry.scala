@@ -846,6 +846,12 @@ object SparkEntry {
     // a variance-shaped statistic hash-gates exactly
     "q_emb_scatter" -> ((s, dir) =>
       Similarity.embScatter(table(s, dir, "embeddings"))),
+    // int8 scalar-quantization audit: per-dim exact min/max grid,
+    // code occupancy, worst/total reconstruction error — the go/no-go
+    // before shrinking the embedding store 4×; two corpus passes
+    // (exact SQ's inherent shape), range frame joins back broadcast
+    "q_emb_quantize" -> ((s, dir) =>
+      Similarity.sqQuantAudit(table(s, dir, "embeddings"))),
     // embedding-collapse audit: the dominant Gram direction by exact
     // integer power iteration — the direction an anisotropic space
     // secretly ranks every cosine query by; corpus touched only in
@@ -2315,6 +2321,7 @@ object SparkEntry {
     "q_sim_ivfpq_indexed" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40),
     "q_sim_ivf_stats" -> SimSql.ivfListStats(16),
     "q_emb_audit" -> SimSql.embAudit,
+    "q_emb_quantize" -> SimSql.sqQuantAudit,
     "q_emb_scatter" -> SimSql.embScatter,
     "q_emb_direction" -> SimSql.embDominantDirection(3),
     "q_emb_direction_append" -> SimSql.embDominantDirection(3),

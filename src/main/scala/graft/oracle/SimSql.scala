@@ -76,6 +76,29 @@ object SimSql {
        |    AS scatter_num
        |FROM nn JOIN cn USING (label)""".stripMargin
 
+  /** Mirror of Similarity.sqQuantAudit: per-dimension exact min/max
+    * grid, affine 0..255 code assignment with `//` truncation
+    * (matching Spark's IntegralDivide on the non-negative operands),
+    * and code-occupancy / reconstruction-error rollups. */
+  def sqQuantAudit: String =
+    s"""WITH $qCte,
+       |e AS (SELECT unnest(generate_series(1, len(qv))) - 1 AS dim_idx,
+       |    unnest(qv) AS q FROM q),
+       |r AS (SELECT dim_idx, min(q) AS qmin, max(q) AS qmax FROM e GROUP BY 1),
+       |c AS (SELECT e.dim_idx, e.q, r.qmin, r.qmax, r.qmax - r.qmin AS span,
+       |    CASE WHEN r.qmax = r.qmin THEN 0
+       |      ELSE (e.q - r.qmin) * 255 // (r.qmax - r.qmin) END AS code
+       |  FROM e JOIN r USING (dim_idx)),
+       |d AS (SELECT dim_idx, q, qmin, qmax, code,
+       |    qmin + CASE WHEN span = 0 THEN 0 ELSE code * span // 255 END AS rec
+       |  FROM c)
+       |SELECT CAST(dim_idx AS BIGINT) AS dim_idx,
+       |  CAST(min(qmin) AS BIGINT) AS qmin, CAST(min(qmax) AS BIGINT) AS qmax,
+       |  CAST(count(DISTINCT code) AS BIGINT) AS n_codes,
+       |  CAST(max(abs(q - rec)) AS BIGINT) AS max_abs_err,
+       |  CAST(sum(abs(q - rec)) AS BIGINT) AS sum_abs_err
+       |FROM d GROUP BY 1""".stripMargin
+
   /** Mirror of Similarity.embDominantDirection: the Gram matrix as a
     * d²-cell aggregate, then `iters` unrolled power iterations with
     * the ±1e6 max-abs normalization — HUGEINT throughout (DuckDB's

@@ -1168,6 +1168,47 @@ object Similarity {
           .as("scatter_num"))
   }
 
+  /** INT8 scalar-quantization (SQ8) audit — the decision run before
+    * shrinking an embedding store 4× (float32 → uint8 codes): affine
+    * per-dimension quantization to the 0..255 grid over the exact
+    * corpus min/max, reporting per dimension the grid bounds, how
+    * many of the 256 codes the corpus actually occupies, and the
+    * worst/total reconstruction error. A dimension whose max_abs_err
+    * dwarfs the others (outlier-stretched range) or whose n_codes is
+    * tiny (degenerate spread) tells you to clip or drop it before
+    * quantizing. All arithmetic rides the shared [[quantize]]
+    * fixed-point convention — code = (q − min)·255 // span,
+    * reconstruction = min + code·span // 255 — so the DuckDB oracle
+    * gates every error bit-for-bit, which a float SQ audit never is.
+    *
+    * Shape at 100 TB: two corpus passes by construction (exact
+    * min/max must precede the error pass — the inherent shape of
+    * exact SQ training); each pass is a narrow posexplode feeding a
+    * map-side-combining d-group aggregate, and the range frame joins
+    * back BROADCAST (d rows). sum_abs_err is a BIGINT: per-element
+    * error is bounded by span/255 < 2^21, so overflow needs ~2^42
+    * corpus rows — past that, emit digit strings per COMPAT §7. */
+  def sqQuantAudit(emb: DataFrame, vecCol: String = "embedding"): DataFrame = {
+    import graft.text.TextFunctions.intDiv
+    val qd = emb.select(posexplode(quantize(col(vecCol))).as(Seq("dim_idx", "q")))
+    val rng = qd.groupBy(col("dim_idx"))
+      .agg(min(col("q")).as("qmin"), max(col("q")).as("qmax"))
+    qd.join(broadcast(rng), "dim_idx")
+      .withColumn("span", col("qmax") - col("qmin"))
+      .withColumn("code", when(col("span") === 0L, 0L)
+        .otherwise(intDiv((col("q") - col("qmin")) * 255L, col("span"))))
+      .withColumn("rec", col("qmin") + when(col("span") === 0L, 0L)
+        .otherwise(intDiv(col("code") * col("span"), lit(255L))))
+      .withColumn("err", abs(col("q") - col("rec")))
+      .groupBy(col("dim_idx"))
+      .agg(min(col("qmin")).as("qmin"), min(col("qmax")).as("qmax"),
+        countDistinct(col("code")).cast("long").as("n_codes"),
+        max(col("err")).as("max_abs_err"),
+        sum(col("err")).cast("long").as("sum_abs_err"))
+      .select(col("dim_idx").cast("long").as("dim_idx"), col("qmin"),
+        col("qmax"), col("n_codes"), col("max_abs_err"), col("sum_abs_err"))
+  }
+
   /** Embedding-COLLAPSE audit: the dominant principal direction of
     * the corpus's (uncentered) second-moment Gram matrix G = Σ q·qᵀ,
     * by `iters` fixed power iterations in exact integer math — an

@@ -49,6 +49,33 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((2L, 2L, 1L, 0L, 3L * half, 3L * half)))
   }
 
+  test("sqQuantAudit: hand-computed codes/errors; constant dim degenerates to one code") {
+    import spark.implicits._
+    // dim 0 spans {0, 2^18, 2^20}; dim 1 is constant (span 0)
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.5f)), (1L, Seq(0.25f, 0.5f)), (2L, Seq(1.0f, 0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.sqQuantAudit(emb).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val s = 1048576L // 2^20
+    // q=2^18: code = 2^18*255 // 2^20 = 63; rec = 63*2^20 // 255 = 259060
+    assert(out(0L) == ((0L, s, 3L, s / 4 - 63L * s / 255L, s / 4 - 63L * s / 255L)))
+    assert(out(1L) == ((s / 2, s / 2, 1L, 0L, 0L)))
+  }
+
+  test("sqQuantAudit: reconstruction error bounded by span/255 on real embeddings") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val rows = Similarity.sqQuantAudit(emb).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val span = r.getLong(2) - r.getLong(1)
+      assert(r.getLong(4) <= span / 255L + 1L,
+        s"dim ${r.getLong(0)}: max_abs_err ${r.getLong(4)} vs span $span")
+      assert(r.getLong(3) >= 1L && r.getLong(3) <= 256L)
+    }
+  }
+
   test("mmrTopK demotes the near-duplicate of an already-selected result") {
     import spark.implicits._
     // probe 0 points at x; 1 and 2 are near-identical high-relevance
