@@ -265,6 +265,14 @@ object SparkEntry {
           Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)).as("split"))
     }),
 
+    // BPE merge learning: the first 12 byte-pair merges from the
+    // top-400 ASCII word-frequency table — tokenizer training as a
+    // query; corpus touched once (the word-freq aggregate), all
+    // rounds run on the KB-sized word table with 1-row broadcast
+    // argmaxes, localCheckpoint'ed so the iterative DAG stays flat
+    "q_text_bpe" -> ((s, dir) =>
+      graft.text.CorpusOps.bpeMerges(table(s, dir, "documents"))),
+
     // vocabulary building: top-k tokens by corpus term frequency with
     // document frequency — total order (tf desc, df desc, token) so
     // the k-th boundary is engine-independent
@@ -2342,6 +2350,7 @@ object SparkEntry {
     "q_redact_pii" -> DocSql.redactPii,
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
+    "q_text_bpe" -> DocSql.bpeMerges(12, 400),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),
     "q_text_repetition" -> DocSql.textRepetition,

@@ -173,6 +173,41 @@ object DocSql {
        |ORDER BY tf DESC, df DESC, token
        |LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusOps.bpeMerges: `merges` unrolled BPE rounds over
+    * the top-`vocabSize` ASCII word-frequency table. Each round:
+    * weighted adjacent-pair counts over the space-prefixed symbol
+    * string, argmax (cnt desc, pair asc), greedy left-to-right merge
+    * via literal non-overlapping replace — the same primitive with
+    * the same semantics as Spark's, so the iterative trainer
+    * hash-gates. */
+  def bpeMerges(merges: Int, vocabSize: Int): String = {
+    val rounds = (1 to merges).map { k =>
+      s"""e$k AS (SELECT freq, str_split(s, ' ') AS l FROM w${k - 1}),
+         |p$k AS (SELECT l[i] AS a, l[i + 1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, l, unnest(generate_series(2, len(l) - 1)) AS i
+         |    FROM e$k WHERE len(l) >= 3)
+         |  GROUP BY 1, 2),
+         |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$k AS (SELECT word, freq,
+         |    replace(s, ' ' || m$k.a || ' ' || m$k.b, ' ' || m$k.a || m$k.b) AS s
+         |  FROM w${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"cnt AS pair_count FROM m$k"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $docsToks,
+       |wf AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(toks) AS tok FROM d)
+       |  WHERE regexp_matches(tok, '^[a-z]+$$')
+       |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabSize),
+       |w0 AS (SELECT word, freq,
+       |  regexp_replace(word, '(.)', ' \\1', 'g') AS s FROM wf),
+       |$rounds
+       |$out""".stripMargin
+  }
+
   /** Mirror of CorpusOps.vocabCoverage: per-source OOV counts against
     * the same topK (tf, df, token)-ordered vocabulary. */
   def vocabCoverage(topK: Int): String =

@@ -41,6 +41,68 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("df").desc, col("token"))
       .limit(topK)
 
+  /** BPE MERGE LEARNING — the tokenizer-training primitive (Sennrich
+    * et al. ACL'16): learn the first `merges` byte-pair merges from
+    * the corpus word-frequency table. Each round counts weighted
+    * adjacent-symbol pairs over the current segmentation, picks the
+    * most frequent pair (ties: count desc, then pair lexicographic),
+    * and merges it GREEDILY LEFT-TO-RIGHT in every word. Returns the
+    * merge table (merge_rank, sym_a, sym_b, pair_count) — the
+    * artifact a BPE tokenizer ships.
+    *
+    * The segmentation is a SPACE-PREFIXED SYMBOL STRING (" a b c"):
+    * symbols never contain spaces (words are space-split tokens), so
+    * the literal non-overlapping left-to-right `replace(s, " a b",
+    * " ab")` IS the greedy merge — the same primitive with the same
+    * semantics in Spark and DuckDB, which makes a 12-round iterative
+    * tokenizer trainer hash-gate bit-for-bit. The vocabulary is
+    * restricted to ASCII `^[a-z]+$` words: char-splitting via regex
+    * `(.)` diverges between Java regex (UTF-16 code units) and RE2
+    * (code points) outside ASCII, and binary string ordering
+    * coincides across engines on ASCII.
+    *
+    * Shape at 100 TB: the corpus is touched ONCE (the word-frequency
+    * aggregate — map-side-combining, vocabulary-bounded output, the
+    * same scale argument as [[vocabulary]]/the LM count table); all
+    * `merges` rounds run on the top-`vocabSize` word table (KBs).
+    * Each round's argmax is a 1-row broadcast joined back; the word
+    * frame is localCheckpoint'ed per round so the iterative DAG never
+    * branch-recomputes (docs/PLANS.md round-12 forensics). */
+  def bpeMerges(docs: DataFrame, merges: Int = 12, vocabSize: Int = 400,
+      textCol: String = "text"): DataFrame = {
+    require(merges >= 1 && vocabSize >= 1, s"merges=$merges vocab=$vocabSize")
+    var w = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("word")).limit(vocabSize)
+      .select(col("word"), col("freq"),
+        regexp_replace(col("word"), "(.)", " $1").as("s"))
+      .localCheckpoint()
+    val rounds = (1 to merges).map { k =>
+      val best = w
+        .select(col("freq"), split(col("s"), " ").as("l"))
+        .filter(size(col("l")) >= 3) // >= 2 symbols (index 1 is the "" head)
+        .select(col("freq"), col("l"),
+          explode(sequence(lit(2), size(col("l")) - 1)).as("i"))
+        .select(element_at(col("l"), col("i")).as("a"),
+          element_at(col("l"), col("i") + 1).as("b"), col("freq"))
+        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
+        .select(lit(k.toLong).as("merge_rank"), col("a").as("sym_a"),
+          col("b").as("sym_b"), col("cnt").as("pair_count"))
+        .localCheckpoint()
+      w = w.crossJoin(broadcast(best))
+        .select(col("word"), col("freq"),
+          replace(col("s"),
+            concat(lit(" "), col("sym_a"), lit(" "), col("sym_b")),
+            concat(lit(" "), col("sym_a"), col("sym_b"))).as("s"))
+        .localCheckpoint()
+      best
+    }
+    rounds.reduce(_ unionAll _)
+  }
+
   /** Vocabulary OOV-coverage audit per source — the check run BEFORE
     * committing to a tokenizer: for the same topK (tf, df, token)-
     * ordered vocabulary [[tokenizeToIds]] would freeze, the per-source

@@ -21,6 +21,26 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("bpeMerges: overlap counting, greedy left-to-right merge, lexicographic tie-break") {
+    // word "aaab" x3: round 1 counts (a,a)=6 (overlap included) vs
+    // (a,b)=3 -> merge (a,a), greedy: " a a a b" -> " aa a b".
+    // round 2: (aa,a)=3 ties (a,b)=3 -> "a" < "aa" picks (a,b).
+    // round 3: only (aa,ab)=3 remains.
+    val out = CorpusOps.bpeMerges(
+      docs((1L, "aaab aaab"), (2L, "aaab")), merges = 3, vocabSize = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)))
+  }
+
+  test("bpeMerges: non-lowercase-ascii words are excluded from the vocabulary") {
+    val out = CorpusOps.bpeMerges(
+      docs((1L, "Hello123 xy xy XY x9y")), merges = 1, vocabSize = 10)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("x", "y", 2L)))
+  }
+
   test("nfc: composes decomposed sequences, idempotent, identity on ASCII/NFC, null-safe") {
     import spark.implicits._
     val dec = "cafe\u0301"            // decomposed e + combining acute
