@@ -265,6 +265,12 @@ object SparkEntry {
           Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)).as("split"))
     }),
 
+    // PMI-style collocation extraction: top bigrams by exact-integer
+    // lift over unigram expectations — the multi-word units a vocab
+    // builder should learn whole; two map-side-combining passes,
+    // min-support prune before the vocabulary-sized joins
+    "q_text_colloc" -> ((s, dir) =>
+      graft.text.CorpusOps.collocations(table(s, dir, "documents"))),
     // BPE merge learning: the first 12 byte-pair merges from the
     // top-400 ASCII word-frequency table — tokenizer training as a
     // query; corpus touched once (the word-freq aggregate), all
@@ -2351,6 +2357,7 @@ object SparkEntry {
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_text_bpe" -> DocSql.bpeMerges(12, 400),
+    "q_text_colloc" -> DocSql.collocations(5L, 50),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),
     "q_text_repetition" -> DocSql.textRepetition,

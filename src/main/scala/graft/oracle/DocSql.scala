@@ -173,6 +173,29 @@ object DocSql {
        |ORDER BY tf DESC, df DESC, token
        |LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusOps.collocations: bigram lift over unigram
+    * expectations in exact integer ppm (HUGEINT intermediates), same
+    * strict bigram comprehension as lmSurprisal, top-k by (lift desc,
+    * bigram) — UTF-8 binary order matches Spark's. */
+  def collocations(minCount: Long, topK: Int): String =
+    s"""WITH d AS (SELECT string_split(coalesce(text, ''), ' ') AS t
+       |  FROM documents),
+       |bg AS (SELECT
+       |  unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)])
+       |    AS bigram FROM d),
+       |cnt AS (SELECT bigram, CAST(count(*) AS BIGINT) AS cab FROM bg
+       |  GROUP BY 1 HAVING count(*) >= $minCount),
+       |tk AS (SELECT unnest(t) AS tok FROM d),
+       |uni AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu FROM tk GROUP BY 1),
+       |tot AS (SELECT CAST(sum(cu) AS HUGEINT) AS total FROM uni)
+       |SELECT bigram, cab, ua.cu AS ca, ub.cu AS cb,
+       |  CAST(CAST(cab AS HUGEINT) * total * 1000000 //
+       |    (CAST(ua.cu AS HUGEINT) * ub.cu) AS BIGINT) AS lift_ppm
+       |FROM cnt
+       |JOIN uni ua ON ua.tok = str_split(bigram, ' ')[1]
+       |JOIN uni ub ON ub.tok = str_split(bigram, ' ')[2], tot
+       |ORDER BY lift_ppm DESC, bigram LIMIT $topK""".stripMargin
+
   /** Mirror of CorpusOps.bpeMerges: `merges` unrolled BPE rounds over
     * the top-`vocabSize` ASCII word-frequency table. Each round:
     * weighted adjacent-pair counts over the space-prefixed symbol

@@ -41,6 +41,46 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("df").desc, col("token"))
       .limit(topK)
 
+  /** COLLOCATION extraction — top bigrams by pointwise-mutual-
+    * information-style LIFT: lift_ppm = c(ab)·N·10⁶ / (c(a)·c(b)),
+    * the ratio of the bigram's observed frequency to what independent
+    * unigrams would predict (PMI is its log; rank order is
+    * identical). High-lift collocations ("San Francisco", code
+    * idioms) are the multi-word units a tokenizer/vocab builder
+    * should learn whole, and a corpus whose top lifts are template
+    * fragments is boilerplate-heavy. Exact integer math (Decimal
+    * intermediates — c(a)·c(b) overflows a long at web scale — cast
+    * back to a BIGINT ppm), so the oracle gates it bit-for-bit.
+    *
+    * Shape at 100 TB: two corpus passes (unigram counts, bigram
+    * counts), both map-side-combining hash aggregates with
+    * vocabulary-bounded outputs; the min-support filter prunes the
+    * bigram table BEFORE the two vocabulary-sized equi-joins; top-k
+    * is a TakeOrderedAndProject. The unigram table is persisted — it
+    * feeds both join branches and the total. */
+  def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50,
+      textCol: String = "text"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val uni = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val tot = uni.agg(sum(col("cu")).cast(dec).as("total"))
+    docs.select(explode(TextFunctions.bigrams(col(textCol))).as("bigram"))
+      .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= minCount)
+      .withColumn("a", substring_index(col("bigram"), " ", 1))
+      .withColumn("b", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("t").as("a"), col("cu").as("ca")), "a")
+      .join(uni.select(col("t").as("b"), col("cu").as("cb")), "b")
+      .crossJoin(broadcast(tot))
+      .select(col("bigram"), col("cab"), col("ca"), col("cb"),
+        TextFunctions.intDiv(
+          col("cab").cast(dec) * col("total") * lit(1000000L),
+          col("ca").cast(dec) * col("cb")).cast("long").as("lift_ppm"))
+      .orderBy(col("lift_ppm").desc, col("bigram")).limit(topK)
+  }
+
   /** BPE MERGE LEARNING — the tokenizer-training primitive (Sennrich
     * et al. ACL'16): learn the first `merges` byte-pair merges from
     * the corpus word-frequency table. Each round counts weighted

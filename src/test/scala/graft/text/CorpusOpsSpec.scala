@@ -21,6 +21,16 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("collocations: hand-computed lift, tie-break by bigram") {
+    // tokens a b a b c: N=5, c(ab)=2, c(ba)=1, c(bc)=1, c(a)=c(b)=2, c(c)=1
+    val out = CorpusOps.collocations(docs((1L, "a b a b c")),
+      minCount = 1L, topK = 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4)))
+    assert(out.toSeq === Seq(
+      ("a b", 2L, 2500000L), ("b c", 1L, 2500000L), ("b a", 1L, 1250000L)))
+    spark.catalog.clearCache()
+  }
+
   test("bpeMerges: overlap counting, greedy left-to-right merge, lexicographic tie-break") {
     // word "aaab" x3: round 1 counts (a,a)=6 (overlap included) vs
     // (a,b)=3 -> merge (a,a), greedy: " a a a b" -> " aa a b".
