@@ -278,6 +278,10 @@ object SparkEntry {
     // argmaxes, localCheckpoint'ed so the iterative DAG stays flat
     "q_text_bpe" -> ((s, dir) =>
       graft.text.CorpusOps.bpeMerges(table(s, dir, "documents"))),
+    // the BPE serve path: the vocabulary's final segmentation after
+    // the learned merges — train→apply as one oracle-gated loop
+    "q_text_bpe_apply" -> ((s, dir) =>
+      graft.text.CorpusOps.bpeSegment(table(s, dir, "documents"))),
 
     // vocabulary building: top-k tokens by corpus term frequency with
     // document frequency — total order (tf desc, df desc, token) so
@@ -395,6 +399,13 @@ object SparkEntry {
     "q_graph_triangles" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       graft.graph.Triangles.perNode(
+        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+    }),
+    // local clustering coefficient: 2·tri·1e6 // deg(deg−1) per node
+    // — community member (≈1e6) vs boilerplate hub (≈0) in one number
+    "q_graph_clustering" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.graph.Triangles.clustering(
         Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
     }),
     // fuzzy record linkage between two derived registries (4-char vs
@@ -2357,6 +2368,7 @@ object SparkEntry {
     "q_split" -> DocSql.split(
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_text_bpe" -> DocSql.bpeMerges(12, 400),
+    "q_text_bpe_apply" -> DocSql.bpeSegments(12, 400),
     "q_text_colloc" -> DocSql.collocations(5L, 50),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),
@@ -2375,6 +2387,7 @@ object SparkEntry {
     "q_graph_rank" -> DocSql.graphRank(Dedup.MinHashParams(), 3),
     "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
     "q_graph_triangles" -> DocSql.graphTriangles(Dedup.MinHashParams()),
+    "q_graph_clustering" -> DocSql.graphClustering(Dedup.MinHashParams()),
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),
     "q_join_contain" -> DocSql.containJoin(600000L, 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),

@@ -72,4 +72,25 @@ object Triangles {
     tri.select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("n_tri"))
   }
+
+  /** LOCAL CLUSTERING COEFFICIENT per node, in exact integer ppm:
+    * cc_ppm = 2·n_tri·10⁶ // (deg·(deg−1)) — the fraction of a
+    * node's neighbor pairs that are themselves connected. The
+    * community-vs-hub separator in one number: a template-farm
+    * member scores near 10⁶, a boilerplate hub near 0. Emits every
+    * node of the pair graph (n_tri coalesced to 0); degree-1 nodes
+    * have no neighbor pair and report 0. Same shape as [[perNode]]
+    * plus one degree aggregate and a left join. */
+  def clustering(pairs: DataFrame): DataFrame = {
+    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).distinct()
+    val deg = e.select(col("u").as("doc_id"))
+      .unionAll(e.select(col("v").as("doc_id")))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("degree"))
+    deg.join(perNode(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm", when(col("degree") < 2L, 0L)
+        .otherwise(graft.text.TextFunctions.intDiv(
+          col("n_tri") * 2000000L, col("degree") * (col("degree") - 1L))))
+  }
 }

@@ -204,6 +204,25 @@ object DocSql {
     * the same semantics as Spark's, so the iterative trainer
     * hash-gates. */
   def bpeMerges(merges: Int, vocabSize: Int): String = {
+    val out = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"cnt AS pair_count FROM m$k"
+    }.mkString("\n UNION ALL ")
+    s"""WITH ${bpeCtes(merges, vocabSize)}
+       |$out""".stripMargin
+  }
+
+  /** Mirror of CorpusOps.bpeSegment: the final segmentation table
+    * after the same unrolled rounds (strip the leading space, count
+    * symbols from the split). */
+  def bpeSegments(merges: Int, vocabSize: Int): String =
+    s"""WITH ${bpeCtes(merges, vocabSize)}
+       |SELECT word, freq,
+       |  CAST(len(str_split(s, ' ')) - 1 AS BIGINT) AS n_syms,
+       |  s[2:] AS segmentation
+       |FROM w$merges""".stripMargin
+
+  private def bpeCtes(merges: Int, vocabSize: Int): String = {
     val rounds = (1 to merges).map { k =>
       s"""e$k AS (SELECT freq, str_split(s, ' ') AS l FROM w${k - 1}),
          |p$k AS (SELECT l[i] AS a, l[i + 1] AS b,
@@ -216,19 +235,14 @@ object DocSql {
          |    replace(s, ' ' || m$k.a || ' ' || m$k.b, ' ' || m$k.a || m$k.b) AS s
          |  FROM w${k - 1}, m$k)""".stripMargin
     }.mkString(",\n")
-    val out = (1 to merges).map { k =>
-      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
-        s"cnt AS pair_count FROM m$k"
-    }.mkString("\n UNION ALL ")
-    s"""WITH $docsToks,
+    s"""$docsToks,
        |wf AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(toks) AS tok FROM d)
        |  WHERE regexp_matches(tok, '^[a-z]+$$')
        |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabSize),
        |w0 AS (SELECT word, freq,
        |  regexp_replace(word, '(.)', ' \\1', 'g') AS s FROM wf),
-       |$rounds
-       |$out""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Mirror of CorpusOps.vocabCoverage: per-source OOV counts against
@@ -952,6 +966,27 @@ object DocSql {
        |tn AS (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
        |  UNION ALL SELECT z FROM tri)
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY 1""".stripMargin
+
+  /** Mirror of Triangles.clustering: the triangle counts left-joined
+    * onto per-node degrees, cc_ppm = 2·n_tri·10⁶ // (deg·(deg−1)). */
+  def graphClustering(p: MinHashParams): String =
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |tri AS (SELECT p1.doc_a AS x, p1.doc_b AS y, p2.doc_b AS z
+       |  FROM pr p1
+       |  JOIN pr p2 ON p2.doc_a = p1.doc_b
+       |  JOIN pr p3 ON p3.doc_a = p1.doc_a AND p3.doc_b = p2.doc_b),
+       |tn AS (SELECT x AS doc_id FROM tri UNION ALL SELECT y FROM tri
+       |  UNION ALL SELECT z FROM tri),
+       |tc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri FROM tn GROUP BY 1),
+       |dg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM
+       |  (SELECT doc_a AS doc_id FROM pr UNION ALL SELECT doc_b FROM pr)
+       |  GROUP BY 1)
+       |SELECT dg.doc_id, dg.degree, coalesce(tc.n_tri, 0) AS n_tri,
+       |  CAST(CASE WHEN dg.degree < 2 THEN 0
+       |    ELSE coalesce(tc.n_tri, 0) * 2000000 // (dg.degree * (dg.degree - 1))
+       |  END AS BIGINT) AS cc_ppm
+       |FROM dg LEFT JOIN tc USING (doc_id)""".stripMargin
 
   /** Transitive closure of the MinHash pair graph as CTEs ending in
     * `comp(id, lbl)` — a recursive CTE floods every node's id along

@@ -109,7 +109,24 @@ object CorpusOps {
     * frame is localCheckpoint'ed per round so the iterative DAG never
     * branch-recomputes (docs/PLANS.md round-12 forensics). */
   def bpeMerges(docs: DataFrame, merges: Int = 12, vocabSize: Int = 400,
+      textCol: String = "text"): DataFrame =
+    bpeLoop(docs, merges, vocabSize, textCol)._1
+
+  /** The SERVE path of [[bpeMerges]]: the vocabulary's final
+    * segmentation after the learned merges — (word, freq, n_syms,
+    * segmentation) with symbols space-joined. What a tokenizer does
+    * with the merge table at encode time, here as the same query so
+    * the whole train→apply loop is oracle-gated. */
+  def bpeSegment(docs: DataFrame, merges: Int = 12, vocabSize: Int = 400,
       textCol: String = "text"): DataFrame = {
+    val w = bpeLoop(docs, merges, vocabSize, textCol)._2
+    w.select(col("word"), col("freq"),
+      (size(split(col("s"), " ")) - 1).cast("long").as("n_syms"),
+      col("s").substr(lit(2), length(col("s"))).as("segmentation"))
+  }
+
+  private def bpeLoop(docs: DataFrame, merges: Int, vocabSize: Int,
+      textCol: String): (DataFrame, DataFrame) = {
     require(merges >= 1 && vocabSize >= 1, s"merges=$merges vocab=$vocabSize")
     var w = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
@@ -140,7 +157,7 @@ object CorpusOps {
         .localCheckpoint()
       best
     }
-    rounds.reduce(_ unionAll _)
+    (rounds.reduce(_ unionAll _), w)
   }
 
   /** Vocabulary OOV-coverage audit per source — the check run BEFORE

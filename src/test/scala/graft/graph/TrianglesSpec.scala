@@ -71,6 +71,18 @@ class TrianglesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(p) === naive)
   }
 
+  test("clustering: triangle corner 1e6, paw handle diluted, pendant zero") {
+    // paw graph: triangle {1,2,3} + pendant 4 on node 1
+    val c = Triangles.clustering(pairs((1L, 2L), (1L, 3L), (2L, 3L), (1L, 4L)))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3)))).toMap
+    spark.catalog.clearCache()
+    // node 1: deg 3, 1 triangle of 3 neighbor pairs -> 333333 ppm
+    assert(c(1L) == ((3L, 1L, 333333L)))
+    assert(c(2L) == ((2L, 1L, 1000000L)) && c(3L) == ((2L, 1L, 1000000L)))
+    assert(c(4L) == ((1L, 0L, 0L)))
+  }
+
   test("duplicate input pairs do not inflate counts") {
     assert(counts(pairs((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L))) ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))

@@ -44,6 +44,17 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, "a", "a", 6L), (2L, "a", "b", 3L), (3L, "aa", "ab", 3L)))
   }
 
+  test("bpeSegment: final segmentation reflects the learned merges") {
+    // same corpus as the merge test: after 2 merges "aaab" = "aa ab";
+    // the 3rd merge (aa,ab) closes it to a single symbol
+    def seg(k: Int) = CorpusOps.bpeSegment(
+      docs((1L, "aaab aaab"), (2L, "aaab")), merges = k, vocabSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSeq
+    assert(seg(2) === Seq(("aaab", 3L, 2L, "aa ab")))
+    assert(seg(3) === Seq(("aaab", 3L, 1L, "aaab")))
+  }
+
   test("bpeMerges: non-lowercase-ascii words are excluded from the vocabulary") {
     val out = CorpusOps.bpeMerges(
       docs((1L, "Hello123 xy xy XY x9y")), merges = 1, vocabSize = 10)
