@@ -124,7 +124,15 @@ object ScaleCheck {
       // and the double spatial join (10x denser cells → ~10x
       // candidates per probe at fixed radius)
       "q_join_setsim", "q_join_contain", "q_graph_rank_w",
-      "q_spatial_join_f")
+      "q_spatial_join_f",
+      // second round-12 batch: triangles (the duplication-heavy corpus
+      // is the CLIQUE stress case — copies² dup pairs close copies³
+      // triangles, so growth is output-bound and the degree
+      // orientation must keep the wedge build subquadratic), the BPE
+      // trainer (word table bounded by the top-V cap: rounds must
+      // stay FLAT while the one corpus aggregate scales), and the
+      // SQ8 audit (two corpus passes, d-row output)
+      "q_graph_triangles", "q_text_bpe", "q_emb_quantize")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay

@@ -282,6 +282,24 @@ object SparkEntry {
     // the learned merges — train→apply as one oracle-gated loop
     "q_text_bpe_apply" -> ((s, dir) =>
       graft.text.CorpusOps.bpeSegment(table(s, dir, "documents"))),
+    // the persisted word-count lifecycle: build on 3/4 of the corpus,
+    // append the rest as a pure file-add partial, train from the
+    // merged artifact — counts sum associatively, so build + append
+    // trains IDENTICAL merges to from-scratch and the PLAIN
+    // q_text_bpe oracle gates it (the sketch-family append regime on
+    // the tokenizer trainer)
+    "q_text_bpe_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_bpe_counts/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.bpeCountsBuild(
+          docs.filter(col("doc_id") % 4 =!= 0), path)
+        graft.text.CorpusOps.bpeCountsAppend(
+          docs.filter(col("doc_id") % 4 === 0), path)
+      })
+      graft.text.CorpusOps.bpeMergesFromCounts(s, path)
+    }),
 
     // vocabulary building: top-k tokens by corpus term frequency with
     // document frequency — total order (tf desc, df desc, token) so
@@ -2369,6 +2387,7 @@ object SparkEntry {
       Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)),
     "q_text_bpe" -> DocSql.bpeMerges(12, 400),
     "q_text_bpe_apply" -> DocSql.bpeSegments(12, 400),
+    "q_text_bpe_indexed" -> DocSql.bpeMerges(12, 400),
     "q_text_colloc" -> DocSql.collocations(5L, 50),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),

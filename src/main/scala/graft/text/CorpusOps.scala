@@ -125,17 +125,62 @@ object CorpusOps {
       col("s").substr(lit(2), length(col("s"))).as("segmentation"))
   }
 
-  private def bpeLoop(docs: DataFrame, merges: Int, vocabSize: Int,
-      textCol: String): (DataFrame, DataFrame) = {
-    require(merges >= 1 && vocabSize >= 1, s"merges=$merges vocab=$vocabSize")
-    var w = docs
+  /** The corpus-side word-frequency aggregate BPE trains on:
+    * (word, freq) over ASCII lowercase tokens — an associative sum,
+    * which is what makes the persisted-counts lifecycle below exact. */
+  private def bpeWordFreqs(docs: DataFrame, textCol: String): DataFrame =
+    docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Persisted word-count artifact for [[bpeMerges]] — the sketch
+    * family's append regime on the tokenizer trainer: the stored
+    * artifact is per-batch (word, freq) PARTIAL frames, appends only
+    * ADD files, and the read-time merge (sum per word) is
+    * associative/commutative, so build + any append sequence trains
+    * IDENTICAL merges to a from-scratch run over the union — gated by
+    * the PLAIN bpeMerges oracle. At 100 TB the nightly tokenizer
+    * refresh costs ∝ the day's batch, and the merge rounds still run
+    * on the KB-sized top-V table. */
+  def bpeCountsBuild(docs: DataFrame, path: String,
+      textCol: String = "text"): Unit =
+    bpeWordFreqs(docs, textCol).write.mode("overwrite").parquet(path)
+
+  /** Pure file-add growth of a [[bpeCountsBuild]] artifact. */
+  def bpeCountsAppend(docs: DataFrame, path: String,
+      textCol: String = "text"): Unit =
+    bpeWordFreqs(docs, textCol).write.mode("append").parquet(path)
+
+  /** Train the merge table from a persisted [[bpeCountsBuild]]
+    * artifact: merge the stored partials (one vocabulary-bounded sum
+    * aggregate — the corpus is never touched), then the same rounds
+    * as [[bpeMerges]], bit-for-bit. */
+  def bpeMergesFromCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, merges: Int = 12, vocabSize: Int = 400): DataFrame = {
+    val wf = spark.read.parquet(path)
+      .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
+    bpeRounds(bpeVocab(wf, vocabSize), merges)._1
+  }
+
+  /** Top-`vocabSize` words with their initial char segmentation. */
+  private def bpeVocab(wordFreq: DataFrame, vocabSize: Int): DataFrame =
+    wordFreq
       .orderBy(col("freq").desc, col("word")).limit(vocabSize)
       .select(col("word"), col("freq"),
         regexp_replace(col("word"), "(.)", " $1").as("s"))
       .localCheckpoint()
+
+  private def bpeLoop(docs: DataFrame, merges: Int, vocabSize: Int,
+      textCol: String): (DataFrame, DataFrame) = {
+    require(merges >= 1 && vocabSize >= 1, s"merges=$merges vocab=$vocabSize")
+    bpeRounds(bpeVocab(bpeWordFreqs(docs, textCol), vocabSize), merges)
+  }
+
+  private def bpeRounds(vocab: DataFrame,
+      merges: Int): (DataFrame, DataFrame) = {
+    require(merges >= 1, s"merges=$merges")
+    var w = vocab
     val rounds = (1 to merges).map { k =>
       val best = w
         .select(col("freq"), split(col("s"), " ").as("l"))

@@ -29,6 +29,32 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     p
   }
 
+  test("triangles: equi-joins only — no cartesian, no nested-loop wedge build") {
+    val p = plan("q_graph_triangles")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("sq quantize audit: range frame broadcasts back, one corpus-wide generate chain") {
+    val p = plan("q_emb_quantize")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("collocations: top-k is TakeOrderedAndProject, no cartesian (1-row total broadcast)") {
+    val p = plan("q_text_colloc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("gram build: no exchange before the d2-cell aggregate's own shuffle (no join)") {
+    val p = plan("q_emb_direction")
+    assert(!p.contains("SortMergeJoin"), p)
+    // the former vec_id self-join exchanged the N·d exploded frame;
+    // the generator build leaves only aggregate/broadcast exchanges
+    assert(!p.contains("hashpartitioning(vec_id"), p)
+  }
+
   test("kmv sketch: bottom-k runs as WindowGroupLimit (partial merge, not a full sort)") {
     val p = plan("q_sketch_kmv")
     assert(p.contains("WindowGroupLimit"), p)

@@ -55,6 +55,21 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seg(3) === Seq(("aaab", 3L, 1L, "aaab")))
   }
 
+  test("bpe counts artifact: build + append trains identical merges to from-scratch") {
+    val d = docs((1L, "alpha beta alpha"), (2L, "beta gamma"),
+      (3L, "alpha beta beta"), (4L, "gamma gamma alpha"))
+    val path = java.nio.file.Files
+      .createTempDirectory("bpe_counts").toString + "/idx"
+    CorpusOps.bpeCountsBuild(d.filter(col("doc_id") <= 2L), path)
+    CorpusOps.bpeCountsAppend(d.filter(col("doc_id") > 2L), path)
+    val fromArtifact = CorpusOps.bpeMergesFromCounts(
+      spark, path, merges = 4, vocabSize = 10).collect().toSeq
+    val fromScratch = CorpusOps.bpeMerges(d, merges = 4, vocabSize = 10)
+      .collect().toSeq
+    assert(fromArtifact === fromScratch)
+    spark.catalog.clearCache()
+  }
+
   test("bpeMerges: non-lowercase-ascii words are excluded from the vocabulary") {
     val out = CorpusOps.bpeMerges(
       docs((1L, "Hello123 xy xy XY x9y")), merges = 1, vocabSize = 10)
