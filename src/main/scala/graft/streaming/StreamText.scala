@@ -39,4 +39,31 @@ object StreamText {
         }
       }
       .start()
+
+  /** Streaming ingest for the persisted BPE word-count artifact
+    * ([[graft.text.CorpusOps.bpeCountsBuild]]): each micro-batch of
+    * (doc_id, text) rows appends its own (word, freq) PARTIAL frame.
+    * Sum-merge is associative but duplicate-SENSITIVE, so the
+    * `_batches/<id>` marker carries the exactness (a re-delivered
+    * batch would double-count its words — the
+    * [[StreamSim.ingestGram]] trade). Stream == sequential
+    * bpeCountsBuild/Append calls: StreamingSpec asserts the merges
+    * trained from the streamed artifact match the from-scratch batch
+    * trainer. The artifact must exist before the stream starts. */
+  def ingestBpeCounts(docs: DataFrame, countsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker =
+          new org.apache.hadoop.fs.Path(s"$countsPath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          graft.text.CorpusOps.bpeCountsAppend(batch, countsPath)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
 }

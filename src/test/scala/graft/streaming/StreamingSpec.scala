@@ -370,6 +370,41 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming BPE count ingest == from-scratch batch merges; marker written") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_bpe").toString
+    val all = Seq((0L, "alpha beta alpha"), (1L, "beta gamma beta"),
+      (2L, "alpha beta beta"), (3L, "gamma gamma alpha"),
+      (4L, "alpha alpha beta"), (5L, "beta gamma alpha"))
+    val base = all.filter(_._1 % 3 == 0)
+    val b1 = all.filter(_._1 % 3 == 1)
+    val b2 = all.filter(_._1 % 3 == 2)
+    graft.text.CorpusOps.bpeCountsBuild(
+      base.toDF("doc_id", "text"), s"$tmp/counts")
+    val schema = b1.toDF("doc_id", "text").schema
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamText.ingestBpeCounts(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/counts", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = graft.text.CorpusOps.bpeMergesFromCounts(
+      spark, s"$tmp/counts", merges = 3, vocabSize = 10).collect().toSeq
+    spark.catalog.clearCache()
+    val scratch = graft.text.CorpusOps.bpeMerges(
+      all.toDF("doc_id", "text"), merges = 3, vocabSize = 10).collect().toSeq
+    spark.catalog.clearCache()
+    assert(served === scratch && scratch.nonEmpty)
+    val fs = new org.apache.hadoop.fs.Path(tmp)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/counts/_batches/0")))
+  }
+
   test("streaming Gram ingest == from-scratch batch direction; markers block re-delivery") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_gram").toString
