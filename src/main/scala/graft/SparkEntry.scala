@@ -1848,6 +1848,30 @@ object SparkEntry {
           concat_ws("_", col("luma")).as("luma_str"))
     }),
 
+    // IMAGE NEAR-DEDUP via perceptual difference hash: 4x4 PPM
+    // payloads derived from (source, lang) — so images repeat across
+    // docs — with the last pixel byte perturbed per doc (doc_id % 4):
+    // byte-exact hashing would split every group, but dHash keys on
+    // luma GRADIENT SIGNS, so the perturbed copies still collide and
+    // the groups are recovered through a REAL decode -> fingerprint
+    // -> hash-groupBy pipeline (the exact-dedup shape on decoded
+    // pixels, never the raw bytes)
+    "q_multimodal_phash" -> ((s, dir) => {
+      def h(i: Int) =
+        unhex(md5(concat(col("source"), lit("#"), col("lang"), lit(s"#$i"))
+          .cast("binary")))
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit("P6\n4 4\n255\n".getBytes("US-ASCII")),
+          h(0), h(1), substring(h(2), 1, 15),
+          unhex(lpad(hex(pmod(col("doc_id"), lit(4))), 2, "0"))).as("payload"))
+      graft.multimodal.Decoders.decodeImagesBatched(src, 16).toDF()
+        .select(col("doc_id"),
+          graft.multimodal.Decoders.dHash(col("luma"), 4, 4).as("dhash"))
+        .groupBy(col("dhash"))
+        .agg(count(lit(1)).as("n_images"), min(col("doc_id")).as("min_doc"))
+        .filter(col("n_images") >= 2L)
+    }),
+
     // REAL compressed-format decode through the JDK's javax.imageio,
     // oracle-gated: a 2x2 24-bit BMP (uncompressed, so the payload is
     // byte-constructible in BOTH engines like the PPM) whose 12 pixel
@@ -2628,6 +2652,7 @@ object SparkEntry {
     "q_multimodal_video" -> EventSql.multimodalVideo,
     "q_multimodal_frame" -> EventSql.multimodalFrames,
     "q_multimodal_mjpeg" -> EventSql.multimodalMjpeg,
+    "q_multimodal_phash" -> EventSql.multimodalPhash,
     "q_sql_hilbert" -> DuckSql.hilbertQuery(
       32, Seq("l_partkey", "l_linenumber"), "lineitem",
       Seq("l_orderkey", "l_linenumber"), "hkey"))

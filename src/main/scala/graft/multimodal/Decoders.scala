@@ -27,6 +27,28 @@ object Decoders {
   final case class DecodedImage(doc_id: Long, width: Long, height: Long,
       mean_r: Long, mean_g: Long, mean_b: Long, luma: Seq[Long])
 
+  /** DIFFERENCE HASH (dHash) over a row-major w×h luma grid: one bit
+    * per horizontal neighbor pair (luma[r][c] < luma[r][c+1], bit
+    * index row-major) then one per vertical pair — the classic
+    * perceptual image fingerprint (gradient SIGNS survive re-encode,
+    * resize and small pixel noise that byte-exact hashing does not).
+    * Pure integer comparisons on the decoder's exact lumas, so the
+    * oracle recomputes it bit-for-bit; for 4×4 that is 24 bits =
+    * 12 horizontal + 12 vertical. */
+  def dHash(luma: org.apache.spark.sql.Column, w: Int,
+      h: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, when}
+    val pairs =
+      (for (r <- 0 until h; c <- 0 until w - 1)
+        yield (r * w + c, r * w + c + 1)) ++
+      (for (r <- 0 until h - 1; c <- 0 until w)
+        yield (r * w + c, (r + 1) * w + c))
+    pairs.zipWithIndex.map { case ((a, b), j) =>
+      when(element_at(luma, a + 1) < element_at(luma, b + 1), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   /** Decoded WAV audio: format fields + per-window mean |amplitude|. */
   final case class DecodedAudio(doc_id: Long, sample_rate: Long, channels: Long,
       n_samples: Long, window_energy: Seq[Long])

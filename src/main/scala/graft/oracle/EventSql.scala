@@ -584,6 +584,41 @@ object EventSql {
        |  CAST(n * n_keys * 1000000 // n_rows AS BIGINT) AS skew_x_avg_ppm
        |FROM top, t""".stripMargin
 
+  /** Oracle for the dHash image near-dedup: recompute the 4×4 pixel
+    * bytes from the three (source, lang) md5 digests + the doc_id%4
+    * perturbation byte, the 16 exact lumas, then the 24 gradient-sign
+    * bits in the engine's bit order (12 horizontal row-major, then 12
+    * vertical), and group. */
+  val multimodalPhash: String = {
+    // global pixel-byte i (0..47) → SQL expression
+    def byt(i: Int): String =
+      if (i == 47) "(doc_id % 4)"
+      else {
+        val (h, off) = if (i < 16) ("h0", i) else if (i < 32) ("h1", i - 16)
+          else ("h2", i - 32)
+        s"CAST(('0x' || substr($h, ${2 * off + 1}, 2)) AS BIGINT)"
+      }
+    def luma(k: Int) =
+      s"(299 * ${byt(3 * k)} + 587 * ${byt(3 * k + 1)} + 114 * ${byt(3 * k + 2)}) // 1000 AS l$k"
+    val pairs =
+      (for (r <- 0 until 4; c <- 0 until 3) yield (r * 4 + c, r * 4 + c + 1)) ++
+      (for (r <- 0 until 3; c <- 0 until 4) yield (r * 4 + c, (r + 1) * 4 + c))
+    val dhash = pairs.zipWithIndex.map { case ((a, b), j) =>
+      s"(CASE WHEN l$a < l$b THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH h AS (SELECT doc_id,
+       |    md5(source || '#' || lang || '#0') AS h0,
+       |    md5(source || '#' || lang || '#1') AS h1,
+       |    md5(source || '#' || lang || '#2') AS h2
+       |  FROM documents),
+       |l AS (SELECT doc_id, ${(0 until 16).map(luma).mkString(",\n  ")}
+       |  FROM h),
+       |d AS (SELECT doc_id, CAST($dhash AS BIGINT) AS dhash FROM l)
+       |SELECT dhash, CAST(count(*) AS BIGINT) AS n_images,
+       |  min(doc_id) AS min_doc
+       |FROM d GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
+
   def multimodal(headBytes: Int, stride: Int): String =
     s"""SELECT doc_id,
        |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,

@@ -114,6 +114,22 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     bb.array()
   }
 
+  test("dHash: bit order, invariance to sign-preserving noise, sensitivity to gradient flips") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 2x2 grid: bits are h(0,1), h(2,3), v(0,2), v(1,3)
+    val lumas = Seq(
+      (1L, Seq(10L, 20L, 5L, 5L)),  // only 10<20 -> bit 0 -> dhash 1
+      (2L, Seq(11L, 21L, 6L, 5L)),  // +noise, same gradient signs -> 1
+      (3L, Seq(20L, 10L, 5L, 5L)),  // flipped first gradient -> 0
+      (4L, Seq(0L, 1L, 2L, 3L)))    // all ascending -> bits 0,1,2,3 -> 15
+      .toDF("doc_id", "luma")
+    val out = lumas.select(col("doc_id"),
+      Decoders.dHash(col("luma"), 2, 2).as("d")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 15L))
+  }
+
   test("ppm decoder: exact header, channel means, sampled luma") {
     val d = Decoders.PpmDecoder.decode(7L, ppmBytes, dims = 4)
     assert((d.width, d.height) == ((2L, 2L)))
