@@ -1278,6 +1278,12 @@ object SparkEntry {
     // mask a second spike, but moves a median not at all; both
     // medians are row_number picks over a (value, day) total order,
     // so the flags stay exact-integer and oracle-gated
+    // exact-percentile winsorization audit: per-type p05/p95 bounds
+    // from the VALUE HISTOGRAM's cumulative counts (window bounded by
+    // the value domain, never the corpus), clip counts + clipped sum
+    // — the robust preprocessing for a metric column before training
+    "q_events_winsor" -> ((s, dir) =>
+      graft.operators.Diagnostics.winsorize(events(s, dir))),
     "q_events_anomaly_mad" -> ((s, dir) => {
       val DayNs = 86400000000000L
       val daily = events(s, dir)
@@ -2586,6 +2592,7 @@ object SparkEntry {
     "q_events_anomaly" -> EventSql.eventsAnomaly,
     "q_skew_profile" -> EventSql.skewProfile(10),
     "q_events_anomaly_mad" -> EventSql.eventsAnomalyMad,
+    "q_events_winsor" -> EventSql.eventsWinsor(5, 95),
     "q_events_late" -> EventSql.watermarkAudit(
       Seq(600000000L, 3600000000L), 7200),
     "q_events_transitions" -> EventSql.eventsTransitions,

@@ -150,4 +150,51 @@ object Diagnostics {
           .when(col("h_old") === col("h_new"), lit("unchanged"))
           .otherwise(lit("changed")).as("class"))
   }
+
+  /** Exact-percentile WINSORIZATION audit — the robust-preprocessing
+    * step for a metric/reward column before it feeds training or
+    * aggregation: per group the exact loPct/hiPct percentile bounds
+    * (smallest value whose cumulative count reaches ⌈n·p/100⌉ — the
+    * classic discrete definition), how many rows each side would
+    * clip, and the clipped (winsorized) sum. Values ride a
+    * floor(·100) fixed-point (floor on the SAME parquet double is
+    * engine-exact, unlike rounding), so the whole audit hash-gates.
+    *
+    * Shape at 100 TB: the percentile is computed from a VALUE
+    * HISTOGRAM — groupBy (group, vq) then a cumulative window over
+    * the per-group distinct-value frame — so the window is bounded by
+    * the value DOMAIN (cents of a bounded metric), never the corpus;
+    * a global per-group sort of raw rows (the textbook formulation,
+    * and the oracle's) would serialize the corpus through one
+    * partition per group. Bounds re-enter BROADCAST (groups-sized);
+    * two corpus passes (histogram + clip stats). */
+  def winsorize(events: DataFrame, loPct: Int = 5, hiPct: Int = 95,
+      groupCol: String = "event_type", valCol: String = "value")
+      : DataFrame = {
+    require(0 < loPct && loPct < hiPct && hiPct <= 100, s"$loPct/$hiPct")
+    import graft.text.TextFunctions.intDiv
+    val vq = events.filter(col(valCol).isNotNull)
+      .select(col(groupCol).as("grp"),
+        floor(col(valCol) * 100).cast("long").as("vq"))
+    val hist = vq.groupBy(col("grp"), col("vq")).agg(count(lit(1)).as("c"))
+    val byGrp = Window.partitionBy(col("grp"))
+    val cum = hist
+      .withColumn("cum", sum(col("c")).over(
+        byGrp.orderBy(col("vq"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("n", sum(col("c")).over(byGrp))
+    def pick(pct: Int, name: String) = cum
+      .filter(col("cum") >= intDiv(col("n") * pct + 99L, lit(100L)))
+      .groupBy(col("grp")).agg(min(col("vq")).as(name))
+    val bounds = pick(loPct, "lo_q").join(pick(hiPct, "hi_q"), "grp")
+    vq.join(broadcast(bounds), "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), min(col("lo_q")).as("lo_q"),
+        min(col("hi_q")).as("hi_q"),
+        sum(when(col("vq") < col("lo_q"), 1L).otherwise(0L)).as("n_clip_lo"),
+        sum(when(col("vq") > col("hi_q"), 1L).otherwise(0L)).as("n_clip_hi"),
+        sum(greatest(least(col("vq"), col("hi_q")), col("lo_q")))
+          .as("winsor_sum"))
+      .withColumnRenamed("grp", "event_type")
+  }
 }

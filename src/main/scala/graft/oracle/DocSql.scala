@@ -223,24 +223,28 @@ object DocSql {
        |FROM w$merges""".stripMargin
 
   private def bpeCtes(merges: Int, vocabSize: Int): String = {
+    // every chained CTE is MATERIALIZED: DuckDB 1.0 INLINES a CTE per
+    // reference, and w_k is referenced twice (pair counts + merge),
+    // so the un-hinted form re-expands the corpus scan 2^merges times
+    // — measured minutes for 12 rounds vs milliseconds materialized
     val rounds = (1 to merges).map { k =>
-      s"""e$k AS (SELECT freq, str_split(s, ' ') AS l FROM w${k - 1}),
+      s"""e$k AS MATERIALIZED (SELECT freq, str_split(s, ' ') AS l FROM w${k - 1}),
          |p$k AS (SELECT l[i] AS a, l[i + 1] AS b,
          |    CAST(sum(freq) AS BIGINT) AS cnt
          |  FROM (SELECT freq, l, unnest(generate_series(2, len(l) - 1)) AS i
          |    FROM e$k WHERE len(l) >= 3)
          |  GROUP BY 1, 2),
-         |m$k AS (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
-         |w$k AS (SELECT word, freq,
+         |m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
+         |w$k AS MATERIALIZED (SELECT word, freq,
          |    replace(s, ' ' || m$k.a || ' ' || m$k.b, ' ' || m$k.a || m$k.b) AS s
          |  FROM w${k - 1}, m$k)""".stripMargin
     }.mkString(",\n")
     s"""$docsToks,
-       |wf AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |wf AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(toks) AS tok FROM d)
        |  WHERE regexp_matches(tok, '^[a-z]+$$')
        |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabSize),
-       |w0 AS (SELECT word, freq,
+       |w0 AS MATERIALIZED (SELECT word, freq,
        |  regexp_replace(word, '(.)', ' \\1', 'g') AS s FROM wf),
        |$rounds""".stripMargin
   }

@@ -584,6 +584,35 @@ object EventSql {
        |  CAST(n * n_keys * 1000000 // n_rows AS BIGINT) AS skew_x_avg_ppm
        |FROM top, t""".stripMargin
 
+  /** Mirror of Diagnostics.winsorize: exact discrete percentiles from
+    * the value histogram's cumulative counts (smallest vq whose cum ≥
+    * ⌈n·p/100⌉), floor(·100) fixed-point, clip stats + winsorized
+    * sum. */
+  def eventsWinsor(loPct: Int, hiPct: Int): String =
+    s"""WITH vq AS (SELECT event_type AS grp,
+       |    CAST(floor(value * 100) AS BIGINT) AS vq
+       |  FROM events WHERE value IS NOT NULL),
+       |hist AS (SELECT grp, vq, CAST(count(*) AS BIGINT) AS c
+       |  FROM vq GROUP BY 1, 2),
+       |cum AS (SELECT grp, vq, c,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY vq
+       |      ROWS UNBOUNDED PRECEDING) AS cum,
+       |    sum(c) OVER (PARTITION BY grp) AS n FROM hist),
+       |lo AS (SELECT grp, min(vq) AS lo_q FROM cum
+       |  WHERE cum >= (n * $loPct + 99) // 100 GROUP BY 1),
+       |hi AS (SELECT grp, min(vq) AS hi_q FROM cum
+       |  WHERE cum >= (n * $hiPct + 99) // 100 GROUP BY 1)
+       |SELECT vq.grp AS event_type, CAST(count(*) AS BIGINT) AS n,
+       |  CAST(min(lo_q) AS BIGINT) AS lo_q,
+       |  CAST(min(hi_q) AS BIGINT) AS hi_q,
+       |  CAST(sum(CASE WHEN vq < lo_q THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clip_lo,
+       |  CAST(sum(CASE WHEN vq > hi_q THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_clip_hi,
+       |  CAST(sum(greatest(least(vq, hi_q), lo_q)) AS BIGINT) AS winsor_sum
+       |FROM vq JOIN lo USING (grp) JOIN hi USING (grp)
+       |GROUP BY 1""".stripMargin
+
   /** Oracle for the dHash image near-dedup: recompute the 4×4 pixel
     * bytes from the three (source, lang) md5 digests + the doc_id%4
     * perturbation byte, the 16 exact lumas, then the 24 gradient-sign

@@ -25,6 +25,27 @@ class DiagnosticsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("winsorize: hand-computed bounds, clip counts, winsorized sum; constant group degenerates") {
+    import spark.implicits._
+    // group a: cents 1..20 -> lo = rank ceil(1.0)=1 -> 1, hi = rank 19
+    // group b: four identical 0.05 -> lo = hi = 5, nothing clips
+    val rows = (1 to 20).map(i => ("a", i / 100.0)) ++
+      Seq.fill(4)(("b", 0.05))
+    val out = Diagnostics.winsorize(rows.toDF("event_type", "value"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out("a") == ((20L, 1L, 19L, 0L, 1L, 209L)))
+    assert(out("b") == ((4L, 5L, 5L, 0L, 0L, 20L)))
+  }
+
+  test("winsorize: null values are excluded before ranking") {
+    import spark.implicits._
+    val rows = Seq(("a", Some(0.01)), ("a", None), ("a", Some(0.03)))
+    val out = Diagnostics.winsorize(rows.toDF("event_type", "value"))
+      .collect()
+    assert(out.length == 1 && out.head.getLong(1) == 2L)
+  }
+
   test("skewProfile: ranks are 1..k, shares match exact recounts") {
     val ev = spark.read.parquet(s"$dir/events.parquet")
     val prof = Diagnostics.skewProfile(ev, "user_id", 5).collect()
