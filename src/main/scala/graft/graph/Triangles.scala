@@ -41,10 +41,15 @@ object Triangles {
   /** Per-node triangle counts (doc_id, n_tri) for every node that
     * closes at least one triangle. `pairs` is an undirected
     * unique-pair edge list (doc_a < doc_b, distinct). */
-  def perNode(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+  def perNode(pairs: DataFrame): DataFrame =
+    perNodeFromEdges(canonicalEdges(pairs))
+
+  private def canonicalEdges(pairs: DataFrame): DataFrame =
+    pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+
+  private def perNodeFromEdges(e: DataFrame): DataFrame = {
     val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
       .groupBy(col("id")).agg(count(lit(1)).as("dg"))
     // orient u→v when (deg, id)(u) < (deg, id)(v); carry the dst's
@@ -82,11 +87,14 @@ object Triangles {
     * have no neighbor pair and report 0. Same shape as [[perNode]]
     * plus one degree aggregate and a left join. */
   def clustering(pairs: DataFrame): DataFrame = {
-    val e = pairs.select(col("doc_a").as("u"), col("doc_b").as("v")).distinct()
+    // ONE persisted canonical edge frame feeds both the degree
+    // aggregate and the triangle count — the naive form re-derived
+    // the candidate pairs (a second corpus blocking pass at scale)
+    val e = canonicalEdges(pairs)
     val deg = e.select(col("u").as("doc_id"))
       .unionAll(e.select(col("v").as("doc_id")))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("degree"))
-    deg.join(perNode(pairs), Seq("doc_id"), "left")
+    deg.join(perNodeFromEdges(e), Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("cc_ppm", when(col("degree") < 2L, 0L)
