@@ -265,6 +265,12 @@ object SparkEntry {
           Seq("train" -> 800000L, "val" -> 900000L, "test" -> 1000000L)).as("split"))
     }),
 
+    // source-overlap matrix: pairwise distinct-shingle Jaccard
+    // between sources — the mirror/boilerplate detector behind mixing
+    // decisions; one corpus pass, self-join fan-out bounded by the
+    // SOURCE COUNT (a constant), never by document frequency
+    "q_source_overlap" -> ((s, dir) =>
+      graft.text.CorpusOps.sourceOverlap(table(s, dir, "documents"))),
     // PMI-style collocation extraction: top bigrams by exact-integer
     // lift over unigram expectations — the multi-word units a vocab
     // builder should learn whole; two map-side-combining passes,
@@ -2419,6 +2425,7 @@ object SparkEntry {
     "q_text_bpe_apply" -> DocSql.bpeSegments(12, 400),
     "q_text_bpe_indexed" -> DocSql.bpeMerges(12, 400),
     "q_text_colloc" -> DocSql.collocations(5L, 50),
+    "q_source_overlap" -> DocSql.sourceOverlap(8),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),
     "q_text_repetition" -> DocSql.textRepetition,

@@ -173,6 +173,26 @@ object DocSql {
        |ORDER BY tf DESC, df DESC, token
        |LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusOps.sourceOverlap: distinct (source, 60-bit
+    * shingle hash) sets, pairwise shared counts via the id-ordered
+    * self-join, exact-ppm Jaccard. */
+  def sourceOverlap(k: Int): String =
+    s"""WITH d AS (SELECT source,
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |sh AS MATERIALIZED (SELECT DISTINCT src, h FROM
+       |  (SELECT source AS src, unnest(list_transform(${shinglesExpr(k)},
+       |    s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h
+       |   FROM d)),
+       |sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM sh GROUP BY 1)
+       |SELECT a.src AS source_a, b.src AS source_b,
+       |  CAST(count(*) AS BIGINT) AS shared,
+       |  CAST(count(*) * 1000000 // (min(za.n) + min(zb.n) - count(*))
+       |    AS BIGINT) AS jaccard_ppm
+       |FROM sh a JOIN sh b ON a.h = b.h AND a.src < b.src
+       |JOIN sz za ON za.src = a.src
+       |JOIN sz zb ON zb.src = b.src
+       |GROUP BY 1, 2""".stripMargin
+
   /** Mirror of CorpusOps.collocations: bigram lift over unigram
     * expectations in exact integer ppm (HUGEINT intermediates), same
     * strict bigram comprehension as lmSurprisal, top-k by (lift desc,

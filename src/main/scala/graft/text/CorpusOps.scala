@@ -41,6 +41,42 @@ object CorpusOps {
       .orderBy(col("tf").desc, col("df").desc, col("token"))
       .limit(topK)
 
+  /** SOURCE-OVERLAP matrix — the corpus-health diagnostic behind
+    * mixing decisions: for every source pair, the count of distinct
+    * k-shingles they share and the set Jaccard in exact ppm. Two
+    * sources at high Jaccard are mirrors (deduplicate-before-mixing);
+    * a source sharing most of its shingles with everything is
+    * boilerplate. The cross-SOURCE sibling of [[contamination]]'s
+    * cross-split audit, on the shared 60-bit shingle-hash convention.
+    *
+    * Shape at 100 TB: ONE corpus pass builds the distinct
+    * (source, hash) frame (map-side-combining distinct — within-
+    * source duplication collapses before any join); the self-join's
+    * per-hash fan-out is bounded by the SOURCE COUNT (a constant,
+    * ≤ sources² pairs per hash), not by document frequency, so no df
+    * cap is needed; the size frame re-enters broadcast. Output is
+    * ≤ sources²/2 rows. */
+  def sourceOverlap(docs: DataFrame, shingleK: Int = 8,
+      srcCol: String = "source", textCol: String = "text"): DataFrame = {
+    val sh = docs.select(col(srcCol).as("src"),
+        explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
+    sh.select(col("src").as("source_a"), col("h"))
+      .join(sh.select(col("src").as("source_b"), col("h")), "h")
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("shared"))
+      .join(broadcast(sizes.select(col("src").as("source_a"),
+        col("n").as("na"))), "source_a")
+      .join(broadcast(sizes.select(col("src").as("source_b"),
+        col("n").as("nb"))), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared"),
+        TextFunctions.intDiv(col("shared") * lit(1000000L),
+          col("na") + col("nb") - col("shared")).as("jaccard_ppm"))
+  }
+
   /** COLLOCATION extraction — top bigrams by pointwise-mutual-
     * information-style LIFT: lift_ppm = c(ab)·N·10⁶ / (c(a)·c(b)),
     * the ratio of the bigram's observed frequency to what independent

@@ -21,6 +21,19 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("sourceOverlap: hand-computed shared counts and Jaccard; disjoint source absent") {
+    import spark.implicits._
+    val d = Seq((1L, "A", "a b c"), (2L, "A", "a b c"), // dup collapses
+      (3L, "B", "a b x"), (4L, "C", "q r s"))
+      .toDF("doc_id", "source", "text")
+    val out = CorpusOps.sourceOverlap(d, shingleK = 2).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    spark.catalog.clearCache()
+    // A = {ab, bc}, B = {ab, bx}: shared 1, jaccard 1/3
+    assert(out === Map(("A", "B") -> ((1L, 333333L))))
+  }
+
   test("collocations: hand-computed lift, tie-break by bigram") {
     // tokens a b a b c: N=5, c(ab)=2, c(ba)=1, c(bc)=1, c(a)=c(b)=2, c(c)=1
     val out = CorpusOps.collocations(docs((1L, "a b a b c")),
