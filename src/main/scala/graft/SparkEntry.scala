@@ -355,6 +355,11 @@ object SparkEntry {
             concat(col("doc_id").cast("string"), lit("#ksample")), 1000000)
             .as("hb"))
         .orderBy(col("hb"), col("doc_id")).limit(100)),
+    // balanced downsample: exactly min-class-size rows from every
+    // class by the shared salted-hash order — the deterministic
+    // class-rebalancer (downsample-majority) before training
+    "q_sample_balanced" -> ((s, dir) =>
+      graft.text.CorpusOps.balancedSample(table(s, dir, "documents"))),
     // dedup threshold calibration: candidate-pair counts by MinHash
     // match level over the UNthresholded pair set — the curve read
     // before choosing minMatches (where does the bimodal split sit?)
@@ -895,6 +900,12 @@ object SparkEntry {
     // a variance-shaped statistic hash-gates exactly
     "q_emb_scatter" -> ((s, dir) =>
       Similarity.embScatter(table(s, dir, "embeddings"))),
+    // between-class centroid geometry: pairwise sum-vector dots next
+    // to each class's energy — divisions cleared like the scatter
+    // numerator, so near-collinear (entangled) class pairs hash-gate;
+    // corpus touched only in the (label, dim) sum aggregate
+    "q_emb_centroids" -> ((s, dir) =>
+      Similarity.embCentroids(table(s, dir, "embeddings"))),
     // int8 scalar-quantization audit: per-dim exact min/max grid,
     // code occupancy, worst/total reconstruction error — the go/no-go
     // before shrinking the embedding store 4×; two corpus passes
@@ -2401,6 +2412,7 @@ object SparkEntry {
     "q_sim_ivf_stats" -> SimSql.ivfListStats(16),
     "q_emb_audit" -> SimSql.embAudit,
     "q_emb_quantize" -> SimSql.sqQuantAudit,
+    "q_emb_centroids" -> SimSql.embCentroids,
     "q_emb_scatter" -> SimSql.embScatter,
     "q_emb_direction" -> SimSql.embDominantDirection(3),
     "q_emb_direction_append" -> SimSql.embDominantDirection(3),
@@ -2426,6 +2438,7 @@ object SparkEntry {
     "q_text_bpe_indexed" -> DocSql.bpeMerges(12, 400),
     "q_text_colloc" -> DocSql.collocations(5L, 50),
     "q_source_overlap" -> DocSql.sourceOverlap(8),
+    "q_sample_balanced" -> DocSql.balancedSample("#balance"),
     "q_vocab" -> DocSql.vocabulary(20),
     "q_vocab_coverage" -> DocSql.vocabCoverage(200),
     "q_text_repetition" -> DocSql.textRepetition,

@@ -173,6 +173,22 @@ object DocSql {
        |ORDER BY tf DESC, df DESC, token
        |LIMIT $topK""".stripMargin
 
+  /** Mirror of CorpusOps.balancedSample: per-class salted-hash
+    * ranks, the 1-row min-class-size bound, exactly-k from every
+    * class. */
+  def balancedSample(salt: String): String =
+    s"""WITH r AS (SELECT doc_id, lang AS label,
+       |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '$salt'), 1, 8))
+       |      AS BIGINT) % 1000000 AS hb
+       |  FROM documents),
+       |rk AS MATERIALIZED (SELECT doc_id, label, hb,
+       |    row_number() OVER (PARTITION BY label ORDER BY hb, doc_id) AS rn
+       |  FROM r),
+       |k AS (SELECT min(n) AS k FROM
+       |  (SELECT label, count(*) AS n FROM rk GROUP BY 1))
+       |SELECT doc_id, label, CAST(rn AS BIGINT) AS rn
+       |FROM rk, k WHERE rn <= k""".stripMargin
+
   /** Mirror of CorpusOps.sourceOverlap: distinct (source, 60-bit
     * shingle hash) sets, pairwise shared counts via the id-ordered
     * self-join, exact-ppm Jaccard. */

@@ -76,6 +76,31 @@ object SimSql {
        |    AS scatter_num
        |FROM nn JOIN cn USING (label)""".stripMargin
 
+  /** Mirror of Similarity.embCentroids: per-(label, dim) HUGEINT sum
+    * vectors, pairwise sum-vector dots via the id-ordered self-join,
+    * per-label energies — all emitted as canonical digit strings
+    * (COMPAT §7). */
+  def embCentroids: String =
+    s"""WITH ql AS (SELECT CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding, x ->
+       |      CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv
+       |  FROM embeddings),
+       |e AS (SELECT label, unnest(generate_series(1, len(qv))) AS dim_idx,
+       |    unnest(qv) AS q FROM ql),
+       |s AS MATERIALIZED (SELECT label, dim_idx,
+       |    CAST(sum(q) AS HUGEINT) AS sq FROM e GROUP BY 1, 2),
+       |n2 AS (SELECT label, sum(sq * sq) AS c2 FROM s GROUP BY 1),
+       |p AS (SELECT a.label AS label_a, b.label AS label_b,
+       |    sum(a.sq * b.sq) AS dot
+       |  FROM s a JOIN s b ON a.dim_idx = b.dim_idx AND a.label < b.label
+       |  GROUP BY 1, 2)
+       |SELECT label_a, label_b,
+       |  CAST(CAST(dot AS DECIMAL(38, 0)) AS VARCHAR) AS dot_num,
+       |  CAST(CAST(za.c2 AS DECIMAL(38, 0)) AS VARCHAR) AS na2,
+       |  CAST(CAST(zb.c2 AS DECIMAL(38, 0)) AS VARCHAR) AS nb2
+       |FROM p JOIN n2 za ON za.label = p.label_a
+       |JOIN n2 zb ON zb.label = p.label_b""".stripMargin
+
   /** Mirror of Similarity.sqQuantAudit: per-dimension exact min/max
     * grid, affine 0..255 code assignment with `//` truncation
     * (matching Spark's IntegralDivide on the non-negative operands),

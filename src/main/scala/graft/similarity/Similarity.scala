@@ -1168,6 +1168,47 @@ object Similarity {
           .as("scatter_num"))
   }
 
+  /** BETWEEN-class centroid GEOMETRY — the complement of
+    * [[embScatter]]'s within-class number: for every label pair, the
+    * exact integer dot product of the class SUM vectors (= n_a·n_b
+    * times the centroid dot — divisions cleared, same move as the
+    * scatter numerator) next to each class's own sum-vector energy
+    * ‖Σx‖². A pair whose dot approaches the geometric mean of its
+    * energies has nearly collinear centroids — entangled classes that
+    * label-stratified operators (hard-negative mining, per-label
+    * recall audits) should not treat as separable. All >64-bit totals
+    * cross the gate as canonical digit strings (COMPAT §7).
+    *
+    * Shape at 100 TB: the corpus appears ONLY in the (label, dim)
+    * sum aggregate (map-side-combining, labels·d rows out); the
+    * pairwise join and energy rollup run on that labels·d-row frame
+    * regardless of corpus size. */
+  def embCentroids(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", labelCol: String = "label"): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val s = emb.select(col(labelCol).cast("long").as("label"),
+        posexplode(quantize(col(vecCol))).as(Seq("dim_idx", "q")))
+      .groupBy(col("label"), col("dim_idx"))
+      .agg(sum(col("q")).cast(dec).as("sq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n2 = s.groupBy(col("label"))
+      .agg(sum(col("sq") * col("sq")).cast(dec).as("c2"))
+    s.select(col("label").as("label_a"), col("dim_idx"), col("sq").as("sa"))
+      .join(s.select(col("label").as("label_b"), col("dim_idx"),
+        col("sq").as("sb")), "dim_idx")
+      .filter(col("label_a") < col("label_b"))
+      .groupBy(col("label_a"), col("label_b"))
+      .agg(sum(col("sa") * col("sb")).cast(dec).as("dot"))
+      .join(broadcast(n2.select(col("label").as("label_a"),
+        col("c2").as("na2"))), "label_a")
+      .join(broadcast(n2.select(col("label").as("label_b"),
+        col("c2").as("nb2"))), "label_b")
+      .select(col("label_a"), col("label_b"),
+        col("dot").cast("string").as("dot_num"),
+        col("na2").cast("string").as("na2"),
+        col("nb2").cast("string").as("nb2"))
+  }
+
   /** INT8 scalar-quantization (SQ8) audit — the decision run before
     * shrinking an embedding store 4× (float32 → uint8 codes): affine
     * per-dimension quantization to the 0..255 grid over the exact

@@ -303,6 +303,35 @@ object CorpusOps {
       .select(col(idCol).as("doc_id"), col(strataCol).as("stratum"), col("sample_bucket"))
   }
 
+  /** BALANCED downsample — exactly min-class-size rows from EVERY
+    * class, chosen by the shared salted-hash order: the deterministic
+    * class-rebalancer for a labeled corpus before training (the
+    * downsample-majority counterpart of [[stratifiedSample]]'s
+    * rate-based thinning, with an exact output size per class instead
+    * of a binomial one). RNG-free and rerun/partitioning-stable like
+    * every sampler here.
+    *
+    * Shape at 100 TB: one per-class hash-ordered window ranks rows
+    * (partitioned by the class column — the same per-group sort
+    * [[curriculum]] pays), one classes-sized aggregate finds the
+    * minimum class size, and the 1-row bound broadcasts back. */
+  def balancedSample(docs: DataFrame, labelCol: String = "lang",
+      idCol: String = "doc_id", salt: String = "#balance"): DataFrame = {
+    val ranked = docs.select(col(idCol).as("doc_id"),
+        col(labelCol).as("label"),
+        TextFunctions.hashBucket(
+          concat(col(idCol).cast("string"), lit(salt)), 1000000).as("hb"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("hb"), col("doc_id"))))
+    val kmin = ranked.groupBy(col("label"))
+      .agg(count(lit(1)).as("n"))
+      .agg(min(col("n")).as("k"))
+    ranked.crossJoin(broadcast(kmin))
+      .filter(col("rn") <= col("k"))
+      .select(col("doc_id"), col("label"), col("rn").cast("long").as("rn"))
+  }
+
   /** Parameters for [[contamination]]. `maxDf` drops shingles that
     * appear in more than maxDf documents before the postings join —
     * they are non-discriminative (boilerplate, stopword runs) and, at

@@ -49,6 +49,24 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(2L) == ((2L, 2L, 1L, 0L, 3L * half, 3L * half)))
   }
 
+  test("embCentroids: collinear classes dot large, orthogonal classes dot zero") {
+    import spark.implicits._
+    val emb = Seq(
+      (0L, Seq(1.0f, 0.0f), 1), (1L, Seq(1.0f, 0.0f), 1), // x-axis, n=2
+      (2L, Seq(0.0f, 0.5f), 2),                           // y-axis
+      (3L, Seq(0.5f, 0.0f), 3))                           // x-axis again
+      .toDF("vec_id", "embedding", "label")
+    val out = Similarity.embCentroids(emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getString(2).toLong, r.getString(3).toLong,
+          r.getString(4).toLong))).toMap
+    spark.catalog.clearCache()
+    val s = 1048576L // 2^20
+    assert(out((1L, 2L)) == ((0L, 4L * s * s, (s / 2) * (s / 2))))
+    assert(out((1L, 3L)) == ((2L * s * (s / 2), 4L * s * s, (s / 2) * (s / 2))))
+    assert(out((2L, 3L))._1 == 0L)
+  }
+
   test("sqQuantAudit: hand-computed codes/errors; constant dim degenerates to one code") {
     import spark.implicits._
     // dim 0 spans {0, 2^18, 2^20}; dim 1 is constant (span 0)

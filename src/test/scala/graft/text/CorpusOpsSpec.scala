@@ -21,6 +21,19 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     rows.toDF("doc_id", "text")
   }
 
+  test("balancedSample: exactly min-class-size per class, deterministic across reruns") {
+    import spark.implicits._
+    val d = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "zh"), (5L, "zh"))
+      .toDF("doc_id", "lang").withColumn("text", lit("t"))
+    def run() = CorpusOps.balancedSample(d).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val a = run()
+    assert(a.size === 4) // k = 2 from each of the two classes
+    assert(a.count(_._2 == "en") === 2 && a.count(_._2 == "zh") === 2)
+    assert(a.forall(_._3 <= 2L))
+    assert(run() === a)
+  }
+
   test("sourceOverlap: hand-computed shared counts and Jaccard; disjoint source absent") {
     import spark.implicits._
     val d = Seq((1L, "A", "a b c"), (2L, "A", "a b c"), // dup collapses
