@@ -132,7 +132,13 @@ object ScaleCheck {
       // trainer (word table bounded by the top-V cap: rounds must
       // stay FLAT while the one corpus aggregate scales), and the
       // SQ8 audit (two corpus passes, d-row output)
-      "q_graph_triangles", "q_text_bpe", "q_emb_quantize")
+      "q_graph_triangles", "q_text_bpe", "q_emb_quantize",
+      // third round-12 batch: the source-overlap self-join (fan-out
+      // bounded by the SOURCE COUNT — must stay flat as docs per
+      // source grow 10×, only the distinct-set build scales), the
+      // winsorization histogram (window bounded by the value DOMAIN),
+      // and the centroid geometry (labels·d-row frame after one pass)
+      "q_source_overlap", "q_events_winsor", "q_emb_centroids")
 
     // cache drops run BETWEEN timed runs, outside the measured region
     // (BenchUtil.minOfN) — with them inside, the sf1 runs would pay

@@ -421,6 +421,16 @@ object SparkEntry {
       graft.graph.GraphRank.pageRankWeighted(
         docs.select(col("doc_id")), Dedup.minhashPairs(docs))
     }),
+    // personalized PageRank from a deterministic seed set: rank by
+    // graph PROXIMITY to curated seeds, not global centrality — the
+    // quality-bootstrap scorer; unreachable nodes converge to exact 0
+    "q_graph_ppr" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.graph.GraphRank.pageRankPersonalized(
+        docs.select(col("doc_id")),
+        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")),
+        pmod(col("doc_id"), lit(17)) === 0)
+    }),
     // exact per-node triangle counts over the SAME similarity graph:
     // degree-oriented wedge join — each triangle found once at its
     // orientation-minimal corner, hub-skew-immune (out-degree O(√m));
@@ -2457,6 +2467,8 @@ object SparkEntry {
     "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
     "q_graph_triangles" -> DocSql.graphTriangles(Dedup.MinHashParams()),
     "q_graph_clustering" -> DocSql.graphClustering(Dedup.MinHashParams()),
+    "q_graph_ppr" -> DocSql.graphRankPersonalized(Dedup.MinHashParams(), 3,
+      "n.doc_id % 17 = 0"),
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),
     "q_join_contain" -> DocSql.containJoin(600000L, 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),

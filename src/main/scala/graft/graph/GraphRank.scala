@@ -51,9 +51,19 @@ object GraphRank {
     * aggregate is order-independent and the unweighted form (w=1,
     * sumw=outdeg) is bit-identical to intDiv(r, outdeg). */
   private def rankLoop(ids: DataFrame, edgesW: DataFrame, iters: Int,
-      scale: Long, dNum: Long, dDen: Long, checkpointEvery: Int): DataFrame = {
+      scale: Long, dNum: Long, dDen: Long, checkpointEvery: Int,
+      seedPred: Option[Column] = None): DataFrame = {
     val base = scale * (dDen - dNum) / dDen
-    var r = ids.select(col("doc_id"), lit(scale).as("r"))
+    // personalized teleport: only seed nodes receive the base mass
+    // (and the initial rank) — non-seeds score purely by proximity
+    val baseCol = seedPred match {
+      case Some(p) => when(p, lit(base)).otherwise(lit(0L))
+      case None => lit(base)
+    }
+    var r = ids.select(col("doc_id"), seedPred match {
+      case Some(p) => when(p, lit(scale)).otherwise(lit(0L)).as("r")
+      case None => lit(scale).as("r")
+    })
     for (i <- 0 until iters) {
       val contrib = edgesW
         .join(r.withColumnRenamed("doc_id", "src"), "src")
@@ -63,7 +73,7 @@ object GraphRank {
       r = ids
         .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
         .select(col("doc_id"),
-          (lit(base) + TextFunctions.intDiv(
+          (baseCol + TextFunctions.intDiv(
             lit(dNum) * coalesce(col("c"), lit(0L)), lit(dDen))).as("r"))
       // cut the lineage every `checkpointEvery` rounds: without this a
       // deep run carries an iters-deep join plan into every subsequent
@@ -112,4 +122,22 @@ object GraphRank {
       checkpointEvery: Int = 5): DataFrame =
     rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, col(weightCol)),
       iters, scale, dNum, dDen, checkpointEvery)
+
+  /** PERSONALIZED PageRank from a seed set — the quality-bootstrap
+    * scorer of web curation (CCNet/harmonic-selection style): rank
+    * every document by graph proximity to a CURATED seed set rather
+    * than by global centrality. Same exact-integer power iteration,
+    * but only nodes satisfying `seedPred` receive the teleport mass
+    * (and the initial rank) — an unreachable node converges to
+    * exactly 0, a seed to at least the base, and everything else to
+    * its damped proximity. `seedPred` must be a deterministic
+    * predicate over `doc_id` so the DuckDB oracle can restate it.
+    * With every node a seed this reduces bit-for-bit to [[pageRank]]
+    * (spec-asserted). */
+  def pageRankPersonalized(nodes: DataFrame, pairs: DataFrame,
+      seedPred: Column, iters: Int = 3,
+      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
+      checkpointEvery: Int = 5): DataFrame =
+    rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, lit(1L)),
+      iters, scale, dNum, dDen, checkpointEvery, Some(seedPred))
 }

@@ -947,7 +947,7 @@ object DocSql {
     val iterCtes = (1 to iters).map { k =>
       s"""c$k AS (SELECT e.dst AS doc_id, sum(r${k - 1}.r // e.outdeg) AS c
          |  FROM ed e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src GROUP BY 1),
-         |r$k AS (SELECT n.doc_id, $base + 85 * coalesce(c$k.c, 0) // 100 AS r
+         |r$k AS MATERIALIZED (SELECT n.doc_id, $base + 85 * coalesce(c$k.c, 0) // 100 AS r
          |  FROM nodes n LEFT JOIN c$k USING (doc_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH ${minhashPairCtes(p)},
@@ -955,9 +955,38 @@ object DocSql {
        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
        |  UNION ALL SELECT doc_b, doc_a FROM pr),
        |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
-       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
        |nodes AS (SELECT doc_id FROM documents),
        |r0 AS (SELECT doc_id, CAST($scale AS BIGINT) AS r FROM nodes),
+       |$iterCtes
+       |SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
+  }
+
+  /** Mirror of GraphRank.pageRankPersonalized: same unrolled
+    * iterations, but teleport mass and initial rank go only to nodes
+    * satisfying `seedSql` (a predicate over `n.doc_id`). */
+  def graphRankPersonalized(p: MinHashParams, iters: Int,
+      seedSql: String): String = {
+    val scale = 1000000000000L
+    val base = scale * 15 / 100
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT e.dst AS doc_id, sum(r${k - 1}.r // e.outdeg) AS c
+         |  FROM ed e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src GROUP BY 1),
+         |r$k AS MATERIALIZED (SELECT n.doc_id,
+         |    (CASE WHEN $seedSql THEN $base ELSE 0 END) +
+         |    85 * coalesce(c$k.c, 0) // 100 AS r
+         |  FROM nodes n LEFT JOIN c$k USING (doc_id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+       |nodes AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT n.doc_id,
+       |  CAST(CASE WHEN $seedSql THEN $scale ELSE 0 END AS BIGINT) AS r
+       |  FROM nodes n),
        |$iterCtes
        |SELECT doc_id, CAST(r AS BIGINT) AS rank_e12 FROM r$iters""".stripMargin
   }
@@ -974,7 +1003,7 @@ object DocSql {
       s"""c$k AS (SELECT e.dst AS doc_id,
          |    sum((r${k - 1}.r * e.w) // e.sumw) AS c
          |  FROM ed e JOIN r${k - 1} ON r${k - 1}.doc_id = e.src GROUP BY 1),
-         |r$k AS (SELECT n.doc_id, $base + 85 * coalesce(c$k.c, 0) // 100 AS r
+         |r$k AS MATERIALIZED (SELECT n.doc_id, $base + 85 * coalesce(c$k.c, 0) // 100 AS r
          |  FROM nodes n LEFT JOIN c$k USING (doc_id))""".stripMargin
     }.mkString(",\n")
     s"""WITH ${minhashPairCtes(p)},
@@ -983,7 +1012,7 @@ object DocSql {
        |edges AS (SELECT doc_a AS src, doc_b AS dst, w FROM pr
        |  UNION ALL SELECT doc_b, doc_a, w FROM pr),
        |sw AS (SELECT src, CAST(sum(w) AS BIGINT) AS sumw FROM edges GROUP BY 1),
-       |ed AS (SELECT e.src, e.dst, e.w, s.sumw FROM edges e JOIN sw s USING (src)),
+       |ed AS MATERIALIZED (SELECT e.src, e.dst, e.w, s.sumw FROM edges e JOIN sw s USING (src)),
        |nodes AS (SELECT doc_id FROM documents),
        |r0 AS (SELECT doc_id, CAST($scale AS BIGINT) AS r FROM nodes),
        |$iterCtes

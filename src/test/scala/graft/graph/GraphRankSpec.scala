@@ -32,6 +32,24 @@ class GraphRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     es.toDF("doc_a", "doc_b")
   }
 
+  test("personalized: all-seeds reduces to plain pageRank; unreachable node is exactly 0") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val n = nodes(1L, 2L, 3L, 4L)
+    val p = pairs((1L, 2L), (2L, 4L))
+    val plain = ranks(n, p)
+    val allSeeds = GraphRank.pageRankPersonalized(n, p, lit(true)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(allSeeds === plain)
+    val ppr = GraphRank.pageRankPersonalized(n, p, col("doc_id") === 1L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(ppr(3L) === 0L)            // disconnected from the seed
+    assert(ppr(1L) >= Base)           // seed keeps the teleport mass
+    assert(ppr(2L) > 0L && ppr(4L) > 0L) // 1- and 2-hop proximity
+    assert(ppr(2L) > ppr(4L))         // closer to the seed ranks higher
+  }
+
   private def ranks(n: org.apache.spark.sql.DataFrame,
       p: org.apache.spark.sql.DataFrame): Map[Long, Long] = {
     val m = GraphRank.pageRank(n, p).collect()
