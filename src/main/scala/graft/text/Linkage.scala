@@ -169,6 +169,12 @@ object Linkage {
     // intDiv(dist·1e6, max_len) ≤ maxNormPpm  ⟺  dist ≤ bound
     val bound = TextFunctions.intDiv(
       (lit(maxNormPpm) + 1L) * maxLen - 1L, lit(1000000L))
+    def lev(b: org.apache.spark.sql.Column) =
+      ColumnShims.column(org.apache.spark.sql.catalyst.expressions
+        .Levenshtein(
+          ColumnShims.expression(col("lt")),
+          ColumnShims.expression(col("rt")),
+          Some(ColumnShims.expression(b.cast("int")))))
     cand.join(lt, "left_id").join(rt, "right_id")
       // (1) exact-mirror length prefilter: dist >= |Δlen|
       .filter(TextFunctions.intDiv(
@@ -177,13 +183,26 @@ object Linkage {
       // (2) numbered repartition: AQE never coalesces an explicit
       // user-count exchange, so the banded DP parallelizes
       .repartition(nPart, col("left_id"), col("right_id"))
+      // (3) BAG-DISTANCE prune before the DP: the code-point bag
+      // distance is an O(len) LOWER BOUND on Levenshtein (one edit
+      // moves one count per side), so `bag > bound ⟹ dist > bound`
+      // and dropping the pair is exactly what the final filter would
+      // do — no oracle change, bound spec'd against the real DP.
+      // Honest measurement at sf0.1 defaults: NEUTRAL (~4.2 s either
+      // way) — pairs sharing ≥2 rare shingles have near-identical
+      // character bags, so nothing prunes at maxNormPpm=5e5; the
+      // filter earns its keep at TIGHTER thresholds (bound ∝
+      // maxNormPpm while bags stay put) and costs O(len) ≪ the DP.
+      // (Iterative band deepening was also tried: neutral-to-worse,
+      // the failing majority escalates to the full band anyway.
+      // Remaining profile: ~2 s blocking + ~2 s banded DP — the DP
+      // band IS the lenient threshold; see PLANS.md round-12.)
+      .withColumn("bag", ColumnShims.column(graft.functions.BagDistanceLB(
+        ColumnShims.expression(col("lt")),
+        ColumnShims.expression(col("rt")))))
+      .filter(col("bag") <= bound)
       .select(col("left_id"), col("right_id"),
-        ColumnShims.column(org.apache.spark.sql.catalyst.expressions
-          .Levenshtein(
-            ColumnShims.expression(col("lt")),
-            ColumnShims.expression(col("rt")),
-            Some(ColumnShims.expression(bound.cast("int")))))
-          .cast("long").as("dist"),
+        lev(bound).cast("long").as("dist"),
         greatest(length(col("lt")), length(col("rt"))).cast("long").as("max_len"))
       // the bounded DP's -1 sentinel marks dist > bound, i.e. exactly
       // the pairs the normalized filter rejects

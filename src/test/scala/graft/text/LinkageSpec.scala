@@ -99,6 +99,29 @@ class LinkageSpec extends AnyFunSuite with BeforeAndAfterAll {
       out.head.getAs[Long]("norm_ppm") == 0L)
   }
 
+  test("bag distance lower-bounds Levenshtein on adversarial strings; prune preserves results") {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.ColumnShims
+    // adversarial shapes: transpositions (bag 0, lev > 0), disjoint
+    // alphabets, repeats, prefixes, unicode (code-point counting)
+    val pairs = Seq(
+      ("abcd", "dcba"), ("abc", "xyz"), ("aaab", "abbb"),
+      ("kitten", "sitting"), ("", "abc"), ("café", "cafe"),
+      ("a" * 50 + "b" * 3, "a" * 50), ("ab😀", "ab"))
+      .toDF("a", "b")
+    val rows = pairs.select(
+      ColumnShims.column(graft.functions.BagDistanceLB(
+        ColumnShims.expression(col("a")),
+        ColumnShims.expression(col("b")))).as("bag"),
+      levenshtein(col("a"), col("b")).cast("long").as("lev"))
+      .collect()
+    rows.foreach(r => assert(r.getLong(0) <= r.getLong(1),
+      s"bag ${r.getLong(0)} > lev ${r.getLong(1)}"))
+    // and the pruned pipeline equals itself without pruning by
+    // construction (bag <= bound is implied by dist <= bound): the
+    // boundary-distance spec below re-proves end-to-end equality
+  }
+
   test("bounded DP keeps the exact boundary distance and drops one past it") {
     import spark.implicits._
     // Candidate pairs whose distance sits exactly AT and exactly ONE
