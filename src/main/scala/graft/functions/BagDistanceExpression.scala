@@ -54,22 +54,32 @@ case class BagDistanceLB(left: Expression, right: Expression)
 object BagDistanceRuntime {
   /** max(Σ max(0, ca−cb), Σ max(0, cb−ca)) over CODE POINT counts —
     * one unit-cost edit changes at most one count on each side, so
-    * this lower-bounds the code-point Levenshtein distance. */
+    * this lower-bounds the code-point Levenshtein distance. Iterates
+    * the UTF8String's bytes in place (no toString/char[] copy — this
+    * runs once per candidate pair in the verify hot path): ASCII
+    * bytes hit the 128-counter fast path, a multi-byte sequence is
+    * keyed by its packed bytes — an injective stand-in for the code
+    * point, which is all counting needs. */
   def lowerBound(a: UTF8String, b: UTF8String): Long = {
     val ascii = new Array[Int](128)
     var wide: java.util.HashMap[Integer, Integer] = null
     def add(u: UTF8String, sign: Int): Unit = {
-      val s = u.toString
+      val n = u.numBytes
       var i = 0
-      while (i < s.length) {
-        val cp = s.codePointAt(i)
-        if (cp < 128) ascii(cp) += sign
+      while (i < n) {
+        val b0 = u.getByte(i)
+        if ((b0 & 0x80) == 0) { ascii(b0 & 0x7f) += sign; i += 1 }
         else {
+          val len = math.min(
+            math.max(UTF8String.numBytesForFirstByte(b0), 1), n - i)
+          var key = 0
+          var k = 0
+          while (k < len) { key = (key << 8) | (u.getByte(i + k) & 0xff); k += 1 }
           if (wide == null) wide = new java.util.HashMap[Integer, Integer]()
-          wide.merge(cp, sign,
+          wide.merge(key, sign,
             (x: Integer, y: Integer) => Integer.valueOf(x.intValue + y.intValue))
+          i += len
         }
-        i += Character.charCount(cp)
       }
     }
     add(a, 1)

@@ -41,17 +41,28 @@ object Triangles {
   /** Per-node triangle counts (doc_id, n_tri) for every node that
     * closes at least one triangle. `pairs` is an undirected
     * unique-pair edge list (doc_a < doc_b, distinct). */
-  def perNode(pairs: DataFrame): DataFrame =
-    perNodeFromEdges(canonicalEdges(pairs))
+  def perNode(pairs: DataFrame): DataFrame = {
+    val e = canonicalEdges(pairs)
+    perNodeFromEdges(e, degrees(e))
+  }
 
+  /** Per-node degrees of a canonical edge frame: (id, dg). */
+  private def degrees(e: DataFrame): DataFrame =
+    e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
+      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+
+  /** Canonical undirected edges: orientation-normalized (least,
+    * greatest) then distinct, so mirrored input pairs (a,b)+(b,a)
+    * collapse to one edge and self-loops drop — the robustness the
+    * spec claims for reversed/duplicated inputs. */
   private def canonicalEdges(pairs: DataFrame): DataFrame =
-    pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-  private def perNodeFromEdges(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("id")).unionAll(e.select(col("v").as("id")))
-      .groupBy(col("id")).agg(count(lit(1)).as("dg"))
+  private def perNodeFromEdges(e: DataFrame, deg: DataFrame): DataFrame = {
     // orient u→v when (deg, id)(u) < (deg, id)(v); carry the dst's
     // (deg, id) rank so wedge endpoints can be consistently ordered
     val uLess = col("du") < col("dv") ||
@@ -91,10 +102,11 @@ object Triangles {
     // aggregate and the triangle count — the naive form re-derived
     // the candidate pairs (a second corpus blocking pass at scale)
     val e = canonicalEdges(pairs)
-    val deg = e.select(col("u").as("doc_id"))
-      .unionAll(e.select(col("v").as("doc_id")))
-      .groupBy(col("doc_id")).agg(count(lit(1)).cast("long").as("degree"))
-    deg.join(perNodeFromEdges(e), Seq("doc_id"), "left")
+    // ONE degree aggregate serves both the orientation and the output
+    // column (the first cut computed it twice — a full extra shuffle)
+    val deg = degrees(e).persist(StorageLevel.MEMORY_AND_DISK)
+    deg.select(col("id").as("doc_id"), col("dg").cast("long").as("degree"))
+      .join(perNodeFromEdges(e, deg), Seq("doc_id"), "left")
       .select(col("doc_id"), col("degree"),
         coalesce(col("n_tri"), lit(0L)).as("n_tri"))
       .withColumn("cc_ppm", when(col("degree") < 2L, 0L)

@@ -43,6 +43,12 @@ object Decoders {
         yield (r * w + c, r * w + c + 1)) ++
       (for (r <- 0 until h - 1; c <- 0 until w)
         yield (r * w + c, (r + 1) * w + c))
+    // 1L << j wraps mod 64 and bit 63 is the sign — a grid with more
+    // than 63 neighbor pairs (e.g. 8×8 = 112) would alias bits and
+    // silently collide distinct images; refuse it loudly
+    require(pairs.size <= 63,
+      s"dHash: $w x $h has ${pairs.size} neighbor pairs; max 63 fit a " +
+        "positive BIGINT — use a coarser grid or split the hash")
     pairs.zipWithIndex.map { case ((a, b), j) =>
       when(element_at(luma, a + 1) < element_at(luma, b + 1), lit(1L << j))
         .otherwise(lit(0L))

@@ -183,10 +183,14 @@ object Diagnostics {
         byGrp.orderBy(col("vq"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("n", sum(col("c")).over(byGrp))
-    def pick(pct: Int, name: String) = cum
-      .filter(col("cum") >= intDiv(col("n") * pct + 99L, lit(100L)))
-      .groupBy(col("grp")).agg(min(col("vq")).as(name))
-    val bounds = pick(loPct, "lo_q").join(pick(hiPct, "hi_q"), "grp")
+    // both bounds from ONE aggregate over the cumulative frame
+    // (conditional mins ignore nulls) — two pick() branches would
+    // re-window the histogram lineage twice for the same answer
+    def pick(pct: Int) =
+      min(when(col("cum") >= intDiv(col("n") * pct + 99L, lit(100L)),
+        col("vq")))
+    val bounds = cum.groupBy(col("grp"))
+      .agg(pick(loPct).as("lo_q"), pick(hiPct).as("hi_q"))
     vq.join(broadcast(bounds), "grp")
       .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"), min(col("lo_q")).as("lo_q"),

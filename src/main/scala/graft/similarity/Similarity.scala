@@ -1272,8 +1272,8 @@ object Similarity {
     * partition; the iterations run on the d²-cell frame (KBs for
     * d=64..1024) regardless of corpus size. */
   def embDominantDirection(emb: DataFrame, iters: Int = 3,
-      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val g = gramPartial(emb, idCol, vecCol)
+      vecCol: String = "embedding"): DataFrame = {
+    val g = gramPartial(emb, vecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     powerIterate(g, iters)
   }
@@ -1322,16 +1322,17 @@ object Similarity {
     * the nightly audit becomes: append the day's partials (cost ∝
     * the batch), re-iterate on the KB-sized merged frame. */
   def gramBuild(emb: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    gramPartial(emb, idCol, vecCol).write.mode("overwrite").parquet(path)
+      vecCol: String = "embedding"): Unit =
+    gramPartial(emb, vecCol).write.mode("overwrite").parquet(path)
 
   /** Pure file-add growth of a [[gramBuild]] artifact. */
   def gramAppend(emb: DataFrame, path: String,
-      idCol: String = "vec_id", vecCol: String = "embedding"): Unit =
-    gramPartial(emb, idCol, vecCol).write.mode("append").parquet(path)
+      vecCol: String = "embedding"): Unit =
+    gramPartial(emb, vecCol).write.mode("append").parquet(path)
 
-  private def gramPartial(emb: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+  // idCol was dropped from this family when the build became a
+  // per-row generator: the Gram sum never touches an id
+  private def gramPartial(emb: DataFrame, vecCol: String): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // per-row outer product as a MAP-SIDE double generator over the
     // UPPER triangle (the slice starts at element i, so j = i + pos):

@@ -87,4 +87,15 @@ class TrianglesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts(pairs((1L, 2L), (1L, 3L), (2L, 3L), (1L, 2L))) ===
       Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
+
+  test("reversed/mirrored pairs and self-loops canonicalize away") {
+    // symmetrized input (the GraphRank.symmetrized shape) + a loop
+    assert(counts(pairs((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (2L, 3L), (3L, 2L), (2L, 2L))) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    val c = Triangles.clustering(pairs((2L, 1L), (1L, 2L), (1L, 3L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(c === Map(1L -> 2L, 2L -> 1L, 3L -> 1L)) // degrees not doubled
+  }
 }
