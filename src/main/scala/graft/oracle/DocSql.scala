@@ -236,9 +236,10 @@ object DocSql {
     * the top-`vocabSize` ASCII word-frequency table. Each round:
     * weighted adjacent-pair counts over the space-prefixed symbol
     * string, argmax (cnt desc, pair asc), greedy left-to-right merge
-    * via literal non-overlapping replace — the same primitive with
-    * the same semantics as Spark's, so the iterative trainer
-    * hash-gates. */
+    * via the double-space-gap boundary-anchored replace — the exact
+    * expression of CorpusOps.applyMergeGreedy (see its scaladoc for
+    * why both symbol boundaries must be anchored), so the iterative
+    * trainer hash-gates. */
   def bpeMerges(merges: Int, vocabSize: Int): String = {
     val out = (1 to merges).map { k =>
       s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
@@ -272,7 +273,9 @@ object DocSql {
          |  GROUP BY 1, 2),
          |m$k AS MATERIALIZED (SELECT a, b, cnt FROM p$k ORDER BY cnt DESC, a, b LIMIT 1),
          |w$k AS MATERIALIZED (SELECT word, freq,
-         |    replace(s, ' ' || m$k.a || ' ' || m$k.b, ' ' || m$k.a || m$k.b) AS s
+         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
+         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
+         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
          |  FROM w${k - 1}, m$k)""".stripMargin
     }.mkString(",\n")
     s"""$docsToks,

@@ -128,10 +128,12 @@ object CorpusOps {
     *
     * The segmentation is a SPACE-PREFIXED SYMBOL STRING (" a b c"):
     * symbols never contain spaces (words are space-split tokens), so
-    * the literal non-overlapping left-to-right `replace(s, " a b",
-    * " ab")` IS the greedy merge — the same primitive with the same
-    * semantics in Spark and DuckDB, which makes a 12-round iterative
-    * tokenizer trainer hash-gate bit-for-bit. The vocabulary is
+    * a literal non-overlapping left-to-right `replace` IS the greedy
+    * merge — the same primitive with the same semantics in Spark and
+    * DuckDB, which makes a 12-round iterative tokenizer trainer
+    * hash-gate bit-for-bit. Both boundaries of the pair must be
+    * anchored (see [[applyMergeGreedy]] for why and how — a naive
+    * ` a b` pattern merges (a, bc) too). The vocabulary is
     * restricted to ASCII `^[a-z]+$` words: char-splitting via regex
     * `(.)` diverges between Java regex (UTF-16 code units) and RE2
     * (code points) outside ASCII, and binary string ordering
@@ -232,13 +234,44 @@ object CorpusOps {
         .localCheckpoint()
       w = w.crossJoin(broadcast(best))
         .select(col("word"), col("freq"),
-          replace(col("s"),
-            concat(lit(" "), col("sym_a"), lit(" "), col("sym_b")),
-            concat(lit(" "), col("sym_a"), col("sym_b"))).as("s"))
+          applyMergeGreedy(col("s"), col("sym_a"), col("sym_b")).as("s"))
         .localCheckpoint()
       best
     }
     (rounds.reduce(_ unionAll _), w)
+  }
+
+  /** Greedy left-to-right BPE merge of pair (a, b) in a space-
+    * prefixed symbol string — with BOTH symbol boundaries anchored.
+    *
+    * A naive `replace(s, " a b", " ab")` anchors only sym_a (every
+    * symbol is PRECEDED by a space) and matches sym_b as a prefix of
+    * a longer adjacent symbol: " a bc" contains " a b" and would
+    * wrongly become " abc", merging a pair that does not exist in the
+    * segmentation. A single trailing sentinel (`s + " "` with pattern
+    * " a b ") over-corrects: adjacent occurrences SHARE the boundary
+    * space (" a b a b " matches once, not twice), dropping merges
+    * greedy left-to-right would make.
+    *
+    * The fix used here widens every gap to exactly TWO spaces so no
+    * two occurrences share boundary characters: the pattern
+    * " a␣␣b " consumes one space of each outer gap and the
+    * replacement " ab " restores it, so the two-space invariant holds
+    * across the whole scan and ONE non-overlapping left-to-right
+    * `replace` is exactly the greedy merge — including same-symbol
+    * runs (" a a a a" → " aa aa", leftmost-greedy) and back-to-back
+    * occurrences (" a b a b" → " ab ab"). Collapsing the gaps back
+    * and trimming the sentinel returns the canonical single-space
+    * form. Identical `replace` semantics (non-overlapping, scan the
+    * source left-to-right) in Spark and DuckDB keep the oracle gate
+    * exact; [[graft.oracle.DocSql.bpeCtes]] mirrors this expression
+    * token for token. */
+  private[graft] def applyMergeGreedy(s: Column, a: Column,
+      b: Column): Column = {
+    val doubled = concat(replace(s, lit(" "), lit("  ")), lit("  "))
+    val pat = concat(lit(" "), a, lit("  "), b, lit(" "))
+    val rep = concat(lit(" "), a, b, lit(" "))
+    rtrim(replace(replace(doubled, pat, rep), lit("  "), lit(" ")))
   }
 
   /** Vocabulary OOV-coverage audit per source — the check run BEFORE

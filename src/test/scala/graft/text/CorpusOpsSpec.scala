@@ -81,6 +81,49 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seg(3) === Seq(("aaab", 3L, 1L, "aaab")))
   }
 
+  test("applyMergeGreedy: boundary anchoring and leftmost-greedy semantics") {
+    import spark.implicits._
+    // (input segmentation, sym_a, sym_b, expected output)
+    val cases = Seq(
+      (" a bc", "a", "b", " a bc"),       // sym_b prefix of longer symbol: NO match
+      (" xa b", "a", "b", " xa b"),       // sym_a suffix of longer symbol: NO match
+      (" a b c", "a", "b", " ab c"),      // plain interior merge
+      (" a b", "a", "b", " ab"),          // merge at end of string
+      (" a b a b", "a", "b", " ab ab"),   // back-to-back occurrences both merge
+      (" a b a b a b", "a", "b", " ab ab ab"),
+      (" a a a", "a", "a", " aa a"),      // leftmost-greedy on same-symbol run
+      (" a a a a", "a", "a", " aa aa"),
+      (" a a a a a", "a", "a", " aa aa a"),
+      (" c a b a", "a", "b", " c ab a"))
+    val got = cases.toDF("s", "a", "b", "want")
+      .select(CorpusOps.applyMergeGreedy(col("s"), col("a"), col("b"))
+        .as("got"), col("want"), col("s"))
+      .collect().map(r => (r.getString(2), r.getString(0), r.getString(1)))
+    got.foreach { case (in, g, w) => assert(g === w, s"input '$in'") }
+  }
+
+  test("bpeMerges: a merged symbol is never matched by its prefix (ADVICE r12 case)") {
+    // corpus: bc x10, ab x6, abc x3.
+    // round 1: (b,c)=13 beats (a,b)=9 -> merge (b,c); abc = " a bc".
+    // round 2: (a,b)=6 from "ab" beats (a,bc)=3 -> merge (a,b).
+    //   The buggy un-anchored replace would turn " a bc" into " abc"
+    //   here (merging a pair that does not exist); anchored, "abc"
+    //   stays " a bc" so round 3 still sees the (a,bc) pair.
+    // round 3: (a,bc)=3 is the only pair left.
+    val d = docs(
+      (1L, Seq.fill(10)("bc").mkString(" ")),
+      (2L, Seq.fill(6)("ab").mkString(" ")),
+      (3L, Seq.fill(3)("abc").mkString(" ")))
+    val merges = CorpusOps.bpeMerges(d, merges = 3, vocabSize = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(merges.toSeq === Seq(
+      (1L, "b", "c", 13L), (2L, "a", "b", 6L), (3L, "a", "bc", 3L)))
+    val seg2 = CorpusOps.bpeSegment(d, merges = 2, vocabSize = 10)
+      .collect().map(r => (r.getString(0), r.getString(3))).toMap
+    assert(seg2 === Map("bc" -> "bc", "ab" -> "ab", "abc" -> "a bc"))
+  }
+
   test("bpe counts artifact: build + append trains identical merges to from-scratch") {
     val d = docs((1L, "alpha beta alpha"), (2L, "beta gamma"),
       (3L, "alpha beta beta"), (4L, "gamma gamma alpha"))
