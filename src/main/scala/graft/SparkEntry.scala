@@ -611,6 +611,10 @@ object SparkEntry {
     // text -> input_ids: data-derived top-k vocab + hashed OOV buckets
     "q_tokenize_ids" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeToIds(table(s, dir, "documents"), 20, 1000)),
+    // corpus-level BPE encode: learn the merge table, then every doc
+    // as BPE token ids (distinct-words fold, corpus touched twice)
+    "q_tokenize_bpe" -> ((s, dir) =>
+      graft.text.CorpusOps.tokenizeBpe(table(s, dir, "documents"))),
     // KMV bottom-k distinct sketch: deterministic integer estimator,
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -2460,6 +2464,7 @@ object SparkEntry {
     "q_shuffle_global" -> DocSql.globalShuffle("#shuffle"),
     "q_curriculum" -> DocSql.curriculumOrder(4, "#curriculum"),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
+    "q_tokenize_bpe" -> DocSql.tokenizeBpe(12, 400),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

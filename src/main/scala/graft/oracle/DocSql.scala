@@ -259,6 +259,51 @@ object DocSql {
        |  s[2:] AS segmentation
        |FROM w$merges""".stripMargin
 
+  /** Mirror of CorpusOps.tokenizeBpe: the same merge rounds (m1..mk
+    * CTEs), then the encode pass — distinct corpus words replayed
+    * through the k anchored greedy merges (dw chain, materialized for
+    * the same inline-explosion reason as the w chain), symbol ids
+    * 25 + rank for merged symbols (first rank wins on string
+    * collisions) and ascii - 97 for base chars, reassembled per word
+    * then per doc. All sums cast to BIGINT (DuckDB widens SUM to
+    * HUGEINT). */
+  def tokenizeBpe(merges: Int, vocabSize: Int): String = {
+    val dwRounds = (1 to merges).map { k =>
+      s"""dw$k AS MATERIALIZED (SELECT token,
+         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
+         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
+         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
+         |  FROM dw${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    val mtRows = (1 to merges).map { k =>
+      s"SELECT a || b AS sym, CAST(${25 + k} AS BIGINT) AS id FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeCtes(merges, vocabSize)},
+       |tokp AS (SELECT doc_id, unnest(toks) AS token,
+       |  unnest(generate_series(1, len(toks))) AS pos FROM d),
+       |ftok AS (SELECT doc_id, token, pos FROM tokp
+       |  WHERE regexp_matches(token, '^[a-z]+$$')),
+       |dw0 AS MATERIALIZED (SELECT DISTINCT token,
+       |  regexp_replace(token, '(.)', ' \\1', 'g') AS s FROM ftok),
+       |$dwRounds,
+       |mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
+       |ws AS (SELECT token, unnest(str_split(s[2:], ' ')) AS sym,
+       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
+       |  FROM dw$merges),
+       |wi AS (SELECT ws.token, ws.sp,
+       |  coalesce(mt.id, CAST(ascii(ws.sym) - 97 AS BIGINT)) AS id
+       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
+       |wid AS (SELECT token, CAST(count(*) AS BIGINT) AS n_syms,
+       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS wid_str
+       |  FROM wi GROUP BY token),
+       |j AS (SELECT f.doc_id, f.pos, w.n_syms, w.wid_str
+       |  FROM ftok f JOIN wid w USING (token))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |  array_to_string(list(wid_str ORDER BY pos), '_') AS ids_str
+       |FROM j GROUP BY doc_id""".stripMargin
+  }
+
   private def bpeCtes(merges: Int, vocabSize: Int): String = {
     // every chained CTE is MATERIALIZED: DuckDB 1.0 INLINES a CTE per
     // reference, and w_k is referenced twice (pair counts + merge),

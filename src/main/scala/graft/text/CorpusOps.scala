@@ -274,6 +274,85 @@ object CorpusOps {
     rtrim(replace(replace(doubled, pat, rep), lit("  "), lit(" ")))
   }
 
+  /** CORPUS-LEVEL BPE TOKENIZATION — the operator a training run
+    * actually consumes: learn the merge table ([[bpeMerges]]), then
+    * encode EVERY document as BPE token ids. Output per doc:
+    * (doc_id, n_words, n_tokens, ids_str) — word count, total symbol
+    * count after merges, and the id sequence joined to a string (the
+    * cross-engine array compare convention of [[tokenizeToIds]]).
+    *
+    * Token ids are deterministic and engine-neutral: the 26 base
+    * characters get code-point ids 0..25 (`ascii(c) - 97`); the
+    * symbol created by merge rank k gets id 25 + k. When two merge
+    * paths produce the SAME symbol string (possible: (a, bc) and
+    * (ab, c) both yield "abc"), the string is all the segmentation
+    * sees, so the id of the FIRST rank wins — the same rule in the
+    * oracle ([[graft.oracle.DocSql.tokenizeBpe]]). Tokens outside the
+    * trainer's `^[a-z]+$` domain are dropped (the trainer never saw
+    * them; byte-fallback is the byte-level variant's job).
+    *
+    * Shape at 100 TB: the corpus is touched exactly TWICE — once by
+    * the trainer's word-frequency aggregate and once by the encode
+    * pass — never per merge round. The learned merge table is a
+    * bounded driver artifact (`merges` rows — it is literally the
+    * file a tokenizer ships), so the encode is a fold of `merges`
+    * anchored-replace string expressions over the DISTINCT-words
+    * frame (one narrow projection, no joins, no per-round shuffles;
+    * distinct words ≪ corpus), followed by a single token→ids join
+    * back to the exploded corpus stream and one per-doc reassembly
+    * aggregate — the irreducible tokenizer output shape. The join
+    * strategy is deliberately left to AQE: the word→ids map
+    * broadcasts when it fits (typical vocabularies) and degrades to a
+    * shuffle-hash join on token when web-scale noise blows up the
+    * distinct-word count — neither side is pinned because neither is
+    * always small. */
+  def tokenizeBpe(docs: DataFrame, merges: Int = 12, vocabSize: Int = 400,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val mt = bpeLoop(docs, merges, vocabSize, textCol)._1
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    tokenizeWithMerges(docs, mt, idCol, textCol)
+  }
+
+  /** The ENCODE half of [[tokenizeBpe]], taking an already-learned
+    * merge list ((sym_a, sym_b) in rank order) — the entry point when
+    * the merge table comes from a persisted-counts artifact
+    * ([[bpeMergesFromCounts]]) or a streaming refresh. */
+  def tokenizeWithMerges(docs: DataFrame, mergeList: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // merged-symbol ids: rank k (1-based) -> 25 + k, first rank wins
+    // on (rare) string collisions; base chars are ascii(c) - 97
+    val symIds = mergeList.zipWithIndex
+      .map { case ((a, b), i) => (a + b, 26L + i) }
+      .groupBy(_._1).map { case (s0, xs) => (s0, xs.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    def symToId(sym: Column): Column =
+      symIds.foldLeft((ascii(sym) - lit(97)).cast("long")) {
+        case (acc, (s0, id)) => when(sym === lit(s0), lit(id)).otherwise(acc)
+      }
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token").rlike("^[a-z]+$"))
+    val seg = mergeList.foldLeft(
+        words.select(col("token")).distinct()
+          .withColumn("s", regexp_replace(col("token"), "(.)", " $1"))) {
+        case (df, (a, b)) =>
+          df.withColumn("s", applyMergeGreedy(col("s"), lit(a), lit(b)))
+      }
+      .select(col("token"),
+        split(col("s").substr(lit(2), length(col("s"))), " ").as("syms"))
+      .select(col("token"), size(col("syms")).cast("long").as("n_syms"),
+        concat_ws("_",
+          transform(col("syms"), y => symToId(y).cast("string"))).as("wid_str"))
+    words.join(seg, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"),
+        concat_ws("_", transform(
+          array_sort(collect_list(struct(col("pos"), col("wid_str")))),
+          s => s.getField("wid_str"))).as("ids_str"))
+  }
+
   /** Vocabulary OOV-coverage audit per source — the check run BEFORE
     * committing to a tokenizer: for the same topK (tf, df, token)-
     * ordered vocabulary [[tokenizeToIds]] would freeze, the per-source

@@ -124,6 +124,35 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seg2 === Map("bc" -> "bc", "ab" -> "ab", "abc" -> "a bc"))
   }
 
+  test("tokenizeBpe: hand-computed ids, base chars 0..25, merged symbols 25+rank") {
+    // corpus: bc x11, ab x6, abc x4 (doc 4 mixes in a non-[a-z] token).
+    // merges=2 learns (b,c) then (a,b) -> ids: bc=26, ab=27.
+    // segmentations: bc=[bc], ab=[ab], abc=[a, bc] -> ids 0_26.
+    val d = docs(
+      (1L, Seq.fill(10)("bc").mkString(" ")),
+      (2L, Seq.fill(6)("ab").mkString(" ")),
+      (3L, Seq.fill(3)("abc").mkString(" ")),
+      (4L, "abc X9 bc"))
+    val out = CorpusOps.tokenizeBpe(d, merges = 2, vocabSize = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((10L, 10L, Seq.fill(10)("26").mkString("_"))))
+    assert(out(2L) === ((6L, 6L, Seq.fill(6)("27").mkString("_"))))
+    assert(out(3L) === ((3L, 6L, "0_26_0_26_0_26")))
+    // non-[a-z] token X9 dropped; word order preserved
+    assert(out(4L) === ((2L, 3L, "0_26_26")))
+  }
+
+  test("tokenizeWithMerges: colliding merge paths resolve to the first rank's id") {
+    // merge ranks 2 (a,bc) and 3 (ab,c) both produce symbol "abc";
+    // the string is all the segmentation sees, so the earlier rank's
+    // id wins: 25 + 2 = 27, not 28.
+    val out = CorpusOps.tokenizeWithMerges(
+      docs((1L, "abc")), Seq(("b", "c"), ("a", "bc"), ("ab", "c")))
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq === Seq((1L, 1L, "27")))
+  }
+
   test("bpe counts artifact: build + append trains identical merges to from-scratch") {
     val d = docs((1L, "alpha beta alpha"), (2L, "beta gamma"),
       (3L, "alpha beta beta"), (4L, "gamma gamma alpha"))
