@@ -853,11 +853,14 @@ object SparkEntry {
           TextFunctions.intDiv(coalesce(col("overlap"), lit(0L)) * lit(1000000L),
             col("n_exact")).as("recall_ppm"))
     }),
-    // IVF variant: KMeans coarse quantizer + exact re-rank. No SQL
-    // oracle (centroids aren't SQL-reproducible) -> driver records the
-    // rows-only check; SimilaritySpec pins recall + determinism.
+    // IVF variant: KMeans coarse quantizer + exact re-rank. Centroids
+    // aren't SQL-reproducible, so the driver gates the QUANTIZER-
+    // INVARIANT contract (probe set, k rows per probe, recomputed
+    // distances, dense ranks, no self-matches) via Similarity.ivfAudit
+    // — resolves the long-standing no_oracle row (round-13); the raw
+    // neighbor list stays pinned by q_sim_ivf_seed + SimilaritySpec.
     "q_sim_ivf" -> ((s, dir) =>
-      Similarity.ivfTopK(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
+      Similarity.ivfAudit(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
     // deterministic IVF twin: hash-seeded data-point centroids make the
     // quantizer a pure function of the data, so this one IS oracle-gated
     "q_sim_ivf_seed" -> ((s, dir) =>
@@ -2412,6 +2415,7 @@ object SparkEntry {
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
     // appended index covers the same corpus -> same oracle again
     "q_sim_ann_append" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
+    "q_sim_ivf" -> SimSql.ivfAuditContract(50, 10),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_ivf_recall" -> SimSql.ivfRecall(50, 10, 16, 4),
     "q_sim_pq" -> SimSql.pqSeededTopK(50, 10, 16, 16, 40),

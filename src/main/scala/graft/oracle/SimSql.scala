@@ -365,6 +365,21 @@ object SimSql {
        |SELECT probe_id, neighbor_id, dot_q, rnk FROM r WHERE rnk <= $k""".stripMargin
   }
 
+  /** The quantizer-invariant contract of Similarity.ivfAudit: every
+    * probe (and only the probes) appears, with k neighbors, k exact
+    * recomputed distances, k correct ranks, zero self-matches. The
+    * Spark side RE-DERIVES these counts from the corpus per probe, so
+    * any missing probe, short list, corrupted distance, rank gap, or
+    * self-match breaks the hash against this constant-per-probe
+    * contract. */
+  def ivfAuditContract(probeMod: Int, k: Int): String =
+    s"""SELECT vec_id AS probe_id,
+       |  CAST($k AS BIGINT) AS n_neighbors,
+       |  CAST($k AS BIGINT) AS n_dot_exact,
+       |  CAST($k AS BIGINT) AS n_rank_ok,
+       |  CAST(0 AS BIGINT) AS n_self
+       |FROM embeddings WHERE vec_id % $probeMod = 0""".stripMargin
+
   /** Mirror of graft.similarity.Similarity.ivfSeededTopK, stage for
     * stage: centroids = the nlist vectors with the smallest
     * (8-hex md5(vec_id), vec_id); assignment = argmax integer dot with

@@ -514,8 +514,9 @@ object Similarity {
     * projections + equi-joins on list_id; centroids (~nlist * dims * 8
     * bytes) broadcast to rank probe lists.
     *
-    * No DuckDB oracle — KMeans centroids are not reproducible in SQL —
-    * so the driver records the weaker rows-only check for q_sim_ivf;
+    * KMeans centroids are not reproducible in SQL, so the raw
+    * neighbor list has no DuckDB oracle; q_sim_ivf is gated through
+    * the quantizer-invariant [[ivfAudit]] contract instead, and
     * SimilaritySpec pins recall on clustered data and determinism.
     * Measured on the near-random sf0.01 embeddings (the hard case):
     * recall@10 = 0.60 scoring ~nprobe/nlist = 25% of the corpus —
@@ -555,6 +556,48 @@ object Similarity {
       .select(col("probe_id"), col("vec_id").as("neighbor_id"), dotQ(col("pv"), col("qv")).as("dot_q"))
       .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= k)
+  }
+
+  /** QUANTIZER-INVARIANT audit of [[ivfTopK]] — the driver-checkable
+    * contract of an ANN whose quantizer is not SQL-reproducible.
+    *
+    * The KMeans centroids decide WHICH neighbors come back (covered
+    * by the hash-gated deterministic twin [[ivfSeededTopK]] and the
+    * recall audit), but every OTHER property of a correct IVF result
+    * is invariant to them and independently recomputable: the probe
+    * set is exactly `probePred`, each probe returns exactly k rows,
+    * every reported dot_q equals the exact fixed-point dot product
+    * re-derived from the base table, ranks are the dense 1..k
+    * ordering by (dot desc, neighbor asc), and the probe never
+    * returns itself. This wrapper re-verifies all of that against the
+    * corpus and emits per-probe counts, so the DuckDB oracle is the
+    * constant contract row per probe — a real gate (a missing probe,
+    * a short list, a corrupted distance, a broken ranking, or a
+    * self-match each flips a count) replacing the old rows-only
+    * no-oracle row for q_sim_ivf.
+    *
+    * Shape at 100 TB: the IVF output is probes * k rows; the two
+    * re-verification joins hash on vec_id against the corpus (the
+    * same probe-side shape as the index probes) and the final
+    * aggregate is probes-sized. */
+  def ivfAudit(emb: DataFrame, probePred: Column, k: Int,
+      nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val out = ivfTopK(emb, probePred, k, nlist, nprobe, seed, idCol, vecCol)
+    val pv = emb.select(col(idCol).as("probe_id"), quantize(col(vecCol)).as("apv"))
+    val nv = emb.select(col(idCol).as("neighbor_id"), quantize(col(vecCol)).as("anv"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("dot_q").desc, col("neighbor_id"))
+    out
+      .join(pv, "probe_id").join(nv, "neighbor_id")
+      .withColumn("rrnk", row_number().over(w).cast("long"))
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_neighbors"),
+        sum(when(dotQ(col("apv"), col("anv")) === col("dot_q"), 1L)
+          .otherwise(0L)).as("n_dot_exact"),
+        sum(when(col("rrnk") === col("rnk"), 1L).otherwise(0L)).as("n_rank_ok"),
+        sum(when(col("neighbor_id") === col("probe_id"), 1L)
+          .otherwise(0L)).as("n_self"))
   }
 
   /** Deterministic IVF: the same inverted-file shape as [[ivfTopK]]

@@ -348,6 +348,22 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b) // seeded quantizer => reproducible
   }
 
+  test("ivfAudit: quantizer-invariant contract holds per probe") {
+    // the contract is the oracle row: k neighbors, k recomputed-exact
+    // distances, k correct ranks, no self-match, for every probe
+    val out = Similarity.ivfAudit(corpus(), col("vec_id") % 10 === 0, k = 2,
+      nlist = 3, nprobe = 2, seed = 7L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    spark.catalog.clearCache()
+    val probes = corpus().filter(col("vec_id") % 10 === 0)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(out.map(_._1).toSet == probes) // every probe, only the probes
+    out.foreach { case (p, n, d, rk, sf) =>
+      assert((n, d, rk, sf) == ((2L, 2L, 2L, 0L)), s"probe $p")
+    }
+  }
+
   test("ivfSeededTopK: deterministic quantizer, recall 1.0 on orthogonal clusters") {
     // with nlist = corpus size every vector is its own centroid, so the
     // probed lists are exactly the nprobe nearest vectors' singleton
