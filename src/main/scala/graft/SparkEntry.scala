@@ -615,6 +615,11 @@ object SparkEntry {
     // as BPE token ids (distinct-words fold, corpus touched twice)
     "q_tokenize_bpe" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizeBpe(table(s, dir, "documents"))),
+    // trained quality classifier: exact-integer Naive Bayes on
+    // seed-vs-crawl source labels, fixed-point log2 weights, held-out
+    // split scored — the CCNet-style learned scorer, oracle-gated
+    "q_quality_nb" -> ((s, dir) =>
+      graft.text.CorpusOps.nbQuality(table(s, dir, "documents"))),
     // KMV bottom-k distinct sketch: deterministic integer estimator,
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -2469,6 +2474,7 @@ object SparkEntry {
     "q_curriculum" -> DocSql.curriculumOrder(4, "#curriculum"),
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_tokenize_bpe" -> DocSql.tokenizeBpe(12, 400),
+    "q_quality_nb" -> DocSql.nbQuality(64),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

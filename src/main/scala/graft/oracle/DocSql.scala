@@ -259,6 +259,76 @@ object DocSql {
        |  s[2:] AS segmentation
        |FROM w$merges""".stripMargin
 
+  /** Mirror of CorpusOps.nbQuality: the same even-suffix labels,
+    * doc_id % 5 split, top-V training vocabulary, Laplace counts, and
+    * the shift-square fixed-point log2 unrolled as 20 chained CTEs
+    * over the (2V + 4)-value frame — bit-identical to the Scala
+    * ilog2Fp loop. All aggregate sums cast back to BIGINT. */
+  def nbQuality(vocabSize: Int): String = {
+    val rounds = (1 to 20).map { k =>
+      s"""l$k AS MATERIALIZED (SELECT key, e,
+         |  CASE WHEN ((m*m) >> 30) >= 2147483648 THEN ((m*m) >> 30) >> 1
+         |       ELSE (m*m) >> 30 END AS m,
+         |  f*2 + CASE WHEN ((m*m) >> 30) >= 2147483648 THEN 1 ELSE 0 END AS f
+         |  FROM l${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lab AS (SELECT doc_id,
+       |  (CAST(substr(source, 4) AS INT) % 2 = 0) AS s,
+       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |tr AS (SELECT * FROM lab WHERE doc_id % 5 != 0),
+       |ttok AS (SELECT doc_id, s, unnest(toks) AS token FROM tr),
+       |vc AS MATERIALIZED (SELECT token FROM (
+       |  SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+       |  FROM ttok GROUP BY token ORDER BY tf DESC, df DESC, token
+       |  LIMIT $vocabSize)),
+       |cnt AS MATERIALIZED (SELECT token,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS cs,
+       |    CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS cc
+       |  FROM ttok JOIN vc USING (token) GROUP BY token),
+       |tot AS (SELECT CAST(sum(cs) AS BIGINT) AS ts,
+       |  CAST(sum(cc) AS BIGINT) AS tc,
+       |  CAST(count(*) AS BIGINT) AS vsz FROM cnt),
+       |nd AS (SELECT CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS ns,
+       |  CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS nc FROM tr),
+       |vals AS MATERIALIZED (
+       |  SELECT 'cs_' || token AS key, cs + 1 AS x FROM cnt
+       |  UNION ALL SELECT 'cc_' || token, cc + 1 FROM cnt
+       |  UNION ALL SELECT '_ts', ts + vsz FROM tot
+       |  UNION ALL SELECT '_tc', tc + vsz FROM tot
+       |  UNION ALL SELECT '_ns', ns FROM nd
+       |  UNION ALL SELECT '_nc', nc FROM nd),
+       |l0 AS MATERIALIZED (SELECT key,
+       |  CAST(length(bin(x)) - 1 AS BIGINT) AS e,
+       |  CASE WHEN length(bin(x)) - 1 <= 30
+       |       THEN x * CAST(pow(2, 30 - (length(bin(x)) - 1)) AS BIGINT)
+       |       ELSE x // CAST(pow(2, (length(bin(x)) - 1) - 30) AS BIGINT)
+       |  END AS m,
+       |  CAST(0 AS BIGINT) AS f FROM vals),
+       |$rounds,
+       |ilog AS MATERIALIZED (SELECT key, e * 1048576 + f AS lg FROM l20),
+       |wts AS MATERIALIZED (SELECT c.token,
+       |  (ls.lg - (SELECT lg FROM ilog WHERE key = '_ts'))
+       |  - (lc.lg - (SELECT lg FROM ilog WHERE key = '_tc')) AS w
+       |  FROM cnt c
+       |  JOIN ilog ls ON ls.key = 'cs_' || c.token
+       |  JOIN ilog lc ON lc.key = 'cc_' || c.token),
+       |pri AS (SELECT (SELECT lg FROM ilog WHERE key = '_ns')
+       |  - (SELECT lg FROM ilog WHERE key = '_nc') AS prior),
+       |sc AS (SELECT doc_id, s, unnest(toks) AS token FROM lab
+       |  WHERE doc_id % 5 = 0),
+       |j AS (SELECT sc.doc_id, sc.s, w.w FROM sc
+       |  LEFT JOIN wts w USING (token)),
+       |agg AS (SELECT doc_id, s,
+       |  CAST(sum(CASE WHEN w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_scored,
+       |  CAST(coalesce(sum(w), 0) + (SELECT prior FROM pri) AS BIGINT) AS llr
+       |  FROM j GROUP BY doc_id, s)
+       |SELECT doc_id, n_scored, llr,
+       |  CAST(CASE WHEN llr > 0 THEN 1 ELSE 0 END AS BIGINT) AS pred_seed,
+       |  CAST(CASE WHEN s THEN 1 ELSE 0 END AS BIGINT) AS is_seed
+       |FROM agg""".stripMargin
+  }
+
   /** Mirror of CorpusOps.tokenizeBpe: the same merge rounds (m1..mk
     * CTEs), then the encode pass — distinct corpus words replayed
     * through the k anchored greedy merges (dw chain, materialized for

@@ -353,6 +353,99 @@ object CorpusOps {
           s => s.getField("wid_str"))).as("ids_str"))
   }
 
+  /** Fixed-point base-2 integer logarithm: floor-ish 2^20-scaled
+    * log2(x) via the classic shift-square algorithm on a 31-bit
+    * mantissa — every step is 63-bit-safe integer multiply/shift, so
+    * the value is a PURE INTEGER FUNCTION of x, bit-identical in any
+    * engine that implements the same loop (the DuckDB mirror unrolls
+    * it as 20 chained CTEs, [[graft.oracle.DocSql.nbQuality]]).
+    * Within ~2 ulp of the real 2^-20-precision log2 (truncation of
+    * the squared mantissa), exact on powers of two, monotone —
+    * precision far beyond what a float32 log-prob model ships with,
+    * while staying oracle-gatable, which no floating log can be. */
+  private[graft] def ilog2Fp(x: Long): Long = {
+    require(x >= 1, s"ilog2Fp domain is x >= 1, got $x")
+    val e = 63 - java.lang.Long.numberOfLeadingZeros(x)
+    var m = if (e <= 30) x << (30 - e) else x >> (e - 30)
+    var f = 0L
+    var i = 0
+    while (i < 20) {
+      val m2 = (m * m) >> 30
+      if (m2 >= (1L << 31)) { f = f * 2 + 1; m = m2 >> 1 }
+      else { f = f * 2; m = m2 }
+      i += 1
+    }
+    e.toLong * (1L << 20) + f
+  }
+
+  /** EXACT-INTEGER NAIVE BAYES quality classifier — the CCNet-style
+    * learned scorer (Wenzek et al. 2020 train a linear fastText model
+    * on curated-vs-crawl labels; multinomial NB is the counts-exact
+    * member of that family): label sources by their numeric suffix
+    * (even = curated seed, odd = crawl), train token log-odds on the
+    * doc_id % 5 != 0 split, and score the held-out doc_id % 5 == 0
+    * docs with the per-token log-likelihood ratio plus the class
+    * prior. All log-probabilities are [[ilog2Fp]] fixed-point
+    * integers (2^-20 log2 units), so training and scoring are exact
+    * integer arithmetic end to end and the whole trained model
+    * hash-gates against the DuckDB oracle — which an SGD/float model
+    * never could. Laplace add-one smoothing; the event space is the
+    * top-`vocabSize` training vocabulary ([[vocabulary]] total
+    * order); out-of-vocabulary tokens are skipped (standard
+    * vocab-restricted multinomial NB).
+    *
+    * Output per scored doc: (doc_id, n_scored, llr, pred_seed,
+    * is_seed) — vocab-token count, the integer log-likelihood ratio,
+    * the prediction (llr > 0), and the true label for audit.
+    *
+    * Shape at 100 TB: training is ONE vocab-restricted token
+    * aggregate over the train split (map-side combining, V-row
+    * output) plus a doc-count aggregate; the weight table is a
+    * bounded driver artifact (V rows — it is literally the model file
+    * a classifier ships), computed with exact integer math and
+    * broadcast; scoring is one explode + broadcast join + per-doc
+    * aggregate — no corpus shuffle beyond the doc-level combine. */
+  def nbQuality(docs: DataFrame, vocabSize: Int = 64,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(vocabSize >= 1, s"vocabSize=$vocabSize")
+    val isSeed = substring(col(sourceCol), 4, 16).cast("int") % 2 === 0
+    val train = docs.filter(col(idCol) % 5 =!= 0)
+    val vocab = vocabulary(train, vocabSize, idCol, textCol).select(col("token"))
+    val cnt = train
+      .select(isSeed.as("s"), explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), "token")
+      .groupBy(col("token"))
+      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("cs"),
+        sum(when(col("s"), 0L).otherwise(1L)).as("cc"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val nd = train.agg(
+        sum(when(isSeed, 1L).otherwise(0L)).as("ns"),
+        sum(when(isSeed, 0L).otherwise(1L)).as("nc"))
+      .collect()(0)
+    val (nS, nC) = (nd.getLong(0), nd.getLong(1))
+    require(nS >= 1 && nC >= 1, s"both classes must be present: nS=$nS nC=$nC")
+    val vsz = cnt.length.toLong
+    val tS = cnt.map(_._2).sum; val tC = cnt.map(_._3).sum
+    val lgTs = ilog2Fp(tS + vsz); val lgTc = ilog2Fp(tC + vsz)
+    val wdf = cnt.toSeq.map { case (t, cs, cc) =>
+      (t, (ilog2Fp(cs + 1) - lgTs) - (ilog2Fp(cc + 1) - lgTc))
+    }.toDF("token", "w")
+    val prior = ilog2Fp(nS) - ilog2Fp(nC)
+    docs.filter(col(idCol) % 5 === 0)
+      .select(col(idCol).as("doc_id"), isSeed.as("actual"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .join(broadcast(wdf), Seq("token"), "left")
+      .groupBy(col("doc_id"), col("actual"))
+      .agg(sum(when(col("w").isNotNull, 1L).otherwise(0L)).as("n_scored"),
+        (coalesce(sum(col("w")), lit(0L)) + lit(prior)).as("llr"))
+      .select(col("doc_id"), col("n_scored"), col("llr"),
+        when(col("llr") > 0, 1L).otherwise(0L).as("pred_seed"),
+        when(col("actual"), 1L).otherwise(0L).as("is_seed"))
+  }
+
   /** Vocabulary OOV-coverage audit per source — the check run BEFORE
     * committing to a tokenizer: for the same topK (tf, df, token)-
     * ordered vocabulary [[tokenizeToIds]] would freeze, the per-source

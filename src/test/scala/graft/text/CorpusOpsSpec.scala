@@ -175,6 +175,45 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq(("x", "y", 2L)))
   }
 
+  test("ilog2Fp: exact on powers of two, near-true log2, monotone") {
+    assert(CorpusOps.ilog2Fp(1L) === 0L)
+    assert(CorpusOps.ilog2Fp(2L) === (1L << 20))
+    assert(CorpusOps.ilog2Fp(4L) === (2L << 20))
+    assert(CorpusOps.ilog2Fp(1L << 40) === (40L << 20))
+    // within 2 fixed-point ulp of the real 2^20-scaled log2
+    for (x <- Seq(3L, 7L, 100L, 999L, 123457L, 987654321L)) {
+      val want = math.floor((1 << 20) * math.log(x.toDouble) / math.log(2.0))
+      assert(math.abs(CorpusOps.ilog2Fp(x) - want) <= 2L, s"x=$x")
+    }
+    // non-decreasing over a consecutive range
+    (1L to 4096L).foldLeft(-1L) { (prev, x) =>
+      val v = CorpusOps.ilog2Fp(x)
+      assert(v >= prev, s"x=$x"); v
+    }
+  }
+
+  test("nbQuality: separates planted quality classes on the held-out split") {
+    import spark.implicits._
+    // seed sources (even suffix) speak "good" vocabulary, crawl
+    // sources (odd suffix) speak "spam": NB must recover the labels
+    // on every held-out doc (doc_id % 5 == 0)
+    val rows = (0L until 40L).map { i =>
+      val seed = i % 2 == 0
+      val text = if (seed) "good clean prose here" else "spam junk click now"
+      (i, text, s"src${i % 4}") // src0/src2 = seed, src1/src3 = crawl
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val out = CorpusOps.nbQuality(d, vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length === 8) // 40 docs, doc_id % 5 == 0 held out
+    out.foreach { case (id, nScored, llr, pred, actual) =>
+      assert(nScored === 4L, s"doc $id")
+      assert(pred === actual, s"doc $id llr=$llr")
+      assert(actual === (if (id % 2 == 0) 1L else 0L), s"doc $id")
+    }
+  }
+
   test("nfc: composes decomposed sequences, idempotent, identity on ASCII/NFC, null-safe") {
     import spark.implicits._
     val dec = "cafe\u0301"            // decomposed e + combining acute
