@@ -620,6 +620,10 @@ object SparkEntry {
     // split scored — the CCNet-style learned scorer, oracle-gated
     "q_quality_nb" -> ((s, dir) =>
       graft.text.CorpusOps.nbQuality(table(s, dir, "documents"))),
+    // byte-level BPE (GPT-2 convention): UTF-8-byte hex symbols lift
+    // the ASCII vocabulary restriction, engine-neutral for unicode
+    "q_text_bpe_bytes" -> ((s, dir) =>
+      graft.text.CorpusOps.bpeMergesBytes(table(s, dir, "documents"))),
     // KMV bottom-k distinct sketch: deterministic integer estimator,
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -2475,6 +2479,7 @@ object SparkEntry {
     "q_tokenize_ids" -> DocSql.tokenizeToIds(20, 1000),
     "q_tokenize_bpe" -> DocSql.tokenizeBpe(12, 400),
     "q_quality_nb" -> DocSql.nbQuality(64),
+    "q_text_bpe_bytes" -> DocSql.bpeMergesBytes(12, 400),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

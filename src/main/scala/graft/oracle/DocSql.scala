@@ -374,12 +374,12 @@ object DocSql {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
-  private def bpeCtes(merges: Int, vocabSize: Int): String = {
-    // every chained CTE is MATERIALIZED: DuckDB 1.0 INLINES a CTE per
-    // reference, and w_k is referenced twice (pair counts + merge),
-    // so the un-hinted form re-expands the corpus scan 2^merges times
-    // — measured minutes for 12 rounds vs milliseconds materialized
-    val rounds = (1 to merges).map { k =>
+  // every chained CTE is MATERIALIZED: DuckDB 1.0 INLINES a CTE per
+  // reference, and w_k is referenced twice (pair counts + merge),
+  // so the un-hinted form re-expands the corpus scan 2^merges times
+  // — measured minutes for 12 rounds vs milliseconds materialized
+  private def bpeRoundCtes(merges: Int): String =
+    (1 to merges).map { k =>
       s"""e$k AS MATERIALIZED (SELECT freq, str_split(s, ' ') AS l FROM w${k - 1}),
          |p$k AS (SELECT l[i] AS a, l[i + 1] AS b,
          |    CAST(sum(freq) AS BIGINT) AS cnt
@@ -393,6 +393,8 @@ object DocSql {
          |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
          |  FROM w${k - 1}, m$k)""".stripMargin
     }.mkString(",\n")
+
+  private def bpeCtes(merges: Int, vocabSize: Int): String =
     s"""$docsToks,
        |wf AS MATERIALIZED (SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(toks) AS tok FROM d)
@@ -400,7 +402,29 @@ object DocSql {
        |  GROUP BY 1 ORDER BY freq DESC, word LIMIT $vocabSize),
        |w0 AS MATERIALIZED (SELECT word, freq,
        |  regexp_replace(word, '(.)', ' \\1', 'g') AS s FROM wf),
-       |$rounds""".stripMargin
+       |${bpeRoundCtes(merges)}""".stripMargin
+
+  /** Mirror of CorpusOps.bpeMergesBytes: UTF-8 byte segmentation as
+    * uppercase 2-hex-digit symbols (hex() of the string's bytes is
+    * uppercase in both engines; the vocabulary total order sorts on
+    * the hex string = UTF-8 binary order, engine-neutral for any
+    * unicode word), then the same merge rounds. */
+  def bpeMergesBytes(merges: Int, vocabSize: Int): String = {
+    val out = (1 to merges).map { k =>
+      s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
+        s"cnt AS pair_count FROM m$k"
+    }.mkString("\n UNION ALL ")
+    s"""WITH $docsToks,
+       |wf AS MATERIALIZED (SELECT word, freq, hex(word) AS wh FROM (
+       |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
+       |  FROM (SELECT unnest(toks) AS tok FROM d)
+       |  WHERE tok != '' GROUP BY 1)),
+       |w0 AS MATERIALIZED (SELECT word, freq,
+       |  regexp_replace(wh, '(..)', ' \\1', 'g') AS s
+       |  FROM (SELECT word, freq, wh FROM wf
+       |    ORDER BY freq DESC, wh LIMIT $vocabSize)),
+       |${bpeRoundCtes(merges)}
+       |$out""".stripMargin
   }
 
   /** Mirror of CorpusOps.vocabCoverage: per-source OOV counts against

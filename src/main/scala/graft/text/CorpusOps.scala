@@ -201,6 +201,40 @@ object CorpusOps {
     bpeRounds(bpeVocab(wf, vocabSize), merges)._1
   }
 
+  /** BYTE-LEVEL BPE merge learning — the GPT-2/tiktoken convention:
+    * segment words into UTF-8 BYTES instead of regex characters,
+    * which lifts [[bpeMerges]]'s `^[a-z]+$` vocabulary restriction
+    * (imposed because regex char-splitting diverges between Java
+    * regex UTF-16 code units and RE2 code points outside ASCII).
+    * Bytes are engine-neutral by construction: each byte is
+    * represented as its 2-hex-digit symbol (`hex` of the UTF-8
+    * encoding is uppercase hex in both Spark and DuckDB, and the
+    * pair-splitting regex `(..)` is pure ASCII), so ANY unicode word
+    * crosses the oracle gate — ordering ties included, because the
+    * vocabulary total order sorts on the hex string, i.e. UTF-8
+    * binary order, identical in both engines where raw-string
+    * ordering is not. The merge rounds are [[bpeRounds]] unchanged —
+    * symbols are hex strings, merges concatenate them.
+    *
+    * Scale shape: identical to [[bpeMerges]] (corpus touched once,
+    * rounds on the top-V word table); the segmentation strings are
+    * ~3x longer (2 hex chars + space per byte). */
+  def bpeMergesBytes(docs: DataFrame, merges: Int = 12,
+      vocabSize: Int = 400, textCol: String = "text"): DataFrame = {
+    require(merges >= 1 && vocabSize >= 1, s"merges=$merges vocab=$vocabSize")
+    val wf = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .withColumn("wh", hex(encode(col("word"), "UTF-8")))
+    val vocab = wf
+      .orderBy(col("freq").desc, col("wh")).limit(vocabSize)
+      .select(col("word"), col("freq"),
+        regexp_replace(col("wh"), "(..)", " $1").as("s"))
+      .localCheckpoint()
+    bpeRounds(vocab, merges)._1
+  }
+
   /** Top-`vocabSize` words with their initial char segmentation. */
   private def bpeVocab(wordFreq: DataFrame, vocabSize: Int): DataFrame =
     wordFreq

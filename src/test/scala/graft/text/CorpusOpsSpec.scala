@@ -124,6 +124,30 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(seg2 === Map("bc" -> "bc", "ab" -> "ab", "abc" -> "a bc"))
   }
 
+  test("bpeMergesBytes: unicode words segment as UTF-8 byte symbols") {
+    // 日 = E6 97 A5, 本 = E6 9C AC, 語 = E8 AA 9E.
+    // corpus: 日本 x2, 日本語 x1 -> round-1 pair counts: five pairs at
+    // 3 (both words share the 日本 prefix), suffix pairs at 1. Tie at
+    // 3 breaks lexicographically on the hex symbols: (97, A5) wins.
+    // round 2: ties at 3 again; (97A5, E6) is the ASCII-hex minimum.
+    val d = docs((1L, "日本 日本 日本語"))
+    val out = CorpusOps.bpeMergesBytes(d, merges = 2, vocabSize = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, "97", "A5", 3L), (2L, "97A5", "E6", 3L)))
+  }
+
+  test("bpeMergesBytes: tokens outside ^[a-z]+$ participate (restriction lifted)") {
+    // "AB1" is excluded by the char-level trainer; byte-level learns
+    // from it: bytes 41 42 31, pairs (41,42)=2 and (42,31)=2, tie
+    // breaks to (41, 42)
+    val out = CorpusOps.bpeMergesBytes(
+      docs((1L, "AB1 AB1")), merges = 1, vocabSize = 10)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.toSeq === Seq(("41", "42", 2L)))
+  }
+
   test("tokenizeBpe: hand-computed ids, base chars 0..25, merged symbols 25+rank") {
     // corpus: bc x11, ab x6, abc x4 (doc 4 mixes in a non-[a-z] token).
     // merges=2 learns (b,c) then (a,b) -> ids: bc=26, ab=27.
