@@ -1402,7 +1402,9 @@ object Similarity {
   def directionFromGram(spark: org.apache.spark.sql.SparkSession,
       path: String, iters: Int = 3): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val g = spark.read.parquet(path)
+    // recursiveFileLookup: flat build/append files plus per-batch
+    // subdirectories committed atomically by the streaming ingest
+    val g = spark.read.option("recursiveFileLookup", "true").parquet(path)
       .groupBy(col("i"), col("j"))
       .agg(sum(col("gij")).cast(dec).as("gij"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -61,28 +61,24 @@ object StreamSim {
       .start()
 
   /** Streaming ingest for the persisted Gram artifact
-    * ([[Similarity.gramBuild]]): each micro-batch appends its own
+    * ([[Similarity.gramBuild]]): each micro-batch contributes its own
     * d²-cell PARTIAL frame. Sum-merge is associative AND duplicate-
-    * sensitive, so the `_batches/<id>` marker carries the exactness
-    * here (a re-delivered batch would double-count its vectors — the
-    * marker, not the algebra, blocks it; same trade as ingestDedup's
-    * append). Stream == sequential gramBuild/gramAppend calls
-    * (StreamingSpec asserts the served direction matches the
-    * from-scratch batch build). The artifact must exist before the
-    * stream starts — build from the initial snapshot (empty is
-    * fine). */
+    * sensitive (a re-delivered batch would double-count its vectors),
+    * so each batch commits ATOMICALLY via
+    * [[AtomicIngest.commitBatch]]: staged hidden, published
+    * by one directory rename — a crash leaves either nothing or the
+    * whole batch, never the round-12 marker scheme's half-state.
+    * Stream == sequential gramBuild/gramAppend calls (StreamingSpec
+    * asserts the served direction matches the from-scratch batch
+    * build). The artifact must exist before the stream starts — build
+    * from the initial snapshot (empty is fine). */
   def ingestGram(emb: DataFrame, gramPath: String, checkpoint: String)
       : org.apache.spark.sql.streaming.StreamingQuery =
     emb.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new org.apache.hadoop.fs.Path(s"$gramPath/_batches/$batchId")
-        val fs = marker.getFileSystem(
-          batch.sparkSession.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
-          Similarity.gramAppend(batch, gramPath)
-          fs.create(marker, true).close()
-          ()
+        AtomicIngest.commitBatch(batch.sparkSession, gramPath, batchId) {
+          staging => Similarity.gramBuild(batch, staging)
         }
       }
       .start()

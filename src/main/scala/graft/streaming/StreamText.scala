@@ -42,28 +42,59 @@ object StreamText {
 
   /** Streaming ingest for the persisted BPE word-count artifact
     * ([[graft.text.CorpusOps.bpeCountsBuild]]): each micro-batch of
-    * (doc_id, text) rows appends its own (word, freq) PARTIAL frame.
-    * Sum-merge is associative but duplicate-SENSITIVE, so the
-    * `_batches/<id>` marker carries the exactness (a re-delivered
-    * batch would double-count its words — the
-    * [[StreamSim.ingestGram]] trade). Stream == sequential
-    * bpeCountsBuild/Append calls: StreamingSpec asserts the merges
-    * trained from the streamed artifact match the from-scratch batch
-    * trainer. The artifact must exist before the stream starts. */
+    * (doc_id, text) rows contributes its own (word, freq) PARTIAL
+    * frame. Sum-merge is associative but duplicate-SENSITIVE — a
+    * re-delivered batch would double-count its words — so unlike the
+    * idempotent-merge loops (bloom OR, sketch max) this one commits
+    * each batch ATOMICALLY via [[AtomicIngest.commitBatch]]: the
+    * partial is staged under a hidden `_staging_<id>` directory and
+    * published by a single directory rename, so a crash anywhere
+    * leaves either no trace of the batch or the complete batch, never
+    * a half-appended or double-appended one (the round-12 marker
+    * scheme had a crash window between append and marker creation).
+    * Stream == sequential bpeCountsBuild/Append calls: StreamingSpec
+    * asserts the merges trained from the streamed artifact match the
+    * from-scratch batch trainer. The artifact must exist before the
+    * stream starts. */
   def ingestBpeCounts(docs: DataFrame, countsPath: String,
       checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker =
-          new org.apache.hadoop.fs.Path(s"$countsPath/_batches/$batchId")
-        val fs = marker.getFileSystem(
-          batch.sparkSession.sessionState.newHadoopConf())
-        if (!fs.exists(marker)) {
-          graft.text.CorpusOps.bpeCountsAppend(batch, countsPath)
-          fs.create(marker, true).close()
-          ()
+        AtomicIngest.commitBatch(batch.sparkSession, countsPath, batchId) {
+          staging => graft.text.CorpusOps.bpeCountsBuild(batch, staging)
         }
       }
       .start()
+}
+
+/** Atomic per-batch commit for duplicate-sensitive persisted
+  * artifacts (BPE word counts, Gram partials): stage the batch's
+  * partial frame under a hidden directory inside the artifact, then
+  * publish it with ONE filesystem rename to a visible `batch_<id>`
+  * subdirectory. Readers use `recursiveFileLookup`, so they see the
+  * original flat build files plus every committed batch directory and
+  * never the `_staging_*` dirs (leading underscore = hidden to
+  * Spark's file index). The rename is the commit point: a crash
+  * before it leaves only hidden staging garbage (overwritten on
+  * retry); after it, the batch directory doubles as the idempotence
+  * marker, so re-delivery is a no-op. This closes the round-12
+  * ADVICE crash window where the marker was created after a
+  * non-atomic append. */
+object AtomicIngest {
+  def commitBatch(spark: org.apache.spark.sql.SparkSession,
+      artifactPath: String, batchId: Long)(
+      writePartial: String => Unit): Unit = {
+    val committed =
+      new org.apache.hadoop.fs.Path(s"$artifactPath/batch_$batchId")
+    val fs = committed.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(committed)) {
+      val staging =
+        new org.apache.hadoop.fs.Path(s"$artifactPath/_staging_$batchId")
+      if (fs.exists(staging)) fs.delete(staging, true)
+      writePartial(staging.toString)
+      require(fs.rename(staging, committed),
+        s"atomic commit rename failed: $staging -> $committed")
+    }
+  }
 }

@@ -196,7 +196,10 @@ object CorpusOps {
     * as [[bpeMerges]], bit-for-bit. */
   def bpeMergesFromCounts(spark: org.apache.spark.sql.SparkSession,
       path: String, merges: Int = 12, vocabSize: Int = 400): DataFrame = {
-    val wf = spark.read.parquet(path)
+    // recursiveFileLookup: the artifact holds flat build/append files
+    // PLUS per-batch subdirectories committed atomically by the
+    // streaming ingest (graft.streaming.AtomicIngest)
+    val wf = spark.read.option("recursiveFileLookup", "true").parquet(path)
       .groupBy(col("word")).agg(sum(col("freq")).as("freq"))
     bpeRounds(bpeVocab(wf, vocabSize), merges)._1
   }

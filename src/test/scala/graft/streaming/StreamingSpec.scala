@@ -370,7 +370,7 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
-  test("streaming BPE count ingest == from-scratch batch merges; marker written") {
+  test("streaming BPE counts -> trained merges -> corpus token ids == batch pipeline") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_bpe").toString
     val all = Seq((0L, "alpha beta alpha"), (1L, "beta gamma beta"),
@@ -400,12 +400,31 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       all.toDF("doc_id", "text"), merges = 3, vocabSize = 10).collect().toSeq
     spark.catalog.clearCache()
     assert(served === scratch && scratch.nonEmpty)
+    // END-TO-END tokenizer-refresh pipeline: the merges trained from
+    // the STREAMED counts artifact, applied to the corpus via
+    // tokenizeWithMerges, must produce the same token ids as the
+    // from-scratch batch tokenizeBpe over the same rows
+    val mergeList = served.map(r => (r.getString(1), r.getString(2)))
+    val viaStream = graft.text.CorpusOps.tokenizeWithMerges(
+      all.toDF("doc_id", "text"), mergeList)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    spark.catalog.clearCache()
+    val viaBatch = graft.text.CorpusOps.tokenizeBpe(
+      all.toDF("doc_id", "text"), merges = 3, vocabSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    spark.catalog.clearCache()
+    assert(viaStream === viaBatch && viaBatch.nonEmpty)
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/counts/_batches/0")))
+    // the committed batch directory IS the idempotence marker, and no
+    // staging garbage survives the atomic rename
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/counts/batch_0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/counts/_staging_0")))
   }
 
-  test("streaming Gram ingest == from-scratch batch direction; markers block re-delivery") {
+  test("streaming Gram ingest == from-scratch batch direction; atomic commit blocks re-delivery") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_gram").toString
     val all = (0L until 12L).map(i =>
@@ -435,12 +454,24 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     spark.catalog.clearCache()
     assert(served == scratch && scratch.nonEmpty)
-    // re-delivery protection: replaying batch 1's rows under its
-    // already-marked id must NOT double-count (duplicate-sensitive
-    // sum-merge — the marker carries exactness)
+    // re-delivery protection: the committed batch directory is the
+    // idempotence marker (duplicate-sensitive sum-merge), published
+    // by the atomic rename with no staging garbage left behind
     val fs = new org.apache.hadoop.fs.Path(tmp)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/gram/_batches/0")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/gram/batch_0")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/gram/_staging_0")))
+    // and an explicit re-delivery of an already-committed batch id is
+    // a no-op: the artifact bytes don't change
+    def artifactFiles() = fs.listStatus(
+      new org.apache.hadoop.fs.Path(s"$tmp/gram/batch_0"))
+      .map(s => (s.getPath.getName, s.getLen)).toSet
+    val before = artifactFiles()
+    graft.streaming.AtomicIngest.commitBatch(spark, s"$tmp/gram", 0L) {
+      staging => graft.similarity.Similarity.gramBuild(
+        b1.toDF("vec_id", "embedding"), staging)
+    }
+    assert(artifactFiles() == before)
   }
 
   test("hll register sketch runs as a streaming aggregation; duplicate batches change nothing") {
