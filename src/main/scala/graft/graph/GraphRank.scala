@@ -42,6 +42,11 @@ import graft.text.TextFunctions
   * (e.g. minhash match counts ≤ numHashes, or ppm weights ≤ 1e6)
   * that bound is r·maxW ≤ ~1e18 at the default scale — inside Long,
   * but shrink `scale` before raising both together.
+  *
+  * Cache lifecycle: the symmetrized edge frame is persisted for the
+  * query's duration and released by the CALLER
+  * (`spark.catalog.clearCache()` per query — the Verify/Bench/spec
+  * convention shared with the similarity and triangle families).
   */
 object GraphRank {
 

@@ -35,6 +35,13 @@ import org.apache.spark.storage.StorageLevel
   * but the edge frames themselves. Output is exact integer counts,
   * so the DuckDB oracle (plain 3-way join over id-ordered pairs)
   * gates it bit-for-bit.
+  *
+  * Cache lifecycle: the canonical-edge / degree / oriented frames are
+  * persisted for the duration of the query and released by the
+  * CALLER (`spark.catalog.clearCache()` — Verify, Bench and every
+  * spec do this per query), the same caller-releases convention as
+  * the similarity family. A long-lived session that never clears the
+  * cache accumulates these frames; clear between logical jobs.
   */
 object Triangles {
 
