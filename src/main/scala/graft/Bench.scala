@@ -230,11 +230,30 @@ object Bench {
       s""","sf2":${jstr(dir)},"queries_sf2":$qs2,"errors_sf2":$es2,""" +
         s""""runs_sf2":$Runs2,"total_sf2":${ok2.map(_._2.min).sum}"""
     }.getOrElse("")
+    // Third-scale pass (round-12 verdict ask #7): an sf1 point over
+    // the ScaleCheck-synthesized 10x corpus. OPT-IN via
+    // SPARK_GRAFT_SF3_DIR (one primed pass, ~10x the sf0.1 suite
+    // cost) so per-round driver runs stay fast; the committed
+    // bench_result.json carries the totals when run locally.
+    val sf3Dir = sys.env.get("SPARK_GRAFT_SF3_DIR")
+      .filter(d => d.nonEmpty && d != "none" &&
+        sys.env.get("SPARK_GRAFT_ONLY").isEmpty &&
+        new java.io.File(d).isDirectory)
+    val sf3Json = sf3Dir.map { dir =>
+      val (t3, e3) = runSuite(dir, names, 1, record = false)
+      val ok3 = names.flatMap(n => t3.get(n).filter(_.nonEmpty).map(n -> _))
+      val qs3 = ok3.map { case (k, ts) => s"${jstr(k)}:${ts.min}" }
+        .mkString("{", ",", "}")
+      val es3 = names.flatMap(n => e3.get(n).map(v => s"${jstr(n)}:${jstr(v)}"))
+        .mkString("{", ",", "}")
+      s""","sf3":${jstr(dir)},"queries_sf3":$qs3,"errors_sf3":$es3,""" +
+        s""""runs_sf3":1,"total_sf3":${ok3.map(_._2.min).sum}"""
+    }.getOrElse("")
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs_s":$runsS,""" +
         s""""rows":$rs,"errors":$es,""" +
         s""""runs":$Runs,"agg":"min","passes":"interleaved-primed","warmup":true,""" +
-        s""""cpus":$cpus,"sf":${jstr(sfDir)}$sf2Json}"""
+        s""""cpus":$cpus,"sf":${jstr(sfDir)}$sf2Json$sf3Json}"""
     Files.writeString(Paths.get("bench_result.json"), json + "\n")
     println(json)
     spark.stop()

@@ -257,6 +257,17 @@ object Curves {
       > SELECT _FUNC_(array(1L, 2L, 3L, 4L), array(2L, 4L, 6L, 8L), 2);
        [5,25]
   """),
+    FunctionDoc("adc_distance", (args: Seq[Expression]) => args match {
+      case Seq(c, t) => AdcDistance(c, t)
+      case other => throw new IllegalArgumentException(
+        s"adc_distance expects (codes, tab), got ${other.size} arguments")
+    }, "adc_distance(codes, tab) - ADC lookup sum of a PQ code against a flattened j-major probe table",
+      classOf[AdcDistance], "math_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(array(1, 0), array(10L, 20L, 30L, 40L));
+       50
+  """),
     FunctionDoc("dot_q", twoArg("dot_q", DotProductLong(_, _)) _,
       "dot_q(a, b) - exact integer dot product of two quantized vectors",
       classOf[DotProductLong], "math_funcs",

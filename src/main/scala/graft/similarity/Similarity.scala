@@ -82,6 +82,21 @@ object Similarity {
     ColumnShims.column(graft.functions.SubspaceSqDists(
       ColumnShims.expression(a), ColumnShims.expression(b), m))
 
+  /** ADC lookup sum of a PQ code against a FLATTENED j-major probe
+    * table via the native [[graft.functions.AdcDistance]] — the
+    * per-(probe, vector) inner loop of every PQ scan (evaluated
+    * probes x corpus times, the expression the sf1 bench point
+    * exposed). */
+  def adcDistance(codes: Column, tab: Column): Column =
+    ColumnShims.column(graft.functions.AdcDistance(
+      ColumnShims.expression(codes), ColumnShims.expression(tab)))
+
+  /** Builtin-composed executable SPEC of [[adcDistance]] over the
+    * same flattened table (equality asserted in SimilaritySpec). */
+  def adcDistanceBuiltin(codes: Column, tab: Column, m: Int): Column =
+    (0 until m).map(s =>
+      element_at(tab, element_at(codes, s + 1) * m + s + 1)).reduce(_ + _)
+
   /** Builtin-composed executable SPEC of [[subspaceSqDists]]: width =
     * floor(n/m), trailing elements ignored (equality asserted in
     * SimilaritySpec). */
@@ -733,19 +748,19 @@ object Similarity {
     * is WindowGroupLimit (PlanShapeSpec pins the shape). */
   private def pqProbe(q: DataFrame, seeds: DataFrame, codes: DataFrame,
       probes: DataFrame, k: Int, m: Int, reRank: Int): DataFrame = {
-    // per-probe ADC tables: tab[j][s] = ||p_s - c_{j,s}||^2, ordered by j
+    // per-probe ADC tables FLATTENED j-major: tab[(j-1)*m + s] =
+    // ||p_s - c_{j,s}||^2 — the native AdcDistance layout (one flat
+    // primitive array per probe instead of a nested array<array>)
     val ptab = probes.crossJoin(broadcast(seeds))
       .select(col("probe_id"), col("j"), subspaceSqDists(col("pv"), col("cq"), m).as("ds"))
       .groupBy(col("probe_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
-        r => r.getField("ds")).as("tab"))
-    val adist = (0 until m).map(s =>
-      element_at(element_at(col("tab"), element_at(col("codes"), s + 1) + 1), s + 1))
-      .reduce(_ + _)
+      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        r => r.getField("ds"))).as("tab"))
     val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
     val cand = codes.crossJoin(broadcast(ptab))
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        adcDistance(col("codes"), col("tab")).as("adist"))
       .withColumn("arn", row_number().over(wA)).filter(col("arn") <= reRank)
       .select("probe_id", "neighbor_id")
     val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))
@@ -932,20 +947,19 @@ object Similarity {
       .withColumn("lrnk", row_number().over(wl)).filter(col("lrnk") <= nprobe)
       .select(col("probe_id"), col("list_id"),
         zip_with(col("pv"), col("cq"), (a, b) => a - b).as("prv"))
-    // ADC tables per (probe, list) over the probe's residual IN that list
+    // ADC tables per (probe, list) over the probe's residual IN that
+    // list, FLATTENED j-major for the native AdcDistance lookup
     val ptab = probeLists.crossJoin(broadcast(seeds))
       .select(col("probe_id"), col("list_id"), col("j"),
         subspaceSqDists(col("prv"), col("cr"), m).as("ds"))
       .groupBy(col("probe_id"), col("list_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
-        r => r.getField("ds")).as("tab"))
-    val adist = (0 until m).map(s =>
-      element_at(element_at(col("tab"), element_at(col("codes"), s + 1) + 1), s + 1))
-      .reduce(_ + _)
+      .agg(flatten(transform(array_sort(collect_list(struct(col("j"), col("ds")))),
+        r => r.getField("ds"))).as("tab"))
     val wA = Window.partitionBy("probe_id").orderBy(col("adist"), col("neighbor_id"))
     val cand = codes.join(broadcast(ptab), "list_id") // IVF: only probed lists scanned
       .filter(col("vec_id") =!= col("probe_id"))
-      .select(col("probe_id"), col("vec_id").as("neighbor_id"), adist.as("adist"))
+      .select(col("probe_id"), col("vec_id").as("neighbor_id"),
+        adcDistance(col("codes"), col("tab")).as("adist"))
       .withColumn("arn", row_number().over(wA)).filter(col("arn") <= reRank)
       .select("probe_id", "neighbor_id")
     val w = Window.partitionBy("probe_id").orderBy(col("dot_q").desc, col("neighbor_id"))

@@ -66,6 +66,23 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("bpe tokenize: one token join, no cartesian, no sort-merge at test scale") {
+    // the distinct-words fold is a narrow projection; the only join
+    // is token->ids (strategy deliberately left to AQE — broadcast
+    // here, shuffle-hash at web scale); reassembly is one aggregate
+    val p = plan("q_tokenize_bpe")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("nb quality: the V-row weight table broadcasts onto the scoring scan") {
+    val p = plan("q_quality_nb")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bm25: corpus stats broadcast; top-k is TakeOrderedAndProject") {
     val p = plan("q_rank_bm25")
     assert(p.contains("Broadcast"), p)

@@ -409,6 +409,29 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native adc_distance == builtin SPEC, incl. hand-computed lookup") {
+    import spark.implicits._
+    // m=2, ncent=2, tab j-major [d11,d12,d21,d22]: codes [1,0] ->
+    // tab[1*2+0] + tab[0*2+1] = 30 + 20 = 50
+    val hand = Seq((Seq(1, 0), Seq(10L, 20L, 30L, 40L)))
+      .toDF("codes", "tab")
+      .select(Similarity.adcDistance(col("codes"), col("tab")).as("d"))
+      .collect()(0).getLong(0)
+    assert(hand === 50L)
+    // randomized agreement with the composed form across m widths
+    val rng = new scala.util.Random(7)
+    val m = 16; val ncent = 16
+    val rows = (1 to 200).map { _ =>
+      (Seq.fill(m)(rng.nextInt(ncent)),
+        Seq.fill(m * ncent)(rng.nextLong() % 1000000L))
+    }
+    val diff = rows.toDF("codes", "tab")
+      .select(Similarity.adcDistance(col("codes"), col("tab")).as("n"),
+        Similarity.adcDistanceBuiltin(col("codes"), col("tab"), m).as("b"))
+      .filter(not(col("n") === col("b"))).count()
+    assert(diff === 0L)
+  }
+
   test("pqTopK: cluster mates found via ADC codes; deterministic, layout-independent") {
     // m=4 over 8 dims (2-dim subvectors); with ncent = corpus size,
     // every vector contributes its own subvectors as centroids, so
