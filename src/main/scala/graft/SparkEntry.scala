@@ -624,6 +624,14 @@ object SparkEntry {
     // the ASCII vocabulary restriction, engine-neutral for unicode
     "q_text_bpe_bytes" -> ((s, dir) =>
       graft.text.CorpusOps.bpeMergesBytes(table(s, dir, "documents"))),
+    // byte-level corpus encode: every token of every doc (unicode
+    // included) to BPE ids — bytes 0..255, merged rank k -> 255+k
+    "q_tokenize_bpe_bytes" -> ((s, dir) =>
+      graft.text.CorpusOps.tokenizeBpeBytes(table(s, dir, "documents"))),
+    // held-out confusion matrix of the NB quality classifier — the
+    // evaluation row a trained filter ships with
+    "q_quality_nb_eval" -> ((s, dir) =>
+      graft.text.CorpusOps.nbQualityEval(table(s, dir, "documents"))),
     // KMV bottom-k distinct sketch: deterministic integer estimator,
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -2480,6 +2488,8 @@ object SparkEntry {
     "q_tokenize_bpe" -> DocSql.tokenizeBpe(12, 400),
     "q_quality_nb" -> DocSql.nbQuality(64),
     "q_text_bpe_bytes" -> DocSql.bpeMergesBytes(12, 400),
+    "q_tokenize_bpe_bytes" -> DocSql.tokenizeBpeBytes(12, 400),
+    "q_quality_nb_eval" -> DocSql.nbQualityEval(64),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

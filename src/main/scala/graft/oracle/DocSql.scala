@@ -414,7 +414,12 @@ object DocSql {
       s"SELECT CAST($k AS BIGINT) AS merge_rank, a AS sym_a, b AS sym_b, " +
         s"cnt AS pair_count FROM m$k"
     }.mkString("\n UNION ALL ")
-    s"""WITH $docsToks,
+    s"""WITH ${bpeBytesCtes(merges, vocabSize)}
+       |$out""".stripMargin
+  }
+
+  private def bpeBytesCtes(merges: Int, vocabSize: Int): String =
+    s"""$docsToks,
        |wf AS MATERIALIZED (SELECT word, freq, hex(word) AS wh FROM (
        |  SELECT tok AS word, CAST(count(*) AS BIGINT) AS freq
        |  FROM (SELECT unnest(toks) AS tok FROM d)
@@ -423,9 +428,60 @@ object DocSql {
        |  regexp_replace(wh, '(..)', ' \\1', 'g') AS s
        |  FROM (SELECT word, freq, wh FROM wf
        |    ORDER BY freq DESC, wh LIMIT $vocabSize)),
-       |${bpeRoundCtes(merges)}
-       |$out""".stripMargin
+       |${bpeRoundCtes(merges)}""".stripMargin
+
+  /** Mirror of CorpusOps.tokenizeBpeBytes: the byte-level merge
+    * rounds, then the encode pass over ALL non-empty tokens (hex-pair
+    * segmentation, dw chain), base ids = the byte value (hex-literal
+    * cast), merged symbol rank k -> 255 + k (first rank wins). */
+  def tokenizeBpeBytes(merges: Int, vocabSize: Int): String = {
+    val dwRounds = (1 to merges).map { k =>
+      s"""dw$k AS MATERIALIZED (SELECT token,
+         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
+         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
+         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
+         |  FROM dw${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    val mtRows = (1 to merges).map { k =>
+      s"SELECT a || b AS sym, CAST(${255 + k} AS BIGINT) AS id FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeBytesCtes(merges, vocabSize)},
+       |tokp AS (SELECT doc_id, unnest(toks) AS token,
+       |  unnest(generate_series(1, len(toks))) AS pos FROM d),
+       |ftok AS (SELECT doc_id, token, pos FROM tokp WHERE token != ''),
+       |dw0 AS MATERIALIZED (SELECT DISTINCT token,
+       |  regexp_replace(hex(token), '(..)', ' \\1', 'g') AS s FROM ftok),
+       |$dwRounds,
+       |mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
+       |ws AS (SELECT token, unnest(str_split(s[2:], ' ')) AS sym,
+       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
+       |  FROM dw$merges),
+       |wi AS (SELECT ws.token, ws.sp,
+       |  coalesce(mt.id, CAST(('0x' || ws.sym) AS BIGINT)) AS id
+       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
+       |wid AS (SELECT token, CAST(count(*) AS BIGINT) AS n_syms,
+       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS wid_str
+       |  FROM wi GROUP BY token),
+       |j AS (SELECT f.doc_id, f.pos, w.n_syms, w.wid_str
+       |  FROM ftok f JOIN wid w USING (token))
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
+       |  array_to_string(list(wid_str ORDER BY pos), '_') AS ids_str
+       |FROM j GROUP BY doc_id""".stripMargin
   }
+
+  /** Mirror of CorpusOps.nbQualityEval: the per-doc NB scores rolled
+    * into the per-true-class confusion row. */
+  def nbQualityEval(vocabSize: Int): String =
+    s"""SELECT is_seed, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(pred_seed) AS BIGINT) AS n_pred_seed,
+       |  CAST(sum(CASE WHEN pred_seed = is_seed THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_correct,
+       |  CAST(sum(CASE WHEN pred_seed = is_seed THEN 1 ELSE 0 END)
+       |    * 1000000 // count(*) AS BIGINT) AS accuracy_ppm
+       |FROM (
+       |${nbQuality(vocabSize)}
+       |) t GROUP BY is_seed""".stripMargin
 
   /** Mirror of CorpusOps.vocabCoverage: per-source OOV counts against
     * the same topK (tf, df, token)-ordered vocabulary. */

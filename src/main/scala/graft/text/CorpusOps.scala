@@ -238,6 +238,70 @@ object CorpusOps {
     bpeRounds(vocab, merges)._1
   }
 
+  /** BYTE-LEVEL corpus tokenization — [[tokenizeBpe]] in the
+    * [[bpeMergesBytes]] regime: train byte-level merges, then encode
+    * EVERY token of every document (no `^[a-z]+$` restriction — any
+    * unicode word) as BPE token ids. Ids: a base byte symbol is its
+    * byte value 0..255; the symbol created by merge rank k gets
+    * 255 + k (first rank wins on collisions). Same
+    * corpus-touched-twice / distinct-words-fold / broadcast-join
+    * shape as the char-level encode. */
+  def tokenizeBpeBytes(docs: DataFrame, merges: Int = 12,
+      vocabSize: Int = 400, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val mt = bpeMergesBytes(docs, merges, vocabSize, textCol)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val symIds = mt.zipWithIndex
+      .map { case ((a, b), i) => (a + b, 256L + i) }
+      .groupBy(_._1).map { case (s0, xs) => (s0, xs.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    def symToId(sym: Column): Column =
+      symIds.foldLeft(conv(sym, 16, 10).cast("long")) {
+        case (acc, (s0, id)) => when(sym === lit(s0), lit(id)).otherwise(acc)
+      }
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+      .filter(col("token") =!= "")
+    val seg = mt.foldLeft(
+        words.select(col("token")).distinct()
+          .withColumn("s", regexp_replace(
+            hex(encode(col("token"), "UTF-8")), "(..)", " $1"))) {
+        case (df, (a, b)) =>
+          df.withColumn("s", applyMergeGreedy(col("s"), lit(a), lit(b)))
+      }
+      .select(col("token"),
+        split(col("s").substr(lit(2), length(col("s"))), " ").as("syms"))
+      .select(col("token"), size(col("syms")).cast("long").as("n_syms"),
+        concat_ws("_",
+          transform(col("syms"), y => symToId(y).cast("string"))).as("wid_str"))
+    words.join(seg, Seq("token"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_syms")).as("n_tokens"),
+        concat_ws("_", transform(
+          array_sort(collect_list(struct(col("pos"), col("wid_str")))),
+          s => s.getField("wid_str"))).as("ids_str"))
+  }
+
+  /** Held-out confusion matrix of [[nbQuality]] — the evaluation a
+    * trained filter ships with: per true class, the scored-doc count,
+    * predicted-seed count, correct count, and accuracy in exact ppm.
+    * Two rows; the aggregate the per-doc scores feed anyway. */
+  def nbQualityEval(docs: DataFrame, vocabSize: Int = 64,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame =
+    nbQuality(docs, vocabSize, idCol, sourceCol, textCol)
+      .groupBy(col("is_seed"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pred_seed")).as("n_pred_seed"),
+        sum(when(col("pred_seed") === col("is_seed"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("is_seed"), col("n_docs"), col("n_pred_seed"),
+        col("n_correct"),
+        TextFunctions.intDiv(col("n_correct") * 1000000L, col("n_docs"))
+          .cast("long").as("accuracy_ppm"))
+
   /** Top-`vocabSize` words with their initial char segmentation. */
   private def bpeVocab(wordFreq: DataFrame, vocabSize: Int): DataFrame =
     wordFreq

@@ -148,6 +148,37 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq === Seq(("41", "42", 2L)))
   }
 
+  test("tokenizeBpeBytes: unicode corpus encodes to hand-computed byte ids") {
+    // same corpus as the byte-merge test: merges (97,A5) then
+    // (97A5,E6). 日本 = E6 97 A5 E6 9C AC -> [E6, 97A5E6, 9C, AC] =
+    // ids [230, 257, 156, 172]; 日本語 adds 語 = E8 AA 9E ->
+    // [232, 170, 158]. Merged rank 2 -> 255 + 2 = 257.
+    val out = CorpusOps.tokenizeBpeBytes(
+      docs((1L, "日本 日本 日本語")), merges = 2, vocabSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3)))
+    val word = "230_257_156_172"
+    assert(out.toSeq === Seq(
+      (1L, 3L, 15L, s"${word}_${word}_${word}_232_170_158")))
+  }
+
+  test("nbQualityEval: planted classes give a perfect confusion row per class") {
+    import spark.implicits._
+    val rows = (0L until 40L).map { i =>
+      val seed = i % 2 == 0
+      (i, if (seed) "good clean prose here" else "spam junk click now",
+        s"src${i % 4}")
+    }
+    val out = CorpusOps.nbQualityEval(
+      rows.toDF("doc_id", "text", "source"), vocabSize = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 8 held-out docs, 4 per class; all correct -> accuracy 1e6;
+    // the crawl row predicts seed for none of its docs
+    assert(out(1L) === ((4L, 4L, 4L, 1000000L)))
+    assert(out(0L) === ((4L, 0L, 4L, 1000000L)))
+  }
+
   test("tokenizeBpe: hand-computed ids, base chars 0..25, merged symbols 25+rank") {
     // corpus: bc x11, ab x6, abc x4 (doc 4 mixes in a non-[a-z] token).
     // merges=2 learns (b,c) then (a,b) -> ids: bc=26, ab=27.
