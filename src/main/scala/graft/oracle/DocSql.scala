@@ -259,11 +259,12 @@ object DocSql {
        |  s[2:] AS segmentation
        |FROM w$merges""".stripMargin
 
-  /** Mirror of CorpusOps.nbQuality: the same even-suffix labels,
-    * doc_id % 5 split, top-V training vocabulary, Laplace counts, and
-    * the shift-square fixed-point log2 unrolled as 20 chained CTEs
-    * over the (2V + 4)-value frame — bit-identical to the Scala
-    * ilog2Fp loop. All aggregate sums cast back to BIGINT. */
+  /** Mirror of CorpusOps.nbQuality: the same alternate-in-md5-order
+    * source labels, doc_id % 5 split, top-V training vocabulary,
+    * Laplace counts, and the shift-square fixed-point log2 unrolled
+    * as 20 chained CTEs over the (2V + 4)-value frame — bit-identical
+    * to the Scala ilog2Fp loop. All aggregate sums cast back to
+    * BIGINT. */
   def nbQuality(vocabSize: Int): String = {
     val rounds = (1 to 20).map { k =>
       s"""l$k AS MATERIALIZED (SELECT key, e,
@@ -272,9 +273,12 @@ object DocSql {
          |  f*2 + CASE WHEN ((m*m) >> 30) >= 2147483648 THEN 1 ELSE 0 END AS f
          |  FROM l${k - 1})""".stripMargin
     }.mkString(",\n")
-    s"""WITH lab AS (SELECT doc_id,
-       |  (CAST(substr(source, 4) AS INT) % 2 = 0) AS s,
-       |  string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+    s"""WITH srcl AS (SELECT src, (row_number() OVER (ORDER BY md5(src), src))
+       |    % 2 = 1 AS lab_seed
+       |  FROM (SELECT DISTINCT coalesce(source, '') AS src FROM documents)),
+       |lab AS (SELECT doc_id, srcl.lab_seed AS s,
+       |  string_split(coalesce(text, ''), ' ') AS toks
+       |  FROM documents JOIN srcl ON coalesce(documents.source, '') = srcl.src),
        |tr AS (SELECT * FROM lab WHERE doc_id % 5 != 0),
        |ttok AS (SELECT doc_id, s, unnest(toks) AS token FROM tr),
        |vc AS MATERIALIZED (SELECT token FROM (

@@ -482,11 +482,15 @@ object CorpusOps {
   /** EXACT-INTEGER NAIVE BAYES quality classifier — the CCNet-style
     * learned scorer (Wenzek et al. 2020 train a linear fastText model
     * on curated-vs-crawl labels; multinomial NB is the counts-exact
-    * member of that family): label sources by their numeric suffix
-    * (even = curated seed, odd = crawl), train token log-odds on the
-    * doc_id % 5 != 0 split, and score the held-out doc_id % 5 == 0
-    * docs with the per-token log-likelihood ratio plus the class
-    * prior. All log-probabilities are [[ilog2Fp]] fixed-point
+    * member of that family): label sources seed/crawl by alternation
+    * in md5-hex order (every other DISTINCT source is "curated" — a
+    * deterministic stand-in for real curation labels that is TOTAL on
+    * arbitrary source strings and guarantees both classes whenever
+    * the corpus has >= 2 distinct sources, which a suffix- or
+    * hash-parity rule cannot: the fuzz corpus's three sources all
+    * share md5 parity), train token log-odds on the doc_id % 5 != 0
+    * split, and score the held-out doc_id % 5 == 0 docs with the
+    * per-token log-likelihood ratio plus the class prior. All log-probabilities are [[ilog2Fp]] fixed-point
     * integers (2^-20 log2 units), so training and scoring are exact
     * integer arithmetic end to end and the whole trained model
     * hash-gates against the DuckDB oracle — which an SGD/float model
@@ -512,8 +516,19 @@ object CorpusOps {
     val spark = docs.sparkSession
     import spark.implicits._
     require(vocabSize >= 1, s"vocabSize=$vocabSize")
-    val isSeed = substring(col(sourceCol), 4, 16).cast("int") % 2 === 0
-    val train = docs.filter(col(idCol) % 5 =!= 0)
+    // seed/crawl labels: alternate over distinct sources in md5-hex
+    // order (sources-bounded window; broadcast back onto the corpus)
+    val wsrc = Window.orderBy(col("mh"), col("src"))
+    val srcLab = docs
+      .select(coalesce(col(sourceCol), lit("")).as("src")).distinct()
+      .withColumn("mh", md5(col("src").cast("binary")))
+      .withColumn("lab_seed", row_number().over(wsrc) % 2 === 1)
+      .select(col("src"), col("lab_seed"))
+    val labeled = docs
+      .withColumn("src", coalesce(col(sourceCol), lit("")))
+      .join(broadcast(srcLab), "src")
+    val isSeed = col("lab_seed")
+    val train = labeled.filter(col(idCol) % 5 =!= 0)
     val vocab = vocabulary(train, vocabSize, idCol, textCol).select(col("token"))
     val cnt = train
       .select(isSeed.as("s"), explode(TextFunctions.tokens(col(textCol))).as("token"))
@@ -535,7 +550,7 @@ object CorpusOps {
       (t, (ilog2Fp(cs + 1) - lgTs) - (ilog2Fp(cc + 1) - lgTc))
     }.toDF("token", "w")
     val prior = ilog2Fp(nS) - ilog2Fp(nC)
-    docs.filter(col(idCol) % 5 === 0)
+    labeled.filter(col(idCol) % 5 === 0)
       .select(col(idCol).as("doc_id"), isSeed.as("actual"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .join(broadcast(wdf), Seq("token"), "left")

@@ -164,10 +164,12 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("nbQualityEval: planted classes give a perfect confusion row per class") {
     import spark.implicits._
+    val srcs = (0 until 4).map(k => s"src$k")
+    val seeds = seedSources(srcs)
     val rows = (0L until 40L).map { i =>
-      val seed = i % 2 == 0
-      (i, if (seed) "good clean prose here" else "spam junk click now",
-        s"src${i % 4}")
+      val src = srcs((i % 4).toInt)
+      (i, if (seeds(src)) "good clean prose here" else "spam junk click now",
+        src)
     }
     val out = CorpusOps.nbQualityEval(
       rows.toDF("doc_id", "text", "source"), vocabSize = 16)
@@ -247,15 +249,27 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** The labeling rule of nbQuality, restated in plain Scala: every
+    * other distinct source in (md5-hex, source) order is seed. */
+  private def seedSources(srcs: Seq[String]): Set[String] = {
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    srcs.distinct.sortBy(s => (md5hex(s), s))
+      .zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toSet
+  }
+
   test("nbQuality: separates planted quality classes on the held-out split") {
     import spark.implicits._
-    // seed sources (even suffix) speak "good" vocabulary, crawl
-    // sources (odd suffix) speak "spam": NB must recover the labels
-    // on every held-out doc (doc_id % 5 == 0)
+    // seed sources (alternate in md5 order) speak "good" vocabulary,
+    // crawl sources speak "spam": NB must recover the labels on every
+    // held-out doc (doc_id % 5 == 0)
+    val srcs = (0 until 4).map(k => s"src$k")
+    val seeds = seedSources(srcs)
     val rows = (0L until 40L).map { i =>
-      val seed = i % 2 == 0
-      val text = if (seed) "good clean prose here" else "spam junk click now"
-      (i, text, s"src${i % 4}") // src0/src2 = seed, src1/src3 = crawl
+      val src = srcs((i % 4).toInt)
+      val text = if (seeds(src)) "good clean prose here"
+        else "spam junk click now"
+      (i, text, src)
     }
     val d = rows.toDF("doc_id", "text", "source")
     val out = CorpusOps.nbQuality(d, vocabSize = 16)
@@ -265,7 +279,8 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     out.foreach { case (id, nScored, llr, pred, actual) =>
       assert(nScored === 4L, s"doc $id")
       assert(pred === actual, s"doc $id llr=$llr")
-      assert(actual === (if (id % 2 == 0) 1L else 0L), s"doc $id")
+      assert(actual === (if (seeds(srcs((id % 4).toInt))) 1L else 0L),
+        s"doc $id")
     }
   }
 
