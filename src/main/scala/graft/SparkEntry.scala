@@ -632,6 +632,25 @@ object SparkEntry {
     // evaluation row a trained filter ships with
     "q_quality_nb_eval" -> ((s, dir) =>
       graft.text.CorpusOps.nbQualityEval(table(s, dir, "documents"))),
+    // PERSISTED classifier-counts lifecycle: source-keyed sum-merge
+    // partials (labels derived at serve time from the merged source
+    // set), build + append trains the IDENTICAL model to from-scratch
+    // — gated by the plain q_quality_nb oracle
+    "q_quality_nb_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_nb_counts/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true) // stale parts from prior runs
+        graft.text.CorpusOps.nbCountsBuild(
+          docs.filter(col("doc_id") % 4 =!= 0), path, "p0")
+        graft.text.CorpusOps.nbCountsBuild(
+          docs.filter(col("doc_id") % 4 === 0), path, "p1")
+      })
+      graft.text.CorpusOps.nbQualityFromCounts(s, docs, path)
+    }),
     // KMV bottom-k distinct sketch: deterministic integer estimator,
     // oracle-gated (which approx_count_distinct can never be)
     "q_sketch_kmv" -> ((s, dir) =>
@@ -2490,6 +2509,7 @@ object SparkEntry {
     "q_text_bpe_bytes" -> DocSql.bpeMergesBytes(12, 400),
     "q_tokenize_bpe_bytes" -> DocSql.tokenizeBpeBytes(12, 400),
     "q_quality_nb_eval" -> DocSql.nbQualityEval(64),
+    "q_quality_nb_indexed" -> DocSql.nbQuality(64),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

@@ -66,10 +66,34 @@ object StreamText {
         }
       }
       .start()
+
+  /** Streaming ingest for the persisted NB-classifier count artifact
+    * ([[graft.text.CorpusOps.nbCountsBuild]]): each micro-batch
+    * contributes its (token, source) train-count and per-source
+    * doc-count PARTIALS. Counts are source-keyed (labels are derived
+    * at SERVE time from the merged source set, so a batch introducing
+    * a brand-new source merges exactly — per-label partials would
+    * not). Duplicate-sensitive sum-merge → atomic per-batch commit
+    * via [[AtomicIngest.commitBatch]]. Stream == sequential
+    * nbCountsBuild parts, gated by the plain nbQuality oracle;
+    * StreamingSpec asserts the served scores match the from-scratch
+    * batch classifier. The artifact must exist before the stream
+    * starts. */
+  def ingestNbCounts(docs: DataFrame, countsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AtomicIngest.commitBatch(batch.sparkSession, countsPath, batchId) {
+          staging => graft.text.CorpusOps.writeNbPartial(batch, staging)
+        }
+      }
+      .start()
 }
 
 /** Atomic per-batch commit for duplicate-sensitive persisted
-  * artifacts (BPE word counts, Gram partials): stage the batch's
+  * artifacts (BPE word counts, Gram partials, NB classifier counts):
+  * stage the batch's
   * partial frame under a hidden directory inside the artifact, then
   * publish it with ONE filesystem rename to a visible `batch_<id>`
   * subdirectory. Readers use `recursiveFileLookup`, so they see the

@@ -513,33 +513,103 @@ object CorpusOps {
   def nbQuality(docs: DataFrame, vocabSize: Int = 64,
       idCol: String = "doc_id", sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
+    val (tok, dc) = nbPartials(docs, idCol, sourceCol, textCol)
+    nbScoreWith(docs, tok, dc, vocabSize, idCol, sourceCol, textCol)
+  }
+
+  /** One batch's NB count PARTIALS — the sum-mergeable frames the
+    * persisted-classifier lifecycle stores: per (token, source) the
+    * train-split term and document frequencies, and per source the
+    * train doc count (ALL sources kept, zero-train ones included, so
+    * the label alternation is derived from the full source set).
+    * Counts are keyed by SOURCE, not by label: a label depends on the
+    * global distinct-source set, so labeled partials would not merge
+    * when a later batch introduces a new source — per-source counts
+    * always do (batches partition docs, so tf, df and n_train all
+    * merge by plain sum). */
+  private def nbPartials(docs: DataFrame, idCol: String,
+      sourceCol: String, textCol: String): (DataFrame, DataFrame) = {
+    val base = docs.withColumn("src", coalesce(col(sourceCol), lit("")))
+    val train = base.filter(col(idCol) % 5 =!= 0)
+    val tok = train
+      .select(col("src"), col(idCol).as("did"),
+        explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token"), col("src"))
+      .agg(count(lit(1)).as("tf"), countDistinct(col("did")).as("df"))
+    val dcnt = base.groupBy(col("src"))
+      .agg(sum(when(col(idCol) % 5 =!= 0, 1L).otherwise(0L)).as("n_train"))
+    (tok, dcnt)
+  }
+
+  /** Persist one NB count partial under `path/part` (tokens + docs
+    * frames). BUILD with part = "p0"; APPEND by writing further parts
+    * under fresh names — the read-time merge is plain sum, so build +
+    * any append sequence trains the IDENTICAL model to a from-scratch
+    * run over the union (gated by the PLAIN nbQuality oracle; spec'd).
+    * The streaming ingest loop commits each micro-batch's partial
+    * atomically via [[graft.streaming.AtomicIngest]] (batch_<id>
+    * directories next to the p* parts — the `path/<star>/tokens`
+    * read glob sees both and skips hidden staging). */
+  def nbCountsBuild(docs: DataFrame, path: String, part: String = "p0",
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): Unit =
+    writeNbPartial(docs, s"$path/$part", idCol, sourceCol, textCol)
+
+  private[graft] def writeNbPartial(docs: DataFrame, dir: String,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): Unit = {
+    val (tok, dc) = nbPartials(docs, idCol, sourceCol, textCol)
+    tok.write.mode("overwrite").parquet(s"$dir/tokens")
+    dc.write.mode("overwrite").parquet(s"$dir/docs")
+  }
+
+  /** Serve the classifier from a persisted [[nbCountsBuild]] artifact:
+    * merge the stored partials (vocabulary- and sources-bounded sum
+    * aggregates — the corpus is touched only by the scoring pass over
+    * `docs`), then the same model derivation and held-out scoring as
+    * [[nbQuality]], bit-for-bit. */
+  def nbQualityFromCounts(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String, vocabSize: Int = 64,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): DataFrame = {
+    val tok = spark.read.parquet(s"$path/*/tokens")
+      .groupBy(col("token"), col("src"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+    val dc = spark.read.parquet(s"$path/*/docs")
+      .groupBy(col("src")).agg(sum(col("n_train")).as("n_train"))
+    nbScoreWith(docs, tok, dc, vocabSize, idCol, sourceCol, textCol)
+  }
+
+  /** The shared NB core: derive labels (alternate over the source set
+    * in md5-hex order), the top-V vocabulary, the fixed-point log2
+    * weight table (a bounded driver artifact, broadcast), and score
+    * the held-out split of `docs`. `tok`/`dc` are merged partial
+    * frames in the [[nbPartials]] shape. */
+  private def nbScoreWith(docs: DataFrame, tok: DataFrame, dc: DataFrame,
+      vocabSize: Int, idCol: String, sourceCol: String,
+      textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(vocabSize >= 1, s"vocabSize=$vocabSize")
-    // seed/crawl labels: alternate over distinct sources in md5-hex
-    // order (sources-bounded window; broadcast back onto the corpus)
     val wsrc = Window.orderBy(col("mh"), col("src"))
-    val srcLab = docs
-      .select(coalesce(col(sourceCol), lit("")).as("src")).distinct()
+    val srcLab = dc.select(col("src")).distinct()
       .withColumn("mh", md5(col("src").cast("binary")))
       .withColumn("lab_seed", row_number().over(wsrc) % 2 === 1)
       .select(col("src"), col("lab_seed"))
-    val labeled = docs
-      .withColumn("src", coalesce(col(sourceCol), lit("")))
-      .join(broadcast(srcLab), "src")
-    val isSeed = col("lab_seed")
-    val train = labeled.filter(col(idCol) % 5 =!= 0)
-    val vocab = vocabulary(train, vocabSize, idCol, textCol).select(col("token"))
-    val cnt = train
-      .select(isSeed.as("s"), explode(TextFunctions.tokens(col(textCol))).as("token"))
+    val vocab = tok.groupBy(col("token"))
+      .agg(sum(col("tf")).as("vtf"), sum(col("df")).as("vdf"))
+      .orderBy(col("vtf").desc, col("vdf").desc, col("token"))
+      .limit(vocabSize).select(col("token"))
+    val cnt = tok
       .join(broadcast(vocab), "token")
+      .join(broadcast(srcLab), "src")
       .groupBy(col("token"))
-      .agg(sum(when(col("s"), 1L).otherwise(0L)).as("cs"),
-        sum(when(col("s"), 0L).otherwise(1L)).as("cc"))
+      .agg(sum(when(col("lab_seed"), col("tf")).otherwise(0L)).as("cs"),
+        sum(when(col("lab_seed"), 0L).otherwise(col("tf"))).as("cc"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
-    val nd = train.agg(
-        sum(when(isSeed, 1L).otherwise(0L)).as("ns"),
-        sum(when(isSeed, 0L).otherwise(1L)).as("nc"))
+    val nd = dc.join(broadcast(srcLab), "src")
+      .agg(sum(when(col("lab_seed"), col("n_train")).otherwise(0L)).as("ns"),
+        sum(when(col("lab_seed"), 0L).otherwise(col("n_train"))).as("nc"))
       .collect()(0)
     val (nS, nC) = (nd.getLong(0), nd.getLong(1))
     require(nS >= 1 && nC >= 1, s"both classes must be present: nS=$nS nC=$nC")
@@ -550,8 +620,10 @@ object CorpusOps {
       (t, (ilog2Fp(cs + 1) - lgTs) - (ilog2Fp(cc + 1) - lgTc))
     }.toDF("token", "w")
     val prior = ilog2Fp(nS) - ilog2Fp(nC)
-    labeled.filter(col(idCol) % 5 === 0)
-      .select(col(idCol).as("doc_id"), isSeed.as("actual"),
+    docs.withColumn("src", coalesce(col(sourceCol), lit("")))
+      .join(broadcast(srcLab), "src")
+      .filter(col(idCol) % 5 === 0)
+      .select(col(idCol).as("doc_id"), col("lab_seed").as("actual"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .join(broadcast(wdf), Seq("token"), "left")
       .groupBy(col("doc_id"), col("actual"))

@@ -424,6 +424,42 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$tmp/counts/_staging_0")))
   }
 
+  test("streaming NB count ingest == from-scratch batch classifier") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_nb").toString
+    val srcs = Seq("alpha", "beta", "gamma", "delta")
+    val all = (0L until 40L).map { i =>
+      (i, if (i % 2 == 0) "good clean prose here" else "spam junk click now",
+        srcs((i % 4).toInt))
+    }
+    val base = all.filter(_._1 % 3 == 0)
+    val b1 = all.filter(_._1 % 3 == 1)
+    val b2 = all.filter(_._1 % 3 == 2)
+    graft.text.CorpusOps.nbCountsBuild(
+      base.toDF("doc_id", "text", "source"), s"$tmp/counts", "p0")
+    val schema = b1.toDF("doc_id", "text", "source").schema
+    b1.toDF("doc_id", "text", "source").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamText.ingestNbCounts(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/counts", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text", "source").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = all.toDF("doc_id", "text", "source")
+    val served = graft.text.CorpusOps.nbQualityFromCounts(
+      spark, full, s"$tmp/counts", vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    spark.catalog.clearCache()
+    val scratch = graft.text.CorpusOps.nbQuality(full, vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    spark.catalog.clearCache()
+    assert(served === scratch && scratch.nonEmpty)
+  }
+
   test("streaming Gram ingest == from-scratch batch direction; atomic commit blocks re-delivery") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_gram").toString

@@ -284,6 +284,34 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("nb counts artifact: build + append == from-scratch, incl. a source only in the append") {
+    import spark.implicits._
+    val srcs = (0 until 4).map(k => s"src$k")
+    val seeds = seedSources(srcs)
+    val rows = (0L until 40L).map { i =>
+      val src = srcs((i % 4).toInt)
+      (i, if (seeds(src)) "good clean prose here" else "spam junk click now",
+        src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files
+      .createTempDirectory("nb_counts").toString + "/idx"
+    // the append batch holds ALL of src3's docs (i % 4 == 3), so that
+    // source is absent from the build partial — the source-keyed
+    // layout must still reproduce the from-scratch label alternation
+    CorpusOps.nbCountsBuild(d.filter(col("doc_id") % 4 =!= 3), path, "p0")
+    CorpusOps.nbCountsBuild(d.filter(col("doc_id") % 4 === 3), path, "p1")
+    val served = CorpusOps.nbQualityFromCounts(spark, d, path, vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    spark.catalog.clearCache()
+    val scratch = CorpusOps.nbQuality(d, vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    spark.catalog.clearCache()
+    assert(served === scratch && scratch.nonEmpty)
+  }
+
   test("nfc: composes decomposed sequences, idempotent, identity on ASCII/NFC, null-safe") {
     import spark.implicits._
     val dec = "cafe\u0301"            // decomposed e + combining acute
