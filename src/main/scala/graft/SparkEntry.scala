@@ -632,6 +632,11 @@ object SparkEntry {
     // evaluation row a trained filter ships with
     "q_quality_nb_eval" -> ((s, dir) =>
       graft.text.CorpusOps.nbQualityEval(table(s, dir, "documents"))),
+    // trigram LM with stupid backoff: counts trained on the doc_id%3
+    // split, ALL docs scored — held-out docs genuinely back off, and
+    // the exact-integer ladder hash-gates level by level
+    "q_text_lm3" -> ((s, dir) =>
+      graft.text.CorpusOps.lm3Surprisal(table(s, dir, "documents"))),
     // PERSISTED classifier-counts lifecycle: source-keyed sum-merge
     // partials (labels derived at serve time from the merged source
     // set), build + append trains the IDENTICAL model to from-scratch
@@ -2510,6 +2515,7 @@ object SparkEntry {
     "q_tokenize_bpe_bytes" -> DocSql.tokenizeBpeBytes(12, 400),
     "q_quality_nb_eval" -> DocSql.nbQualityEval(64),
     "q_quality_nb_indexed" -> DocSql.nbQuality(64),
+    "q_text_lm3" -> DocSql.lm3Surprisal,
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

@@ -337,6 +337,20 @@ object Curves {
       > SELECT _FUNC_(split('one', ' '));
        []
   """),
+    FunctionDoc("token_trigrams", (args: Seq[Expression]) => args match {
+      case Seq(t) => TokenTrigrams(t)
+      case other => throw new IllegalArgumentException(
+        s"token_trigrams expects (tokens), got ${other.size} arguments")
+    }, "token_trigrams(tokens) - adjacent token trigrams as 'a b c' strings; " +
+      "empty below 3 tokens",
+      classOf[TokenTrigrams], "array_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(split('a b c d', ' '));
+       [a b c,b c d]
+      > SELECT _FUNC_(split('one two', ' '));
+       []
+  """),
     FunctionDoc("top_bigram_count", (args: Seq[Expression]) => args match {
       case Seq(t) => TopBigramCount(t)
       case other => throw new IllegalArgumentException(

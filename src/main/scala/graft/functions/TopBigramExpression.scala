@@ -82,9 +82,56 @@ case class TokenBigrams(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Adjacent token trigrams ("a b c" strings) of a token array in one
+  * native pass — the [[TokenBigrams]] pattern one order up, feeding
+  * the backoff LM scorer. Empty below 3 tokens; a null token nulls
+  * its trigrams (concat semantics). The builtin-composed SPEC is
+  * [[graft.text.TextFunctions.trigramsBuiltin]]. */
+case class TokenTrigrams(child: Expression) extends UnaryExpression {
+
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "token_trigrams"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"token_trigrams expects array<string>, got ${other.simpleString(10)}")
+  }
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = true)
+
+  override protected def nullSafeEval(input: Any): Any =
+    TopBigramRuntime.trigrams(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.TopBigramRuntime.trigrams($c);")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenTrigrams =
+    copy(child = newChild)
+}
+
 object TopBigramRuntime {
 
   private val Space = UTF8String.fromString(" ")
+
+  /** Adjacent trigram strings; empty array below 3 tokens. */
+  def trigrams(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    if (n < 3) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](0))
+    val out = new Array[Any](n - 2)
+    var i = 0
+    while (i < n - 2) {
+      val a = toks.getUTF8String(i)
+      val b = toks.getUTF8String(i + 1)
+      val c = toks.getUTF8String(i + 2)
+      out(i) = if (a == null || b == null || c == null) null
+        else UTF8String.concat(a, Space, b, Space, c)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 
   /** Adjacent bigram strings; empty array below 2 tokens. */
   def bigrams(toks: ArrayData): ArrayData = {

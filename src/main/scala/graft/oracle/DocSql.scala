@@ -259,6 +259,62 @@ object DocSql {
        |  s[2:] AS segmentation
        |FROM w$merges""".stripMargin
 
+  /** Mirror of CorpusOps.lm3Surprisal: trigram stupid backoff — the
+    * same train split (doc_id % 3 != 0), the same exact-integer
+    * ladder (1e6·c123//c12, else 2e6·c23//(5·c(w2)), else
+    * 4e6·c(w3)//(25·N), else 0), instance-weighted per-doc mean. */
+  val lm3Surprisal: String =
+    s"""WITH $docsToks,
+       |tr AS (SELECT toks FROM d WHERE doc_id % 3 != 0),
+       |c3 AS MATERIALIZED (SELECT g3, CAST(count(*) AS BIGINT) AS c123
+       |  FROM (SELECT unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |      for i in generate_series(1, len(toks) - 2)]) AS g3 FROM tr)
+       |  GROUP BY 1),
+       |c2 AS MATERIALIZED (SELECT g2, CAST(count(*) AS BIGINT) AS c2
+       |  FROM (SELECT unnest([toks[i] || ' ' || toks[i+1]
+       |      for i in generate_series(1, len(toks) - 1)]) AS g2 FROM tr)
+       |  GROUP BY 1),
+       |c1 AS MATERIALIZED (SELECT w, CAST(count(*) AS BIGINT) AS c1
+       |  FROM (SELECT unnest(toks) AS w FROM tr) GROUP BY 1),
+       |nt AS (SELECT CAST(sum(c1) AS BIGINT) AS ntot FROM c1),
+       |di AS (SELECT doc_id, g3, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+       |      for i in generate_series(1, len(toks) - 2)]) AS g3 FROM d)
+       |  GROUP BY 1, 2),
+       |ji AS (SELECT di.doc_id, di.n,
+       |    c3.c123, p.c2 AS c12, s.c2 AS c23, u2.c1 AS cw2, u3.c1 AS cw3,
+       |    (SELECT ntot FROM nt) AS ntot
+       |  FROM (SELECT doc_id, g3, n, str_split(g3, ' ') AS sp FROM di) di
+       |  LEFT JOIN c3 ON di.g3 = c3.g3
+       |  LEFT JOIN c2 p ON p.g2 = di.sp[1] || ' ' || di.sp[2]
+       |  LEFT JOIN c2 s ON s.g2 = di.sp[2] || ' ' || di.sp[3]
+       |  LEFT JOIN c1 u2 ON u2.w = di.sp[2]
+       |  LEFT JOIN c1 u3 ON u3.w = di.sp[3]),
+       |si AS (SELECT doc_id, n,
+       |  CASE WHEN c123 IS NOT NULL THEN c123 * 1000000 // c12
+       |       WHEN c23 IS NOT NULL THEN c23 * 2000000 // (cw2 * 5)
+       |       WHEN cw3 IS NOT NULL THEN cw3 * 4000000 // (ntot * 25)
+       |       ELSE 0 END AS s,
+       |  CASE WHEN c123 IS NOT NULL THEN 3 WHEN c23 IS NOT NULL THEN 2
+       |       WHEN cw3 IS NOT NULL THEN 1 ELSE 0 END AS lv
+       |  FROM ji),
+       |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nt,
+       |  CAST(sum(CASE WHEN lv = 3 THEN n ELSE 0 END) AS BIGINT) AS h3,
+       |  CAST(sum(CASE WHEN lv = 2 THEN n ELSE 0 END) AS BIGINT) AS h2,
+       |  CAST(sum(CASE WHEN lv = 1 THEN n ELSE 0 END) AS BIGINT) AS h1,
+       |  CAST(sum(CASE WHEN lv = 0 THEN n ELSE 0 END) AS BIGINT) AS h0,
+       |  CAST(sum(n * s) AS BIGINT) AS ssum
+       |  FROM si GROUP BY 1)
+       |SELECT d.doc_id,
+       |  coalesce(sc.nt, 0) AS n_trigrams,
+       |  coalesce(sc.h3, 0) AS n_tri_hits,
+       |  coalesce(sc.h2, 0) AS n_big_hits,
+       |  coalesce(sc.h1, 0) AS n_uni_hits,
+       |  coalesce(sc.h0, 0) AS n_oov,
+       |  CAST(CASE WHEN coalesce(sc.nt, 0) = 0 THEN 0
+       |    ELSE sc.ssum // sc.nt END AS BIGINT) AS score_ppm
+       |FROM d LEFT JOIN sc ON d.doc_id = sc.doc_id""".stripMargin
+
   /** Mirror of CorpusOps.nbQuality: the same alternate-in-md5-order
     * source labels, doc_id % 5 split, top-V training vocabulary,
     * Laplace counts, and the shift-square fixed-point log2 unrolled

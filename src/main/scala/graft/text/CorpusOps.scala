@@ -1364,6 +1364,90 @@ object CorpusOps {
           .as("surprisal_ppm"))
   }
 
+  /** TRIGRAM LM with STUPID BACKOFF (Brants et al. EMNLP'07) — the
+    * step from the bigram surprisal toward the KenLM-style filter,
+    * kept exact-integer so the whole backoff ladder hash-gates.
+    * Counts are trained on the doc_id % 3 != 0 split and ALL docs are
+    * scored, so held-out docs genuinely hit unseen trigrams and the
+    * backoff fires (self-scored corpora never back off — every
+    * n-gram trivially exists in its own counts).
+    *
+    * Per trigram instance (w1 w2 w3), in ppm:
+    *   c123 > 0:  1e6·c123 // c12          (the ML trigram cond.)
+    *   c23  > 0:  2·1e6·c23 // (5·c(w2))    (alpha = 0.4 = 2/5)
+    *   c(w3)> 0:  4·1e6·c(w3) // (25·N)     (alpha²·unigram)
+    *   else OOV, scored 0 (counted in n_oov — no invented smoothing
+    *   constant; the ladder depth per doc is emitted so a pipeline
+    *   can gate on backoff rate as well as the score).
+    * Output: (doc_id, n_trigrams, n_tri_hits, n_big_hits, n_uni_hits,
+    * n_oov, score_ppm = instance-weighted mean).
+    *
+    * Shape at 100 TB: three count tables (trigram/bigram/unigram —
+    * each bounded by its distinct-ngram count, the classic LM table
+    * sizes), one corpus trigram explode, co-keyed shuffle joins on
+    * the ngram strings, one 1-row total broadcast; the per-doc
+    * aggregate map-side combines. */
+  def lm3Surprisal(docs: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val train = docs.filter(col(idCol) % 3 =!= 0)
+    val c3 = train
+      .select(explode(TextFunctions.trigrams(col(textCol))).as("g3"))
+      .groupBy(col("g3")).agg(count(lit(1)).as("c123"))
+    val c2 = train
+      .select(explode(TextFunctions.bigrams(col(textCol))).as("g2"))
+      .groupBy(col("g2")).agg(count(lit(1)).as("c2"))
+    val c1 = train
+      .select(explode(TextFunctions.tokens(col(textCol))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c1"))
+    val nTot = c1.agg(sum(col("c1")).as("ntot"))
+    val inst = docs
+      .select(col(idCol).as("doc_id"),
+        explode(TextFunctions.trigrams(col(textCol))).as("g3"))
+      .groupBy(col("doc_id"), col("g3")).agg(count(lit(1)).as("n"))
+      .withColumn("sp", split(col("g3"), " "))
+      .select(col("doc_id"), col("g3"), col("n"),
+        concat_ws(" ", element_at(col("sp"), 1), element_at(col("sp"), 2)).as("g12"),
+        concat_ws(" ", element_at(col("sp"), 2), element_at(col("sp"), 3)).as("g23"),
+        element_at(col("sp"), 2).as("w2"), element_at(col("sp"), 3).as("w3"))
+      .join(c3, Seq("g3"), "left")
+      .join(c2.select(col("g2").as("g12"), col("c2").as("c12")), Seq("g12"), "left")
+      .join(c2.select(col("g2").as("g23"), col("c2").as("c23")), Seq("g23"), "left")
+      .join(c1.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"), "left")
+      .join(c1.select(col("w").as("w3"), col("c1").as("cw3")), Seq("w3"), "left")
+      .crossJoin(broadcast(nTot))
+    val score =
+      when(col("c123").isNotNull,
+        TextFunctions.intDiv(col("c123") * lit(1000000L), col("c12")))
+      .when(col("c23").isNotNull,
+        TextFunctions.intDiv(col("c23") * lit(2000000L), col("cw2") * lit(5L)))
+      .when(col("cw3").isNotNull,
+        TextFunctions.intDiv(col("cw3") * lit(4000000L), col("ntot") * lit(25L)))
+      .otherwise(lit(0L))
+    val level =
+      when(col("c123").isNotNull, lit(3)).when(col("c23").isNotNull, lit(2))
+        .when(col("cw3").isNotNull, lit(1)).otherwise(lit(0))
+    val sc = inst
+      .select(col("doc_id"), col("n"), score.cast("long").as("s"), level.as("lv"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n")).as("nt"),
+        sum(when(col("lv") === 3, col("n")).otherwise(0L)).as("h3"),
+        sum(when(col("lv") === 2, col("n")).otherwise(0L)).as("h2"),
+        sum(when(col("lv") === 1, col("n")).otherwise(0L)).as("h1"),
+        sum(when(col("lv") === 0, col("n")).otherwise(0L)).as("h0"),
+        sum(col("n") * col("s")).as("ssum"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(sc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nt"), lit(0L)).as("n_trigrams"),
+        coalesce(col("h3"), lit(0L)).as("n_tri_hits"),
+        coalesce(col("h2"), lit(0L)).as("n_big_hits"),
+        coalesce(col("h1"), lit(0L)).as("n_uni_hits"),
+        coalesce(col("h0"), lit(0L)).as("n_oov"),
+        when(coalesce(col("nt"), lit(0L)) === 0L, 0L)
+          .otherwise(TextFunctions.intDiv(col("ssum"), col("nt")))
+          .as("score_ppm"))
+  }
+
   /** Persist the LM count artifact: per-batch PARTIAL bigram counts
     * (g, n). The merge law is plain sum — associative, commutative —
     * so [[appendLmIndex]] is a pure file add and build + any append

@@ -67,6 +67,23 @@ object TextFunctions {
         i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2))))
   }
 
+  /** Adjacent token trigrams ("a b c" strings); empty below 3 tokens.
+    * Native single-pass expression
+    * ([[graft.functions.TokenTrigrams]]); [[trigramsBuiltin]] is the
+    * executable spec. */
+  def trigrams(text: Column): Column =
+    ColumnShims.column(graft.functions.TokenTrigrams(
+      ColumnShims.expression(tokens(text))))
+
+  /** Builtin-composed [[trigrams]] — the executable SPEC. */
+  def trigramsBuiltin(text: Column): Column = {
+    val t = tokens(text)
+    when(size(t) < 3, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(t) - 3),
+        i => concat(element_at(t, i + 1), lit(" "), element_at(t, i + 2),
+          lit(" "), element_at(t, i + 3))))
+  }
+
   /** Count of the most frequent bigram, computed WITHIN the row — no
     * per-(doc, ngram) shuffle, the whole repetition signal stays a
     * narrow projection (the 100 TB point: Gopher-style repetition

@@ -284,6 +284,45 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("lm3Surprisal: every backoff level fires with hand-computed scores") {
+    // train = doc_id % 3 != 0: doc 1 "a b c a b c", doc 2 "a b d".
+    // train counts: c123("a b c")=2, c12("a b")=3, c23("b c")=2,
+    // c1: a=3 b=3 c=2 d=1, N=9.
+    val d = docs(
+      (0L, "a b c"),        // lv3: floor(1e6*2/3)       = 666666
+      (1L, "a b c a b c"),  // train; lv3 instances only
+      (2L, "a b d"),        // train; lv3: c123=1, c12=3 -> 333333
+      (3L, "x b c"),        // lv2: floor(2e6*2/(5*3))   = 266666
+      (6L, "x y c"),        // lv1: floor(4e6*2/(25*9))  = 35555
+      (9L, "x y z"),        // lv0 (OOV): 0
+      (12L, "a b"))         // no trigrams -> zeros
+    val out = CorpusOps.lm3Surprisal(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(out(0L) === ((1L, 1L, 0L, 0L, 0L, 666666L)))
+    assert(out(3L) === ((1L, 0L, 1L, 0L, 0L, 266666L)))
+    assert(out(6L) === ((1L, 0L, 0L, 1L, 0L, 35555L)))
+    assert(out(9L) === ((1L, 0L, 0L, 0L, 1L, 0L)))
+    assert(out(12L) === ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // self-scored train doc: "a b c"x2 at 666666, "b c a" at
+    // c123=1/c12("b c")=2 -> 500000, "c a b" at c123=1/c12("c a")=1
+    // -> 1000000; mean = floor(2833332/4) = 708333
+    assert(out(1L) === ((4L, 4L, 0L, 0L, 0L, 708333L)))
+  }
+
+  test("trigrams: native expression == builtin SPEC incl. short inputs") {
+    val rows = docs((1L, "a b c d"), (2L, "x y"), (3L, ""), (4L, null))
+    val diff = rows.select(
+      graft.text.TextFunctions.trigrams(col("text")).as("n"),
+      graft.text.TextFunctions.trigramsBuiltin(col("text")).as("b"))
+      .filter(not(col("n") === col("b"))).count()
+    assert(diff === 0L)
+    val first = rows.filter(col("doc_id") === 1L)
+      .select(graft.text.TextFunctions.trigrams(col("text")))
+      .collect()(0).getSeq[String](0)
+    assert(first === Seq("a b c", "b c d"))
+  }
+
   test("nb counts artifact: build + append == from-scratch, incl. a source only in the append") {
     import spark.implicits._
     val srcs = (0 until 4).map(k => s"src$k")
