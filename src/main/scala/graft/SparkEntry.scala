@@ -632,6 +632,10 @@ object SparkEntry {
     // evaluation row a trained filter ships with
     "q_quality_nb_eval" -> ((s, dir) =>
       graft.text.CorpusOps.nbQualityEval(table(s, dir, "documents"))),
+    // tokenizer fertility per source: tokens emitted per word for the
+    // byte-level encode — the cross-domain tokenizer-quality metric
+    "q_tokenize_fertility" -> ((s, dir) =>
+      graft.text.CorpusOps.tokenizerFertility(table(s, dir, "documents"))),
     // trigram LM with stupid backoff: counts trained on the doc_id%3
     // split, ALL docs scored — held-out docs genuinely back off, and
     // the exact-integer ladder hash-gates level by level
@@ -2516,6 +2520,7 @@ object SparkEntry {
     "q_quality_nb_eval" -> DocSql.nbQualityEval(64),
     "q_quality_nb_indexed" -> DocSql.nbQuality(64),
     "q_text_lm3" -> DocSql.lm3Surprisal,
+    "q_tokenize_fertility" -> DocSql.tokenizerFertility(12, 400),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

@@ -530,6 +530,21 @@ object DocSql {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of CorpusOps.tokenizerFertility: the per-doc byte-level
+    * encode rolled up per source with the exact-ppm tokens-per-word
+    * ratio. */
+  def tokenizerFertility(merges: Int, vocabSize: Int): String =
+    s"""SELECT s.source, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(t.n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(t.n_tokens) AS BIGINT) AS n_tokens,
+       |  CAST(sum(t.n_tokens) * 1000000 // sum(t.n_words) AS BIGINT)
+       |    AS fertility_ppm
+       |FROM (
+       |${tokenizeBpeBytes(merges, vocabSize)}
+       |) t JOIN (SELECT doc_id, coalesce(source, '') AS source
+       |  FROM documents) s ON t.doc_id = s.doc_id
+       |GROUP BY s.source""".stripMargin
+
   /** Mirror of CorpusOps.nbQualityEval: the per-doc NB scores rolled
     * into the per-true-class confusion row. */
   def nbQualityEval(vocabSize: Int): String =

@@ -284,6 +284,32 @@ object CorpusOps {
           s => s.getField("wid_str"))).as("ids_str"))
   }
 
+  /** TOKENIZER FERTILITY audit per source — the number that decides
+    * whether a tokenizer serves every domain: tokens emitted per word
+    * (in exact ppm) for the byte-level BPE encode, per source. A
+    * source whose fertility is far above the corpus norm fragments
+    * into byte soup (script the merges never learned, noisy text) and
+    * burns sequence length at training time — the per-source view
+    * catches what a corpus-wide mean masks, the same argument as
+    * [[vocabCoverage]]. Only encodable docs (>= 1 non-empty token)
+    * participate. Output: (source, n_docs, n_words, n_tokens,
+    * fertility_ppm). One aggregate over the per-doc encode. */
+  def tokenizerFertility(docs: DataFrame, merges: Int = 12,
+      vocabSize: Int = 400, idCol: String = "doc_id",
+      sourceCol: String = "source", textCol: String = "text"): DataFrame = {
+    val enc = tokenizeBpeBytes(docs, merges, vocabSize, idCol, textCol)
+    docs.select(col(idCol).as("doc_id"),
+        coalesce(col(sourceCol), lit("")).as("source"))
+      .join(enc, "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_tokens")).as("n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_words"), col("n_tokens"),
+        TextFunctions.intDiv(col("n_tokens") * lit(1000000L), col("n_words"))
+          .cast("long").as("fertility_ppm"))
+  }
+
   /** Held-out confusion matrix of [[nbQuality]] — the evaluation a
     * trained filter ships with: per true class, the scored-doc count,
     * predicted-seed count, correct count, and accuracy in exact ppm.

@@ -323,6 +323,23 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(first === Seq("a b c", "b c d"))
   }
 
+  test("tokenizerFertility: unicode source fragments, ASCII source does not") {
+    import spark.implicits._
+    // exactly 7 merges collapse the dominant ASCII words (alpha needs
+    // 4, beta 3; every ASCII pair outweighs every CJK pair 16:1, so
+    // no merge reaches the CJK bytes): ascii fertility = 1 token per
+    // word, cjk words stay byte soup at 9 tokens / 2 words
+    val d = (
+      (1L to 8L).map(i => (i, "alpha beta alpha beta", "ascii")) :+
+        ((9L, "日本 語", "cjk"))
+      ).toDF("doc_id", "text", "source")
+    val out = CorpusOps.tokenizerFertility(d, merges = 7, vocabSize = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).map(x => x._1 -> x).toMap
+    assert(out("ascii") === (("ascii", 8L, 32L, 32L, 1000000L)))
+    assert(out("cjk") === (("cjk", 1L, 2L, 9L, 4500000L)))
+  }
+
   test("nb counts artifact: build + append == from-scratch, incl. a source only in the append") {
     import spark.implicits._
     val srcs = (0 until 4).map(k => s"src$k")
