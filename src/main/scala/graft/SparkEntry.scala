@@ -447,6 +447,17 @@ object SparkEntry {
       graft.graph.Triangles.clustering(
         Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
     }),
+    // community detection by deterministic synchronous label
+    // propagation over the SAME similarity graph: plurality label with
+    // (count desc, label asc) tie-break as ONE packed-long aggregate
+    // per round — dense near-dup regions collapse to one community
+    // while a bridge edge does NOT merge them (unlike components)
+    "q_graph_lp" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.graph.LabelProp.communities(
+        docs.select(col("doc_id")),
+        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
+    }),
     // fuzzy record linkage between two derived registries (4-char vs
     // 5-char sources): rare-shingle inverted-index blocking (df-capped
     // on BOTH sides — deterministic 100% recall over the blocking
@@ -2528,6 +2539,7 @@ object SparkEntry {
     "q_graph_rank_w" -> DocSql.graphRankWeighted(Dedup.MinHashParams(), 3),
     "q_graph_triangles" -> DocSql.graphTriangles(Dedup.MinHashParams()),
     "q_graph_clustering" -> DocSql.graphClustering(Dedup.MinHashParams()),
+    "q_graph_lp" -> DocSql.graphLabelProp(Dedup.MinHashParams(), 4),
     "q_graph_ppr" -> DocSql.graphRankPersonalized(Dedup.MinHashParams(), 3,
       "n.doc_id % 17 = 0"),
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),

@@ -1,0 +1,91 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Community detection by synchronous LABEL PROPAGATION (Raghavan et
+  * al. 2007) over an undirected graph — the third member of the graph
+  * family alongside PageRank (centrality) and triangles (local
+  * density): where connected components answer "what is transitively
+  * linked at all" and the clustering coefficient answers "how dense is
+  * this node's neighborhood", label propagation answers "which DENSE
+  * REGION does each node belong to" — template farms, mirror rings
+  * and topic clusters in the MinHash similarity graph each collapse to
+  * one community label, while a bridge edge between two communities
+  * does NOT merge them (unlike connected components, which it would).
+  *
+  * Semantics (deterministic variant): every node starts labeled with
+  * its own id; each synchronous round, a node adopts the plurality
+  * label among its neighbors' labels PLUS ONE VOTE for its own current
+  * label (the self-vote), ties broken to the SMALLEST label; a node
+  * with no neighbors keeps its label (its self-vote is unopposed).
+  * Classic LPA breaks ties randomly and sweeps asynchronously —
+  * neither is reproducible across engines or even across runs — so
+  * this engine pins the deterministic total order (count desc, label
+  * asc) and a FIXED iteration count, making the whole computation a
+  * pure function of the edge set that the DuckDB oracle replays round
+  * by round, bit for bit. The self-vote is also what makes the
+  * synchronous sweep CONVERGE where the pure variant oscillates: a
+  * two-node component under neighbor-only voting swaps labels every
+  * round forever, while with the self-vote both nodes tie to the
+  * smaller id in round one and stay there (spec'd).
+  *
+  * The per-node argmax is ONE packed-long aggregate, not a sort: for
+  * each (node, candidate-label) count c, max(c·P + (P−1−label)) picks
+  * the highest count, ties to the smallest label, and the label is
+  * recovered as P−1−(m mod P). Bounds: labels are node ids < P = 2^32
+  * (4.3B documents) and per-label neighbor counts < 2^30, so the pack
+  * stays inside a signed 64-bit long with headroom.
+  *
+  * Shape at 100 TB: one round = one equi-join of the narrow (doc_id,
+  * label) frame with the persisted symmetrized edge list on src, a
+  * union with the label frame itself (the self-votes — which also
+  * carry isolated nodes through without a separate left join), one
+  * map-side-combining (dst, label) count and one map-side-combining
+  * packed max by dst — identical to the PageRank iteration shape
+  * (edges persisted ONCE, only the narrow label frame moves per
+  * round), and like it the label frame is `localCheckpoint`ed on a
+  * cadence so a deep run never carries a K-join lineage. On a real
+  * cluster, bucket the edge list by src so every round's join
+  * co-locates shuffle-free.
+  *
+  * Cache lifecycle: the symmetrized edge frame is persisted for the
+  * query's duration and released by the CALLER
+  * (`spark.catalog.clearCache()` per query — the Verify/Bench/spec
+  * convention shared with the rank/triangle families).
+  */
+object LabelProp {
+
+  private val P = 1L << 32
+
+  /** Community labels (doc_id, community) for every node after
+    * `iters` synchronous rounds. `pairs` is an undirected edge list
+    * (doc_a, doc_b); mirrored duplicates and self-loops are
+    * canonicalized away like [[Triangles]]. */
+  def communities(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
+      checkpointEvery: Int = 5): DataFrame = {
+    val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val edges = ab.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(ab.select(col("v").as("src"), col("u").as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    for (i <- 0 until iters) {
+      val votes = edges
+        .join(lab.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst"), col("label"))
+        .unionAll(lab.select(col("doc_id").as("dst"), col("label")))
+      lab = votes
+        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(max(col("cnt") * P + (lit(P - 1) - col("label"))).as("mx"))
+        .select(col("dst").as("doc_id"),
+          (lit(P - 1) - (col("mx") % P)).as("label"))
+      if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
+        lab = lab.localCheckpoint()
+    }
+    lab.select(col("doc_id"), col("label").as("community"))
+  }
+}

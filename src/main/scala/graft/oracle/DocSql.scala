@@ -1330,6 +1330,34 @@ object DocSql {
        |  END AS BIGINT) AS cc_ppm
        |FROM dg LEFT JOIN tc USING (doc_id)""".stripMargin
 
+  /** Mirror of LabelProp.communities over the MinHash pair graph:
+    * `iters` unrolled synchronous rounds; each round counts neighbor
+    * labels per node UNION ALL one self-vote (the previous label
+    * frame itself — which also carries isolated nodes through), and
+    * adopts the plurality label (ties to the smallest) via the same
+    * packed-long max the engine uses — max(cnt·P + (P−1−label)),
+    * label recovered as P−1−(m % P), P=2^32 — so the argmax is
+    * order-independent in both engines. */
+  def graphLabelProp(p: MinHashParams, iters: Int): String = {
+    val pk = 1L << 32
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, label, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT e.dst, l.label FROM edges e JOIN l${k - 1} l ON l.doc_id = e.src
+         |    UNION ALL SELECT doc_id, label FROM l${k - 1}
+         |  ) GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT dst AS doc_id,
+         |    ${pk - 1} - (max(cnt * $pk + (${pk - 1} - label)) % $pk) AS label
+         |  FROM c$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |l0 AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS label FROM documents),
+       |$iterCtes
+       |SELECT doc_id, CAST(label AS BIGINT) AS community FROM l$iters""".stripMargin
+  }
+
   /** Transitive closure of the MinHash pair graph as CTEs ending in
     * `comp(id, lbl)` — a recursive CTE floods every node's id along
     * the (symmetrized) edges; each node keeps the minimum id that

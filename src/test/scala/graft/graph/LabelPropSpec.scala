@@ -1,0 +1,93 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of deterministic synchronous label propagation: the
+  * bridged-triangles hand trace (two communities, NOT merged by the
+  * bridge — the behavior that separates LPA from connected
+  * components), isolated-node label retention, agreement with a
+  * driver-side reference sweep on a pseudo-random graph, and
+  * robustness to duplicated / reversed input pairs.
+  */
+class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-labelprop-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def run(nodeIds: Seq[Long], es: Seq[(Long, Long)],
+      iters: Int = 4): Map[Long, Long] = {
+    import spark.implicits._
+    val nodes = nodeIds.toDF("doc_id")
+    val m = LabelProp.communities(nodes, es.toDF("doc_a", "doc_b"), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    m
+  }
+
+  /** Driver-side reference: the same deterministic synchronous sweep
+    * (plurality among neighbor labels plus one self-vote, ties to the
+    * smallest label), written as plain Scala over adjacency maps. */
+  private def reference(nodeIds: Seq[Long], es: Seq[(Long, Long)],
+      iters: Int): Map[Long, Long] = {
+    val adj = (es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+      .flatMap(e => Seq(e, e.swap)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab = nodeIds.map(n => n -> n).toMap
+    for (_ <- 0 until iters) {
+      lab = nodeIds.map { n =>
+        val votes = lab(n) +: adj.getOrElse(n, Seq.empty).map(lab)
+        val byLabel = votes.groupBy(identity)
+          .map { case (l, o) => (l, o.size) }
+        n -> byLabel.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }.toMap
+    }
+    lab
+  }
+
+  test("two triangles joined by a bridge form two communities") {
+    // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4: the bridge must NOT merge
+    // them (connected components would). Hand trace with self-votes:
+    // round 1 sends {1,2,3}->1 and 4->3, 5->4, 6->4; round 2 the
+    // self-vote majority pulls 4 back to 4 ({4:2} beats {1:1,3:1});
+    // round 3 is the fixed point {1,2,3}->1, {4,5,6}->4
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    assert(run(1L to 6L, es) ===
+      Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("isolated node keeps its label; a pair converges (no swap cycle)") {
+    // neighbor-only synchronous LPA swaps 7<->8 forever; the
+    // self-vote ties both to the smaller id in round one and holds
+    val c = run(Seq(7L, 8L, 9L), Seq((7L, 8L)))
+    assert(c === Map(7L -> 7L, 8L -> 7L, 9L -> 9L))
+  }
+
+  test("matches the driver-side reference sweep on a random graph") {
+    val nodeIds = (1L to 60L).toSeq
+    val es = for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+      if (a * 31 + b * 17) % 23 == 0
+    } yield (a, b)
+    assert(es.nonEmpty)
+    for (iters <- Seq(1, 3, 4))
+      assert(run(nodeIds, es, iters) === reference(nodeIds, es, iters),
+        s"iters=$iters")
+  }
+
+  test("duplicated and reversed pairs canonicalize to the same result") {
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L))
+    val noisy = es ++ es.map(_.swap) ++ Seq((2L, 2L))
+    assert(run(1L to 6L, noisy) === run(1L to 6L, es))
+  }
+}
