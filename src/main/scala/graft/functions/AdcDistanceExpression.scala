@@ -66,12 +66,15 @@ object AdcDistanceRuntime {
     var acc = 0L
     var s = 0
     while (s < m) {
-      val idx = codes.getInt(s) * m + s
-      if (idx < 0 || idx >= n)
+      // Long index: Int arithmetic could wrap a corrupt/large code back
+      // into range and silently return a wrong distance instead of the
+      // out-of-range throw this contract promises.
+      val idx = codes.getInt(s).toLong * m + s
+      if (idx < 0L || idx >= n.toLong)
         throw new IllegalArgumentException(
           s"adc_distance: code ${codes.getInt(s)} at subspace $s indexes " +
             s"past the $n-entry table (m=$m)")
-      acc += tab.getLong(idx)
+      acc += tab.getLong(idx.toInt)
       s += 1
     }
     acc

@@ -36,7 +36,11 @@ import org.apache.spark.storage.StorageLevel
   * the highest count, ties to the smallest label, and the label is
   * recovered as P−1−(m mod P). Bounds: labels are node ids < P = 2^32
   * (4.3B documents) and per-label neighbor counts < 2^30, so the pack
-  * stays inside a signed 64-bit long with headroom.
+  * stays inside a signed 64-bit long with headroom. Both bounds are
+  * enforced at runtime with codegen'd `raise_error` branches (on the
+  * initial label frame and on each round's vote counts), because the
+  * oracle packs identically and therefore CANNOT catch an overflow —
+  * out-of-range input must fail fast, not gate green.
   *
   * Shape at 100 TB: one round = one equi-join of the narrow (doc_id,
   * label) frame with the persisted symmetrized edge list on src, a
@@ -71,7 +75,21 @@ object LabelProp {
     val edges = ab.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(ab.select(col("v").as("src"), col("u").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes.select(col("doc_id"), col("doc_id").as("label"))
+    // Runtime guards on the pack's two documented bounds. The DuckDB
+    // oracle packs IDENTICALLY, so an overflow would hash-gate as
+    // "correct" with wrong communities — these are the one place the
+    // gate mirrors an assumption instead of checking it, hence the
+    // fail-fast here. Both are codegen'd branches on rows that exist
+    // anyway (no extra job, no extra shuffle).
+    val labGuard = when(col("doc_id") < 0 || col("doc_id") >= P,
+      raise_error(concat(lit("label_prop: doc_id outside packed range [0, 2^32): "),
+        col("doc_id").cast("string"))).cast("long"))
+      .otherwise(col("doc_id"))
+    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
+    val cntGuard = when(col("cnt") >= (1L << 30),
+      raise_error(concat(lit("label_prop: per-label vote count >= 2^30 overflows the pack: "),
+        col("cnt").cast("string"))).cast("long"))
+      .otherwise(col("cnt"))
     for (i <- 0 until iters) {
       val votes = edges
         .join(lab.withColumnRenamed("doc_id", "src"), "src")
@@ -80,7 +98,7 @@ object LabelProp {
       lab = votes
         .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
         .groupBy(col("dst"))
-        .agg(max(col("cnt") * P + (lit(P - 1) - col("label"))).as("mx"))
+        .agg(max(cntGuard * P + (lit(P - 1) - col("label"))).as("mx"))
         .select(col("dst").as("doc_id"),
           (lit(P - 1) - (col("mx") % P)).as("label"))
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)

@@ -591,6 +591,16 @@ object Similarity {
     * self-match each flips a count) replacing the old rows-only
     * no-oracle row for q_sim_ivf.
     *
+    * PRECONDITION (gate polarity): the constant row asserts exactly k
+    * neighbors, so every probe's nprobe probed lists must hold >= k
+    * non-self candidates. On a corpus too small/skewed for that, the
+    * gate fails CONSERVATIVELY (ivfTopK legitimately returns a short
+    * list and the oracle row mismatches) — a false failure, never a
+    * masked bug. Recomputing n_candidates to soften the gate would
+    * require replaying the KMeans assignment, the one quantizer-
+    * DEPENDENT quantity this audit exists to avoid; the registration
+    * documents the corpus-size margin instead (q_sim_ivf: >= 7x).
+    *
     * Shape at 100 TB: the IVF output is probes * k rows; the two
     * re-verification joins hash on vec_id against the corpus (the
     * same probe-side shape as the index probes) and the final

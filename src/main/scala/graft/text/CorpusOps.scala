@@ -574,8 +574,15 @@ object CorpusOps {
     * run over the union (gated by the PLAIN nbQuality oracle; spec'd).
     * The streaming ingest loop commits each micro-batch's partial
     * atomically via [[graft.streaming.AtomicIngest]] (batch_<id>
-    * directories next to the p* parts — the `path/<star>/tokens`
-    * read glob sees both and skips hidden staging). */
+    * directories next to the p* parts). NOTE the artifact nests
+    * tokens/ and docs/ UNDER each part, so the reader cannot use a
+    * plain `recursiveFileLookup` from the root (the two frames'
+    * schemas would mix) and a bare `path/<star>/tokens` glob would
+    * also match in-flight `_staging_<id>` dirs (Hadoop glob expansion
+    * bypasses Spark's hidden-path filter, which only applies BELOW
+    * listed roots) — so [[nbQualityFromCounts]] lists the committed
+    * part directories explicitly, skipping `_`/`.`-prefixed names,
+    * exactly mirroring Spark's own hidden-path convention. */
   def nbCountsBuild(docs: DataFrame, path: String, part: String = "p0",
       idCol: String = "doc_id", sourceCol: String = "source",
       textCol: String = "text"): Unit =
@@ -598,12 +605,35 @@ object CorpusOps {
       docs: DataFrame, path: String, vocabSize: Int = 64,
       idCol: String = "doc_id", sourceCol: String = "source",
       textCol: String = "text"): DataFrame = {
-    val tok = spark.read.parquet(s"$path/*/tokens")
+    val parts = nbCommittedParts(spark, path)
+    require(parts.nonEmpty, s"nb counts artifact has no committed parts: $path")
+    val tok = spark.read.parquet(parts.map(p => s"$p/tokens"): _*)
       .groupBy(col("token"), col("src"))
       .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
-    val dc = spark.read.parquet(s"$path/*/docs")
+    val dc = spark.read.parquet(parts.map(p => s"$p/docs"): _*)
       .groupBy(col("src")).agg(sum(col("n_train")).as("n_train"))
     nbScoreWith(docs, tok, dc, vocabSize, idCol, sourceCol, textCol)
+  }
+
+  /** The COMMITTED part directories of an NB counts artifact — every
+    * child dir except `_`/`.`-prefixed names (Spark's hidden-path
+    * convention, which a raw `path/<star>/tokens` glob would bypass:
+    * glob expansion happens before Spark's file index ever sees the
+    * paths, so a serve concurrent with an in-flight
+    * [[graft.streaming.AtomicIngest]] commit, or after a crash that
+    * left `_staging_<id>` behind, would read uncommitted partial
+    * counts and double-count on retry). One bounded driver-side
+    * listing (#parts entries), exact by construction. */
+  private def nbCommittedParts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.toString).sorted
   }
 
   /** The shared NB core: derive labels (alternate over the source set
