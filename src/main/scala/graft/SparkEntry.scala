@@ -77,6 +77,26 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Write-once TRAINED byte-level merge-table artifact shared by the
+    * tokenize family (round-13 verdict #3: fertility paid a full
+    * re-train per run): the merge table is a pure function of the
+    * corpus, so q_tokenize_bpe_bytes and q_tokenize_fertility read the
+    * same persisted table — literally the file a tokenizer ships —
+    * instead of each training their own. Results are identical by
+    * construction (same corpus -> same merges), which the unchanged
+    * oracles gate. */
+  private def bpeBytesMergeArtifact(s: SparkSession,
+      dir: String): Seq[(String, String)] = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_bpe_merges/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    indexedTables.getOrElseUpdate((s, path), {
+      graft.text.CorpusOps.bpeMergesBytes(table(s, dir, "documents"))
+        .write.mode("overwrite").parquet(path)
+    })
+    s.read.parquet(path).orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+  }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's raison d'être: curve-order a table so the layout is
     * locality-preserving (docs/README.md:53-72), here as an ORDER BY over
@@ -636,17 +656,23 @@ object SparkEntry {
     "q_text_bpe_bytes" -> ((s, dir) =>
       graft.text.CorpusOps.bpeMergesBytes(table(s, dir, "documents"))),
     // byte-level corpus encode: every token of every doc (unicode
-    // included) to BPE ids — bytes 0..255, merged rank k -> 255+k
+    // included) to BPE ids — bytes 0..255, merged rank k -> 255+k;
+    // consumes the session-shared trained merge artifact (one train
+    // per corpus snapshot, not one per query)
     "q_tokenize_bpe_bytes" -> ((s, dir) =>
-      graft.text.CorpusOps.tokenizeBpeBytes(table(s, dir, "documents"))),
+      graft.text.CorpusOps.tokenizeBytesWithMerges(
+        table(s, dir, "documents"), bpeBytesMergeArtifact(s, dir))),
     // held-out confusion matrix of the NB quality classifier — the
     // evaluation row a trained filter ships with
     "q_quality_nb_eval" -> ((s, dir) =>
       graft.text.CorpusOps.nbQualityEval(table(s, dir, "documents"))),
     // tokenizer fertility per source: tokens emitted per word for the
-    // byte-level encode — the cross-domain tokenizer-quality metric
+    // byte-level encode — the cross-domain tokenizer-quality metric;
+    // audits the SHIPPED tokenizer (the shared trained merge
+    // artifact) instead of re-training one per audit
     "q_tokenize_fertility" -> ((s, dir) =>
-      graft.text.CorpusOps.tokenizerFertility(table(s, dir, "documents"))),
+      graft.text.CorpusOps.tokenizerFertilityWithMerges(
+        table(s, dir, "documents"), bpeBytesMergeArtifact(s, dir))),
     // trigram LM with stupid backoff: counts trained on the doc_id%3
     // split, ALL docs scored — held-out docs genuinely back off, and
     // the exact-integer ladder hash-gates level by level

@@ -44,6 +44,28 @@ object Curves {
     }
   }
 
+  /** Foldable array<string> of "sym_a sym_b" entries → rank-ordered
+    * merge pairs (the [[BpeEncode]] constructor form). */
+  private def constMergeList(e: Expression,
+      what: String): Seq[(String, String)] = {
+    val arr = e match {
+      case _ if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] &&
+          e.dataType.asInstanceOf[org.apache.spark.sql.types.ArrayType]
+            .elementType == org.apache.spark.sql.types.StringType =>
+        e.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      case _ => throw new IllegalArgumentException(
+        s"$what must be a constant (foldable) array<string> of 'sym_a sym_b' entries")
+    }
+    (0 until arr.numElements()).map { i =>
+      val s = arr.getUTF8String(i).toString
+      val sp = s.indexOf(' ')
+      if (sp <= 0 || sp != s.lastIndexOf(' ') || sp == s.length - 1)
+        throw new IllegalArgumentException(
+          s"$what entry $i must be 'sym_a sym_b' (one space, two non-empty symbols): '$s'")
+      (s.substring(0, sp), s.substring(sp + 1))
+    }
+  }
+
   private def constBool(e: Expression, what: String): Boolean = e match {
     case Literal(v: Boolean, _) => v
     case _ if e.foldable =>
@@ -267,6 +289,21 @@ object Curves {
     Examples:
       > SELECT _FUNC_(array(1, 0), array(10L, 20L, 30L, 40L));
        50
+  """),
+    FunctionDoc("bpe_encode", (args: Seq[Expression]) => args match {
+      case Seq(w, m, bl) => BpeEncode(w,
+        constMergeList(m, "bpe_encode merges"),
+        constBool(bl, "bpe_encode byte_level"))
+      case other => throw new IllegalArgumentException(
+        s"bpe_encode expects (word, merges, byte_level), got ${other.size} arguments")
+    }, "bpe_encode(word, merges, byte_level) - BPE token ids of a word under a rank-ordered" +
+      " merge table (each entry 'sym_a sym_b'); byte_level segments UTF-8 bytes (hex symbols)" +
+      " instead of chars",
+      classOf[BpeEncode], "string_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_('banana', array('a n', 'an a'), false);
+       [1,26,27]
   """),
     FunctionDoc("dot_q", twoArg("dot_q", DotProductLong(_, _)) _,
       "dot_q(a, b) - exact integer dot product of two quantized vectors",

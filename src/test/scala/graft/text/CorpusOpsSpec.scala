@@ -340,6 +340,125 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("cjk") === (("cjk", 1L, 2L, 9L, 4500000L)))
   }
 
+  test("tokenizerFertilityWithMerges: consuming the trained table == the self-training audit") {
+    import spark.implicits._
+    val d = (
+      (1L to 8L).map(i => (i, "alpha beta alpha beta", "ascii")) :+
+        ((9L, "日本 語", "cjk"))
+      ).toDF("doc_id", "text", "source")
+    val mt = CorpusOps.bpeMergesBytes(d, merges = 7, vocabSize = 10)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val shipped = CorpusOps.tokenizerFertilityWithMerges(d, mt)
+      .collect().map(_.toSeq).toSet
+    val selfTrained = CorpusOps.tokenizerFertility(d, merges = 7, vocabSize = 10)
+      .collect().map(_.toSeq).toSet
+    assert(shipped === selfTrained)
+  }
+
+  /** The round-13 composed encode, reconstructed verbatim as the SPEC
+    * for the native [[graft.functions.BpeEncode]] expression: one
+    * chained applyMergeGreedy projection per merge over the initial
+    * segmentation, then the chained-`when` symbol→id map. The native
+    * expression must produce identical ids on every token. */
+  private def composedEncodeIds(tokens: Seq[String],
+      mergeList: Seq[(String, String)], byteLevel: Boolean): Map[String, String] = {
+    import spark.implicits._
+    val baseVocab = if (byteLevel) 256L else 26L
+    val symIds = mergeList.zipWithIndex
+      .map { case ((a, b), i) => (a + b, baseVocab + i) }
+      .groupBy(_._1).map { case (s0, xs) => (s0, xs.map(_._2).min) }
+      .toSeq.sortBy(_._2)
+    def symToId(sym: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      val base = if (byteLevel) conv(sym, 16, 10).cast("long")
+                 else (ascii(sym) - lit(97)).cast("long")
+      symIds.foldLeft(base) {
+        case (acc, (s0, id)) => when(sym === lit(s0), lit(id)).otherwise(acc)
+      }
+    }
+    val init = if (byteLevel)
+      regexp_replace(hex(encode(col("token"), "UTF-8")), "(..)", " $1")
+    else regexp_replace(col("token"), "(.)", " $1")
+    mergeList.foldLeft(
+        tokens.toDF("token").withColumn("s", init)) {
+        case (df, (a, b)) =>
+          df.withColumn("s", CorpusOps.applyMergeGreedy(col("s"), lit(a), lit(b)))
+      }
+      .select(col("token"),
+        split(col("s").substr(lit(2), length(col("s"))), " ").as("syms"))
+      .select(col("token"), concat_ws("_",
+        transform(col("syms"), y => symToId(y).cast("string"))).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  private def nativeEncodeIds(tokens: Seq[String],
+      mergeList: Seq[(String, String)], byteLevel: Boolean): Map[String, String] = {
+    import spark.implicits._
+    val shims = org.apache.spark.sql.graft.ColumnShims
+    tokens.toDF("token")
+      .select(col("token"), concat_ws("_",
+        shims.column(graft.functions.BpeEncode(
+          shims.expression(col("token")), mergeList, byteLevel))
+          .cast("array<string>")).as("ids"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+
+  test("bpe_encode: native expression == composed fold SPEC, char level incl. collisions/phantoms") {
+    // trained table on a real mini-corpus, PLUS adversarial ranks:
+    // colliding outputs ((a,bc) vs (ab,c)), an operand produced only
+    // by a LATER rank ((bc,d) before (b,c) exists), same-symbol runs
+    val d = docs((1L, Seq.fill(10)("bc").mkString(" ")),
+      (2L, "ab ab ab abc abcd aaaa banana"), (3L, "bcd bcd dd aab"))
+    val trained = CorpusOps.bpeMerges(d, merges = 5, vocabSize = 20)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val adversarial = Seq(("bc", "d"), ("b", "c"), ("a", "bc"),
+      ("ab", "c"), ("a", "a"), ("aa", "b"), ("bcd", "d"))
+    val tokens = Seq("bc", "ab", "abc", "abcd", "aaaa", "banana",
+      "bcd", "dd", "aab", "bcdd", "aaaab", "q", "zz")
+    for (mt <- Seq(trained, adversarial))
+      assert(nativeEncodeIds(tokens, mt, byteLevel = false) ===
+        composedEncodeIds(tokens, mt, byteLevel = false))
+  }
+
+  test("bpe_encode: native expression == composed fold SPEC, byte level incl. unicode") {
+    val d = docs((1L, "日本 日本 日本語 alpha alpha beta"),
+      (2L, "données données café 語"))
+    val trained = CorpusOps.bpeMergesBytes(d, merges = 6, vocabSize = 20)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val tokens = Seq("日本", "日本語", "alpha", "beta", "données",
+      "café", "語", "x", "日alpha本")
+    assert(nativeEncodeIds(tokens, trained, byteLevel = true) ===
+      composedEncodeIds(tokens, trained, byteLevel = true))
+  }
+
+  test("bpe_encode: a 2,000-merge table is one projection and encodes the deep chain") {
+    import spark.implicits._
+    // merges: (a,b), (ab,b), (abb,b), ... — each rank applies once,
+    // so 'a' + 'b'*2000 collapses to the single rank-2000 symbol
+    val n = 2000
+    val mt = ("a", "b") +: (2 to n).map(k => ("a" + "b" * (k - 1), "b"))
+    val words = Seq("a" + "b" * n, "ab", "b", "z", "a" + "b" * 3)
+    val shims = org.apache.spark.sql.graft.ColumnShims
+    val out = words.toDF("token")
+      .select(col("token"), shims.column(graft.functions.BpeEncode(
+        shims.expression(col("token")), mt, byteLevel = false)).as("ids"))
+    // plan depth is O(1) in merge count: the round-13 fold would be
+    // 2,000 nested projections here
+    val nProjects = out.queryExecution.optimizedPlan.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project => p
+    }.size
+    assert(nProjects <= 2, s"expected a flat plan, got $nProjects projections")
+    val got = out.collect().map(r =>
+      r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(got("a" + "b" * n) === Seq(26L + (n - 1)))
+    assert(got("ab") === Seq(26L))
+    assert(got("b") === Seq(1L))
+    assert(got("z") === Seq(25L))
+    assert(got("a" + "b" * 3) === Seq(26L + 2))
+  }
+
   test("nb counts artifact: build + append == from-scratch, incl. a source only in the append") {
     import spark.implicits._
     val srcs = (0 until 4).map(k => s"src$k")
