@@ -142,10 +142,9 @@ object CorpusOps {
     * Shape at 100 TB: the corpus is touched ONCE (the word-frequency
     * aggregate — map-side-combining, vocabulary-bounded output, the
     * same scale argument as [[vocabulary]]/the LM count table); all
-    * `merges` rounds run on the top-`vocabSize` word table (KBs).
-    * Each round's argmax is a 1-row broadcast joined back; the word
-    * frame is localCheckpoint'ed per round so the iterative DAG never
-    * branch-recomputes (docs/PLANS.md round-12 forensics). */
+    * `merges` rounds run DRIVER-SIDE on the collected top-`vocabSize`
+    * word table — see [[bpeRounds]] for why that is the right trade
+    * (it is how every real tokenizer trainer splits the work). */
   def bpeMerges(docs: DataFrame, merges: Int = 12, vocabSize: Int = 400,
       textCol: String = "text"): DataFrame =
     bpeLoop(docs, merges, vocabSize, textCol)._1
@@ -234,7 +233,6 @@ object CorpusOps {
       .orderBy(col("freq").desc, col("wh")).limit(vocabSize)
       .select(col("word"), col("freq"),
         regexp_replace(col("wh"), "(..)", " $1").as("s"))
-      .localCheckpoint()
     bpeRounds(vocab, merges)._1
   }
 
@@ -334,7 +332,6 @@ object CorpusOps {
       .orderBy(col("freq").desc, col("word")).limit(vocabSize)
       .select(col("word"), col("freq"),
         regexp_replace(col("word"), "(.)", " $1").as("s"))
-      .localCheckpoint()
 
   private def bpeLoop(docs: DataFrame, merges: Int, vocabSize: Int,
       textCol: String): (DataFrame, DataFrame) = {
@@ -342,30 +339,92 @@ object CorpusOps {
     bpeRounds(bpeVocab(bpeWordFreqs(docs, textCol), vocabSize), merges)
   }
 
+  /** The BPE merge rounds, DRIVER-SIDE over the collected top-V word
+    * table — the shape every real tokenizer trainer uses (the
+    * distributed part of BPE training is the corpus word-frequency
+    * aggregate; the rounds are a pure function of the resulting
+    * bounded table, ≤ vocabSize rows of short words — KBs at the
+    * gated V=400, tens of MB at a production V~1M, either way a
+    * driver artifact in the NB-weight-table class). Until round 14
+    * each round was 2 Spark jobs (a pair-count argmax + a
+    * localCheckpoint'ed merge apply) — 2·merges jobs of pure
+    * fixed overhead on a KB-sized frame, and the round-13 two-space
+    * anchored replace made each apply two extra string passes
+    * (q_text_bpe_apply 1.31 → 1.99 s). The in-memory loop mirrors the
+    * distributed rounds exactly — overlap-counted weighted pairs,
+    * argmax on (count desc, a asc, b asc) in ASCII/UTF-8 binary
+    * order, greedy left-to-right non-overlapping merge, and the
+    * quirk that a round with NO remaining pair empties the word frame
+    * (the old crossJoin-with-empty-argmax behavior, spec'd) — so
+    * every oracle gates unchanged.
+    *
+    * Returns (merge table, final segmentation) as DataFrames in the
+    * exact schemas the distributed rounds produced. */
   private def bpeRounds(vocab: DataFrame,
       merges: Int): (DataFrame, DataFrame) = {
     require(merges >= 1, s"merges=$merges")
-    var w = vocab
-    val rounds = (1 to merges).map { k =>
-      val best = w
-        .select(col("freq"), split(col("s"), " ").as("l"))
-        .filter(size(col("l")) >= 3) // >= 2 symbols (index 1 is the "" head)
-        .select(col("freq"), col("l"),
-          explode(sequence(lit(2), size(col("l")) - 1)).as("i"))
-        .select(element_at(col("l"), col("i")).as("a"),
-          element_at(col("l"), col("i") + 1).as("b"), col("freq"))
-        .groupBy(col("a"), col("b")).agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b")).limit(1)
-        .select(lit(k.toLong).as("merge_rank"), col("a").as("sym_a"),
-          col("b").as("sym_b"), col("cnt").as("pair_count"))
-        .localCheckpoint()
-      w = w.crossJoin(broadcast(best))
-        .select(col("word"), col("freq"),
-          applyMergeGreedy(col("s"), col("sym_a"), col("sym_b")).as("s"))
-        .localCheckpoint()
-      best
+    val spark = vocab.sparkSession
+    import spark.implicits._
+    val collected = vocab.select(col("word"), col("freq"), col("s"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+    var words: Array[(String, Long, Array[String])] =
+      collected.map { case (w, f, s) => (w, f, s.split(" ").drop(1)) }
+    val mergeRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var k = 1
+    while (k <= merges && words.nonEmpty) {
+      // weighted adjacent-pair counts, overlapping occurrences counted
+      val cnt = new java.util.HashMap[(String, String), Long]()
+      for ((_, f, seg) <- words) {
+        var i = 0
+        while (i + 1 < seg.length) {
+          val key = (seg(i), seg(i + 1))
+          cnt.merge(key, f, (x, y) => x + y)
+          i += 1
+        }
+      }
+      if (cnt.isEmpty) {
+        // mirror the distributed rounds: an empty argmax crossJoined
+        // onto the word frame empties it for this and later rounds
+        words = Array.empty
+      } else {
+        var best: ((String, String), Long) = null
+        val it = cnt.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.longValue()
+          if (best == null || c > best._2 ||
+            (c == best._2 && (e.getKey._1 < best._1._1 ||
+              (e.getKey._1 == best._1._1 && e.getKey._2 < best._1._2))))
+            best = (e.getKey, c)
+        }
+        val (a, b) = best._1
+        mergeRows += ((k.toLong, a, b, best._2))
+        val ab = a + b
+        words = words.map { case (w, f, seg) =>
+          var i = 0
+          val lim = seg.length - 1
+          while (i < lim && !(seg(i) == a && seg(i + 1) == b)) i += 1
+          if (i >= lim) (w, f, seg)
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            out ++= seg.take(i)
+            while (i < seg.length) {
+              if (i < lim && seg(i) == a && seg(i + 1) == b) { out += ab; i += 2 }
+              else { out += seg(i); i += 1 }
+            }
+            (w, f, out.toArray)
+          }
+        }
+      }
+      k += 1
     }
-    (rounds.reduce(_ unionAll _), w)
+    val mt = mergeRows.toSeq
+      .toDF("merge_rank", "sym_a", "sym_b", "pair_count")
+    val w = words.toSeq
+      .map { case (wd, f, seg) => (wd, f, " " + seg.mkString(" ")) }
+      .toDF("word", "freq", "s")
+    (mt, w)
   }
 
   /** Greedy left-to-right BPE merge of pair (a, b) in a space-
