@@ -673,6 +673,12 @@ object SparkEntry {
     "q_tokenize_fertility" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizerFertilityWithMerges(
         table(s, dir, "documents"), bpeBytesMergeArtifact(s, dir))),
+    // DETOKENIZE: ids -> text through the bounded id->symbol table;
+    // byte-level BPE is lossless, so the oracle gates the round-trip
+    // identity against an INDEPENDENT re-derivation from raw text
+    "q_tokenize_decode" -> ((s, dir) =>
+      graft.text.CorpusOps.detokenizeBytes(
+        table(s, dir, "documents"), bpeBytesMergeArtifact(s, dir))),
     // trigram LM with stupid backoff: counts trained on the doc_id%3
     // split, ALL docs scored — held-out docs genuinely back off, and
     // the exact-integer ladder hash-gates level by level
@@ -2565,6 +2571,7 @@ object SparkEntry {
     "q_quality_nb_indexed" -> DocSql.nbQuality(64),
     "q_text_lm3" -> DocSql.lm3Surprisal,
     "q_tokenize_fertility" -> DocSql.tokenizerFertility(12, 400),
+    "q_tokenize_decode" -> DocSql.detokenizeBytes(12, 400),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

@@ -530,6 +530,28 @@ object DocSql {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of CorpusOps.detokenizeBytes — deliberately NOT by
+    * replaying the id→symbol map: the oracle re-derives the round-trip
+    * identity target INDEPENDENTLY from the raw text (byte-level BPE
+    * is lossless on every non-empty token, so a correct decode is
+    * exactly the position-ordered separator-free token concat), while
+    * n_tokens comes from the full tokenize pipeline. A Spark-side
+    * defect in the symbol table, the id ordering, or the byte
+    * reassembly diverges from this independent expectation and fails
+    * the gate. */
+  def detokenizeBytes(merges: Int, vocabSize: Int): String =
+    s"""WITH g0 AS (SELECT doc_id,
+       |    unnest(string_split(coalesce(text, ''), ' ')) AS token,
+       |    unnest(generate_series(1, len(string_split(coalesce(text, ''), ' '))))
+       |      AS pos FROM documents),
+       |g AS (SELECT doc_id,
+       |    array_to_string(list(token ORDER BY pos), '') AS decoded
+       |  FROM g0 WHERE token != '' GROUP BY doc_id)
+       |SELECT t.doc_id, t.n_tokens, g.decoded
+       |FROM (
+       |${tokenizeBpeBytes(merges, vocabSize)}
+       |) t JOIN g ON t.doc_id = g.doc_id""".stripMargin
+
   /** Mirror of CorpusOps.tokenizerFertility: the per-doc byte-level
     * encode rolled up per source with the exact-ppm tokens-per-word
     * ratio. */

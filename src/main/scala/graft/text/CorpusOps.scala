@@ -267,6 +267,46 @@ object CorpusOps {
     encodeWordsToDocs(words, mergeList, byteLevel = true)
   }
 
+  /** DETOKENIZATION — the decode half of the tokenizer lifecycle and
+    * the first thing anyone debugging a training corpus reaches for:
+    * byte-level BPE ids back to text. Every id maps through the
+    * BOUNDED id→symbol table (256 base bytes + one row per merge —
+    * the inverse of the table the encode ships), symbols concatenate
+    * to the UTF-8 byte stream, and the bytes decode to the string.
+    * Byte-level BPE is lossless on every non-empty token by
+    * construction, so decode(encode(doc)) is exactly the doc's
+    * position-ordered token concatenation — the round-trip identity
+    * the spec asserts and the DuckDB oracle re-derives INDEPENDENTLY
+    * from the raw text (any defect in the id map, the ordering, or
+    * the byte reassembly mismatches the gate).
+    *
+    * Output per encodable doc: (doc_id, n_tokens, decoded). Word
+    * boundaries are whitespace and whitespace never enters a token,
+    * so the identity target is the separator-free concat (the
+    * GPT-2-style space-inside-token convention is a vocabulary
+    * choice, not a decoder property).
+    *
+    * Shape at 100 TB: one explode of the id stream, one broadcast
+    * probe of the (256+merges)-row symbol table, one per-doc
+    * reassembly aggregate — the mirror image of the encode tail. */
+  def detokenizeBytes(docs: DataFrame, mergeList: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val enc = tokenizeBytesWithMerges(docs, mergeList, idCol, textCol)
+    val syms = (0 until 256).map(b => (b.toLong, f"$b%02X")) ++
+      mergeList.zipWithIndex.map { case ((a, b), k) => (256L + k, a + b) }
+    val symDf = syms.toDF("id", "sym")
+    enc.select(col("doc_id"), col("n_tokens"),
+        posexplode(split(col("ids_str"), "_")).as(Seq("p", "id_s")))
+      .join(broadcast(symDf), col("id_s").cast("long") === col("id"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(decode(unhex(concat_ws("", transform(
+          array_sort(collect_list(struct(col("p"), col("sym")))),
+          s => s.getField("sym")))), "UTF-8").as("decoded"))
+      .select(col("doc_id"), col("n_tokens"), col("decoded"))
+  }
+
   /** TOKENIZER FERTILITY audit per source — the number that decides
     * whether a tokenizer serves every domain: tokens emitted per word
     * (in exact ppm) for the byte-level BPE encode, per source. A

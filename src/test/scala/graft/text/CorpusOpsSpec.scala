@@ -340,6 +340,22 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("cjk") === (("cjk", 1L, 2L, 9L, 4500000L)))
   }
 
+  test("detokenizeBytes: decode(encode(doc)) is the identity on every encodable doc, unicode incl.") {
+    import spark.implicits._
+    val d = docs((1L, "日本 日本 日本語 alpha"), (2L, "données café"),
+      (3L, "alpha beta alpha beta gamma"), (4L, "x"), (5L, ""))
+    val mt = CorpusOps.bpeMergesBytes(d, merges = 5, vocabSize = 20)
+      .orderBy(col("merge_rank"))
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    val out = CorpusOps.detokenizeBytes(d, mt)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    // identity target: position-ordered separator-free token concat;
+    // doc 5 has no encodable token and is absent (matches the encode)
+    assert(out === Map(
+      1L -> "日本日本日本語alpha", 2L -> "donnéescafé",
+      3L -> "alphabetaalphabetagamma", 4L -> "x"))
+  }
+
   test("tokenizerFertilityWithMerges: consuming the trained table == the self-training audit") {
     import spark.implicits._
     val d = (
