@@ -89,9 +89,18 @@ object GraphScaleCheck {
       val tRank8 = timed(BenchUtil.noop(
         graft.graph.GraphRank.pageRank(nodes, edges, iters = 8)))
       val perIter = (tRank8 - tRank2) / 6.0
+      // label propagation at the same iteration spread: its round is
+      // the same join + map-side-combining aggregate shape as rank's,
+      // so its per-iteration marginal cost should track edges the
+      // same way (round-13 verdict ask #6)
+      val tLp2 = timed(BenchUtil.noop(
+        graft.graph.LabelProp.communities(nodes, edges, iters = 2)))
+      val tLp8 = timed(BenchUtil.noop(
+        graft.graph.LabelProp.communities(nodes, edges, iters = 8)))
+      val perIterLp = (tLp8 - tLp2) / 6.0
       spark.catalog.clearCache()
       (s, m, mCanon, maxOd, wedges, hubDeg, hubOd, tTri, tRank2, tRank8,
-        perIter)
+        perIter, tLp2, tLp8, perIterLp)
     }
 
     def expo(a: Double, b: Double, sa: Long, sb: Long): Double =
@@ -99,17 +108,22 @@ object GraphScaleCheck {
     val (lo, hi) = (rows.head, rows.last)
     val triExp = expo(lo._8, hi._8, lo._1, hi._1)
     val iterExp = expo(lo._11, hi._11, lo._1, hi._1)
+    val lpIterExp = expo(lo._14, hi._14, lo._1, hi._1)
 
-    val qs = rows.map { case (s, m, mc, mx, w, hd, ho, tt, t2, t8, pi) =>
-      f""""x$s":{"edges":$m,"canonical":$mc,"max_outdeg":$mx,""" +
-        f""""sqrt_2m_bound":${math.sqrt(2.0 * mc)}%.0f,"wedges":$w,""" +
-        f""""hub_degree":$hd,"hub_outdeg":$ho,"triangles_sec":$tt%.3f,""" +
-        f""""rank2_sec":$t2%.3f,"rank8_sec":$t8%.3f,""" +
-        f""""rank_per_iter_sec":$pi%.3f}"""
+    val qs = rows.map {
+      case (s, m, mc, mx, w, hd, ho, tt, t2, t8, pi, l2, l8, lpi) =>
+        f""""x$s":{"edges":$m,"canonical":$mc,"max_outdeg":$mx,""" +
+          f""""sqrt_2m_bound":${math.sqrt(2.0 * mc)}%.0f,"wedges":$w,""" +
+          f""""hub_degree":$hd,"hub_outdeg":$ho,"triangles_sec":$tt%.3f,""" +
+          f""""rank2_sec":$t2%.3f,"rank8_sec":$t8%.3f,""" +
+          f""""rank_per_iter_sec":$pi%.3f,""" +
+          f""""lp2_sec":$l2%.3f,"lp8_sec":$l8%.3f,""" +
+          f""""lp_per_iter_sec":$lpi%.3f}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"graph_scale_check","base_edges":$baseM,""" +
       f""""triangles_exponent":$triExp%.2f,""" +
-      f""""rank_per_iter_exponent":$iterExp%.2f,"scales":$qs}"""
+      f""""rank_per_iter_exponent":$iterExp%.2f,""" +
+      f""""lp_per_iter_exponent":$lpIterExp%.2f,"scales":$qs}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_scale_result.json"), json + "\n")

@@ -77,6 +77,21 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Write-once SIMILARITY-GRAPH edge artifact shared by the graph
+    * family (round-13 verdict #4): the MinHash pair graph is a pure
+    * function of the corpus snapshot, so the six graph queries probe
+    * ONE stored edge list instead of each re-running the shingle →
+    * minhash → band → verify pipeline. Build/serve equivalence is
+    * spec'd (GraphSpec) and the unchanged oracles gate it. */
+  private def simGraphEdges(s: SparkSession, dir: String): DataFrame = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_sim_graph/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    indexedTables.getOrElseUpdate((s, path), {
+      graft.dedup.Dedup.writeSimilarityGraph(table(s, dir, "documents"), path)
+    })
+    s.read.parquet(path)
+  }
+
   /** Write-once TRAINED byte-level merge-table artifact shared by the
     * tokenize family (round-13 verdict #3: fertility paid a full
     * re-train per run): the merge table is a pure function of the
@@ -426,58 +441,54 @@ object SparkEntry {
     // weighted-propagation graph primitive alongside union-find's
     // connected components; divide-before-sum keeps every iteration
     // order-independent and oracle-gated (a float PageRank never is)
-    "q_graph_rank" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    "q_graph_rank" -> ((s, dir) =>
       graft.graph.GraphRank.pageRank(
-        docs.select(col("doc_id")),
-        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
-    }),
+        table(s, dir, "documents").select(col("doc_id")),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")))),
     // weighted PageRank over the SAME similarity graph: each neighbor
     // receives (r·w)//Σw where w is the MinHash match count — strong
     // near-dups endorse each other harder than borderline pairs; the
     // divide-before-sum integer regime keeps it oracle-gated
-    "q_graph_rank_w" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    "q_graph_rank_w" -> ((s, dir) =>
       graft.graph.GraphRank.pageRankWeighted(
-        docs.select(col("doc_id")), Dedup.minhashPairs(docs))
-    }),
+        table(s, dir, "documents").select(col("doc_id")),
+        simGraphEdges(s, dir))),
     // personalized PageRank from a deterministic seed set: rank by
     // graph PROXIMITY to curated seeds, not global centrality — the
     // quality-bootstrap scorer; unreachable nodes converge to exact 0
-    "q_graph_ppr" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    "q_graph_ppr" -> ((s, dir) =>
       graft.graph.GraphRank.pageRankPersonalized(
-        docs.select(col("doc_id")),
-        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")),
-        pmod(col("doc_id"), lit(17)) === 0)
-    }),
+        table(s, dir, "documents").select(col("doc_id")),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")),
+        pmod(col("doc_id"), lit(17)) === 0)),
     // exact per-node triangle counts over the SAME similarity graph:
     // degree-oriented wedge join — each triangle found once at its
     // orientation-minimal corner, hub-skew-immune (out-degree O(√m));
     // dense triangle neighborhoods = template-farm communities
-    "q_graph_triangles" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    "q_graph_triangles" -> ((s, dir) =>
       graft.graph.Triangles.perNode(
-        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
-    }),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")))),
     // local clustering coefficient: 2·tri·1e6 // deg(deg−1) per node
     // — community member (≈1e6) vs boilerplate hub (≈0) in one number
-    "q_graph_clustering" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    "q_graph_clustering" -> ((s, dir) =>
       graft.graph.Triangles.clustering(
-        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
-    }),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")))),
     // community detection by deterministic synchronous label
     // propagation over the SAME similarity graph: plurality label with
     // (count desc, label asc) tie-break as ONE packed-long aggregate
     // per round — dense near-dup regions collapse to one community
     // while a bridge edge does NOT merge them (unlike components)
-    "q_graph_lp" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+    "q_graph_lp" -> ((s, dir) =>
       graft.graph.LabelProp.communities(
-        docs.select(col("doc_id")),
-        Dedup.minhashPairs(docs).select(col("doc_a"), col("doc_b")))
-    }),
+        table(s, dir, "documents").select(col("doc_id")),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")))),
+    // community-quality audit: exact-integer modularity numerators
+    // (4·m·e_c − K_c² per community; Q = Σ/4m²) for the LP labels —
+    // the acceptance metric community detection ships with
+    "q_graph_modularity" -> ((s, dir) =>
+      graft.graph.LabelProp.modularity(
+        table(s, dir, "documents").select(col("doc_id")),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")))),
     // fuzzy record linkage between two derived registries (4-char vs
     // 5-char sources): rare-shingle inverted-index blocking (df-capped
     // on BOTH sides — deterministic 100% recall over the blocking
@@ -2580,6 +2591,7 @@ object SparkEntry {
     "q_graph_triangles" -> DocSql.graphTriangles(Dedup.MinHashParams()),
     "q_graph_clustering" -> DocSql.graphClustering(Dedup.MinHashParams()),
     "q_graph_lp" -> DocSql.graphLabelProp(Dedup.MinHashParams(), 4),
+    "q_graph_modularity" -> DocSql.graphModularity(Dedup.MinHashParams(), 4),
     "q_graph_ppr" -> DocSql.graphRankPersonalized(Dedup.MinHashParams(), 3,
       "n.doc_id % 17 = 0"),
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),

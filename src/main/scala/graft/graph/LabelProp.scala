@@ -106,4 +106,58 @@ object LabelProp {
     }
     lab.select(col("doc_id"), col("label").as("community"))
   }
+
+  /** EXACT-INTEGER MODULARITY audit of the [[communities]] labels —
+    * the acceptance metric for community detection (Newman 2004): per
+    * community c, the contribution numerator
+    * `mod_num = 4·m·e_c − K_c²` where e_c is the intra-community edge
+    * count, K_c the community's degree sum and m the total undirected
+    * edge count, so that modularity Q = Σ_c mod_num / (4·m²) — the
+    * division is left to the READER because a float Q can never
+    * hash-gate while the integer numerators do (the
+    * divide-at-the-edge convention of the rank family). A community
+    * of tightly-linked near-dups contributes a large positive
+    * mod_num; a label that lumps unrelated regions together goes
+    * negative against its degree mass. Bounds: 4·m·e_c ≤ 4m² and
+    * K_c² ≤ 4m² stay in a signed long for m < 2^30 edges — the
+    * banded candidate generation caps pairs far below that per
+    * corpus snapshot.
+    *
+    * Output per community (singletons included): (community, n_nodes,
+    * degree_sum, intra_edges, mod_num).
+    *
+    * Shape at 100 TB: the LP rounds as [[communities]]; then one
+    * degree aggregate over the edge list, one two-sided label join of
+    * the edge list (equi-joins on node id), and two community-sized
+    * aggregates — all map-side-combining, nothing corpus-quadratic. */
+  def modularity(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 4): DataFrame = {
+    val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = communities(nodes,
+      ab.select(col("u").as("doc_a"), col("v").as("doc_b")), iters)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = ab.select(col("u").as("node"))
+      .unionAll(ab.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val m = ab.agg(count(lit(1)).as("m"))
+    val lu = lab.select(col("doc_id").as("u"), col("community").as("cu"))
+    val lv = lab.select(col("doc_id").as("v"), col("community").as("cv"))
+    val intra = ab.join(lu, "u").join(lv, "v")
+      .filter(col("cu") === col("cv"))
+      .select(col("cu").as("community"))
+      .groupBy(col("community")).agg(count(lit(1)).as("intra_edges"))
+    val kc = lab.join(deg, col("doc_id") === col("node"), "left")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"),
+        coalesce(sum(col("deg")), lit(0L)).as("degree_sum"))
+    kc.join(intra, Seq("community"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("community"), col("n_nodes"), col("degree_sum"),
+        coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+        (lit(4L) * col("m") * coalesce(col("intra_edges"), lit(0L)) -
+          col("degree_sum") * col("degree_sum")).as("mod_num"))
+  }
 }

@@ -1380,6 +1380,51 @@ object DocSql {
        |SELECT doc_id, CAST(label AS BIGINT) AS community FROM l$iters""".stripMargin
   }
 
+  /** Mirror of LabelProp.modularity: the LP labels of
+    * [[graphLabelProp]] rolled into per-community exact-integer
+    * modularity numerators 4·m·e_c − K_c² (Q = Σ mod_num / 4m²,
+    * division left to the reader so the gate stays integer-exact). */
+  def graphModularity(p: MinHashParams, iters: Int): String = {
+    val pk = 1L << 32
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, label, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT e.dst, l.label FROM edges e JOIN l${k - 1} l ON l.doc_id = e.src
+         |    UNION ALL SELECT doc_id, label FROM l${k - 1}
+         |  ) GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT dst AS doc_id,
+         |    ${pk - 1} - (max(cnt * $pk + (${pk - 1} - label)) % $pk) AS label
+         |  FROM c$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |ab AS MATERIALIZED (SELECT DISTINCT least(doc_a, doc_b) AS u,
+       |    greatest(doc_a, doc_b) AS v FROM pr
+       |  WHERE least(doc_a, doc_b) != greatest(doc_a, doc_b)),
+       |edges AS (SELECT u AS src, v AS dst FROM ab
+       |  UNION ALL SELECT v, u FROM ab),
+       |l0 AS (SELECT doc_id, CAST(doc_id AS BIGINT) AS label FROM documents),
+       |$iterCtes,
+       |lab AS MATERIALIZED (SELECT doc_id, CAST(label AS BIGINT) AS community
+       |  FROM l$iters),
+       |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+       |    SELECT u AS node FROM ab UNION ALL SELECT v FROM ab
+       |  ) GROUP BY 1),
+       |mtot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM ab),
+       |intra AS (SELECT lu.community, CAST(count(*) AS BIGINT) AS intra_edges
+       |  FROM ab JOIN lab lu ON lu.doc_id = ab.u
+       |  JOIN lab lv ON lv.doc_id = ab.v
+       |  WHERE lu.community = lv.community GROUP BY 1),
+       |kc AS (SELECT lab.community, CAST(count(*) AS BIGINT) AS n_nodes,
+       |    CAST(coalesce(sum(deg.deg), 0) AS BIGINT) AS degree_sum
+       |  FROM lab LEFT JOIN deg ON deg.node = lab.doc_id GROUP BY 1)
+       |SELECT kc.community, kc.n_nodes, kc.degree_sum,
+       |  CAST(coalesce(intra.intra_edges, 0) AS BIGINT) AS intra_edges,
+       |  CAST(4 * mtot.m * coalesce(intra.intra_edges, 0)
+       |    - kc.degree_sum * kc.degree_sum AS BIGINT) AS mod_num
+       |FROM kc CROSS JOIN mtot
+       |LEFT JOIN intra ON intra.community = kc.community""".stripMargin
+  }
+
   /** Transitive closure of the MinHash pair graph as CTEs ending in
     * `comp(id, lbl)` — a recursive CTE floods every node's id along
     * the (symmetrized) edges; each node keeps the minimum id that

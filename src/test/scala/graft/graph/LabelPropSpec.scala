@@ -53,6 +53,55 @@ class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     lab
   }
 
+  test("modularity: hand-computed numerators on bridged triangles plus an isolate") {
+    import spark.implicits._
+    // triangles (0,1,2) and (3,4,5) bridged by 2-3, node 9 isolated:
+    // m=7; communities {0,1,2} and {3,4,5} each have K_c=7, e_c=3 ->
+    // mod_num = 4*7*3 - 49 = 35; the isolate contributes 0
+    val nodes = Seq(0L, 1L, 2L, 3L, 4L, 5L, 9L).toDF("doc_id")
+    val es = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val out = LabelProp.modularity(nodes, es)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    spark.catalog.clearCache()
+    assert(out === Map(
+      0L -> ((3L, 7L, 3L, 35L)),
+      3L -> ((3L, 7L, 3L, 35L)),
+      9L -> ((1L, 0L, 0L, 0L))))
+    // conservation: degree sums total 2m, intra edges bounded by m
+    assert(out.values.map(_._2).sum === 14L)
+    assert(out.values.map(_._3).sum <= 7L)
+  }
+
+  test("similarity-graph artifact: stored edges serve identical communities, no minhash stage") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox jumps over the lazy dog once more now"),
+      (4L, "entirely different text about training data pipelines at scale"),
+      (5L, "entirely different text about training data pipelines at scale"),
+      (6L, "a third unrelated document mentioning graphs and communities"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("sim_graph").toString + "/edges"
+    graft.dedup.Dedup.writeSimilarityGraph(docs, path)
+    val stored = spark.read.parquet(path)
+    // the serve plan probes parquet — the shingle/minhash pipeline is
+    // paid once at build, never per consumer
+    assert(!stored.queryExecution.executedPlan.toString.contains("shinglemin"))
+    val nodes = docs.select(org.apache.spark.sql.functions.col("doc_id"))
+    val direct = LabelProp.communities(nodes,
+      graft.dedup.Dedup.minhashPairs(docs)
+        .select($"doc_a", $"doc_b")).collect().map(_.toSeq).toSet
+    val served = LabelProp.communities(nodes,
+      stored.select($"doc_a", $"doc_b")).collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(served === direct)
+    assert(stored.count() > 0)
+  }
+
   test("two triangles joined by a bridge form two communities") {
     // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4: the bridge must NOT merge
     // them (connected components would). Hand trace with self-votes:
