@@ -43,6 +43,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // keep SURVEY §2.4's generated evidence table fresh on every run
+    // (round-13 verdict #7: it went stale when the manual tool wasn't
+    // re-run after late-round queries) — best-effort, a no-op outside
+    // the repo root; EvidenceSpec gates consistency at build time
+    try SurveyEvidence.refresh().foreach(m => System.err.println(s"[verify] $m"))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] evidence refresh skipped: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
