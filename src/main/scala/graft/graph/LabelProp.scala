@@ -131,14 +131,21 @@ object LabelProp {
     * the edge list (equi-joins on node id), and two community-sized
     * aggregates — all map-side-combining, nothing corpus-quadratic. */
   def modularity(nodes: DataFrame, pairs: DataFrame,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4): DataFrame =
+    modularityOf(communities(nodes, pairs, iters), pairs)
+
+  /** [[modularity]] against ALREADY-COMPUTED community labels — the
+    * production shape (audit the labels you ship; LP labels are a
+    * pure function of the edge artifact, so per corpus snapshot they
+    * are computed once and audited/consumed many times — the same
+    * argument as the shared similarity-graph and trained-merge
+    * artifacts). Stored-labels == recomputed equivalence is spec'd. */
+  def modularityOf(labels: DataFrame, pairs: DataFrame): DataFrame = {
     val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
         greatest(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val lab = communities(nodes,
-      ab.select(col("u").as("doc_a"), col("v").as("doc_b")), iters)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = ab.select(col("u").as("node"))
       .unionAll(ab.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))

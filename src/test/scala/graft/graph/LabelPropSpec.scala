@@ -72,6 +72,17 @@ class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     // conservation: degree sums total 2m, intra edges bounded by m
     assert(out.values.map(_._2).sum === 14L)
     assert(out.values.map(_._3).sum <= 7L)
+    // modularityOf over stored labels == the recomputing form (the
+    // "audit the labels you ship" serve path, parquet round-tripped)
+    val path = java.nio.file.Files
+      .createTempDirectory("lp_labels").toString + "/labels"
+    LabelProp.communities(nodes, es).write.parquet(path)
+    val served = LabelProp.modularityOf(spark.read.parquet(path), es)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(served === LabelProp.modularity(nodes, es)
+      .collect().map(_.toSeq).toSet)
+    spark.catalog.clearCache()
   }
 
   test("similarity-graph artifact: stored edges serve identical communities, no minhash stage") {

@@ -503,6 +503,40 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === scratch && scratch.nonEmpty)
   }
 
+  test("nb counts serve skips in-flight/crashed staging dirs (round-13 ADVICE)") {
+    import spark.implicits._
+    val srcs = (0 until 4).map(k => s"src$k")
+    val seeds = seedSources(srcs)
+    val rows = (0L until 40L).map { i =>
+      val src = srcs((i % 4).toInt)
+      (i, if (seeds(src)) "good clean prose here" else "spam junk click now",
+        src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val path = java.nio.file.Files
+      .createTempDirectory("nb_staging").toString + "/idx"
+    CorpusOps.nbCountsBuild(d, path, "p0")
+    val clean = CorpusOps.nbQualityFromCounts(spark, d, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    // a crash (or concurrent commit) leaves an UNCOMMITTED partial in a
+    // _staging_<id> dir: the old path/*/tokens glob read it (Hadoop
+    // glob expansion bypasses Spark's hidden-path filter) and would
+    // double-count; the part listing must skip it
+    CorpusOps.nbCountsBuild(d, path, "_staging_99")
+    CorpusOps.nbCountsBuild(d, path, ".trashed")
+    val withStaging = CorpusOps.nbQualityFromCounts(spark, d, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(withStaging === clean && clean.nonEmpty)
+    // a COMMITTED batch dir, by contrast, must merge in
+    CorpusOps.nbCountsBuild(d.limit(8), path, "batch_7")
+    val withBatch = CorpusOps.nbQualityFromCounts(spark, d, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(withBatch !== clean)
+  }
+
   test("nfc: composes decomposed sequences, idempotent, identity on ASCII/NFC, null-safe") {
     import spark.implicits._
     val dec = "cafe\u0301"            // decomposed e + combining acute
