@@ -1166,6 +1166,11 @@ object SparkEntry {
     // across the corpus (boilerplate document-level dedup never sees)
     "q_dedup_chunks" -> ((s, dir) =>
       Dedup.chunkDupes(table(s, dir, "documents"), 20)),
+    // CONTENT-DEFINED chunk dedup: cut points from token-content
+    // hashes (expected chunk ~16 tokens), so a shared passage chunks
+    // identically at ANY offset — the shift case fixed windows miss
+    "q_dedup_cdc" -> ((s, dir) =>
+      Dedup.cdcDupes(table(s, dir, "documents"))),
     // exact substring dedup: verbatim token runs >= w+k-1 shared at
     // ARBITRARY offsets (winnowing anchors; chunk dedup only catches
     // runs that happen to align with its fixed windows)
@@ -2695,6 +2700,7 @@ object SparkEntry {
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_clusters_best" -> DocSql.dedupClustersBest(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
+    "q_dedup_cdc" -> DocSql.cdcDupes(1),
     "q_clean_boilerplate" -> DocSql.removeBoilerplate(10, 2),
     "q_dedup_substr" -> DocSql.substrPairs(Dedup.SubstrParams()),
     "q_dedup_incr" -> DocSql.incrementalPairs(Dedup.MinHashParams(),

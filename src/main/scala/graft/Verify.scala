@@ -47,9 +47,11 @@ object Verify {
     // (round-13 verdict #7: it went stale when the manual tool wasn't
     // re-run after late-round queries) — best-effort, a no-op outside
     // the repo root; EvidenceSpec gates consistency at build time
-    try SurveyEvidence.refresh().foreach(m => System.err.println(s"[verify] $m"))
+    // "[evidence]", not "[verify]": the fuzz harness reads any
+    // "[verify]" line on stderr as a per-query failure marker
+    try SurveyEvidence.refresh().foreach(m => System.err.println(s"[evidence] $m"))
     catch { case e: Throwable =>
-      System.err.println(s"[verify] evidence refresh skipped: ${e.getMessage}")
+      System.err.println(s"[evidence] refresh skipped: ${e.getMessage}")
     }
     spark.stop()
   }

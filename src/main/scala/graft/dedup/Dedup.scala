@@ -566,6 +566,59 @@ object Dedup {
         (col("loc") % locBase).as("keep_chunk"))
   }
 
+  /** CONTENT-DEFINED chunk dedup — the shift-resistant sibling of
+    * [[chunkDupes]] (the CDC idea behind Rabin/Gear chunking in
+    * production dedup stores, at token granularity): a token is a CUT
+    * POINT iff its md5 ends in `zeroNibbles` zero hex digits
+    * (probability 16^-zeroNibbles per token → expected chunk length
+    * 16^zeroNibbles), and a chunk is the token run up to and
+    * including a cut. Because boundaries depend only on token CONTENT,
+    * a shared passage chunks IDENTICALLY regardless of its offset —
+    * a fixed-window chunker finds the duplicate only when the shared
+    * text happens to align with its stride (an inserted header shifts
+    * every downstream window), which is exactly the case CDC exists
+    * for (spec'd: a passage planted at different offsets dedups here
+    * and not under [[chunkDupes]] at the same width). Same output
+    * contract as chunkDupes: (chunk_hash, n_copies, n_docs, keep_doc,
+    * keep_chunk) per duplicated chunk content, keep = global first
+    * occurrence.
+    *
+    * Shape at 100 TB: one posexplode of the token stream, the
+    * boundary flag as a narrow md5 projection, chunk ids by a PER-DOC
+    * prefix-sum window (partition-local — the sessionize shape, no
+    * corpus-wide sort), per-(doc, chunk) reassembly and the same
+    * map-side-combining chunk-hash aggregate as chunkDupes. */
+  def cdcDupes(docs: DataFrame, zeroNibbles: Int = 1,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(zeroNibbles >= 1 && zeroNibbles <= 8, s"zeroNibbles=$zeroNibbles")
+    val locBase = 1L << 20
+    val t = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
+    val zeros = "0" * zeroNibbles
+    val cut = when(substring(md5(col("token").cast("binary")),
+      33 - zeroNibbles, zeroNibbles) === zeros, 1L).otherwise(0L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ch = t
+      .select(col("doc_id"), col("pos"), col("token"),
+        coalesce(sum(cut).over(w), lit(0L)).as("chunk_idx"))
+      .groupBy(col("doc_id"), col("chunk_idx"))
+      .agg(concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("token")))),
+        s => s.getField("token"))).as("chunk"))
+    ch
+      .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(col("doc_id") * locBase + col("chunk_idx")).as("loc"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        TextFunctions.intDiv(col("loc"), lit(locBase)).as("keep_doc"),
+        (col("loc") % locBase).as("keep_chunk"))
+  }
+
   /** Boilerplate REMOVAL — the corpus-rewriting complement of
     * [[chunkDupes]] (which only reports duplicates): drop every token
     * window whose text appears in more than `maxDf` distinct documents

@@ -796,6 +796,36 @@ object DocSql {
        |SELECT g.chunk_hash, n_copies, n_docs, keep_doc, keep_chunk
        |FROM g JOIN f USING (chunk_hash) WHERE n_copies > 1""".stripMargin
 
+  /** Mirror of Dedup.cdcDupes: content-defined cut points (md5 of the
+    * token ends in `zeroNibbles` zero hex digits), chunk ids by a
+    * per-doc prefix sum over the cut flags, then chunkDupes' duplicate
+    * aggregate with the same first-occurrence keep rule. */
+  def cdcDupes(zeroNibbles: Int): String = {
+    val zeros = "0" * zeroNibbles
+    s"""WITH $docsToks,
+       |t AS (SELECT doc_id, unnest(toks) AS token,
+       |  unnest(generate_series(1, len(toks))) AS pos FROM d),
+       |b AS (SELECT doc_id, pos, token,
+       |  CASE WHEN substr(md5(token), ${33 - zeroNibbles}, $zeroNibbles)
+       |    = '$zeros' THEN 1 ELSE 0 END AS cut FROM t),
+       |cx AS (SELECT doc_id, pos, token,
+       |  CAST(coalesce(sum(cut) OVER (PARTITION BY doc_id ORDER BY pos
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+       |    AS chunk_idx FROM b),
+       |ch AS (SELECT doc_id, chunk_idx,
+       |  array_to_string(list(token ORDER BY pos), ' ') AS chunk
+       |  FROM cx GROUP BY doc_id, chunk_idx),
+       |h AS (SELECT md5(chunk) AS chunk_hash, doc_id, chunk_idx FROM ch),
+       |g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+       |f AS (SELECT chunk_hash, doc_id AS keep_doc,
+       |  CAST(chunk_idx AS BIGINT) AS keep_chunk FROM (
+       |    SELECT h.*, row_number() OVER (PARTITION BY chunk_hash
+       |      ORDER BY doc_id, chunk_idx) AS rn FROM h) WHERE rn = 1)
+       |SELECT g.chunk_hash, n_copies, n_docs, keep_doc, keep_chunk
+       |FROM g JOIN f USING (chunk_hash) WHERE n_copies > 1""".stripMargin
+  }
+
   /** Mirror of Dedup.removeBoilerplate: chunkDupes' chunking, df on
     * the chunk hash, surviving chunks reassembled in chunk order.
     * string_agg skips the CASE-NULLed boilerplate chunks; the coalesce

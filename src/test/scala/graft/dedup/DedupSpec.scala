@@ -301,6 +301,69 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.toSeq == Seq((2L, 1L, 1L, 0L))) // "x y" twice inside doc 1
   }
 
+  /** Plain-Scala reference of [[Dedup.cdcDupes]]'s chunking: cut after
+    * a token whose md5 ends in `zeroNibbles` zero hex digits. */
+  private def cdcChunksRef(text: String, zeroNibbles: Int): Seq[String] = {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val zeros = "0" * zeroNibbles
+    val out = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    var cur = scala.collection.mutable.ArrayBuffer.empty[String]
+    for (t <- text.split(" ", -1).toSeq) {
+      cur += t
+      if (md5hex(t).takeRight(zeroNibbles) == zeros) {
+        out += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer.empty
+      }
+    }
+    if (cur.nonEmpty) out += cur.toSeq
+    out.map(_.mkString(" ")).toSeq
+  }
+
+  test("cdc dedup: operator chunking == plain-Scala reference on a mixed corpus") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "copyright acme corp all rights reserved the quick brown fox",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "short", "")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    // expected duplicate groups from the reference chunking
+    val refChunks = texts.zipWithIndex.flatMap { case (t, i) =>
+      cdcChunksRef(t, 1).zipWithIndex.map { case (c, ci) =>
+        (c, i.toLong, ci.toLong) }
+    }
+    val expected = refChunks.groupBy(_._1).filter(_._2.size > 1)
+      .map { case (_, occ) =>
+        val keep = occ.minBy(o => o._2 * (1L << 20) + o._3)
+        (occ.size.toLong, occ.map(_._2).distinct.size.toLong, keep._2, keep._3)
+      }.toSet
+    val got = Dedup.cdcDupes(d)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+  }
+
+  test("cdc dedup is shift-resistant where fixed windows are not") {
+    // a 40-token passage planted at offset 0 in doc 1 and offset 3 in
+    // doc 2: content-defined boundaries re-align inside the passage,
+    // fixed 16-token windows never line up (shift 3 is not a multiple
+    // of the stride)
+    val passage = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d = docs(
+      1L -> passage,
+      2L -> s"extra header words $passage")
+    val cdc = Dedup.cdcDupes(d)
+      .collect().map(r => (r.getLong(2), r.getLong(3)))
+    // at least one shared chunk across the two docs
+    assert(cdc.exists(_._1 == 2L), s"cdc found no cross-doc chunk: ${cdc.toSeq}")
+    val fixed = Dedup.chunkDupes(d, chunkTokens = 16)
+      .collect().map(r => r.getLong(2))
+    assert(!fixed.contains(2L),
+      "fixed windows unexpectedly aligned — test premise broken")
+  }
+
   test("incremental dedup: new-vs-old pairs only; hot old buckets capped to a representative") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val newDocs = docs(
