@@ -977,13 +977,12 @@ object SparkEntry {
     // distances, dense ranks, no self-matches) via Similarity.ivfAudit
     // — resolves the long-standing no_oracle row (round-13); the raw
     // neighbor list stays pinned by q_sim_ivf_seed + SimilaritySpec.
-    // PRECONDITION: the audit's constant-k oracle assumes every probe's
-    // nprobe=4 (of nlist=16) lists hold >= k=10 non-self candidates —
-    // ~a quarter of the corpus per probe, i.e. ~125 candidates at the
-    // smallest sf corpus (500 vectors) and ~75 on the 300-vector fuzz
-    // corpora, a 7-12x margin even under list skew. A thinner corpus
-    // FAILS the gate conservatively (short group, false failure) — it
-    // cannot mask a bug.
+    // The count contract is n_neighbors == least(k, candidates) with
+    // the candidate count carried out of the scoring pass (NOT a
+    // constant k): KMeans lists can be arbitrarily small — fuzz seed
+    // 1001 had a boundary-vector probe whose 4 probed lists held 6
+    // non-self candidates at dims=64 — and a constant-k row cannot
+    // tell a legitimately thin neighborhood from a dropped row.
     "q_sim_ivf" -> ((s, dir) =>
       Similarity.ivfAudit(table(s, dir, "embeddings"), col("vec_id") % 50 === 0, 10)),
     // deterministic IVF twin: hash-seeded data-point centroids make the

@@ -374,9 +374,9 @@ object SimSql {
     * contract. */
   def ivfAuditContract(probeMod: Int, k: Int): String =
     s"""SELECT vec_id AS probe_id,
-       |  CAST($k AS BIGINT) AS n_neighbors,
-       |  CAST($k AS BIGINT) AS n_dot_exact,
-       |  CAST($k AS BIGINT) AS n_rank_ok,
+       |  CAST(1 AS BIGINT) AS count_ok,
+       |  CAST(1 AS BIGINT) AS dots_ok,
+       |  CAST(1 AS BIGINT) AS ranks_ok,
        |  CAST(0 AS BIGINT) AS n_self
        |FROM embeddings WHERE vec_id % $probeMod = 0""".stripMargin
 
