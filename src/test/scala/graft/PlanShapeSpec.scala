@@ -55,6 +55,17 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!p.contains("hashpartitioning(vec_id"), p)
   }
 
+  test("cdc dedup: two exchanges total — per-doc window + chunk-hash agg, reassembly rides the window's partitioning") {
+    val p = plan("q_dedup_cdc")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the (doc_id, chunk_idx) reassembly aggregate is satisfied by the
+    // window's hash(doc_id) partitioning — a third exchange here means
+    // the chunk-id stage stopped sharing the window shuffle
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges\n$p")
+  }
+
   test("kmv sketch: bottom-k runs as WindowGroupLimit (partial merge, not a full sort)") {
     val p = plan("q_sketch_kmv")
     assert(p.contains("WindowGroupLimit"), p)
