@@ -144,6 +144,37 @@ class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
         s"iters=$iters")
   }
 
+  test("modularity matches a driver-side reference on a random graph") {
+    import spark.implicits._
+    val nodeIds = (1L to 60L).toSeq
+    val es = for {
+      a <- 1L to 60L; b <- (a + 1) to 60L
+      if (a * 31 + b * 17) % 23 == 0
+    } yield (a, b)
+    // reference: labels from the reference sweep, then the closed-form
+    // per-community numerators 4·m·e_c − K_c² over the canonical edges
+    val lab = reference(nodeIds, es, iters = 4)
+    val canon = es.map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2).distinct
+    val m = canon.size.toLong
+    val deg = canon.flatMap(e => Seq(e._1, e._2))
+      .groupBy(identity).map { case (n, o) => n -> o.size.toLong }
+    val expected = lab.groupBy(_._2).map { case (c, members) =>
+      val nodes = members.map(_._1).toSet
+      val kc = nodes.toSeq.map(n => deg.getOrElse(n, 0L)).sum
+      val ec = canon.count(e => nodes(e._1) && nodes(e._2)).toLong
+      (c, nodes.size.toLong, kc, ec, 4L * m * ec - kc * kc)
+    }.toSet
+    val got = LabelProp.modularity(nodeIds.toDF("doc_id"),
+        es.toDF("doc_a", "doc_b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    spark.catalog.clearCache()
+    assert(got === expected)
+    // global sanity: ΣK_c = 2m
+    assert(got.toSeq.map(_._3).sum === 2 * m)
+  }
+
   test("duplicated and reversed pairs canonicalize to the same result") {
     val es = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
       (5L, 6L), (3L, 4L))
