@@ -587,7 +587,18 @@ object Dedup {
     * boundary flag as a narrow md5 projection, chunk ids by a PER-DOC
     * prefix-sum window (partition-local — the sessionize shape, no
     * corpus-wide sort), per-(doc, chunk) reassembly and the same
-    * map-side-combining chunk-hash aggregate as chunkDupes. */
+    * map-side-combining chunk-hash aggregate as chunkDupes. The per-doc
+    * window and the collect_list reassembly serialize each DOCUMENT
+    * through one task — fine under the corpus contract that documents
+    * are bounded (MBs, not GBs); a corpus of unbounded concatenated
+    * streams should be pre-split before chunk-level dedup, same
+    * assumption [[chunkDupes]] states. The keep location packs
+    * doc_id · 2^20 + chunk_idx into one long (2^20 chunks/doc ≈ 16M+
+    * tokens at the default zeroNibbles=1, doc_id < 2^43); both bounds
+    * are RUNTIME-GUARDED with raise_error ([[graft.graph.LabelProp]]
+    * convention) because the DuckDB oracle packs identically — an
+    * overflow would hash-gate as "correct" with a wrong keep location,
+    * so the gate here mirrors an assumption unless the plan checks it. */
   def cdcDupes(docs: DataFrame, zeroNibbles: Int = 1,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(zeroNibbles >= 1 && zeroNibbles <= 8, s"zeroNibbles=$zeroNibbles")
@@ -607,12 +618,23 @@ object Dedup {
       .agg(concat_ws(" ", transform(
         array_sort(collect_list(struct(col("pos"), col("token")))),
         s => s.getField("token"))).as("chunk"))
+    // fail-fast pack guards (codegen'd branches on rows that exist
+    // anyway): silently aliased keep locations would still hash-gate
+    // because the oracle packs the same way
+    val docGuard = when(col("doc_id") < 0 || col("doc_id") >= (1L << 43),
+      raise_error(concat(lit("cdc_dupes: doc_id outside packed range [0, 2^43): "),
+        col("doc_id").cast("string"))).cast("long"))
+      .otherwise(col("doc_id"))
+    val idxGuard = when(col("chunk_idx") >= locBase,
+      raise_error(concat(lit("cdc_dupes: chunk_idx >= 2^20 overflows the keep pack: "),
+        col("chunk_idx").cast("string"))).cast("long"))
+      .otherwise(col("chunk_idx"))
     ch
       .groupBy(md5(col("chunk").cast("binary")).as("chunk_hash"))
       .agg(
         count(lit(1)).as("n_copies"),
         countDistinct(col("doc_id")).as("n_docs"),
-        min(col("doc_id") * locBase + col("chunk_idx")).as("loc"))
+        min(docGuard * locBase + idxGuard).as("loc"))
       .filter(col("n_copies") > 1)
       .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
         TextFunctions.intDiv(col("loc"), lit(locBase)).as("keep_doc"),

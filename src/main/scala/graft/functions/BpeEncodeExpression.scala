@@ -167,6 +167,24 @@ object BpeEncodeTable {
     * word, so the sentinel is unreachable by construction. */
   private val NeverProduced = Long.MinValue
 
+  /** True iff `s` is well-formed UTF-16 (no unpaired surrogate half).
+    * Char-level operands must be: a lone high-surrogate operand
+    * followed by a lone low-surrogate operand would concatenate into
+    * ONE code point, which the base-shape test would then misread as a
+    * base symbol (cp - 97) instead of the rank's token id. */
+  private def wellFormedUtf16(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (Character.isHighSurrogate(c)) {
+        if (i + 1 >= s.length || !Character.isLowSurrogate(s.charAt(i + 1))) return false
+        i += 2
+      } else if (Character.isLowSurrogate(c)) return false
+      else i += 1
+    }
+    true
+  }
+
   def build(merges: Seq[(String, String)], byteLevel: Boolean): BpeEncodeTable = {
     val baseVocab = if (byteLevel) 256 else 26
     val intern = new java.util.HashMap[String, Integer]()
@@ -197,6 +215,9 @@ object BpeEncodeTable {
       val (a, b) = merges(r)
       require(a.nonEmpty && b.nonEmpty && !a.contains(' ') && !b.contains(' '),
         s"bpe_encode: merge rank ${r + 1} has malformed operands ('$a', '$b')")
+      require(byteLevel || (wellFormedUtf16(a) && wellFormedUtf16(b)),
+        s"bpe_encode: merge rank ${r + 1} has an unpaired-surrogate operand " +
+          s"('$a', '$b') — char-level operands must be well-formed UTF-16")
       pa(r) = symId(a)
       pb(r) = symId(b)
       val ab = symId(a + b)

@@ -56,6 +56,8 @@ object Curves {
       case _ => throw new IllegalArgumentException(
         s"$what must be a constant (foldable) array<string> of 'sym_a sym_b' entries")
     }
+    if (arr == null) throw new IllegalArgumentException(
+      s"$what must be a constant (foldable) array<string> of 'sym_a sym_b' entries, got NULL")
     (0 until arr.numElements()).map { i =>
       val s = arr.getUTF8String(i).toString
       val sp = s.indexOf(' ')

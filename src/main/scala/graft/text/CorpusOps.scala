@@ -388,15 +388,20 @@ object CorpusOps {
     * driver artifact in the NB-weight-table class). Until round 14
     * each round was 2 Spark jobs (a pair-count argmax + a
     * localCheckpoint'ed merge apply) — 2·merges jobs of pure
-    * fixed overhead on a KB-sized frame, and the round-13 two-space
-    * anchored replace made each apply two extra string passes
-    * (q_text_bpe_apply 1.31 → 1.99 s). The in-memory loop mirrors the
-    * distributed rounds exactly — overlap-counted weighted pairs,
-    * argmax on (count desc, a asc, b asc) in ASCII/UTF-8 binary
-    * order, greedy left-to-right non-overlapping merge, and the
-    * quirk that a round with NO remaining pair empties the word frame
-    * (the old crossJoin-with-empty-argmax behavior, spec'd) — so
-    * every oracle gates unchanged.
+    * fixed overhead on a KB-sized frame. Round 15 replaced the
+    * in-memory loop's per-round full rescan (O(merges · words · len) —
+    * fine at the gated merges=12, hours at a shipped tokenizer's
+    * ≥10k merges over ≥100k words) with the standard INCREMENTAL
+    * trainer ([[trainMerges]]): pair counts and a pair→words inverted
+    * index maintained by per-word deltas, argmax from a lazy-deletion
+    * max-heap, each round touching only the words that CONTAIN the
+    * merged pair. Semantics are pinned and spec-equivalent to the
+    * rescan (`BpeTrainSpec`): overlap-counted weighted pairs, argmax
+    * on (count desc, a asc, b asc) in ASCII/UTF-8 binary order,
+    * greedy left-to-right non-overlapping merge, and the quirk that a
+    * round with NO remaining pair empties the word frame (the old
+    * crossJoin-with-empty-argmax behavior, spec'd) — so every oracle
+    * gates unchanged.
     *
     * Returns (merge table, final segmentation) as DataFrames in the
     * exact schemas the distributed rounds produced. */
@@ -407,64 +412,145 @@ object CorpusOps {
     import spark.implicits._
     val collected = vocab.select(col("word"), col("freq"), col("s"))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
-    var words: Array[(String, Long, Array[String])] =
+    val words0: Array[(String, Long, Array[String])] =
       collected.map { case (w, f, s) => (w, f, s.split(" ").drop(1)) }
-    val mergeRows = scala.collection.mutable.ArrayBuffer
-      .empty[(Long, String, String, Long)]
-    var k = 1
-    while (k <= merges && words.nonEmpty) {
-      // weighted adjacent-pair counts, overlapping occurrences counted
-      val cnt = new java.util.HashMap[(String, String), Long]()
-      for ((_, f, seg) <- words) {
-        var i = 0
-        while (i + 1 < seg.length) {
-          val key = (seg(i), seg(i + 1))
-          cnt.merge(key, f, (x, y) => x + y)
-          i += 1
-        }
-      }
-      if (cnt.isEmpty) {
-        // mirror the distributed rounds: an empty argmax crossJoined
-        // onto the word frame empties it for this and later rounds
-        words = Array.empty
-      } else {
-        var best: ((String, String), Long) = null
-        val it = cnt.entrySet().iterator()
-        while (it.hasNext) {
-          val e = it.next()
-          val c = e.getValue.longValue()
-          if (best == null || c > best._2 ||
-            (c == best._2 && (e.getKey._1 < best._1._1 ||
-              (e.getKey._1 == best._1._1 && e.getKey._2 < best._1._2))))
-            best = (e.getKey, c)
-        }
-        val (a, b) = best._1
-        mergeRows += ((k.toLong, a, b, best._2))
-        val ab = a + b
-        words = words.map { case (w, f, seg) =>
-          var i = 0
-          val lim = seg.length - 1
-          while (i < lim && !(seg(i) == a && seg(i + 1) == b)) i += 1
-          if (i >= lim) (w, f, seg)
-          else {
-            val out = scala.collection.mutable.ArrayBuffer.empty[String]
-            out ++= seg.take(i)
-            while (i < seg.length) {
-              if (i < lim && seg(i) == a && seg(i + 1) == b) { out += ab; i += 2 }
-              else { out += seg(i); i += 1 }
-            }
-            (w, f, out.toArray)
-          }
-        }
-      }
-      k += 1
-    }
+    val (mergeRows, words) = trainMerges(words0, merges)
     val mt = mergeRows.toSeq
       .toDF("merge_rank", "sym_a", "sym_b", "pair_count")
     val w = words.toSeq
       .map { case (wd, f, seg) => (wd, f, " " + seg.mkString(" ")) }
       .toDF("word", "freq", "s")
     (mt, w)
+  }
+
+  /** The incremental BPE trainer core, over a plain in-memory word
+    * table (word, freq, segmentation). State: a weighted pair-count
+    * map (overlapping occurrences counted — the distributed rounds'
+    * convention), a pair → containing-word inverted index, and a
+    * LAZY-DELETION max-heap ordered (count desc, sym_a asc, sym_b
+    * asc). Each round pops the heap until the top entry's count
+    * matches the live map (stale entries are re-pushed at their
+    * current count or dropped at zero — a popped-and-corrected top is
+    * ≥ every live count by induction, because increases push a fresh
+    * entry immediately and decreases leave the older, larger entry to
+    * be corrected here), emits the merge, and rewrites ONLY the words
+    * the inverted index lists for the winning pair, applying each
+    * word's pair-multiset delta to the map/index. Per-round cost is
+    * O(affected words · len) + O(log heap) per touched pair instead
+    * of O(all words · len): training 10k+ merges over a 100k+-word
+    * table runs in seconds (`BpeTrainScaleSpec` gates this; the
+    * 12-merge oracles gate the semantics). */
+  private[graft] def trainMerges(words0: Array[(String, Long, Array[String])],
+      merges: Int): (Array[(Long, String, String, Long)],
+        Array[(String, Long, Array[String])]) = {
+    val words = words0
+    val segs: Array[Array[String]] = words.map(_._3)
+    val freqs: Array[Long] = words.map(_._2)
+    val counts = new java.util.HashMap[(String, String), java.lang.Long]()
+    val index = new java.util.HashMap[(String, String), java.util.HashSet[Integer]]()
+    // heap entries (count, a, b); max count first, lexicographic ties
+    val heap = new java.util.PriorityQueue[(Long, String, String)](
+      math.max(1, words.length),
+      new java.util.Comparator[(Long, String, String)] {
+        def compare(x: (Long, String, String), y: (Long, String, String)): Int = {
+          if (x._1 != y._1) java.lang.Long.compare(y._1, x._1)
+          else {
+            val c = x._2.compareTo(y._2)
+            if (c != 0) c else x._3.compareTo(y._3)
+          }
+        }
+      })
+    def addWord(i: Int, sign: Long): Unit = {
+      val seg = segs(i); val f = freqs(i) * sign
+      var j = 0
+      while (j + 1 < seg.length) {
+        val p = (seg(j), seg(j + 1))
+        val c = counts.merge(p, java.lang.Long.valueOf(f), (x, y) =>
+          java.lang.Long.valueOf(x.longValue() + y.longValue()))
+        if (c.longValue() == 0L) counts.remove(p)
+        val set = index.computeIfAbsent(p, _ => new java.util.HashSet[Integer]())
+        if (sign > 0) set.add(i)
+        else { set.remove(i); if (set.isEmpty) index.remove(p) }
+        j += 1
+      }
+    }
+    // sign<0 removes index membership per occurrence; re-adding after
+    // the rewrite restores it — membership is a set, multiplicity
+    // lives in the count map
+    var i = 0
+    while (i < words.length) { addWord(i, 1L); i += 1 }
+    val it0 = counts.entrySet().iterator()
+    while (it0.hasNext) {
+      val e = it0.next()
+      heap.add((e.getValue.longValue(), e.getKey._1, e.getKey._2))
+    }
+    val mergeRows = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long)]
+    var k = 1
+    var emptied = words.isEmpty
+    while (k <= merges && !emptied) {
+      var best: (Long, String, String) = null
+      while (best == null && !heap.isEmpty) {
+        val e = heap.poll()
+        val cur = counts.get((e._2, e._3))
+        if (cur != null && cur.longValue() == e._1) best = e
+        else if (cur != null && cur.longValue() > 0L)
+          heap.add((cur.longValue(), e._2, e._3))
+      }
+      if (best == null) {
+        // mirror the distributed rounds: an empty argmax crossJoined
+        // onto the word frame empties it for this and later rounds
+        emptied = true
+      } else {
+        val (c, a, b) = best
+        mergeRows += ((k.toLong, a, b, c))
+        val ab = a + b
+        val touched = index.get((a, b))
+        val affected =
+          if (touched == null) Array.empty[Int]
+          else { // snapshot: addWord/removeWord mutate the index
+            val arr = new Array[Int](touched.size())
+            val ti = touched.iterator(); var n = 0
+            while (ti.hasNext) { arr(n) = ti.next().intValue(); n += 1 }
+            arr
+          }
+        val changed = new java.util.HashSet[(String, String)]()
+        for (wi <- affected) {
+          val seg = segs(wi)
+          // collect the pairs this word touches before and after
+          var j = 0
+          while (j + 1 < seg.length) { changed.add((seg(j), seg(j + 1))); j += 1 }
+          addWord(wi, -1L)
+          // greedy left-to-right non-overlapping merge
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          val lim = seg.length - 1
+          j = 0
+          while (j < seg.length) {
+            if (j < lim && seg(j) == a && seg(j + 1) == b) { out += ab; j += 2 }
+            else { out += seg(j); j += 1 }
+          }
+          segs(wi) = out.toArray
+          addWord(wi, 1L)
+          val ns = segs(wi)
+          j = 0
+          while (j + 1 < ns.length) { changed.add((ns(j), ns(j + 1))); j += 1 }
+        }
+        // one fresh heap entry per touched pair that still lives: keeps
+        // the invariant that some entry >= every live count
+        val ci = changed.iterator()
+        while (ci.hasNext) {
+          val p = ci.next()
+          val cur = counts.get(p)
+          if (cur != null && cur.longValue() > 0L)
+            heap.add((cur.longValue(), p._1, p._2))
+        }
+      }
+      k += 1
+    }
+    val outWords =
+      if (emptied) Array.empty[(String, Long, Array[String])]
+      else words.indices.map(i => (words(i)._1, freqs(i), segs(i))).toArray
+    (mergeRows.toArray, outWords)
   }
 
   /** Greedy left-to-right BPE merge of pair (a, b) in a space-
