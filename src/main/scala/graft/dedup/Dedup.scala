@@ -192,7 +192,15 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val cand = bandCandidates(sigs, p)
+    verifyPairs(bandCandidates(sigs, p), sigs, p)
+  }
+
+  /** The signature-verify tail shared by [[minhashPairs]] and the
+    * similarity-graph append: candidate (doc_a, doc_b) pairs scored by
+    * component agreement against a (doc_id, sig) frame, filtered at
+    * minMatches. */
+  private def verifyPairs(cand: DataFrame, sigs: DataFrame,
+      p: MinHashParams): DataFrame =
     cand
       .join(sigs.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sig", "sig_a"), "doc_a")
       .join(sigs.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sig", "sig_b"), "doc_b")
@@ -201,24 +209,206 @@ object Dedup {
         size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("long").as("minhash_matches"))
       .filter(col("minhash_matches") >= p.minMatches)
-  }
 
-  /** Persist [[minhashPairs]] as the corpus's WRITE-ONCE similarity-
-    * graph edge artifact — the production shape for every downstream
-    * graph consumer (PageRank plain/weighted/personalized, triangles,
+  /** Persist [[minhashPairs]] as the corpus's similarity-graph
+    * artifact — the production shape for every downstream graph
+    * consumer (PageRank plain/weighted/personalized, triangles,
     * clustering, label propagation, modularity): the pair graph is a
     * pure function of the corpus snapshot, so it is built once per
     * snapshot and probed by any number of analytics jobs, instead of
     * each job re-paying the shingle → minhash → band → verify
     * pipeline (round-13 verdict #4: six graph queries each rebuilt it
-    * from scratch, ~20 s of a 140 s suite). Same write-once contract
+    * from scratch, ~20 s of a 140 s suite). Same artifact contract
     * as the curve-indexed layouts and the PQ index; keeps
-    * minhash_matches so weighted consumers read the same artifact. */
+    * minhash_matches so weighted consumers read the same artifact.
+    *
+    * Layout under `path` (round-14 verdict #2 — the lifecycle that
+    * makes the artifact GROWABLE instead of rebuild-only):
+    *  - `edges/` (doc_a, doc_b, minhash_matches) — what consumers
+    *    read ([[readSimilarityGraph]]);
+    *  - `index/` — the corpus's [[writeSignatureIndex]] signature
+    *    index, so [[appendSimilarityGraph]] can derive a new batch's
+    *    edges without ever re-reading old TEXT. */
   def writeSimilarityGraph(docs: DataFrame, path: String,
       p: MinHashParams = MinHashParams(),
-      idCol: String = "doc_id", textCol: String = "text"): Unit =
-    minhashPairs(docs, p, idCol, textCol)
-      .write.mode("overwrite").parquet(path)
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeIndexFromSigs(sigs, s"$path/index", p, "overwrite")
+      verifyPairs(bandCandidates(sigs, p), sigs, p)
+        .write.mode("overwrite").parquet(s"$path/edges")
+    } finally sigs.unpersist()
+  }
+
+  /** The serve half of the similarity-graph lifecycle. */
+  def readSimilarityGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/edges")
+
+  /** Grow a [[writeSimilarityGraph]] artifact by one ingest batch so
+    * that build + any append sequence equals a from-scratch build of
+    * the union EDGE FOR EDGE (SimGraphSpec asserts; the gated
+    * q_graph_edges_append compares against the plain [[minhashPairs]]
+    * oracle over the whole corpus — nothing can drift, because the
+    * oracle never sees the incremental path).
+    *
+    * CONTRACT: batch ids are MONOTONE — every new doc_id exceeds every
+    * stored one (fail-fast require). That is the production ingest
+    * shape (snapshot ids grow over time; the gated query splits the
+    * corpus by an id cutoff), and it pins every band bucket's min id
+    * to the OLD side, so the star edges already stored for over-cap
+    * buckets stay canonical.
+    *
+    * What a from-scratch union build would change, and how the append
+    * reproduces it exactly:
+    *  - NEW edges (involving >= 1 batch doc): band-join the batch's
+    *    bands against the stored index with MERGED bucket stats (old
+    *    partials + this batch's counts — the
+    *    [[minhashPairsAgainstIndex]] merge convention). Merged-under-
+    *    cap buckets emit new×old (old members from `band_rows`,
+    *    complete because merged n <= cap implies every old partial
+    *    <= cap) and new×new pairs; merged-over-cap buckets emit the
+    *    star through the merged min. Then the usual signature verify.
+    *  - RETRACTED edges: a bucket that CROSSES the cap (old n <= cap,
+    *    merged n > cap) emitted all-pairs in the old build but emits
+    *    only the star in a union build — stored old×old pairs inside
+    *    it LOSE that bucket's support. Each such pair (bounded:
+    *    <= cap² per crossing bucket) is re-checked against every band
+    *    bucket it shares under merged stats; pairs with no remaining
+    *    support are rewritten away ([[compactSignatureIndex]]'s
+    *    DirSwap convention). No crossing buckets (the common append) →
+    *    pure file-add, no rewrite.
+    *
+    * Shape at 100 TB: per batch, one narrow signature pass over the
+    * batch, band equi-joins against stored narrow tables, a verify
+    * join ∝ the batch's candidates, and — only when a bucket crosses
+    * the cap — one anti-join rewrite of the edge list (∝ the graph,
+    * not the corpus; production sizes the cap so crossings are
+    * rare). */
+  def appendSimilarityGraph(newDocs: DataFrame, path: String,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val spark = newDocs.sparkSession
+    val idx = s"$path/index"
+    val newSigs = newDocs
+      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val oldSigs = spark.read.parquet(s"$idx/sigs")
+      val bounds = newSigs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
+      if (!bounds.isNullAt(0)) { // empty batch: nothing to do
+        val oldMax = oldSigs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        require(bounds.getLong(0) > oldMax,
+          s"appendSimilarityGraph: batch min id ${bounds.getLong(0)} <= stored " +
+            s"max id $oldMax — batch ids must be monotone (the ingest contract " +
+            "that keeps stored star-edge representatives canonical)")
+
+        val nb = explodedBands(newSigs, "doc_id", p)
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val nstats = nb.groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("nn"), min(col("doc_id")).as("nmin"))
+        val ostats = spark.read.parquet(s"$idx/band_stats")
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(sum(col("n")).as("on"), min(col("min_id")).as("omin"))
+        // merged stats for every bucket the batch touches
+        val touched = nstats.join(ostats, Seq("band_idx", "band_hash"), "left")
+          .select(col("band_idx"), col("band_hash"),
+            coalesce(col("on"), lit(0L)).as("on"), col("nn"),
+            (coalesce(col("on"), lit(0L)) + col("nn")).as("mn"),
+            least(coalesce(col("omin"), col("nmin")), col("nmin")).as("mmin"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val rows = spark.read.parquet(s"$idx/band_rows")
+        val underB = touched.filter(col("mn") <= p.maxBucketSize)
+          .select(col("band_idx"), col("band_hash"))
+        // merged-under-cap: new×old (monotone ids orient old first)
+        val candNewOld = nb.join(underB, Seq("band_idx", "band_hash"))
+          .join(rows, Seq("band_idx", "band_hash"))
+          .select(col("old_id").as("doc_a"), col("doc_id").as("doc_b"))
+        // merged-under-cap: new×new within the bucket
+        val nbU = nb.join(underB, Seq("band_idx", "band_hash"))
+        val candNewNew = nbU.as("a")
+          .join(nbU.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // merged-over-cap: the star through the merged (= old, by
+        // monotonicity, unless the bucket is batch-only) min
+        val candStar = nb
+          .join(touched.filter(col("mn") > p.maxBucketSize)
+            .select(col("band_idx"), col("band_hash"), col("mmin")),
+            Seq("band_idx", "band_hash"))
+          .filter(col("doc_id") =!= col("mmin"))
+          .select(col("mmin").as("doc_a"), col("doc_id").as("doc_b"))
+        val cand = candNewOld.union(candNewNew).union(candStar).distinct()
+        val allSigs = oldSigs.unionByName(newSigs)
+        val newEdges = verifyPairs(cand, allSigs, p)
+
+        val crossing = touched
+          .filter(col("on") <= p.maxBucketSize && col("mn") > p.maxBucketSize)
+          .select(col("band_idx"), col("band_hash"), col("mmin"))
+        if (crossing.isEmpty) {
+          newEdges.write.mode("append").parquet(s"$path/edges")
+        } else {
+          // old×old pairs inside crossing buckets: the only stored
+          // edges whose candidate support a union build could drop
+          val aff = rows.join(crossing, Seq("band_idx", "band_hash"))
+          val affPairs = aff.as("a")
+            .join(aff.as("b"),
+              col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_hash") === col("b.band_hash") &&
+                col("a.old_id") < col("b.old_id"))
+            .select(col("a.old_id").as("x"), col("b.old_id").as("y"))
+            .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+          val affIds = affPairs.select(col("x").as("doc_id"))
+            .union(affPairs.select(col("y").as("doc_id"))).distinct()
+          val affBands = explodedBands(
+            oldSigs.join(affIds, Seq("doc_id"), "left_semi"), "doc_id", p)
+          val mergedAll = spark.read.parquet(s"$idx/band_stats")
+            .select(col("band_idx"), col("band_hash"), col("n"), col("min_id"))
+            .unionByName(nstats.select(col("band_idx"), col("band_hash"),
+              col("nn").as("n"), col("nmin").as("min_id")))
+            .groupBy(col("band_idx"), col("band_hash"))
+            .agg(sum(col("n")).as("mn"), min(col("min_id")).as("mmin"))
+          // a pair keeps candidacy iff SOME shared bucket is merged-
+          // under-cap or stars through one of its endpoints
+          val sharedBuckets = affBands.as("a")
+            .join(affBands.as("b"),
+              col("a.band_idx") === col("b.band_idx") &&
+                col("a.band_hash") === col("b.band_hash") &&
+                col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.band_idx").as("band_idx"),
+              col("a.band_hash").as("band_hash"),
+              col("a.doc_id").as("sx"), col("b.doc_id").as("sy"))
+            .join(affPairs,
+              col("sx") === col("x") && col("sy") === col("y"), "left_semi")
+          val support = sharedBuckets
+            .join(mergedAll, Seq("band_idx", "band_hash"))
+            .filter(col("mn") <= p.maxBucketSize ||
+              col("sx") === col("mmin") || col("sy") === col("mmin"))
+            .select(col("sx").as("x"), col("sy").as("y"))
+          val retract = affPairs.except(support)
+          val kept = spark.read.parquet(s"$path/edges")
+            .join(retract,
+              col("doc_a") === col("x") && col("doc_b") === col("y"),
+              "left_anti")
+          val out = kept.unionByName(newEdges)
+          out.write.mode("overwrite").parquet(s"$path/edges_compacting")
+          affPairs.unpersist()
+          val fs = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.core.DirSwap.swap(fs,
+            new org.apache.hadoop.fs.Path(s"$path/edges"),
+            new org.apache.hadoop.fs.Path(s"$path/edges_compacting"))
+        }
+        touched.unpersist(); nb.unpersist()
+        // grow the index last: edge derivation above must see the
+        // PRE-append stats/rows
+        writeIndexFromSigs(newSigs, idx, p, "append")
+      }
+    } finally newSigs.unpersist()
+  }
 
   /** 32-bit SimHash over tokens (with multiplicity): per bit, tokens
     * vote +1/-1 by their hash bit; the fingerprint sets bits with a
@@ -404,20 +594,28 @@ object Dedup {
     val sigs = docs
       .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      sigs.write.mode(mode).parquet(s"$path/sigs")
-      val ex = explodedBands(sigs, "doc_id", p)
-      ex.groupBy(col("band_idx"), col("band_hash"))
-        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
-        .write.mode(mode).parquet(s"$path/band_stats")
-      // the one skew-cap window, over THIS write's rows only (build
-      // cost ∝ the batch being written, never the whole index)
-      val w = Window.partitionBy(col("band_idx"), col("band_hash"))
-      ex.withColumn("bn", count(lit(1)).over(w))
-        .filter(col("bn") <= p.maxBucketSize)
-        .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
-        .write.mode(mode).parquet(s"$path/band_rows")
-    } finally sigs.unpersist()
+    try writeIndexFromSigs(sigs, path, p, mode)
+    finally sigs.unpersist()
+  }
+
+  /** One signature-index write (the [[writeSignatureIndex]] layout)
+    * from an already-persisted (doc_id, sig) frame — shared with the
+    * similarity-graph lifecycle, whose build/append compute the
+    * signatures once for both the edge derivation and the index. */
+  private def writeIndexFromSigs(sigs: DataFrame, path: String,
+      p: MinHashParams, mode: String): Unit = {
+    sigs.write.mode(mode).parquet(s"$path/sigs")
+    val ex = explodedBands(sigs, "doc_id", p)
+    ex.groupBy(col("band_idx"), col("band_hash"))
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"))
+      .write.mode(mode).parquet(s"$path/band_stats")
+    // the one skew-cap window, over THIS write's rows only (build
+    // cost ∝ the batch being written, never the whole index)
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    ex.withColumn("bn", count(lit(1)).over(w))
+      .filter(col("bn") <= p.maxBucketSize)
+      .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id"))
+      .write.mode(mode).parquet(s"$path/band_rows")
   }
 
   /** [[minhashPairsAgainst]] over a PERSISTED old-side signature index

@@ -1,0 +1,113 @@
+package graft.dedup
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The similarity-graph artifact lifecycle (round-14 verdict #2):
+  * build + append must equal a from-scratch [[Dedup.writeSimilarityGraph]]
+  * of the union EDGE FOR EDGE — including the hard case where an
+  * append pushes a band bucket OVER the skew cap, which converts the
+  * bucket's stored all-pairs edges into star edges and therefore
+  * requires the append to RETRACT stored pairs that lose their last
+  * candidate support. A tiny maxBucketSize plants exactly that. */
+class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-simgraph-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/g"
+
+  private def edgeSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+    df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+  /** A near-dup-heavy corpus: `n` docs cycling over `k` templates with
+    * a per-doc suffix, so the banded LSH forms real multi-doc buckets. */
+  private def corpus(ids: Range, k: Int) = {
+    import spark.implicits._
+    ids.map { i =>
+      val t = i % k
+      (i.toLong,
+        s"template $t body the quick brown fox jumps over the lazy dog " +
+          s"variant ${i / k} tail token stream for shingles")
+    }.toDF("doc_id", "text")
+  }
+
+  test("build+append == from-scratch union (no cap crossing)") {
+    val docs = corpus(0 until 60, 5)
+    val oldDocs = docs.filter(col("doc_id") < 40)
+    val newDocs = docs.filter(col("doc_id") >= 40)
+    val p = Dedup.MinHashParams()
+    val inc = tmp("simgraph_inc")
+    Dedup.writeSimilarityGraph(oldDocs, inc, p)
+    Dedup.appendSimilarityGraph(newDocs, inc, p)
+    val scratch = tmp("simgraph_scratch")
+    Dedup.writeSimilarityGraph(docs, scratch, p)
+    spark.catalog.clearCache()
+    val got = edgeSet(Dedup.readSimilarityGraph(spark, inc))
+    val exp = edgeSet(Dedup.readSimilarityGraph(spark, scratch))
+    assert(got === exp)
+    assert(exp.nonEmpty, "corpus produced no edges — test is vacuous")
+  }
+
+  test("build+append == from-scratch union WITH cap-crossing retraction") {
+    // cap 6: templates with 8 old members are over cap already; a
+    // template with 5 old members CROSSES when 3 new ones arrive
+    val p = Dedup.MinHashParams(maxBucketSize = 6)
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (i.toLong, s"template ${i % 5} body the quick brown fox jumps over " +
+        s"the lazy dog variant ${i / 5} tail token stream for shingles")
+    } ++ (40 until 52).map { i =>
+      (i.toLong, s"template ${i % 4} body the quick brown fox jumps over " +
+        s"the lazy dog variant ${100 + i / 4} tail token stream for shingles")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val oldDocs = docs.filter(col("doc_id") < 40)
+    val newDocs = docs.filter(col("doc_id") >= 40)
+    val inc = tmp("simgraph_cross_inc")
+    Dedup.writeSimilarityGraph(oldDocs, inc, p)
+    Dedup.appendSimilarityGraph(newDocs, inc, p)
+    val scratch = tmp("simgraph_cross_scratch")
+    Dedup.writeSimilarityGraph(docs, scratch, p)
+    spark.catalog.clearCache()
+    val got = edgeSet(Dedup.readSimilarityGraph(spark, inc))
+    val exp = edgeSet(Dedup.readSimilarityGraph(spark, scratch))
+    // the union build must actually differ from old-edges ∪ new-edges
+    // computed naively, or the retraction path was not exercised
+    val oldAlone = tmp("simgraph_cross_old")
+    Dedup.writeSimilarityGraph(oldDocs, oldAlone, p)
+    spark.catalog.clearCache()
+    val oldEdges = edgeSet(Dedup.readSimilarityGraph(spark, oldAlone))
+    assert((oldEdges -- exp).nonEmpty,
+      "no stored edge lost support — the retraction path was not exercised")
+    assert(got === exp)
+  }
+
+  test("two appends compose; a non-monotone batch is rejected") {
+    val docs = corpus(0 until 60, 4)
+    val p = Dedup.MinHashParams()
+    val inc = tmp("simgraph_two")
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < 30), inc, p)
+    Dedup.appendSimilarityGraph(
+      docs.filter(col("doc_id") >= 30 && col("doc_id") < 45), inc, p)
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= 45), inc, p)
+    val scratch = tmp("simgraph_two_scratch")
+    Dedup.writeSimilarityGraph(docs, scratch, p)
+    spark.catalog.clearCache()
+    assert(edgeSet(Dedup.readSimilarityGraph(spark, inc)) ===
+      edgeSet(Dedup.readSimilarityGraph(spark, scratch)))
+    val err = intercept[IllegalArgumentException] {
+      Dedup.appendSimilarityGraph(docs.filter(col("doc_id") < 10), inc, p)
+    }
+    assert(err.getMessage.contains("monotone"))
+  }
+}

@@ -96,9 +96,9 @@ class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
       (6L, "a third unrelated document mentioning graphs and communities"))
       .toDF("doc_id", "text")
     val path = java.nio.file.Files
-      .createTempDirectory("sim_graph").toString + "/edges"
+      .createTempDirectory("sim_graph").toString + "/g"
     graft.dedup.Dedup.writeSimilarityGraph(docs, path)
-    val stored = spark.read.parquet(path)
+    val stored = graft.dedup.Dedup.readSimilarityGraph(spark, path)
     // the serve plan probes parquet — the shingle/minhash pipeline is
     // paid once at build, never per consumer
     assert(!stored.queryExecution.executedPlan.toString.contains("shinglemin"))
