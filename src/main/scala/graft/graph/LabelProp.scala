@@ -67,44 +67,88 @@ object LabelProp {
     * `iters` synchronous rounds. `pairs` is an undirected edge list
     * (doc_a, doc_b); mirrored duplicates and self-loops are
     * canonicalized away like [[Triangles]]. */
-  def communities(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
-      checkpointEvery: Int = 5): DataFrame = {
-    val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-    val edges = ab.select(col("u").as("src"), col("v").as("dst"))
-      .unionAll(ab.select(col("v").as("src"), col("u").as("dst")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // Runtime guards on the pack's two documented bounds. The DuckDB
-    // oracle packs IDENTICALLY, so an overflow would hash-gate as
-    // "correct" with wrong communities — these are the one place the
-    // gate mirrors an assumption instead of checking it, hence the
-    // fail-fast here. Both are codegen'd branches on rows that exist
-    // anyway (no extra job, no extra shuffle).
-    val labGuard = when(col("doc_id") < 0 || col("doc_id") >= P,
+  // Runtime guards on the pack's two documented bounds. The DuckDB
+  // oracle packs IDENTICALLY, so an overflow would hash-gate as
+  // "correct" with wrong communities — these are the one place the
+  // gate mirrors an assumption instead of checking it, hence the
+  // fail-fast here. Both are codegen'd branches on rows that exist
+  // anyway (no extra job, no extra shuffle).
+  private val labGuard =
+    when(col("doc_id") < 0 || col("doc_id") >= P,
       raise_error(concat(lit("label_prop: doc_id outside packed range [0, 2^32): "),
         col("doc_id").cast("string"))).cast("long"))
       .otherwise(col("doc_id"))
-    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
-    val cntGuard = when(col("cnt") >= (1L << 30),
+  private val cntGuard =
+    when(col("cnt") >= (1L << 30),
       raise_error(concat(lit("label_prop: per-label vote count >= 2^30 overflows the pack: "),
         col("cnt").cast("string"))).cast("long"))
       .otherwise(col("cnt"))
+
+  /** Canonicalized symmetrized edge list (mirrors/self-loops removed). */
+  private def canonEdges(pairs: DataFrame): DataFrame = {
+    val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+        greatest(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    ab.select(col("u").as("src"), col("v").as("dst"))
+      .unionAll(ab.select(col("v").as("src"), col("u").as("dst")))
+  }
+
+  /** One synchronous propagation round: neighbor votes + the
+    * self-vote, plurality by the packed-long argmax. */
+  private def lpRound(edges: DataFrame, lab: DataFrame): DataFrame = {
+    val votes = edges
+      .join(lab.withColumnRenamed("doc_id", "src"), "src")
+      .select(col("dst"), col("label"))
+      .unionAll(lab.select(col("doc_id").as("dst"), col("label")))
+    votes
+      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("dst"))
+      .agg(max(cntGuard * P + (lit(P - 1) - col("label"))).as("mx"))
+      .select(col("dst").as("doc_id"),
+        (lit(P - 1) - (col("mx") % P)).as("label"))
+  }
+
+  def communities(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
+      checkpointEvery: Int = 5): DataFrame = {
+    val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
     for (i <- 0 until iters) {
-      val votes = edges
-        .join(lab.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst"), col("label"))
-        .unionAll(lab.select(col("doc_id").as("dst"), col("label")))
-      lab = votes
-        .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-        .groupBy(col("dst"))
-        .agg(max(cntGuard * P + (lit(P - 1) - col("label"))).as("mx"))
-        .select(col("dst").as("doc_id"),
-          (lit(P - 1) - (col("mx") % P)).as("label"))
+      lab = lpRound(edges, lab)
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         lab = lab.localCheckpoint()
     }
     lab.select(col("doc_id"), col("label").as("community"))
+  }
+
+  /** CONVERGENCE diagnostic for [[communities]] — the evidence that
+    * sizes the fixed iteration count (round-14 verdict #8): one row
+    * per round, (iter, n_changed) = how many nodes adopted a NEW
+    * label that round. A run whose tail rounds still move thousands
+    * of labels needs more iterations; a tail of zeros says the count
+    * is generous. Exact integers, so the DuckDB oracle replays the
+    * same rounds and gates every row.
+    *
+    * Shape: each round's label frame is persisted once and consumed
+    * twice (the next round + the diff join), so the chain is computed
+    * exactly once — the per-round diff is one narrow equi-join and a
+    * 1-row count, negligible next to the round itself. Cache
+    * lifecycle: caller releases (the clearCache convention). */
+  def convergence(nodes: DataFrame, pairs: DataFrame,
+      iters: Int = 4): DataFrame = {
+    val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rounds = (1 to iters).map { i =>
+      val next = lpRound(edges, lab).persist(StorageLevel.MEMORY_AND_DISK)
+      val ch = next
+        .join(lab.withColumnRenamed("label", "plabel"), "doc_id")
+        .filter(col("label") =!= col("plabel"))
+        .agg(count(lit(1)).as("n_changed"))
+        .select(lit(i.toLong).as("iter"), col("n_changed"))
+      lab = next
+      ch
+    }
+    rounds.reduce(_.unionAll(_))
   }
 
   /** EXACT-INTEGER MODULARITY audit of the [[communities]] labels —

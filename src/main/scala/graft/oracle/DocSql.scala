@@ -1410,6 +1410,36 @@ object DocSql {
        |SELECT doc_id, CAST(label AS BIGINT) AS community FROM l$iters""".stripMargin
   }
 
+  /** Mirror of LabelProp.convergence: the same unrolled LP rounds as
+    * [[graphLabelProp]], then one (iter, n_changed) row per round —
+    * the count of nodes whose label differs from the previous
+    * round's. */
+  def graphLabelPropConverge(p: MinHashParams, iters: Int): String = {
+    val pk = 1L << 32
+    val iterCtes = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, label, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT e.dst, l.label FROM edges e JOIN l${k - 1} l ON l.doc_id = e.src
+         |    UNION ALL SELECT doc_id, label FROM l${k - 1}
+         |  ) GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT dst AS doc_id,
+         |    ${pk - 1} - (max(cnt * $pk + (${pk - 1} - label)) % $pk) AS label
+         |  FROM c$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val diffs = (1 to iters).map { k =>
+      s"""SELECT CAST($k AS BIGINT) AS iter, CAST(count(*) AS BIGINT) AS n_changed
+         |FROM l$k a JOIN l${k - 1} b ON a.doc_id = b.doc_id
+         |WHERE a.label != b.label""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |l0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS BIGINT) AS label
+       |  FROM documents),
+       |$iterCtes
+       |$diffs""".stripMargin
+  }
+
   /** Mirror of LabelProp.modularity: the LP labels of
     * [[graphLabelProp]] rolled into per-community exact-integer
     * modularity numerators 4·m·e_c − K_c² (Q = Σ mod_num / 4m²,

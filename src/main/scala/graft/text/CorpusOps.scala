@@ -290,10 +290,21 @@ object CorpusOps {
     * probe of the (256+merges)-row symbol table, one per-doc
     * reassembly aggregate — the mirror image of the encode tail. */
   def detokenizeBytes(docs: DataFrame, mergeList: Seq[(String, String)],
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val spark = docs.sparkSession
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    detokenizeEncoded(
+      tokenizeBytesWithMerges(docs, mergeList, idCol, textCol), mergeList)
+
+  /** The DECODE half of [[detokenizeBytes]] over an ALREADY-ENCODED
+    * (doc_id, n_tokens, ids_str) frame — the entry point when the
+    * corpus encode is a persisted artifact (it is a pure function of
+    * corpus + merges, so production encodes once and every decode /
+    * debug / audit pass reads the stored ids; q_tokenize_decode
+    * serves this shape while q_tokenize_bpe_bytes stays the live
+    * encode). */
+  def detokenizeEncoded(enc: DataFrame,
+      mergeList: Seq[(String, String)]): DataFrame = {
+    val spark = enc.sparkSession
     import spark.implicits._
-    val enc = tokenizeBytesWithMerges(docs, mergeList, idCol, textCol)
     val syms = (0 until 256).map(b => (b.toLong, f"$b%02X")) ++
       mergeList.zipWithIndex.map { case ((a, b), k) => (256L + k, a + b) }
     val symDf = syms.toDF("id", "sym")

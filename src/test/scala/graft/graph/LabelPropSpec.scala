@@ -53,6 +53,26 @@ class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     lab
   }
 
+  test("convergence: per-round changed counts match the reference sweep, tail hits zero") {
+    import spark.implicits._
+    val nodeIds = (0L to 9L).toSeq
+    val es = Seq((0L, 1L), (1L, 2L), (0L, 2L), (3L, 4L), (4L, 5L),
+      (3L, 5L), (2L, 3L), (6L, 7L))
+    val got = LabelProp.convergence(nodeIds.toDF("doc_id"),
+        es.toDF("doc_a", "doc_b"), iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    // reference: run the driver sweep to each depth, diff consecutive
+    val expected = (1 to 4).map { k =>
+      val prev = reference(nodeIds, es, k - 1)
+      val cur = reference(nodeIds, es, k)
+      k.toLong -> nodeIds.count(n => prev(n) != cur(n)).toLong
+    }.toMap
+    assert(got === expected)
+    assert(got(4L) === 0L, "bridged triangles converge well before round 4")
+    assert(got(1L) > 0L)
+  }
+
   test("modularity: hand-computed numerators on bridged triangles plus an isolate") {
     import spark.implicits._
     // triangles (0,1,2) and (3,4,5) bridged by 2-3, node 9 isolated:
