@@ -759,6 +759,13 @@ object SparkEntry {
     "q_tokenize_fertility" -> ((s, dir) =>
       graft.text.CorpusOps.tokenizerFertilityWithMerges(
         table(s, dir, "documents"), bpeBytesMergeArtifact(s, dir))),
+    // GPT-2-style pre-tokenized encode: the shipped-tokenizer split
+    // (contractions / space-attached runs / whitespace), every piece
+    // byte-level-encoded with the shared trained merge artifact —
+    // pre-tokenization parity with what a real tokenizer ships
+    "q_tokenize_pretok" -> ((s, dir) =>
+      graft.text.CorpusOps.pretokenizeBpe(
+        table(s, dir, "documents"), bpeBytesMergeArtifact(s, dir))),
     // DETOKENIZE: ids -> text through the bounded id->symbol table;
     // byte-level BPE is lossless, so the oracle gates the round-trip
     // identity against an INDEPENDENT re-derivation from raw text.
@@ -2665,6 +2672,7 @@ object SparkEntry {
     "q_text_lm3" -> DocSql.lm3Surprisal,
     "q_tokenize_fertility" -> DocSql.tokenizerFertility(12, 400),
     "q_tokenize_decode" -> DocSql.detokenizeBytes(12, 400),
+    "q_tokenize_pretok" -> DocSql.tokenizePretok(12, 400),
     "q_corpus_diff" -> DocSql.corpusDiff,
     "q_link_entities" -> DocSql.linkBestMatch(5, 200000L, 3),
     "q_link_edit" -> DocSql.linkEditDistance(5, 500000L, 3, 2),

@@ -530,6 +530,49 @@ object DocSql {
        |FROM j GROUP BY doc_id""".stripMargin
   }
 
+  /** Mirror of CorpusOps.pretokenizeBpe: the same GPT-2-style split
+    * pattern (TextFunctions.PretokPattern — constructs chosen for
+    * identical Java/RE2 semantics, docs/COMPAT.md §pretok) via
+    * regexp_extract_all, then the byte-level merge rounds over the
+    * DISTINCT pieces and the per-piece id assembly — the
+    * [[tokenizeBpeBytes]] machinery with pieces in place of words. */
+  def tokenizePretok(merges: Int, vocabSize: Int): String = {
+    // SQL string literal: single quotes in the contraction alternatives
+    // double up; backslashes pass through (DuckDB regular strings)
+    val pat = graft.text.TextFunctions.PretokPattern.replace("'", "''")
+    val dwRounds = (1 to merges).map { k =>
+      s"""pw$k AS MATERIALIZED (SELECT piece,
+         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
+         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
+         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
+         |  FROM pw${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+    val mtRows = (1 to merges).map { k =>
+      s"SELECT a || b AS sym, CAST(${255 + k} AS BIGINT) AS id FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""WITH ${bpeBytesCtes(merges, vocabSize)},
+       |pcs AS (SELECT doc_id,
+       |  regexp_extract_all(coalesce(text, ''), '$pat') AS ps FROM documents),
+       |pp AS (SELECT doc_id, unnest(ps) AS piece,
+       |  unnest(generate_series(1, len(ps))) AS pos FROM pcs),
+       |pw0 AS MATERIALIZED (SELECT DISTINCT piece,
+       |  regexp_replace(hex(piece), '(..)', ' \\1', 'g') AS s FROM pp),
+       |$dwRounds,
+       |mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
+       |ws AS (SELECT piece, unnest(str_split(s[2:], ' ')) AS sym,
+       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
+       |  FROM pw$merges),
+       |wi AS (SELECT ws.piece, ws.sp,
+       |  coalesce(mt.id, CAST(('0x' || ws.sym) AS BIGINT)) AS id
+       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
+       |wid AS (SELECT piece, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS ids_str
+       |  FROM wi GROUP BY piece)
+       |SELECT pp.doc_id, CAST(pp.pos - 1 AS BIGINT) AS pos, pp.piece,
+       |  wid.n_tokens, wid.ids_str
+       |FROM pp JOIN wid USING (piece)""".stripMargin
+  }
+
   /** Mirror of CorpusOps.detokenizeBytes — deliberately NOT by
     * replaying the id→symbol map: the oracle re-derives the round-trip
     * identity target INDEPENDENTLY from the raw text (byte-level BPE

@@ -318,6 +318,38 @@ object CorpusOps {
       .select(col("doc_id"), col("n_tokens"), col("decoded"))
   }
 
+  /** PRE-TOKENIZED byte-level encode — the shipped-tokenizer
+    * convention ([[TextFunctions.PretokPattern]], the GPT-2 split):
+    * instead of the engine's whitespace word model, each document is
+    * split into contraction / space-attached-letter-run / digit-run /
+    * symbol-run / whitespace pieces, and EVERY piece (spaces included
+    * — the space-inside-token convention) is byte-level BPE-encoded
+    * against an already-trained merge table. Output: one row per
+    * piece, (doc_id, pos, piece, n_tokens, ids_str) — the id stream a
+    * GPT-2-family tokenizer would emit for the same text modulo the
+    * two documented pattern divergences (docs/COMPAT.md §pretok).
+    *
+    * Shape at 100 TB: one narrow regexp projection + posexplode, the
+    * encode as ONE native [[graft.functions.BpeEncode]] projection
+    * over the DISTINCT-pieces frame (pieces repeat heavily — the same
+    * distinct-fold as [[tokenizeBpe]]'s word encode), and an AQE-
+    * decided join back to the piece stream. */
+  def pretokenizeBpe(docs: DataFrame, mergeList: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val shims = org.apache.spark.sql.graft.ColumnShims
+    val pieces = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextFunctions.pretokenize(col(textCol))).as(Seq("pos", "piece")))
+    val ids = shims.column(graft.functions.BpeEncode(
+      shims.expression(col("piece")), mergeList, byteLevel = true))
+    val seg = pieces.select(col("piece")).distinct()
+      .select(col("piece"), ids.as("ids"))
+      .select(col("piece"), size(col("ids")).cast("long").as("n_tokens"),
+        concat_ws("_", col("ids").cast("array<string>")).as("ids_str"))
+    pieces.join(seg, Seq("piece"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        col("piece"), col("n_tokens"), col("ids_str"))
+  }
+
   /** TOKENIZER FERTILITY audit per source — the number that decides
     * whether a tokenizer serves every domain: tokens emitted per word
     * (in exact ppm) for the byte-level BPE encode, per source. A

@@ -244,6 +244,39 @@ object TextFunctions {
     PiiPatterns.map { case (re, _) => regexp_count(coalesce(text, lit("")), lit(re)) }
       .reduce(_ + _).cast("long")
 
+  /** GPT-2-style byte-level PRE-TOKENIZATION pattern (Radford et al.
+    * 2019; the split every shipped byte-level BPE runs before any
+    * merge is applied): contraction suffixes, then space-attached
+    * letter runs, digit runs and symbol runs, then whitespace runs —
+    * so a leading space travels WITH its word (the space-inside-token
+    * convention) and letters never merge across a letter/digit/symbol
+    * category change.
+    *
+    * Two deliberate, documented divergences from the shipped pattern
+    * (docs/COMPAT.md §pretok), both in the PII-pattern playbook of
+    * "only constructs with identical Java-regex (Spark) and RE2
+    * (DuckDB oracle) semantics":
+    *  - `\\s` is spelled as the explicit class `[ \\t\\n\\f\\r]`: Java's
+    *    `\\s` includes `\\x0B` (vertical tab), RE2's does not — the
+    *    explicit class is identical in both (an `\\x0B` therefore
+    *    splits as a symbol run, not whitespace, in BOTH engines).
+    *  - the shipped `\\s+(?!\\S)` alternative (leave the LAST char of a
+    *    multi-whitespace run to attach to the next token) is a
+    *    lookahead, which RE2 cannot express: here a whitespace run is
+    *    one token and only a SINGLE space attaches forward (via the
+    *    ` ?` prefixes). Splits differ from GPT-2's only inside runs of
+    *    2+ whitespace characters followed by a non-space. */
+  val PretokPattern: String =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
+      "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+
+  /** `text` split into GPT-2-style pre-tokens ([[PretokPattern]]) —
+    * every character lands in exactly one piece (letters, digits,
+    * symbols and whitespace alternatives jointly cover any input), so
+    * `concat(pieces) == text` (spec'd). A narrow codegen'd projection. */
+  def pretokenize(text: Column): Column =
+    regexp_extract_all(coalesce(text, lit("")), lit(PretokPattern), lit(0))
+
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= (1 << 24), "buckets must be in [1, 2^24]")
     conv(substring(md5(key.cast("string").cast("binary")), 1, 8), 16, 10)
