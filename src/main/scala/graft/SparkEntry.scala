@@ -1236,6 +1236,11 @@ object SparkEntry {
     // identically at ANY offset — the shift case fixed windows miss
     "q_dedup_cdc" -> ((s, dir) =>
       Dedup.cdcDupes(table(s, dir, "documents"))),
+    // BYTE-LEVEL CDC — the production dedup-store form: cut points
+    // from a sliding byte-window hash (no tokenizer in the loop,
+    // expected chunk ~256 bytes), chunks as contiguous byte ranges
+    "q_dedup_cdc_bytes" -> ((s, dir) =>
+      Dedup.cdcDupesBytes(table(s, dir, "documents"))),
     // exact substring dedup: verbatim token runs >= w+k-1 shared at
     // ARBITRARY offsets (winnowing anchors; chunk dedup only catches
     // runs that happen to align with its fixed windows)
@@ -2772,6 +2777,7 @@ object SparkEntry {
     "q_dedup_clusters_best" -> DocSql.dedupClustersBest(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
     "q_dedup_cdc" -> DocSql.cdcDupes(1),
+    "q_dedup_cdc_bytes" -> DocSql.cdcDupesBytes(2, 8),
     "q_clean_boilerplate" -> DocSql.removeBoilerplate(10, 2),
     "q_dedup_substr" -> DocSql.substrPairs(Dedup.SubstrParams()),
     "q_dedup_incr" -> DocSql.incrementalPairs(Dedup.MinHashParams(),

@@ -839,6 +839,89 @@ object Dedup {
         (col("loc") % locBase).as("keep_chunk"))
   }
 
+  /** BYTE-LEVEL content-defined chunk dedup — [[cdcDupes]] in the form
+    * production dedup stores actually run (Gear/Rabin chunking over
+    * the BYTE stream, no tokenizer in the loop): byte position i is a
+    * CUT POINT iff the md5 of the `window`-byte sliding window ending
+    * at i has `zeroNibbles` trailing zero hex digits (expected chunk
+    * length 16^zeroNibbles bytes; positions before one full window
+    * are never cuts), a chunk is the byte run up to and including a
+    * cut, and the document tail past the last cut is the final chunk.
+    * Boundaries depend only on a bounded byte CONTEXT, so a shared
+    * byte passage chunks identically at any offset — the
+    * shift-resistance contract of [[cdcDupes]], now insensitive to
+    * tokenization too (spec'd). Same output contract: (chunk_hash,
+    * n_copies, n_docs, keep_doc, keep_chunk), keep = global first
+    * occurrence, same pack guards.
+    *
+    * Shape at 100 TB: the byte stream is an exploded position range
+    * joined back to the one-row-per-doc hex frame (broadcast /
+    * co-partitioned — the hex is never duplicated per byte), the cut
+    * test is one codegen'd substring+md5 per position, and ONLY the
+    * surviving cut rows reach the per-doc lag/row_number window —
+    * unlike the token variant's all-rows prefix sum, the window input
+    * is ~corpus/16^zeroNibbles rows. Chunk CONTENT is never exploded:
+    * chunks are contiguous ranges, so each is one substring of the
+    * doc's hex. Same bounded-document contract as [[cdcDupes]]. */
+  def cdcDupesBytes(docs: DataFrame, zeroNibbles: Int = 2, window: Int = 8,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(zeroNibbles >= 1 && zeroNibbles <= 8, s"zeroNibbles=$zeroNibbles")
+    require(window >= 1 && window <= 64, s"window=$window")
+    val locBase = 1L << 20
+    val h = docs.select(col(idCol).as("doc_id"),
+        hex(encode(coalesce(col(textCol), lit("")), "UTF-8")).as("hx"))
+      .withColumn("nb", (length(col("hx")) / 2).cast("long"))
+      .filter(col("nb") > 0)
+    val zeros = "0" * zeroNibbles
+    val cuts = h.filter(col("nb") >= window)
+      .select(col("doc_id"), explode(sequence(lit(window.toLong), col("nb"))).as("i"))
+      .join(h.select(col("doc_id"), col("hx")), Seq("doc_id"))
+      .filter(substring(md5(col("hx")
+          .substr(((col("i") - window) * 2 + 1).cast("int"), lit(window * 2))
+          .cast("binary")),
+        33 - zeroNibbles, zeroNibbles) === zeros)
+      .select(col("doc_id"), col("i"))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val ranges = cuts.select(col("doc_id"),
+      (coalesce(lag(col("i"), 1).over(w), lit(0L)) + 1).as("s"),
+      col("i").as("e"),
+      (row_number().over(w) - 1).cast("long").as("chunk_idx"))
+    val cutAgg = cuts.groupBy(col("doc_id"))
+      .agg(max(col("i")).as("mx"), count(lit(1)).as("ncuts"))
+    val tails = h.select(col("doc_id"), col("nb"))
+      .join(cutAgg, Seq("doc_id"), "left")
+      .filter(coalesce(col("mx"), lit(0L)) < col("nb"))
+      .select(col("doc_id"),
+        (coalesce(col("mx"), lit(0L)) + 1).as("s"),
+        col("nb").as("e"),
+        coalesce(col("ncuts"), lit(0L)).as("chunk_idx"))
+    val ch = ranges.unionByName(tails)
+      .join(h.select(col("doc_id"), col("hx")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_idx"),
+        md5(col("hx")
+          .substr(((col("s") - 1) * 2 + 1).cast("int"),
+            ((col("e") - col("s") + 1) * 2).cast("int"))
+          .cast("binary")).as("chunk_hash"))
+    val docGuard = when(col("doc_id") < 0 || col("doc_id") >= (1L << 43),
+      raise_error(concat(lit("cdc_dupes_bytes: doc_id outside packed range [0, 2^43): "),
+        col("doc_id").cast("string"))).cast("long"))
+      .otherwise(col("doc_id"))
+    val idxGuard = when(col("chunk_idx") >= locBase,
+      raise_error(concat(lit("cdc_dupes_bytes: chunk_idx >= 2^20 overflows the keep pack: "),
+        col("chunk_idx").cast("string"))).cast("long"))
+      .otherwise(col("chunk_idx"))
+    ch
+      .groupBy(col("chunk_hash"))
+      .agg(
+        count(lit(1)).as("n_copies"),
+        countDistinct(col("doc_id")).as("n_docs"),
+        min(docGuard * locBase + idxGuard).as("loc"))
+      .filter(col("n_copies") > 1)
+      .select(col("chunk_hash"), col("n_copies"), col("n_docs"),
+        TextFunctions.intDiv(col("loc"), lit(locBase)).as("keep_doc"),
+        (col("loc") % locBase).as("keep_chunk"))
+  }
+
   /** Boilerplate REMOVAL — the corpus-rewriting complement of
     * [[chunkDupes]] (which only reports duplicates): drop every token
     * window whose text appears in more than `maxDf` distinct documents

@@ -869,6 +869,52 @@ object DocSql {
        |FROM g JOIN f USING (chunk_hash) WHERE n_copies > 1""".stripMargin
   }
 
+  /** Mirror of Dedup.cdcDupesBytes: the same hex-string byte stream,
+    * sliding-window md5 cut test, lag/row_number chunk ranges plus the
+    * per-doc tail chunk, substring chunk hashes, and the duplicate
+    * aggregate (keep via row_number — same global first occurrence as
+    * the Spark pack). */
+  def cdcDupesBytes(zeroNibbles: Int, window: Int): String = {
+    val zeros = "0" * zeroNibbles
+    val w2 = window * 2
+    s"""WITH hx0 AS (SELECT doc_id, hex(coalesce(text, '')) AS hx
+       |  FROM documents),
+       |hd AS (SELECT doc_id, hx, CAST(len(hx) // 2 AS BIGINT) AS nb
+       |  FROM hx0 WHERE len(hx) > 0),
+       |p AS (SELECT doc_id,
+       |  CAST(unnest(generate_series($window, nb)) AS BIGINT) AS i FROM hd),
+       |c AS (SELECT p.doc_id, p.i FROM p JOIN hd USING (doc_id)
+       |  WHERE substr(md5(substr(hd.hx, CAST((p.i - $window) * 2 + 1 AS INT), $w2)),
+       |    ${33 - zeroNibbles}, $zeroNibbles) = '$zeros'),
+       |r AS (SELECT doc_id,
+       |    CAST(coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1
+       |      AS BIGINT) AS s,
+       |    i AS e,
+       |    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+       |      AS BIGINT) AS chunk_idx
+       |  FROM c),
+       |ca AS (SELECT doc_id, max(i) AS mx, CAST(count(*) AS BIGINT) AS ncuts
+       |  FROM c GROUP BY 1),
+       |tails AS (SELECT hd.doc_id, coalesce(ca.mx, 0) + 1 AS s, hd.nb AS e,
+       |    coalesce(ca.ncuts, 0) AS chunk_idx
+       |  FROM hd LEFT JOIN ca USING (doc_id)
+       |  WHERE coalesce(ca.mx, 0) < hd.nb),
+       |chunks AS (SELECT doc_id, s, e, chunk_idx FROM r
+       |  UNION ALL SELECT doc_id, s, e, chunk_idx FROM tails),
+       |h AS (SELECT chunks.doc_id, chunk_idx,
+       |    md5(substr(hd.hx, CAST((s - 1) * 2 + 1 AS INT),
+       |      CAST((e - s + 1) * 2 AS INT))) AS chunk_hash
+       |  FROM chunks JOIN hd USING (doc_id)),
+       |g AS (SELECT chunk_hash, CAST(count(*) AS BIGINT) AS n_copies,
+       |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM h GROUP BY 1),
+       |f AS (SELECT chunk_hash, doc_id AS keep_doc,
+       |  CAST(chunk_idx AS BIGINT) AS keep_chunk FROM (
+       |    SELECT h.*, row_number() OVER (PARTITION BY chunk_hash
+       |      ORDER BY doc_id, chunk_idx) AS rn FROM h) WHERE rn = 1)
+       |SELECT g.chunk_hash, n_copies, n_docs, keep_doc, keep_chunk
+       |FROM g JOIN f USING (chunk_hash) WHERE n_copies > 1""".stripMargin
+  }
+
   /** Mirror of Dedup.removeBoilerplate: chunkDupes' chunking, df on
     * the chunk hash, surviving chunks reassembled in chunk order.
     * string_agg skips the CASE-NULLed boilerplate chunks; the coalesce

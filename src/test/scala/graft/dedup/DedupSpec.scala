@@ -364,6 +364,55 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "fixed windows unexpectedly aligned — test premise broken")
   }
 
+  /** Plain-Scala reference of [[Dedup.cdcDupesBytes]]'s chunking: cut
+    * at byte i (1-based) when md5 of the window-byte run ending at i
+    * has `zeroNibbles` trailing zero hex digits; tail past the last
+    * cut is the final chunk. */
+  private def cdcBytesRef(text: String, zeroNibbles: Int,
+      window: Int): Seq[String] = {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(b).map("%02x".format(_)).mkString
+    val zeros = "0" * zeroNibbles
+    val bytes = text.getBytes("UTF-8")
+    val hexUp = bytes.map("%02X".format(_)).mkString
+    val cuts = (window to bytes.length).filter { i =>
+      md5hex(hexUp.substring((i - window) * 2, i * 2).getBytes("UTF-8"))
+        .takeRight(zeroNibbles) == zeros
+    }
+    val bounds = (0 +: cuts) :+ bytes.length
+    bounds.sliding(2).collect { case Seq(s, e) if e > s =>
+      new String(bytes.slice(s, e), "UTF-8") }.toSeq
+  }
+
+  test("byte cdc: operator chunking == plain-Scala reference; tokenizer-insensitive shift resistance") {
+    import spark.implicits._
+    // low zeroNibbles so small fixtures actually cut; a shared passage
+    // planted at different BYTE offsets with no token boundary at the
+    // join (the case token-level cdc cannot see)
+    val passage = (1 to 60).map(i => s"chunkpart$i").mkString(" ")
+    val texts = Seq(s"$passage tail", s"prefix-glued-on$passage tail", "tiny", "")
+    val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val refChunks = texts.zipWithIndex.flatMap { case (t, i) =>
+      cdcBytesRef(t, 1, 8).zipWithIndex.map { case (c, ci) =>
+        (c, i.toLong, ci.toLong) }
+    }
+    val expected = refChunks.groupBy(_._1).filter(_._2.size > 1)
+      .map { case (_, occ) =>
+        val keep = occ.minBy(o => o._2 * (1L << 20) + o._3)
+        (occ.size.toLong, occ.map(_._2).distinct.size.toLong, keep._2, keep._3)
+      }.toSet
+    val got = Dedup.cdcDupesBytes(d, zeroNibbles = 1, window = 8)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(got === expected)
+    // the reference itself must have found a cross-doc chunk, or the
+    // shift-resistance claim is untested
+    assert(expected.exists(_._2 == 2L),
+      s"no cross-doc byte chunk in the fixture: $expected")
+  }
+
   test("incremental dedup: new-vs-old pairs only; hot old buckets capped to a representative") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val newDocs = docs(
