@@ -66,6 +66,43 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges\n$p")
   }
 
+  test("byte cdc: cut rows only reach the window; chunk content never explodes") {
+    val p = plan("q_dedup_cdc_bytes")
+    assert(!p.contains("CartesianProduct"), p)
+    // the per-byte stream must be filtered to CUTS before the lag/
+    // row_number window — a Window directly over a Generate means the
+    // all-bytes frame is being window-scanned
+    assert(p.contains("Window"), p)
+    assert(p.contains("Generate explode"), p)
+  }
+
+  test("detokenize serves the encoded-ids artifact: no encode stage in the plan") {
+    val p = plan("q_tokenize_decode")
+    // the decode half reads the persisted id stream — a bpe_encode in
+    // the plan means the query regressed to re-encoding the corpus
+    assert(!p.toLowerCase.contains("bpe_encode"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
+  test("pretok encode: native bpe_encode over the distinct-pieces frame, no per-merge projection chain") {
+    val df = SparkEntry.queries("q_tokenize_pretok")(spark, dir)
+    // the physical string hides aggregate result expressions, so the
+    // native-encode pin reads the optimized logical plan
+    val lp = df.queryExecution.optimizedPlan.toString()
+    val p = df.queryExecution.executedPlan.toString()
+    spark.catalog.clearCache()
+    assert(lp.toLowerCase.contains("bpe_encode"), lp)
+    assert(p.contains("HashAggregate"), p) // the distinct-pieces fold
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("similarity-graph append query serves stored edges: no minhash stage") {
+    val p = plan("q_graph_edges_append")
+    assert(!p.toLowerCase.contains("shinglemin"), p)
+    assert(!p.toLowerCase.contains("simhash"), p)
+    assert(p.contains("Scan parquet"), p)
+  }
+
   test("kmv sketch: bottom-k runs as WindowGroupLimit (partial merge, not a full sort)") {
     val p = plan("q_sketch_kmv")
     assert(p.contains("WindowGroupLimit"), p)
