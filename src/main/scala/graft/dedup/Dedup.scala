@@ -854,33 +854,31 @@ object Dedup {
     * n_copies, n_docs, keep_doc, keep_chunk), keep = global first
     * occurrence, same pack guards.
     *
-    * Shape at 100 TB: the byte stream is an exploded position range
-    * joined back to the one-row-per-doc hex frame (broadcast /
-    * co-partitioned — the hex is never duplicated per byte), the cut
-    * test is one codegen'd substring+md5 per position, and ONLY the
-    * surviving cut rows reach the per-doc lag/row_number window —
-    * unlike the token variant's all-rows prefix sum, the window input
-    * is ~corpus/16^zeroNibbles rows. Chunk CONTENT is never exploded:
+    * Shape at 100 TB: cut positions come from ONE native per-document
+    * pass ([[graft.functions.CdcCuts]] — hex once, slide the md5
+    * window with a reused digest, emit only cuts), so no per-byte row
+    * ever exists in the plan and ONLY the ~corpus/16^zeroNibbles cut
+    * rows reach the per-doc lag/row_number window — unlike the token
+    * variant's all-rows prefix sum. Chunk CONTENT is never exploded:
     * chunks are contiguous ranges, so each is one substring of the
-    * doc's hex. Same bounded-document contract as [[cdcDupes]]. */
+    * doc's hex. Same bounded-document contract as [[cdcDupes]]. The
+    * composed per-byte form (position explode + hex join +
+    * substring/md5 filter) is the SPEC the native pass is gated
+    * against (DedupSpec) and the spelling the DuckDB oracle keeps. */
   def cdcDupesBytes(docs: DataFrame, zeroNibbles: Int = 2, window: Int = 8,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     require(zeroNibbles >= 1 && zeroNibbles <= 8, s"zeroNibbles=$zeroNibbles")
     require(window >= 1 && window <= 64, s"window=$window")
     val locBase = 1L << 20
     val h = docs.select(col(idCol).as("doc_id"),
-        hex(encode(coalesce(col(textCol), lit("")), "UTF-8")).as("hx"))
+        encode(coalesce(col(textCol), lit("")), "UTF-8").as("bin"))
+      .withColumn("hx", hex(col("bin")))
       .withColumn("nb", (length(col("hx")) / 2).cast("long"))
       .filter(col("nb") > 0)
-    val zeros = "0" * zeroNibbles
-    val cuts = h.filter(col("nb") >= window)
-      .select(col("doc_id"), explode(sequence(lit(window.toLong), col("nb"))).as("i"))
-      .join(h.select(col("doc_id"), col("hx")), Seq("doc_id"))
-      .filter(substring(md5(col("hx")
-          .substr(((col("i") - window) * 2 + 1).cast("int"), lit(window * 2))
-          .cast("binary")),
-        33 - zeroNibbles, zeroNibbles) === zeros)
-      .select(col("doc_id"), col("i"))
+    val shims = org.apache.spark.sql.graft.ColumnShims
+    val cuts = h.select(col("doc_id"),
+      explode(shims.column(graft.functions.CdcCuts(
+        shims.expression(col("bin")), zeroNibbles, window))).as("i"))
     val w = Window.partitionBy("doc_id").orderBy("i")
     val ranges = cuts.select(col("doc_id"),
       (coalesce(lag(col("i"), 1).over(w), lit(0L)) + 1).as("s"),

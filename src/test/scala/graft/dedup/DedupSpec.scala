@@ -385,6 +385,27 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       new String(bytes.slice(s, e), "UTF-8") }.toSeq
   }
 
+  test("native CdcCuts == composed substring/md5 cut test (randomized)") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val rnd = new scala.util.Random(15)
+    for (_ <- 0 until 300) {
+      val n = rnd.nextInt(120)
+      val text = Array.fill(n)((32 + rnd.nextInt(95)).toChar).mkString +
+        (if (rnd.nextBoolean()) "é東" else "")
+      val bytes = text.getBytes("UTF-8")
+      val hexUp = bytes.map("%02X".format(_)).mkString
+      val z = 1 + rnd.nextInt(2)
+      val w = 1 + rnd.nextInt(12)
+      val expected = (w to bytes.length).filter { i =>
+        md5hex(hexUp.substring((i - w) * 2, i * 2)).takeRight(z) == "0" * z
+      }.map(_.toLong)
+      val got = graft.functions.CdcCuts.cuts(bytes, z, w).toLongArray().toSeq
+      assert(got === expected, s"cuts diverged on '$text' z=$z w=$w")
+    }
+  }
+
   test("byte cdc: operator chunking == plain-Scala reference; tokenizer-insensitive shift resistance") {
     import spark.implicits._
     // low zeroNibbles so small fixtures actually cut; a shared passage
