@@ -404,6 +404,23 @@ object Curves {
       > SELECT _FUNC_(split('one', ' '));
        0
   """),
+    FunctionDoc("cdc_cuts", (args: Seq[Expression]) => args match {
+      case Seq(b, z, w) => CdcCuts(b, constInt(z, "cdc_cuts zeroNibbles"),
+        constInt(w, "cdc_cuts window"))
+      case other => throw new IllegalArgumentException(
+        s"cdc_cuts expects (bytes, zeroNibbles, window), got ${other.size} arguments")
+    }, "cdc_cuts(bytes, zeroNibbles, window) - content-defined-chunking cut " +
+      "positions (1-based): i is a cut iff md5 of the uppercase hex of the " +
+      "window bytes ending at i has zeroNibbles trailing zero hex digits " +
+      "(expected chunk length 16^zeroNibbles bytes)",
+      classOf[CdcCuts], "array_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_(encode('abcdef', 'utf-8'), 1, 2);
+       [5]
+      > SELECT _FUNC_(encode('hello world', 'utf-8'), 1, 3);
+       [5]
+  """),
     FunctionDoc("nfc_normalize", (args: Seq[Expression]) => args match {
       case Seq(t) => NfcNormalize(t)
       case other => throw new IllegalArgumentException(
