@@ -298,7 +298,10 @@ object Dedup {
       val oldSigs = spark.read.parquet(s"$idx/sigs")
       val bounds = newSigs.agg(min(col("doc_id")), max(col("doc_id"))).collect()(0)
       if (!bounds.isNullAt(0)) { // empty batch: nothing to do
-        val oldMax = oldSigs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+        // an EMPTY built index (corpus snapshot had no docs) accepts
+        // any batch — there are no stored representatives to protect
+        val oldMaxRow = oldSigs.agg(max(col("doc_id"))).collect()(0)
+        val oldMax = if (oldMaxRow.isNullAt(0)) Long.MinValue else oldMaxRow.getLong(0)
         require(bounds.getLong(0) > oldMax,
           s"appendSimilarityGraph: batch min id ${bounds.getLong(0)} <= stored " +
             s"max id $oldMax — batch ids must be monotone (the ingest contract " +

@@ -92,6 +92,22 @@ class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === exp)
   }
 
+  test("empty build then append == from-scratch of the batch; empty append is a no-op") {
+    import spark.implicits._
+    val docs = corpus(0 until 30, 3)
+    val p = Dedup.MinHashParams()
+    val inc = tmp("simgraph_empty")
+    Dedup.writeSimilarityGraph(
+      docs.filter(col("doc_id") < 0), inc, p) // empty snapshot
+    Dedup.appendSimilarityGraph(docs, inc, p)
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") < 0), inc, p) // no-op
+    val scratch = tmp("simgraph_empty_scratch")
+    Dedup.writeSimilarityGraph(docs, scratch, p)
+    spark.catalog.clearCache()
+    assert(edgeSet(Dedup.readSimilarityGraph(spark, inc)) ===
+      edgeSet(Dedup.readSimilarityGraph(spark, scratch)))
+  }
+
   test("two appends compose; a non-monotone batch is rejected") {
     val docs = corpus(0 until 60, 4)
     val p = Dedup.MinHashParams()
