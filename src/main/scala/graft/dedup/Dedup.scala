@@ -270,8 +270,9 @@ object Dedup {
     *    complete because merged n <= cap implies every old partial
     *    <= cap) and new×new pairs; merged-over-cap buckets emit the
     *    star through the merged min. Then the usual signature verify.
-    *  - RETRACTED edges: a bucket that CROSSES the cap (old n <= cap,
-    *    merged n > cap) emitted all-pairs in the old build but emits
+    *  - RETRACTED edges: a bucket that CROSSES the cap (2 <= old n
+    *    <= cap, merged n > cap — below 2 old members no old pair
+    *    exists to retract) emitted all-pairs in the old build but emits
     *    only the star in a union build — stored old×old pairs inside
     *    it LOSE that bucket's support. Each such pair (bounded:
     *    <= cap² per crossing bucket) is re-checked against every band
@@ -348,8 +349,13 @@ object Dedup {
         val allSigs = oldSigs.unionByName(newSigs)
         val newEdges = verifyPairs(cand, allSigs, p)
 
+        // on >= 2: a bucket with 0 or 1 stored members holds no old
+        // pair, so nothing can lose support — without this, a batch-
+        // only over-cap bucket (on = 0) would trigger the O(graph)
+        // rewrite on an append that cannot retract anything
         val crossing = touched
-          .filter(col("on") <= p.maxBucketSize && col("mn") > p.maxBucketSize)
+          .filter(col("on") >= 2 &&
+            col("on") <= p.maxBucketSize && col("mn") > p.maxBucketSize)
           .select(col("band_idx"), col("band_hash"), col("mmin"))
         if (crossing.isEmpty) {
           newEdges.write.mode("append").parquet(s"$path/edges")

@@ -397,17 +397,7 @@ object DocSql {
     * collisions) and ascii - 97 for base chars, reassembled per word
     * then per doc. All sums cast to BIGINT (DuckDB widens SUM to
     * HUGEINT). */
-  def tokenizeBpe(merges: Int, vocabSize: Int): String = {
-    val dwRounds = (1 to merges).map { k =>
-      s"""dw$k AS MATERIALIZED (SELECT token,
-         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
-         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
-         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
-         |  FROM dw${k - 1}, m$k)""".stripMargin
-    }.mkString(",\n")
-    val mtRows = (1 to merges).map { k =>
-      s"SELECT a || b AS sym, CAST(${25 + k} AS BIGINT) AS id FROM m$k"
-    }.mkString(" UNION ALL ")
+  def tokenizeBpe(merges: Int, vocabSize: Int): String =
     s"""WITH ${bpeCtes(merges, vocabSize)},
        |tokp AS (SELECT doc_id, unnest(toks) AS token,
        |  unnest(generate_series(1, len(toks))) AS pos FROM d),
@@ -415,23 +405,49 @@ object DocSql {
        |  WHERE regexp_matches(token, '^[a-z]+$$')),
        |dw0 AS MATERIALIZED (SELECT DISTINCT token,
        |  regexp_replace(token, '(.)', ' \\1', 'g') AS s FROM ftok),
-       |$dwRounds,
-       |mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
-       |ws AS (SELECT token, unnest(str_split(s[2:], ' ')) AS sym,
-       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
-       |  FROM dw$merges),
-       |wi AS (SELECT ws.token, ws.sp,
-       |  coalesce(mt.id, CAST(ascii(ws.sym) - 97 AS BIGINT)) AS id
-       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
-       |wid AS (SELECT token, CAST(count(*) AS BIGINT) AS n_syms,
-       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS wid_str
-       |  FROM wi GROUP BY token),
+       |${applyRoundCtes("dw", "token", merges)},
+       |${idAssemblyCtes("dw", "token", merges, 25,
+           "CAST(ascii(ws.sym) - 97 AS BIGINT)", "n_syms")},
        |j AS (SELECT f.doc_id, f.pos, w.n_syms, w.wid_str
        |  FROM ftok f JOIN wid w USING (token))
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
        |  array_to_string(list(wid_str ORDER BY pos), '_') AS ids_str
        |FROM j GROUP BY doc_id""".stripMargin
+
+  /** The greedy merge-apply chain over a ($key, s) segmentation
+    * frame, one CTE per rank — the two-space anchored replace trick
+    * (see CorpusOps.applyMergeGreedy; round 13 had to patch its
+    * anchoring once, so the template lives in exactly one place),
+    * shared by the char-level, byte-level and pre-tokenized encodes. */
+  private def applyRoundCtes(cte: String, key: String, merges: Int): String =
+    (1 to merges).map { k =>
+      s"""$cte$k AS MATERIALIZED (SELECT $key,
+         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
+         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
+         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
+         |  FROM $cte${k - 1}, m$k)""".stripMargin
+    }.mkString(",\n")
+
+  /** Symbol→id assembly over the final segmentation `$cte$merges`:
+    * the symbol created by merge rank k gets `baseVocabMinus1 + k`
+    * (first rank wins on string collisions), base-shaped symbols map
+    * through `baseIdExpr`; emits `wid` = ($key, $nAlias, wid_str). */
+  private def idAssemblyCtes(cte: String, key: String, merges: Int,
+      baseVocabMinus1: Int, baseIdExpr: String, nAlias: String): String = {
+    val mtRows = (1 to merges).map { k =>
+      s"SELECT a || b AS sym, CAST(${baseVocabMinus1 + k} AS BIGINT) AS id FROM m$k"
+    }.mkString(" UNION ALL ")
+    s"""mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
+       |ws AS (SELECT $key, unnest(str_split(s[2:], ' ')) AS sym,
+       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
+       |  FROM $cte$merges),
+       |wi AS (SELECT ws.$key, ws.sp,
+       |  coalesce(mt.id, $baseIdExpr) AS id
+       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
+       |wid AS (SELECT $key, CAST(count(*) AS BIGINT) AS $nAlias,
+       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS wid_str
+       |  FROM wi GROUP BY $key)""".stripMargin
   }
 
   // every chained CTE is MATERIALIZED: DuckDB 1.0 INLINES a CTE per
@@ -494,41 +510,22 @@ object DocSql {
     * rounds, then the encode pass over ALL non-empty tokens (hex-pair
     * segmentation, dw chain), base ids = the byte value (hex-literal
     * cast), merged symbol rank k -> 255 + k (first rank wins). */
-  def tokenizeBpeBytes(merges: Int, vocabSize: Int): String = {
-    val dwRounds = (1 to merges).map { k =>
-      s"""dw$k AS MATERIALIZED (SELECT token,
-         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
-         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
-         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
-         |  FROM dw${k - 1}, m$k)""".stripMargin
-    }.mkString(",\n")
-    val mtRows = (1 to merges).map { k =>
-      s"SELECT a || b AS sym, CAST(${255 + k} AS BIGINT) AS id FROM m$k"
-    }.mkString(" UNION ALL ")
+  def tokenizeBpeBytes(merges: Int, vocabSize: Int): String =
     s"""WITH ${bpeBytesCtes(merges, vocabSize)},
        |tokp AS (SELECT doc_id, unnest(toks) AS token,
        |  unnest(generate_series(1, len(toks))) AS pos FROM d),
        |ftok AS (SELECT doc_id, token, pos FROM tokp WHERE token != ''),
        |dw0 AS MATERIALIZED (SELECT DISTINCT token,
        |  regexp_replace(hex(token), '(..)', ' \\1', 'g') AS s FROM ftok),
-       |$dwRounds,
-       |mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
-       |ws AS (SELECT token, unnest(str_split(s[2:], ' ')) AS sym,
-       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
-       |  FROM dw$merges),
-       |wi AS (SELECT ws.token, ws.sp,
-       |  coalesce(mt.id, CAST(('0x' || ws.sym) AS BIGINT)) AS id
-       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
-       |wid AS (SELECT token, CAST(count(*) AS BIGINT) AS n_syms,
-       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS wid_str
-       |  FROM wi GROUP BY token),
+       |${applyRoundCtes("dw", "token", merges)},
+       |${idAssemblyCtes("dw", "token", merges, 255,
+           "CAST(('0x' || ws.sym) AS BIGINT)", "n_syms")},
        |j AS (SELECT f.doc_id, f.pos, w.n_syms, w.wid_str
        |  FROM ftok f JOIN wid w USING (token))
        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
        |  CAST(sum(n_syms) AS BIGINT) AS n_tokens,
        |  array_to_string(list(wid_str ORDER BY pos), '_') AS ids_str
        |FROM j GROUP BY doc_id""".stripMargin
-  }
 
   /** Mirror of CorpusOps.pretokenizeBpe: the same GPT-2-style split
     * pattern (TextFunctions.PretokPattern — constructs chosen for
@@ -540,16 +537,6 @@ object DocSql {
     // SQL string literal: single quotes in the contraction alternatives
     // double up; backslashes pass through (DuckDB regular strings)
     val pat = graft.text.TextFunctions.PretokPattern.replace("'", "''")
-    val dwRounds = (1 to merges).map { k =>
-      s"""pw$k AS MATERIALIZED (SELECT piece,
-         |    rtrim(replace(replace(replace(s, ' ', '  ') || '  ',
-         |      ' ' || m$k.a || '  ' || m$k.b || ' ',
-         |      ' ' || m$k.a || m$k.b || ' '), '  ', ' ')) AS s
-         |  FROM pw${k - 1}, m$k)""".stripMargin
-    }.mkString(",\n")
-    val mtRows = (1 to merges).map { k =>
-      s"SELECT a || b AS sym, CAST(${255 + k} AS BIGINT) AS id FROM m$k"
-    }.mkString(" UNION ALL ")
     s"""WITH ${bpeBytesCtes(merges, vocabSize)},
        |pcs AS (SELECT doc_id,
        |  regexp_extract_all(coalesce(text, ''), '$pat') AS ps FROM documents),
@@ -557,19 +544,11 @@ object DocSql {
        |  unnest(generate_series(1, len(ps))) AS pos FROM pcs),
        |pw0 AS MATERIALIZED (SELECT DISTINCT piece,
        |  regexp_replace(hex(piece), '(..)', ' \\1', 'g') AS s FROM pp),
-       |$dwRounds,
-       |mt AS MATERIALIZED (SELECT sym, min(id) AS id FROM ($mtRows) GROUP BY sym),
-       |ws AS (SELECT piece, unnest(str_split(s[2:], ' ')) AS sym,
-       |  unnest(generate_series(1, len(str_split(s[2:], ' ')))) AS sp
-       |  FROM pw$merges),
-       |wi AS (SELECT ws.piece, ws.sp,
-       |  coalesce(mt.id, CAST(('0x' || ws.sym) AS BIGINT)) AS id
-       |  FROM ws LEFT JOIN mt ON ws.sym = mt.sym),
-       |wid AS (SELECT piece, CAST(count(*) AS BIGINT) AS n_tokens,
-       |  array_to_string(list(CAST(id AS VARCHAR) ORDER BY sp), '_') AS ids_str
-       |  FROM wi GROUP BY piece)
+       |${applyRoundCtes("pw", "piece", merges)},
+       |${idAssemblyCtes("pw", "piece", merges, 255,
+           "CAST(('0x' || ws.sym) AS BIGINT)", "n_tokens")}
        |SELECT pp.doc_id, CAST(pp.pos - 1 AS BIGINT) AS pos, pp.piece,
-       |  wid.n_tokens, wid.ids_str
+       |  wid.n_tokens, wid.wid_str AS ids_str
        |FROM pp JOIN wid USING (piece)""".stripMargin
   }
 

@@ -252,10 +252,12 @@ object TextFunctions {
     * convention) and letters never merge across a letter/digit/symbol
     * category change.
     *
-    * Two deliberate, documented divergences from the shipped pattern
-    * (docs/COMPAT.md §pretok), both in the PII-pattern playbook of
+    * Three deliberate, documented divergences from the shipped
+    * pattern (docs/COMPAT.md §12), all in the PII-pattern playbook of
     * "only constructs with identical Java-regex (Spark) and RE2
-    * (DuckDB oracle) semantics":
+    * (DuckDB oracle) semantics" (the third — Unicode whitespace such
+    * as U+00A0 splits as a SYMBOL run, because the shipped pattern
+    * runs under Python's Unicode-aware `\\s` — is documented there):
     *  - `\\s` is spelled as the explicit class `[ \\t\\n\\f\\r]`: Java's
     *    `\\s` includes `\\x0B` (vertical tab), RE2's does not — the
     *    explicit class is identical in both (an `\\x0B` therefore

@@ -66,14 +66,16 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(exchanges == 2, s"expected 2 exchanges, got $exchanges\n$p")
   }
 
-  test("byte cdc: cut rows only reach the window; chunk content never explodes") {
+  test("byte cdc: native cut pass, no per-byte position range in the plan") {
     val p = plan("q_dedup_cdc_bytes")
     assert(!p.contains("CartesianProduct"), p)
-    // the per-byte stream must be filtered to CUTS before the lag/
-    // row_number window — a Window directly over a Generate means the
-    // all-bytes frame is being window-scanned
+    // cuts come from the ONE-PASS native expression — a regression to
+    // the composed per-byte form (position explode via sequence() +
+    // hex join + substring/md5 filter, the 5.1 s row) reintroduces a
+    // sequence() generator, which must never appear here
+    assert(p.toLowerCase.contains("cdc_cuts"), p)
+    assert(!p.contains("sequence("), p)
     assert(p.contains("Window"), p)
-    assert(p.contains("Generate explode"), p)
   }
 
   test("detokenize serves the encoded-ids artifact: no encode stage in the plan") {

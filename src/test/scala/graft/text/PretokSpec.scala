@@ -82,6 +82,14 @@ class PretokSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(split("ab") === Seq("a", "", "b"))
   }
 
+  test("documented divergence: unicode whitespace is a symbol run (shipped \\s is Unicode-aware)") {
+    // GPT-2 ships under Python regex where NBSP/ideographic space are
+    // \s; the pinned ASCII class makes them symbol runs here -- in
+    // both engines identically, joined with adjacent symbol chars
+    assert(split("a b") === Seq("a", " ", "b"))
+    assert(split("x  　 y") === Seq("x", "  　", " y"))
+  }
+
   test("pretokenizeBpe: piece ids match a hand-computed byte encode") {
     import spark.implicits._
     val docs = Seq((1L, "ab ab!")).toDF("doc_id", "text")

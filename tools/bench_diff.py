@@ -48,11 +48,19 @@ removed = sorted(set(oq) - set(nq))
 rows = []
 for q in shared:
     a, b = oq[q], nq[q]
+    # severity: symmetric drift magnitude; a zero on either side is
+    # maximally alarming (a query vanished or appeared from nothing)
     ratio = b / a if a > 0 else float("inf")
-    if (ratio > RATIO or ratio < 1 / RATIO) and abs(b - a) > ABS_SEC:
+    sev = max(ratio, 1 / ratio) if 0 < ratio < float("inf") else float("inf")
+    if sev > RATIO and abs(b - a) > ABS_SEC:
         rows.append({"query": q, "old_sec": round(a, 3),
-                     "new_sec": round(b, 3), "ratio": round(ratio, 2)})
-rows.sort(key=lambda r: -max(r["ratio"], 1 / r["ratio"]))
+                     "new_sec": round(b, 3),
+                     # finite in strict JSON: a zero/inf ratio reports null
+                     "ratio": round(ratio, 2) if 0 < ratio < float("inf") else None,
+                     "_sev": sev})
+rows.sort(key=lambda r: -r["_sev"])
+for r in rows:
+    del r["_sev"]
 
 shared_old = sum(oq[q] for q in shared)
 shared_new = sum(nq[q] for q in shared)
