@@ -108,6 +108,34 @@ class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
       edgeSet(Dedup.readSimilarityGraph(spark, scratch)))
   }
 
+  test("randomized: build+append == from-scratch across caps and split points (8 cases)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(15015)
+    for (c <- 0 until 8) {
+      // random template-cluster corpus: cluster sizes and counts vary
+      // so band buckets land under, over, and ACROSS random caps
+      val k = 2 + rnd.nextInt(6)
+      val n = 24 + rnd.nextInt(40)
+      val rows = (0 until n).map { i =>
+        (i.toLong, s"template ${i % k} body the quick brown fox jumps " +
+          s"over the lazy dog variant ${i / k + rnd.nextInt(2)} tail " +
+          s"token stream for shingles case $c")
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val cut = 8 + rnd.nextInt(n - 12)
+      val p = Dedup.MinHashParams(maxBucketSize = 3 + rnd.nextInt(10))
+      val inc = tmp(s"simgraph_fuzz_${c}_inc")
+      Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < cut), inc, p)
+      Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= cut), inc, p)
+      val scratch = tmp(s"simgraph_fuzz_${c}_scratch")
+      Dedup.writeSimilarityGraph(docs, scratch, p)
+      spark.catalog.clearCache()
+      assert(edgeSet(Dedup.readSimilarityGraph(spark, inc)) ===
+        edgeSet(Dedup.readSimilarityGraph(spark, scratch)),
+        s"case $c diverged: n=$n k=$k cut=$cut cap=${p.maxBucketSize}")
+    }
+  }
+
   test("two appends compose; a non-monotone batch is rejected") {
     val docs = corpus(0 until 60, 4)
     val p = Dedup.MinHashParams()
