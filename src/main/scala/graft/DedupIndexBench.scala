@@ -45,9 +45,30 @@ object DedupIndexBench {
     val n1 = spark.read.parquet(s"$p1/sigs").count()
     val n2 = spark.read.parquet(s"$p2/sigs").count()
     val nb = batch.count()
+
+    // similarity-graph APPEND growth (round 15): same question for the
+    // graph lifecycle — is appending ONE batch flat as the stored graph
+    // doubles? Id-cutoff splits (the append contract is monotone ids);
+    // one timed run each (an append mutates its artifact).
+    val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+    val (c40, c80, c90) = (maxId * 2 / 5, maxId * 4 / 5, maxId * 9 / 10)
+    val gBatch = docs.filter(col("doc_id") >= c90)
+    val g1 = tmp + "/graft_graph_bench_1x"
+    val g2 = tmp + "/graft_graph_bench_2x"
+    val tGBuild1 = timed(Dedup.writeSimilarityGraph(
+      docs.filter(col("doc_id") < c40), g1))
+    val tGBuild2 = timed(Dedup.writeSimilarityGraph(
+      docs.filter(col("doc_id") < c80), g2))
+    val tApp1 = timed(Dedup.appendSimilarityGraph(gBatch, g1))
+    val tApp2 = timed(Dedup.appendSimilarityGraph(gBatch, g2))
+    val e1 = spark.read.parquet(s"$g1/edges").count()
+    val e2 = spark.read.parquet(s"$g2/edges").count()
+
     println(s"""{"metric":"sig_index_growth","sf":"$sfDir","batch_rows":$nb,""" +
       s""""index_1x":{"rows":$n1,"build_sec":$tBuild1,"probe_sec":$tProbe1},""" +
-      s""""index_2x":{"rows":$n2,"build_sec":$tBuild2,"probe_sec":$tProbe2}}""")
+      s""""index_2x":{"rows":$n2,"build_sec":$tBuild2,"probe_sec":$tProbe2},""" +
+      s""""graph_append_1x":{"edges":$e1,"build_sec":$tGBuild1,"append_sec":$tApp1},""" +
+      s""""graph_append_2x":{"edges":$e2,"build_sec":$tGBuild2,"append_sec":$tApp2}}""")
     spark.stop()
   }
 }

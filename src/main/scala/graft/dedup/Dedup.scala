@@ -419,6 +419,26 @@ object Dedup {
     } finally newSigs.unpersist()
   }
 
+  /** Compact a grown similarity-graph artifact after a run of
+    * appends — the lifecycle's fourth verb, same trigger as the
+    * sketch/postings compactors (file-count growth): `edges/`
+    * collapses its per-append files into one write (a pure rewrite —
+    * the edge SET is unchanged, SimGraphSpec asserts), and the
+    * signature index gets [[compactSignatureIndex]] (bucket partials
+    * merged to one row, rows of buckets that crossed the cap across
+    * appends dropped). Appends compose identically before and after. */
+  def compactSimilarityGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, p: MinHashParams = MinHashParams()): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    spark.read.parquet(s"$path/edges")
+      .write.mode("overwrite").parquet(s"$path/edges_compacting")
+    graft.core.DirSwap.swap(fs,
+      new org.apache.hadoop.fs.Path(s"$path/edges"),
+      new org.apache.hadoop.fs.Path(s"$path/edges_compacting"))
+    compactSignatureIndex(spark, s"$path/index", p)
+  }
+
   /** 32-bit SimHash over tokens (with multiplicity): per bit, tokens
     * vote +1/-1 by their hash bit; the fingerprint sets bits with a
     * positive vote. A narrow per-row projection — no shuffle — using

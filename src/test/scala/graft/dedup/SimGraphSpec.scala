@@ -136,13 +136,18 @@ class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("two appends compose; a non-monotone batch is rejected") {
+  test("two appends compose (compaction between them); a non-monotone batch is rejected") {
     val docs = corpus(0 until 60, 4)
     val p = Dedup.MinHashParams()
     val inc = tmp("simgraph_two")
     Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < 30), inc, p)
     Dedup.appendSimilarityGraph(
       docs.filter(col("doc_id") >= 30 && col("doc_id") < 45), inc, p)
+    // compacting mid-sequence must change nothing: the edge set is a
+    // pure rewrite and the index's merged partials are probe-identical
+    val before = edgeSet(Dedup.readSimilarityGraph(spark, inc))
+    Dedup.compactSimilarityGraph(spark, inc, p)
+    assert(edgeSet(Dedup.readSimilarityGraph(spark, inc)) === before)
     Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= 45), inc, p)
     val scratch = tmp("simgraph_two_scratch")
     Dedup.writeSimilarityGraph(docs, scratch, p)
