@@ -71,6 +71,29 @@ class BpeTrainSpec extends AnyFunSuite {
     }
   }
 
+  test("pathological same-symbol runs: binary alphabet, long words, deep merges (60 cases)") {
+    // alphabet 2 maximizes overlapping pairs ("aaaa..."), self-merges
+    // (a,a) -> aa whose output immediately re-pairs, and heap-entry
+    // churn from counts that swing every round — the stress case for
+    // the lazy-deletion invariant
+    for (seed <- 1000 until 1060) {
+      val rnd = new scala.util.Random(seed)
+      val nWords = 5 + rnd.nextInt(60)
+      val words = (0 until nWords).map { i =>
+        val len = 1 + rnd.nextInt(24)
+        val w = Array.fill(len)(('a' + rnd.nextInt(2)).toChar).mkString
+        (s"w${i}_$w", 1L + rnd.nextInt(9), w.map(_.toString).toArray)
+      }.toArray
+      val merges = 20 + rnd.nextInt(60)
+      val (gotRows, gotWords) = CorpusOps.trainMerges(words.map(identity), merges)
+      val (expRows, expWords) = naive(words.map { case (w, f, s) =>
+        (w, f, s.clone()) }, merges)
+      assert(gotRows.toSeq === expRows, s"merge table diverged at seed=$seed")
+      assert(segKey(gotWords.toSeq) === segKey(expWords),
+        s"segmentation diverged at seed=$seed")
+    }
+  }
+
   test("a pair-less round empties the word frame (the crossJoin quirk)") {
     // "ab" fully merges in round 1; round 2 has no pairs left
     val words = Array(("ab", 3L, Array("a", "b")))
