@@ -144,6 +144,43 @@ object StreamDedup {
       }
       .start()
 
+  /** The streaming INGEST loop of the SIMILARITY-GRAPH lifecycle —
+    * the foreachBatch form of `writeSimilarityGraph` →
+    * `appendSimilarityGraph`: each micro-batch grows the stored edge
+    * artifact (new×old through the stored signature index, new×new
+    * within the batch, crossing-bucket retraction), so at every
+    * micro-batch boundary the served `edges/` equals a from-scratch
+    * build of everything ingested so far — the
+    * [[graft.dedup.Dedup.appendSimilarityGraph]] guarantee, which
+    * StreamingSpec asserts over a replayed two-batch stream. The
+    * graph artifact must already exist ([[graft.dedup.Dedup
+    * .writeSimilarityGraph]], possibly over an empty frame).
+    *
+    * Micro-batch ids must be MONOTONE in doc_id across batches (the
+    * append contract). Same `_gbatches/<id>` marker idempotence as
+    * [[ingestDedup]]; here the residual window (crash AFTER the
+    * append, BEFORE the marker) is additionally fail-fast rather than
+    * silently lossy — a replayed batch's min id is ≤ the stored max
+    * (its own ids are already in the index), so the monotonicity
+    * require trips on restart and surfaces the half-committed batch
+    * instead of double-appending its signatures. */
+  def ingestSimilarityGraph(docs: DataFrame, graphPath: String,
+      checkpoint: String, p: MinHashParams = MinHashParams())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$graphPath/_gbatches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          Dedup.appendSimilarityGraph(batch, graphPath, p)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+
   /** Executable batch SPEC of [[nearDupPairs]] (with an unbounded
     * horizon): per band bucket, the anchor is the min-(ts_us, doc_id)
     * member and every other member pairs with it. Returns the DISTINCT

@@ -323,6 +323,40 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("streaming similarity-graph ingest: served edges == from-scratch build of everything ingested") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_graph").toString
+    def doc(i: Int) = s"template ${i % 3} body the quick brown fox " +
+      s"jumps over the lazy dog variant ${i / 3} tail token stream"
+    val baseDocs = (0 until 12).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val b1 = (12 until 20).map(i => (i.toLong, doc(i)))
+    val b2 = (20 until 26).map(i => (i.toLong, doc(i)))
+    graft.dedup.Dedup.writeSimilarityGraph(baseDocs, s"$tmp/g")
+    b1.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val schema = b1.toDF("doc_id", "text").schema
+    val q = StreamDedup.ingestSimilarityGraph(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/g", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val all = (0 until 26).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    graft.dedup.Dedup.writeSimilarityGraph(all, s"$tmp/g_scratch")
+    spark.catalog.clearCache()
+    def es(p: String) = graft.dedup.Dedup.readSimilarityGraph(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = es(s"$tmp/g")
+    assert(streamed === es(s"$tmp/g_scratch"))
+    // cross-batch structure actually formed: an edge between a batch-1
+    // and a batch-2 doc exists (same template cluster)
+    assert(streamed.exists { case (a, b, _) => a >= 12 && a < 20 && b >= 20 })
+    spark.catalog.clearCache()
+  }
+
   test("streaming ANN ingest through the persisted index == sequential batch calls") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_ann").toString
