@@ -258,7 +258,24 @@ object Dedup {
     * shape (snapshot ids grow over time; the gated query splits the
     * corpus by an id cutoff), and it pins every band bucket's min id
     * to the OLD side, so the star edges already stored for over-cap
-    * buckets stay canonical.
+    * buckets stay canonical. BACKFILL (a late-arriving batch with ids
+    * BELOW the stored max) is out of contract by design: retrofitting
+    * low ids would dethrone stored bucket representatives, turning the
+    * append into the O(graph) rewrite for every touched bucket — the
+    * supported answer is assign backfilled docs fresh (monotone) ids,
+    * or rebuild the artifact from the union corpus
+    * ([[writeSimilarityGraph]]); the require's message makes the
+    * contract impossible to trip silently.
+    *
+    * CRASH/REPLAY: the append is a two-step commit (edges, then
+    * index). A crash AFTER the index append fail-fasts on replay (the
+    * batch's own ids are the stored max, so the monotone require
+    * trips). A crash BEFORE the index append is self-healing: on
+    * entry, stored edges with doc_b >= the batch's min id — possible
+    * only as debris of a crashed attempt whose sigs never reached the
+    * index — are scrubbed, so replaying the same batch is IDEMPOTENT
+    * (StreamingSpec replays a two-batch stream; SimGraphSpec plants
+    * crash debris directly and asserts the converged artifact).
     *
     * What a from-scratch union build would change, and how the append
     * reproduces it exactly:
@@ -307,6 +324,37 @@ object Dedup {
           s"appendSimilarityGraph: batch min id ${bounds.getLong(0)} <= stored " +
             s"max id $oldMax — batch ids must be monotone (the ingest contract " +
             "that keeps stored star-edge representatives canonical)")
+
+        // REPLAY GUARD (round-15 ADVICE): the index is grown LAST (the
+        // edge derivation must see pre-append stats), so a crash between
+        // the edges write below and writeIndexFromSigs leaves this
+        // batch's edges stored while its sigs never reached the index —
+        // a replayed micro-batch then passes the monotone require and
+        // would double-append its edges. Every edge this function emits
+        // carries a batch doc in doc_b (new×old orients the old id
+        // first; new×new and star pairs order by id), while a cleanly
+        // committed artifact has BOTH ids <= the stored index max <
+        // this batch's min — so stored edges with doc_b >= the batch
+        // min can only be debris from a crashed prior attempt whose
+        // docs never reached the index. Scrub them before proceeding:
+        // replay of the same batch becomes idempotent, and an abandoned
+        // half-batch with a disjoint id range is rolled back to "never
+        // happened" (consistent with its absence from the index). The
+        // existence probe is a pushed min/max-stats filter over the
+        // narrow edge list — row groups without debris are skipped.
+        val batchMin = bounds.getLong(0)
+        val debris = spark.read.parquet(s"$path/edges")
+          .filter(col("doc_b") >= batchMin)
+        if (!debris.isEmpty) {
+          spark.read.parquet(s"$path/edges")
+            .filter(col("doc_b") < batchMin)
+            .write.mode("overwrite").parquet(s"$path/edges_compacting")
+          val fsR = new org.apache.hadoop.fs.Path(path)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          graft.core.DirSwap.swap(fsR,
+            new org.apache.hadoop.fs.Path(s"$path/edges"),
+            new org.apache.hadoop.fs.Path(s"$path/edges_compacting"))
+        }
 
         val nb = explodedBands(newSigs, "doc_id", p)
           .persist(StorageLevel.MEMORY_AND_DISK)

@@ -131,24 +131,37 @@ object LabelProp {
     * Shape: each round's label frame is persisted once and consumed
     * twice (the next round + the diff join), so the chain is computed
     * exactly once — the per-round diff is one narrow equi-join and a
-    * 1-row count, negligible next to the round itself. Cache
-    * lifecycle: caller releases (the clearCache convention). */
+    * 1-row count, negligible next to the round itself. Because the
+    * whole result is `iters` driver-sized rows, each round's count is
+    * FORCED as it is produced and the superseded label frame (and, at
+    * the end, the edge frame and the last round's frame) unpersisted
+    * immediately — the function holds at most TWO cached label frames
+    * at any instant and returns with nothing cached, matching
+    * [[communities]]' footprint instead of accumulating O(iters)
+    * frames until the caller's clearCache (round-15 verdict #7). The
+    * returned frame is a literal of the collected counts, so its
+    * lineage references none of the released caches. */
   def convergence(nodes: DataFrame, pairs: DataFrame,
       iters: Int = 4): DataFrame = {
+    val spark = nodes.sparkSession
     val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
     var lab = nodes.select(col("doc_id"), labGuard.as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val rounds = (1 to iters).map { i =>
+    val counts = (1 to iters).map { i =>
       val next = lpRound(edges, lab).persist(StorageLevel.MEMORY_AND_DISK)
-      val ch = next
+      val nChanged = next
         .join(lab.withColumnRenamed("label", "plabel"), "doc_id")
         .filter(col("label") =!= col("plabel"))
         .agg(count(lit(1)).as("n_changed"))
-        .select(lit(i.toLong).as("iter"), col("n_changed"))
+        .head().getLong(0)
+      lab.unpersist()
       lab = next
-      ch
+      (i.toLong, nChanged)
     }
-    rounds.reduce(_.unionAll(_))
+    lab.unpersist()
+    edges.unpersist()
+    import spark.implicits._
+    counts.toDF("iter", "n_changed")
   }
 
   /** EXACT-INTEGER MODULARITY audit of the [[communities]] labels —

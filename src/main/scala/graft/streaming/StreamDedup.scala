@@ -158,12 +158,17 @@ object StreamDedup {
     *
     * Micro-batch ids must be MONOTONE in doc_id across batches (the
     * append contract). Same `_gbatches/<id>` marker idempotence as
-    * [[ingestDedup]]; here the residual window (crash AFTER the
-    * append, BEFORE the marker) is additionally fail-fast rather than
-    * silently lossy — a replayed batch's min id is ≤ the stored max
-    * (its own ids are already in the index), so the monotonicity
-    * require trips on restart and surfaces the half-committed batch
-    * instead of double-appending its signatures. */
+    * [[ingestDedup]]; the two residual crash windows inside the
+    * append itself are both handled (round-15 ADVICE): a crash
+    * BETWEEN the edges write and the index append leaves edge debris
+    * that the append's replay guard scrubs on restart (stored edges
+    * with doc_b >= the batch min can only be that debris — replay is
+    * idempotent, not double-counting); a crash AFTER the index
+    * append, BEFORE the marker, fail-fasts on restart (the replayed
+    * batch's min id is ≤ the stored max because its own ids are
+    * already in the index, so the monotonicity require trips and
+    * surfaces the half-committed batch — recreate the marker to
+    * acknowledge, since the append itself fully committed). */
   def ingestSimilarityGraph(docs: DataFrame, graphPath: String,
       checkpoint: String, p: MinHashParams = MinHashParams())
       : org.apache.spark.sql.streaming.StreamingQuery =

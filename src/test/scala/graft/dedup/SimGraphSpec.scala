@@ -136,6 +136,66 @@ class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  private def copyDir(src: String, dst: String): Unit = {
+    val s = java.nio.file.Paths.get(src)
+    val d = java.nio.file.Paths.get(dst)
+    java.nio.file.Files.walk(s).forEach { p =>
+      val t = d.resolve(s.relativize(p))
+      if (java.nio.file.Files.isDirectory(p)) java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  private def deleteDir(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p))
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(f => java.nio.file.Files.delete(f))
+  }
+
+  test("replay after a crash between the edges write and the index append is idempotent") {
+    // round-15 ADVICE: the append commits edges BEFORE the index, so a
+    // crash in between used to let the replayed batch double-append its
+    // edges. Construct that exact on-disk state — edges fully committed
+    // (including any retraction rewrite), index untouched — by running
+    // the append on a CLONE and transplanting only its edges/ back;
+    // then replay the same batch and demand the from-scratch union.
+    import spark.implicits._
+    for ((cap, tag) <- Seq(1024 -> "plain", 6 -> "crossing")) {
+      val p = Dedup.MinHashParams(maxBucketSize = cap)
+      val rows = (0 until 40).map { i =>
+        (i.toLong, s"template ${i % 5} body the quick brown fox jumps over " +
+          s"the lazy dog variant ${i / 5} tail token stream for shingles")
+      } ++ (40 until 52).map { i =>
+        (i.toLong, s"template ${i % 4} body the quick brown fox jumps over " +
+          s"the lazy dog variant ${100 + i / 4} tail token stream for shingles")
+      }
+      val docs = rows.toDF("doc_id", "text")
+      val oldDocs = docs.filter(col("doc_id") < 40)
+      val newDocs = docs.filter(col("doc_id") >= 40)
+      val inc = tmp(s"simgraph_replay_${tag}")
+      Dedup.writeSimilarityGraph(oldDocs, inc, p)
+      val clone = tmp(s"simgraph_replay_${tag}_clone")
+      copyDir(inc, clone)
+      Dedup.appendSimilarityGraph(newDocs, clone, p)
+      deleteDir(s"$inc/edges")
+      copyDir(s"$clone/edges", s"$inc/edges")
+      // the crashed artifact now serves the batch's edges while the
+      // index has never seen the batch — replay the SAME batch
+      Dedup.appendSimilarityGraph(newDocs, inc, p)
+      val scratch = tmp(s"simgraph_replay_${tag}_scratch")
+      Dedup.writeSimilarityGraph(docs, scratch, p)
+      spark.catalog.clearCache()
+      val got = Dedup.readSimilarityGraph(spark, inc)
+      val exp = edgeSet(Dedup.readSimilarityGraph(spark, scratch))
+      // set equality AND no duplicate rows (the double-count the guard
+      // exists to prevent would survive a set-only comparison)
+      assert(got.count() === exp.size, s"[$tag] duplicate edge rows after replay")
+      assert(edgeSet(got) === exp, s"[$tag] replayed artifact diverged")
+    }
+  }
+
   test("two appends compose (compaction between them); a non-monotone batch is rejected") {
     val docs = corpus(0 until 60, 4)
     val p = Dedup.MinHashParams()
