@@ -59,16 +59,30 @@ object DedupIndexBench {
       docs.filter(col("doc_id") < c40), g1))
     val tGBuild2 = timed(Dedup.writeSimilarityGraph(
       docs.filter(col("doc_id") < c80), g2))
+    // component-labels sidecar (round 16): is REFRESHING the labels
+    // after one appended batch flat as the stored graph doubles? The
+    // refresh's work is a batch-sized super-graph solve + a broadcast
+    // remap over the stored labels — the remap scan grows with the
+    // graph but stays narrow/shuffle-free, so the row should read
+    // near-flat like the append itself.
+    val tLBuild1 = timed(Dedup.writeComponentLabels(spark, g1))
+    val tLBuild2 = timed(Dedup.writeComponentLabels(spark, g2))
     val tApp1 = timed(Dedup.appendSimilarityGraph(gBatch, g1))
     val tApp2 = timed(Dedup.appendSimilarityGraph(gBatch, g2))
+    val tLRef1 = timed(Dedup.refreshComponentLabels(spark, g1))
+    val tLRef2 = timed(Dedup.refreshComponentLabels(spark, g2))
     val e1 = spark.read.parquet(s"$g1/edges").count()
     val e2 = spark.read.parquet(s"$g2/edges").count()
+    val l1 = spark.read.parquet(s"$g1/labels/assign").count()
+    val l2 = spark.read.parquet(s"$g2/labels/assign").count()
 
     println(s"""{"metric":"sig_index_growth","sf":"$sfDir","batch_rows":$nb,""" +
       s""""index_1x":{"rows":$n1,"build_sec":$tBuild1,"probe_sec":$tProbe1},""" +
       s""""index_2x":{"rows":$n2,"build_sec":$tBuild2,"probe_sec":$tProbe2},""" +
       s""""graph_append_1x":{"edges":$e1,"build_sec":$tGBuild1,"append_sec":$tApp1},""" +
-      s""""graph_append_2x":{"edges":$e2,"build_sec":$tGBuild2,"append_sec":$tApp2}}""")
+      s""""graph_append_2x":{"edges":$e2,"build_sec":$tGBuild2,"append_sec":$tApp2},""" +
+      s""""labels_refresh_1x":{"labels":$l1,"build_sec":$tLBuild1,"refresh_sec":$tLRef1},""" +
+      s""""labels_refresh_2x":{"labels":$l2,"build_sec":$tLBuild2,"refresh_sec":$tLRef2}}""")
     spark.stop()
   }
 }

@@ -117,6 +117,31 @@ object SparkEntry {
     graft.dedup.Dedup.readSimilarityGraph(s, path)
   }
 
+  /** Write-once INCREMENTALLY-MAINTAINED component-labels artifact
+    * (round-15 verdict #1 — the level-up of [[simGraphAppendEdges]]):
+    * graph + labels built from the low-id 80% of the corpus, the
+    * high-id 20% appended as an ingest batch, then the labels sidecar
+    * refreshed incrementally (batch-sized super-graph union-find +
+    * broadcast remap — the stored label frame is never shuffled).
+    * Separate artifact path from [[simGraphAppendEdges]] so each
+    * query's bench time stays attributable to its own lifecycle. */
+  private def clustersAppendLabels(s: SparkSession, dir: String): DataFrame = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_sim_graph_capp/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    indexedTables.getOrElseUpdate((s, path), {
+      val docs = table(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cutoff = maxId * 4 / 5
+      graft.dedup.Dedup.writeSimilarityGraph(
+        docs.filter(col("doc_id") < cutoff), path)
+      graft.dedup.Dedup.writeComponentLabels(s, path)
+      graft.dedup.Dedup.appendSimilarityGraph(
+        docs.filter(col("doc_id") >= cutoff), path)
+      graft.dedup.Dedup.refreshComponentLabels(s, path)
+    })
+    graft.dedup.Dedup.readComponentLabels(s, path)
+  }
+
   /** Write-once LP community-labels artifact over [[simGraphEdges]]:
     * the labels are a pure function of the edge artifact, so audits
     * and downstream consumers (q_graph_modularity) read the stored
@@ -1305,6 +1330,17 @@ object SparkEntry {
     // keeper rule a real training pipeline uses
     "q_dedup_clusters_best" -> ((s, dir) =>
       Dedup.clustersBest(table(s, dir, "documents"))),
+    // INCREMENTAL cluster maintenance (round-15 verdict #1): labels
+    // built on the low-id 80%, the high-id 20% appended to the graph
+    // artifact, labels refreshed via appendComponents (batch-sized
+    // super-graph solve; the big label frame never shuffles), then
+    // resolved for the whole corpus. Build+refresh == from-scratch
+    // (ComponentsAppendSpec), so the gate is the plain recursive-CTE
+    // closure over the WHOLE corpus — the oracle never sees the
+    // incremental path, nothing can drift.
+    "q_dedup_clusters_append" -> ((s, dir) =>
+      Dedup.clustersOf(table(s, dir, "documents"),
+        clustersAppendLabels(s, dir))),
     // embedding-cosine near-dup: sign-LSH blocking + exact fixed-point
     // cosine verify (tau = 0.35 fits the synthetic near-random corpus;
     // real pipelines run tau >= 0.85 — see Similarity.CosineParams)
@@ -2774,6 +2810,11 @@ object SparkEntry {
     "q_dedup_simhash" -> DocSql.simhash,
     "q_dedup_jaccard" -> DocSql.jaccardPairs(Dedup.JaccardParams),
     "q_dedup_clusters" -> DocSql.dedupClusters(Dedup.MinHashParams()),
+    // incremental build+append+refresh == from-scratch, so the oracle is
+    // the SAME whole-corpus closure as q_dedup_clusters (the
+    // q_graph_edges_append convention: the oracle never sees the
+    // incremental path)
+    "q_dedup_clusters_append" -> DocSql.dedupClusters(Dedup.MinHashParams()),
     "q_dedup_clusters_best" -> DocSql.dedupClustersBest(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
     "q_dedup_cdc" -> DocSql.cdcDupes(1),

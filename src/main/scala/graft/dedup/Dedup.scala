@@ -1318,6 +1318,177 @@ object Dedup {
     labels
   }
 
+  /** Incrementally grow [[connectedComponents]] labels by a batch of
+    * NEW edges — the level-up of the similarity-graph append
+    * (round-15 verdict #1): where [[appendSimilarityGraph]] grows the
+    * EDGE artifact per ingest batch, this grows the LABELS that every
+    * dedup consumer actually resolves against, so an appended batch no
+    * longer pays a full-graph component fixpoint.
+    *
+    * CONTRACT: `newEdges` were ADDED to the graph that produced
+    * `labels` (additions only ever MERGE components — edge deletion
+    * can split and is out of scope here; the artifact verb
+    * [[refreshComponentLabels]] detects the one deletion source, the
+    * cap-crossing retraction, and rebuilds instead). Under that
+    * contract the result equals `connectedComponents(oldEdges ∪
+    * newEdges)` exactly (ComponentsAppendSpec asserts, including the
+    * randomized sweep): contract each stored component to its root
+    * (labels are component MINIMA, so the contracted node id IS the
+    * min), map each new edge to an edge between the two contracted
+    * endpoints (an endpoint outside the stored labels is its own
+    * root), solve components over that SUPER-GRAPH — batch-sized, so
+    * the [[connectedComponents]] two-regime threshold transfers and
+    * the solve is normally the driver union-find — and broadcast the
+    * root remap back over the stored labels. The min over a merged
+    * super-component equals the min over the merged components'
+    * members because each root already is its component's min.
+    *
+    * Shape at 100 TB: the big label frame is NEVER shuffled — the
+    * affected-id restriction is a broadcast left-semi (map-side
+    * filter) and the remap application is a broadcast left join
+    * (map-side projection); everything batch-sized (affected ids,
+    * super-edges, remap) rides broadcasts, bounded by the micro-batch
+    * ingest contract like the merge-table broadcasts. Per-batch cost
+    * tracks the BATCH, not the stored graph (DedupIndexBench's
+    * labels_refresh rows).
+    *
+    * Output: (id, lbl) for every node in some old OR new pair. */
+  def appendComponents(labels: DataFrame, newEdges: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b",
+      localSolveEdges: Long = LocalSolveEdges): DataFrame =
+    appendComponentsImpl(labels, newEdges, aCol, bCol, localSolveEdges)._1
+
+  /** [[appendComponents]] plus the batch-sized frames it persisted, so
+    * an artifact verb with a terminal action of its own
+    * ([[refreshComponentLabels]]) can release them without waiting for
+    * the caller's clearCache. */
+  private def appendComponentsImpl(labels: DataFrame, newEdges: DataFrame,
+      aCol: String, bCol: String,
+      localSolveEdges: Long): (DataFrame, Seq[DataFrame]) = {
+    val lab = labels.select(col("id"), col("lbl"))
+    val ne = newEdges.select(col(aCol).as("a"), col(bCol).as("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val aff = ne.select(col("a").as("id")).union(ne.select(col("b").as("id")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    // labels of affected nodes only: map-side semi against the batch
+    val labAff = lab.join(broadcast(aff), Seq("id"), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // super-graph: each new edge between the endpoints' roots
+    val sup = ne
+      .join(broadcast(labAff.select(col("id").as("a"), col("lbl").as("la"))),
+        Seq("a"), "left")
+      .join(broadcast(labAff.select(col("id").as("b"), col("lbl").as("lb"))),
+        Seq("b"), "left")
+      .select(coalesce(col("la"), col("a")).as("doc_a"),
+        coalesce(col("lb"), col("b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+    // batch-sized solve; covers every new node (its own id is a super
+    // node) and every old root a new edge touches
+    val remap = connectedComponents(sup, localSolveEdges = localSolveEdges)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val moved = remap.filter(col("id") =!= col("lbl"))
+      .select(col("id").as("lbl"), col("lbl").as("nl"))
+    val updated = lab.join(broadcast(moved), Seq("lbl"), "left")
+      .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+    // nodes new to the graph: affected ids with no stored label; their
+    // super-component root is their label (self if the solve dropped
+    // them — impossible under the contract, coalesce for safety)
+    val fresh = aff.join(lab, Seq("id"), "left_anti")
+      .join(broadcast(remap.withColumnRenamed("lbl", "rl")), Seq("id"), "left")
+      .select(col("id"), coalesce(col("rl"), col("id")).as("lbl"))
+    (updated.unionByName(fresh), Seq(ne, aff, labAff, remap))
+  }
+
+  /** Build the COMPONENT-LABELS sidecar of a [[writeSimilarityGraph]]
+    * artifact: `labels/assign` = [[connectedComponents]] over
+    * `edges/`, plus `labels/meta` — the watermark (max doc id in any
+    * stored edge) and the edge count, which is what lets
+    * [[refreshComponentLabels]] split "edges my labels already
+    * incorporate" from "edges appended since" and detect retraction,
+    * all from the artifact alone. Written via the DirSwap convention
+    * (assign + meta land in ONE swapped directory, so a crash leaves
+    * either the old labels or the new — never a torn pair). */
+  def writeComponentLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val edges = spark.read.parquet(s"$path/edges")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try writeLabelsDir(spark, path, connectedComponents(edges), edges)
+    finally edges.unpersist()
+  }
+
+  /** The serve half: (id, lbl) for every node in some stored pair. */
+  def readComponentLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/labels/assign")
+
+  /** Bring the labels sidecar up to date with the edge artifact after
+    * any number of [[appendSimilarityGraph]] calls. Two paths, chosen
+    * by what actually happened to the edges:
+    *
+    *  - COMMON (no retraction): every edge appended since the labels
+    *    build has doc_b > the stored watermark (appended edges carry a
+    *    batch doc in doc_b; batch ids exceed all stored ids), and the
+    *    sub-watermark edge set the labels were built from is intact
+    *    iff its COUNT is unchanged (appends never add below the
+    *    watermark, retraction only removes). So: one pushed-filter
+    *    count to verify, one pushed filter for the delta, then
+    *    [[appendComponents]] — per-refresh cost tracks the appended
+    *    batches, not the stored graph.
+    *  - RETRACTION since the build (sub-watermark count shrank — only
+    *    a cap-crossing append does that): deletions can SPLIT
+    *    components, so the labels are rebuilt from the current edges
+    *    ([[writeComponentLabels]]). The crossing append already paid
+    *    an O(graph) edge rewrite; the label rebuild is the same cost
+    *    class, and production sizes the cap so crossings are rare.
+    *    Retractions among POST-watermark edges need nothing: those
+    *    edges were never baked into the stored labels, and the delta
+    *    reads the current (post-retraction) edge list.
+    *
+    * Refresh-after-refresh composes: each refresh advances the
+    * watermark to the current max edge id, and any later append's ids
+    * exceed every current id. A refresh with nothing to do is a
+    * no-op (no rewrite). */
+  def refreshComponentLabels(spark: org.apache.spark.sql.SparkSession,
+      path: String, localSolveEdges: Long = LocalSolveEdges): Unit = {
+    val meta = spark.read.parquet(s"$path/labels/meta").collect()(0)
+    val (wm, nBaked) = (meta.getLong(0), meta.getLong(1))
+    val edges = spark.read.parquet(s"$path/edges")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nBelow = edges.filter(col("doc_b") <= wm).count()
+      if (nBelow < nBaked) {
+        // a retraction reached into the labeled region: rebuild
+        writeLabelsDir(spark, path, connectedComponents(edges), edges)
+      } else {
+        val delta = edges.filter(col("doc_b") > wm)
+        if (!delta.isEmpty) {
+          val (labels, cached) = appendComponentsImpl(
+            readComponentLabels(spark, path), delta,
+            "doc_a", "doc_b", localSolveEdges)
+          try writeLabelsDir(spark, path, labels, edges)
+          finally cached.foreach(_.unpersist())
+        }
+      }
+    } finally edges.unpersist()
+  }
+
+  private def writeLabelsDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, labels: DataFrame, edges: DataFrame): Unit = {
+    import spark.implicits._
+    labels.write.mode("overwrite").parquet(s"$path/labels_compacting/assign")
+    val b = edges.agg(
+      coalesce(max(greatest(col("doc_a"), col("doc_b"))), lit(-1L)),
+      count(lit(1))).collect()(0)
+    Seq((b.getLong(0), b.getLong(1))).toDF("watermark", "n_edges")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/labels_compacting/meta")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new org.apache.hadoop.fs.Path(s"$path/labels")
+    val staged = new org.apache.hadoop.fs.Path(s"$path/labels_compacting")
+    if (fs.exists(live)) graft.core.DirSwap.swap(fs, live, staged)
+    else require(fs.rename(staged, live),
+      s"writeComponentLabels: could not move $staged into place")
+  }
+
   /** Duplicate-cluster resolution — the last step of the dedup
     * pipeline: collapse the near-dup PAIR list into doc_id ->
     * canonical_id (the component's minimum id) for EVERY document, so
@@ -1333,9 +1504,20 @@ object Dedup {
     * Cache lifecycle: as with [[minhashPairs]], callers release the
     * internal persists after their terminal action. */
   def clusters(docs: DataFrame, p: MinHashParams = MinHashParams(),
-      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val comp = connectedComponents(minhashPairs(docs, p, idCol, textCol))
-      .select(col("id").as("doc_id"), col("lbl").as("cid"))
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    clustersOf(docs,
+      connectedComponents(minhashPairs(docs, p, idCol, textCol)), idCol)
+
+  /** [[clusters]]' resolution step against ALREADY-COMPUTED component
+    * labels (the (id, lbl) shape of [[connectedComponents]] /
+    * [[readComponentLabels]]) — the serve half of the incremental
+    * lifecycle: labels are a pure function of the edge artifact, so
+    * per corpus snapshot they are maintained once
+    * ([[refreshComponentLabels]]) and resolved against by any number
+    * of dedup jobs. Docs in no pair are their own canonical. */
+  def clustersOf(docs: DataFrame, labels: DataFrame,
+      idCol: String = "doc_id"): DataFrame = {
+    val comp = labels.select(col("id").as("doc_id"), col("lbl").as("cid"))
     val assigned = docs.select(col(idCol).as("doc_id"))
       .join(comp, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cid"), col("doc_id")).as("canonical_id"))
