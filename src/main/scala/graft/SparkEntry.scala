@@ -2228,6 +2228,48 @@ object SparkEntry {
           concat_ws("_", col("window_energy")).as("energy_str"))
     }),
 
+    // AUDIO-CONTENT ANALYSIS (round-15 verdict #2) — the audio twin of
+    // q_multimodal_phash's decode -> fingerprint -> group pipeline:
+    // 16-sample PCM clips derived from (source, lang) — so clips
+    // repeat across docs — open on a silent window (4 zero samples)
+    // and close on a per-doc LOW-ORDER perturbation (doc_id % 4 in the
+    // last sample). Byte-exact hashing would split every group; the
+    // SIGN-OF-DELTA fingerprint keys on the loudness envelope's shape,
+    // so the perturbed copies still collide. Per-group silence counts
+    // ride along (window mean |amplitude| is the integer-exact energy
+    // stat — an RMS would need a sqrt that cannot hash-gate).
+    "q_multimodal_audio" -> ((s, dir) => {
+      val header = {
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(36 + 32)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000)
+        bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(32)
+        bb.array()
+      }
+      def h(i: Int) =
+        md5(concat(col("source"), lit("#"), col("lang"), lit(s"#$i")).cast("binary"))
+      val src = table(s, dir, "documents").select(col("doc_id"),
+        concat(lit(header),
+          lit(Array.fill[Byte](8)(0)),          // 4 zero samples: silent window
+          unhex(h(0)),                          // samples 4..11
+          unhex(substring(h(1), 1, 12)),        // samples 12..14
+          unhex(lpad(hex(pmod(col("doc_id"), lit(4))), 2, "0")),
+          lit(Array[Byte](0))                   // sample 15 = doc_id % 4 (LE)
+        ).as("payload"))
+      val dec = graft.multimodal.Decoders.decodeAudioBatched(src, 4).toDF()
+      dec.select(col("doc_id"),
+          graft.multimodal.Decoders.audioFingerprint(col("window_energy"), 4).as("afp"),
+          graft.multimodal.Decoders.silentWindows(col("window_energy"), 4, 4096L).as("n_silent"))
+        .groupBy(col("afp"))
+        .agg(count(lit(1)).as("n_clips"), min(col("doc_id")).as("min_doc"),
+          sum(col("n_silent")).as("silent_windows"))
+        .filter(col("n_clips") >= 2L)
+    }),
+
     // video container METADATA probe (round-9 verdict stretch #9):
     // hand-packed spec-conformant MP4 (even doc_id) and AVI (odd)
     // headers with md5-derived duration/frame-count and dimensions
@@ -2956,6 +2998,7 @@ object SparkEntry {
     // one oracle, two codecs
     "q_multimodal_gif" -> EventSql.multimodalPpm,
     "q_multimodal_wav" -> EventSql.multimodalWav,
+    "q_multimodal_audio" -> EventSql.multimodalAudio,
     "q_multimodal_video" -> EventSql.multimodalVideo,
     "q_multimodal_frame" -> EventSql.multimodalFrames,
     "q_multimodal_mjpeg" -> EventSql.multimodalMjpeg,

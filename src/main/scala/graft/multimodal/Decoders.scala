@@ -59,6 +59,43 @@ object Decoders {
   final case class DecodedAudio(doc_id: Long, sample_rate: Long, channels: Long,
       n_samples: Long, window_energy: Seq[Long])
 
+  /** SIGN-OF-DELTA fingerprint over a per-window energy profile — the
+    * [[dHash]] idea on PCM windows (round-15 verdict #2): bit j is set
+    * iff energy[j] < energy[j+1], so the fingerprint keys on the SHAPE
+    * of the loudness envelope, not its level — re-gained copies and
+    * low-order sample noise that move every window's energy a little
+    * keep their delta signs (MultimodalSpec perturbs low-order bits
+    * and asserts collision), while a clip whose envelope rises where
+    * the other falls flips bits (the contrast case, also spec'd).
+    * Pure integer comparisons on the decoder's exact window energies,
+    * so the oracle recomputes it bit-for-bit; windows−1 bits must fit
+    * a positive BIGINT like [[dHash]]'s 63-bit bound. */
+  def audioFingerprint(energy: org.apache.spark.sql.Column,
+      windows: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, when}
+    require(windows - 1 <= 63,
+      s"audioFingerprint: $windows windows need ${windows - 1} bits; max 63 " +
+        "fit a positive BIGINT — use a coarser profile or split the hash")
+    (0 until windows - 1).map { j =>
+      when(element_at(energy, j + 1) < element_at(energy, j + 2), lit(1L << j))
+        .otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SILENCE count over a per-window energy profile: windows whose
+    * mean |amplitude| falls below `threshold` (silence-trim / dead-air
+    * screening — the audio twin of the image mean-channel stats).
+    * Unrolled when-sums, not an array HOF: the profile is a short
+    * fixed-width array and interpreted Catalyst lambdas are the
+    * documented hot-path trap (docs/PLANS.md round-6). */
+  def silentWindows(energy: org.apache.spark.sql.Column, windows: Int,
+      threshold: Long): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{element_at, lit, when}
+    (0 until windows).map { j =>
+      when(element_at(energy, j + 1) < lit(threshold), lit(1L)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
   object PpmDecoder {
     def isPpm(b: Array[Byte]): Boolean =
       b != null && b.length >= 2 && b(0) == 'P' && b(1) == '6'

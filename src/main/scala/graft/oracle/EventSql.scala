@@ -473,6 +473,49 @@ object EventSql {
        |JOIN s2 USING (doc_id) JOIN s3 USING (doc_id)""".stripMargin
   }
 
+  /** Oracle for the audio sign-of-delta near-dedup: recompute the 16
+    * samples from the two (source, lang) md5 digests + the doc_id%4
+    * perturbation sample (samples 0..3 are the planted zeros), the
+    * four exact window mean-|amplitude| energies, the 3 delta-sign
+    * bits and the <4096 silence counts, then group — closed-form like
+    * [[multimodalWav]], no WAV parser in SQL. */
+  val multimodalAudio: String = {
+    // sample index 4..14 → md5-derived value expression (LE byte pair)
+    def px(h: String, off: Int) =
+      s"CAST(('0x' || substr($h, ${2 * off + 1}, 2)) AS BIGINT)"
+    def sval(k: Int): String = {
+      val (h, off) = if (k < 12) ("h0", (k - 4) * 2) else ("h1", (k - 12) * 2)
+      s"${px(h, off)} + 256 * ${px(h, off + 1)}"
+    }
+    def absv(k: Int): String =
+      if (k < 4) "0"
+      else if (k == 15) "(doc_id % 4)"
+      else s"abs(CASE WHEN x$k >= 32768 THEN x$k - 65536 ELSE x$k END)"
+    val xs = (4 until 15).map(k => s"${sval(k)} AS x$k").mkString(",\n  ")
+    def e(w: Int) =
+      s"(${(4 * w until 4 * w + 4).map(absv).mkString(" + ")}) // 4 AS e$w"
+    s"""WITH h AS (SELECT doc_id,
+       |    md5(source || '#' || lang || '#0') AS h0,
+       |    md5(source || '#' || lang || '#1') AS h1
+       |  FROM documents),
+       |s AS (SELECT doc_id,
+       |  $xs
+       |  FROM h),
+       |en AS (SELECT doc_id, ${(0 until 4).map(e).mkString(", ")} FROM s),
+       |d AS (SELECT doc_id,
+       |  CAST((CASE WHEN e0 < e1 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN e1 < e2 THEN 2 ELSE 0 END)
+       |     + (CASE WHEN e2 < e3 THEN 4 ELSE 0 END) AS BIGINT) AS afp,
+       |  CAST((CASE WHEN e0 < 4096 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN e1 < 4096 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN e2 < 4096 THEN 1 ELSE 0 END)
+       |     + (CASE WHEN e3 < 4096 THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+       |  FROM en)
+       |SELECT afp, CAST(count(*) AS BIGINT) AS n_clips, min(doc_id) AS min_doc,
+       |  CAST(sum(n_silent) AS BIGINT) AS silent_windows
+       |FROM d GROUP BY 1 HAVING count(*) >= 2""".stripMargin
+  }
+
   /** Mirror of q_events_anomaly_mad: the ROBUST twin of
     * eventsAnomaly — lower discrete median and median absolute
     * deviation via row_number over the (value, day_idx) total order,

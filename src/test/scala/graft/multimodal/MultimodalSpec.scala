@@ -153,6 +153,46 @@ class MultimodalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(d.window_energy == Seq(150L, 350L))
   }
 
+  /** RIFF/WAVE PCM-16 mono 8 kHz from an arbitrary sample list. */
+  private def wavOf(samples: Seq[Int]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(44 + 2 * samples.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes); bb.putInt(36 + 2 * samples.size); bb.put("WAVE".getBytes)
+    bb.put("fmt ".getBytes); bb.putInt(16)
+    bb.putShort(1); bb.putShort(1); bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put("data".getBytes); bb.putInt(2 * samples.size)
+    samples.foreach(v => bb.putShort(v.toShort))
+    bb.array()
+  }
+
+  test("audio fingerprint: envelope-shape bits; low-order noise collides; contrast flip separates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // 8 samples = 4 windows of 2: quiet -> loud -> louder -> mid
+    val base = Seq(10, -10, 1000, -1000, 5000, -5000, 100, -100)
+    // every sample's low-order bits nudged: energies all move a little,
+    // the delta SIGNS (the fingerprint) must not
+    val noisy = base.map(v => if (v > 0) v + 3 else v - 2)
+    // envelope reversed: louder -> loud -> quiet -> mid
+    val flipped = Seq(5000, -5000, 1000, -1000, 10, -10, 100, -100)
+    val df = Seq((1L, wavOf(base)), (2L, wavOf(noisy)), (3L, wavOf(flipped)))
+      .toDF("doc_id", "payload")
+    val out = Decoders.decodeAudioBatched(df, 4).toDF()
+      .select(col("doc_id"),
+        Decoders.audioFingerprint(col("window_energy"), 4).as("afp"),
+        Decoders.silentWindows(col("window_energy"), 4, 50L).as("ns"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // base energies (10, 1000, 5000, 100): rises at 0->1 and 1->2 only
+    assert(out(1L)._1 === 3L)
+    assert(out(2L)._1 === out(1L)._1,
+      "low-order sample noise must not move the envelope's delta signs")
+    // flipped energies (5000, 1000, 10, 100): rises only at 2->3
+    assert(out(3L)._1 === 4L)
+    assert(out(3L)._1 !== out(1L)._1)
+    // silence: only the 10-amplitude window sits under the threshold
+    assert(out(1L)._2 === 1L && out(3L)._2 === 1L)
+  }
+
   test("batched decode runs the real parsers through the mapPartitions shape") {
     import spark.implicits._
     val img = Seq((1L, ppmBytes), (2L, ppmBytes)).toDF("doc_id", "payload")
