@@ -76,13 +76,57 @@ object DedupIndexBench {
     val l1 = spark.read.parquet(s"$g1/labels/assign").count()
     val l2 = spark.read.parquet(s"$g2/labels/assign").count()
 
+    // crossing-bucket RETRACTION (round 16): the append's only O(graph)
+    // path, until now documented but never measured. An adversarial
+    // batch of EXACT-DUPLICATE clones under cap=2 forces every stored
+    // 2-member band bucket it touches across the cap (2 old + 1 clone
+    // = 3 > 2), so the append must retract stored pair edges through
+    // the anti-join DirSwap rewrite. Built at 1x and 2x corpus with the
+    // SAME clone batch (drawn from the 1x portion, present in both):
+    // the delta vs the plain appends above is the retraction surcharge,
+    // and 1x -> 2x shows how the rewrite grows with the stored graph.
+    val px = Dedup.MinHashParams(maxBucketSize = 2)
+    val x1 = tmp + "/graft_graph_bench_x1"
+    val x2 = tmp + "/graft_graph_bench_x2"
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < c40), x1, px)
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < c80), x2, px)
+    val cloneBatch = docs
+      .filter(col("doc_id") < c40 && col("doc_id") % 10 === 0)
+      .select((col("doc_id") + maxId + lit(1L)).as("doc_id"), col("text"))
+      .persist()
+    // crossing-bucket count per artifact, from pre-append stats + the
+    // batch's band counts (the append's own `crossing` predicate)
+    def nCrossing(path: String): Long = {
+      val bb = cloneBatch.select(col("doc_id"),
+          Dedup.minhashSignature(col("text"), px).as("sig"))
+        .select(posexplode(Dedup.bandHashes(col("sig"), px))
+          .as(Seq("band_idx", "band_hash")))
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(count(lit(1)).as("nn"))
+      spark.read.parquet(s"$path/index/band_stats")
+        .groupBy(col("band_idx"), col("band_hash"))
+        .agg(sum(col("n")).as("on"))
+        .join(bb, Seq("band_idx", "band_hash"))
+        .filter(col("on") >= 2 && col("on") <= px.maxBucketSize &&
+          (col("on") + col("nn")) > px.maxBucketSize)
+        .count()
+    }
+    val (nx1, nx2) = (nCrossing(x1), nCrossing(x2))
+    val ex1pre = spark.read.parquet(s"$x1/edges").count()
+    val ex2pre = spark.read.parquet(s"$x2/edges").count()
+    val tX1 = timed(Dedup.appendSimilarityGraph(cloneBatch, x1, px))
+    val tX2 = timed(Dedup.appendSimilarityGraph(cloneBatch, x2, px))
+    cloneBatch.unpersist()
+
     println(s"""{"metric":"sig_index_growth","sf":"$sfDir","batch_rows":$nb,""" +
       s""""index_1x":{"rows":$n1,"build_sec":$tBuild1,"probe_sec":$tProbe1},""" +
       s""""index_2x":{"rows":$n2,"build_sec":$tBuild2,"probe_sec":$tProbe2},""" +
       s""""graph_append_1x":{"edges":$e1,"build_sec":$tGBuild1,"append_sec":$tApp1},""" +
       s""""graph_append_2x":{"edges":$e2,"build_sec":$tGBuild2,"append_sec":$tApp2},""" +
       s""""labels_refresh_1x":{"labels":$l1,"build_sec":$tLBuild1,"refresh_sec":$tLRef1},""" +
-      s""""labels_refresh_2x":{"labels":$l2,"build_sec":$tLBuild2,"refresh_sec":$tLRef2}}""")
+      s""""labels_refresh_2x":{"labels":$l2,"build_sec":$tLBuild2,"refresh_sec":$tLRef2},""" +
+      s""""crossing_append_1x":{"edges":$ex1pre,"crossing_buckets":$nx1,"append_sec":$tX1},""" +
+      s""""crossing_append_2x":{"edges":$ex2pre,"crossing_buckets":$nx2,"append_sec":$tX2}}""")
     spark.stop()
   }
 }

@@ -421,6 +421,22 @@ object Curves {
       > SELECT _FUNC_(encode('hello world', 'utf-8'), 1, 3);
        [5]
   """),
+    FunctionDoc("pretok_split", (args: Seq[Expression]) => args match {
+      case Seq(t) => PretokSplit(t)
+      case other => throw new IllegalArgumentException(
+        s"pretok_split expects (text), got ${other.size} arguments")
+    }, "pretok_split(text) - GPT-2-style pre-tokenization pieces " +
+      "(contraction suffixes, space-attached letter/digit/symbol runs, " +
+      "whitespace runs with the shipped multi-whitespace attach semantics); " +
+      "pieces concatenate back to the input",
+      classOf[PretokSplit], "array_funcs",
+      """
+    Examples:
+      > SELECT _FUNC_('I''ll say don''t!');
+       [I,'ll, say, don,'t,!]
+      > SELECT _FUNC_('a  b');
+       [a, , b]
+  """),
     FunctionDoc("nfc_normalize", (args: Seq[Expression]) => args match {
       case Seq(t) => NfcNormalize(t)
       case other => throw new IllegalArgumentException(

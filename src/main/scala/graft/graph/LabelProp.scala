@@ -120,6 +120,65 @@ object LabelProp {
     lab.select(col("doc_id"), col("label").as("community"))
   }
 
+  /** EARLY-STOP serving variant of [[communities]]: propagate until a
+    * round moves ZERO labels (the [[convergence]] signal), capped at
+    * `maxIters`. The synchronous sweep is deterministic, so a
+    * zero-change round is a FIXPOINT — every further round reproduces
+    * the same labeling — which makes this equal to [[communities]] for
+    * ANY fixed iteration count >= the convergence round (spec'd: on
+    * the gated corpus against the fixed-iters twin, and on a
+    * slow-converging path graph where the cap bites). The gated query
+    * stays the fixed-iters [[communities]] (a replayable pure function
+    * of the edge set — an oracle cannot replay "until converged"
+    * without re-deriving the stop round); this is the live/serve
+    * sibling for long-lived corpora where the safe fixed count is
+    * unknown: pay one extra round (the zero-diff confirmation) to
+    * never under- or over-iterate.
+    *
+    * Shape: identical per-round cost to [[communities]] plus one
+    * narrow diff join + 1-row count per round (the [[convergence]]
+    * shape); cache footprint is the same two-frames-in-flight
+    * lifecycle, and the result is `localCheckpoint`ed so the function
+    * returns with NOTHING persisted and a flat lineage regardless of
+    * how many rounds ran. The `checkpointEvery` cadence is
+    * LOAD-BEARING here, not just the usual deep-lineage hygiene: each
+    * round's plan references the previous label frame TWICE (the
+    * neighbor join and the self-vote union), so the un-truncated
+    * LOGICAL plan doubles per round — a slow-converging graph would
+    * OOM the driver on plan strings alone (2^rounds copies) long
+    * before any executor works hard. The fixed-iters twin caps rounds
+    * at a small constant; an open-ended loop must flatten as it
+    * goes. */
+  def communitiesConverged(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 32, checkpointEvery: Int = 5): DataFrame = {
+    val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var changed = 1L
+    while (i < maxIters && changed != 0L) {
+      val stepped = lpRound(edges, lab)
+      // localCheckpoint is eager and stores its blocks itself — on a
+      // cadence round it replaces (not precedes) the persist
+      val next =
+        if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint()
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next
+        .join(lab.withColumnRenamed("label", "plabel"), "doc_id")
+        .filter(col("label") =!= col("plabel"))
+        .agg(count(lit(1)).as("n_changed"))
+        .head().getLong(0)
+      lab.unpersist()
+      lab = next
+      i += 1
+    }
+    val out = lab.select(col("doc_id"), col("label").as("community"))
+      .localCheckpoint()
+    lab.unpersist()
+    edges.unpersist()
+    out
+  }
+
   /** CONVERGENCE diagnostic for [[communities]] — the evidence that
     * sizes the fixed iteration count (round-14 verdict #8): one row
     * per round, (iter, n_changed) = how many nodes adopted a NEW

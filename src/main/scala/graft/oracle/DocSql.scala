@@ -527,21 +527,62 @@ object DocSql {
        |  array_to_string(list(wid_str ORDER BY pos), '_') AS ids_str
        |FROM j GROUP BY doc_id""".stripMargin
 
-  /** Mirror of CorpusOps.pretokenizeBpe: the same GPT-2-style split
-    * pattern (TextFunctions.PretokPattern — constructs chosen for
-    * identical Java/RE2 semantics, docs/COMPAT.md §pretok) via
-    * regexp_extract_all, then the byte-level merge rounds over the
-    * DISTINCT pieces and the per-piece id assembly — the
-    * [[tokenizeBpeBytes]] machinery with pieces in place of words. */
+  /** Mirror of CorpusOps.pretokenizeBpe: the same GPT-2-style BASE
+    * split pattern (TextFunctions.PretokPattern — constructs chosen
+    * for identical Java/RE2 semantics, docs/COMPAT.md §pretok) via
+    * regexp_extract_all, then the multi-whitespace ATTACH transform
+    * (graft.functions.PretokRuntime.attach — the shipped pattern's
+    * `\s+(?!\S)` semantics, which RE2 cannot spell as a lookahead)
+    * replayed as a lag/lead list transform: a 2+ whitespace run before
+    * a non-space emits run-minus-last; a trailing literal space
+    * prefixes the next piece (splitting a contraction into " '" +
+    * letters, merged with an adjacent bare letter run); any other
+    * trailing whitespace char stands alone. Then the byte-level merge
+    * rounds over the DISTINCT pieces and the per-piece id assembly —
+    * the [[tokenizeBpeBytes]] machinery with pieces in place of
+    * words. */
   def tokenizePretok(merges: Int, vocabSize: Int): String = {
     // SQL string literal: single quotes in the contraction alternatives
     // double up; backslashes pass through (DuckDB regular strings)
     val pat = graft.text.TextFunctions.PretokPattern.replace("'", "''")
+    val ctr = "('''s', '''t', '''re', '''ve', '''m', '''ll', '''d')"
+    val wsRun = "'^[ \\t\\n\\x0B\\f\\r]+$'"
     s"""WITH ${bpeBytesCtes(merges, vocabSize)},
        |pcs AS (SELECT doc_id,
        |  regexp_extract_all(coalesce(text, ''), '$pat') AS ps FROM documents),
-       |pp AS (SELECT doc_id, unnest(ps) AS piece,
-       |  unnest(generate_series(1, len(ps))) AS pos FROM pcs),
+       |pb AS (SELECT doc_id, unnest(ps) AS piece,
+       |  unnest(generate_series(1, len(ps))) AS bpos FROM pcs),
+       |pn AS (SELECT doc_id, bpos, piece,
+       |    lag(piece, 1) OVER w AS prv, lag(piece, 2) OVER w AS prv2,
+       |    lead(piece, 1) OVER w AS nxt
+       |  FROM pb WINDOW w AS (PARTITION BY doc_id ORDER BY bpos)),
+       |pe AS (SELECT doc_id, bpos, CASE
+       |    WHEN nxt IS NOT NULL AND len(piece) >= 2
+       |         AND regexp_matches(piece, $wsRun) THEN
+       |      CASE WHEN substr(piece, len(piece), 1) = ' '
+       |           THEN [substr(piece, 1, len(piece) - 1)]
+       |           ELSE [substr(piece, 1, len(piece) - 1),
+       |                 substr(piece, len(piece), 1)] END
+       |    WHEN prv IS NOT NULL AND len(prv) >= 2
+       |         AND regexp_matches(prv, $wsRun)
+       |         AND substr(prv, len(prv), 1) = ' ' THEN
+       |      CASE WHEN piece IN $ctr THEN
+       |        CASE WHEN nxt IS NOT NULL AND regexp_matches(nxt, '^\\p{L}+$$')
+       |             THEN [' ''', substr(piece, 2) || nxt]
+       |             ELSE [' ''', substr(piece, 2)] END
+       |      ELSE [' ' || piece] END
+       |    WHEN prv IS NOT NULL AND prv IN $ctr
+       |         AND prv2 IS NOT NULL AND len(prv2) >= 2
+       |         AND regexp_matches(prv2, $wsRun)
+       |         AND substr(prv2, len(prv2), 1) = ' '
+       |         AND regexp_matches(piece, '^\\p{L}+$$')
+       |      THEN CAST([] AS VARCHAR[])
+       |    ELSE [piece] END AS outp FROM pn),
+       |pp AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY bpos, opos) AS pos,
+       |    piece
+       |  FROM (SELECT doc_id, bpos, unnest(outp) AS piece,
+       |    unnest(generate_series(1, len(outp))) AS opos FROM pe)),
        |pw0 AS MATERIALIZED (SELECT DISTINCT piece,
        |  regexp_replace(hex(piece), '(..)', ' \\1', 'g') AS s FROM pp),
        |${applyRoundCtes("pw", "piece", merges)},

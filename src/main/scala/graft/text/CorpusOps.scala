@@ -168,7 +168,11 @@ object CorpusOps {
   private def bpeWordFreqs(docs: DataFrame, textCol: String): DataFrame =
     docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .filter(col("word").rlike("^[a-z]+$"))
+      // \z, not $: Java's $ also matches BEFORE a trailing newline, so
+      // "alpha\n" would enter the vocabulary Spark-side while the RE2
+      // oracle (whose $ is absolute end-of-text) rejects it — caught by
+      // the whitespace-adversarial fuzz corpus
+      .filter(col("word").rlike("^[a-z]+\\z"))
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
 
   /** Persisted word-count artifact for [[bpeMerges]] — the sketch
@@ -680,7 +684,7 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val words = docs.select(col(idCol).as("doc_id"),
         posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "token")))
-      .filter(col("token").rlike("^[a-z]+$"))
+      .filter(col("token").rlike("^[a-z]+\\z")) // \z: see bpeWordFreqs
     encodeWordsToDocs(words, mergeList, byteLevel = false)
   }
 

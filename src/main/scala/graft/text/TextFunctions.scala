@@ -244,40 +244,43 @@ object TextFunctions {
     PiiPatterns.map { case (re, _) => regexp_count(coalesce(text, lit("")), lit(re)) }
       .reduce(_ + _).cast("long")
 
-  /** GPT-2-style byte-level PRE-TOKENIZATION pattern (Radford et al.
-    * 2019; the split every shipped byte-level BPE runs before any
+  /** GPT-2-style byte-level PRE-TOKENIZATION base pattern (Radford et
+    * al. 2019; the split every shipped byte-level BPE runs before any
     * merge is applied): contraction suffixes, then space-attached
     * letter runs, digit runs and symbol runs, then whitespace runs —
     * so a leading space travels WITH its word (the space-inside-token
     * convention) and letters never merge across a letter/digit/symbol
     * category change.
     *
-    * Three deliberate, documented divergences from the shipped
-    * pattern (docs/COMPAT.md §12), all in the PII-pattern playbook of
-    * "only constructs with identical Java-regex (Spark) and RE2
-    * (DuckDB oracle) semantics" (the third — Unicode whitespace such
-    * as U+00A0 splits as a SYMBOL run, because the shipped pattern
-    * runs under Python's Unicode-aware `\\s` — is documented there):
-    *  - `\\s` is spelled as the explicit class `[ \\t\\n\\f\\r]`: Java's
-    *    `\\s` includes `\\x0B` (vertical tab), RE2's does not — the
-    *    explicit class is identical in both (an `\\x0B` therefore
-    *    splits as a symbol run, not whitespace, in BOTH engines).
-    *  - the shipped `\\s+(?!\\S)` alternative (leave the LAST char of a
-    *    multi-whitespace run to attach to the next token) is a
-    *    lookahead, which RE2 cannot express: here a whitespace run is
-    *    one token and only a SINGLE space attaches forward (via the
-    *    ` ?` prefixes). Splits differ from GPT-2's only inside runs of
-    *    2+ whitespace characters followed by a non-space. */
-  val PretokPattern: String =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?\\p{L}+| ?\\p{N}+" +
-      "| ?[^ \\t\\n\\f\\r\\p{L}\\p{N}]+|[ \\t\\n\\f\\r]+"
+    * The shipped pattern's `\\s+(?!\\S)` alternative (leave the LAST
+    * char of a multi-whitespace run to attach to the next token) is a
+    * lookahead RE2 cannot express; the base pattern keeps each
+    * whitespace run as ONE piece and [[pretokenize]] applies the
+    * deterministic ATTACH transform ([[graft.functions.PretokRuntime]])
+    * that reproduces the lookahead's splits exactly — the same
+    * transform the DuckDB oracle replays as a lag/lead list transform
+    * over this identical pattern. One deliberate, documented
+    * divergence from the shipped pattern remains (docs/COMPAT.md §12),
+    * in the PII-pattern playbook of "only constructs with identical
+    * Java-regex (Spark) and RE2 (DuckDB oracle) semantics": `\\s` is
+    * spelled as the explicit class `[ \\t\\n\\x0B\\f\\r]` — exactly
+    * Python's core `[ \\t\\n\\v\\f\\r]`, identical in Java and RE2,
+    * where neither engine's own `\\s` is (Java's lacks nothing but
+    * RE2's lacks `\\x0B`) — so Unicode whitespace such as U+00A0,
+    * which the shipped pattern's Python `\\s` also matches, splits as
+    * a SYMBOL run here. */
+  val PretokPattern: String = graft.functions.PretokRuntime.BasePattern
 
-  /** `text` split into GPT-2-style pre-tokens ([[PretokPattern]]) —
-    * every character lands in exactly one piece (letters, digits,
-    * symbols and whitespace alternatives jointly cover any input), so
-    * `concat(pieces) == text` (spec'd). A narrow codegen'd projection. */
+  /** `text` split into GPT-2-style pre-tokens: the [[PretokPattern]]
+    * base split plus the multi-whitespace attach transform, as one
+    * native codegen'd expression ([[graft.functions.PretokSplit]]) —
+    * splits agree with the SHIPPED lookahead pattern everywhere
+    * outside COMPAT §12's two character-class divergences (spec'd,
+    * fixture + randomized). Every character lands in exactly one
+    * piece, so `concat(pieces) == text` (spec'd). */
   def pretokenize(text: Column): Column =
-    regexp_extract_all(coalesce(text, lit("")), lit(PretokPattern), lit(0))
+    ColumnShims.column(graft.functions.PretokSplit(
+      ColumnShims.expression(coalesce(text, lit("")))))
 
   def hashBucket(key: Column, buckets: Int): Column = {
     require(buckets > 0 && buckets <= (1 << 24), "buckets must be in [1, 2^24]")

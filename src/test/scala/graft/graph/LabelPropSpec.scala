@@ -133,6 +133,46 @@ class LabelPropSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(stored.count() > 0)
   }
 
+  test("early-stop twin equals the fixed-iters labels on the gated corpus") {
+    import spark.implicits._
+    // the gated q_graph_lp shape: LP over the MinHash similarity graph
+    // of the driver testdata; convergence is measured <= the fixed
+    // iteration count there (q_graph_lp_converge), so the early-stop
+    // serving variant must land on the identical labeling
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val nodes = docs.select($"doc_id")
+    val pairs = graft.dedup.Dedup.minhashPairs(docs)
+      .select($"doc_a", $"doc_b").localCheckpoint()
+    val fixed = LabelProp.communities(nodes, pairs)
+      .collect().map(_.toSeq).toSet
+    val early = LabelProp.communitiesConverged(nodes, pairs)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(early === fixed)
+  }
+
+  test("early-stop runs PAST the default count when convergence is slow, and the cap bites") {
+    import spark.implicits._
+    // a path graph converges one hop per round (node i's tie-break
+    // pulls min(i-1, i, i+1) each sweep), so 10 nodes need 9 rounds —
+    // far past the default 4: the early-stop twin must keep going
+    val nodeIds = (0L to 9L).toSeq
+    val es = (0L to 8L).map(i => (i, i + 1L))
+    val nodes = nodeIds.toDF("doc_id")
+    val pairs = es.toDF("doc_a", "doc_b")
+    val early = LabelProp.communitiesConverged(nodes, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(early === nodeIds.map(_ -> 0L).toMap) // the path's fixpoint
+    assert(early !== run(nodeIds, es)) // fixed-4 is NOT yet converged
+    assert(early === reference(nodeIds, es, 9)) // = the converged sweep
+    // the maxIters cap stops mid-flight at exactly the fixed-k labels
+    val capped = LabelProp.communitiesConverged(nodes, pairs, maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(capped === reference(nodeIds, es, 3))
+  }
+
   test("two triangles joined by a bridge form two communities") {
     // K3 {1,2,3} + K3 {4,5,6} + bridge 3-4: the bridge must NOT merge
     // them (connected components would). Hand trace with self-votes:

@@ -9,9 +9,9 @@ import org.scalatest.funsuite.AnyFunSuite
   * ([[TextFunctions.PretokPattern]]): fixture splits (ASCII +
   * unicode), full-coverage concat identity, agreement with the SHIPPED
   * GPT-2 pattern (lookahead included, run driver-side with Java regex)
-  * everywhere outside the two documented divergences, and the
-  * divergences themselves — exactly where docs/COMPAT.md §pretok says
-  * they are and nowhere else. */
+  * everywhere outside the ONE documented divergence (Unicode
+  * whitespace), and the divergence itself — exactly where
+  * docs/COMPAT.md §pretok says it is and nowhere else. */
 class PretokSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   private lazy val spark = SparkSession.builder()
@@ -67,19 +67,66 @@ class PretokSpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(split(t) === gpt2Split(t), s"diverged from GPT-2 on: $t")
   }
 
-  test("documented divergence: multi-whitespace runs before a non-space") {
-    // shipped: "a  b" -> [a][ ][ b] (lookahead leaves the last space);
-    // ours (RE2-expressible): [a][  ][b] — the whole run is one piece
-    assert(gpt2Split("a  b") === Seq("a", " ", " b"))
-    assert(split("a  b") === Seq("a", "  ", "b"))
-    // at end of string both consume the full run identically
+  test("multi-whitespace runs match the shipped lookahead semantics (attach transform)") {
+    // shipped: "a  b" -> [a][ ][ b] — the lookahead \s+(?!\S) leaves
+    // the run's last char, and a literal space attaches forward; the
+    // attach transform reproduces this without the lookahead
+    assert(split("a  b") === Seq("a", " ", " b"))
+    assert(split("a  b") === gpt2Split("a  b"))
+    // a trailing non-space whitespace char stands alone (the shipped
+    // \s+ fallback — only a literal space can match the ` ?` prefixes)
+    assert(split("a\t\tb") === Seq("a", "\t", "\t", "b"))
+    assert(split("a\t\tb") === gpt2Split("a\t\tb"))
+    assert(split("a \tb") === gpt2Split("a \tb"))
+    assert(split("a\t b") === Seq("a", "\t", " b"))
+    assert(split("a\t b") === gpt2Split("a\t b"))
+    // at end of string both consume the full run as one piece
     assert(split("a  ") === gpt2Split("a  "))
+    // leading runs behave the same as interior ones
+    assert(split("   x") === gpt2Split("   x"))
+    // an attached space BREAKS a contraction in the shipped engine:
+    // " 's" is a symbol run " '" plus a letter run — including the
+    // merge with an adjacent bare letter-run piece ("sword")
+    assert(split("a  's") === Seq("a", " ", " '", "s"))
+    assert(split("a  's") === gpt2Split("a  's"))
+    assert(split("a  'sword") === Seq("a", " ", " '", "sword"))
+    assert(split("a  'sword") === gpt2Split("a  'sword"))
+    assert(split("a  'll x") === gpt2Split("a  'll x"))
+    assert(split("a  's't") === gpt2Split("a  's't"))
+    assert(split("a  's1") === gpt2Split("a  's1"))
+    assert(split("a  's word") === gpt2Split("a  's word"))
+    // symbol and digit runs receive the space like letter runs do
+    assert(split("a  !!") === gpt2Split("a  !!"))
+    assert(split("a  42") === gpt2Split("a  42"))
+    // uppercase is not a contraction in either engine
+    assert(split("a  'S") === gpt2Split("a  'S"))
   }
 
-  test("documented divergence: vertical tab is a symbol run, not whitespace") {
-    // Java \s includes \x0B, RE2's does not — the pinned explicit class
-    // [ \t\n\f\r] makes BOTH engines treat \x0B as a symbol character
-    assert(split("ab") === Seq("a", "", "b"))
+  test("randomized agreement with the shipped pattern (divergent chars excluded)") {
+    // alphabet deliberately excludes unicode whitespace — the one
+    // remaining documented divergence; everything else (all five ASCII
+    // whitespace chars, contractions, categories) must agree
+    val alphabet = "ab1!' \t\n\r\f\u000Bé東s".toCharArray
+    val rnd = new scala.util.Random(20260815L)
+    for (i <- 0 until 400) {
+      val t = Array.fill(rnd.nextInt(24))(alphabet(rnd.nextInt(alphabet.length))).mkString
+      val ours = split(t)
+      assert(ours === gpt2Split(t),
+        s"diverged from GPT-2 on case $i: ${t.replace("\n", "\\n").replace("\t", "\\t")}")
+      assert(ours.mkString === t, s"coverage broke on case $i")
+    }
+  }
+
+  test("vertical tab is whitespace, matching the shipped pattern (class gap closed)") {
+    // the pinned class [ \t\n\x0B\f\r] is Python's core [ \t\n\v\f\r]
+    // spelled so Java and RE2 agree (RE2's own \s lacks \x0B); a VT
+    // therefore splits as whitespace, like the shipped pattern —
+    // including through the attach transform (trailing VT stands alone)
+    assert(split("a\u000Bb") === Seq("a", "\u000B", "b"))
+    assert(split("a\u000Bb") === gpt2Split("a\u000Bb"))
+    assert(split("a \u000B b") === gpt2Split("a \u000B b"))
+    assert(split("a\u000B\u000Bb") === gpt2Split("a\u000B\u000Bb"))
+    assert(split("a\u000B b") === gpt2Split("a\u000B b"))
   }
 
   test("documented divergence: unicode whitespace is a symbol run (shipped \\s is Unicode-aware)") {

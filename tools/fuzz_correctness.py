@@ -64,6 +64,19 @@ while i < n_docs:
         text = " ".join(toks)
     elif r < 0.40 and docs:
         text = docs[rnd.randrange(len(docs))][1]  # exact duplicate
+    elif r < 0.50:
+        # whitespace/contraction-adversarial: multi-space runs, tabs,
+        # newlines and GPT-2 contraction suffixes (exercises the
+        # pretok attach transform and whitespace-robust text oracles)
+        seps = [" ", "  ", "   ", "\t", "\n", " \t", "\t ", "  \t", "\x0b ", " \x0b"]
+        parts = []
+        for _ in range(rnd.randrange(2, 12)):
+            w = rnd.choice(vocab)
+            if rnd.random() < 0.3:
+                w += rnd.choice(["'s", "'t", "'re", "'ve", "'m", "'ll", "'d", "'S"])
+            parts.append(w)
+            parts.append(rnd.choice(seps))
+        text = "".join(parts[:-1] if rnd.random() < 0.5 else parts)
     else:
         text = " ".join(rnd.choices(vocab, k=rnd.randrange(2, 40)))
     docs.append((i, text))
