@@ -168,9 +168,25 @@ object StreamDedup {
     * batch's min id is ≤ the stored max because its own ids are
     * already in the index, so the monotonicity require trips and
     * surfaces the half-committed batch — recreate the marker to
-    * acknowledge, since the append itself fully committed). */
+    * acknowledge, since the append itself fully committed).
+    *
+    * `maintainLabels = true` additionally brings the COMPONENT-LABELS
+    * sidecar up to date after each batch's append
+    * ([[graft.dedup.Dedup.refreshComponentLabels]] — the sidecar must
+    * exist: call [[graft.dedup.Dedup.writeComponentLabels]] once after
+    * the initial build), so dedup consumers ([[graft.dedup.Dedup
+    * .clustersOf]]) serve current clusters at every micro-batch
+    * boundary without ever re-solving the stored graph. Crash shape:
+    * the refresh COMPOSES (it reads its own watermark and applies
+    * whatever edge delta exists), so a crash between the append and
+    * the refresh costs nothing on recovery — after the documented
+    * recreate-the-marker acknowledgement, the NEXT batch's refresh
+    * catches the labels up along with its own delta; until then the
+    * served labels are the consistent pre-append snapshot, at most one
+    * batch stale. */
   def ingestSimilarityGraph(docs: DataFrame, graphPath: String,
-      checkpoint: String, p: MinHashParams = MinHashParams())
+      checkpoint: String, p: MinHashParams = MinHashParams(),
+      maintainLabels: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -180,6 +196,8 @@ object StreamDedup {
           batch.sparkSession.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
           Dedup.appendSimilarityGraph(batch, graphPath, p)
+          if (maintainLabels)
+            Dedup.refreshComponentLabels(batch.sparkSession, graphPath)
           fs.create(marker, true).close()
           ()
         }

@@ -335,9 +335,12 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     b1.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/in/b1")
     val schema = b1.toDF("doc_id", "text").schema
+    // maintainLabels: the component-labels sidecar rides along, so
+    // cluster consumers serve current labels at every batch boundary
+    graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g")
     val q = StreamDedup.ingestSimilarityGraph(
       spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
-      s"$tmp/g", s"$tmp/ckpt")
+      s"$tmp/g", s"$tmp/ckpt", maintainLabels = true)
     try {
       q.processAllAvailable()
       b2.toDF("doc_id", "text").coalesce(1)
@@ -354,6 +357,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     // cross-batch structure actually formed: an edge between a batch-1
     // and a batch-2 doc exists (same template cluster)
     assert(streamed.exists { case (a, b, _) => a >= 12 && a < 20 && b >= 20 })
+    // the streamed labels sidecar == a from-scratch component solve of
+    // the final edge set (never re-solved the stored graph per batch)
+    graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g_scratch")
+    spark.catalog.clearCache()
+    def ls(p: String) = graft.dedup.Dedup.readComponentLabels(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ls(s"$tmp/g") === ls(s"$tmp/g_scratch"))
     spark.catalog.clearCache()
   }
 
