@@ -99,8 +99,30 @@ object GraphScaleCheck {
         graft.graph.LabelProp.communities(nodes, edges, iters = 8)))
       val perIterLp = (tLp8 - tLp2) / 6.0
       spark.catalog.clearCache()
+
+      // component-labels REFRESH at this scale (round-16 verdict #1's
+      // scale claim): stored labels over the m-edge graph, then ONE
+      // FIXED-SIZE appended delta (5,000 edges onto 1,000 new nodes) —
+      // the refresh solves only the batch-sized super-graph and
+      // broadcast-remaps the stored labels, so its cost should be
+      // near-flat in the STORED graph size (exponent << 1), unlike a
+      // from-scratch re-solve which is ~linear in m. One timed run (a
+      // refresh mutates its artifact; same convention as
+      // DedupIndexBench's appends).
+      val labDir = System.getProperty("java.io.tmpdir") + s"/graft_gsc_labels_x$s"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(labDir))
+      edgesAt(m).filter(col("doc_a") =!= col("doc_b"))
+        .write.mode("overwrite").parquet(s"$labDir/edges")
+      graft.dedup.Dedup.writeComponentLabels(spark, labDir)
+      spark.range(5000L).select(
+          pmod(xxhash64(col("id"), lit(7)), lit(n)).as("doc_a"),
+          (pmod(col("id"), lit(1000L)) + lit(n)).as("doc_b"))
+        .write.mode("append").parquet(s"$labDir/edges")
+      val tRefresh = BenchUtil.timed(
+        graft.dedup.Dedup.refreshComponentLabels(spark, labDir))
+      spark.catalog.clearCache()
       (s, m, mCanon, maxOd, wedges, hubDeg, hubOd, tTri, tRank2, tRank8,
-        perIter, tLp2, tLp8, perIterLp)
+        perIter, tLp2, tLp8, perIterLp, tRefresh)
     }
 
     def expo(a: Double, b: Double, sa: Long, sb: Long): Double =
@@ -109,21 +131,24 @@ object GraphScaleCheck {
     val triExp = expo(lo._8, hi._8, lo._1, hi._1)
     val iterExp = expo(lo._11, hi._11, lo._1, hi._1)
     val lpIterExp = expo(lo._14, hi._14, lo._1, hi._1)
+    val refreshExp = expo(lo._15, hi._15, lo._1, hi._1)
 
     val qs = rows.map {
-      case (s, m, mc, mx, w, hd, ho, tt, t2, t8, pi, l2, l8, lpi) =>
+      case (s, m, mc, mx, w, hd, ho, tt, t2, t8, pi, l2, l8, lpi, tr) =>
         f""""x$s":{"edges":$m,"canonical":$mc,"max_outdeg":$mx,""" +
           f""""sqrt_2m_bound":${math.sqrt(2.0 * mc)}%.0f,"wedges":$w,""" +
           f""""hub_degree":$hd,"hub_outdeg":$ho,"triangles_sec":$tt%.3f,""" +
           f""""rank2_sec":$t2%.3f,"rank8_sec":$t8%.3f,""" +
           f""""rank_per_iter_sec":$pi%.3f,""" +
           f""""lp2_sec":$l2%.3f,"lp8_sec":$l8%.3f,""" +
-          f""""lp_per_iter_sec":$lpi%.3f}"""
+          f""""lp_per_iter_sec":$lpi%.3f,""" +
+          f""""labels_refresh_sec":$tr%.3f}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"graph_scale_check","base_edges":$baseM,""" +
       f""""triangles_exponent":$triExp%.2f,""" +
       f""""rank_per_iter_exponent":$iterExp%.2f,""" +
-      f""""lp_per_iter_exponent":$lpIterExp%.2f,"scales":$qs}"""
+      f""""lp_per_iter_exponent":$lpIterExp%.2f,""" +
+      f""""labels_refresh_exponent":$refreshExp%.2f,"scales":$qs}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_scale_result.json"), json + "\n")
