@@ -328,14 +328,18 @@ object EventSql {
 
   /** Multimodal plumbing over documents: byte length / checksum / head
     * bytes of the payload + struct-metadata round-trip + frame sample.
-    * The corpus is pure ASCII (verified), so DuckDB's VARCHAR ops see
-    * the same bytes as Spark's BinaryType ops. */
+    * Byte-typed ops go through `encode()` (VARCHAR -> UTF-8 BLOB, the
+    * exact bytes Spark's BinaryType cast produces) so unicode text is
+    * engine-neutral — a bare `CAST(text AS BLOB)` rejects non-ASCII
+    * (round-16 fuzz with unicode vocab); the head-bytes slice is a
+    * hex round-trip because DuckDB has no byte substring on BLOBs.
+    * frame_sample stays per-CHARACTER in both engines by design. */
   /** Mirror of Multimodal.StubDecoder: metadata from the byte length,
     * features from the shared md5-chain convention. */
   def multimodalDecode(dims: Int): String =
     s"""SELECT doc_id,
-       |  CAST(octet_length(CAST(coalesce(text, '') AS BLOB)) % 1024 AS BIGINT) AS width,
-       |  CAST((octet_length(CAST(coalesce(text, '') AS BLOB)) * 7) % 768 AS BIGINT) AS height,
+       |  CAST(octet_length(encode(coalesce(text, ''))) % 1024 AS BIGINT) AS width,
+       |  CAST((octet_length(encode(coalesce(text, ''))) * 7) % 768 AS BIGINT) AS height,
        |  array_to_string(list_transform(generate_series(0, ${dims - 1}),
        |    i -> CAST(('0x' || substr(md5(md5(coalesce(text, '')) || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT)),
        |    '_') AS features_str
@@ -693,9 +697,9 @@ object EventSql {
 
   def multimodal(headBytes: Int, stride: Int): String =
     s"""SELECT doc_id,
-       |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+       |  CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        |  md5(text) AS payload_md5,
-       |  to_base64(CAST(substring(text, 1, $headBytes) AS BLOB)) AS head_b64,
+       |  to_base64(unhex(substring(hex(encode(text)), 1, ${headBytes * 2}))) AS head_b64,
        |  lang AS meta_lang,
        |  coalesce(array_to_string(
        |    list_transform(generate_series($stride, length(coalesce(text, '')), $stride),

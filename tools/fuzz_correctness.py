@@ -44,7 +44,12 @@ for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 
 # --- documents: adversarial corpus
 vocab = ["alpha", "beta", "gamma", "delta", "the", "a", "data", "x1", ":-)",
-         "naive", "uber", "cafe", "smorgasbord"]  # ASCII + mixed shapes
+         "naive", "uber", "cafe", "smorgasbord",
+         # unicode shapes: diacritics (BMP letters), CJK, a combining
+         # sequence (NFC-normalizable) — exercises the engines' \p{L}
+         # agreement and the hex()/md5 byte-level conventions on
+         # multi-byte UTF-8 across every text oracle
+         "café", "東京", "naïve"]
 docs = []
 n_docs = 400
 i = 0
