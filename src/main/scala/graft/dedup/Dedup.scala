@@ -271,11 +271,14 @@ object Dedup {
     * index). A crash AFTER the index append fail-fasts on replay (the
     * batch's own ids are the stored max, so the monotone require
     * trips). A crash BEFORE the index append is self-healing: on
-    * entry, stored edges with doc_b >= the batch's min id — possible
-    * only as debris of a crashed attempt whose sigs never reached the
-    * index — are scrubbed, so replaying the same batch is IDEMPOTENT
-    * (StreamingSpec replays a two-batch stream; SimGraphSpec plants
-    * crash debris directly and asserts the converged artifact).
+    * entry, stored edges with doc_b ABOVE the stored index max —
+    * possible only as debris of a crashed attempt whose sigs never
+    * reached the index — are scrubbed, so replaying the same batch is
+    * IDEMPOTENT, and debris of an ABANDONED crashed batch is rolled
+    * back even when recovery moves on to higher ids instead of
+    * replaying (StreamingSpec replays a two-batch stream; SimGraphSpec
+    * plants crash debris directly — replayed and abandoned — and
+    * asserts the converged artifact).
     *
     * What a from-scratch union build would change, and how the append
     * reproduces it exactly:
@@ -327,27 +330,31 @@ object Dedup {
 
         // REPLAY GUARD (round-15 ADVICE): the index is grown LAST (the
         // edge derivation must see pre-append stats), so a crash between
-        // the edges write below and writeIndexFromSigs leaves this
+        // the edges write below and writeIndexFromSigs leaves that
         // batch's edges stored while its sigs never reached the index —
         // a replayed micro-batch then passes the monotone require and
         // would double-append its edges. Every edge this function emits
         // carries a batch doc in doc_b (new×old orients the old id
         // first; new×new and star pairs order by id), while a cleanly
-        // committed artifact has BOTH ids <= the stored index max <
-        // this batch's min — so stored edges with doc_b >= the batch
-        // min can only be debris from a crashed prior attempt whose
-        // docs never reached the index. Scrub them before proceeding:
-        // replay of the same batch becomes idempotent, and an abandoned
-        // half-batch with a disjoint id range is rolled back to "never
-        // happened" (consistent with its absence from the index). The
-        // existence probe is a pushed min/max-stats filter over the
-        // narrow edge list — row groups without debris are skipped.
-        val batchMin = bounds.getLong(0)
+        // committed artifact has BOTH ids <= the stored index max — so
+        // stored edges with doc_b > oldMax can only be debris from a
+        // crashed prior attempt whose docs never reached the index.
+        // The predicate is the INDEX max, not this batch's min
+        // (round-16 review): debris of an ABANDONED crashed batch whose
+        // ids sit below the current batch's min (recovery moved on
+        // instead of replaying) would survive a batch-min scrub and be
+        // served forever despite its docs not existing in the index.
+        // Scrubbing above the index max catches both cases: replay of
+        // the same batch is idempotent, and an abandoned half-batch is
+        // rolled back to "never happened" (consistent with its absence
+        // from the index) no matter where its ids fall. The existence
+        // probe is a pushed min/max-stats filter over the narrow edge
+        // list — row groups without debris are skipped.
         val debris = spark.read.parquet(s"$path/edges")
-          .filter(col("doc_b") >= batchMin)
+          .filter(col("doc_b") > oldMax)
         if (!debris.isEmpty) {
           spark.read.parquet(s"$path/edges")
-            .filter(col("doc_b") < batchMin)
+            .filter(col("doc_b") <= oldMax)
             .write.mode("overwrite").parquet(s"$path/edges_compacting")
           val fsR = new org.apache.hadoop.fs.Path(path)
             .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1451,24 +1458,30 @@ object Dedup {
       path: String, localSolveEdges: Long = LocalSolveEdges): Unit = {
     val meta = spark.read.parquet(s"$path/labels/meta").collect()(0)
     val (wm, nBaked) = (meta.getLong(0), meta.getLong(1))
+    // deliberately NOT persisted (round-16 review): the common path's
+    // three consumers — the sub-watermark count, the delta filter and
+    // writeLabelsDir's max/count aggregate — are each one narrow
+    // pushed-filter scan of the 2-long-column edge list; caching the
+    // whole stored graph per refresh (per MICRO-BATCH under
+    // ingestSimilarityGraph(maintainLabels)) is exactly the O(graph)
+    // footprint the function's contract promises to avoid. Only the
+    // rare rebuild path re-reads edges beyond that, and
+    // connectedComponents persists its own symmetrized frame anyway.
     val edges = spark.read.parquet(s"$path/edges")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val nBelow = edges.filter(col("doc_b") <= wm).count()
-      if (nBelow < nBaked) {
-        // a retraction reached into the labeled region: rebuild
-        writeLabelsDir(spark, path, connectedComponents(edges), edges)
-      } else {
-        val delta = edges.filter(col("doc_b") > wm)
-        if (!delta.isEmpty) {
-          val (labels, cached) = appendComponentsImpl(
-            readComponentLabels(spark, path), delta,
-            "doc_a", "doc_b", localSolveEdges)
-          try writeLabelsDir(spark, path, labels, edges)
-          finally cached.foreach(_.unpersist())
-        }
+    val nBelow = edges.filter(col("doc_b") <= wm).count()
+    if (nBelow < nBaked) {
+      // a retraction reached into the labeled region: rebuild
+      writeLabelsDir(spark, path, connectedComponents(edges), edges)
+    } else {
+      val delta = edges.filter(col("doc_b") > wm)
+      if (!delta.isEmpty) {
+        val (labels, cached) = appendComponentsImpl(
+          readComponentLabels(spark, path), delta,
+          "doc_a", "doc_b", localSolveEdges)
+        try writeLabelsDir(spark, path, labels, edges)
+        finally cached.foreach(_.unpersist())
       }
-    } finally edges.unpersist()
+    }
   }
 
   private def writeLabelsDir(spark: org.apache.spark.sql.SparkSession,

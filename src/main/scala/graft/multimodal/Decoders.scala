@@ -73,6 +73,9 @@ object Decoders {
   def audioFingerprint(energy: org.apache.spark.sql.Column,
       windows: Int): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{element_at, lit, when}
+    require(windows >= 2,
+      s"audioFingerprint: $windows windows have no delta to sign — the " +
+        "fingerprint needs at least 2 (otherwise the bit reduce is empty)")
     require(windows - 1 <= 63,
       s"audioFingerprint: $windows windows need ${windows - 1} bits; max 63 " +
         "fit a positive BIGINT — use a coarser profile or split the hash")
@@ -91,6 +94,8 @@ object Decoders {
   def silentWindows(energy: org.apache.spark.sql.Column, windows: Int,
       threshold: Long): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{element_at, lit, when}
+    require(windows >= 1,
+      s"silentWindows: $windows windows — the count reduce needs at least 1")
     (0 until windows).map { j =>
       when(element_at(energy, j + 1) < lit(threshold), lit(1L)).otherwise(lit(0L))
     }.reduce(_ + _)

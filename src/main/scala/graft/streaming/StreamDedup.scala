@@ -162,8 +162,8 @@ object StreamDedup {
     * append itself are both handled (round-15 ADVICE): a crash
     * BETWEEN the edges write and the index append leaves edge debris
     * that the append's replay guard scrubs on restart (stored edges
-    * with doc_b >= the batch min can only be that debris — replay is
-    * idempotent, not double-counting); a crash AFTER the index
+    * with doc_b above the stored index max can only be that debris —
+    * replay is idempotent, not double-counting); a crash AFTER the index
     * append, BEFORE the marker, fail-fasts on restart (the replayed
     * batch's min id is ≤ the stored max because its own ids are
     * already in the index, so the monotonicity require trips and

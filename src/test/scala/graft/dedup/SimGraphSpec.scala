@@ -196,6 +196,44 @@ class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("debris of an ABANDONED crashed batch is scrubbed when recovery moves on to higher ids") {
+    // round-16 review: the scrub predicate must be the stored INDEX
+    // max, not the incoming batch's min — debris of a crashed batch A
+    // whose ids sit below a later batch B's min would survive a
+    // batch-min scrub and be served forever despite A's docs not
+    // existing in the index. Plant A's edges (A never reaches the
+    // index), then append B instead of replaying A: the artifact must
+    // equal a from-scratch build of old ∪ B, with A rolled back to
+    // "never happened".
+    import spark.implicits._
+    def doc(i: Int) = s"template ${i % 5} body the quick brown fox jumps over " +
+      s"the lazy dog variant ${i / 5} tail token stream for shingles"
+    val oldDocs = (0 until 40).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val batchA = (40 until 52).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val batchB = (52 until 64).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    val p = Dedup.MinHashParams()
+    val inc = tmp("simgraph_abandoned")
+    Dedup.writeSimilarityGraph(oldDocs, inc, p)
+    val clone = tmp("simgraph_abandoned_clone")
+    copyDir(inc, clone)
+    Dedup.appendSimilarityGraph(batchA, clone, p)
+    deleteDir(s"$inc/edges")
+    copyDir(s"$clone/edges", s"$inc/edges")
+    // recovery abandons A (its docs are re-ingested elsewhere or
+    // dropped) and the stream continues with B
+    Dedup.appendSimilarityGraph(batchB, inc, p)
+    val scratch = tmp("simgraph_abandoned_scratch")
+    Dedup.writeSimilarityGraph(oldDocs.unionByName(batchB), scratch, p)
+    spark.catalog.clearCache()
+    val got = Dedup.readSimilarityGraph(spark, inc)
+    val exp = edgeSet(Dedup.readSimilarityGraph(spark, scratch))
+    assert(got.count() === exp.size, "duplicate or debris edge rows survived")
+    assert(edgeSet(got) === exp, "abandoned-batch debris not rolled back")
+    // nothing referencing A's ids is served
+    assert(got.filter(col("doc_a").between(40, 51) ||
+      col("doc_b").between(40, 51)).count() === 0L)
+  }
+
   test("two appends compose (compaction between them); a non-monotone batch is rejected") {
     val docs = corpus(0 until 60, 4)
     val p = Dedup.MinHashParams()
