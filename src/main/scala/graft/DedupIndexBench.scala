@@ -67,14 +67,24 @@ object DedupIndexBench {
     // near-flat like the append itself.
     val tLBuild1 = timed(Dedup.writeComponentLabels(spark, g1))
     val tLBuild2 = timed(Dedup.writeComponentLabels(spark, g2))
+    // triangle-stats sidecar (round 16, second consumer): same flatness
+    // question for the density stats — the refresh's wedge work is
+    // batch-edges × bucket-capped degree against a broadcast-restricted
+    // adjacency, and the stored stats frame is never shuffled.
+    val tTBuild1 = timed(Dedup.writeTriangleStats(spark, g1))
+    val tTBuild2 = timed(Dedup.writeTriangleStats(spark, g2))
     val tApp1 = timed(Dedup.appendSimilarityGraph(gBatch, g1))
     val tApp2 = timed(Dedup.appendSimilarityGraph(gBatch, g2))
     val tLRef1 = timed(Dedup.refreshComponentLabels(spark, g1))
     val tLRef2 = timed(Dedup.refreshComponentLabels(spark, g2))
+    val tTRef1 = timed(Dedup.refreshTriangleStats(spark, g1))
+    val tTRef2 = timed(Dedup.refreshTriangleStats(spark, g2))
     val e1 = spark.read.parquet(s"$g1/edges").count()
     val e2 = spark.read.parquet(s"$g2/edges").count()
     val l1 = spark.read.parquet(s"$g1/labels/assign").count()
     val l2 = spark.read.parquet(s"$g2/labels/assign").count()
+    val t1 = spark.read.parquet(s"$g1/tri/assign").count()
+    val t2 = spark.read.parquet(s"$g2/tri/assign").count()
 
     // crossing-bucket RETRACTION (round 16): the append's only O(graph)
     // path, until now documented but never measured. An adversarial
@@ -125,6 +135,8 @@ object DedupIndexBench {
       s""""graph_append_2x":{"edges":$e2,"build_sec":$tGBuild2,"append_sec":$tApp2},""" +
       s""""labels_refresh_1x":{"labels":$l1,"build_sec":$tLBuild1,"refresh_sec":$tLRef1},""" +
       s""""labels_refresh_2x":{"labels":$l2,"build_sec":$tLBuild2,"refresh_sec":$tLRef2},""" +
+      s""""tri_refresh_1x":{"nodes":$t1,"build_sec":$tTBuild1,"refresh_sec":$tTRef1},""" +
+      s""""tri_refresh_2x":{"nodes":$t2,"build_sec":$tTBuild2,"refresh_sec":$tTRef2},""" +
       s""""crossing_append_1x":{"edges":$ex1pre,"crossing_buckets":$nx1,"append_sec":$tX1},""" +
       s""""crossing_append_2x":{"edges":$ex2pre,"crossing_buckets":$nx2,"append_sec":$tX2}}""")
     spark.stop()

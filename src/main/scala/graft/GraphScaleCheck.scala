@@ -111,18 +111,31 @@ object GraphScaleCheck {
       // DedupIndexBench's appends).
       val labDir = System.getProperty("java.io.tmpdir") + s"/graft_gsc_labels_x$s"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(labDir))
-      edgesAt(m).filter(col("doc_a") =!= col("doc_b"))
+      // the sidecar-refresh deltas assume canonical unique pairs (the
+      // similarity-graph artifact contract); canonicalize the synthetic
+      // list before storing it as the artifact's edge dir
+      canon.select(col("u").as("doc_a"), col("v").as("doc_b"))
         .write.mode("overwrite").parquet(s"$labDir/edges")
       graft.dedup.Dedup.writeComponentLabels(spark, labDir)
+      // triangle-stats sidecar over the SAME stored graph (round-16
+      // continuation): its refresh is a batch-edges × degree wedge
+      // probe against a broadcast-restricted adjacency — near-flat in
+      // the stored size like the labels refresh, vs the ~linear
+      // from-scratch wedge build measured as triangles_sec above
+      graft.dedup.Dedup.writeTriangleStats(spark, labDir)
       spark.range(5000L).select(
           pmod(xxhash64(col("id"), lit(7)), lit(n)).as("doc_a"),
           (pmod(col("id"), lit(1000L)) + lit(n)).as("doc_b"))
+        .distinct()
         .write.mode("append").parquet(s"$labDir/edges")
       val tRefresh = BenchUtil.timed(
         graft.dedup.Dedup.refreshComponentLabels(spark, labDir))
       spark.catalog.clearCache()
+      val tTriRefresh = BenchUtil.timed(
+        graft.dedup.Dedup.refreshTriangleStats(spark, labDir))
+      spark.catalog.clearCache()
       (s, m, mCanon, maxOd, wedges, hubDeg, hubOd, tTri, tRank2, tRank8,
-        perIter, tLp2, tLp8, perIterLp, tRefresh)
+        perIter, tLp2, tLp8, perIterLp, tRefresh, tTriRefresh)
     }
 
     def expo(a: Double, b: Double, sa: Long, sb: Long): Double =
@@ -132,9 +145,10 @@ object GraphScaleCheck {
     val iterExp = expo(lo._11, hi._11, lo._1, hi._1)
     val lpIterExp = expo(lo._14, hi._14, lo._1, hi._1)
     val refreshExp = expo(lo._15, hi._15, lo._1, hi._1)
+    val triRefreshExp = expo(lo._16, hi._16, lo._1, hi._1)
 
     val qs = rows.map {
-      case (s, m, mc, mx, w, hd, ho, tt, t2, t8, pi, l2, l8, lpi, tr) =>
+      case (s, m, mc, mx, w, hd, ho, tt, t2, t8, pi, l2, l8, lpi, tr, ttr) =>
         f""""x$s":{"edges":$m,"canonical":$mc,"max_outdeg":$mx,""" +
           f""""sqrt_2m_bound":${math.sqrt(2.0 * mc)}%.0f,"wedges":$w,""" +
           f""""hub_degree":$hd,"hub_outdeg":$ho,"triangles_sec":$tt%.3f,""" +
@@ -142,13 +156,15 @@ object GraphScaleCheck {
           f""""rank_per_iter_sec":$pi%.3f,""" +
           f""""lp2_sec":$l2%.3f,"lp8_sec":$l8%.3f,""" +
           f""""lp_per_iter_sec":$lpi%.3f,""" +
-          f""""labels_refresh_sec":$tr%.3f}"""
+          f""""labels_refresh_sec":$tr%.3f,""" +
+          f""""tri_refresh_sec":$ttr%.3f}"""
     }.mkString("{", ",", "}")
     val json = s"""{"metric":"graph_scale_check","base_edges":$baseM,""" +
       f""""triangles_exponent":$triExp%.2f,""" +
       f""""rank_per_iter_exponent":$iterExp%.2f,""" +
       f""""lp_per_iter_exponent":$lpIterExp%.2f,""" +
-      f""""labels_refresh_exponent":$refreshExp%.2f,"scales":$qs}"""
+      f""""labels_refresh_exponent":$refreshExp%.2f,""" +
+      f""""tri_refresh_exponent":$triRefreshExp%.2f,"scales":$qs}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("graph_scale_result.json"), json + "\n")

@@ -58,28 +58,9 @@ object GraphRank {
   private def rankLoop(ids: DataFrame, edgesW: DataFrame, iters: Int,
       scale: Long, dNum: Long, dDen: Long, checkpointEvery: Int,
       seedPred: Option[Column] = None): DataFrame = {
-    val base = scale * (dDen - dNum) / dDen
-    // personalized teleport: only seed nodes receive the base mass
-    // (and the initial rank) — non-seeds score purely by proximity
-    val baseCol = seedPred match {
-      case Some(p) => when(p, lit(base)).otherwise(lit(0L))
-      case None => lit(base)
-    }
-    var r = ids.select(col("doc_id"), seedPred match {
-      case Some(p) => when(p, lit(scale)).otherwise(lit(0L)).as("r")
-      case None => lit(scale).as("r")
-    })
+    var r = initRanks(ids, scale, seedPred)
     for (i <- 0 until iters) {
-      val contrib = edgesW
-        .join(r.withColumnRenamed("doc_id", "src"), "src")
-        .select(col("dst"),
-          TextFunctions.intDiv(col("r") * col("w"), col("sumw")).as("c"))
-        .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-      r = ids
-        .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          (baseCol + TextFunctions.intDiv(
-            lit(dNum) * coalesce(col("c"), lit(0L)), lit(dDen))).as("r"))
+      r = rankRound(ids, edgesW, r, scale, dNum, dDen, seedPred)
       // cut the lineage every `checkpointEvery` rounds: without this a
       // deep run carries an iters-deep join plan into every subsequent
       // analysis and any task-failure replay recomputes from iteration 0
@@ -87,6 +68,107 @@ object GraphRank {
         r = r.localCheckpoint()
     }
     r.select(col("doc_id"), col("r").as("rank_e12"))
+  }
+
+  private def initRanks(ids: DataFrame, scale: Long,
+      seedPred: Option[Column]): DataFrame =
+    ids.select(col("doc_id"), seedPred match {
+      case Some(p) => when(p, lit(scale)).otherwise(lit(0L)).as("r")
+      case None => lit(scale).as("r")
+    })
+
+  /** One power-iteration round: per-edge divide-before-sum
+    * contributions, damped onto the teleport base. */
+  private def rankRound(ids: DataFrame, edgesW: DataFrame, r: DataFrame,
+      scale: Long, dNum: Long, dDen: Long,
+      seedPred: Option[Column]): DataFrame = {
+    val base = scale * (dDen - dNum) / dDen
+    // personalized teleport: only seed nodes receive the base mass
+    // (and the initial rank) — non-seeds score purely by proximity
+    val baseCol = seedPred match {
+      case Some(p) => when(p, lit(base)).otherwise(lit(0L))
+      case None => lit(base)
+    }
+    val contrib = edgesW
+      .join(r.withColumnRenamed("doc_id", "src"), "src")
+      .select(col("dst"),
+        TextFunctions.intDiv(col("r") * col("w"), col("sumw")).as("c"))
+      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
+    ids
+      .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (baseCol + TextFunctions.intDiv(
+          lit(dNum) * coalesce(col("c"), lit(0L)), lit(dDen))).as("r"))
+  }
+
+  /** Rounds the last [[pageRankConverged]] call actually ran — the
+    * [[graft.dedup.Dedup.lastConvergenceRounds]] convention, so specs
+    * and sizing diagnostics can assert the serve twin against the
+    * fixed-iters query at exactly the stop round. */
+  @volatile var lastConvergedRounds: Int = 0
+
+  /** TOLERANCE-STOPPED serving variant of [[pageRank]] — the rank
+    * family's [[LabelProp.communitiesConverged]] twin: iterate until a
+    * round moves NO rank by more than `tol` scaled units (max |Δ| ≤
+    * tol), capped at `maxIters`. The iteration map is deterministic,
+    * so the result is ALWAYS bit-identical to [[pageRank]] with
+    * iters = the stop round ([[lastConvergedRounds]]; spec'd) — the
+    * tolerance only decides WHEN to stop, never what a round computes,
+    * and with tol = 0 a stop before the cap is an exact integer
+    * fixpoint. The gated query stays the fixed-iters [[pageRank]] (a
+    * replayable pure function of the edge set); this is the live/serve
+    * sibling for corpora where the safe fixed count is unknown.
+    *
+    * Sizing the tolerance: damping d = dNum/dDen contracts the
+    * distance to the fixpoint by ~d per round, so rounds-to-tol ≈
+    * log(scale/tol) / log(dDen/dNum) — at the default scale 10¹² with
+    * tol 10⁶ (a millionth of a node's initial mass) that is ~85
+    * rounds of worst-case drift, while real similarity graphs start
+    * far closer and stop in a handful. tol = 0 demands the exact
+    * integer fixpoint, which floor-rounding can hold a unit cycle
+    * away forever — that is what the cap is for (capped = the
+    * fixed-iters result at maxIters, still exact).
+    *
+    * Shape: identical per-round cost to [[pageRank]] plus one narrow
+    * diff join + 1-row max per round; at most two rank frames cached
+    * at any instant, everything released before return (the
+    * [[LabelProp.communitiesConverged]] lifecycle), result
+    * `localCheckpoint`ed flat. The cadence is LOAD-BEARING for the
+    * same reason as there: an open-ended loop must flatten its plan
+    * as it goes. */
+  def pageRankConverged(nodes: DataFrame, pairs: DataFrame,
+      tol: Long = 0L, maxIters: Int = 64,
+      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
+      checkpointEvery: Int = 5): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val edgesW = symmetrized(pairs, lit(1L))
+    var r = initRanks(ids, scale, None)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var i = 0
+    var moved = Long.MaxValue
+    while (i < maxIters && moved > tol) {
+      val stepped = rankRound(ids, edgesW, r, scale, dNum, dDen, None)
+      // localCheckpoint is eager and stores its blocks itself — on a
+      // cadence round it replaces (not precedes) the persist
+      val next =
+        if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint()
+        else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      moved = next
+        .join(r.withColumnRenamed("r", "pr"), "doc_id")
+        .agg(coalesce(max(abs(col("r") - col("pr"))), lit(0L)))
+        .head().getLong(0)
+      r.unpersist()
+      r = next
+      i += 1
+    }
+    lastConvergedRounds = i
+    val out = r.select(col("doc_id"), col("r").as("rank_e12"))
+      .localCheckpoint()
+    r.unpersist()
+    ids.unpersist()
+    edgesW.unpersist()
+    out
   }
 
   /** Symmetrize an undirected unique-pair edge list carrying a weight

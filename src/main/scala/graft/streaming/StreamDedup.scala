@@ -183,10 +183,20 @@ object StreamDedup {
     * recreate-the-marker acknowledgement, the NEXT batch's refresh
     * catches the labels up along with its own delta; until then the
     * served labels are the consistent pre-append snapshot, at most one
-    * batch stale. */
+    * batch stale.
+    *
+    * `maintainTriangles = true` does the same for the TRIANGLE-STATS
+    * sidecar ([[graft.dedup.Dedup.refreshTriangleStats]]; create it
+    * once with [[graft.dedup.Dedup.writeTriangleStats]] after the
+    * initial build), so the density consumers
+    * ([[graft.graph.Triangles.withCc]] over the served stats) stay
+    * current per micro-batch without re-paying the full-graph wedge
+    * enumeration. Same composing-refresh crash shape as the labels
+    * sidecar — each refresh reads its own watermark. */
   def ingestSimilarityGraph(docs: DataFrame, graphPath: String,
       checkpoint: String, p: MinHashParams = MinHashParams(),
-      maintainLabels: Boolean = false)
+      maintainLabels: Boolean = false,
+      maintainTriangles: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -198,6 +208,8 @@ object StreamDedup {
           Dedup.appendSimilarityGraph(batch, graphPath, p)
           if (maintainLabels)
             Dedup.refreshComponentLabels(batch.sparkSession, graphPath)
+          if (maintainTriangles)
+            Dedup.refreshTriangleStats(batch.sparkSession, graphPath)
           fs.create(marker, true).close()
           ()
         }

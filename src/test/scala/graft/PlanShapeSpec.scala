@@ -105,6 +105,19 @@ class PlanShapeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(p.contains("Scan parquet"), p)
   }
 
+  test("triangle-stats append queries serve the sidecar: a scan, no joins, no wedge stage") {
+    // the incremental lifecycle's whole point: at serve time the
+    // refreshed (degree, n_tri) frame is a parquet scan — the wedge
+    // enumeration ran once per batch at refresh time, never per query
+    for (q <- Seq("q_graph_triangles_append", "q_graph_clustering_append")) {
+      val p = plan(q)
+      assert(p.contains("Scan parquet"), s"$q: $p")
+      assert(!p.contains("Join"), s"$q: $p")
+      assert(!p.contains("Exchange"), s"$q: $p")
+      assert(!p.toLowerCase.contains("shinglemin"), s"$q: $p")
+    }
+  }
+
   test("kmv sketch: bottom-k runs as WindowGroupLimit (partial merge, not a full sort)") {
     val p = plan("q_sketch_kmv")
     assert(p.contains("WindowGroupLimit"), p)

@@ -80,6 +80,61 @@ class GraphRankSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r(1L) > r(9L), "connected leaf must outrank the isolated node")
   }
 
+  test("converged twin: a fixed-point graph stops in one round and matches fixed-iters") {
+    // a mutual pair is 1-regular: round 1 reproduces the initial ranks
+    // exactly (0.15s + 0.85s = s in exact integers), so tol=0 stops
+    // immediately and any fixed count gives the same ranks
+    val n = nodes(1L, 2L)
+    val p = pairs(1L -> 2L)
+    val got = GraphRank.pageRankConverged(n, p).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(GraphRank.lastConvergedRounds === 1)
+    assert(got === Map(1L -> Scale, 2L -> Scale))
+    assert(got === ranks(n, p))
+  }
+
+  test("converged twin: an edgeless graph settles to the base in two rounds") {
+    val n = nodes(1L, 2L, 3L)
+    val got = GraphRank.pageRankConverged(n, pairs()).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    // round 1 drops every rank from scale to base (moved > 0), round 2
+    // confirms the fixpoint (moved = 0)
+    assert(GraphRank.lastConvergedRounds === 2)
+    assert(got.values.toSet === Set(Base))
+  }
+
+  test("converged twin: the cap bites on a slow graph and equals fixed-iters at the cap") {
+    val n = nodes(0L, 1L, 2L, 3L, 4L)
+    val p = pairs(0L -> 1L, 0L -> 2L, 0L -> 3L, 3L -> 4L)
+    val got = GraphRank.pageRankConverged(n, p, tol = 0L, maxIters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(GraphRank.lastConvergedRounds === 3)
+    val exp = GraphRank.pageRank(n, p, iters = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(got === exp)
+  }
+
+  test("converged twin: a tolerance stop is bit-identical to fixed-iters at the stop round") {
+    val n = nodes(0L, 1L, 2L, 3L, 4L)
+    val p = pairs(0L -> 1L, 0L -> 2L, 0L -> 3L, 3L -> 4L)
+    // a millionth of the initial mass: ~log(1e6)/log(100/85) ≈ 85
+    // worst-case rounds; this star settles far faster
+    val got = GraphRank.pageRankConverged(n, p, tol = 1000000L, maxIters = 120)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val stopped = GraphRank.lastConvergedRounds
+    spark.catalog.clearCache()
+    assert(stopped < 120, "tolerance never fired — cap hit")
+    val exp = GraphRank.pageRank(n, p, iters = stopped).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(got === exp)
+    assert(stopped > 1, "stop round 1 would make the tolerance check vacuous")
+  }
+
   test("edge orientation is irrelevant: swapped pairs give identical ranks") {
     val es = Seq(1L -> 2L, 2L -> 3L, 1L -> 4L, 4L -> 5L, 3L -> 5L)
     val a = ranks(nodes(1L, 2L, 3L, 4L, 5L), pairs(es: _*))

@@ -335,12 +335,14 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     b1.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/in/b1")
     val schema = b1.toDF("doc_id", "text").schema
-    // maintainLabels: the component-labels sidecar rides along, so
-    // cluster consumers serve current labels at every batch boundary
+    // maintainLabels/maintainTriangles: both sidecars ride along, so
+    // cluster AND density consumers serve current frames per batch
     graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g")
+    graft.dedup.Dedup.writeTriangleStats(spark, s"$tmp/g")
     val q = StreamDedup.ingestSimilarityGraph(
       spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
-      s"$tmp/g", s"$tmp/ckpt", maintainLabels = true)
+      s"$tmp/g", s"$tmp/ckpt", maintainLabels = true,
+      maintainTriangles = true)
     try {
       q.processAllAvailable()
       b2.toDF("doc_id", "text").coalesce(1)
@@ -364,6 +366,13 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def ls(p: String) = graft.dedup.Dedup.readComponentLabels(spark, p)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ls(s"$tmp/g") === ls(s"$tmp/g_scratch"))
+    // the streamed triangle-stats sidecar == a from-scratch density
+    // solve of the final edge set (per-batch wedge work only)
+    graft.dedup.Dedup.writeTriangleStats(spark, s"$tmp/g_scratch")
+    spark.catalog.clearCache()
+    def ts(p: String) = graft.dedup.Dedup.readTriangleStats(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(ts(s"$tmp/g") === ts(s"$tmp/g_scratch"))
     spark.catalog.clearCache()
   }
 
