@@ -79,6 +79,34 @@ object DedupIndexBench {
     val tLRef2 = timed(Dedup.refreshComponentLabels(spark, g2))
     val tTRef1 = timed(Dedup.refreshTriangleStats(spark, g1))
     val tTRef2 = timed(Dedup.refreshTriangleStats(spark, g2))
+    // rank-scores sidecar (round 16, third consumer): rank is a GLOBAL
+    // fixpoint, so the incremental lever is the ITERATION SCHEDULE —
+    // the refresh warm-starts from the stored vector, saving
+    // ~6.2·ln(coldDistance/perturbation) rounds. Measured at the
+    // production batch shape (1% of the corpus onto the other 99%):
+    // warm_rounds vs the cold_rounds a from-scratch re-converge of the
+    // SAME union pays. (The first cut of this row appended the 10%
+    // gBatch at tol=10^-6·scale and read warm == cold == the 64-round
+    // cap — a tolerance the hub schedule can't reach and a batch big
+    // enough to perturb every hub; both sizing lessons live in
+    // Dedup.RankSidecarTol's scaladoc.)
+    val c99 = maxId * 99 / 100
+    val gr = tmp + "/graft_graph_bench_rank"
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < c99), gr)
+    val tRBuild = timed(Dedup.writeRankScores(spark, gr))
+    val rBuildRounds = graft.graph.GraphRank.lastConvergedRounds
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= c99), gr)
+    val tRRef = timed(Dedup.refreshRankScores(spark, gr))
+    val rWarmRounds = graft.graph.GraphRank.lastConvergedRounds
+    // what a refresh WITHOUT the stored vector would pay on the same
+    // (already-appended) union: a cold tolerance-stopped converge
+    val unionEdgesR = spark.read.parquet(s"$gr/edges")
+    val unionNodesR = unionEdgesR.select(col("doc_a").as("doc_id"))
+      .union(unionEdgesR.select(col("doc_b").as("doc_id"))).distinct()
+    val tRCold = timed(noop(graft.graph.GraphRank.pageRankConverged(
+      unionNodesR, unionEdgesR, Dedup.RankSidecarTol,
+      Dedup.RankSidecarMaxIters)))
+    val rColdRounds = graft.graph.GraphRank.lastConvergedRounds
     val e1 = spark.read.parquet(s"$g1/edges").count()
     val e2 = spark.read.parquet(s"$g2/edges").count()
     val l1 = spark.read.parquet(s"$g1/labels/assign").count()
@@ -137,6 +165,9 @@ object DedupIndexBench {
       s""""labels_refresh_2x":{"labels":$l2,"build_sec":$tLBuild2,"refresh_sec":$tLRef2},""" +
       s""""tri_refresh_1x":{"nodes":$t1,"build_sec":$tTBuild1,"refresh_sec":$tTRef1},""" +
       s""""tri_refresh_2x":{"nodes":$t2,"build_sec":$tTBuild2,"refresh_sec":$tTRef2},""" +
+      s""""rank_warm_1pct":{"build_sec":$tRBuild,"build_rounds":$rBuildRounds,""" +
+      s""""refresh_sec":$tRRef,"warm_rounds":$rWarmRounds,""" +
+      s""""cold_union_sec":$tRCold,"cold_rounds":$rColdRounds},""" +
       s""""crossing_append_1x":{"edges":$ex1pre,"crossing_buckets":$nx1,"append_sec":$tX1},""" +
       s""""crossing_append_2x":{"edges":$ex2pre,"crossing_buckets":$nx2,"append_sec":$tX2}}""")
     spark.stop()

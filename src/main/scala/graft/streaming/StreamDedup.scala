@@ -192,11 +192,22 @@ object StreamDedup {
     * ([[graft.graph.Triangles.withCc]] over the served stats) stay
     * current per micro-batch without re-paying the full-graph wedge
     * enumeration. Same composing-refresh crash shape as the labels
-    * sidecar — each refresh reads its own watermark. */
+    * sidecar — each refresh reads its own watermark.
+    *
+    * `maintainRanks = true` rides the RANK-SCORES sidecar along
+    * ([[graft.dedup.Dedup.refreshRankScores]]; create it once with
+    * [[graft.dedup.Dedup.writeRankScores]]): each batch's refresh
+    * warm-starts the power iteration from the stored vector, so the
+    * per-batch cost is a handful of rounds, not the cold
+    * log(scale/tol) schedule. Crash shape is even simpler than the
+    * exact sidecars: the refresh compares its meta against the edge
+    * artifact and re-converges from whatever vector is stored —
+    * ANY stored vector is a valid starting guess. */
   def ingestSimilarityGraph(docs: DataFrame, graphPath: String,
       checkpoint: String, p: MinHashParams = MinHashParams(),
       maintainLabels: Boolean = false,
-      maintainTriangles: Boolean = false)
+      maintainTriangles: Boolean = false,
+      maintainRanks: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -210,6 +221,8 @@ object StreamDedup {
             Dedup.refreshComponentLabels(batch.sparkSession, graphPath)
           if (maintainTriangles)
             Dedup.refreshTriangleStats(batch.sparkSession, graphPath)
+          if (maintainRanks)
+            Dedup.refreshRankScores(batch.sparkSession, graphPath)
           fs.create(marker, true).close()
           ()
         }

@@ -335,14 +335,16 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     b1.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/in/b1")
     val schema = b1.toDF("doc_id", "text").schema
-    // maintainLabels/maintainTriangles: both sidecars ride along, so
-    // cluster AND density consumers serve current frames per batch
+    // maintainLabels/maintainTriangles/maintainRanks: all three
+    // sidecars ride along, so cluster, density AND rank consumers
+    // serve current frames per batch
     graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g")
     graft.dedup.Dedup.writeTriangleStats(spark, s"$tmp/g")
+    graft.dedup.Dedup.writeRankScores(spark, s"$tmp/g")
     val q = StreamDedup.ingestSimilarityGraph(
       spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
       s"$tmp/g", s"$tmp/ckpt", maintainLabels = true,
-      maintainTriangles = true)
+      maintainTriangles = true, maintainRanks = true)
     try {
       q.processAllAvailable()
       b2.toDF("doc_id", "text").coalesce(1)
@@ -373,6 +375,18 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     def ts(p: String) = graft.dedup.Dedup.readTriangleStats(spark, p)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(ts(s"$tmp/g") === ts(s"$tmp/g_scratch"))
+    // the streamed rank sidecar serves scores within the converge band
+    // of a cold solve over the final edge set (rank is a global
+    // fixpoint — tolerance-band contract, RankSidecarSpec's bound)
+    graft.dedup.Dedup.writeRankScores(spark, s"$tmp/g_scratch")
+    spark.catalog.clearCache()
+    def rs(p: String) = graft.dedup.Dedup.readRankScores(spark, p)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val (rg, rc) = (rs(s"$tmp/g"), rs(s"$tmp/g_scratch"))
+    assert(rg.keySet === rc.keySet)
+    val worst = rg.map { case (id, r) => math.abs(r - rc(id)) }.max
+    assert(worst <= 14L * graft.dedup.Dedup.RankSidecarTol,
+      s"streamed rank scores out of band: max delta $worst")
     spark.catalog.clearCache()
   }
 
