@@ -90,6 +90,15 @@ object ScaleCheck {
       java.nio.file.Files.write(marker, markerWant.getBytes("UTF-8"))
     }
 
+    // synth-only: (re)build the sf1 corpus for an external consumer
+    // (e.g. the three-scale Bench run's SPARK_GRAFT_SF3_DIR point)
+    // without paying the measurement sweep below
+    if (args.contains("synth-only")) {
+      println(s"""{"metric":"scale_synth","dst":"$dst","stale_rebuilt":$stale}""")
+      spark.stop()
+      return
+    }
+
     val names = Seq("q_dedup_semantic", "q_sim_ivfpq", "q_layout_filter",
       "q_dedup_clusters", "q_dedup_jaccard", "q_sim_ann_mp",
       "q_dedup_incr_indexed", "q_sketch_quantile",
