@@ -95,9 +95,15 @@ object DedupIndexBench {
     Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < c99), gr)
     val tRBuild = timed(Dedup.writeRankScores(spark, gr))
     val rBuildRounds = graft.graph.GraphRank.lastConvergedRounds
+    // LP-community sidecar (fourth consumer) on the same 99% artifact:
+    // same warm-start question, measured as rounds (delta-LPA)
+    val tLpBuild = timed(Dedup.writeLpCommunities(spark, gr))
+    val lpBuildRounds = graft.graph.LabelProp.lastConvergedRounds
     Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= c99), gr)
     val tRRef = timed(Dedup.refreshRankScores(spark, gr))
     val rWarmRounds = graft.graph.GraphRank.lastConvergedRounds
+    val tLpRef = timed(Dedup.refreshLpCommunities(spark, gr))
+    val lpWarmRounds = graft.graph.LabelProp.lastConvergedRounds
     // what a refresh WITHOUT the stored vector would pay on the same
     // (already-appended) union: a cold tolerance-stopped converge
     val unionEdgesR = spark.read.parquet(s"$gr/edges")
@@ -107,6 +113,9 @@ object DedupIndexBench {
       unionNodesR, unionEdgesR, Dedup.RankSidecarTol,
       Dedup.RankSidecarMaxIters)))
     val rColdRounds = graft.graph.GraphRank.lastConvergedRounds
+    val tLpCold = timed(noop(graft.graph.LabelProp.communitiesConverged(
+      unionNodesR, unionEdgesR)))
+    val lpColdRounds = graft.graph.LabelProp.lastConvergedRounds
     val e1 = spark.read.parquet(s"$g1/edges").count()
     val e2 = spark.read.parquet(s"$g2/edges").count()
     val l1 = spark.read.parquet(s"$g1/labels/assign").count()
@@ -168,6 +177,9 @@ object DedupIndexBench {
       s""""rank_warm_1pct":{"build_sec":$tRBuild,"build_rounds":$rBuildRounds,""" +
       s""""refresh_sec":$tRRef,"warm_rounds":$rWarmRounds,""" +
       s""""cold_union_sec":$tRCold,"cold_rounds":$rColdRounds},""" +
+      s""""lp_warm_1pct":{"build_sec":$tLpBuild,"build_rounds":$lpBuildRounds,""" +
+      s""""refresh_sec":$tLpRef,"warm_rounds":$lpWarmRounds,""" +
+      s""""cold_union_sec":$tLpCold,"cold_rounds":$lpColdRounds},""" +
       s""""crossing_append_1x":{"edges":$ex1pre,"crossing_buckets":$nx1,"append_sec":$tX1},""" +
       s""""crossing_append_2x":{"edges":$ex2pre,"crossing_buckets":$nx2,"append_sec":$tX2}}""")
     spark.stop()

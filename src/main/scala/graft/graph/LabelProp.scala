@@ -150,10 +150,58 @@ object LabelProp {
     * at a small constant; an open-ended loop must flatten as it
     * goes. */
   def communitiesConverged(nodes: DataFrame, pairs: DataFrame,
-      maxIters: Int = 32, checkpointEvery: Int = 5): DataFrame = {
+      maxIters: Int = 32, checkpointEvery: Int = 5): DataFrame =
+    convergedLoop(nodes, pairs, None, maxIters, checkpointEvery)
+
+  /** Rounds the last [[communitiesConverged]] /
+    * [[communitiesConvergedFrom]] call actually ran — the
+    * [[graft.dedup.Dedup.lastConvergenceRounds]] convention. */
+  @volatile var lastConvergedRounds: Int = 0
+
+  /** WARM-STARTED [[communitiesConverged]]: begin the synchronous
+    * sweep at `init` (doc_id, community) instead of the self-label
+    * cold state — nodes absent from `init` start at their own id,
+    * rows for departed nodes are ignored. This is the delta-LPA idea:
+    * a near-converged labeling perturbed by an appended batch
+    * re-settles in a round or two where a cold start replays the full
+    * coarsening cascade. The contract is WEAKER than the rank
+    * sidecar's tolerance band and stated honestly: LP's fixpoint is
+    * not unique — different starting labelings can settle into
+    * different (both valid) fixpoints of the same deterministic map —
+    * so the guarantee is that a pre-cap stop IS a genuine fixpoint of
+    * the synchronous sweep over the CURRENT edge set (one more round
+    * changes nothing; LpSidecarSpec re-applies [[lpRound]] and
+    * asserts zero diff), seeded from the previous assignment. The
+    * hash-gated LP queries stay the from-scratch fixed-iters
+    * [[communities]]. Same loop shape, cache lifecycle and
+    * LOAD-BEARING checkpoint cadence as the cold variant. */
+  def communitiesConvergedFrom(nodes: DataFrame, pairs: DataFrame,
+      init: DataFrame, maxIters: Int = 32,
+      checkpointEvery: Int = 5): DataFrame =
+    convergedLoop(nodes, pairs, Some(init), maxIters, checkpointEvery)
+
+  /** One synchronous round over canonicalized `pairs`, applied to an
+    * arbitrary (doc_id, community) labeling — the fixpoint CHECK the
+    * sidecar spec uses (a labeling is a fixpoint iff this returns it
+    * unchanged). Package-private: product code goes through the
+    * converged loops. */
+  private[graft] def oneRound(pairs: DataFrame, lab: DataFrame): DataFrame = {
+    val edges = canonEdges(pairs)
+    lpRound(edges, lab.select(col("doc_id"), col("community").as("label")))
+      .select(col("doc_id"), col("label").as("community"))
+  }
+
+  private def convergedLoop(nodes: DataFrame, pairs: DataFrame,
+      init: Option[DataFrame], maxIters: Int,
+      checkpointEvery: Int): DataFrame = {
     val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = (init match {
+      case Some(v) => nodes.select(col("doc_id"), labGuard.as("self"))
+        .join(v.select(col("doc_id"), col("community").as("c0")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("c0"), col("self")).as("label"))
+      case None => nodes.select(col("doc_id"), labGuard.as("label"))
+    }).persist(StorageLevel.MEMORY_AND_DISK)
     var i = 0
     var changed = 1L
     while (i < maxIters && changed != 0L) {
@@ -172,6 +220,7 @@ object LabelProp {
       lab = next
       i += 1
     }
+    lastConvergedRounds = i
     val out = lab.select(col("doc_id"), col("label").as("community"))
       .localCheckpoint()
     lab.unpersist()

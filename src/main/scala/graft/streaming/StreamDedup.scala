@@ -202,12 +202,19 @@ object StreamDedup {
     * log(scale/tol) schedule. Crash shape is even simpler than the
     * exact sidecars: the refresh compares its meta against the edge
     * artifact and re-converges from whatever vector is stored —
-    * ANY stored vector is a valid starting guess. */
+    * ANY stored vector is a valid starting guess.
+    *
+    * `maintainCommunities = true` does the same for the LP-COMMUNITY
+    * sidecar ([[graft.dedup.Dedup.refreshLpCommunities]]; create it
+    * once with [[graft.dedup.Dedup.writeLpCommunities]]): the
+    * delta-LPA warm start re-settles the stored assignment per batch.
+    * Same any-stored-state-is-a-valid-start crash shape as ranks. */
   def ingestSimilarityGraph(docs: DataFrame, graphPath: String,
       checkpoint: String, p: MinHashParams = MinHashParams(),
       maintainLabels: Boolean = false,
       maintainTriangles: Boolean = false,
-      maintainRanks: Boolean = false)
+      maintainRanks: Boolean = false,
+      maintainCommunities: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpoint)
@@ -223,6 +230,8 @@ object StreamDedup {
             Dedup.refreshTriangleStats(batch.sparkSession, graphPath)
           if (maintainRanks)
             Dedup.refreshRankScores(batch.sparkSession, graphPath)
+          if (maintainCommunities)
+            Dedup.refreshLpCommunities(batch.sparkSession, graphPath)
           fs.create(marker, true).close()
           ()
         }

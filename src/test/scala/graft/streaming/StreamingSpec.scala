@@ -335,16 +335,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     b1.toDF("doc_id", "text").coalesce(1)
       .write.mode("overwrite").parquet(s"$tmp/in/b1")
     val schema = b1.toDF("doc_id", "text").schema
-    // maintainLabels/maintainTriangles/maintainRanks: all three
-    // sidecars ride along, so cluster, density AND rank consumers
-    // serve current frames per batch
+    // all four sidecars ride along, so cluster, density, rank AND
+    // community consumers serve current frames per batch
     graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g")
     graft.dedup.Dedup.writeTriangleStats(spark, s"$tmp/g")
     graft.dedup.Dedup.writeRankScores(spark, s"$tmp/g")
+    graft.dedup.Dedup.writeLpCommunities(spark, s"$tmp/g")
     val q = StreamDedup.ingestSimilarityGraph(
       spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
       s"$tmp/g", s"$tmp/ckpt", maintainLabels = true,
-      maintainTriangles = true, maintainRanks = true)
+      maintainTriangles = true, maintainRanks = true,
+      maintainCommunities = true)
     try {
       q.processAllAvailable()
       b2.toDF("doc_id", "text").coalesce(1)
@@ -387,6 +388,17 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     val worst = rg.map { case (id, r) => math.abs(r - rc(id)) }.max
     assert(worst <= 14L * graft.dedup.Dedup.RankSidecarTol,
       s"streamed rank scores out of band: max delta $worst")
+    // the streamed LP sidecar serves a genuine FIXPOINT of the final
+    // edge set (LP fixpoints are not unique — the checkable contract
+    // is fixpointness, LpSidecarSpec's convention)
+    val lpServed = graft.dedup.Dedup.readLpCommunities(spark, s"$tmp/g")
+    def lm(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val lpAgain = graft.graph.LabelProp.oneRound(
+      graft.dedup.Dedup.readSimilarityGraph(spark, s"$tmp/g")
+        .select(col("doc_a"), col("doc_b")), lpServed)
+    assert(lm(lpAgain) === lm(lpServed.select(col("doc_id"), col("community"))),
+      "streamed LP labels are not a fixpoint of the final edges")
     spark.catalog.clearCache()
   }
 
