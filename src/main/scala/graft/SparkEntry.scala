@@ -92,6 +92,21 @@ object SparkEntry {
     graft.dedup.Dedup.readSimilarityGraph(s, path)
   }
 
+  /** Write-once LP-COMMUNITY sidecar over the [[simGraphEdges]]
+    * artifact (q_graph_lp_sidecar): converged labels written next to
+    * the edges once, served from the stored assignment thereafter.
+    * maxIters = 8 matches the oracle's unroll cap, so even the
+    * capped-out case is bit-identical on both sides. */
+  private def lpSidecarArtifact(s: SparkSession, dir: String): DataFrame = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_sim_graph_v2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    simGraphEdges(s, dir) // ensure the edge artifact exists
+    indexedTables.getOrElseUpdate((s, path + "#lp"), {
+      graft.dedup.Dedup.writeLpCommunities(s, path, maxIters = 8)
+    })
+    graft.dedup.Dedup.readLpCommunities(s, path)
+  }
+
   /** The GROWING similarity graph — [[simGraphEdges]]'s append
     * lifecycle (round-14 verdict #2): build the artifact from the
     * low-id 80% of the corpus, append the high-id 20% as an ingest
@@ -609,6 +624,34 @@ object SparkEntry {
       graft.graph.LabelProp.convergence(
         table(s, dir, "documents").select(col("doc_id")),
         simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")))),
+    // the tolerance-stopped serving twin GATED — an iterate-until-
+    // converged computation hash-compared in pure SQL: the oracle
+    // unrolls rounds to the same cap and selects the stop round (min
+    // zero-change round, else the cap), so both engines must agree on
+    // WHEN the sweep stops and on the stop round's labels. (Rank's
+    // converged twin stays spec-only by a cost-of-evidence decision:
+    // its stop schedule is ~47 rounds at tol 10⁻³·scale — a
+    // minute-class bench row at sf1 for evidence RankSidecarSpec
+    // already pins; LP stops in ~2.)
+    "q_graph_lp_tol" -> ((s, dir) =>
+      graft.graph.LabelProp.communitiesConverged(
+        table(s, dir, "documents").select(col("doc_id")),
+        simGraphEdges(s, dir).select(col("doc_a"), col("doc_b")),
+        maxIters = 8)),
+    // the LP-COMMUNITY sidecar of the similarity-graph artifact,
+    // build+serve gated end to end: converged labels persisted next
+    // to the edges (delta-LPA-refreshable on append), served with
+    // isolated docs as their own communities (self-label coalesce at
+    // read — the sidecar stores only edge endpoints). Same converged
+    // oracle: the sweep over endpoint nodes equals the all-docs sweep
+    // because isolated nodes never change labels
+    "q_graph_lp_sidecar" -> ((s, dir) => {
+      val served = lpSidecarArtifact(s, dir)
+      table(s, dir, "documents").select(col("doc_id"))
+        .join(served, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("community"), col("doc_id")).as("community"))
+    }),
     // the similarity-graph APPEND lifecycle: build from the low-id 80%
     // of the corpus, append the high-id 20% as an ingest batch through
     // the stored signature index, serve the grown edge list. Oracle =
@@ -2807,6 +2850,13 @@ object SparkEntry {
     "q_graph_triangles" -> DocSql.graphTriangles(Dedup.MinHashParams()),
     "q_graph_clustering" -> DocSql.graphClustering(Dedup.MinHashParams()),
     "q_graph_lp" -> DocSql.graphLabelProp(Dedup.MinHashParams(), 4),
+    // iterate-until-converged gated in pure SQL: rounds unrolled to
+    // the shared cap + a stop-round selector (min zero-change round,
+    // else the cap) — both twins hash against the same builder; the
+    // sidecar's endpoint-node sweep equals the all-docs sweep because
+    // isolated nodes never change labels
+    "q_graph_lp_tol" -> DocSql.graphLabelPropConverged(Dedup.MinHashParams(), 8),
+    "q_graph_lp_sidecar" -> DocSql.graphLabelPropConverged(Dedup.MinHashParams(), 8),
     "q_graph_modularity" -> DocSql.graphModularity(Dedup.MinHashParams(), 4),
     "q_graph_ppr" -> DocSql.graphRankPersonalized(Dedup.MinHashParams(), 3,
       "n.doc_id % 17 = 0"),

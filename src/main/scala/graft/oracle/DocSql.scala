@@ -1519,6 +1519,49 @@ object DocSql {
        |SELECT doc_id, CAST(label AS BIGINT) AS community FROM l$iters""".stripMargin
   }
 
+  /** Mirror of LabelProp.communitiesConverged — an ITERATE-UNTIL-
+    * CONVERGED computation gated in pure SQL: the same unrolled LP
+    * rounds as [[graphLabelProp]] up to the `cap`, a per-round
+    * changed-labels count, and a STOP-ROUND SELECTOR — the result is
+    * round min{k : changed_k = 0} (the zero-diff confirmation round,
+    * whose labels equal round k−1's by definition), or round `cap`
+    * when no round converged (exactly the Spark loop's cap
+    * semantics). The unroll bounds the replay at `cap` rounds, so
+    * the oracle is a pure function like every other; the engines
+    * must agree on WHICH round is the stop round and on its labels —
+    * both are part of the hash. */
+  def graphLabelPropConverged(p: MinHashParams, cap: Int): String = {
+    val pk = 1L << 32
+    val iterCtes = (1 to cap).map { k =>
+      s"""c$k AS (SELECT dst, label, CAST(count(*) AS BIGINT) AS cnt FROM (
+         |    SELECT e.dst, l.label FROM edges e JOIN l${k - 1} l ON l.doc_id = e.src
+         |    UNION ALL SELECT doc_id, label FROM l${k - 1}
+         |  ) GROUP BY 1, 2),
+         |l$k AS MATERIALIZED (SELECT dst AS doc_id,
+         |    ${pk - 1} - (max(cnt * $pk + (${pk - 1} - label)) % $pk) AS label
+         |  FROM c$k GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    val allRounds = (0 to cap)
+      .map(k => s"SELECT CAST($k AS BIGINT) AS k, doc_id, label FROM l$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${minhashPairCtes(p)},
+       |pr AS (SELECT doc_a, doc_b FROM m WHERE minhash_matches >= ${p.minMatches}),
+       |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pr
+       |  UNION ALL SELECT doc_b, doc_a FROM pr),
+       |l0 AS MATERIALIZED (SELECT doc_id, CAST(doc_id AS BIGINT) AS label
+       |  FROM documents),
+       |$iterCtes,
+       |alll AS ($allRounds),
+       |chg AS (SELECT a.k AS k,
+       |    CAST(count(*) FILTER (WHERE a.label != b.label) AS BIGINT) AS n
+       |  FROM alll a JOIN alll b ON b.doc_id = a.doc_id AND b.k = a.k - 1
+       |  WHERE a.k >= 1 GROUP BY 1),
+       |stopk AS (SELECT coalesce(min(k) FILTER (WHERE n = 0),
+       |    CAST($cap AS BIGINT)) AS k FROM chg)
+       |SELECT doc_id, CAST(label AS BIGINT) AS community FROM alll
+       |WHERE k = (SELECT k FROM stopk)""".stripMargin
+  }
+
   /** Mirror of LabelProp.convergence: the same unrolled LP rounds as
     * [[graphLabelProp]], then one (iter, n_changed) row per round —
     * the count of nodes whose label differs from the previous
