@@ -1419,8 +1419,10 @@ object Dedup {
       path: String): Unit = {
     val edges = spark.read.parquet(s"$path/edges")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    try writeLabelsDir(spark, path, connectedComponents(edges), edges)
-    finally edges.unpersist()
+    try {
+      val (wm, n) = edgeStatsOf(edges)
+      writeLabelsDir(spark, path, connectedComponents(edges), wm, n)
+    } finally edges.unpersist()
   }
 
   /** The serve half: (id, lbl) for every node in some stored pair. */
@@ -1468,43 +1470,80 @@ object Dedup {
     // rare rebuild path re-reads edges beyond that, and
     // connectedComponents persists its own symmetrized frame anyway.
     val edges = spark.read.parquet(s"$path/edges")
+    val (curWm, curN) = edgeStatsOf(edges)
     val nBelow = edges.filter(col("doc_b") <= wm).count()
     if (nBelow < nBaked) {
       // a retraction reached into the labeled region: rebuild
-      writeLabelsDir(spark, path, connectedComponents(edges), edges)
+      writeLabelsDir(spark, path, connectedComponents(edges), curWm, curN)
     } else {
       val delta = edges.filter(col("doc_b") > wm)
       if (!delta.isEmpty) {
         val (labels, cached) = appendComponentsImpl(
           readComponentLabels(spark, path), delta,
           "doc_a", "doc_b", localSolveEdges)
-        try writeLabelsDir(spark, path, labels, edges)
+        try writeLabelsDir(spark, path, labels, curWm, curN)
         finally cached.foreach(_.unpersist())
       }
     }
   }
 
   private def writeLabelsDir(spark: org.apache.spark.sql.SparkSession,
-      path: String, labels: DataFrame, edges: DataFrame): Unit =
-    writeSidecarDir(spark, path, "labels", labels, edges)
+      path: String, labels: DataFrame, wm: Long, nEdges: Long): Unit =
+    writeSidecarDir(spark, path, "labels", labels, wm, nEdges, -1L,
+      converged = true)
 
-  /** Shared writer for edge-artifact SIDECARS (component labels,
-    * triangle stats): `$path/$name/assign` = the maintained frame,
-    * `$path/$name/meta` = (watermark = max doc id in any stored edge,
-    * n_edges) — what lets a refresh split "edges my sidecar already
-    * incorporates" from "edges appended since" and detect retraction,
-    * all from the artifact alone. DirSwap convention: assign + meta
-    * land in ONE swapped directory, so a crash leaves either the old
-    * sidecar or the new — never a torn pair. */
-  private def writeSidecarDir(spark: org.apache.spark.sql.SparkSession,
-      path: String, name: String, assign: DataFrame,
-      edges: DataFrame): Unit = {
-    import spark.implicits._
-    assign.write.mode("overwrite").parquet(s"$path/${name}_compacting/assign")
+  /** (watermark = max doc id in any stored edge, edge count) of an
+    * edge frame — the snapshot identity every sidecar's meta records.
+    * Callers take it ONCE, at the moment they decide what to solve,
+    * and pass the captured pair through to [[writeSidecarDir]]
+    * (round-16 verdict: recomputing it at WRITE time could bake a
+    * watermark covering edges the solve never saw if an append landed
+    * in between; capturing at decision time keeps the meta ≤ what the
+    * solve read, so a racing append at worst leaves the meta stale-LOW
+    * and the next refresh redoes the delta — the safe direction). */
+  private def edgeStatsOf(edges: DataFrame): (Long, Long) = {
     val b = edges.agg(
       coalesce(max(greatest(col("doc_a"), col("doc_b"))), lit(-1L)),
       count(lit(1))).collect()(0)
-    Seq((b.getLong(0), b.getLong(1))).toDF("watermark", "n_edges")
+    (b.getLong(0), b.getLong(1))
+  }
+
+  /** Shared writer for edge-artifact SIDECARS (component labels,
+    * triangle stats, rank scores, LP communities):
+    * `$path/$name/assign` = the maintained frame, `$path/$name/meta`
+    * = one row (watermark = max doc id in any stored edge, n_edges,
+    * rounds_ran, converged):
+    *
+    *  - (watermark, n_edges) — what lets a refresh split "edges my
+    *    sidecar already incorporates" from "edges appended since" and
+    *    detect retraction, all from the artifact alone. The values are
+    *    the caller's [[edgeStatsOf]] snapshot taken when it DECIDED
+    *    what to solve, not a re-read at write time (see there). Under
+    *    the artifact's single-writer ingest contract (one
+    *    append-or-refresh at a time per path — the
+    *    [[appendSimilarityGraph]] monotone-batch regime) the two are
+    *    identical anyway; the capture ordering makes the failure mode
+    *    of a violated contract benign instead of silent.
+    *  - (rounds_ran, converged) — the iterative sidecars' (rank, LP)
+    *    convergence PROVENANCE: a refresh that exhausted its round cap
+    *    without meeting tol/fixpoint writes converged = false, and the
+    *    next refresh RE-ENTERS the iteration from the stored state
+    *    even though the edges are unchanged (warm start makes the
+    *    resume cheap), instead of serving an out-of-band vector as
+    *    final (round-16 verdict #1). The exact sidecars (labels, tri)
+    *    write (-1, true): their solves are exact or fail-fast, so
+    *    there is nothing to resume.
+    *
+    * DirSwap convention: assign + meta land in ONE swapped directory,
+    * so a crash leaves either the old sidecar or the new — never a
+    * torn pair. */
+  private def writeSidecarDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, name: String, assign: DataFrame,
+      wm: Long, nEdges: Long, roundsRan: Long, converged: Boolean): Unit = {
+    import spark.implicits._
+    assign.write.mode("overwrite").parquet(s"$path/${name}_compacting/assign")
+    Seq((wm, nEdges, roundsRan, converged))
+      .toDF("watermark", "n_edges", "rounds_ran", "converged")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/${name}_compacting/meta")
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -1530,8 +1569,9 @@ object Dedup {
     // lingering cached frame whose plan scans that path would be
     // silently substituted for the REWRITTEN edge dir on the next
     // call (Triangles.statsImpl's scaladoc; the crossing spec).
+    val (wm, n) = edgeStatsOf(edges)
     val (stats, cached) = graft.graph.Triangles.statsImpl(edges)
-    try writeSidecarDir(spark, path, "tri", stats, edges)
+    try writeSidecarDir(spark, path, "tri", stats, wm, n, -1L, converged = true)
     finally cached.foreach(_.unpersist())
   }
 
@@ -1570,18 +1610,21 @@ object Dedup {
     // not persisted — the common path's consumers are each one narrow
     // pushed-filter scan (the refreshComponentLabels reasoning)
     val edges = spark.read.parquet(s"$path/edges")
+    val (curWm, curN) = edgeStatsOf(edges)
     val nBelow = edges.filter(col("doc_b") <= wm).count()
     if (nBelow < nBaked) {
       // a retraction reached into the baked region: rebuild (with the
       // same release-after-write discipline as writeTriangleStats)
       val (stats, cached) = graft.graph.Triangles.statsImpl(edges)
-      try writeSidecarDir(spark, path, "tri", stats, edges)
+      try writeSidecarDir(spark, path, "tri", stats, curWm, curN, -1L,
+        converged = true)
       finally cached.foreach(_.unpersist())
     } else if (!edges.filter(col("doc_b") > wm).isEmpty) {
       val (stats, cached) = graft.graph.Triangles.appendStatsImpl(
         readTriangleStats(spark, path),
         edges.select(col("doc_a"), col("doc_b")), col("doc_b") > wm)
-      try writeSidecarDir(spark, path, "tri", stats, edges)
+      try writeSidecarDir(spark, path, "tri", stats, curWm, curN, -1L,
+        converged = true)
       finally cached.foreach(_.unpersist())
     }
   }
@@ -1616,9 +1659,10 @@ object Dedup {
       path: String, tol: Long = RankSidecarTol,
       maxIters: Int = RankSidecarMaxIters): Unit = {
     val edges = spark.read.parquet(s"$path/edges")
-    writeSidecarDir(spark, path, "rank",
-      graft.graph.GraphRank.pageRankConverged(
-        edgeEndpoints(edges), edges, tol, maxIters), edges)
+    val (wm, n) = edgeStatsOf(edges)
+    val (scores, rounds, conv) = graft.graph.GraphRank
+      .pageRankConvergedStats(edgeEndpoints(edges), edges, tol, maxIters)
+    writeSidecarDir(spark, path, "rank", scores, wm, n, rounds.toLong, conv)
   }
 
   /** Default tolerance for the rank sidecar: 10⁹ at scale 10¹² — a
@@ -1653,20 +1697,27 @@ object Dedup {
     * retraction costs extra ROUNDS at worst, never correctness (the
     * labels/tri rebuild fallback has no analogue here). A refresh
     * with the edge set unchanged (same watermark and edge count) is a
-    * no-op; refresh-after-refresh composes. */
+    * no-op ONLY if the stored meta says the last solve actually
+    * converged: a capped-out write (converged = false in the meta)
+    * RE-ENTERS the iteration from the stored vector even with the
+    * edges unchanged, so a cap sized too tight degrades into more
+    * refresh calls — never into serving an out-of-band vector as
+    * final (round-16 verdict #1; the resume is cheap by the warm-start
+    * argument). Refresh-after-refresh composes. */
   def refreshRankScores(spark: org.apache.spark.sql.SparkSession,
       path: String, tol: Long = RankSidecarTol,
       maxIters: Int = RankSidecarMaxIters): Unit = {
     val meta = spark.read.parquet(s"$path/rank/meta").collect()(0)
     val edges = spark.read.parquet(s"$path/edges")
-    val cur = edges.agg(
-      coalesce(max(greatest(col("doc_a"), col("doc_b"))), lit(-1L)),
-      count(lit(1))).collect()(0)
-    if (cur.getLong(0) != meta.getLong(0) || cur.getLong(1) != meta.getLong(1)) {
-      writeSidecarDir(spark, path, "rank",
-        graft.graph.GraphRank.pageRankConvergedFrom(
+    val (curWm, curN) = edgeStatsOf(edges)
+    val storedConverged = meta.getBoolean(3)
+    if (curWm != meta.getLong(0) || curN != meta.getLong(1) || !storedConverged) {
+      val (scores, rounds, conv) = graft.graph.GraphRank
+        .pageRankConvergedFromStats(
           edgeEndpoints(edges), edges, readRankScores(spark, path),
-          tol, maxIters), edges)
+          tol, maxIters)
+      writeSidecarDir(spark, path, "rank", scores, curWm, curN,
+        rounds.toLong, conv)
     }
   }
 
@@ -1698,9 +1749,10 @@ object Dedup {
   def writeLpCommunities(spark: org.apache.spark.sql.SparkSession,
       path: String, maxIters: Int = 32): Unit = {
     val edges = spark.read.parquet(s"$path/edges")
-    writeSidecarDir(spark, path, "lp",
-      graft.graph.LabelProp.communitiesConverged(
-        edgeEndpoints(edges), edges, maxIters), edges)
+    val (wm, n) = edgeStatsOf(edges)
+    val (labels, rounds, conv) = graft.graph.LabelProp
+      .communitiesConvergedStats(edgeEndpoints(edges), edges, maxIters)
+    writeSidecarDir(spark, path, "lp", labels, wm, n, rounds.toLong, conv)
   }
 
   /** The serve half: (doc_id, community) for every node in some
@@ -1717,19 +1769,25 @@ object Dedup {
     * labeling is a valid starting state and the stop test checks
     * fixpointness against the CURRENT edge set, so a cap-crossing
     * retraction costs rounds, never the contract. A refresh with the
-    * edge set unchanged is a no-op. */
+    * edge set unchanged is a no-op ONLY if the stored meta says the
+    * last sweep actually reached a fixpoint: a capped-out write
+    * (converged = false) re-enters the sweep from the stored
+    * assignment even with the edges unchanged (the rank sidecar's
+    * resume convention — round-16 verdict #1), so the fixpoint
+    * contract no longer depends on the cap being sized generously. */
   def refreshLpCommunities(spark: org.apache.spark.sql.SparkSession,
       path: String, maxIters: Int = 32): Unit = {
     val meta = spark.read.parquet(s"$path/lp/meta").collect()(0)
     val edges = spark.read.parquet(s"$path/edges")
-    val cur = edges.agg(
-      coalesce(max(greatest(col("doc_a"), col("doc_b"))), lit(-1L)),
-      count(lit(1))).collect()(0)
-    if (cur.getLong(0) != meta.getLong(0) || cur.getLong(1) != meta.getLong(1)) {
-      writeSidecarDir(spark, path, "lp",
-        graft.graph.LabelProp.communitiesConvergedFrom(
+    val (curWm, curN) = edgeStatsOf(edges)
+    val storedConverged = meta.getBoolean(3)
+    if (curWm != meta.getLong(0) || curN != meta.getLong(1) || !storedConverged) {
+      val (labels, rounds, conv) = graft.graph.LabelProp
+        .communitiesConvergedFromStats(
           edgeEndpoints(edges), edges, readLpCommunities(spark, path),
-          maxIters), edges)
+          maxIters)
+      writeSidecarDir(spark, path, "lp", labels, curWm, curN,
+        rounds.toLong, conv)
     }
   }
 

@@ -140,6 +140,21 @@ object GraphRank {
       tol: Long = 0L, maxIters: Int = 64,
       scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
       checkpointEvery: Int = 5): DataFrame =
+    pageRankConvergedStats(nodes, pairs, tol, maxIters, scale, dNum, dDen,
+      checkpointEvery)._1
+
+  /** [[pageRankConverged]] returning its convergence PROVENANCE along
+    * with the scores: (scores, rounds ran, converged) where converged
+    * is false iff the loop exhausted `maxIters` with the last round
+    * still moving some rank by more than `tol`. The provenance is what
+    * an artifact writer must PERSIST (the rank sidecar's meta): a
+    * capped-out vector is indistinguishable from a converged one by
+    * inspection, so without the flag a later refresh would treat it as
+    * final and serve outside the promised band (round-16 verdict). */
+  def pageRankConvergedStats(nodes: DataFrame, pairs: DataFrame,
+      tol: Long = 0L, maxIters: Int = 64,
+      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
+      checkpointEvery: Int = 5): (DataFrame, Int, Boolean) =
     convergedLoop(nodes, pairs, None, tol, maxIters, scale, dNum, dDen,
       checkpointEvery)
 
@@ -166,13 +181,22 @@ object GraphRank {
       init: DataFrame, tol: Long, maxIters: Int = 64,
       scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
       checkpointEvery: Int = 5): DataFrame =
+    pageRankConvergedFromStats(nodes, pairs, init, tol, maxIters, scale,
+      dNum, dDen, checkpointEvery)._1
+
+  /** [[pageRankConvergedFrom]] with convergence provenance — the
+    * warm-start twin of [[pageRankConvergedStats]]. */
+  def pageRankConvergedFromStats(nodes: DataFrame, pairs: DataFrame,
+      init: DataFrame, tol: Long, maxIters: Int = 64,
+      scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
+      checkpointEvery: Int = 5): (DataFrame, Int, Boolean) =
     convergedLoop(nodes, pairs, Some(init), tol, maxIters, scale, dNum,
       dDen, checkpointEvery)
 
   private def convergedLoop(nodes: DataFrame, pairs: DataFrame,
       init: Option[DataFrame], tol: Long, maxIters: Int,
       scale: Long, dNum: Long, dDen: Long,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int): (DataFrame, Int, Boolean) = {
     val ids = nodes.select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val edgesW = symmetrized(pairs, lit(1L))
@@ -206,7 +230,7 @@ object GraphRank {
     r.unpersist()
     ids.unpersist()
     edgesW.unpersist()
-    out
+    (out, i, moved <= tol)
   }
 
   /** Symmetrize an undirected unique-pair edge list carrying a weight

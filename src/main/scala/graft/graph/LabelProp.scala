@@ -151,6 +151,18 @@ object LabelProp {
     * goes. */
   def communitiesConverged(nodes: DataFrame, pairs: DataFrame,
       maxIters: Int = 32, checkpointEvery: Int = 5): DataFrame =
+    communitiesConvergedStats(nodes, pairs, maxIters, checkpointEvery)._1
+
+  /** [[communitiesConverged]] returning its convergence PROVENANCE
+    * along with the labels: (labels, rounds ran, converged) where
+    * converged is false iff the loop exhausted `maxIters` with the
+    * last round still moving some label. A capped-out assignment is
+    * NOT a fixpoint, and by inspection it is indistinguishable from
+    * one — the flag is what the LP sidecar's meta must persist so a
+    * later refresh resumes the sweep instead of serving a
+    * non-fixpoint as final (round-16 verdict). */
+  def communitiesConvergedStats(nodes: DataFrame, pairs: DataFrame,
+      maxIters: Int = 32, checkpointEvery: Int = 5): (DataFrame, Int, Boolean) =
     convergedLoop(nodes, pairs, None, maxIters, checkpointEvery)
 
   /** Rounds the last [[communitiesConverged]] /
@@ -178,6 +190,14 @@ object LabelProp {
   def communitiesConvergedFrom(nodes: DataFrame, pairs: DataFrame,
       init: DataFrame, maxIters: Int = 32,
       checkpointEvery: Int = 5): DataFrame =
+    communitiesConvergedFromStats(nodes, pairs, init, maxIters,
+      checkpointEvery)._1
+
+  /** [[communitiesConvergedFrom]] with convergence provenance — the
+    * warm-start twin of [[communitiesConvergedStats]]. */
+  def communitiesConvergedFromStats(nodes: DataFrame, pairs: DataFrame,
+      init: DataFrame, maxIters: Int = 32,
+      checkpointEvery: Int = 5): (DataFrame, Int, Boolean) =
     convergedLoop(nodes, pairs, Some(init), maxIters, checkpointEvery)
 
   /** One synchronous round over canonicalized `pairs`, applied to an
@@ -193,7 +213,7 @@ object LabelProp {
 
   private def convergedLoop(nodes: DataFrame, pairs: DataFrame,
       init: Option[DataFrame], maxIters: Int,
-      checkpointEvery: Int): DataFrame = {
+      checkpointEvery: Int): (DataFrame, Int, Boolean) = {
     val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
     var lab = (init match {
       case Some(v) => nodes.select(col("doc_id"), labGuard.as("self"))
@@ -225,7 +245,7 @@ object LabelProp {
       .localCheckpoint()
     lab.unpersist()
     edges.unpersist()
-    out
+    (out, i, changed == 0L)
   }
 
   /** CONVERGENCE diagnostic for [[communities]] — the evidence that

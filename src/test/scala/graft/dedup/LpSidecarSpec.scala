@@ -94,8 +94,15 @@ class LpSidecarSpec extends AnyFunSuite with BeforeAndAfterAll {
         .union(edges.select(col("doc_b").as("doc_id"))).distinct(),
       edges.select(col("doc_a"), col("doc_b")))
     val coldRounds = LabelProp.lastConvergedRounds
-    assert(warmRounds <= coldRounds,
-      s"warm used $warmRounds rounds vs cold $coldRounds")
+    // <= coldRounds + 1 with slack: delta-LPA has NO guarantee that a
+    // warm trajectory is shorter — warm and cold follow different
+    // paths to possibly different fixpoints, and a perturbed warm
+    // start can in principle take more rounds than the cold
+    // coarsening cascade. The ≤ relation is EMPIRICAL on these fixed
+    // corpora (LP settles in 2-3 rounds here); the checkable contract
+    // is fixpointness, asserted above.
+    assert(warmRounds <= coldRounds + 1,
+      s"warm used $warmRounds rounds vs cold $coldRounds (+1 slack)")
     spark.catalog.clearCache()
   }
 
@@ -128,6 +135,33 @@ class LpSidecarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(LabelProp.lastConvergedRounds === -1, "no-op refresh iterated")
     assert(labMap(Dedup.readLpCommunities(spark, p)) === before)
     spark.catalog.clearCache()
+  }
+
+  test("capped-out refresh records converged=false and is resumed, not served as final") {
+    val docs = corpus(0 until 80, 5)
+    val p = tmp("lp_resume")
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < 60), p)
+    Dedup.writeLpCommunities(spark, p)
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= 60), p)
+    // a 1-round cap cannot re-settle the appended nodes: the write
+    // must carry converged=false (a capped assignment is NOT a
+    // fixpoint, and nothing downstream can tell by inspection)
+    Dedup.refreshLpCommunities(spark, p, maxIters = 1)
+    val meta1 = spark.read.parquet(s"$p/lp/meta").collect()(0)
+    assert(!meta1.getBoolean(3), "capped refresh must record converged=false")
+    assert(meta1.getLong(2) === 1L, "rounds_ran must record the capped round")
+    // a plain refresh over UNCHANGED edges must re-enter the sweep
+    // (delta-LPA resume from the stored assignment) and reach a
+    // genuine fixpoint
+    Dedup.refreshLpCommunities(spark, p)
+    val meta2 = spark.read.parquet(s"$p/lp/meta").collect()(0)
+    assert(meta2.getBoolean(3), "resume must flip converged")
+    assertFixpoint(p, "resume")
+    // and the artifact is now final: one more refresh no-ops
+    LabelProp.lastConvergedRounds = -1
+    Dedup.refreshLpCommunities(spark, p)
+    assert(LabelProp.lastConvergedRounds === -1,
+      "refresh after a converged resume must no-op")
   }
 
   test("cap-crossing retraction: no fallback needed, still a fixpoint") {

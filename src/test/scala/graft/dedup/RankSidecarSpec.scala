@@ -15,12 +15,18 @@ import graft.graph.GraphRank
   *
   *  - warm restart AT a converged vector re-stops immediately (the
   *    next move contracts below tol);
-  *  - a refresh after an append lands within the contraction band of
-  *    a cold from-scratch converge over the union — both vectors sit
-  *    within ~tol/(1-d) of the exact fixpoint, so their distance is
-  *    bounded by ~2·tol·dDen/(dDen-dNum) (≈13.4·tol at d=0.85; the
-  *    asserted 14·tol adds integer-rounding slack) — while using no
-  *    MORE rounds than the cold converge (the point of the sidecar);
+  *  - a refresh after an append lands within 14·tol of a cold
+  *    from-scratch converge over the union. 14·tol is an EMPIRICALLY
+  *    PINNED band on these fixed, seeded spec corpora, not a theorem:
+  *    the heuristic argument (both vectors within ~tol/(1-d) of the
+  *    fixpoint → distance ≤ ~2·tol·dDen/(dDen−dNum) ≈ 13.4·tol at
+  *    d=0.85) treats the stop test's max-move ≤ tol as an ∞-norm
+  *    distance bound, which PageRank's iteration map does not grant
+  *    on hub-heavy graphs (a star hub's move is ~d·k·scale — see the
+  *    RankSidecarTol scaladoc; only an n-dependent L1 bound holds in
+  *    general). The corpora here are fixed and deterministic so the
+  *    assertion cannot flake, and the refresh also uses no MORE
+  *    rounds than the cold converge (the point of the sidecar);
   *  - refresh on an unchanged artifact is a no-op;
   *  - a cap-crossing retraction needs NO rebuild fallback: the stored
   *    vector is only an initial guess, so the refresh stays in-band
@@ -69,6 +75,8 @@ class RankSidecarSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def assertInBand(warm: Map[Long, Long], cold: Map[Long, Long],
       clue: String): Unit = {
     assert(warm.keySet === cold.keySet, s"$clue: node sets differ")
+    // 14*tol: empirically pinned on these fixed seeded corpora (see
+    // the class scaladoc — NOT a general ∞-norm theorem)
     val worst = warm.map { case (id, r) => math.abs(r - cold(id)) }.max
     assert(worst <= 14L * Tol, s"$clue: max |warm-cold| = $worst > 14*tol")
   }
@@ -137,6 +145,33 @@ class RankSidecarSpec extends AnyFunSuite with BeforeAndAfterAll {
     assertInBand(rankMap(Dedup.readRankScores(spark, p)), coldOver(p),
       "crossing refresh")
     assert(nStored > 0, "vacuous: no stored edges before the crossing")
+  }
+
+  test("capped-out refresh records converged=false and is resumed, not served as final") {
+    val docs = corpus(0 until 80, 5)
+    val p = tmp("rank_resume")
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < 60), p)
+    Dedup.writeRankScores(spark, p, Tol)
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= 60), p)
+    // a 1-round cap cannot absorb the append's perturbation: the
+    // write must carry converged=false in the meta instead of
+    // masquerading as final (round-16 verdict #1)
+    Dedup.refreshRankScores(spark, p, Tol, maxIters = 1)
+    val meta1 = spark.read.parquet(s"$p/rank/meta").collect()(0)
+    assert(!meta1.getBoolean(3), "capped refresh must record converged=false")
+    assert(meta1.getLong(2) === 1L, "rounds_ran must record the capped round")
+    // a plain refresh over UNCHANGED edges must re-enter the loop
+    // (resuming from the stored vector), converge, and flip the flag
+    Dedup.refreshRankScores(spark, p, Tol)
+    val meta2 = spark.read.parquet(s"$p/rank/meta").collect()(0)
+    assert(meta2.getBoolean(3), "resume must flip converged")
+    assertInBand(rankMap(Dedup.readRankScores(spark, p)), coldOver(p), "resume")
+    // and now the artifact really is final: one more refresh no-ops
+    GraphRank.lastConvergedRounds = -1
+    Dedup.refreshRankScores(spark, p, Tol)
+    assert(GraphRank.lastConvergedRounds === -1,
+      "refresh after a converged resume must no-op")
+    spark.catalog.clearCache()
   }
 
   test("new nodes enter the sidecar at the cold init and converge") {
