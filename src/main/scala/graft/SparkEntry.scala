@@ -183,6 +183,33 @@ object SparkEntry {
     graft.dedup.Dedup.readTriangleStats(s, path)
   }
 
+  /** Write-once INCREMENTALLY-MAINTAINED rank-scores artifact — the
+    * rank member of the append-lifecycle family ([[clustersAppendLabels]]
+    * / [[triStatsAppend]]): graph + converged rank sidecar built from
+    * the low-id 80% of the corpus, the high-id 20% appended as an
+    * ingest batch, then the sidecar refreshed by WARM-STARTING the
+    * power iteration from the stored vector. The serve contract is a
+    * tolerance band (not an exact gate), so the gated query is the
+    * [[graft.dedup.Dedup.rankSidecarAudit]] contract row, not the
+    * scores themselves. Separate artifact path so the bench time
+    * stays attributable to this lifecycle. */
+  private def rankSidecarAppendPath(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_sim_graph_rapp/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    indexedTables.getOrElseUpdate((s, path), {
+      val docs = table(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cutoff = maxId * 4 / 5
+      graft.dedup.Dedup.writeSimilarityGraph(
+        docs.filter(col("doc_id") < cutoff), path)
+      graft.dedup.Dedup.writeRankScores(s, path)
+      graft.dedup.Dedup.appendSimilarityGraph(
+        docs.filter(col("doc_id") >= cutoff), path)
+      graft.dedup.Dedup.refreshRankScores(s, path)
+    })
+    path
+  }
+
   /** Write-once LP community-labels artifact over [[simGraphEdges]]:
     * the labels are a pure function of the edge artifact, so audits
     * and downstream consumers (q_graph_modularity) read the stored
@@ -675,6 +702,18 @@ object SparkEntry {
     // instead of re-paying the full-graph wedge enumeration
     "q_graph_clustering_append" -> ((s, dir) =>
       graft.graph.Triangles.withCc(triStatsAppend(s, dir))),
+    // the RANK-SCORES sidecar's serve contract as driver evidence
+    // (round-16 verdict #3): the tolerance band cannot be hash-gated
+    // directly (a warm trajectory is not a pure function an oracle can
+    // replay), so the gate is the ivfAudit-style CONTRACT ROW — Spark
+    // re-verifies coverage (sidecar nodes == edge endpoints), the
+    // serve band (re-enter the iteration FROM the served vector; a
+    // converged sidecar re-stops in ~1 round, so the audit never pays
+    // the cold converge), and the persisted converged flag, over the
+    // full build→append→warm-refresh lifecycle; the oracle is the
+    // constant all-ok row
+    "q_graph_rank_sidecar" -> ((s, dir) =>
+      graft.dedup.Dedup.rankSidecarAudit(s, rankSidecarAppendPath(s, dir))),
     // fuzzy record linkage between two derived registries (4-char vs
     // 5-char sources): rare-shingle inverted-index blocking (df-capped
     // on BOTH sides — deterministic 100% recall over the blocking
@@ -2871,6 +2910,13 @@ object SparkEntry {
     "q_graph_clustering_append" -> DocSql.graphClustering(Dedup.MinHashParams()),
     "q_graph_lp_converge" ->
       DocSql.graphLabelPropConverge(Dedup.MinHashParams(), 4),
+    // the q_sim_ivf convention: Spark re-derives the serve contract
+    // from the artifact, the oracle is the constant contract row —
+    // any coverage gap, out-of-band score, or capped-out write
+    // flips a flag and breaks the hash
+    "q_graph_rank_sidecar" ->
+      """SELECT CAST(1 AS BIGINT) AS nodes_ok, CAST(1 AS BIGINT) AS band_ok,
+        |  CAST(1 AS BIGINT) AS converged_ok, CAST(1 AS BIGINT) AS nonempty""".stripMargin,
     "q_join_setsim" -> DocSql.setSimJoin(300000L, 3),
     "q_join_contain" -> DocSql.containJoin(600000L, 3),
     "q_text_phrase" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),

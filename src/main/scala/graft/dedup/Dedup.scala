@@ -1725,6 +1725,63 @@ object Dedup {
     edges.select(col("doc_a").as("doc_id"))
       .union(edges.select(col("doc_b").as("doc_id"))).distinct()
 
+  /** DRIVER-GATEABLE audit of the rank sidecar's SERVE CONTRACT — the
+    * [[graft.similarity.Similarity.ivfAudit]] playbook applied to the
+    * one sidecar whose contract (a tolerance band around a converged
+    * fixpoint) cannot be hash-gated directly (round-16 verdict: the
+    * band was spec-pinned but had no CORRECTNESS row). Spark
+    * re-verifies the contract against the artifact and emits ONE row
+    * of boolean columns; the DuckDB oracle is the constant contract
+    * row, so any violation — a node missing from or extra in the
+    * sidecar, a served vector outside the band, a capped-out write
+    * masquerading as converged, or an empty artifact — flips a flag
+    * and breaks the hash.
+    *
+    * The band check re-enters the power iteration FROM THE SERVED
+    * VECTOR ([[graft.graph.GraphRank.pageRankConvergedFromStats]]):
+    * power iteration converges to the current edge set's fixpoint from
+    * any start, so the re-converged vector is in-contract by
+    * construction, and a served vector that already honored the
+    * contract re-stops in ~1 round — the audit costs rounds
+    * proportional to how WRONG the sidecar is, never the cold
+    * log(scale/tol) schedule (the minute-class converged oracle the
+    * round-15 decision rightly declined). The asserted band is the
+    * empirically pinned 14·tol of RankSidecarSpec.
+    *
+    * Output row: (nodes_ok, band_ok, converged_ok, nonempty) — all 1
+    * on a healthy artifact. Shape at 100 TB: two anti-join counts on
+    * doc_id (coverage), the warm re-converge (~1 round on a healthy
+    * sidecar), one narrow join + 1-row max (the deviation). */
+  def rankSidecarAudit(spark: org.apache.spark.sql.SparkSession,
+      path: String, tol: Long = RankSidecarTol,
+      maxIters: Int = RankSidecarMaxIters): DataFrame = {
+    import spark.implicits._
+    val served = readRankScores(spark, path)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val edges = spark.read.parquet(s"$path/edges")
+      val meta = spark.read.parquet(s"$path/rank/meta").collect()(0)
+      val endpoints = edgeEndpoints(edges)
+      val missing = endpoints
+        .join(served.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
+      val extra = served.select(col("doc_id"))
+        .join(endpoints, Seq("doc_id"), "left_anti").count()
+      val (rec, _, reConv) = graft.graph.GraphRank
+        .pageRankConvergedFromStats(endpoints, edges, served, tol, maxIters)
+      val worst = served
+        .join(rec.withColumnRenamed("rank_e12", "rr"), "doc_id")
+        .agg(coalesce(max(abs(col("rank_e12") - col("rr"))), lit(0L)))
+        .head().getLong(0)
+      val nServed = served.count()
+      Seq((
+        if (missing == 0L && extra == 0L) 1L else 0L,
+        if (worst <= 14L * tol) 1L else 0L,
+        if (meta.getBoolean(3) && reConv) 1L else 0L,
+        if (nServed > 0L) 1L else 0L))
+        .toDF("nodes_ok", "band_ok", "converged_ok", "nonempty")
+    } finally served.unpersist()
+  }
+
   /** Build the LP-COMMUNITY sidecar of a [[writeSimilarityGraph]]
     * artifact: `lp/assign` = converged synchronous label propagation
     * ([[graft.graph.LabelProp.communitiesConverged]]) over the edge

@@ -174,6 +174,37 @@ class RankSidecarSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("rankSidecarAudit: all-ok on a healthy artifact, flags flip on corruption") {
+    import spark.implicits._
+    val docs = corpus(0 until 80, 5)
+    val p = tmp("rank_audit")
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < 60), p)
+    Dedup.writeRankScores(spark, p, Tol)
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= 60), p)
+    Dedup.refreshRankScores(spark, p, Tol)
+    def audit() = Dedup.rankSidecarAudit(spark, p, Tol).collect()(0)
+    val ok = audit()
+    assert((ok.getLong(0), ok.getLong(1), ok.getLong(2), ok.getLong(3))
+      === ((1L, 1L, 1L, 1L)), "healthy artifact must pass every flag")
+    // corrupt the served vector: push one score far outside the band
+    val assign = Dedup.readRankScores(spark, p).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val bad = assign.zipWithIndex.map { case ((id, r), i) =>
+      (id, if (i == 0) r + 100L * Tol else r) }
+    spark.catalog.clearCache()
+    bad.toSeq.toDF("doc_id", "rank_e12")
+      .write.mode("overwrite").parquet(s"$p/rank/assign")
+    val band = audit()
+    assert(band.getLong(1) === 0L, "out-of-band score must flip band_ok")
+    // corrupt coverage: drop a node row entirely
+    spark.catalog.clearCache()
+    assign.drop(1).toSeq.toDF("doc_id", "rank_e12")
+      .write.mode("overwrite").parquet(s"$p/rank/assign")
+    val cov = audit()
+    assert(cov.getLong(0) === 0L, "missing node must flip nodes_ok")
+    spark.catalog.clearCache()
+  }
+
   test("new nodes enter the sidecar at the cold init and converge") {
     val docs = corpus(0 until 80, 5)
     val p = tmp("rank_newnodes")
