@@ -210,6 +210,38 @@ object SparkEntry {
     path
   }
 
+  /** Write-once DELETION-lifecycle artifact (round-16 verdict #1 —
+    * the takedown verb): graph + labels sidecar built from the low-id
+    * 80% of the corpus, the high-id 20% appended as an ingest batch
+    * (labels refreshed incrementally), then every doc_id % 7 == 3
+    * DELETED — edges touching deleted docs retracted, newly-supported
+    * survivor pairs added (buckets dropping under the cap, stars
+    * re-pointed off dead minima), the signature index rewritten to
+    * survivors, and the labels sidecar rebuilt. Build + append +
+    * delete equals a from-scratch build over the SURVIVORS
+    * (SimGraphDeleteSpec), so the gates are plain from-scratch
+    * oracles over `documents WHERE doc_id % 7 <> 3` — the oracle
+    * never sees the deletion path. Shared by q_dedup_delete (edges)
+    * and q_dedup_clusters_delete (the rebuilt labels). */
+  private def deletedGraphPath(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_sim_graph_del/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    indexedTables.getOrElseUpdate((s, path), {
+      val docs = table(s, dir, "documents")
+      val maxId = docs.agg(max(col("doc_id"))).collect()(0).getLong(0)
+      val cutoff = maxId * 4 / 5
+      graft.dedup.Dedup.writeSimilarityGraph(
+        docs.filter(col("doc_id") < cutoff), path)
+      graft.dedup.Dedup.writeComponentLabels(s, path)
+      graft.dedup.Dedup.appendSimilarityGraph(
+        docs.filter(col("doc_id") >= cutoff), path)
+      graft.dedup.Dedup.refreshComponentLabels(s, path)
+      graft.dedup.Dedup.deleteFromSimilarityGraph(s, path,
+        docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+    })
+    path
+  }
+
   /** Write-once LP community-labels artifact over [[simGraphEdges]]:
     * the labels are a pure function of the edge artifact, so audits
     * and downstream consumers (q_graph_modularity) read the stored
@@ -1471,6 +1503,20 @@ object SparkEntry {
     // real pipelines run tau >= 0.85 — see Similarity.CosineParams)
     "q_dedup_cosine" -> ((s, dir) =>
       Similarity.cosinePairs(table(s, dir, "embeddings"))),
+    // DELETION lifecycle, edge half (round-16 verdict #1): the grown
+    // artifact with every doc_id % 7 == 3 deleted must serve exactly
+    // the pair graph of a from-scratch build over the survivors —
+    // the oracle computes that from-scratch graph and never sees the
+    // delete path
+    "q_dedup_delete" -> ((s, dir) =>
+      graft.dedup.Dedup.readSimilarityGraph(s, deletedGraphPath(s, dir))),
+    // DELETION lifecycle, sidecar half: the labels rebuilt by the
+    // delete verb, resolved over the surviving corpus, against the
+    // plain recursive-CTE closure over the survivors
+    "q_dedup_clusters_delete" -> ((s, dir) =>
+      Dedup.clustersOf(
+        table(s, dir, "documents").filter(col("doc_id") % 7 =!= 3),
+        graft.dedup.Dedup.readComponentLabels(s, deletedGraphPath(s, dir)))),
 
     // --- events: JSON props, window functions, set ops ------------------
     "q_events_props" -> ((s, dir) => {
@@ -3002,6 +3048,12 @@ object SparkEntry {
     // q_graph_edges_append convention: the oracle never sees the
     // incremental path)
     "q_dedup_clusters_append" -> DocSql.dedupClusters(Dedup.MinHashParams()),
+    // the deletion lifecycle gates: from-scratch pipelines over the
+    // SURVIVING documents only — the oracle never sees the delete verb
+    "q_dedup_delete" ->
+      DocSql.minhashPairsWhere(Dedup.MinHashParams(), "doc_id % 7 <> 3"),
+    "q_dedup_clusters_delete" ->
+      DocSql.dedupClustersWhere(Dedup.MinHashParams(), "doc_id % 7 <> 3"),
     "q_dedup_clusters_best" -> DocSql.dedupClustersBest(Dedup.MinHashParams()),
     "q_dedup_chunks" -> DocSql.chunkDupes(20),
     "q_dedup_cdc" -> DocSql.cdcDupes(1),

@@ -494,6 +494,273 @@ object Dedup {
     compactSignatureIndex(spark, s"$path/index", p)
   }
 
+  /** DELETE documents from a [[writeSimilarityGraph]] artifact — the
+    * takedown / right-to-be-forgotten verb every production
+    * training-data pipeline eventually runs (round-16 verdict #1), and
+    * the first of the artifact family's delete verbs: after this call
+    * the artifact (edges + signature index + any existing sidecars)
+    * EQUALS a from-scratch [[writeSimilarityGraph]] build over the
+    * surviving corpus — edge for edge, probe for probe
+    * (SimGraphDeleteSpec asserts; the gated q_dedup_delete /
+    * q_dedup_clusters_delete compare against plain from-scratch
+    * oracles over the survivors, which never see the deletion path).
+    * Ids absent from the index are ignored (idempotent re-runs,
+    * partial takedown lists).
+    *
+    * WHY the update is exact without re-reading any text: deletion
+    * only SHRINKS band buckets, so a surviving pair never loses LSH
+    * support — a bucket under the cap stays under it, and a star
+    * whose representative survives keeps pointing at it (the merged
+    * min can only move UP when the old min dies). The full delta is:
+    *
+    *  - REMOVED edges: exactly the stored edges touching a deleted id
+    *    (two broadcast anti equi-joins over the narrow edge list).
+    *  - ADDED edges (support that a from-scratch build over survivors
+    *    has and the stored graph could not): survivor pairs in TOUCHED
+    *    buckets (buckets containing a deleted doc — every other
+    *    bucket's stats and membership are unchanged) of two kinds:
+    *    (a) buckets that DROP under the cap (old merged n > cap,
+    *    surviving n <= cap): the from-scratch build emits all pairs
+    *    where the stored graph only had the star; (b) buckets STAYING
+    *    over the cap whose merged MIN died: the star re-points at the
+    *    surviving min. Both are bounded per touched bucket (<= cap²
+    *    resp. O(bucket)); candidates are verified against stored
+    *    survivor signatures exactly like a build.
+    *
+    * Membership of touched buckets is re-derived by banding the
+    * SURVIVOR SIGNATURES (one narrow pass over the stored sig index,
+    * semi-joined map-side against the broadcast touched-bucket set) —
+    * necessary because over-cap buckets never stored member rows, and
+    * sufficient because band hashes are a pure function of the stored
+    * sig. Deletion cost therefore tracks THE INDEX (~0.4 KB/doc
+    * narrow columns) plus the edge rewrite — never the corpus text —
+    * and production batches takedowns the way it batches ingest
+    * (DedupIndexBench's delete rows measure cost vs deleted-set size).
+    *
+    * CRASH/REPLAY: two directory swaps — edges first, then the whole
+    * index ([[graft.core.DirSwap]] each). Re-running the SAME delete
+    * converges from every crash point: before the edge swap nothing
+    * changed; between the swaps the re-run recomputes from the intact
+    * pre-delete index, finds the edges already clean (new candidates
+    * anti-join away against the kept edges) and completes the index
+    * rewrite; after both swaps the re-run is a no-op (the ids are
+    * gone from the index and no stored edge touches them).
+    *
+    * SIDECARS: deletion can SPLIT components and REMOVE triangles, so
+    * the exact sidecars (labels, tri) are REBUILT from the current
+    * edges whenever their meta no longer matches — the
+    * watermark-heuristic delta detection of the refresh verbs is an
+    * APPEND protocol and deletion can fool it (e.g. deleting only
+    * above-watermark edges), so the delete verb refreshes explicitly
+    * instead of relying on it. The iterative sidecars (rank, LP) take
+    * their ordinary warm refresh: any stored state is a valid start
+    * and the stop test runs against the current edges. A sidecar that
+    * does not exist is skipped.
+    *
+    * ID REUSE: after deleting the highest ids, a later append may
+    * legally reuse them (the monotone require checks the SURVIVING
+    * index max) — a recycled id is simply a fresh document. */
+  def deleteFromSimilarityGraph(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id"): Unit = {
+    val idx = s"$path/index"
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del = deletedIds.select(col(idCol).as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = spark.read.parquet(s"$idx/sigs")
+      val delSigs = sigs.join(broadcast(del), Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val edges0 = spark.read.parquet(s"$path/edges")
+      val edgesTouchingDel = edges0
+        .join(broadcast(del.withColumnRenamed("doc_id", "doc_a")), Seq("doc_a"), "left_semi")
+        .unionByName(edges0
+          .join(broadcast(del.withColumnRenamed("doc_id", "doc_b")), Seq("doc_b"), "left_semi"))
+      val anythingStored = !delSigs.isEmpty
+      if (anythingStored || !edgesTouchingDel.isEmpty) {
+        val survivors = sigs.join(broadcast(del), Seq("doc_id"), "left_anti")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // touched buckets: every bucket a deleted doc was banded into
+        val touched = explodedBands(delSigs, "doc_id", p)
+          .select(col("band_idx"), col("band_hash")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        // surviving membership of touched buckets: one narrow pass
+        // over the survivor sigs, map-side semi against the broadcast
+        // touched set
+        val survTouched = explodedBands(survivors, "doc_id", p)
+          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val oldStats = spark.read.parquet(s"$idx/band_stats")
+          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_semi")
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(sum(col("n")).as("on"), min(col("min_id")).as("omin"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newStats = survTouched
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("nn"), min(col("doc_id")).as("nmin"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+
+        // (a) buckets dropping under the cap: all survivor pairs
+        val dropping = oldStats.join(newStats, Seq("band_idx", "band_hash"))
+          .filter(col("on") > p.maxBucketSize && col("nn") <= p.maxBucketSize)
+          .select(col("band_idx"), col("band_hash"))
+        val stDrop = survTouched
+          .join(broadcast(dropping), Seq("band_idx", "band_hash"), "left_semi")
+        val candDrop = stDrop.as("a")
+          .join(stDrop.as("b"),
+            col("a.band_idx") === col("b.band_idx") &&
+              col("a.band_hash") === col("b.band_hash") &&
+              col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        // (b) buckets staying over the cap whose merged min died: the
+        // star re-points at the surviving min
+        val staying = oldStats.join(newStats, Seq("band_idx", "band_hash"))
+          .filter(col("nn") > p.maxBucketSize)
+          .join(broadcast(del.withColumnRenamed("doc_id", "omin")),
+            Seq("omin"), "left_semi")
+          .select(col("band_idx"), col("band_hash"), col("nmin"))
+        val candStar = survTouched
+          .join(broadcast(staying), Seq("band_idx", "band_hash"))
+          .filter(col("doc_id") =!= col("nmin"))
+          .select(col("nmin").as("doc_a"), col("doc_id").as("doc_b"))
+        val cand = candDrop.union(candStar).distinct()
+
+        // explicit re-projection: a USING join moves its key column to
+        // the front, which would silently write (doc_b, doc_a, ...)
+        val kept = edges0
+          .join(broadcast(del.withColumnRenamed("doc_id", "doc_a")), Seq("doc_a"), "left_anti")
+          .join(broadcast(del.withColumnRenamed("doc_id", "doc_b")), Seq("doc_b"), "left_anti")
+          .select(col("doc_a"), col("doc_b"), col("minhash_matches"))
+        // a candidate already stored (it had support from another,
+        // untouched bucket) keeps its stored row — also what makes the
+        // crash-replay converge instead of double-appending
+        val newCand = cand
+          .join(kept.select(col("doc_a"), col("doc_b")),
+            Seq("doc_a", "doc_b"), "left_anti")
+        val newEdges = verifyPairs(newCand, survivors, p)
+
+        // stage the edge rewrite, then the whole-index rewrite, THEN
+        // swap in that order (see CRASH/REPLAY above)
+        kept.unionByName(newEdges)
+          .write.mode("overwrite").parquet(s"$path/edges_compacting")
+        if (anythingStored) {
+          survivors.write.mode("overwrite").parquet(s"$idx-compacting/sigs")
+          spark.read.parquet(s"$idx/band_stats")
+            .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
+            .unionByName(newStats.select(col("band_idx"), col("band_hash"),
+              col("nn").as("n"), col("nmin").as("min_id")))
+            .write.mode("overwrite").parquet(s"$idx-compacting/band_stats")
+          // untouched buckets never held a deleted doc, so their rows
+          // are exact; touched buckets are re-materialized complete
+          // when the surviving count is under the cap (over-cap rows
+          // are never read — the star rule uses the merged min)
+          spark.read.parquet(s"$idx/band_rows")
+            .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
+            .unionByName(survTouched
+              .join(broadcast(newStats.filter(col("nn") <= p.maxBucketSize)
+                .select(col("band_idx"), col("band_hash"))),
+                Seq("band_idx", "band_hash"), "left_semi")
+              .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")))
+            .write.mode("overwrite").parquet(s"$idx-compacting/band_rows")
+        }
+        graft.core.DirSwap.swap(fs,
+          new org.apache.hadoop.fs.Path(s"$path/edges"),
+          new org.apache.hadoop.fs.Path(s"$path/edges_compacting"))
+        if (anythingStored) {
+          graft.core.DirSwap.preserveBatchMarkers(fs,
+            new org.apache.hadoop.fs.Path(idx),
+            new org.apache.hadoop.fs.Path(s"$idx-compacting"))
+          graft.core.DirSwap.swap(fs,
+            new org.apache.hadoop.fs.Path(idx),
+            new org.apache.hadoop.fs.Path(s"$idx-compacting"))
+        }
+        Seq(delSigs, survivors, touched, survTouched, oldStats, newStats)
+          .foreach(_.unpersist())
+
+        // bring any existing sidecars back in line with the rewritten
+        // edges (rebuild for the exact ones, warm refresh for the
+        // iterative ones — see the scaladoc)
+        val cur = spark.read.parquet(s"$path/edges")
+        val (curWm, curN) = edgeStatsOf(cur)
+        def metaStale(name: String): Boolean = {
+          val m = spark.read.parquet(s"$path/$name/meta").collect()(0)
+          m.getLong(0) != curWm || m.getLong(1) != curN
+        }
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/labels")) &&
+            metaStale("labels"))
+          writeComponentLabels(spark, path)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tri")) &&
+            metaStale("tri"))
+          writeTriangleStats(spark, path)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/rank")))
+          refreshRankScores(spark, path)
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/lp")))
+          refreshLpCommunities(spark, path)
+      } else delSigs.unpersist()
+    } finally del.unpersist()
+  }
+
+  /** DELETE documents from a standalone [[writeSignatureIndex]]
+    * artifact — the same index rewrite as
+    * [[deleteFromSimilarityGraph]] without the edge or sidecar halves:
+    * after this call, probes ([[minhashPairsAgainstIndex]]) and
+    * appends against the index behave exactly as against a
+    * from-scratch [[writeSignatureIndex]] over the survivors
+    * (DedupSpec asserts probe equivalence). One whole-index DirSwap
+    * (ingest `_batches` markers preserved); ids absent from the index
+    * are ignored. Cost ∝ the index, never the corpus text. */
+  def deleteFromSignatureIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame,
+      p: MinHashParams = MinHashParams(),
+      idCol: String = "doc_id"): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del = deletedIds.select(col(idCol).as("doc_id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      val sigs = spark.read.parquet(s"$path/sigs")
+      val delSigs = sigs.join(broadcast(del), Seq("doc_id"), "left_semi")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (!delSigs.isEmpty) {
+        val survivors = sigs.join(broadcast(del), Seq("doc_id"), "left_anti")
+        val touched = explodedBands(delSigs, "doc_id", p)
+          .select(col("band_idx"), col("band_hash")).distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val survTouched = explodedBands(survivors, "doc_id", p)
+          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_semi")
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val newStats = survTouched
+          .groupBy(col("band_idx"), col("band_hash"))
+          .agg(count(lit(1)).as("nn"), min(col("doc_id")).as("nmin"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        survivors.write.mode("overwrite").parquet(s"$path-compacting/sigs")
+        spark.read.parquet(s"$path/band_stats")
+          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
+          .unionByName(newStats.select(col("band_idx"), col("band_hash"),
+            col("nn").as("n"), col("nmin").as("min_id")))
+          .write.mode("overwrite").parquet(s"$path-compacting/band_stats")
+        spark.read.parquet(s"$path/band_rows")
+          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
+          .unionByName(survTouched
+            .join(broadcast(newStats.filter(col("nn") <= p.maxBucketSize)
+              .select(col("band_idx"), col("band_hash"))),
+              Seq("band_idx", "band_hash"), "left_semi")
+            .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")))
+          .write.mode("overwrite").parquet(s"$path-compacting/band_rows")
+        graft.core.DirSwap.preserveBatchMarkers(fs,
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.fs.Path(s"$path-compacting"))
+        graft.core.DirSwap.swap(fs,
+          new org.apache.hadoop.fs.Path(path),
+          new org.apache.hadoop.fs.Path(s"$path-compacting"))
+        Seq(touched, survTouched, newStats).foreach(_.unpersist())
+      }
+      delSigs.unpersist()
+    } finally del.unpersist()
+  }
+
   /** 32-bit SimHash over tokens (with multiplicity): per bit, tokens
     * vote +1/-1 by their hash bit; the fingerprint sets bits with a
     * positive vote. A narrow per-row projection — no shuffle — using

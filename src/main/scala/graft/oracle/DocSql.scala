@@ -1370,6 +1370,28 @@ object DocSql {
        |SELECT doc_a, doc_b, minhash_matches FROM m
        |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
 
+  /** The same full pipeline over a RESTRICTED corpus (`pred` over
+    * documents' columns) — the oracle of the DELETION lifecycle
+    * (q_dedup_delete): the from-scratch pair graph over the SURVIVING
+    * documents, computed without ever seeing the delete verb. */
+  private def minhashPairCtesPred(p: MinHashParams, pred: String): String = {
+    val matchSum = (0 until p.numHashes)
+      .map(i => s"(CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""d AS (SELECT doc_id, lang, text, string_split(coalesce(text, ''), ' ') AS toks
+       |  FROM documents WHERE $pred),
+       |${sigCandCtes(p)},
+       |m AS (SELECT doc_a, doc_b, CAST($matchSum AS BIGINT) AS minhash_matches
+       |  FROM cand
+       |  JOIN sig sa ON sa.doc_id = cand.doc_a
+       |  JOIN sig sb ON sb.doc_id = cand.doc_b)""".stripMargin
+  }
+
+  /** [[minhashPairs]] over the documents satisfying `pred`. */
+  def minhashPairsWhere(p: MinHashParams, pred: String): String =
+    s"""WITH ${minhashPairCtesPred(p, pred)}
+       |SELECT doc_a, doc_b, minhash_matches FROM m
+       |WHERE minhash_matches >= ${p.minMatches}""".stripMargin
+
   /** Mirror of GraphRank.pageRank over the MinHash pair graph:
     * symmetrized edges + outdegrees, then `iters` unrolled power
     * iterations in exact integer math (divide-before-sum makes each
@@ -1661,6 +1683,19 @@ object DocSql {
        |${closureCtes(p)},
        |assigned AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id
        |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+       |SELECT doc_id, canonical_id,
+       |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
+       |FROM assigned""".stripMargin
+
+  /** [[dedupClusters]] over the documents satisfying `pred` — the
+    * oracle of q_dedup_clusters_delete: the recursive-CTE closure over
+    * the SURVIVING corpus only (the `d` CTE is already restricted, so
+    * `assigned` resolves from it instead of raw documents). */
+  def dedupClustersWhere(p: MinHashParams, pred: String): String =
+    s"""WITH RECURSIVE ${minhashPairCtesPred(p, pred)},
+       |${closureCtes(p)},
+       |assigned AS (SELECT d.doc_id, coalesce(c.lbl, d.doc_id) AS canonical_id
+       |  FROM d LEFT JOIN comp c ON c.id = d.doc_id)
        |SELECT doc_id, canonical_id,
        |  count(*) OVER (PARTITION BY canonical_id) AS cluster_size
        |FROM assigned""".stripMargin
