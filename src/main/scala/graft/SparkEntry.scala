@@ -850,6 +850,22 @@ object SparkEntry {
       })
       graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
     }),
+    // the LM DELETION lifecycle (round-16 verdict #1, count family):
+    // full build + negated partials for the %5==0 docs nets to the
+    // survivor counts exactly (sum-merge subtraction; zero-netted
+    // bigrams drop via the probe's c2>0 filter) — gated against a
+    // from-scratch survivor-trained oracle that never sees the
+    // deletion path, scoring the WHOLE corpus against it
+    "q_text_lm_delete" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_lm_deleted/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeLmIndex(docs, path)
+        graft.text.CorpusOps.deleteLmIndex(docs.filter(col("doc_id") % 5 === 0), path)
+      })
+      graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
+    }),
     // source×lang association audit: the χ² statistic with every
     // division a defined IntegralDivide — per cell
     // (O·N − R·C)²·1e6 // (R·C·N), summed — so a contingency test
@@ -3006,6 +3022,7 @@ object SparkEntry {
     "q_text_lm" -> DocSql.lmSurprisal,
     "q_text_lm_indexed" -> DocSql.lmSurprisal,
     "q_text_lm_append" -> DocSql.lmSurprisal,
+    "q_text_lm_delete" -> DocSql.lmSurprisalCountsWhere("doc_id % 5 <> 0"),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

@@ -2112,6 +2112,35 @@ object DocSql {
        |    ELSE ssum // nb END AS BIGINT) AS surprisal_ppm
        |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin
 
+  /** [[lmSurprisal]] with the COUNT tables restricted to the documents
+    * satisfying `pred` while every document is still scored — the
+    * oracle of the LM deletion lifecycle (q_text_lm_delete): the
+    * from-scratch survivor-trained scorer, computed without ever
+    * seeing the negated-partial path. */
+  def lmSurprisalCountsWhere(pred: String): String =
+    s"""WITH d AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+       |b AS (SELECT doc_id,
+       |  unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS g
+       |  FROM d),
+       |dg AS (SELECT doc_id, g, count(*) AS n FROM b GROUP BY 1, 2),
+       |dtr AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), ' ') AS t FROM documents WHERE $pred),
+       |btr AS (SELECT doc_id,
+       |  unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS g
+       |  FROM dtr),
+       |c2 AS (SELECT g, CAST(count(*) AS BIGINT) AS c2 FROM btr GROUP BY 1),
+       |c1 AS (SELECT split_part(g, ' ', 1) AS prev,
+       |    CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+       |sc AS (SELECT doc_id, CAST(sum(n) AS BIGINT) AS nb,
+       |    CAST(sum(n * (c1 * 1000000 // c2)) AS BIGINT) AS ssum
+       |  FROM dg JOIN c2 USING (g)
+       |  JOIN c1 ON c1.prev = split_part(dg.g, ' ', 1) GROUP BY 1)
+       |SELECT d.doc_id, CAST(coalesce(nb, 0) AS BIGINT) AS n_bigrams,
+       |  CAST(CASE WHEN coalesce(nb, 0) = 0 THEN 0
+       |    ELSE ssum // nb END AS BIGINT) AS surprisal_ppm
+       |FROM d LEFT JOIN sc USING (doc_id)""".stripMargin
+
   /** Mirror of Postings.keywordInContext: 0-based positions from the
     * zipped unnest, 1-based inclusive list slice with a clamped left
     * edge. */

@@ -1458,6 +1458,84 @@ object Similarity {
     powerIterate(g, iters)
   }
 
+  /** DELETE vectors from a persisted index by filtering the given
+    * per-row tables (vec_id is the row key in each) and swapping every
+    * rewritten directory in — all `_compacting` writes materialize
+    * before any swap, per the [[graft.dedup.Dedup.compactSignatureIndex]]
+    * discipline. Trained tables (seeds, cents) are deliberately NOT in
+    * the list: codebooks are frozen parameters (the add-after-train
+    * regime), see the per-index delete verbs. */
+  private def deleteVecRows(spark: org.apache.spark.sql.SparkSession,
+      path: String, subdirs: Seq[String], deletedIds: DataFrame,
+      idCol: String): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del = deletedIds.select(col(idCol).as("vec_id")).distinct()
+    subdirs.foreach { sub =>
+      val src = spark.read.parquet(s"$path/$sub")
+      val cols = src.columns.map(col)
+      src.join(broadcast(del), Seq("vec_id"), "left_anti")
+        .select(cols: _*)
+        .write.mode("overwrite").parquet(s"$path/${sub}_compacting")
+    }
+    subdirs.foreach { sub =>
+      graft.core.DirSwap.swap(fs,
+        new org.apache.hadoop.fs.Path(s"$path/$sub"),
+        new org.apache.hadoop.fs.Path(s"$path/${sub}_compacting"))
+    }
+  }
+
+  /** DELETE vectors from an [[annIndexBuild]] index — the takedown
+    * verb of the per-row-pure ANN family (round-16 verdict #1): keys,
+    * coordinates and quantized vectors are each pure functions of
+    * their own row, so deletion is a pure file filter of `vectors/`
+    * and `keys/`, and the result IS a from-scratch build over the
+    * survivors (SimilaritySpec asserts probe equality — the strongest
+    * delete regime, same as the postings index). Absent ids are a
+    * no-op; cost ∝ the index, never the corpus. */
+  def annIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame, idCol: String = "vec_id"): Unit =
+    deleteVecRows(spark, path, Seq("vectors", "keys"), deletedIds, idCol)
+
+  /** DELETE vectors from a [[pqIndexBuild]] index — FAISS
+    * `remove_ids` semantics: the stored rows (vectors, codes) of the
+    * deleted ids are filtered away while the CODEBOOK stays frozen
+    * (it is a trained parameter, exactly like [[pqIndexAppend]]'s
+    * add-after-train regime — a from-scratch rebuild over survivors
+    * would retrain seeds, which is the periodic-rebuild decision, not
+    * the takedown's). Serve contract (spec'd): a deleted vector never
+    * appears as probe or neighbor again, and every surviving probe's
+    * result equals the pre-delete result with deleted neighbors
+    * filtered and ranks re-densified. */
+  def pqIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame, idCol: String = "vec_id"): Unit =
+    deleteVecRows(spark, path, Seq("vectors", "codes"), deletedIds, idCol)
+
+  /** DELETE vectors from an [[ivfPqIndexBuild]] index — the
+    * [[pqIndexDelete]] semantics with both quantizers frozen (coarse
+    * centroids AND residual codebook): rows leave `vectors/` and
+    * `codes/`, the trained tables stay. */
+  def ivfPqIndexDelete(spark: org.apache.spark.sql.SparkSession,
+      path: String, deletedIds: DataFrame, idCol: String = "vec_id"): Unit =
+    deleteVecRows(spark, path, Seq("vectors", "codes"), deletedIds, idCol)
+
+  /** DELETE vectors from a [[gramBuild]] artifact — the sum-merge
+    * family's subtraction verb ([[graft.text.CorpusOps.deleteLmIndex]]
+    * convention): append the departed vectors' Gram partials NEGATED
+    * (a pure file add; Decimal cell sums are exact, so build +
+    * appends + deletes serves bit-identically to a from-scratch build
+    * over the survivors — spec'd). `emb` must be the deleted vectors
+    * themselves (the takedown pipeline holds the payload it is
+    * removing), under the same must-have-been-ingested contract as
+    * every subtraction delete. */
+  def gramDelete(emb: DataFrame, path: String,
+      vecCol: String = "embedding"): Unit = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    gramPartial(emb, vecCol)
+      .select(col("i"), col("j"), (-col("gij")).cast(dec).as("gij"))
+      .write.mode("append").parquet(path)
+  }
+
   /** Compact a grown ANN bucket index: re-cluster the keys table by
     * (band_idx, key) and rewrite the vectors table, so probes prune
     * by row-group min/max again instead of touching every appended

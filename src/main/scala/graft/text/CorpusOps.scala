@@ -825,6 +825,34 @@ object CorpusOps {
       textCol: String = "text"): Unit =
     writeNbPartial(docs, s"$path/$part", idCol, sourceCol, textCol)
 
+  /** DELETE documents from an [[nbCountsBuild]] artifact — the
+    * sum-merge subtraction verb ([[deleteLmIndex]] convention): write
+    * one more partial with the departed documents' counts NEGATED
+    * (each document contributes to exactly one build/append partial,
+    * so tf, df and n_train all subtract exactly), and the served
+    * model equals a from-scratch train over the survivors (spec'd;
+    * tokens whose counts net to zero are excluded from vocabulary
+    * selection by the `vtf > 0` guard, as if never counted). `docs`
+    * must be the deleted documents themselves, previously ingested —
+    * the family contract. HONEST LIMIT: deleting a source's LAST
+    * documents leaves a netted (src, 0) row that a from-scratch build
+    * over survivors would still have ONLY if the source retains
+    * held-out (doc_id % 5 == 0) docs — removing a source ENTIRELY
+    * changes the label-seed parity of the remaining sources, which no
+    * subtraction can reproduce; a full-source takedown is a REBUILD
+    * ([[nbCountsBuild]] over survivors), fail-safe because the class
+    * counts are checked at serve time. */
+  def nbCountsDelete(docs: DataFrame, path: String, part: String,
+      idCol: String = "doc_id", sourceCol: String = "source",
+      textCol: String = "text"): Unit = {
+    val (tok, dc) = nbPartials(docs, idCol, sourceCol, textCol)
+    tok.select(col("token"), col("src"),
+        (-col("tf")).as("tf"), (-col("df")).as("df"))
+      .write.mode("overwrite").parquet(s"$path/$part/tokens")
+    dc.select(col("src"), (-col("n_train")).as("n_train"))
+      .write.mode("overwrite").parquet(s"$path/$part/docs")
+  }
+
   private[graft] def writeNbPartial(docs: DataFrame, dir: String,
       idCol: String = "doc_id", sourceCol: String = "source",
       textCol: String = "text"): Unit = {
@@ -889,8 +917,12 @@ object CorpusOps {
       .withColumn("mh", md5(col("src").cast("binary")))
       .withColumn("lab_seed", row_number().over(wsrc) % 2 === 1)
       .select(col("src"), col("lab_seed"))
+    // vtf > 0: a no-op on build/append counts (all positive) and the
+    // exactness hinge of [[nbCountsDelete]] — a token whose partials
+    // net to zero must be invisible to vocabulary selection
     val vocab = tok.groupBy(col("token"))
       .agg(sum(col("tf")).as("vtf"), sum(col("df")).as("vdf"))
+      .filter(col("vtf") > 0)
       .orderBy(col("vtf").desc, col("vdf").desc, col("token"))
       .limit(vocabSize).select(col("token"))
     val cnt = tok
@@ -1632,7 +1664,12 @@ object CorpusOps {
     * n_bigrams against [[graft.text.TextFunctions.tokenCount]]-1. */
   def lmScoreWith(docs: DataFrame, counts: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    // c2 > 0: a no-op on build/append artifacts (counts are positive)
+    // and the exactness hinge of [[deleteLmIndex]] — a bigram whose
+    // partials net to zero must behave as if never counted (OOV), not
+    // join with a zero denominator
     val c2 = counts.groupBy(col("g")).agg(sum(col("n")).as("c2"))
+      .filter(col("c2") > 0)
     val c1 = c2
       .withColumn("prev", substring_index(col("g"), " ", 1))
       .groupBy(col("prev")).agg(sum(col("c2")).as("c1"))
@@ -1759,6 +1796,28 @@ object CorpusOps {
       idCol: String = "doc_id", textCol: String = "text"): Unit =
     batch.select(explode(TextFunctions.bigrams(col(textCol))).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .write.mode("append").parquet(path)
+
+  /** DELETE documents from a [[writeLmIndex]] artifact — the count
+    * family's takedown verb (round-16 verdict #1): subtraction is the
+    * exact inverse of the sum-merge law, so deleting appends the
+    * departed documents' bigram counts NEGATED (a pure file add, same
+    * cost shape as [[appendLmIndex]]) and the probe-time merge nets
+    * them out — build + appends + deletes scores IDENTICALLY to a
+    * from-scratch build over the survivors (spec'd; a bigram whose
+    * count nets to zero is dropped by the probe's `c2 > 0` filter,
+    * exactly as if it had never been counted). `docs` must be the
+    * deleted documents THEMSELVES (text in hand — a takedown pipeline
+    * is removing them from the corpus store, so it has the payload);
+    * deleting documents that were never counted makes counts go
+    * negative, which the probe filter masks but a from-scratch build
+    * would not — the same must-have-been-ingested contract as the
+    * graph delete. Compaction = re-aggregate to one row per surviving
+    * bigram (the probe merge materialized once). */
+  def deleteLmIndex(docs: DataFrame, path: String,
+      idCol: String = "doc_id", textCol: String = "text"): Unit =
+    docs.select(explode(TextFunctions.bigrams(col(textCol))).as("g"))
+      .groupBy(col("g")).agg((-count(lit(1))).as("n"))
       .write.mode("append").parquet(path)
 
   /** Serve path: score a frame against the stored LM counts. */
@@ -2097,7 +2156,23 @@ object CorpusOps {
     * k * strata (KMV) rows — the per-batch cost is the batch's own
     * scan; the artifact grows by partial-frame files that the
     * estimate merges in KBs. A compaction (rewrite the merged frame)
-    * is an optional maintenance step, not a correctness need. */
+    * is an optional maintenance step, not a correctness need.
+    *
+    * DELETION: there is deliberately NO delete verb for this family —
+    * max (HLL registers) and bottom-k (KMV) are not subtractable
+    * merges (a register/bottom value may have been set by the deleted
+    * document or by any number of survivors; the sketch cannot tell),
+    * so the honest takedown answer is REBUILD over the surviving
+    * corpus via [[writeHllSketch]]/[[writeKmvSketch]] — one corpus
+    * scan, the same cost as the original build. Contrast the
+    * sum-merge counts ([[deleteLmIndex]],
+    * [[graft.similarity.Similarity.gramDelete]]) where subtraction is
+    * exact, and the per-row-pure indexes (postings, ANN) where
+    * deletion is a file filter. Note the ESTIMAND usually shrinks the
+    * need anyway: distinct-shingle counts over a corpus minus a few
+    * documents rarely move, and a takedown's legal obligation is to
+    * the document content, which a cardinality sketch does not
+    * retain — rebuild on the next maintenance window. */
   def writeHllSketch(docs: DataFrame, path: String, shingleK: Int = 3,
       strataCol: String = "lang", textCol: String = "text"): Unit =
     hllRegisters(docs, shingleK, strataCol, textCol)

@@ -111,6 +111,32 @@ object Postings {
       .sortWithinPartitions(col("token"), col("doc_id"), col("pos"))
       .write.mode("append").parquet(path)
 
+  /** DELETE documents from a persisted postings index — the
+    * per-row-pure family's takedown verb (round-16 verdict #1):
+    * postings rows are each a function of their own document alone,
+    * so deletion is a pure FILE FILTER — rewrite the index without the
+    * deleted doc_ids (one scan of the index, never the corpus) and
+    * serve-equivalence to a from-scratch build over the survivors is
+    * structural (spec'd anyway). Token clustering is preserved
+    * (filtering never reorders rows within files), the `_batches`
+    * stream markers are carried over like [[compactIndex]], and the
+    * swap is the same crash-safe two-rename. Ids absent from the
+    * index are a no-op. */
+  def deleteDocs(spark: SparkSession, path: String,
+      deletedIds: DataFrame, idCol: String = "doc_id"): Unit = {
+    val tmp = path + "_compacting"
+    val del = deletedIds.select(col(idCol).as("doc_id")).distinct()
+    spark.read.parquet(path)
+      .join(broadcast(del), Seq("doc_id"), "left_anti")
+      .select(col("token"), col("doc_id"), col("pos"))
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val hTmp = new org.apache.hadoop.fs.Path(tmp)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.DirSwap.preserveBatchMarkers(fs, hPath, hTmp)
+    graft.core.DirSwap.swap(fs, hPath, hTmp)
+  }
+
   /** Re-sort the whole index into token-clustered files after a run
     * of appends — the postings twin of the layout/sketch compactors:
     * one range exchange over the stored rows (never the corpus), a

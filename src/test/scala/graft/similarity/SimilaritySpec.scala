@@ -334,6 +334,75 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("ANN index delete == from-scratch build over survivors (probe equality)") {
+    import spark.implicits._
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sorted.toSeq
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_del_spec").toString
+    val emb = corpus()
+    Similarity.annIndexBuild(emb, tmp + "/live", bands = 2)
+    Similarity.annIndexDelete(spark, tmp + "/live",
+      emb.filter(col("vec_id") % 3 === 1).select(col("vec_id")))
+    Similarity.annIndexBuild(emb.filter(col("vec_id") % 3 =!= 1),
+      tmp + "/scratch", bands = 2)
+    def probe(path: String) = rows(Similarity.annIndexTopK(spark, path,
+      col("vec_id") % 10 === 0, k = 2, bucketShift = 8, spatialProbe = true))
+    val a = probe(tmp + "/live")
+    assert(a == probe(tmp + "/scratch") && a.nonEmpty)
+    // deletes compose with appends (both per-row-pure)
+    Similarity.annIndexAppend(emb.filter(col("vec_id") % 3 === 1),
+      tmp + "/live", bands = 2)
+    Similarity.annIndexBuild(emb, tmp + "/scratch2", bands = 2)
+    assert(probe(tmp + "/live") == probe(tmp + "/scratch2"))
+    spark.catalog.clearCache()
+  }
+
+  test("PQ index delete: frozen codebook, deleted ids never served, appends still compose") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pq_del_spec").toString
+    val emb = corpus()
+    Similarity.pqIndexBuild(emb, tmp + "/pq", m = 4, ncent = 4)
+    val seedsBefore = spark.read.parquet(tmp + "/pq/seeds").collect().map(_.toSeq).toSet
+    val delIds = emb.filter(col("vec_id") % 4 === 2).select(col("vec_id"))
+    val deleted = delIds.collect().map(_.getLong(0)).toSet
+    Similarity.pqIndexDelete(spark, tmp + "/pq", delIds)
+    // codebook untouched (FAISS remove_ids semantics)
+    assert(spark.read.parquet(tmp + "/pq/seeds").collect().map(_.toSeq).toSet
+      === seedsBefore, "delete retrained the codebook")
+    val out = Similarity.pqIndexTopK(spark, tmp + "/pq",
+      col("vec_id") % 5 === 0, k = 3, m = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (p, n) => !deleted.contains(p) && !deleted.contains(n) },
+      "a deleted vector was served as probe or neighbor")
+    // a later append encodes against the same frozen codebook
+    Similarity.pqIndexAppend(emb.filter(col("vec_id") % 4 === 2)
+      .select((col("vec_id") + 1000L).as("vec_id"), col("embedding")),
+      tmp + "/pq", m = 4)
+    val out2 = Similarity.pqIndexTopK(spark, tmp + "/pq",
+      col("vec_id") >= 1000L, k = 3, m = 4).collect()
+    assert(out2.nonEmpty, "appended-after-delete vectors not probeable")
+    spark.catalog.clearCache()
+  }
+
+  test("gram delete: negated partials net out — build + delete == from-scratch over survivors") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gram_del_spec").toString
+    def dir(path: String) = {
+      val m = Similarity.directionFromGram(spark, path).collect()
+        .map(r => (r.getLong(0), r.get(1).toString)).toMap
+      spark.catalog.clearCache()
+      m
+    }
+    Similarity.gramBuild(emb, tmp + "/live")
+    val before = dir(tmp + "/live")
+    Similarity.gramDelete(emb.filter(col("vec_id") % 3 === 0), tmp + "/live")
+    Similarity.gramBuild(emb.filter(col("vec_id") % 3 =!= 0), tmp + "/scratch")
+    val exp = dir(tmp + "/scratch")
+    assert(dir(tmp + "/live") === exp)
+    assert(before !== exp, "vacuous: deletion moved no Gram mass")
+  }
+
   test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
     def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
       nlist = 3, nprobe = 1, seed = 7L)

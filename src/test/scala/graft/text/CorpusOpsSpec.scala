@@ -944,6 +944,53 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(scores(CorpusOps.lmScoreIndexed(spark, d, grown)) == oneShot)
   }
 
+  test("lm artifact: delete subtracts exactly — build + delete == from-scratch over survivors") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val surv = d.filter(col("doc_id") % 5 =!= 0)
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // from-scratch counts over the survivors, scoring EVERYTHING
+    val scratch = java.nio.file.Files.createTempDirectory("lm_scr").toString
+    CorpusOps.writeLmIndex(surv, scratch)
+    val exp = scores(CorpusOps.lmScoreIndexed(spark, d, scratch))
+    spark.catalog.clearCache()
+    // full build, then the takedown: negated partials net out
+    val live = java.nio.file.Files.createTempDirectory("lm_del").toString
+    CorpusOps.writeLmIndex(d, live)
+    val before = scores(CorpusOps.lmScoreIndexed(spark, d, live))
+    spark.catalog.clearCache()
+    CorpusOps.deleteLmIndex(d.filter(col("doc_id") % 5 === 0), live)
+    assert(scores(CorpusOps.lmScoreIndexed(spark, d, live)) === exp)
+    assert(before !== exp, "vacuous: the deleted docs moved no count")
+    spark.catalog.clearCache()
+  }
+
+  test("nb counts: delete partial == from-scratch train over survivors") {
+    import spark.implicits._
+    val srcs = (0 until 4).map(k => s"src$k")
+    val seeds = seedSources(srcs)
+    val rows = (0L until 60L).map { i =>
+      val src = srcs((i % 4).toInt)
+      (i, if (seeds(src)) s"good clean prose here tok$i" else s"spam junk click now tok$i",
+        src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    // delete doc_id % 6 == 1: every source keeps members (the honest
+    // limit — full-source takedown — is a rebuild, per the scaladoc)
+    val surv = d.filter(col("doc_id") % 6 =!= 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("nb_del").toString + "/idx"
+    CorpusOps.nbCountsBuild(d, path, "p0")
+    CorpusOps.nbCountsDelete(d.filter(col("doc_id") % 6 === 1), path, "d0")
+    val served = CorpusOps.nbQualityFromCounts(spark, surv, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    val scratch = CorpusOps.nbQuality(surv, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(served === scratch && scratch.nonEmpty)
+  }
+
   test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
     import spark.implicits._
     // stratum "small": 3 docs, few distinct shingles (< k) -> exact path

@@ -92,6 +92,32 @@ class PostingsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(probe(grown) == grownHits)
   }
 
+  test("deleteDocs: serve == from-scratch index over survivors (per-row-pure file filter)") {
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val phrase = Seq("data", "query")
+    def probe(path: String) =
+      Postings.phraseSearchIndexed(spark, path, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def allRows(path: String) =
+      spark.read.parquet(path).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val live = java.nio.file.Files.createTempDirectory("postings_del").toString
+    Postings.buildIndex(docs, live)
+    val before = probe(live)
+    Postings.deleteDocs(spark, live,
+      docs.filter(col("doc_id") % 3 === 0).select(col("doc_id")))
+    val scratch = java.nio.file.Files.createTempDirectory("postings_del_scr").toString
+    Postings.buildIndex(docs.filter(col("doc_id") % 3 =!= 0), scratch)
+    assert(allRows(live) === allRows(scratch), "postings rows differ")
+    assert(probe(live) === probe(scratch))
+    assert(probe(live) !== before, "vacuous: no deleted doc held the phrase")
+    // absent ids are a no-op
+    val afterDel = allRows(live)
+    Postings.deleteDocs(spark, live, Seq(999999L).toDF("doc_id"))
+    assert(allRows(live) === afterDel)
+  }
+
   test("compaction preserves stream-ingest _batches markers and leaves no _old debris") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val path = java.nio.file.Files.createTempDirectory("postings_markers").toString
