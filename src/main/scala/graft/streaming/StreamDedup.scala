@@ -238,6 +238,67 @@ object StreamDedup {
       }
       .start()
 
+  /** DELETION-AWARE streaming ingest of the similarity-graph
+    * lifecycle — [[ingestSimilarityGraph]] over a CDC stream (the
+    * add/tombstone shape `q_corpus_diff` classifies): each micro-batch
+    * carries (doc_id, text, op) rows with op ∈ {"add", "delete"}, and
+    * at every micro-batch boundary the served artifact equals a
+    * from-scratch build over (everything added so far) MINUS
+    * (everything tombstoned so far) — StreamingSpec asserts over a
+    * mixed add/delete replay. Per batch, tombstones apply FIRST
+    * ([[graft.dedup.Dedup.deleteFromSimilarityGraph]] — which also
+    * re-lines any existing sidecars), then adds append as usual; the
+    * `maintain*` flags refresh the sidecars for the appended half
+    * exactly like the add-only loop.
+    *
+    * CONTRACT: add ids are monotone across batches (the append
+    * contract); tombstone ids refer to documents ingested in EARLIER
+    * batches (deleting an id added in the same micro-batch is out of
+    * contract — split it into two batches, or simply don't add it);
+    * a tombstone for a never-ingested id is a no-op (the delete
+    * verb's absent-id rule), so at-least-once tombstone delivery is
+    * safe even across the marker window.
+    *
+    * CRASH/REPLAY under the `_gbatches/<id>` marker: a crash inside
+    * the delete re-runs it on replay and CONVERGES (the delete verb's
+    * re-run guarantee); a crash between the delete and the append
+    * replays the batch, whose delete re-run is then a no-op and whose
+    * append proceeds normally; the append's own two crash windows are
+    * handled exactly as in [[ingestSimilarityGraph]]. */
+  def ingestSimilarityGraphCdc(docs: DataFrame, graphPath: String,
+      checkpoint: String, p: MinHashParams = MinHashParams(),
+      maintainLabels: Boolean = false,
+      maintainTriangles: Boolean = false,
+      maintainRanks: Boolean = false,
+      maintainCommunities: Boolean = false)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$graphPath/_gbatches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          val dels = batch.filter(col("op") === "delete").select(col("doc_id"))
+          if (!dels.isEmpty)
+            Dedup.deleteFromSimilarityGraph(batch.sparkSession, graphPath, dels, p)
+          Dedup.appendSimilarityGraph(
+            batch.filter(col("op") === "add").select(col("doc_id"), col("text")),
+            graphPath, p)
+          if (maintainLabels)
+            Dedup.refreshComponentLabels(batch.sparkSession, graphPath)
+          if (maintainTriangles)
+            Dedup.refreshTriangleStats(batch.sparkSession, graphPath)
+          if (maintainRanks)
+            Dedup.refreshRankScores(batch.sparkSession, graphPath)
+          if (maintainCommunities)
+            Dedup.refreshLpCommunities(batch.sparkSession, graphPath)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
+
   /** Executable batch SPEC of [[nearDupPairs]] (with an unbounded
     * horizon): per band bucket, the anchor is the min-(ts_us, doc_id)
     * member and every other member pairs with it. Returns the DISTINCT

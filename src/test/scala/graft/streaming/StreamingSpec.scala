@@ -402,6 +402,59 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("CDC streaming ingest (adds + tombstones) == from-scratch over the surviving corpus") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_cdc").toString
+    def doc(i: Int) = s"template ${i % 3} body the quick brown fox " +
+      s"jumps over the lazy dog variant ${i / 3} tail token stream"
+    val baseDocs = (0 until 12).map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    // batch 1: pure adds; batch 2: adds PLUS tombstones for three base
+    // docs and one batch-1 doc (mixed micro-batch — the CDC shape)
+    val b1 = (12 until 20).map(i => (i.toLong, doc(i), "add"))
+    val dels = Seq(1L, 4L, 7L, 13L)
+    val b2 = (20 until 26).map(i => (i.toLong, doc(i), "add")) ++
+      dels.map(i => (i, "", "delete"))
+    graft.dedup.Dedup.writeSimilarityGraph(baseDocs, s"$tmp/g")
+    graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g")
+    graft.dedup.Dedup.writeRankScores(spark, s"$tmp/g")
+    b1.toDF("doc_id", "text", "op").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val schema = b1.toDF("doc_id", "text", "op").schema
+    val q = StreamDedup.ingestSimilarityGraphCdc(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/g", s"$tmp/ckpt", maintainLabels = true, maintainRanks = true)
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // survivors = everything added so far minus everything tombstoned
+    val survivors = (0 until 26).filterNot(i => dels.contains(i.toLong))
+      .map(i => (i.toLong, doc(i))).toDF("doc_id", "text")
+    graft.dedup.Dedup.writeSimilarityGraph(survivors, s"$tmp/g_scratch")
+    spark.catalog.clearCache()
+    def es(p: String) = graft.dedup.Dedup.readSimilarityGraph(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = es(s"$tmp/g")
+    assert(streamed === es(s"$tmp/g_scratch"))
+    assert(streamed.nonEmpty &&
+      !streamed.exists(e => dels.contains(e._1) || dels.contains(e._2)),
+      "a tombstoned doc survived in the served edges")
+    // the maintained labels sidecar equals a from-scratch solve of the
+    // surviving edge set (the delete batch re-lined it)
+    graft.dedup.Dedup.writeComponentLabels(spark, s"$tmp/g_scratch")
+    spark.catalog.clearCache()
+    def ls(p: String) = graft.dedup.Dedup.readComponentLabels(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ls(s"$tmp/g") === ls(s"$tmp/g_scratch"))
+    // the rank sidecar stays in-contract over the post-delete edges
+    val audit = graft.dedup.Dedup.rankSidecarAudit(spark, s"$tmp/g").collect()(0)
+    assert((audit.getLong(0), audit.getLong(1), audit.getLong(2), audit.getLong(3))
+      === ((1L, 1L, 1L, 1L)), "rank sidecar out of contract after CDC ingest")
+    spark.catalog.clearCache()
+  }
+
   test("streaming ANN ingest through the persisted index == sequential batch calls") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_ann").toString
