@@ -165,6 +165,51 @@ object DedupIndexBench {
     val tX2 = timed(Dedup.appendSimilarityGraph(cloneBatch, x2, px))
     cloneBatch.unpersist()
 
+    // END-TO-END MAINTENANCE COST (round-16 verdict #6): what ONE
+    // micro-batch of the full ingest loop costs with ALL FOUR sidecars
+    // maintained (append + labels + tri + rank + LP refresh — the
+    // number a production ingest budget actually needs), vs batch size
+    // (1% and 10% of the corpus) at two stored-graph sizes (40% and
+    // 80%). Each artifact gets both batches sequentially (monotone id
+    // windows), so the 10% row runs against a graph one small batch
+    // larger — the per-batch cost comparison the loop actually faces.
+    val onePct = maxId / 100
+    def maintainAll(path: String, b: org.apache.spark.sql.DataFrame): Double =
+      timed {
+        Dedup.appendSimilarityGraph(b, path)
+        Dedup.refreshComponentLabels(spark, path)
+        Dedup.refreshTriangleStats(spark, path)
+        Dedup.refreshRankScores(spark, path)
+        Dedup.refreshLpCommunities(spark, path)
+      }
+    def maintainCell(cut: Long, tag: String): (String, Long) = {
+      val path = tmp + s"/graft_graph_bench_maint_$tag"
+      Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < cut), path)
+      Dedup.writeComponentLabels(spark, path)
+      Dedup.writeTriangleStats(spark, path)
+      Dedup.writeRankScores(spark, path)
+      Dedup.writeLpCommunities(spark, path)
+      val edges0 = spark.read.parquet(s"$path/edges").count()
+      val tSmall = maintainAll(path,
+        docs.filter(col("doc_id") >= cut && col("doc_id") < cut + onePct))
+      val tBig = maintainAll(path,
+        docs.filter(col("doc_id") >= cut + onePct &&
+          col("doc_id") < cut + onePct + maxId / 10))
+      // the TAKEDOWN row: delete ~1% of the stored docs from the fully
+      // maintained artifact (edges + index rewrite + all four sidecars
+      // re-lined). The index/edge rewrites are O(stored artifact) by
+      // design — this row measures that honestly across the doubling,
+      // and the per-batch guidance is to BATCH takedowns like ingest.
+      val tDel = timed(Dedup.deleteFromSimilarityGraph(spark, path,
+        docs.filter(col("doc_id") < cut && col("doc_id") % 100 === 7)
+          .select(col("doc_id"))))
+      (s""""maintain_all_$tag":{"edges":$edges0,""" +
+        s""""batch_1pct_sec":$tSmall,"batch_10pct_sec":$tBig,""" +
+        s""""delete_1pct_sec":$tDel}""", edges0)
+    }
+    val (maintRow1, _) = maintainCell(c40, "40pct")
+    val (maintRow2, _) = maintainCell(c80, "80pct")
+
     println(s"""{"metric":"sig_index_growth","sf":"$sfDir","batch_rows":$nb,""" +
       s""""index_1x":{"rows":$n1,"build_sec":$tBuild1,"probe_sec":$tProbe1},""" +
       s""""index_2x":{"rows":$n2,"build_sec":$tBuild2,"probe_sec":$tProbe2},""" +
@@ -181,7 +226,8 @@ object DedupIndexBench {
       s""""refresh_sec":$tLpRef,"warm_rounds":$lpWarmRounds,""" +
       s""""cold_union_sec":$tLpCold,"cold_rounds":$lpColdRounds},""" +
       s""""crossing_append_1x":{"edges":$ex1pre,"crossing_buckets":$nx1,"append_sec":$tX1},""" +
-      s""""crossing_append_2x":{"edges":$ex2pre,"crossing_buckets":$nx2,"append_sec":$tX2}}""")
+      s""""crossing_append_2x":{"edges":$ex2pre,"crossing_buckets":$nx2,"append_sec":$tX2},""" +
+      s"""$maintRow1,$maintRow2}""")
     spark.stop()
   }
 }
