@@ -819,6 +819,24 @@ object SparkEntry {
       })
       graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
     }),
+    // DELETION lifecycle, per-row-pure family (round-16 verdict #1):
+    // full-corpus postings build, then Postings.deleteDocs of every
+    // doc_id % 7 == 3 (a pure file filter of the index — postings
+    // rows are functions of their own document alone), probed by the
+    // same phrase. The oracle is the plain phrase search over the
+    // SURVIVING documents only — it never sees the delete verb, so
+    // any leftover (or lost) posting breaks the hash.
+    "q_text_phrase_delete" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_postings_del/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.Postings.buildIndex(docs, path)
+        graft.text.Postings.deleteDocs(s, path,
+          docs.filter(col("doc_id") % 7 === 3).select(col("doc_id")))
+      })
+      graft.text.Postings.phraseSearchIndexed(s, path, Seq("slow", "hash", "batch"))
+    }),
     // bigram-LM surprisal quality proxy: per-doc mean inverse bigram
     // conditional in exact ppm — the KenLM-filter signal with a
     // bit-for-bit oracle instead of a float perplexity
@@ -1338,6 +1356,24 @@ object SparkEntry {
       })
       Similarity.directionFromGram(s, path)
     }),
+    // DELETION lifecycle, sum-merge family on Decimal cells (round-16
+    // verdict #1): the grown Gram artifact minus every vec_id % 7 == 3
+    // via gramDelete (negated partials — subtraction is the inverse of
+    // the sum-merge law, and Decimal sums are exact, so the merged
+    // cells equal a from-scratch build over the survivors bit for
+    // bit). Oracle: the plain power iteration over the SURVIVING
+    // embeddings only.
+    "q_emb_direction_delete" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_gram_del/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.gramBuild(emb.filter(col("vec_id") % 4 =!= 0), path)
+        Similarity.gramAppend(emb.filter(col("vec_id") % 4 === 0), path)
+        Similarity.gramDelete(emb.filter(col("vec_id") % 7 === 3), path)
+      })
+      Similarity.directionFromGram(s, path)
+    }),
     "q_sim_ivf_stats" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
         "/graft_ivfpq_index/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
@@ -1402,6 +1438,25 @@ object SparkEntry {
       indexedTables.getOrElseUpdate((s, path), {
         Similarity.annIndexBuild(emb.filter(col("vec_id") % 5 =!= 0), path)
         Similarity.annIndexAppend(emb.filter(col("vec_id") % 5 === 0), path)
+      })
+      Similarity.annIndexTopK(s, path, col("vec_id") % 50 === 0, 10,
+        bucketShift = 16, spatialProbe = true)
+    }),
+    // DELETION lifecycle, per-row-pure ANN family (round-16 verdict
+    // #1): full build, then annIndexDelete of every vec_id % 7 == 3
+    // (keys and vectors are pure functions of their own row, so the
+    // delete is a file filter and the result IS a from-scratch build
+    // over the survivors). Probes come from the index keys, so
+    // deleted probes vanish with their rows. Oracle: the plain
+    // spatial probe over the SURVIVING embeddings only.
+    "q_sim_ann_delete" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_ann_index_del/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        Similarity.annIndexBuild(emb, path)
+        Similarity.annIndexDelete(s, path,
+          emb.filter(col("vec_id") % 7 === 3).select(col("vec_id")))
       })
       Similarity.annIndexTopK(s, path, col("vec_id") % 50 === 0, 10,
         bucketShift = 16, spatialProbe = true)
@@ -2880,6 +2935,10 @@ object SparkEntry {
       Similarity.DefaultBands, Similarity.DefaultBucketShift),
     // appended index covers the same corpus -> same oracle again
     "q_sim_ann_append" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands, 16),
+    // deletion-lifecycle gate: the plain spatial probe over the
+    // SURVIVING embeddings only (the oracle never sees the delete verb)
+    "q_sim_ann_delete" -> SimSql.annSpatialTopK(50, 10, Similarity.DefaultBands,
+      16, where = Some("vec_id % 7 <> 3")),
     "q_sim_ivf" -> SimSql.ivfAuditContract(50, 10),
     "q_sim_ivf_seed" -> SimSql.ivfSeededTopK(50, 10, 16, 4),
     "q_sim_ivf_recall" -> SimSql.ivfRecall(50, 10, 16, 4),
@@ -2899,6 +2958,10 @@ object SparkEntry {
     "q_emb_scatter" -> SimSql.embScatter,
     "q_emb_direction" -> SimSql.embDominantDirection(3),
     "q_emb_direction_append" -> SimSql.embDominantDirection(3),
+    // deletion-lifecycle gate: the plain power iteration over the
+    // SURVIVING embeddings only
+    "q_emb_direction_delete" ->
+      SimSql.embDominantDirection(3, where = Some("vec_id % 7 <> 3")),
     // frozen quantizers: centroid + codebook pools from the build-time
     // 80%, codes over all
     "q_sim_ivfpq_append" -> SimSql.ivfPqTopK(50, 10, 16, 4, 16, 32, 40,
@@ -2996,6 +3059,10 @@ object SparkEntry {
          |GROUP BY 1""".stripMargin,
     "q_text_phrase_indexed" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
     "q_text_phrase_append" -> DocSql.phraseSearch(Seq("slow", "hash", "batch")),
+    // deletion-lifecycle gate: the plain phrase search over the
+    // SURVIVING documents only
+    "q_text_phrase_delete" -> DocSql.phraseSearch(Seq("slow", "hash", "batch"),
+      where = Some("doc_id % 7 <> 3")),
     "q_rank_fusion" -> DocSql.rrfFusion(Seq("table", "scan", "merge"),
       Seq("slow", "hash", "batch"), 20, 15, 60L),
     "q_domain_terms" -> DocSql.domainTerms(3, 5L),

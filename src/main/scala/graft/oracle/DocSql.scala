@@ -2034,15 +2034,16 @@ object DocSql {
     * unnest (0-based positions matching Spark's posexplode), one CTE
     * slice per phrase token shifted to its start position, joined on
     * (doc_id, start). */
-  def phraseSearch(phrase: Seq[String]): String = {
+  def phraseSearch(phrase: Seq[String], where: Option[String] = None): String = {
     def esc(t: String) = t.replace("'", "''")
     val slices = phrase.zipWithIndex.map { case (t, i) =>
       s"s$i AS (SELECT doc_id, pos - $i AS strt FROM p WHERE token = '${esc(t)}')"
     }.mkString(",\n")
     val joins = (1 until phrase.length)
       .map(i => s"JOIN s$i USING (doc_id, strt)").mkString(" ")
+    val whereSql = where.map(w => s" WHERE $w").getOrElse("")
     s"""WITH d AS (SELECT doc_id,
-       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+       |    string_split(coalesce(text, ''), ' ') AS toks FROM documents$whereSql),
        |p AS (SELECT doc_id, unnest(toks) AS token,
        |    unnest(generate_series(0, len(toks) - 1)) AS pos FROM d),
        |$slices

@@ -9,10 +9,16 @@ object SimSql {
 
   private val Scale = "1048576.0" // 2^20, Similarity.Scale
 
-  /** Quantized-embedding CTE: (vec_id, qv BIGINT[]). */
-  private val qCte =
+  /** Quantized-embedding CTE: (vec_id, qv BIGINT[]), optionally
+    * restricted to a survivor predicate (the deletion twins' oracles
+    * run the PLAIN query over the surviving rows — the oracle never
+    * sees the deletion path). */
+  private def qCteWhere(where: Option[String]): String =
     s"q AS (SELECT vec_id, list_transform(embedding, x -> " +
-      s"CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv FROM embeddings)"
+      s"CAST(floor(CAST(x AS DOUBLE) * $Scale) AS BIGINT)) AS qv FROM embeddings" +
+      where.map(w => s" WHERE $w").getOrElse("") + ")"
+
+  private val qCte = qCteWhere(None)
 
   /** Integer dot product of list columns a.qv x b.qv. */
   private def dotSql(a: String, b: String): String =
@@ -129,14 +135,14 @@ object SimSql {
     * the ±1e6 max-abs normalization — HUGEINT throughout (DuckDB's
     * integer `//` truncates toward zero exactly like Spark's
     * IntegralDivide, so negative components divide identically). */
-  def embDominantDirection(iters: Int): String = {
+  def embDominantDirection(iters: Int, where: Option[String] = None): String = {
     val iterCtes = (1 to iters).map { k =>
       s"""w$k AS (SELECT g.i, sum(g.gij * v${k - 1}.vi) AS wi
          |  FROM g JOIN v${k - 1} ON v${k - 1}.i = g.j GROUP BY 1),
          |m$k AS (SELECT greatest(max(abs(wi)), 1) AS mx FROM w$k),
          |v$k AS (SELECT i, wi * 1000000 // mx AS vi FROM w$k, m$k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $qCte,
+    s"""WITH ${qCteWhere(where)},
        |e AS (SELECT vec_id, unnest(generate_series(1, len(qv))) - 1 AS i,
        |    unnest(qv) AS q FROM q),
        |g AS (SELECT a.i, b.i AS j,
@@ -312,7 +318,8 @@ object SimSql {
     * re-encoded); candidates and the exact re-rank are unchanged. The
     * perturbed coordinates run probe-rows-only chains (WHERE pushes
     * into every chain's base CTE). */
-  def annSpatialTopK(probeMod: Int, k: Int, bands: Int, bucketShift: Int): String = {
+  def annSpatialTopK(probeMod: Int, k: Int, bands: Int, bucketShift: Int,
+      where: Option[String] = None): String = {
     require(bucketShift % 4 == 0 && bucketShift > 0,
       s"spatial probing needs bucketShift % 4 == 0, got $bucketShift")
     val step = 1 << (bucketShift / 4)
@@ -320,7 +327,8 @@ object SimSql {
       s"least(floor((CAST(embedding[$i] AS DOUBLE) + 1.0) * 128.0), 255.0)"
     val chains = (0 until bands).map { j =>
       val exprs = (0 until 4).map(d => coordExpr(j * 4 + d + 1))
-      DuckSql.hilbertCtes(8, exprs, "embeddings", Seq("vec_id"), s"b${j}_")
+      DuckSql.hilbertCtes(8, exprs, "embeddings", Seq("vec_id"), s"b${j}_",
+        where = where)
     }
     val variants: Seq[Map[Int, Int]] = Map.empty[Int, Int] +:
       (for (d <- 0 until 4; dl <- Seq(-step, step)) yield Map(d -> dl))
@@ -336,7 +344,8 @@ object SimSql {
         }
       }
       (j, DuckSql.hilbertCtes(8, exprs, "embeddings", Seq("vec_id"), s"p${j}v${vi}_",
-        where = Some(s"vec_id % $probeMod = 0")))
+        where = Some((where.toSeq :+ s"vec_id % $probeMod = 0")
+          .map(w => s"($w)").mkString(" AND "))))
     }
     val chainSql = (chains.map(_._1) ++ probeChains.map(_._2._1)).mkString(",\n")
     val bucketRows = chains.zipWithIndex.map { case ((_, fin), j) =>
@@ -347,7 +356,7 @@ object SimSql {
         s"CAST(curve_key AS BIGINT) >> $bucketShift AS bucket FROM $fin"
     }.mkString("\n  UNION ALL\n")
     s"""WITH $chainSql,
-       |$qCte,
+       |${qCteWhere(where)},
        |buckets AS (
        |$bucketRows),
        |pb AS (SELECT DISTINCT probe_id, band_idx, bucket FROM (
