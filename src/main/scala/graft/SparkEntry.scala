@@ -884,6 +884,23 @@ object SparkEntry {
       })
       graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
     }),
+    // COMPACTION after deletion: the same grown+deleted artifact,
+    // collapsed to one row per surviving bigram (zero-netted bigrams
+    // physically dropped by the same > 0 law the probe applies) —
+    // compaction is zero-logical-change, so the gate is the identical
+    // survivor oracle as q_text_lm_delete; any compaction bug
+    // (a lost count, a resurrected netted bigram) breaks the hash
+    "q_text_lm_compact" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_lm_compacted/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeLmIndex(docs, path)
+        graft.text.CorpusOps.deleteLmIndex(docs.filter(col("doc_id") % 5 === 0), path)
+        graft.text.CorpusOps.compactLmIndex(s, path)
+      })
+      graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
+    }),
     // source×lang association audit: the χ² statistic with every
     // division a defined IntegralDivide — per cell
     // (O·N − R·C)²·1e6 // (R·C·N), summed — so a contingency test
@@ -3090,6 +3107,9 @@ object SparkEntry {
     "q_text_lm_indexed" -> DocSql.lmSurprisal,
     "q_text_lm_append" -> DocSql.lmSurprisal,
     "q_text_lm_delete" -> DocSql.lmSurprisalCountsWhere("doc_id % 5 <> 0"),
+    // compaction is zero-logical-change over the deleted artifact, so
+    // the gate is the identical survivor oracle
+    "q_text_lm_compact" -> DocSql.lmSurprisalCountsWhere("doc_id % 5 <> 0"),
     "q_sketch_kmv" -> DocSql.kmvDistinctShingles(16, 3),
     "q_sketch_hll" -> DocSql.hllDistinctShingles(3),
     // the persisted-partials lifecycle merges exactly -> the plain

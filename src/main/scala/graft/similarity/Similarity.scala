@@ -1536,6 +1536,47 @@ object Similarity {
       .write.mode("append").parquet(path)
   }
 
+  /** COMPACT a [[gramBuild]] artifact grown by appends, deletes and
+    * streamed batches: materialize [[directionFromGram]]'s read-time
+    * merge ONCE — one exact Decimal row per (i, j) cell, ZERO cells
+    * kept (unlike the count compactors a Gram cell is legitimately
+    * zero or negative: entries are sums of signed quantized products,
+    * and a from-scratch build emits every d² cell) — and swap the
+    * directory in crash-safely. Stream idempotence survives: the
+    * streamed batches' `batch_<id>` data directories are recreated
+    * EMPTY in the compacted root, so [[graft.streaming.AtomicIngest]]'s
+    * re-delivery check (`exists(batch_<id>)`) still skips re-delivered
+    * batches while the recursive read finds no rows in them. After
+    * compaction the artifact content equals a from-scratch
+    * [[gramBuild]] over the surviving vectors cell-for-cell (spec'd)
+    * and read cost is d² rows in one file set regardless of the
+    * append/delete history — at 100 TB the nightly audit's merge cost
+    * stays flat instead of tracking ingest cadence. Run BETWEEN
+    * batches, like every [[graft.core.DirSwap]] compactor (an
+    * in-flight staging commit racing the swap loses its staging dir
+    * and crash-retries — the documented pause contract). */
+  def compactGram(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    val batchDirs = fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.getName)
+    val tmp = path + "_compacting"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true)
+    spark.read.option("recursiveFileLookup", "true").parquet(path)
+      .groupBy(col("i"), col("j"))
+      .agg(sum(col("gij")).cast(dec).as("gij"))
+      .write.mode("overwrite").parquet(tmp)
+    batchDirs.foreach(n => fs.mkdirs(new org.apache.hadoop.fs.Path(tmpPath, n)))
+    graft.core.DirSwap.swap(fs, root, tmpPath)
+  }
+
   /** Compact a grown ANN bucket index: re-cluster the keys table by
     * (band_idx, key) and rewrite the vectors table, so probes prune
     * by row-group min/max again instead of touching every appended

@@ -896,9 +896,63 @@ object CorpusOps {
     fs.listStatus(root).toSeq
       .filter { st =>
         val n = st.getPath.getName
-        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+        // the tokens-subdir check skips the EMPTY marker dirs
+        // [[compactNbCounts]] leaves behind for stream idempotence —
+        // they exist so a re-delivered batch id still finds its
+        // commit marker, but they carry no counts to read
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".") &&
+          fs.exists(new org.apache.hadoop.fs.Path(st.getPath, "tokens"))
       }
       .map(_.getPath.toString).sorted
+  }
+
+  /** COMPACT an [[nbCountsBuild]] artifact grown by appends and
+    * deletes: merge every committed part into ONE part named
+    * `compacted` (token rows whose tf AND df both net to zero are
+    * dropped — the zero-netted set under the
+    * must-have-been-ingested delete contract, invisible to vocabulary
+    * selection anyway via the `vtf > 0` guard; per-source doc counts
+    * are kept even at zero because the source's presence in the label
+    * seed is load-bearing, see [[nbCountsDelete]]'s honest limit),
+    * then swap the whole artifact root in crash-safely. Stream
+    * idempotence is preserved by recreating every superseded part
+    * name as an EMPTY directory: [[graft.streaming.AtomicIngest]]'s
+    * re-delivery check is `exists(batch_<id>)`, so a restarted stream
+    * still skips its re-delivered batches, while the parts listing
+    * skips the empty markers (no `tokens` subdir). Repeated
+    * compactions fold the previous `compacted` part like any other.
+    * Run BETWEEN batches, like every [[graft.core.DirSwap]]
+    * compactor: an in-flight staging commit racing the swap would
+    * lose its staging dir and crash-retry (the documented pause
+    * contract — the streaming specs compact between batches). */
+  def compactNbCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val parts = nbCommittedParts(spark, path)
+    require(parts.nonEmpty, s"nb counts artifact has no committed parts: $path")
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    // every non-hidden child (data parts AND old markers) must
+    // reappear as a marker in the compacted root
+    val markerNames = fs.listStatus(root).toSeq
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isDirectory && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(_.getPath.getName)
+    val tmp = path + "_compacting"
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(tmpPath, true)
+    spark.read.parquet(parts.map(p => s"$p/tokens"): _*)
+      .groupBy(col("token"), col("src"))
+      .agg(sum(col("tf")).as("tf"), sum(col("df")).as("df"))
+      .filter(col("tf") =!= 0L || col("df") =!= 0L)
+      .write.mode("overwrite").parquet(s"$tmp/compacted/tokens")
+    spark.read.parquet(parts.map(p => s"$p/docs"): _*)
+      .groupBy(col("src")).agg(sum(col("n_train")).as("n_train"))
+      .write.mode("overwrite").parquet(s"$tmp/compacted/docs")
+    markerNames.filterNot(_ == "compacted")
+      .foreach(n => fs.mkdirs(new org.apache.hadoop.fs.Path(tmpPath, n)))
+    graft.core.DirSwap.swap(fs, root, tmpPath)
   }
 
   /** The shared NB core: derive labels (alternate over the source set
@@ -1819,6 +1873,34 @@ object CorpusOps {
     docs.select(explode(TextFunctions.bigrams(col(textCol))).as("g"))
       .groupBy(col("g")).agg((-count(lit(1))).as("n"))
       .write.mode("append").parquet(path)
+
+  /** COMPACT a [[writeLmIndex]] artifact grown by appends and deletes:
+    * materialize the probe-time merge ONCE — one row per surviving
+    * bigram, zero-netted bigrams dropped by the same `> 0` law the
+    * probe applies at serve time — and swap the directory in
+    * crash-safely ([[graft.core.DirSwap]]). After compaction the
+    * artifact CONTENT equals a from-scratch [[writeLmIndex]] over the
+    * surviving corpus frame-for-frame (spec'd — stronger than serve
+    * equality), and read cost is one summed file set again instead of
+    * growing with the append/delete history. The 100 TB shape: the
+    * merge is a vocabulary²-bounded aggregate over stored partials —
+    * the corpus text is never touched, so compaction cadence is a
+    * pure file-count budget (same argument as the sketch
+    * compactors). Negative-netted bigrams (possible only outside the
+    * must-have-been-ingested delete contract) are dropped by the same
+    * filter rather than resurrected — the serve path never saw them
+    * either. */
+  def compactLmIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val tmp = path + "_compacting"
+    spark.read.parquet(path)
+      .groupBy(col("g")).agg(sum(col("n")).as("n"))
+      .filter(col("n") > 0)
+      .write.mode("overwrite").parquet(tmp)
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.core.DirSwap.swap(fs, hPath, new org.apache.hadoop.fs.Path(tmp))
+  }
 
   /** Serve path: score a frame against the stored LM counts. */
   def lmScoreIndexed(spark: org.apache.spark.sql.SparkSession,

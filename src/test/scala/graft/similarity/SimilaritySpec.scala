@@ -403,6 +403,44 @@ class SimilaritySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(before !== exp, "vacuous: deletion moved no Gram mass")
   }
 
+  test("gram compact: cells == from-scratch over survivors; streamed batch dirs survive as re-delivery guards") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_gram_cpt").toString
+    def cells(p: String) = {
+      val s = spark.read.option("recursiveFileLookup", "true").parquet(p)
+        .groupBy(col("i"), col("j")).agg(sum(col("gij")).as("gij"))
+        .collect().map(r => (r.get(0).toString, r.get(1).toString,
+          r.get(2).toString)).toSet
+      spark.catalog.clearCache()
+      s
+    }
+    // lifecycle: batch build + STREAM-committed batch + takedown
+    Similarity.gramBuild(emb.filter(col("vec_id") % 3 =!= 0), tmp + "/live")
+    graft.streaming.AtomicIngest.commitBatch(spark, tmp + "/live", 7L) { staging =>
+      Similarity.gramBuild(emb.filter(col("vec_id") % 3 === 0), staging)
+    }
+    Similarity.gramDelete(emb.filter(col("vec_id") % 4 === 1), tmp + "/live")
+    Similarity.compactGram(spark, tmp + "/live")
+    Similarity.gramBuild(emb.filter(col("vec_id") % 4 =!= 1), tmp + "/scratch")
+    // cell-for-cell equality with the survivor build — zero cells
+    // INCLUDED (a Gram cell is legitimately zero; from-scratch emits
+    // every d² cell, so must the compacted artifact)
+    assert(cells(tmp + "/live") === cells(tmp + "/scratch"))
+    val served = Similarity.directionFromGram(spark, tmp + "/live").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toMap
+    spark.catalog.clearCache()
+    val exp = Similarity.directionFromGram(spark, tmp + "/scratch").collect()
+      .map(r => (r.getLong(0), r.get(1).toString)).toMap
+    spark.catalog.clearCache()
+    assert(served === exp)
+    // the streamed batch's dir survives (empty) so a re-delivery is
+    // still skipped — the closure would double-count batch 7
+    graft.streaming.AtomicIngest.commitBatch(spark, tmp + "/live", 7L) { _ =>
+      fail("re-delivered gram batch was not skipped after compaction")
+    }
+    assert(cells(tmp + "/live") === cells(tmp + "/scratch"))
+  }
+
   test("ivfTopK: cluster mates found via the probed inverted lists; deterministic") {
     def run() = Similarity.ivfTopK(corpus(), col("vec_id") === 0L, k = 2,
       nlist = 3, nprobe = 1, seed = 7L)

@@ -991,6 +991,77 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === scratch && scratch.nonEmpty)
   }
 
+  test("lm compact: artifact content == from-scratch over survivors, zero-netted bigrams gone") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val surv = d.filter(col("doc_id") % 5 =!= 0)
+    def rows(p: String) = spark.read.parquet(p).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    def scores(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = java.nio.file.Files.createTempDirectory("lmc_scr").toString
+    CorpusOps.writeLmIndex(surv, scratch)
+    val live = java.nio.file.Files.createTempDirectory("lmc_live").toString
+    CorpusOps.writeLmIndex(d.filter(col("doc_id") % 3 === 0), live)
+    CorpusOps.appendLmIndex(d.filter(col("doc_id") % 3 =!= 0), live)
+    CorpusOps.deleteLmIndex(d.filter(col("doc_id") % 5 === 0), live)
+    val servedBefore = scores(CorpusOps.lmScoreIndexed(spark, d, live))
+    spark.catalog.clearCache()
+    CorpusOps.compactLmIndex(spark, live)
+    // frame-level equality with the from-scratch survivor build —
+    // stronger than serve equality: zero-netted bigrams are gone and
+    // every surviving count is the final sum
+    assert(rows(live) === rows(scratch))
+    assert(scores(CorpusOps.lmScoreIndexed(spark, d, live)) === servedBefore)
+    spark.catalog.clearCache()
+  }
+
+  test("nb compact: merged part serves == pre-compact; superseded parts stay as empty re-delivery markers") {
+    import spark.implicits._
+    val srcs = (0 until 4).map(k => s"src$k")
+    val seeds = seedSources(srcs)
+    val rows = (0L until 60L).map { i =>
+      val src = srcs((i % 4).toInt)
+      (i, if (seeds(src)) s"good clean prose here tok$i" else s"spam junk click now tok$i",
+        src)
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    val surv = d.filter(col("doc_id") % 6 =!= 1)
+    val path = java.nio.file.Files
+      .createTempDirectory("nb_compact").toString + "/idx"
+    // lifecycle with a STREAM-committed part: batch_1's dir is also
+    // its idempotence marker, so compaction must keep the name alive
+    CorpusOps.nbCountsBuild(d.filter(col("doc_id") < 30), path, "batch_0")
+    graft.streaming.AtomicIngest.commitBatch(spark, path, 1L) { staging =>
+      CorpusOps.writeNbPartial(d.filter(col("doc_id") >= 30), staging)
+    }
+    CorpusOps.nbCountsDelete(d.filter(col("doc_id") % 6 === 1), path, "d0")
+    val before = CorpusOps.nbQualityFromCounts(spark, surv, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    CorpusOps.compactNbCounts(spark, path)
+    val after = CorpusOps.nbQualityFromCounts(spark, surv, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet
+    spark.catalog.clearCache()
+    assert(after === before && after.nonEmpty)
+    // one data part left; the superseded names persist as EMPTY dirs
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def exists(n: String) =
+      fs.exists(new org.apache.hadoop.fs.Path(s"$path/$n"))
+    assert(exists("compacted") && exists("batch_0") &&
+      exists("batch_1") && exists("d0"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/batch_0/tokens")),
+      "superseded part kept its data")
+    // a re-delivered stream batch still finds its marker: the write
+    // closure must NOT run (it would double-count batch_1)
+    graft.streaming.AtomicIngest.commitBatch(spark, path, 1L) { _ =>
+      fail("re-delivered batch was not skipped after compaction")
+    }
+    assert(CorpusOps.nbQualityFromCounts(spark, surv, path, vocabSize = 16)
+      .collect().map(_.toSeq).toSet === before)
+    spark.catalog.clearCache()
+  }
+
   test("kmv sketch: exact below k, bottom-k estimate within tolerance above") {
     import spark.implicits._
     // stratum "small": 3 docs, few distinct shingles (< k) -> exact path
