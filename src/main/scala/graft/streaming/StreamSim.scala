@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 import graft.similarity.Similarity
 
@@ -79,6 +80,36 @@ object StreamSim {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         AtomicIngest.commitBatch(batch.sparkSession, gramPath, batchId) {
           staging => Similarity.gramBuild(batch, staging)
+        }
+      }
+      .start()
+
+  /** DELETION-AWARE Gram ingest — [[ingestGram]] over a CDC stream:
+    * (vec_id, embedding, op) rows, op ∈ {"add", "delete"}. Each
+    * micro-batch stages the adds' partial ([[Similarity.gramBuild]])
+    * plus the tombstoned vectors' NEGATED partial
+    * ([[Similarity.gramDelete]] appends into the same staging dir)
+    * and commits both in ONE rename, so at every batch boundary the
+    * merged Gram equals a from-scratch build over adds-so-far minus
+    * tombstones-so-far, exactly (Decimal sum-merge — StreamingSpec
+    * replays a mixed stream and checks the served direction).
+    * Tombstones carry their embedding payload (subtraction needs the
+    * mass back — the family contract); a vector added and tombstoned
+    * in the same batch nets to zero; tombstoning a never-ingested
+    * vector is out of contract (Gram has no serve-time positivity
+    * guard to mask it — the cells just go wrong). */
+  def ingestGramCdc(emb: DataFrame, gramPath: String, checkpoint: String,
+      opCol: String = "op")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    emb.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AtomicIngest.commitBatch(batch.sparkSession, gramPath, batchId) {
+          staging =>
+            Similarity.gramBuild(
+              batch.filter(col(opCol) === "add"), staging)
+            Similarity.gramDelete(
+              batch.filter(col(opCol) === "delete"), staging)
         }
       }
       .start()

@@ -89,6 +89,37 @@ object StreamText {
         }
       }
       .start()
+
+  /** DELETION-AWARE NB count ingest — [[ingestNbCounts]] over a CDC
+    * stream: (doc_id, text, source, op) rows, op ∈ {"add",
+    * "delete"}. Each micro-batch becomes ONE atomically committed
+    * partial with adds counted positive and tombstoned docs NEGATED
+    * ([[graft.text.CorpusOps.writeNbCdcPartial]]), so at every batch
+    * boundary the served classifier equals a from-scratch train over
+    * adds-so-far minus tombstones-so-far (StreamingSpec replays a
+    * mixed stream). The subtraction family's CDC contract is STRICTER
+    * than the graph's in one way and LOOSER in another: tombstone
+    * rows must carry their full payload (the departed text/source —
+    * subtraction needs the counts back), but a doc added and
+    * tombstoned in the SAME batch is fine (sum-merge nets it to
+    * zero; the graph loop must forbid that shape). A tombstone for a
+    * never-ingested doc is OUT of contract here (counts would go
+    * negative — masked by the vtf > 0 guard but diverging from
+    * from-scratch), unlike the graph's absent-id no-op; CDC feeds
+    * that can re-deliver tombstones across batches need the marker
+    * window only, which AtomicIngest already provides. Full-source
+    * takedowns keep [[graft.text.CorpusOps.nbCountsDelete]]'s honest
+    * limit: rebuild. */
+  def ingestNbCountsCdc(docs: DataFrame, countsPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AtomicIngest.commitBatch(batch.sparkSession, countsPath, batchId) {
+          staging => graft.text.CorpusOps.writeNbCdcPartial(batch, staging)
+        }
+      }
+      .start()
 }
 
 /** Atomic per-batch commit for duplicate-sensitive persisted

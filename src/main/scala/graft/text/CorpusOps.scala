@@ -861,6 +861,29 @@ object CorpusOps {
     dc.write.mode("overwrite").parquet(s"$dir/docs")
   }
 
+  /** One CDC micro-batch as ONE NB partial: adds count positive,
+    * tombstoned docs count NEGATED (the [[nbCountsDelete]] law — the
+    * delete rows carry their payload, per the subtraction-family
+    * contract), unioned into a single part so the whole batch commits
+    * atomically. Sum-merge commutativity makes the mixed batch
+    * well-defined with no ordering step: a doc added and tombstoned
+    * in the SAME batch nets to exactly zero — as if never ingested —
+    * which the graph's CDC loop must forbid but a count artifact gets
+    * for free. */
+  private[graft] def writeNbCdcPartial(batch: DataFrame, dir: String,
+      opCol: String = "op", idCol: String = "doc_id",
+      sourceCol: String = "source", textCol: String = "text"): Unit = {
+    val (ta, da) = nbPartials(
+      batch.filter(col(opCol) === "add"), idCol, sourceCol, textCol)
+    val (td, dd) = nbPartials(
+      batch.filter(col(opCol) === "delete"), idCol, sourceCol, textCol)
+    ta.unionAll(td.select(col("token"), col("src"),
+        (-col("tf")).as("tf"), (-col("df")).as("df")))
+      .write.mode("overwrite").parquet(s"$dir/tokens")
+    da.unionAll(dd.select(col("src"), (-col("n_train")).as("n_train")))
+      .write.mode("overwrite").parquet(s"$dir/docs")
+  }
+
   /** Serve the classifier from a persisted [[nbCountsBuild]] artifact:
     * merge the stored partials (vocabulary- and sources-bounded sum
     * aggregates — the corpus is touched only by the scoring pass over

@@ -592,6 +592,84 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === scratch && scratch.nonEmpty)
   }
 
+  test("CDC NB count ingest (adds + tombstones) == from-scratch train over survivors") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_nb_cdc").toString
+    val srcs = Seq("alpha", "beta", "gamma", "delta")
+    def row(i: Long) =
+      (i, if (i % 2 == 0) "good clean prose here" else "spam junk click now",
+        srcs((i % 4).toInt))
+    val base = (0L until 20L).map(row)
+    // batch 1: adds 20..29; batch 2: adds 30..39 plus tombstones for
+    // doc 3,9,15 (ingested in the base build — payload carried back)
+    val b1 = (20L until 30L).map { i => val (d, t, s) = row(i); (d, t, s, "add") }
+    val b2 = (30L until 40L).map { i => val (d, t, s) = row(i); (d, t, s, "add") } ++
+      Seq(3L, 9L, 15L).map { i => val (d, t, s) = row(i); (d, t, s, "delete") }
+    graft.text.CorpusOps.nbCountsBuild(
+      base.toDF("doc_id", "text", "source"), s"$tmp/counts", "p0")
+    val schema = b1.toDF("doc_id", "text", "source", "op").schema
+    b1.toDF("doc_id", "text", "source", "op").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamText.ingestNbCountsCdc(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/counts", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text", "source", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // survivors = everything added so far minus the tombstoned ids
+    val surv = ((0L until 40L).toSet -- Set(3L, 9L, 15L)).toSeq.sorted.map(row)
+    val full = surv.toDF("doc_id", "text", "source")
+    val served = graft.text.CorpusOps.nbQualityFromCounts(
+      spark, full, s"$tmp/counts", vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    spark.catalog.clearCache()
+    val scratch = graft.text.CorpusOps.nbQuality(full, vocabSize = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSet
+    spark.catalog.clearCache()
+    assert(served === scratch && scratch.nonEmpty)
+  }
+
+  test("CDC Gram ingest (adds + tombstones) == from-scratch direction over survivors") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_gram_cdc").toString
+    def vec(i: Long) =
+      (0 until 4).map(d => 0.1f * ((i + d) % 5) + (if (d == 1) 0.8f else 0.0f))
+    val base = (0L until 8L).map(i => (i, vec(i)))
+    val b1 = (8L until 12L).map(i => (i, vec(i), "add"))
+    // batch 2: adds 12..15, tombstones for 1 and 6, AND a same-batch
+    // add+tombstone of 12 — sum-merge nets it to zero (well-defined
+    // for counts, unlike the graph CDC contract)
+    val b2 = (12L until 16L).map(i => (i, vec(i), "add")) ++
+      Seq(1L, 6L, 12L).map(i => (i, vec(i), "delete"))
+    graft.similarity.Similarity.gramBuild(
+      base.toDF("vec_id", "embedding"), s"$tmp/gram")
+    val schema = b1.toDF("vec_id", "embedding", "op").schema
+    b1.toDF("vec_id", "embedding", "op").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamSim.ingestGramCdc(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/gram", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("vec_id", "embedding", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val served = graft.similarity.Similarity.directionFromGram(spark, s"$tmp/gram")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    val surv = ((0L until 16L).toSet -- Set(1L, 6L, 12L)).toSeq.sorted
+      .map(i => (i, vec(i)))
+    val scratch = graft.similarity.Similarity.embDominantDirection(
+      surv.toDF("vec_id", "embedding"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    spark.catalog.clearCache()
+    assert(served == scratch && scratch.nonEmpty)
+  }
+
   test("streaming Gram ingest == from-scratch batch direction; atomic commit blocks re-delivery") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_gram").toString
