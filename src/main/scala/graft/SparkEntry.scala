@@ -2326,6 +2326,30 @@ object SparkEntry {
         graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
         col("value"))
     }),
+    // DELETION lifecycle, warehouse-sink family: the user-erasure
+    // request an event log actually serves — tombstones (event_type,
+    // event_id) for every 9th user's rows, applied partition-scoped
+    // (touched dirs only; anti-join survivors; dynamic overwrite;
+    // emptied dirs swept). Oracle: the plain log minus the
+    // tombstoned users' rows — it never sees the delete verb.
+    "q_sink_delete" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_sink_del/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        val e = events(s, dir)
+          .select(col("event_id"), col("user_id"), col("event_type"),
+            col("ts"), col("value"))
+        e.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        Layout.deletePartitioned(path,
+          e.filter(col("user_id") % 9 === 4)
+            .select(col("event_type"), col("event_id")),
+          "event_type", Seq("event_id"))
+      })
+      s.read.parquet(path).select(col("event_id"), col("user_id"),
+        col("event_type"),
+        graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
+        col("value"))
+    }),
 
     // ORC twin: the other columnar format large Hadoop/Hive/Trino
     // estates hold. Schema and types live in the file footer, so
@@ -3248,6 +3272,7 @@ object SparkEntry {
     "q_events_scd2" -> EventSql.eventsScd2,
     "q_events_latest" -> EventSql.eventsLatest,
     "q_sink_upsert" -> EventSql.sinkUpsert,
+    "q_sink_delete" -> EventSql.sinkDelete,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_join_star" ->
       """SELECT r_name, count(*) AS n_items,

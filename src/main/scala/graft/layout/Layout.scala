@@ -404,6 +404,71 @@ object Layout {
       .filter(col("_rn") === 1).drop("_rn")
   }
 
+  /** DELETE rows from a hive-partitioned parquet sink — the takedown
+    * verb of the warehouse family (round-16 verdict #1 applied to the
+    * reference's own domain: the partitioned layout sink), the verb a
+    * user-data erasure request actually runs against an event log.
+    * Same partition-scoping as [[upsertPartitioned]]: tombstones carry
+    * (partCol, keyCols); only the TOUCHED partitions are scanned
+    * (directory-level pruning), survivors are kept by one broadcast
+    * anti-join against the tombstone keys, and dynamic partition
+    * overwrite rewrites exactly the touched directories — cost ∝
+    * touched partitions + tombstones, the untouched warehouse bulk is
+    * never scanned or rewritten.
+    *
+    * A partition whose rows are ALL deleted needs one extra step:
+    * dynamic overwrite replaces only partitions PRESENT in the job
+    * output, so an emptied partition would keep its old files —
+    * [[deletePartitioned]] detects emptied members of the touched set
+    * and removes their directories explicitly, LAST (after the write
+    * has committed). Crash story: a crash before the write commits
+    * loses nothing (staged output); a crash between the commit and
+    * the directory sweep leaves the emptied partitions' stale files —
+    * RE-RUNNING the same delete converges (the anti-join re-finds the
+    * tombstoned keys, the sweep re-finds the emptied dirs; absent
+    * keys are no-ops), the same replay discipline as every delete
+    * verb in the repo.
+    *
+    * Contract: tombstone keys are partition-stable (each carries the
+    * partition value of the row it kills — how the touched set prunes
+    * at all); partition values are path-safe as written by Spark's
+    * own partitioned writer (the sweep escapes them with the same
+    * rule Spark uses). */
+  def deletePartitioned(path: String, tombstones: DataFrame,
+      partCol: String, keyCols: Seq[String]): Unit = {
+    val spark = tombstones.sparkSession
+    val touched = tombstones.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toIndexedSeq
+    val keys = tombstones.select((partCol +: keyCols).map(col): _*).distinct()
+    val survivors = spark.read.parquet(path)
+      .filter(col(partCol).isin(touched: _*))
+      .join(broadcast(keys), partCol +: keyCols, "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val kept = survivors.select(col(partCol)).distinct()
+      .collect().map(_.get(0)).toSet
+    val confKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "dynamic")
+    try survivors.write.mode("overwrite").partitionBy(partCol).parquet(path)
+    finally {
+      survivors.unpersist()
+      prev match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
+    }
+    // sweep emptied partitions LAST — their directories are absent
+    // from the job output, so dynamic overwrite left them behind
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(kept).foreach { v =>
+      val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .getPartitionPathString(partCol, String.valueOf(v))
+      fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
+      ()
+    }
+  }
+
   /** Write `df` as a bucketed, per-bucket-sorted parquet table: rows
     * are hash-partitioned into `buckets` files by `bucketCol` and the
     * bucketing metadata is registered in the session catalog, so a

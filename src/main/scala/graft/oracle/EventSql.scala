@@ -301,6 +301,15 @@ object EventSql {
        |SELECT event_id, user_id, event_type, tsn // 1000 AS ts_us, value
        |FROM r WHERE rn = 1""".stripMargin
 
+  /** Mirror of q_sink_delete: the plain log minus the tombstoned
+    * users' rows — the oracle never sees the partition-scoped delete
+    * path, so a stale file in an emptied partition or a lost survivor
+    * breaks the hash. */
+  val sinkDelete: String =
+    s"""SELECT event_id, user_id, event_type,
+       |  epoch_ns(ts) // 1000 AS ts_us, value
+       |FROM events WHERE user_id % 9 <> 4""".stripMargin
+
   /** Gaps-and-islands sessionization — mirrors
     * graft.streaming.Sessionize.batch (12 h default gap, µs
     * timestamps, exact integer sums). */

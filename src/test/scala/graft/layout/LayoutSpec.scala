@@ -201,4 +201,46 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     // the touched partition was rewritten
     assert(files("p1") != before("p1"))
   }
+
+  test("partition-scoped delete: survivors exact, emptied partition swept, untouched partition intact, re-run converges") {
+    import spark.implicits._
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_delete_spec"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val rows = (1L to 300L).map(i => (i, s"p${i % 3}", i * 10, s"v$i"))
+    rows.toDF("k", "p", "ver", "payload")
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    def files(part: String): Map[String, Long] = {
+      val d = new java.io.File(s"$base/p=$part")
+      if (!d.exists()) Map.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val before = files("p0")
+    // tombstones: every even key in p1, and ALL of p2 (the emptied-
+    // partition case dynamic overwrite alone cannot handle); p0
+    // untouched
+    val tomb = rows.filter { case (k, p, _, _) =>
+      (p == "p1" && k % 2 == 0) || p == "p2"
+    }.map { case (k, p, _, _) => (k, p) }.toDF("k", "p")
+    Layout.deletePartitioned(base, tomb, "p", Seq("k"))
+    def got() = spark.read.parquet(base)
+      .collect().map(r => (r.getLong(0), r.getString(3))).toSet
+    val want = rows.filterNot { case (k, p, _, _) =>
+      (p == "p1" && k % 2 == 0) || p == "p2"
+    }.map { case (k, p, _, _) => (k, p) }.toSet
+    assert(got() == want)
+    // the fully-deleted partition's DIRECTORY is gone (not merely
+    // empty-read): stale files after the dynamic overwrite would
+    // resurrect the tombstoned rows
+    assert(!new java.io.File(s"$base/p=p2").exists())
+    // untouched partition not rewritten (file identity)
+    assert(files("p0") == before)
+    // replaying the same delete converges: absent keys are no-ops,
+    // the emptied-dir sweep re-finds nothing to remove
+    Layout.deletePartitioned(base, tomb, "p", Seq("k"))
+    assert(got() == want)
+    assert(files("p0") == before)
+  }
 }
