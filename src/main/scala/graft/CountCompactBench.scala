@@ -7,9 +7,10 @@ import graft.text.CorpusOps
 
 /** Diagnostic main: what does count-artifact FRAGMENTATION cost, and
   * does [[CorpusOps.compactLmIndex]] buy it back? Builds the LM bigram
-  * artifact, grows it through 24 append batches and 8 takedown
-  * batches (the negated-partial delete law — every verb adds a file
-  * set, so the serve-time merge reads 33 partial generations), then
+  * artifact over the whole corpus in 33 slices, then takes 8 of the
+  * ingested slices back down (the negated-partial delete law — every
+  * verb adds a file set, so the serve-time merge reads 41 partial
+  * generations), then
   * measures the serve path (score the whole corpus against the
   * artifact) fragmented vs compacted, min of 3 with warmup, plus the
   * one-off compaction cost and the physical file counts. The claim
@@ -51,9 +52,13 @@ object CountCompactBench {
       n
     }
 
-    // fragmented lifecycle: 1 build + 24 appends + 8 takedowns
+    // fragmented lifecycle: 1 build + 32 appends + 8 takedowns — the
+    // takedowns target slices that WERE ingested (k = 25..32 came in
+    // as appends), per the delete verb's must-have-been-ingested
+    // contract; deleting never-counted docs would drive shared
+    // bigrams negative and make the measured artifact unreal
     CorpusOps.writeLmIndex(docs.filter(col("doc_id") % 33 === 0), path)
-    (1 until 25).foreach(k =>
+    (1 until 33).foreach(k =>
       CorpusOps.appendLmIndex(docs.filter(col("doc_id") % 33 === k), path))
     (25 until 33).foreach(k =>
       CorpusOps.deleteLmIndex(docs.filter(col("doc_id") % 33 === k), path))
@@ -64,7 +69,7 @@ object CountCompactBench {
     val tCompacted = minOf3(serve())
 
     println(s"""{"metric":"count_compact","sf":"$sfDir",""" +
-      s""""lifecycle":"build+24_appends+8_deletes",""" +
+      s""""lifecycle":"build+32_appends+8_deletes_of_ingested",""" +
       s""""files_before":$filesBefore,"files_after":$filesAfter,""" +
       s""""serve_fragmented_sec":$tFrag,"compact_sec":$tCompact,""" +
       s""""serve_compacted_sec":$tCompacted}""")

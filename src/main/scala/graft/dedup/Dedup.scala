@@ -560,6 +560,36 @@ object Dedup {
     * ID REUSE: after deleting the highest ids, a later append may
     * legally reuse them (the monotone require checks the SURVIVING
     * index max) — a recycled id is simply a fresh document. */
+  /** Stage the SURVIVOR rewrite of a signature index into `tmpIdx`
+    * (sigs + band_stats + band_rows) — the shared half of the two
+    * delete verbs ([[deleteFromSimilarityGraph]] /
+    * [[deleteFromSignatureIndex]]); the CALLER swaps the staged dir in
+    * (ordering matters for the graph verb: edges first, index
+    * second). Untouched buckets never held a deleted doc, so their
+    * stats and rows carry over exactly; touched buckets get the
+    * re-derived survivor stats, and their member rows are
+    * re-materialized complete when the surviving count is under the
+    * cap (over-cap rows are never read — the star rule uses the
+    * merged min). */
+  private def stageIndexSurvivors(spark: org.apache.spark.sql.SparkSession,
+      idx: String, tmpIdx: String, survivors: DataFrame, touched: DataFrame,
+      survTouched: DataFrame, newStats: DataFrame, p: MinHashParams): Unit = {
+    survivors.write.mode("overwrite").parquet(s"$tmpIdx/sigs")
+    spark.read.parquet(s"$idx/band_stats")
+      .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
+      .unionByName(newStats.select(col("band_idx"), col("band_hash"),
+        col("nn").as("n"), col("nmin").as("min_id")))
+      .write.mode("overwrite").parquet(s"$tmpIdx/band_stats")
+    spark.read.parquet(s"$idx/band_rows")
+      .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
+      .unionByName(survTouched
+        .join(broadcast(newStats.filter(col("nn") <= p.maxBucketSize)
+          .select(col("band_idx"), col("band_hash"))),
+          Seq("band_idx", "band_hash"), "left_semi")
+        .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")))
+      .write.mode("overwrite").parquet(s"$tmpIdx/band_rows")
+  }
+
   def deleteFromSimilarityGraph(spark: org.apache.spark.sql.SparkSession,
       path: String, deletedIds: DataFrame,
       p: MinHashParams = MinHashParams(),
@@ -645,26 +675,9 @@ object Dedup {
         // swap in that order (see CRASH/REPLAY above)
         kept.unionByName(newEdges)
           .write.mode("overwrite").parquet(s"$path/edges_compacting")
-        if (anythingStored) {
-          survivors.write.mode("overwrite").parquet(s"$idx-compacting/sigs")
-          spark.read.parquet(s"$idx/band_stats")
-            .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
-            .unionByName(newStats.select(col("band_idx"), col("band_hash"),
-              col("nn").as("n"), col("nmin").as("min_id")))
-            .write.mode("overwrite").parquet(s"$idx-compacting/band_stats")
-          // untouched buckets never held a deleted doc, so their rows
-          // are exact; touched buckets are re-materialized complete
-          // when the surviving count is under the cap (over-cap rows
-          // are never read — the star rule uses the merged min)
-          spark.read.parquet(s"$idx/band_rows")
-            .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
-            .unionByName(survTouched
-              .join(broadcast(newStats.filter(col("nn") <= p.maxBucketSize)
-                .select(col("band_idx"), col("band_hash"))),
-                Seq("band_idx", "band_hash"), "left_semi")
-              .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")))
-            .write.mode("overwrite").parquet(s"$idx-compacting/band_rows")
-        }
+        if (anythingStored)
+          stageIndexSurvivors(spark, idx, s"$idx-compacting",
+            survivors, touched, survTouched, newStats, p)
         graft.core.DirSwap.swap(fs,
           new org.apache.hadoop.fs.Path(s"$path/edges"),
           new org.apache.hadoop.fs.Path(s"$path/edges_compacting"))
@@ -681,23 +694,21 @@ object Dedup {
 
         // bring any existing sidecars back in line with the rewritten
         // edges (rebuild for the exact ones, warm refresh for the
-        // iterative ones — see the scaladoc)
-        val cur = spark.read.parquet(s"$path/edges")
-        val (curWm, curN) = edgeStatsOf(cur)
-        def metaStale(name: String): Boolean = {
-          val m = spark.read.parquet(s"$path/$name/meta").collect()(0)
-          m.getLong(0) != curWm || m.getLong(1) != curN
-        }
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/labels")) &&
-            metaStale("labels"))
+        // iterative ones — see the scaladoc). UNCONDITIONALLY: the
+        // verb KNOWS the edge set was rewritten, and the (watermark,
+        // n_edges) heuristic the refresh verbs use is an APPEND
+        // protocol a deletion can fool without touching either number
+        // (drop k edges touching the deleted min of a staying-over-cap
+        // bucket, gain k re-pointed ones — same count, same max id),
+        // so gating the re-line on it would serve ghost sidecars
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/labels")))
           writeComponentLabels(spark, path)
-        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tri")) &&
-            metaStale("tri"))
+        if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/tri")))
           writeTriangleStats(spark, path)
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/rank")))
-          refreshRankScores(spark, path)
+          refreshRankScores(spark, path, force = true)
         if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/lp")))
-          refreshLpCommunities(spark, path)
+          refreshLpCommunities(spark, path, force = true)
       } else delSigs.unpersist()
     } finally del.unpersist()
   }
@@ -735,20 +746,8 @@ object Dedup {
           .groupBy(col("band_idx"), col("band_hash"))
           .agg(count(lit(1)).as("nn"), min(col("doc_id")).as("nmin"))
           .persist(StorageLevel.MEMORY_AND_DISK)
-        survivors.write.mode("overwrite").parquet(s"$path-compacting/sigs")
-        spark.read.parquet(s"$path/band_stats")
-          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
-          .unionByName(newStats.select(col("band_idx"), col("band_hash"),
-            col("nn").as("n"), col("nmin").as("min_id")))
-          .write.mode("overwrite").parquet(s"$path-compacting/band_stats")
-        spark.read.parquet(s"$path/band_rows")
-          .join(broadcast(touched), Seq("band_idx", "band_hash"), "left_anti")
-          .unionByName(survTouched
-            .join(broadcast(newStats.filter(col("nn") <= p.maxBucketSize)
-              .select(col("band_idx"), col("band_hash"))),
-              Seq("band_idx", "band_hash"), "left_semi")
-            .select(col("band_idx"), col("band_hash"), col("doc_id").as("old_id")))
-          .write.mode("overwrite").parquet(s"$path-compacting/band_rows")
+        stageIndexSurvivors(spark, path, s"$path-compacting",
+          survivors, touched, survTouched, newStats, p)
         graft.core.DirSwap.preserveBatchMarkers(fs,
           new org.apache.hadoop.fs.Path(path),
           new org.apache.hadoop.fs.Path(s"$path-compacting"))
@@ -1970,15 +1969,22 @@ object Dedup {
     * edges unchanged, so a cap sized too tight degrades into more
     * refresh calls — never into serving an out-of-band vector as
     * final (round-16 verdict #1; the resume is cheap by the warm-start
-    * argument). Refresh-after-refresh composes. */
+    * argument). Refresh-after-refresh composes. `force` bypasses the
+    * no-op guard entirely — the DELETE verb passes it because the
+    * (watermark, n_edges) heuristic is an append protocol a deletion
+    * can fool without changing either number. A legacy 2-column meta
+    * (written before convergence provenance existed) is treated as
+    * NOT converged, so the first refresh self-heals it into the
+    * 4-column format at one warm re-converge's cost. */
   def refreshRankScores(spark: org.apache.spark.sql.SparkSession,
       path: String, tol: Long = RankSidecarTol,
-      maxIters: Int = RankSidecarMaxIters): Unit = {
+      maxIters: Int = RankSidecarMaxIters, force: Boolean = false): Unit = {
     val meta = spark.read.parquet(s"$path/rank/meta").collect()(0)
     val edges = spark.read.parquet(s"$path/edges")
     val (curWm, curN) = edgeStatsOf(edges)
-    val storedConverged = meta.getBoolean(3)
-    if (curWm != meta.getLong(0) || curN != meta.getLong(1) || !storedConverged) {
+    val storedConverged = meta.length > 3 && meta.getBoolean(3)
+    if (force || curWm != meta.getLong(0) || curN != meta.getLong(1) ||
+        !storedConverged) {
       val (scores, rounds, conv) = graft.graph.GraphRank
         .pageRankConvergedFromStats(
           edgeEndpoints(edges), edges, readRankScores(spark, path),
@@ -2043,7 +2049,7 @@ object Dedup {
       Seq((
         if (missing == 0L && extra == 0L) 1L else 0L,
         if (worst <= 14L * tol) 1L else 0L,
-        if (meta.getBoolean(3) && reConv) 1L else 0L,
+        if (meta.length > 3 && meta.getBoolean(3) && reConv) 1L else 0L,
         if (nServed > 0L) 1L else 0L))
         .toDF("nodes_ok", "band_ok", "converged_ok", "nonempty")
     } finally served.unpersist()
@@ -2100,12 +2106,13 @@ object Dedup {
     * resume convention — round-16 verdict #1), so the fixpoint
     * contract no longer depends on the cap being sized generously. */
   def refreshLpCommunities(spark: org.apache.spark.sql.SparkSession,
-      path: String, maxIters: Int = 32): Unit = {
+      path: String, maxIters: Int = 32, force: Boolean = false): Unit = {
     val meta = spark.read.parquet(s"$path/lp/meta").collect()(0)
     val edges = spark.read.parquet(s"$path/edges")
     val (curWm, curN) = edgeStatsOf(edges)
-    val storedConverged = meta.getBoolean(3)
-    if (curWm != meta.getLong(0) || curN != meta.getLong(1) || !storedConverged) {
+    val storedConverged = meta.length > 3 && meta.getBoolean(3)
+    if (force || curWm != meta.getLong(0) || curN != meta.getLong(1) ||
+        !storedConverged) {
       val (labels, rounds, conv) = graft.graph.LabelProp
         .communitiesConvergedFromStats(
           edgeEndpoints(edges), edges, readLpCommunities(spark, path),

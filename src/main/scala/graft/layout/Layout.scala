@@ -439,13 +439,23 @@ object Layout {
     val spark = tombstones.sparkSession
     val touched = tombstones.select(col(partCol)).distinct()
       .collect().map(_.get(0)).toIndexedSeq
+    // the emptied-dir sweep compares partition VALUES across two
+    // frames whose types can differ (the caller's tombstone column vs
+    // the sink's partition-INFERRED column — e.g. LongType written,
+    // IntegerType inferred back), and JVM boxed equality across types
+    // is always false, which would make every touched partition look
+    // emptied and sweep survivors away. Canonicalize BOTH sides
+    // through the same Catalyst string cast instead of comparing
+    // boxed values.
+    val touchedStr = tombstones.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toIndexedSeq
     val keys = tombstones.select((partCol +: keyCols).map(col): _*).distinct()
     val survivors = spark.read.parquet(path)
       .filter(col(partCol).isin(touched: _*))
       .join(broadcast(keys), partCol +: keyCols, "left_anti")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val kept = survivors.select(col(partCol)).distinct()
-      .collect().map(_.get(0)).toSet
+    val kept = survivors.select(col(partCol).cast("string")).distinct()
+      .collect().map(_.getString(0)).toSet
     val confKey = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(confKey)
     spark.conf.set(confKey, "dynamic")
@@ -461,9 +471,9 @@ object Layout {
     // from the job output, so dynamic overwrite left them behind
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    touched.filterNot(kept).foreach { v =>
+    touchedStr.filterNot(kept).foreach { v =>
       val dirName = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-        .getPartitionPathString(partCol, String.valueOf(v))
+        .getPartitionPathString(partCol, v)
       fs.delete(new org.apache.hadoop.fs.Path(path, dirName), true)
       ()
     }

@@ -280,6 +280,16 @@ object StreamDedup {
           batch.sparkSession.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
           val dels = batch.filter(col("op") === "delete").select(col("doc_id"))
+          // fail-fast on the out-of-contract shape instead of silently
+          // ingesting it: tombstones run FIRST, so a doc added and
+          // tombstoned in the same batch would survive as if never
+          // deleted (the count-family CDC loops net this shape to
+          // zero; the graph cannot — split it into two batches)
+          require(batch.filter(col("op") === "add").select(col("doc_id"))
+            .join(dels, Seq("doc_id"), "left_semi").isEmpty,
+            "CDC batch adds and tombstones the same doc_id — out of " +
+              "contract for the graph loop (tombstones apply first); " +
+              "split the add and the tombstone into separate batches")
           if (!dels.isEmpty)
             Dedup.deleteFromSimilarityGraph(batch.sparkSession, graphPath, dels, p)
           Dedup.appendSimilarityGraph(

@@ -217,6 +217,44 @@ class SimGraphDeleteSpec extends AnyFunSuite with BeforeAndAfterAll {
     spark.catalog.clearCache()
   }
 
+  test("sidecars re-line even when the delete leaves watermark AND edge count unchanged") {
+    import spark.implicits._
+    // four EXACT duplicates, cap 3: stored edges are the star at the
+    // min id — (10,11),(10,12),(10,13). Deleting 10 drops every
+    // bucket under the cap, so the survivor pairs are all-pairs —
+    // (11,12),(11,13),(12,13): SAME edge count (3), SAME max endpoint
+    // (13). The (watermark, n_edges) append heuristic sees nothing,
+    // which is exactly why the delete verb must re-line sidecars
+    // UNCONDITIONALLY — under the old meta-gating this served ghost
+    // node 10 as the canonical of 11/12/13.
+    val docs = (10L to 13L)
+      .map(i => (i, "identical body the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val p = Dedup.MinHashParams(maxBucketSize = 3)
+    val live = tmp("del_wm_invariant")
+    Dedup.writeSimilarityGraph(docs, live, p)
+    Dedup.writeComponentLabels(spark, live)
+    Dedup.writeRankScores(spark, live)
+    val before = edgeSet(Dedup.readSimilarityGraph(spark, live))
+    assert(before.map(e => (e._1, e._2)) === Set((10L, 11L), (10L, 12L), (10L, 13L)))
+    Dedup.deleteFromSimilarityGraph(spark, live, ids(Seq(10L)), p)
+    spark.catalog.clearCache()
+    val after = edgeSet(Dedup.readSimilarityGraph(spark, live))
+    assert(after.map(e => (e._1, e._2)) === Set((11L, 12L), (11L, 13L), (12L, 13L)))
+    assert(after.size === before.size, "the adversarial shape needs equal counts")
+    // labels: ghost node 10 must be gone and the canonical re-derived
+    val labels = Dedup.readComponentLabels(spark, live).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(labels === Set((11L, 11L), (12L, 11L), (13L, 11L)),
+      "labels sidecar served a deleted doc after a count-preserving delete")
+    // rank: the sidecar's node set must be exactly the current endpoints
+    val rankIds = Dedup.readRankScores(spark, live).collect()
+      .map(_.getLong(0)).toSet
+    assert(rankIds === Set(11L, 12L, 13L),
+      "rank sidecar kept a deleted doc after a count-preserving delete")
+    spark.catalog.clearCache()
+  }
+
   test("deleting every document empties the artifact; ingest restarts cleanly") {
     val docs = corpus(0 until 20, 2)
     val p = Dedup.MinHashParams()

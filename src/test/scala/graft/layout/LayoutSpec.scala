@@ -243,4 +243,32 @@ class LayoutSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got() == want)
     assert(files("p0") == before)
   }
+
+  test("partition-scoped delete on a NON-STRING partition column: sweep compares values, not boxes") {
+    import spark.implicits._
+    // a LongType partition column is read back partition-INFERRED as
+    // IntegerType, so boxed equality between the caller's tombstone
+    // values and the sink's kept values is always false — comparing
+    // boxes would make EVERY touched partition look emptied and sweep
+    // surviving rows away (data loss). The sweep must canonicalize
+    // both sides through the same cast.
+    val base = System.getProperty("java.io.tmpdir") + "/graft_layout_delete_long"
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+    val rows = (1L to 90L).map(i => (i, i % 3, s"v$i")) // p: LongType
+    rows.toDF("k", "p", "payload")
+      .write.mode("overwrite").partitionBy("p").parquet(base)
+    // delete HALF of p=1 (survivors must stay) and ALL of p=2
+    val tomb = rows.filter { case (k, p, _) => (p == 1L && k % 2 == 0) || p == 2L }
+      .map { case (k, p, _) => (k, p) }.toDF("k", "p")
+    Layout.deletePartitioned(base, tomb, "p", Seq("k"))
+    val got = spark.read.parquet(base).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val want = rows.filterNot { case (k, p, _) => (p == 1L && k % 2 == 0) || p == 2L }
+      .map { case (k, _, pay) => (k, pay) }.toSet
+    assert(got == want, "survivors lost in a touched non-string partition")
+    assert(new java.io.File(s"$base/p=1").exists(), "surviving partition swept")
+    assert(!new java.io.File(s"$base/p=2").exists(), "emptied partition not swept")
+  }
 }
