@@ -1081,6 +1081,38 @@ object SparkEntry {
     // min-over-rows estimate — an oracle-gated approximate-count
     "q_sketch_cms" -> ((s, dir) =>
       graft.text.CorpusOps.cmsTokenCounts(table(s, dir, "documents"))),
+    // PERSISTED CMS lifecycle, sum-merge regime: build (2/3) + an
+    // appended partial (1/3) — CMS cells are plain sums, so the grown
+    // artifact serves the IDENTICAL estimate to a from-scratch
+    // full-corpus sketch (gated by the plain q_sketch_cms oracle)
+    "q_sketch_cms_indexed" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_cms_sketch/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeCmsSketch(docs.filter(col("doc_id") % 3 =!= 0), path)
+        graft.text.CorpusOps.appendCmsSketch(docs.filter(col("doc_id") % 3 === 0), path)
+      })
+      graft.text.CorpusOps.cmsEstimateFromSketch(s, docs, path)
+    }),
+    // the CMS DELETION lifecycle — the sketch family's first delete
+    // verb (KMV/HLL stay rebuild-only: max/bottom-k don't subtract;
+    // a sum sketch does, exactly): full build + negated partials for
+    // the %5==0 docs + compaction nets to the survivor sketch
+    // bit-for-bit — gated against a from-scratch survivor-built
+    // oracle that never sees the delete or compact verbs
+    "q_sketch_cms_delete" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_cms_deleted/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.text.CorpusOps.writeCmsSketch(docs, path)
+        graft.text.CorpusOps.deleteCmsSketch(docs.filter(col("doc_id") % 5 === 0), path)
+        graft.text.CorpusOps.compactCmsSketch(s, path)
+      })
+      graft.text.CorpusOps.cmsEstimateFromSketch(
+        s, docs.filter(col("doc_id") % 5 =!= 0), path)
+    }),
     // grid quantile sketch: mergeable per-stratum cell histogram over
     // the Quantize grid — percentiles within one cell width, no
     // per-stratum sort; completes the sketch family (distinct /
@@ -1089,6 +1121,48 @@ object SparkEntry {
       graft.sketch.Quantiles.gridQuantiles(table(s, dir, "lineitem"),
         "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
         Seq(10000L, 250000L, 500000L, 750000L, 990000L))),
+    // PERSISTED grid-histogram lifecycle: build (2/3 by l_orderkey) +
+    // appended partial (1/3) — cell counts are plain sums, so the
+    // grown artifact answers every quantile identically to a
+    // from-scratch full-table sketch (plain q_sketch_quantile oracle)
+    "q_sketch_quantile_indexed" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_grid_hist/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.sketch.Quantiles.writeGridHistogram(
+          li.filter(col("l_orderkey") % 3 =!= 0), path,
+          "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12)
+        graft.sketch.Quantiles.appendGridHistogram(
+          li.filter(col("l_orderkey") % 3 === 0), path,
+          "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12)
+      })
+      graft.sketch.Quantiles.gridQuantilesFromSketch(s, li, path,
+        "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
+        Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+    }),
+    // the order-statistics DELETION lifecycle: full build + negated
+    // partials for the %5==0 orders + compaction = the survivor
+    // histogram exactly; every quantile (estimate AND exact audit,
+    // which scans only survivors) gated against a from-scratch
+    // survivor oracle that never sees the verbs
+    "q_sketch_quantile_delete" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_grid_hist_del/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        graft.sketch.Quantiles.writeGridHistogram(li, path,
+          "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12)
+        graft.sketch.Quantiles.deleteGridHistogram(
+          li.filter(col("l_orderkey") % 5 === 0), path,
+          "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12)
+        graft.sketch.Quantiles.compactGridHistogram(s, path)
+      })
+      graft.sketch.Quantiles.gridQuantilesFromSketch(s,
+        li.filter(col("l_orderkey") % 5 =!= 0), path,
+        "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
+        Seq(10000L, 250000L, 500000L, 750000L, 990000L))
+    }),
     // per-source corpus profile with an exact discrete median
     // dataset profiling: per-column non-null + exact distinct counts
     // in ONE scan (every aggregate in one pass, then stack to rows).
@@ -3142,10 +3216,22 @@ object SparkEntry {
     "q_sketch_kmv_append" -> DocSql.kmvSketchEstimate(16, 3),
     "q_sketch_kmv_merge" -> DocSql.kmvSetOps(16, 3),
     "q_sketch_cms" -> DocSql.cmsTokenCounts(4, 1024, 30),
+    "q_sketch_cms_indexed" -> DocSql.cmsTokenCounts(4, 1024, 30),
+    // deletion gates: from-scratch oracle over SURVIVORS — the oracle
+    // never sees the delete/compact verbs (the family convention)
+    "q_sketch_cms_delete" ->
+      DocSql.cmsTokenCountsWhere(4, 1024, 30, "doc_id % 5 <> 0"),
     "q_filter_bloom" -> DocSql.bloomDecontaminate(8192,
       graft.text.CorpusOps.ContaminationParams()),
     "q_sample_weighted" -> DocSql.weightedSample(399L),
     "q_sketch_quantile" -> SketchSql.gridQuantiles("lineitem",
+      "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
+      Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
+    "q_sketch_quantile_indexed" -> SketchSql.gridQuantiles("lineitem",
+      "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
+      Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
+    "q_sketch_quantile_delete" -> SketchSql.gridQuantiles(
+      "(SELECT * FROM lineitem WHERE l_orderkey % 5 <> 0) t",
       "l_extendedprice", "l_returnflag", 900.0, 105000.0, 12,
       Seq(10000L, 250000L, 500000L, 750000L, 990000L)),
     "q_domain_stats" -> DocSql.domainStats,

@@ -1206,8 +1206,16 @@ object DocSql {
     * (`r:token`), same min-over-rows estimate, same (cnt desc, token)
     * topN pick. sum(BIGINT) widens to HUGEINT — cast back. */
   def cmsTokenCounts(depth: Int, width: Int, topN: Int): String =
+    cmsTokenCountsWhere(depth, width, topN, "1 = 1")
+
+  /** Survivor-corpus CMS for the deletion-lifecycle gate: the oracle
+    * never sees the delete path — it builds from scratch over the rows
+    * passing `pred`, the same from-scratch-over-survivors convention
+    * as [[lmSurprisalCountsWhere]]. */
+  def cmsTokenCountsWhere(depth: Int, width: Int, topN: Int,
+      pred: String): String =
     s"""WITH tok AS (SELECT unnest(string_split(coalesce(text, ''), ' ')) AS token
-       |  FROM documents),
+       |  FROM documents WHERE $pred),
        |counts AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token),
        |rws AS (SELECT r FROM range($depth) t(r)),
        |bk AS (SELECT r,

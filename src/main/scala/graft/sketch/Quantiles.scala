@@ -59,19 +59,95 @@ object Quantiles {
     * by the oracle ([[graft.oracle.SketchSql.gridQuantiles]]). */
   def gridQuantiles(df: DataFrame, valueCol: String, strataCol: String,
       lo: Double, hi: Double, bits: Int, qPpm: Seq[Long]): DataFrame = {
+    val base = prep(df, valueCol, strataCol)
+    quantilesWith(base, gridHistogram(base, "v", "stratum", lo, hi, bits),
+      lo, hi, bits, qPpm)
+  }
+
+  /** The null-dropped (stratum, v) frame every entry point ranks over.
+    * NULL values carry no rank: Spark would sort a NULL cell FIRST in
+    * the cumulative window while DuckDB defaults to NULLS LAST,
+    * shifting every count (round-8 ADVICE) — both engines drop them
+    * up front instead, so n counts exactly the ranked values. */
+  private def prep(df: DataFrame, valueCol: String,
+      strataCol: String): DataFrame =
+    df.select(col(strataCol).as("stratum"),
+        col(valueCol).cast("double").as("v"))
+      .filter(col("v").isNotNull)
+
+  /** PERSISTED grid-histogram lifecycle — the order-statistics sketch
+    * joins the full verb set (build / append / DELETE / compact /
+    * serve) alongside the CMS
+    * ([[graft.text.CorpusOps.writeCmsSketch]]): a cell count is a
+    * plain SUM, so a batch's partial is its own (stratum, cell, cnt)
+    * histogram, appends are pure file adds, and a deletion appends
+    * the departed rows' histogram NEGATED — exact subtraction under
+    * the family's must-have-been-ingested contract, so the merged
+    * sketch equals a from-scratch histogram over the survivors
+    * bit-for-bit (q_sketch_quantile_indexed / _delete gate both paths
+    * against the plain oracle). (lo, hi, bits) are the artifact's
+    * identity — every verb must use the build's grid, the frozen-
+    * geometry convention of the PQ codebooks.
+    *
+    * Shape at 100 TB: a partial is <= strata * 2^bits rows however
+    * large the batch; the batch's own map-side-combined histogram
+    * aggregate is the only batch-sized stage, and serve merges
+    * partials with one sketch-sized sum. */
+  def writeGridHistogram(df: DataFrame, path: String, valueCol: String,
+      strataCol: String, lo: Double, hi: Double, bits: Int): Unit =
+    gridHistogram(prep(df, valueCol, strataCol), "v", "stratum", lo, hi, bits)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a batch's histogram partial (pure file add). */
+  def appendGridHistogram(batch: DataFrame, path: String, valueCol: String,
+      strataCol: String, lo: Double, hi: Double, bits: Int): Unit =
+    gridHistogram(prep(batch, valueCol, strataCol), "v", "stratum", lo, hi, bits)
+      .write.mode("append").parquet(path)
+
+  /** DELETE rows from a persisted grid histogram: append their
+    * histogram with every count negated. `df` must be the deleted
+    * rows themselves, previously ingested. */
+  def deleteGridHistogram(df: DataFrame, path: String, valueCol: String,
+      strataCol: String, lo: Double, hi: Double, bits: Int): Unit =
+    gridHistogram(prep(df, valueCol, strataCol), "v", "stratum", lo, hi, bits)
+      .select(col("stratum"), col("cell"), (-col("cnt")).as("cnt"))
+      .write.mode("append").parquet(path)
+
+  /** Compact a grid-histogram artifact grown by appends and deletes:
+    * one merged partial, zero-netted cells dropped (absent = zero
+    * under the sum merge — zero-logical-change, spec'd), atomic swap,
+    * stream markers preserved. */
+  def compactGridHistogram(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    graft.text.CorpusOps.replaceDir(spark, path,
+      spark.read.parquet(path)
+        .groupBy(col("stratum"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+        .filter(col("cnt") =!= 0L))
+
+  /** Serve quantiles from a persisted grid histogram: sum-merge the
+    * stored partials (sketch-sized), then the same estimate + exact
+    * audit as [[gridQuantiles]] — pass the SURVIVOR frame `df` after
+    * deletions; the audit branch scans it, the sketch never does. */
+  def gridQuantilesFromSketch(spark: org.apache.spark.sql.SparkSession,
+      df: DataFrame, path: String, valueCol: String, strataCol: String,
+      lo: Double, hi: Double, bits: Int, qPpm: Seq[Long]): DataFrame = {
+    val sketch = spark.read.parquet(path)
+      .groupBy(col("stratum"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+    quantilesWith(prep(df, valueCol, strataCol), sketch, lo, hi, bits, qPpm)
+  }
+
+  /** The shared core: estimate from `sketch`, exact audit from
+    * `base` — both in the (stratum, ...) shapes [[prep]] and
+    * [[gridHistogram]] produce. */
+  private def quantilesWith(base: DataFrame, sketch: DataFrame,
+      lo: Double, hi: Double, bits: Int, qPpm: Seq[Long]): DataFrame = {
     require(qPpm.nonEmpty && qPpm.forall(q => q >= 1 && q <= 1000000L),
       s"quantile ranks are ppm in [1, 1e6]: $qPpm")
-    // NULL values carry no rank: Spark would sort a NULL cell FIRST in
-    // the cumulative window while DuckDB defaults to NULLS LAST,
-    // shifting every count (round-8 ADVICE) — both engines drop them
-    // up front instead, so n counts exactly the ranked values.
-    val base = df.select(col(strataCol).as("stratum"),
-      col(valueCol).cast("double").as("v"))
-      .filter(col("v").isNotNull)
     // ONE corpus scan builds the sketch; per-stratum totals come from
     // the sketch itself (a second window over the SAME exchange), not
     // a second scan. Everything after runs on the sketch-sized frame.
-    val cum = gridHistogram(base, "v", "stratum", lo, hi, bits)
+    val cum = sketch
       .select(col("stratum"), col("cell"), col("cnt"),
         sum(col("cnt")).over(Window.partitionBy(col("stratum")).orderBy(col("cell")))
           .as("cum"),

@@ -1589,23 +1589,109 @@ object CorpusOps {
   def cmsTokenCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
       topN: Int = 30, textCol: String = "text"): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
-    val counts = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("token"))
-      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val counts = tokenCounts(docs, textCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
-    def bucket(r: Column, token: Column): Column =
-      TextFunctions.hashBucket(concat(r.cast("string"), lit(":"), token), width)
-    val rowIdx = explode(array((0 until depth).map(r => lit(r)): _*)).as("r")
-    val sketch = counts.select(col("token"), col("cnt"), rowIdx)
-      .select(col("r"), bucket(col("r"), col("token")).as("b"), col("cnt"))
+    cmsEstimateWith(counts, cmsOfCounts(counts, depth, width), depth, width, topN)
+  }
+
+  /** The per-batch token-count frame the CMS derives from. */
+  private def tokenCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextFunctions.tokens(col(textCol))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** The salted md5 bucket of CMS row `r` — shared by the live query,
+    * the persisted lifecycle, and (structurally) the DuckDB oracle. */
+  private def cmsBucket(r: Column, token: Column, width: Int): Column =
+    TextFunctions.hashBucket(concat(r.cast("string"), lit(":"), token), width)
+
+  /** Fold a (token, cnt) frame into the (r, b, cms) sketch — at most
+    * depth * width rows, vocabulary-sized work. */
+  private def cmsOfCounts(counts: DataFrame, depth: Int, width: Int): DataFrame =
+    counts.select(col("token"), col("cnt"),
+        explode(array((0 until depth).map(r => lit(r)): _*)).as("r"))
+      .select(col("r"), cmsBucket(col("r"), col("token"), width).as("b"), col("cnt"))
       .groupBy(col("r"), col("b")).agg(sum(col("cnt")).as("cms"))
-    val top = counts.orderBy(col("cnt").desc, col("token")).limit(topN)
-    top.select(col("token"), col("cnt"), rowIdx)
-      .select(col("token"), col("cnt"), col("r"), bucket(col("r"), col("token")).as("b"))
+
+  /** (token, true_cnt, cms_est) for the topN true-frequency tokens of
+    * `counts`, estimated against `sketch` (min over rows). */
+  private def cmsEstimateWith(counts: DataFrame, sketch: DataFrame,
+      depth: Int, width: Int, topN: Int): DataFrame = {
+    val rowIdx = explode(array((0 until depth).map(r => lit(r)): _*)).as("r")
+    counts.orderBy(col("cnt").desc, col("token")).limit(topN)
+      .select(col("token"), col("cnt"), rowIdx)
+      .select(col("token"), col("cnt"), col("r"),
+        cmsBucket(col("r"), col("token"), width).as("b"))
       .join(broadcast(sketch), Seq("r", "b"))
       .groupBy(col("token"), col("cnt"))
       .agg(min(col("cms")).as("cms_est"))
       .select(col("token"), col("cnt").as("true_cnt"), col("cms_est"))
+  }
+
+  /** PERSISTED count-min lifecycle — the frequency sketch joins the
+    * full artifact verb set (build / append / DELETE / compact /
+    * serve), which the distinct sketches above deliberately cannot
+    * (max/bottom-k are not subtractable): a CMS cell is a plain SUM
+    * of token counts, so a batch's partial is the batch's own
+    * depth x width sketch, appends are pure file adds, and a deletion
+    * is one more partial with the departed documents' counts NEGATED
+    * — the [[deleteLmIndex]] / [[nbCountsDelete]] sum-merge
+    * subtraction law. Each document contributes to exactly one
+    * build/append partial (the family's must-have-been-ingested
+    * contract), so the merged sketch after build + appends - deletes
+    * is BIT-IDENTICAL to a from-scratch sketch over the survivors —
+    * q_sketch_cms_indexed / q_sketch_cms_delete gate both paths
+    * against the plain oracle, which never sees the lifecycle.
+    *
+    * Shape at 100 TB: a partial is <= depth * width rows (KBs)
+    * regardless of batch size — the batch's own token-count aggregate
+    * is the only corpus-sized stage; serve merges partials with one
+    * sketch-sized sum. `depth`/`width` are the artifact's identity:
+    * every verb must use the build's values (same convention as the
+    * PQ codebooks' frozen geometry). */
+  def writeCmsSketch(docs: DataFrame, path: String, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): Unit =
+    cmsOfCounts(tokenCounts(docs, textCol), depth, width)
+      .write.mode("overwrite").parquet(path)
+
+  /** Append a batch's CMS partial (pure file add). */
+  def appendCmsSketch(batch: DataFrame, path: String, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): Unit =
+    cmsOfCounts(tokenCounts(batch, textCol), depth, width)
+      .write.mode("append").parquet(path)
+
+  /** DELETE documents from a persisted CMS: append their sketch with
+    * every cell negated. `docs` must be the deleted documents
+    * themselves, previously ingested (the family contract) — then the
+    * subtraction is exact and the served estimate equals a
+    * from-scratch build over the survivors. */
+  def deleteCmsSketch(docs: DataFrame, path: String, depth: Int = 4,
+      width: Int = 1024, textCol: String = "text"): Unit =
+    cmsOfCounts(tokenCounts(docs, textCol), depth, width)
+      .select(col("r"), col("b"), (-col("cms")).as("cms"))
+      .write.mode("append").parquet(path)
+
+  /** Compact a CMS artifact grown by appends and deletes: one merged
+    * partial, zero-netted cells physically dropped (an absent cell IS
+    * zero under the sum merge, so this is zero-logical-change —
+    * spec'd), atomic directory swap, stream markers preserved. */
+  def compactCmsSketch(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit =
+    replaceDir(spark, path,
+      spark.read.parquet(path)
+        .groupBy(col("r"), col("b")).agg(sum(col("cms")).as("cms"))
+        .filter(col("cms") =!= 0L))
+
+  /** Serve (token, true_cnt, cms_est) from a persisted CMS: sum-merge
+    * the stored partials (sketch-sized), topN true counts from `docs`
+    * — pass the SURVIVOR corpus after deletions; the estimate column
+    * comes from the artifact alone. */
+  def cmsEstimateFromSketch(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, path: String, depth: Int = 4, width: Int = 1024,
+      topN: Int = 30, textCol: String = "text"): DataFrame = {
+    val sketch = spark.read.parquet(path)
+      .groupBy(col("r"), col("b")).agg(sum(col("cms")).as("cms"))
+      .filter(col("cms") =!= 0L)
+    cmsEstimateWith(tokenCounts(docs, textCol), sketch, depth, width, topN)
   }
 
   /** Per-source corpus stats with an exact discrete median — the
@@ -2372,7 +2458,7 @@ object CorpusOps {
         .select(col("stratum"), col("h")))
   }
 
-  private def replaceDir(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def replaceDir(spark: org.apache.spark.sql.SparkSession,
       path: String, merged: DataFrame): Unit = {
     val tmp = path + "_compacting"
     // a sketch is KBs at any corpus size — one output file IS the point

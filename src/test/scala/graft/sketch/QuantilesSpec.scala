@@ -117,6 +117,56 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(dirty) == out(clean)) // n excludes NULLs; no rank shift
   }
 
+  test("persisted lifecycle: build+append == plain; delete(+compact) == survivors from-scratch") {
+    import spark.implicits._
+    val rnd = new Random(29)
+    val df = (0 until 3000).map { i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c",
+        rnd.nextDouble() * 1000.0)
+    }.toDF("id", "grp", "x")
+    val qs = Seq(10000L, 250000L, 500000L, 750000L, 990000L)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_grid_life").toString
+    val path = s"$tmp/hist"
+    def served(d: org.apache.spark.sql.DataFrame) =
+      Quantiles.gridQuantilesFromSketch(spark, d, path, "x", "grp",
+        lo, hi, bits, qs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5))).sorted.toSeq
+    def plain(d: org.apache.spark.sql.DataFrame) =
+      Quantiles.gridQuantiles(d, "x", "grp", lo, hi, bits, qs)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5))).sorted.toSeq
+    // sum-merge law: build 2/3 + append 1/3 == one full build
+    Quantiles.writeGridHistogram(df.filter(col("id") % 3 =!= 0), path,
+      "x", "grp", lo, hi, bits)
+    Quantiles.appendGridHistogram(df.filter(col("id") % 3 === 0), path,
+      "x", "grp", lo, hi, bits)
+    val full = plain(df)
+    assert(full.nonEmpty && served(df) == full)
+    // subtraction law: a negated partial nets to the survivor sketch —
+    // estimate AND exact audit both match a from-scratch survivor run
+    val survivors = df.filter(col("id") % 4 =!= 0)
+    Quantiles.deleteGridHistogram(df.filter(col("id") % 4 === 0), path,
+      "x", "grp", lo, hi, bits)
+    val survPlain = plain(survivors)
+    assert(served(survivors) == survPlain)
+    // compaction: zero-logical-change, zero-netted cells dropped
+    def files = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val mergedBefore = spark.read.parquet(path)
+      .groupBy(col("stratum"), col("cell")).agg(sum(col("cnt")).as("cnt"))
+      .filter(col("cnt") =!= 0L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val filesBefore = files
+    Quantiles.compactGridHistogram(spark, path)
+    val stored = spark.read.parquet(path)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(stored == mergedBefore, "compaction changed the merged sketch")
+    assert(stored.forall(_._3 != 0L), "a zero-netted cell survived compaction")
+    assert(files < filesBefore, s"$files vs $filesBefore")
+    assert(served(survivors) == survPlain)
+  }
+
   test("out-of-domain values clamp to edge cells and stay counted") {
     import spark.implicits._
     val df = Seq(("a", -50.0), ("a", 2000.0), ("a", 500.0)).toDF("grp", "x")

@@ -1258,6 +1258,52 @@ class CorpusOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"kmv: ${dataFiles(s"$tmp/kmv")} vs $kmvFilesBefore")
   }
 
+  test("cms lifecycle: build+append == from-scratch; delete(+compact) == survivors from-scratch") {
+    import spark.implicits._
+    // heavy cross-batch token overlap ((i+j) % 23) PLUS a token unique
+    // to each doc, so deletions both subtract from shared cells and
+    // net doc-private cells to zero
+    val rows = (1L to 90L).map(i =>
+      (i, ((0 to 8).map(j => s"t${(i + j) % 23}") :+ s"only$i").mkString(" ")))
+    val d = rows.toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms_life").toString
+    def served(docs: org.apache.spark.sql.DataFrame) =
+      CorpusOps.cmsEstimateFromSketch(spark, docs, s"$tmp/cms", topN = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    def scratch(docs: org.apache.spark.sql.DataFrame) = {
+      val out = CorpusOps.cmsTokenCounts(docs, topN = 40)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+      spark.catalog.clearCache()
+      out
+    }
+    // sum-merge law: build 2/3 + append 1/3 == one full build
+    CorpusOps.writeCmsSketch(d.filter(col("doc_id") % 3 =!= 0), s"$tmp/cms")
+    CorpusOps.appendCmsSketch(d.filter(col("doc_id") % 3 === 0), s"$tmp/cms")
+    val full = scratch(d)
+    assert(full.nonEmpty && served(d) == full)
+    // subtraction law: a negated partial nets to the survivor sketch
+    val survivors = d.filter(col("doc_id") % 5 =!= 0)
+    CorpusOps.deleteCmsSketch(d.filter(col("doc_id") % 5 === 0), s"$tmp/cms")
+    val survScratch = scratch(survivors)
+    assert(served(survivors) == survScratch)
+    // compaction: zero-logical-change, zero-netted cells physically
+    // dropped, file count shrinks
+    def files = new java.io.File(s"$tmp/cms").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val mergedBefore = spark.read.parquet(s"$tmp/cms")
+      .groupBy(col("r"), col("b")).agg(sum(col("cms")).as("cms"))
+      .filter(col("cms") =!= 0L)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val filesBefore = files
+    CorpusOps.compactCmsSketch(spark, s"$tmp/cms")
+    val stored = spark.read.parquet(s"$tmp/cms")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(stored == mergedBefore, "compaction changed the merged sketch")
+    assert(stored.forall(_._3 != 0L), "a zero-netted cell survived compaction")
+    assert(files < filesBefore, s"$files vs $filesBefore")
+    assert(served(survivors) == survScratch)
+  }
+
   test("weightedSample: matches the naive prefix-sum spec; picks telescope to floor(T/stride)") {
     // sparse unordered ids, varying lengths — same shape as the pack test
     val d = docs(Seq(7L, 100L, 3L, 42L, 999L, 500L).zipWithIndex.map {
