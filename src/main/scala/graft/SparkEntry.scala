@@ -2424,6 +2424,79 @@ object SparkEntry {
         graft.text.TextFunctions.intDiv(col("ts"), lit(1000L)).as("ts_us"),
         col("value"))
     }),
+    // VERSIONED warehouse table (copy-on-write immutable segments +
+    // atomic manifest commits — the snapshot/time-travel layer the
+    // in-place hive sink above cannot give): create v1 (even
+    // orderkeys) -> upsert v2 (every 3rd key: custkey shifted; odd
+    // multiples of 3 are INSERTS) -> delete v3 (every 10th key). The
+    // query reads AS OF v2 — AFTER the v3 delete landed — proving
+    // exact snapshot reconstruction from immutable segments; the
+    // oracle recomputes the v2 state from the raw table and never
+    // sees a verb.
+    "q_sink_timetravel" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_vtable/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true) // stale table from prior runs
+        val o = table(s, dir, "orders")
+        graft.layout.VersionedTable.create(
+          o.filter(col("o_orderkey") % 2 === 0), path, "o_orderkey")
+        graft.layout.VersionedTable.upsert(
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
+          path, "o_orderkey")
+        graft.layout.VersionedTable.delete(
+          o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")),
+          path, "o_orderkey")
+      })
+      graft.layout.VersionedTable.read(s, path, asOf = 2)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+    // retention + physical GC for the versioned table, the ivfAudit
+    // contract-row playbook: the same 3-commit flow on its own path,
+    // then vacuum(keepLast = 2). Spark emits the physical outcomes
+    // (segments/manifests removed, retained versions, unreferenced
+    // dirs LEFT behind) plus the retained versions' row counts; the
+    // oracle pins the physical outcomes as constants and recomputes
+    // both row counts from the raw table — GC must remove exactly
+    // v1's segment and manifest, leave zero orphans, and both
+    // retained snapshots must still read exactly.
+    "q_sink_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_vtable_gc/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+        val o = table(s, dir, "orders")
+        graft.layout.VersionedTable.create(
+          o.filter(col("o_orderkey") % 2 === 0), path, "o_orderkey")
+        graft.layout.VersionedTable.upsert(
+          o.filter(col("o_orderkey") % 3 === 0)
+            .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
+          path, "o_orderkey")
+        graft.layout.VersionedTable.delete(
+          o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")),
+          path, "o_orderkey")
+        val (segs, mans) = graft.layout.VersionedTable.vacuum(s, path, 2)
+        Seq((segs.toLong, mans.toLong))
+          .toDF("segments_removed", "manifests_removed")
+          .write.mode("overwrite").parquet(s"$path/_audit")
+      })
+      val vs = graft.layout.VersionedTable.versions(s, path)
+      val orphans = graft.layout.VersionedTable.orphanSegments(s, path)
+      val latestRows = graft.layout.VersionedTable.read(s, path).count()
+      val asof2Rows = graft.layout.VersionedTable.read(s, path, asOf = 2).count()
+      s.read.parquet(s"$path/_audit")
+        .withColumn("versions_retained", lit(vs.length.toLong))
+        .withColumn("first_retained", lit(vs.head.toLong))
+        .withColumn("orphan_dirs", lit(orphans.length.toLong))
+        .withColumn("asof2_rows", lit(asof2Rows))
+        .withColumn("latest_rows", lit(latestRows))
+    }),
 
     // ORC twin: the other columnar format large Hadoop/Hive/Trino
     // estates hold. Schema and types live in the file footer, so
@@ -3359,6 +3432,34 @@ object SparkEntry {
     "q_events_latest" -> EventSql.eventsLatest,
     "q_sink_upsert" -> EventSql.sinkUpsert,
     "q_sink_delete" -> EventSql.sinkDelete,
+    // the v2 snapshot recomputed from the raw table: v1 = even keys,
+    // v2 = upsert of every 3rd key with the shifted custkey (updates
+    // where even, inserts where odd); the v3 delete is invisible at
+    // asOf 2
+    "q_sink_timetravel" ->
+      """WITH chg AS (SELECT o_orderkey, o_custkey + 1000000 AS o_custkey
+        |    FROM orders WHERE o_orderkey % 3 = 0),
+        |  base AS (SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderkey % 2 = 0)
+        |SELECT o_orderkey, o_custkey FROM chg
+        |UNION ALL
+        |SELECT b.o_orderkey, b.o_custkey FROM base b
+        |WHERE b.o_orderkey NOT IN (SELECT o_orderkey FROM chg)""".stripMargin,
+    // GC contract row: physical outcomes pinned as constants (exactly
+    // v1's segment + manifest removed, two retained versions starting
+    // at 2, zero unreferenced dirs), retained snapshot row counts
+    // recomputed from the raw table
+    "q_sink_vacuum" ->
+      """SELECT CAST(1 AS BIGINT) AS segments_removed,
+        |  CAST(1 AS BIGINT) AS manifests_removed,
+        |  CAST(2 AS BIGINT) AS versions_retained,
+        |  CAST(2 AS BIGINT) AS first_retained,
+        |  CAST(0 AS BIGINT) AS orphan_dirs,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE o_orderkey % 2 = 0 OR o_orderkey % 3 = 0) AS asof2_rows,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM orders
+        |    WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
+        |      AND o_orderkey % 10 <> 0) AS latest_rows""".stripMargin,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_join_star" ->
       """SELECT r_name, count(*) AS n_items,

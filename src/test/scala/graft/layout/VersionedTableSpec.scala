@@ -1,0 +1,155 @@
+package graft.layout
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The versioned table's contracts:
+  *  1. every commit is a snapshot: read(asOf = v) reconstructs the
+  *     exact post-commit state of v, whatever landed later;
+  *  2. copy-on-write pruning: an upsert/delete rewrites ONLY segments
+  *     whose key range intersects the change batch — untouched
+  *     segments carry over by reference, file-identical;
+  *  3. vacuum: retained versions stay exactly readable; everything
+  *     unreferenced (old segments, crash debris) is physically gone,
+  *     vacuumed versions fail loudly.
+  */
+class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-vtable-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  override def afterAll(): Unit = spark.stop()
+
+  private def freshPath(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_vt_$tag").toString + "/t"
+
+  private def rows(path: String, asOf: Int = -1): Set[(Long, String)] =
+    VersionedTable.read(spark, path, asOf)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+
+  test("create/append/upsert/delete: each version is an exact snapshot") {
+    import spark.implicits._
+    val path = freshPath("snap")
+    val v1 = (1L to 50L).map(k => (k, s"v1_$k")).toDF("k", "payload")
+    VersionedTable.create(v1, path, "k")
+    // v2: append disjoint keys
+    VersionedTable.append(
+      (51L to 70L).map(k => (k, s"v2_$k")).toDF("k", "payload"), path, "k")
+    // v3: upsert — update 10..20, insert 80..85
+    VersionedTable.upsert(
+      ((10L to 20L) ++ (80L to 85L)).map(k => (k, s"v3_$k")).toDF("k", "payload"),
+      path, "k")
+    // v4: delete every 7th key
+    VersionedTable.delete(
+      (1L to 85L).filter(_ % 7 == 0).toDF("k"), path, "k")
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2, 3, 4))
+    val s1 = (1L to 50L).map(k => (k, s"v1_$k")).toSet
+    val s2 = s1 ++ (51L to 70L).map(k => (k, s"v2_$k"))
+    val s3 = s2.filterNot { case (k, _) => k >= 10 && k <= 20 } ++
+      ((10L to 20L) ++ (80L to 85L)).map(k => (k, s"v3_$k"))
+    val s4 = s3.filterNot(_._1 % 7 == 0)
+    assert(rows(path, 1) == s1)
+    assert(rows(path, 2) == s2)
+    assert(rows(path, 3) == s3)
+    assert(rows(path, 4) == s4)
+    assert(rows(path) == s4) // latest == newest version
+    // history reflects the commit log
+    val h = VersionedTable.history(spark, path)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(h(1L) == s1.size.toLong && h(4L) == s4.size.toLong)
+    // create on an existing table refuses
+    intercept[IllegalArgumentException] {
+      VersionedTable.create(v1, path, "k")
+    }
+  }
+
+  test("copy-on-write pruning: range-disjoint segments carry over file-identical") {
+    import spark.implicits._
+    val path = freshPath("cow")
+    VersionedTable.create(
+      (1L to 100L).map(k => (k, s"lo_$k")).toDF("k", "payload"), path, "k")
+    VersionedTable.append(
+      (1000L to 1100L).map(k => (k, s"hi_$k")).toDF("k", "payload"), path, "k")
+    def segFiles(seg: String): Set[(String, Long)] = {
+      val d = new java.io.File(s"$path/$seg")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val loBefore = segFiles("seg_v00001")
+    // upsert touching ONLY the high range
+    VersionedTable.upsert(
+      (1050L to 1060L).map(k => (k, s"up_$k")).toDF("k", "payload"), path, "k")
+    // the low segment's files are untouched (same names, same mtimes)
+    assert(segFiles("seg_v00001") == loBefore)
+    // and the new manifest references it by name, not a rewrite
+    val orphansNone = VersionedTable.orphanSegments(spark, path)
+    assert(!orphansNone.contains("seg_v00001"))
+    // correctness of the merged state
+    val expect = (1L to 100L).map(k => (k, s"lo_$k")).toSet ++
+      (1000L to 1100L).map(k =>
+        (k, if (k >= 1050 && k <= 1060) s"up_$k" else s"hi_$k"))
+    assert(rows(path) == expect)
+    // delete touching only the low range: high segment (v3's merge
+    // output) untouched
+    val hiBefore = segFiles("seg_v00003")
+    VersionedTable.delete((1L to 10L).toDF("k"), path, "k")
+    assert(segFiles("seg_v00003") == hiBefore)
+    assert(rows(path) == expect.filterNot(_._1 <= 10))
+  }
+
+  test("vacuum: retained snapshots exact, unreferenced segments and crash debris gone") {
+    import spark.implicits._
+    val path = freshPath("gc")
+    VersionedTable.create(
+      (1L to 40L).map(k => (k, s"a_$k")).toDF("k", "payload"), path, "k")
+    VersionedTable.upsert(
+      (10L to 50L).map(k => (k, s"b_$k")).toDF("k", "payload"), path, "k")
+    VersionedTable.delete((1L to 50L).filter(_ % 5 == 0).toDF("k"), path, "k")
+    val v2 = rows(path, 2)
+    val v3 = rows(path, 3)
+    // plant crash debris: a segment written but never committed
+    (1L to 3L).map(k => (k, "debris")).toDF("k", "payload")
+      .write.parquet(s"$path/seg_v99999")
+    assert(VersionedTable.orphanSegments(spark, path).contains("seg_v99999"))
+    val (segs, mans) = VersionedTable.vacuum(spark, path, keepLast = 2)
+    // v1's segment was rewritten by the v2 upsert (ranges overlap), so
+    // exactly seg_v00001 + the debris go; exactly manifest v1 goes
+    assert(segs == 2 && mans == 1, s"($segs, $mans)")
+    assert(VersionedTable.orphanSegments(spark, path).isEmpty)
+    assert(VersionedTable.versions(spark, path) == Seq(2, 3))
+    // retained snapshots unchanged, vacuumed version fails loudly
+    assert(rows(path, 2) == v2 && rows(path, 3) == v3 && rows(path) == v3)
+    val ex = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, path, asOf = 1)
+    }
+    assert(ex.getMessage.contains("vacuumed"))
+  }
+
+  test("upsert dedupes within the change batch by orderCols; empty batches are no-ops") {
+    import spark.implicits._
+    val path = freshPath("ord")
+    VersionedTable.create(
+      (1L to 10L).map(k => (k, s"base_$k", 0L)).toDF("k", "payload", "ver"),
+      path, "k")
+    // two rows per key in one batch: newest (highest ver) must win
+    val batch = (1L to 5L).flatMap(k =>
+      Seq((k, s"old_$k", 1L), (k, s"new_$k", 2L))).toDF("k", "payload", "ver")
+    VersionedTable.upsert(batch, path, "k", Seq(col("ver").desc))
+    val got = VersionedTable.read(spark, path)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val expect = (1L to 5L).map(k => (k, s"new_$k")).toSet ++
+      (6L to 10L).map(k => (k, s"base_$k"))
+    assert(got == expect)
+    // empty upsert and delete leave the version count unchanged
+    val vBefore = VersionedTable.currentVersion(spark, path)
+    VersionedTable.upsert(batch.filter(col("k") < 0), path, "k")
+    VersionedTable.delete(batch.filter(col("k") < 0).select(col("k")), path, "k")
+    assert(VersionedTable.currentVersion(spark, path) == vBefore)
+  }
+}
