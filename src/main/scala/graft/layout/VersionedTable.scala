@@ -210,6 +210,42 @@ object VersionedTable {
     commitManifest(spark, path, v + 1, kept ++ seg.toSeq)
   }
 
+  /** One CDC batch as ONE atomic commit: rows with op = "add" upsert
+    * (replace live rows by key, insert absent keys), rows with
+    * op = "delete" drop their key — adds and deletes land in the SAME
+    * version, the all-or-nothing shape a mixed micro-batch needs. A
+    * key under BOTH ops in one batch is rejected (the apply order
+    * inside one atomic commit would be ambiguous — same rule as the
+    * similarity graph's CDC loop; a count artifact can net it to
+    * zero, a keyed table cannot). Copy-on-write pruning as in
+    * [[upsert]]/[[delete]], over the union of change keys. */
+  def applyCdc(batch: DataFrame, path: String, keyCol: String,
+      opCol: String = "op"): Unit = {
+    val spark = batch.sparkSession
+    val v = currentVersion(spark, path)
+    val prev = readManifest(spark, path, v)
+    val ambiguous = batch.select(col(keyCol), col(opCol)).distinct()
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).count()
+    require(ambiguous == 0,
+      s"$ambiguous key(s) carry both add and delete in one CDC batch")
+    val adds = batch.filter(col(opCol) === "add").drop(opCol)
+    val allKeys = batch.select(col(keyCol)).distinct()
+    val bounds = allKeys.agg(min(col(keyCol)).cast("long"),
+      max(col(keyCol)).cast("long")).collect()(0)
+    if (bounds.isNullAt(0)) return
+    val (cMin, cMax) = (bounds.getLong(0), bounds.getLong(1))
+    val (touched, kept) =
+      prev.partition(s => s.minKey <= cMax && s.maxKey >= cMin)
+    val merged =
+      if (touched.isEmpty) adds
+      else spark.read.parquet(touched.map(s => s"$path/${s.name}"): _*)
+        .join(allKeys, Seq(keyCol), "left_anti")
+        .unionByName(adds)
+    val seg = writeSegment(merged, path, segName(v + 1), keyCol)
+    commitManifest(spark, path, v + 1, kept ++ seg.toSeq)
+  }
+
   /** Read a version: the latest by default, or any retained `asOf`
     * version — TIME TRAVEL, exact by construction (segments are
     * immutable and the manifest pins the set). */

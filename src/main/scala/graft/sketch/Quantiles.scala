@@ -120,7 +120,7 @@ object Quantiles {
   def compactGridHistogram(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     graft.text.CorpusOps.replaceDir(spark, path,
-      spark.read.parquet(path)
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
         .groupBy(col("stratum"), col("cell")).agg(sum(col("cnt")).as("cnt"))
         .filter(col("cnt") =!= 0L))
 
@@ -131,7 +131,9 @@ object Quantiles {
   def gridQuantilesFromSketch(spark: org.apache.spark.sql.SparkSession,
       df: DataFrame, path: String, valueCol: String, strataCol: String,
       lo: Double, hi: Double, bits: Int, qPpm: Seq[Long]): DataFrame = {
-    val sketch = spark.read.parquet(path)
+    // recursiveFileLookup: flat build/append/delete files plus any
+    // per-batch dirs an ingest loop commits (the CMS convention)
+    val sketch = spark.read.option("recursiveFileLookup", "true").parquet(path)
       .groupBy(col("stratum"), col("cell")).agg(sum(col("cnt")).as("cnt"))
       .filter(col("cnt") =!= 0L)
     quantilesWith(prep(df, valueCol, strataCol), sketch, lo, hi, bits, qPpm)

@@ -120,6 +120,31 @@ object StreamText {
         }
       }
       .start()
+
+  /** DELETION-AWARE CMS ingest — the frequency sketch rides the same
+    * CDC stream as the NB/Gram count artifacts: (doc_id, text, op)
+    * rows, op ∈ {"add", "delete"}; each micro-batch becomes ONE
+    * atomically committed (r, b, cms) partial with adds positive and
+    * tombstones negated
+    * ([[graft.text.CorpusOps.writeCmsCdcPartial]]), so at every batch
+    * boundary the served estimate equals a from-scratch sketch over
+    * adds-so-far minus tombstones-so-far (StreamTextSpec replays a
+    * mixed stream). Same contract as the other subtraction loops:
+    * tombstones carry their payload and refer to previously ingested
+    * docs; a doc added and tombstoned in one batch nets to zero. The
+    * artifact (a [[graft.text.CorpusOps.writeCmsSketch]] build) must
+    * exist before the stream starts; serve reads recursively, so
+    * committed batch dirs merge like any append. */
+  def ingestCmsCdc(docs: DataFrame, sketchPath: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        AtomicIngest.commitBatch(batch.sparkSession, sketchPath, batchId) {
+          staging => graft.text.CorpusOps.writeCmsCdcPartial(batch, staging)
+        }
+      }
+      .start()
 }
 
 /** Atomic per-batch commit for duplicate-sensitive persisted

@@ -51,4 +51,42 @@ object StreamUpsert {
         }
       }
       .start()
+
+  /** Streaming CDC maintenance of a VERSIONED table
+    * ([[graft.layout.VersionedTable]]): each micro-batch of
+    * (keyCol, ..., op) rows, op ∈ {"add", "delete"}, becomes exactly
+    * ONE commit — adds upsert, tombstones drop their key, both in the
+    * same atomic manifest ([[graft.layout.VersionedTable.applyCdc]]),
+    * so every version boundary IS a micro-batch boundary and a reader
+    * pinned to version N sees whole batches only. Time travel makes
+    * this loop the auditable CDC sink: "what did the table serve
+    * after batch 3?" is `read(asOf = 4)` (v1 is the initial load),
+    * which the in-place hive loop above cannot answer.
+    *
+    * Delivery: the `_batches/<id>` marker skips a replayed
+    * micro-batch, so the version chain advances exactly once per
+    * batch. Crash window (manifest committed, marker not yet
+    * written): recovery re-applies the batch ONCE more — adds
+    * re-upsert to the same rows and tombstones re-delete absent keys
+    * (both no-ops on the data), leaving only a duplicate version with
+    * identical content, which retention vacuums; StreamingSpec
+    * replays exactly that crash shape. The table must exist
+    * ([[graft.layout.VersionedTable.create]]) before the stream
+    * starts. */
+  def ingestVersionedCdc(changes: DataFrame, tablePath: String,
+      checkpoint: String, keyCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new org.apache.hadoop.fs.Path(s"$tablePath/_batches/$batchId")
+        val fs = marker.getFileSystem(
+          batch.sparkSession.sessionState.newHadoopConf())
+        if (!fs.exists(marker)) {
+          graft.layout.VersionedTable.applyCdc(batch, tablePath, keyCol)
+          fs.create(marker, true).close()
+          ()
+        }
+      }
+      .start()
 }

@@ -1677,7 +1677,7 @@ object CorpusOps {
   def compactCmsSketch(spark: org.apache.spark.sql.SparkSession,
       path: String): Unit =
     replaceDir(spark, path,
-      spark.read.parquet(path)
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
         .groupBy(col("r"), col("b")).agg(sum(col("cms")).as("cms"))
         .filter(col("cms") =!= 0L))
 
@@ -1688,10 +1688,32 @@ object CorpusOps {
   def cmsEstimateFromSketch(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, path: String, depth: Int = 4, width: Int = 1024,
       topN: Int = 30, textCol: String = "text"): DataFrame = {
-    val sketch = spark.read.parquet(path)
+    // recursiveFileLookup: flat build/append/delete files plus the
+    // per-batch dirs the streaming CDC loop commits atomically
+    val sketch = spark.read.option("recursiveFileLookup", "true").parquet(path)
       .groupBy(col("r"), col("b")).agg(sum(col("cms")).as("cms"))
       .filter(col("cms") =!= 0L)
     cmsEstimateWith(tokenCounts(docs, textCol), sketch, depth, width, topN)
+  }
+
+  /** One CDC micro-batch as ONE CMS partial ([[writeNbCdcPartial]]'s
+    * law for the frequency sketch): adds count positive, tombstoned
+    * docs NEGATED, summed into a single depth x width frame so the
+    * whole batch commits atomically. A doc added and tombstoned in
+    * the same batch nets to exactly zero — free under sum-merge.
+    * Tombstones must carry their full text (subtraction needs the
+    * counts back) and refer to previously ingested docs, the
+    * subtraction-family contract. */
+  private[graft] def writeCmsCdcPartial(batch: DataFrame, dir: String,
+      opCol: String = "op", depth: Int = 4, width: Int = 1024,
+      textCol: String = "text"): Unit = {
+    val adds = tokenCounts(batch.filter(col(opCol) === "add"), textCol)
+    val dels = tokenCounts(batch.filter(col(opCol) === "delete"), textCol)
+    cmsOfCounts(
+      adds.unionAll(dels.select(col("token"), (-col("cnt")).as("cnt"))),
+      depth, width)
+      .filter(col("cms") =!= 0L)
+      .write.mode("overwrite").parquet(dir)
   }
 
   /** Per-source corpus stats with an exact discrete median — the

@@ -632,6 +632,82 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(served === scratch && scratch.nonEmpty)
   }
 
+  test("CDC CMS ingest (adds + tombstones) == from-scratch sketch over survivors") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_cms_cdc").toString
+    def row(i: Long) =
+      (i, ((0 to 6).map(j => s"t${(i + j) % 17}") :+ s"only$i").mkString(" "))
+    val base = (0L until 30L).map(row)
+    val b1 = (30L until 45L).map { i => val (d, t) = row(i); (d, t, "add") }
+    // batch 2: adds 45..59, tombstones for 4, 11, 25 (ingested in the
+    // base build — payload carried back), AND a same-batch
+    // add+tombstone of 45 — sum-merge nets it to zero
+    val b2 = (45L until 60L).map { i => val (d, t) = row(i); (d, t, "add") } ++
+      Seq(4L, 11L, 25L, 45L).map { i => val (d, t) = row(i); (d, t, "delete") }
+    graft.text.CorpusOps.writeCmsSketch(
+      base.toDF("doc_id", "text"), s"$tmp/cms")
+    val schema = b1.toDF("doc_id", "text", "op").schema
+    b1.toDF("doc_id", "text", "op").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamText.ingestCmsCdc(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      s"$tmp/cms", s"$tmp/ckpt")
+    try {
+      q.processAllAvailable()
+      b2.toDF("doc_id", "text", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    val surv = ((0L until 60L).toSet -- Set(4L, 11L, 25L, 45L)).toSeq.sorted
+      .map(row).toDF("doc_id", "text")
+    val served = graft.text.CorpusOps.cmsEstimateFromSketch(
+      spark, surv, s"$tmp/cms", topN = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = graft.text.CorpusOps.cmsTokenCounts(surv, topN = 25)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    spark.catalog.clearCache()
+    assert(served === scratch && scratch.nonEmpty)
+  }
+
+  test("CDC versioned-table ingest: one commit per batch, snapshots at batch boundaries, crash replay converges") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_vt_cdc").toString
+    val path = s"$tmp/table"
+    import graft.layout.VersionedTable
+    VersionedTable.create(
+      (1L to 20L).map(k => (k, s"base_$k")).toDF("k", "payload"), path, "k")
+    // batch 1: insert 21..25, update 3 and 7; batch 2: delete 1, 2, 21
+    val b1 = ((21L to 25L).map(k => (k, s"b1_$k", "add")) ++
+      Seq(3L, 7L).map(k => (k, s"b1_$k", "add")))
+    val b2 = Seq(1L, 2L, 21L).map(k => (k, "", "delete"))
+    val schema = b1.toDF("k", "payload", "op").schema
+    b1.toDF("k", "payload", "op").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamUpsert.ingestVersionedCdc(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      path, s"$tmp/ckpt", "k")
+    try {
+      q.processAllAvailable()
+      b2.toDF("k", "payload", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    def rowsAt(v: Int) = VersionedTable.read(spark, path, v)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val s1 = (1L to 20L).map(k => (k, s"base_$k")).toSet
+    val s2 = s1.filterNot(r => r._1 == 3 || r._1 == 7) ++
+      ((21L to 25L) ++ Seq(3L, 7L)).map(k => (k, s"b1_$k"))
+    val s3 = s2.filterNot(r => Set(1L, 2L, 21L).contains(r._1))
+    // every version boundary IS a micro-batch boundary
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2, 3))
+    assert(rowsAt(1) == s1 && rowsAt(2) == s2 && rowsAt(3) == s3)
+    // crash replay (commit landed, marker lost): re-applying the last
+    // batch adds one version with IDENTICAL content
+    VersionedTable.applyCdc(b2.toDF("k", "payload", "op"), path, "k")
+    assert(VersionedTable.versions(spark, path) == Seq(1, 2, 3, 4))
+    assert(rowsAt(4) == s3)
+  }
+
   test("CDC Gram ingest (adds + tombstones) == from-scratch direction over survivors") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_gram_cdc").toString
