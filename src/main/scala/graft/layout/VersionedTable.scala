@@ -266,6 +266,23 @@ object VersionedTable {
       .toDF("version", "n_segments", "rows")
   }
 
+  /** COMPACT the current version: rewrite every live segment into ONE
+    * new segment and commit it as a new version — zero logical change
+    * (spec'd), what it buys is the segment count: an append-only or
+    * clustered-CDC cadence accumulates one segment per commit, and
+    * every read pays file-listing + footer overhead ∝ segments until
+    * compacted. Old versions still time-travel (their manifests pin
+    * the old segments) until retention vacuums them. */
+  def compactSegments(spark: SparkSession, path: String,
+      keyCol: String): Unit = {
+    val v = currentVersion(spark, path)
+    val prev = readManifest(spark, path, v)
+    require(prev.nonEmpty, s"version $v of $path holds no rows")
+    val all = spark.read.parquet(prev.map(s => s"$path/${s.name}"): _*)
+    val seg = writeSegment(all, path, segName(v + 1), keyCol)
+    commitManifest(spark, path, v + 1, seg.toSeq)
+  }
+
   /** `seg_*` directories NO retained manifest references — crash
     * debris or vacuum leftovers; 0 after a clean [[vacuum]]. The GC
     * audit surface (q_sink_vacuum gates it at exactly 0). */

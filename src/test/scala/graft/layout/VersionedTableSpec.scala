@@ -131,6 +131,29 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ex.getMessage.contains("vacuumed"))
   }
 
+  test("compactSegments: one segment, zero logical change, old versions still travel") {
+    import spark.implicits._
+    val path = freshPath("cmp")
+    VersionedTable.create(
+      (1L to 30L).map(k => (k, s"a_$k")).toDF("k", "payload"), path, "k")
+    VersionedTable.append(
+      (31L to 60L).map(k => (k, s"b_$k")).toDF("k", "payload"), path, "k")
+    VersionedTable.append(
+      (61L to 90L).map(k => (k, s"c_$k")).toDF("k", "payload"), path, "k")
+    val before = rows(path)
+    val v2 = rows(path, 2)
+    VersionedTable.compactSegments(spark, path, "k")
+    // one live segment, identical content, prior snapshots intact
+    val h = VersionedTable.history(spark, path)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(h(4L) == 1L && h(3L) == 3L)
+    assert(rows(path) == before && rows(path, 2) == v2)
+    // vacuum to the compacted version alone: the three old segments go
+    val (segs, mans) = VersionedTable.vacuum(spark, path, keepLast = 1)
+    assert(segs == 3 && mans == 3, s"($segs, $mans)")
+    assert(rows(path) == before)
+  }
+
   test("upsert dedupes within the change batch by orderCols; empty batches are no-ops") {
     import spark.implicits._
     val path = freshPath("ord")
