@@ -64,6 +64,32 @@ object SparkEntry {
   private val indexedTables =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Unit]
 
+  /** Write-once versioned-table commit log shared by q_sink_timetravel
+    * and q_sink_changes: create v1 (even orderkeys) -> upsert v2
+    * (every 3rd key: custkey shifted; odd multiples of 3 are INSERTS)
+    * -> delete v3 (every 10th key). Both queries read the SAME table:
+    * one time-travels to v2, the other diffs v1 against v3. */
+  private def vtableRecipe(s: SparkSession, dir: String): String = {
+    val path = System.getProperty("java.io.tmpdir") +
+      "/graft_vtable/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+    indexedTables.getOrElseUpdate((s, path), {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true) // stale table from prior runs
+      val o = table(s, dir, "orders")
+      graft.layout.VersionedTable.create(
+        o.filter(col("o_orderkey") % 2 === 0), path, "o_orderkey")
+      graft.layout.VersionedTable.upsert(
+        o.filter(col("o_orderkey") % 3 === 0)
+          .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
+        path, "o_orderkey")
+      graft.layout.VersionedTable.delete(
+        o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")),
+        path, "o_orderkey")
+    })
+    path
+  }
+
   /** Write-once dedup-closure artifact shared by q_pipeline_e2e and
     * q_pipeline_stages (round-7 verdict ask #5): the non-canonical id
     * set is a pure function of the corpus, so both queries read the
@@ -2434,25 +2460,54 @@ object SparkEntry {
     // oracle recomputes the v2 state from the raw table and never
     // sees a verb.
     "q_sink_timetravel" -> ((s, dir) => {
+      graft.layout.VersionedTable.read(s, vtableRecipe(s, dir), asOf = 2)
+        .select(col("o_orderkey"), col("o_custkey"))
+    }),
+    // CHANGE DATA FEED over the same commit log: (key, op) between v1
+    // and v3, computed from only the segments the two manifests do NOT
+    // share (immutable carried-over segments cannot hold changes, so
+    // diff cost tracks what the commits rewrote, not table size). The
+    // oracle reconstructs both snapshots from the raw table and
+    // classifies with a FULL OUTER JOIN — it never sees a verb, and
+    // "update" requires CONTENT to differ (the unchanged rows the v2
+    // rewrite carried along must stay silent).
+    "q_sink_changes" -> ((s, dir) => {
+      graft.layout.VersionedTable.changesBetween(
+        s, vtableRecipe(s, dir), 1, 3, "o_orderkey")
+    }),
+    // OPTIMIZE: the reference's Hilbert layout applied to the
+    // versioned table (the OPTIMIZE ... ZORDER BY shape). Orders
+    // cluster on (order day, total price) — both SF-stable domains —
+    // into coarse-curve-cell segments whose stored-key min/max land
+    // in the manifest; the box query then prunes SEGMENTS from the
+    // manifest before any file is listed, and row groups inside
+    // survivors via the pushed key-range disjunction. Exact predicates
+    // AND on top (ranges prune, they never decide membership), so the
+    // oracle is the plain box scan over the raw table.
+    "q_sink_optimize" -> ((s, dir) => {
       val path = System.getProperty("java.io.tmpdir") +
-        "/graft_vtable/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+        "/graft_vtable_opt/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
       indexedTables.getOrElseUpdate((s, path), {
         val p = new org.apache.hadoop.fs.Path(path)
         val fs = p.getFileSystem(s.sessionState.newHadoopConf())
-        if (fs.exists(p)) fs.delete(p, true) // stale table from prior runs
-        val o = table(s, dir, "orders")
+        if (fs.exists(p)) fs.delete(p, true)
+        val o = table(s, dir, "orders").withColumn("o_day",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("bigint"))
         graft.layout.VersionedTable.create(
           o.filter(col("o_orderkey") % 2 === 0), path, "o_orderkey")
-        graft.layout.VersionedTable.upsert(
-          o.filter(col("o_orderkey") % 3 === 0)
-            .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
-          path, "o_orderkey")
-        graft.layout.VersionedTable.delete(
-          o.filter(col("o_orderkey") % 10 === 0).select(col("o_orderkey")),
-          path, "o_orderkey")
+        graft.layout.VersionedTable.append(
+          o.filter(col("o_orderkey") % 2 === 1), path, "o_orderkey")
+        graft.layout.VersionedTable.optimizeCurve(s, path, "o_orderkey",
+          Seq(Layout.QuantDim("o_day", 0.0, 2600.0, 8),
+            Layout.QuantDim("o_totalprice", 800.0, 560000.0, 8)),
+          bucketBits = 4)
       })
-      graft.layout.VersionedTable.read(s, path, asOf = 2)
-        .select(col("o_orderkey"), col("o_custkey"))
+      graft.layout.VersionedTable.readCurveRanges(s, path,
+          Seq(731.0, 50000.0), Seq(1460.0, 150000.0))
+        .filter(col("o_day").between(731L, 1460L) &&
+          col("o_totalprice").between(50000.0, 150000.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_day"))
     }),
     // retention + physical GC for the versioned table, the ivfAudit
     // contract-row playbook: the same 3-commit flow on its own path,
@@ -3460,6 +3515,36 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM orders
         |    WHERE (o_orderkey % 2 = 0 OR o_orderkey % 3 = 0)
         |      AND o_orderkey % 10 <> 0) AS latest_rows""".stripMargin,
+    // v1 and v3 reconstructed from the raw table, classified by a
+    // FULL OUTER JOIN; update requires the content (here: custkey) to
+    // actually differ — carried-along unchanged rows stay silent
+    "q_sink_changes" ->
+      """WITH v1 AS (SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderkey % 2 = 0),
+        |  v3 AS (
+        |    SELECT o_orderkey, o_custkey + 1000000 AS o_custkey FROM orders
+        |    WHERE o_orderkey % 3 = 0 AND o_orderkey % 10 <> 0
+        |    UNION ALL
+        |    SELECT o_orderkey, o_custkey FROM orders
+        |    WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0
+        |      AND o_orderkey % 10 <> 0)
+        |SELECT COALESCE(v1.o_orderkey, v3.o_orderkey) AS o_orderkey,
+        |  CASE WHEN v1.o_orderkey IS NULL THEN 'insert'
+        |       WHEN v3.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS op
+        |FROM v1 FULL OUTER JOIN v3 ON v1.o_orderkey = v3.o_orderkey
+        |WHERE v1.o_orderkey IS NULL OR v3.o_orderkey IS NULL
+        |   OR v1.o_custkey <> v3.o_custkey""".stripMargin,
+    // the plain box scan — the optimized table's two-level pruning
+    // must return exactly the raw table's box rows
+    "q_sink_optimize" ->
+      """SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS o_day
+        |FROM orders
+        |WHERE date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    BETWEEN 731 AND 1460
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
     "q_join_semi_anti" -> EventSql.semiAnti,
     "q_join_star" ->
       """SELECT r_name, count(*) AS n_items,

@@ -151,14 +151,21 @@ object Layout {
       * mirror over the SIDECAR's grid parameters. Callers must AND
       * the exact per-dimension predicates — ranges PRUNE, they never
       * decide membership (same contract as [[curveRangePredicate]]). */
-    def rangePredicate(lo: Seq[Double], hi: Seq[Double], maxRanges: Int = 16): Column = {
+    def rangePredicate(lo: Seq[Double], hi: Seq[Double], maxRanges: Int = 16): Column =
+      curveRangePredicate(col(keyName), boxRanges(lo, hi, maxRanges))
+
+    /** The u64 key ranges covering the box — the decomposition
+      * [[rangePredicate]] wraps, exposed so callers that prune at a
+      * COARSER granularity than row groups (e.g.
+      * [[VersionedTable.readCurveRanges]]' manifest-level segment
+      * pruning) can reuse the same range list for both levels. */
+    def boxRanges(lo: Seq[Double], hi: Seq[Double], maxRanges: Int = 16): Seq[(Long, Long)] = {
       require(lo.size == dims.size && hi.size == dims.size,
         s"box rank ${lo.size}/${hi.size} != layout rank ${dims.size}")
       val loCells = dims.zip(lo).map { case (d, v) => Quantize.cell(v, d.lo, d.hi, d.bits) }
       val hiCells = dims.zip(hi).map { case (d, v) => Quantize.cell(v, d.lo, d.hi, d.bits) }
-      val rs = graft.core.CurveRanges.ranges(hilbert = curve == "hilbert",
+      graft.core.CurveRanges.ranges(hilbert = curve == "hilbert",
         loCells.toArray, hiCells.toArray, bits = elemBits, maxRanges = maxRanges)
-      curveRangePredicate(col(keyName), rs)
     }
   }
 
@@ -242,8 +249,16 @@ object Layout {
       .write.mode("overwrite")
       .option("parquet.block.size", rowGroupBytes.toString)
       .parquet(path)
-    val desc = QuantizedLayoutDesc(
-      if (hilbert) "hilbert" else "morton", keyName, elemBits, dims.map(_._2))
+    writeQuantizedDescriptor(path, QuantizedLayoutDesc(
+      if (hilbert) "hilbert" else "morton", keyName, elemBits, dims.map(_._2)))
+  }
+
+  /** Persist a [[QuantizedLayoutDesc]] as the `_graft_layout.json`
+    * sidecar of `path` — the write half [[openQuantized]] reads back.
+    * Public so other curve-ordered writers (the versioned table's
+    * [[VersionedTable.optimizeCurve]]) store the same descriptor their
+    * query sites already know how to open. */
+  def writeQuantizedDescriptor(path: String, desc: QuantizedLayoutDesc): Unit =
     writeSidecar(path, {
       def jn(d: Double) = if (d == d.toLong.toDouble) d.toLong.toString else d.toString
       val ds = desc.dims.map(d =>
@@ -252,7 +267,6 @@ object Layout {
       s"""{"kind":"quantized","curve":${jsonStr(desc.curve)},"key":${jsonStr(desc.keyName)},""" +
         s""""elem_bits":${desc.elemBits},"dims":$ds}"""
     })
-  }
 
   private def gridJson(desc: IndexedLayoutDesc): String = {
     val ds = desc.dims.map(jsonStr).mkString("[", ",", "]")

@@ -56,9 +56,16 @@ import org.apache.spark.sql.functions._
   */
 object VersionedTable {
 
-  /** One live segment as recorded in a manifest. */
+  /** One live segment as recorded in a manifest. `curve` carries the
+    * stored min/max of the segment's curve sort-key column when the
+    * segment came out of [[optimizeCurve]] (signed order-equivalent
+    * domain, i.e. raw u64 ^ Long.MinValue — the same convention as the
+    * stored column itself); None for segments written by the plain
+    * verbs, which [[readCurveRanges]] then conservatively never
+    * prunes. Serialized as two optional trailing manifest fields, so
+    * pre-optimize manifests parse unchanged. */
   final case class Segment(name: String, minKey: Long, maxKey: Long,
-      rows: Long)
+      rows: Long, curve: Option[(Long, Long)] = None)
 
   private def hfs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sessionState.newHadoopConf())
@@ -92,8 +99,15 @@ object VersionedTable {
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
     text.split('\n').toSeq.filter(_.nonEmpty).map { line =>
-      val Array(n, mn, mx, r) = line.split('\t')
-      Segment(n, mn.toLong, mx.toLong, r.toLong)
+      line.split('\t') match {
+        case Array(n, mn, mx, r) =>
+          Segment(n, mn.toLong, mx.toLong, r.toLong)
+        case Array(n, mn, mx, r, cn, cx) =>
+          Segment(n, mn.toLong, mx.toLong, r.toLong,
+            Some((cn.toLong, cx.toLong)))
+        case f => throw new IllegalStateException(
+          s"malformed manifest line (${f.length} fields) in v$v of $path")
+      }
     }
   }
 
@@ -106,8 +120,10 @@ object VersionedTable {
     fs.mkdirs(new Path(s"$path/_manifests"))
     val tmp = new Path(s"$path/_manifests/." + f"tmp_v$v%05d")
     val out = fs.create(tmp, true)
-    try out.write(segs.map(s => s"${s.name}\t${s.minKey}\t${s.maxKey}\t${s.rows}")
-      .mkString("\n").getBytes("UTF-8"))
+    try out.write(segs.map { s =>
+      val base = s"${s.name}\t${s.minKey}\t${s.maxKey}\t${s.rows}"
+      s.curve.fold(base) { case (cn, cx) => s"$base\t$cn\t$cx" }
+    }.mkString("\n").getBytes("UTF-8"))
     finally out.close()
     require(fs.rename(tmp, manifestPath(path, v)),
       s"commit collision: version $v of $path already exists")
@@ -182,7 +198,10 @@ object VersionedTable {
       if (touched.isEmpty) deduped
       else spark.read.parquet(touched.map(s => s"$path/${s.name}"): _*)
         .join(deduped.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
-        .unionByName(deduped)
+        // allowMissing: optimized segments carry a curve-key column the
+        // change batch doesn't; merged rows null it out (the rewritten
+        // segment is stat-less anyway until the next optimize)
+        .unionByName(deduped, allowMissingColumns = true)
     val seg = writeSegment(merged, path, segName(v + 1), keyCol)
     commitManifest(spark, path, v + 1, kept ++ seg.toSeq)
   }
@@ -241,7 +260,8 @@ object VersionedTable {
       if (touched.isEmpty) adds
       else spark.read.parquet(touched.map(s => s"$path/${s.name}"): _*)
         .join(allKeys, Seq(keyCol), "left_anti")
-        .unionByName(adds)
+        .unionByName(adds, allowMissingColumns = true) // see upsert
+
     val seg = writeSegment(merged, path, segName(v + 1), keyCol)
     commitManifest(spark, path, v + 1, kept ++ seg.toSeq)
   }
@@ -283,6 +303,222 @@ object VersionedTable {
     commitManifest(spark, path, v + 1, seg.toSeq)
   }
 
+  /** OPTIMIZE the current version into a CURVE-CLUSTERED layout — the
+    * reference's raison-d'être (Hilbert/Morton locality, SURVEY §2.1)
+    * applied to the versioned table, the shape of `OPTIMIZE ... ZORDER
+    * BY` in production table formats. One new version whose segments
+    * are coarse curve cells:
+    *
+    *   - each dimension quantizes onto its [[Quantize]] grid (the
+    *     [[Layout.QuantDim]] domains are LAYOUT parameters, stored in
+    *     the table's `_graft_layout.json` sidecar so query sites
+    *     rebuild boxes from the STORED grid — the literal-drift class
+    *     the quantized layouts killed in round 8);
+    *   - rows carry the signed order-equivalent curve key as column
+    *     `keyName` and sort on it within each segment (tight row-group
+    *     footer stats on the one radix-sortable long);
+    *   - segment membership is the key's top `bucketBits` bits — the
+    *     level-`bucketBits/n` curve CELL, which is a CONTIGUOUS,
+    *     DISJOINT key range by the curve's subcell-prefix property
+    *     (index >> (n·(B-k)) IS the level-k cell index; asserted
+    *     empirically in VersionedTableSpec for both curves). All dims
+    *     must share one grid width B so the occupied index width n·B
+    *     is uniform. Deterministic and data-independent (unlike
+    *     repartitionByRange sampling), so segment boundaries are
+    *     stable across re-optimizes and the manifest diff stays
+    *     meaningful;
+    *   - the manifest records each segment's stored-key min/max, so
+    *     [[readCurveRanges]] prunes SEGMENTS from the manifest alone —
+    *     at 100 TB that skips file listing and footer reads for the
+    *     bulk of the table, the level above row-group skipping.
+    *
+    * Write path: one pass — hash-exchange on the bucket, sort within
+    * partitions by (bucket, key), dynamic-partition parquet write,
+    * then driver-side renames of the bucket dirs into immutable
+    * `seg_v<V>_b<B>` segments and a column-pruned stats read-back per
+    * segment. Crash before the manifest rename leaves only debris
+    * that [[vacuum]]'s orphan sweep (and the `.opt_tmp` scrub)
+    * removes. Later CDC commits rewrite touched segments WITHOUT
+    * curve stats (conservative: never pruned, and their rows lose the
+    * sort) — the layout degrades batch by batch until the next
+    * optimize, exactly the production cadence.
+    *
+    * Skew note: bucket occupancy follows the data's cell distribution;
+    * a uniform-ish domain fills 2^bucketBits segments evenly, a skewed
+    * one concentrates (clamped out-of-domain values land in edge
+    * cells). Correctness never depends on balance — only segment
+    * sizes do; pick domains like any partitioning key. */
+  def optimizeCurve(spark: SparkSession, path: String, keyCol: String,
+      dims: Seq[Layout.QuantDim], bucketBits: Int = 4,
+      keyName: String = "ckey", hilbert: Boolean = true,
+      rowGroupBytes: Long = 1L << 20): Unit = {
+    require(dims.nonEmpty && dims.size <= 4, s"1..4 dims, got ${dims.size}")
+    val gridBits = dims.head.bits
+    require(dims.forall(_.bits == gridBits),
+      "all dims must share one grid width: the bucket is a key PREFIX, " +
+        "which is a curve cell only on a uniform grid")
+    val totalBits = dims.size * gridBits
+    require(bucketBits >= 1 && bucketBits <= totalBits && totalBits <= 62,
+      s"need 1 <= bucketBits($bucketBits) <= n*B($totalBits) <= 62")
+    val elemBits = if (dims.size <= 2) 32 else 16
+    require(gridBits < elemBits,
+      s"$gridBits-bit grid does not fit $elemBits-bit signed elements")
+    val elemType = if (elemBits == 32) "int" else "smallint"
+    val v = currentVersion(spark, path)
+    val prev = readManifest(spark, path, v)
+    require(prev.nonEmpty, s"version $v of $path holds no rows")
+    val fs = hfs(spark, path)
+    val all0 = spark.read.parquet(prev.map(s => s"$path/${s.name}"): _*)
+    val all = // re-optimize: rebuild the key column, don't duplicate it
+      if (all0.columns.contains(keyName)) all0.drop(keyName) else all0
+    val cells = dims.map(d =>
+      Quantize.grid(col(d.name), d.lo, d.hi, d.bits).cast(elemType))
+    val key = if (hilbert) graft.functions.Curves.hilbertSortKey(cells: _*)
+      else graft.functions.Curves.mortonSortKey(cells: _*)
+    // cells < 2^B on an elemBits-wide encode give the SAME index as a
+    // B-bit encode (corner property, asserted in spec) -> raw keys
+    // occupy [0, 2^(n*B)) and the top bucketBits of that width are the
+    // coarse cell
+    val keyed = all.withColumn(keyName, key)
+      .withColumn("_cbucket", shiftrightunsigned(
+        col(keyName).bitwiseXOR(lit(Long.MinValue)), totalBits - bucketBits))
+    val tmp = s"$path/.opt_tmp_" + f"v${v + 1}%05d"
+    fs.delete(new Path(tmp), true)
+    keyed
+      .repartition(col("_cbucket"))
+      .sortWithinPartitions(col("_cbucket"), col(keyName))
+      .write.mode("overwrite")
+      .option("parquet.block.size", rowGroupBytes.toString)
+      .partitionBy("_cbucket")
+      .parquet(tmp)
+    val bucketDirs = fs.listStatus(new Path(tmp)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("_cbucket="))
+      .sortBy(_.getPath.getName.stripPrefix("_cbucket=").toLong)
+    val segs = bucketDirs.map { st =>
+      val b = st.getPath.getName.stripPrefix("_cbucket=").toLong
+      val name = segName(v + 1) + f"_b$b%04d"
+      fs.delete(new Path(s"$path/$name"), true) // crashed prior attempt
+      require(fs.rename(st.getPath, new Path(s"$path/$name")),
+        s"rename failed for $name")
+      val stt = spark.read.parquet(s"$path/$name")
+        .agg(min(col(keyCol)).cast("long"), max(col(keyCol)).cast("long"),
+          count(lit(1)), min(col(keyName)), max(col(keyName)))
+        .collect()(0)
+      Segment(name, stt.getLong(0), stt.getLong(1), stt.getLong(2),
+        Some((stt.getLong(3), stt.getLong(4))))
+    }
+    fs.delete(new Path(tmp), true)
+    require(segs.nonEmpty, s"optimize produced no segments at $path")
+    Layout.writeQuantizedDescriptor(path, Layout.QuantizedLayoutDesc(
+      if (hilbert) "hilbert" else "morton", keyName, elemBits, dims))
+    commitManifest(spark, path, v + 1, segs)
+  }
+
+  /** The (kept, total) segment split a curve box query makes against
+    * a version's manifest: a segment survives iff its stored-key
+    * [min,max] intersects ANY of the box's decomposed key ranges;
+    * stat-less segments (plain-verb output) always survive —
+    * conservative, never loses a row. Driver-side, manifest-only. */
+  def pruneCurveSegments(spark: SparkSession, path: String,
+      ranges: Seq[(Long, Long)], asOf: Int = -1): (Seq[Segment], Int) = {
+    val v = if (asOf > 0) asOf else currentVersion(spark, path)
+    val segs = readManifest(spark, path, v)
+    val signed = ranges.map { case (a, b) =>
+      (a ^ Long.MinValue, b ^ Long.MinValue) } // u64 -> stored (signed) domain
+    val kept = segs.filter(_.curve.forall { case (cn, cx) =>
+      signed.exists { case (lo, hi) => lo <= cx && hi >= cn } })
+    (kept, segs.size)
+  }
+
+  /** Curve box query over an [[optimizeCurve]]d table: the box
+    * decomposes ONCE (through the stored sidecar's grid) into key
+    * ranges that prune at BOTH levels — segments from the manifest
+    * ([[pruneCurveSegments]]; no file listing, no footer reads for
+    * pruned segments), then row groups inside survivors via the
+    * pushed key-range disjunction. Same contract as every curve
+    * layout: ranges PRUNE, the caller ANDs the exact per-dimension
+    * predicates to decide membership. */
+  def readCurveRanges(spark: SparkSession, path: String,
+      boxLo: Seq[Double], boxHi: Seq[Double], maxRanges: Int = 16,
+      asOf: Int = -1): DataFrame = {
+    val desc = Layout.openQuantized(path)
+    val ranges = desc.boxRanges(boxLo, boxHi, maxRanges)
+    val (kept, _) = pruneCurveSegments(spark, path, ranges, asOf)
+    if (kept.isEmpty) read(spark, path, asOf).filter(lit(false))
+    else spark.read.parquet(kept.map(s => s"$path/${s.name}"): _*)
+      .filter(Layout.curveRangePredicate(col(desc.keyName), ranges))
+  }
+
+  /** Primary-key range read with MANIFEST-level segment pruning on
+    * the key stats every verb already records — the warehouse "needle
+    * in a 100 TB table" path: only segments whose [minKey, maxKey]
+    * intersects [lo, hi] are even listed; the pushed BETWEEN then
+    * prunes row groups inside them. Clustered ingest keeps key ranges
+    * tight; [[compactSegments]]/[[optimizeCurve]] restore tightness
+    * after interleaved writes. */
+  def readKeyRange(spark: SparkSession, path: String, keyCol: String,
+      lo: Long, hi: Long, asOf: Int = -1): DataFrame = {
+    val v = if (asOf > 0) asOf else currentVersion(spark, path)
+    val segs = readManifest(spark, path, v)
+      .filter(s => s.minKey <= hi && s.maxKey >= lo)
+    if (segs.isEmpty) read(spark, path, v).filter(lit(false))
+    else spark.read.parquet(segs.map(s => s"$path/${s.name}"): _*)
+      .filter(col(keyCol).between(lo, hi))
+  }
+
+  /** CHANGE DATA FEED between two retained versions: (key, op) with
+    * op in insert / update / delete, computed from ONLY the segments
+    * that DIFFER between the two manifests — segments carried over by
+    * reference are immutable, so their rows cannot have changed and
+    * are never read. Cost is therefore ∝ the data the commits between
+    * v1 and v2 actually rewrote, not the table size — the property
+    * that makes incremental downstream consumers viable at 100 TB
+    * (a compact/optimize commit rewrites everything and correctly
+    * costs a full diff; its content is unchanged, so it yields ZERO
+    * rows — spec-pinned).
+    *
+    * `update` means the row's content differs on the COMMON non-key
+    * columns of the two versions (column hash via md5(to_json(...)) of
+    * the name-sorted struct): a rewrite that only re-sorted or
+    * re-bucketed rows (compaction, optimize — which may ADD its key
+    * column) diffs to zero; a schema-evolution commit diffs on what
+    * both versions share. */
+  def changesBetween(spark: SparkSession, path: String, v1: Int, v2: Int,
+      keyCol: String): DataFrame = {
+    require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
+    val m1 = readManifest(spark, path, v1)
+    val m2 = readManifest(spark, path, v2)
+    val shared = m1.map(_.name).toSet intersect m2.map(_.name).toSet
+    def side(segs: Seq[Segment]): Option[DataFrame] = {
+      val own = segs.filterNot(s => shared(s.name))
+      if (own.isEmpty) None
+      else Some(spark.read.parquet(own.map(s => s"$path/${s.name}"): _*))
+    }
+    val empty = read(spark, path, v2).select(col(keyCol))
+      .filter(lit(false)).withColumn("op", lit(""))
+    (side(m1), side(m2)) match {
+      case (None, None) => empty
+      case (Some(d1), None) =>
+        d1.select(col(keyCol), lit("delete").as("op"))
+      case (None, Some(d2)) =>
+        d2.select(col(keyCol), lit("insert").as("op"))
+      case (Some(d1), Some(d2)) =>
+        val common = (d1.columns.toSet intersect d2.columns.toSet - keyCol)
+          .toSeq.sorted
+        def hashed(df: DataFrame, h: String): DataFrame =
+          df.select(col(keyCol),
+            (if (common.isEmpty) lit("") // key-only table: content is empty
+             else md5(to_json(struct(common.map(col): _*)))).as(h))
+        hashed(d1, "_h1").join(hashed(d2, "_h2"), Seq(keyCol), "full_outer")
+          .withColumn("op",
+            when(col("_h1").isNull, "insert")
+              .when(col("_h2").isNull, "delete")
+              .when(col("_h1") =!= col("_h2"), "update"))
+          .filter(col("op").isNotNull)
+          .select(col(keyCol), col("op"))
+    }
+  }
+
   /** `seg_*` directories NO retained manifest references — crash
     * debris or vacuum leftovers; 0 after a clean [[vacuum]]. The GC
     * audit surface (q_sink_vacuum gates it at exactly 0). */
@@ -318,6 +554,11 @@ object VersionedTable {
     orphans.foreach(p => fs.delete(p, true))
     val oldManifests = vs.dropRight(keepLast)
     oldManifests.foreach(v => fs.delete(manifestPath(path, v), false))
+    // scrub of an optimize that crashed mid-write: its staging dir is
+    // never referenced by any manifest
+    fs.listStatus(new Path(path)).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith(".opt_tmp_"))
+      .foreach(st => fs.delete(st.getPath, true))
     (orphans.size, oldManifests.size)
   }
 }

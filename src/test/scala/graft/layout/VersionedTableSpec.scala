@@ -154,6 +154,132 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows(path) == before)
   }
 
+  // the property optimizeCurve's bucketing rests on: the top bits of a
+  // curve index ARE the coarse-cell index (subcell prefix), and an
+  // encode at a wider element width agrees with the exact-width encode
+  // for in-range coords (corner property)
+  test("curve subcell-prefix and corner properties (both curves)") {
+    import graft.core.SFC
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 500; hilbert <- Seq(true, false)) {
+      val x = rnd.nextInt(256).toLong; val y = rnd.nextInt(256).toLong
+      def enc(p: Array[Long], bits: Int): Long =
+        if (hilbert) SFC.hilbertEncode(p, bits).lo else SFC.mortonEncode(p, bits).lo
+      assert(enc(Array(x, y), 32) == enc(Array(x, y), 8)) // corner
+      assert((enc(Array(x, y), 8) >>> 8) == enc(Array(x >> 4, y >> 4), 4)) // prefix
+    }
+  }
+
+  test("optimizeCurve: clustered disjoint segments, two-level pruning, zero logical change") {
+    import spark.implicits._
+    val path = freshPath("opt")
+    val pts = for (x <- 0 until 64; y <- 0 until 64)
+      yield ((x * 64 + y).toLong, x, y, s"p${x}_$y")
+    val df = pts.toDF("k", "x", "y", "payload")
+    VersionedTable.create(df.filter(col("k") % 2 === 0), path, "k")
+    VersionedTable.append(df.filter(col("k") % 2 === 1), path, "k")
+    val before = VersionedTable.read(spark, path)
+      .select("k", "x", "y", "payload").collect().toSet
+    VersionedTable.optimizeCurve(spark, path, "k",
+      Seq(Layout.QuantDim("x", 0.0, 64.0, 6), Layout.QuantDim("y", 0.0, 64.0, 6)),
+      bucketBits = 4)
+    // zero logical change on the original columns
+    assert(VersionedTable.read(spark, path)
+      .select("k", "x", "y", "payload").collect().toSet == before)
+    // manifest: several segments, every one with curve stats, and the
+    // stats are DISJOINT contiguous ranges (coarse-cell bucketing)
+    val segs = VersionedTable.history(spark, path)
+      .filter(col("version") === 3).collect()(0).getLong(1)
+    assert(segs > 4, s"expected >4 curve segments, got $segs")
+    // two-level pruning: a small box reads strictly fewer segments,
+    // and the pruned read loses no rows vs the full-scan filter
+    val desc = Layout.openQuantized(path)
+    val ranges = desc.boxRanges(Seq(8.0, 8.0), Seq(20.0, 20.0))
+    val (kept, total) = VersionedTable.pruneCurveSegments(spark, path, ranges)
+    assert(kept.size < total, s"no segment pruning: ${kept.size}/$total")
+    // stored curve ranges of optimize segments are pairwise disjoint
+    // and ordered (coarse cells are contiguous disjoint index ranges)
+    val (allKept, _) = VersionedTable.pruneCurveSegments(spark, path,
+      Seq((0L, -1L))) // the whole u64 line: keeps every segment
+    val cr = allKept.flatMap(_.curve).sortBy(_._1)
+    assert(cr.size == segs)
+    cr.sliding(2).foreach {
+      case Seq((_, aHi), (bLo, _)) => assert(aHi < bLo, s"overlap: $cr")
+      case _ =>
+    }
+    val pruned = VersionedTable.readCurveRanges(spark, path,
+        Seq(8.0, 8.0), Seq(20.0, 20.0))
+      .filter(col("x").between(8, 20) && col("y").between(8, 20))
+    // the pruned scan's files all come from kept segments
+    val keptDirs = kept.map(s => s"/${s.name}/").toSet
+    assert(pruned.inputFiles.forall(f => keptDirs.exists(f.contains)))
+    val expect = before.filter(r =>
+      (8 to 20).contains(r.getInt(1)) && (8 to 20).contains(r.getInt(2)))
+      .map(_.getLong(0))
+    assert(pruned.select("k").collect().map(_.getLong(0)).toSet == expect)
+    // a later plain delete leaves a stat-less segment that is never
+    // pruned, and correctness holds across the mixed manifest
+    VersionedTable.delete((0L to 200L).toDF("k"), path, "k")
+    val pruned2 = VersionedTable.readCurveRanges(spark, path,
+        Seq(8.0, 8.0), Seq(20.0, 20.0))
+      .filter(col("x").between(8, 20) && col("y").between(8, 20))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(pruned2 == expect.filter(_ > 200))
+  }
+
+  test("readKeyRange: manifest-level key pruning reads only intersecting segments") {
+    import spark.implicits._
+    val path = freshPath("keyrange")
+    VersionedTable.create(
+      (1L to 100L).map(k => (k, s"a_$k")).toDF("k", "payload"), path, "k")
+    VersionedTable.append(
+      (1000L to 1100L).map(k => (k, s"b_$k")).toDF("k", "payload"), path, "k")
+    val got = VersionedTable.readKeyRange(spark, path, "k", 1020L, 1040L)
+    assert(got.inputFiles.forall(_.contains("/seg_v00002/")))
+    assert(got.collect().map(_.getLong(0)).toSet == (1020L to 1040L).toSet)
+    // a range hitting no segment returns empty without error
+    assert(VersionedTable.readKeyRange(spark, path, "k", 500L, 600L).count() == 0)
+  }
+
+  test("changesBetween: ops from differing segments only; rewrites diff to zero") {
+    import spark.implicits._
+    val path = freshPath("cdf")
+    VersionedTable.create( // v1: low keys with x,y for the optimize step
+      (1L to 50L).map(k => (k, (k % 8).toInt, (k % 5).toInt, s"lo_$k"))
+        .toDF("k", "x", "y", "payload"), path, "k")
+    VersionedTable.append( // v2: high keys
+      (100L to 140L).map(k => (k, (k % 8).toInt, (k % 5).toInt, s"hi_$k"))
+        .toDF("k", "x", "y", "payload"), path, "k")
+    VersionedTable.upsert( // v3: update 100..110, insert 200..205
+      ((100L to 110L) ++ (200L to 205L))
+        .map(k => (k, (k % 8).toInt, (k % 5).toInt, s"up_$k"))
+        .toDF("k", "x", "y", "payload"), path, "k")
+    def changes(a: Int, b: Int): Map[String, Set[Long]] =
+      VersionedTable.changesBetween(spark, path, a, b, "k").collect()
+        .groupBy(_.getString(1)).map { case (op, rs) =>
+          op -> rs.map(_.getLong(0)).toSet }
+    val c23 = changes(2, 3)
+    assert(c23.getOrElse("update", Set()) == (100L to 110L).toSet)
+    assert(c23.getOrElse("insert", Set()) == (200L to 205L).toSet)
+    assert(!c23.contains("delete")) // 111..140 rewritten but unchanged
+    val c13 = changes(1, 3)         // relative to v1, the high keys are inserts
+    assert(c13.getOrElse("insert", Set()) ==
+      ((100L to 140L) ++ (200L to 205L)).toSet)
+    // compaction rewrites everything, changes nothing
+    VersionedTable.compactSegments(spark, path, "k")
+    assert(VersionedTable.changesBetween(spark, path, 3, 4, "k").count() == 0)
+    // optimize adds its key column; the common-schema diff is still zero
+    VersionedTable.optimizeCurve(spark, path, "k",
+      Seq(Layout.QuantDim("x", 0.0, 8.0, 3), Layout.QuantDim("y", 0.0, 8.0, 3)),
+      bucketBits = 2)
+    assert(VersionedTable.changesBetween(spark, path, 4, 5, "k").count() == 0)
+    // a delete after optimize: tombstoned keys emit, survivors in the
+    // rewritten segment stay silent (ckey column compares equal)
+    VersionedTable.delete((1L to 10L).toDF("k"), path, "k")
+    val c56 = changes(5, 6)
+    assert(c56 == Map("delete" -> (1L to 10L).toSet))
+  }
+
   test("upsert dedupes within the change batch by orderCols; empty batches are no-ops") {
     import spark.implicits._
     val path = freshPath("ord")
