@@ -2509,6 +2509,44 @@ object SparkEntry {
           col("o_totalprice").between(50000.0, 150000.0))
         .select(col("o_orderkey"), col("o_custkey"), col("o_day"))
     }),
+    // INCREMENTAL optimize — the maintenance cadence: optimize, then
+    // CDC commits degrade the layout (append + upsert leave stat-less
+    // debris segments), then optimizeIncremental re-clusters ONLY the
+    // debris and the cells it dirtied (clean cells carry over by
+    // reference — spec-pinned file-identical). The box query then runs
+    // the same two-level pruned read over the repaired layout; the
+    // oracle reconstructs the final logical state from the raw table
+    // and never sees a verb.
+    "q_sink_optimize_incr" -> ((s, dir) => {
+      val path = System.getProperty("java.io.tmpdir") +
+        "/graft_vtable_opti/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      indexedTables.getOrElseUpdate((s, path), {
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+        val o = table(s, dir, "orders").withColumn("o_day",
+          datediff(col("o_orderdate"), lit("1992-01-01").cast("date"))
+            .cast("bigint"))
+        graft.layout.VersionedTable.create(
+          o.filter(col("o_orderkey") % 3 === 0), path, "o_orderkey")
+        graft.layout.VersionedTable.optimizeCurve(s, path, "o_orderkey",
+          Seq(Layout.QuantDim("o_day", 0.0, 2600.0, 8),
+            Layout.QuantDim("o_totalprice", 800.0, 560000.0, 8)),
+          bucketBits = 4)
+        graft.layout.VersionedTable.append(
+          o.filter(col("o_orderkey") % 3 === 1), path, "o_orderkey")
+        graft.layout.VersionedTable.upsert(
+          o.filter(col("o_orderkey") % 5 === 0)
+            .withColumn("o_custkey", col("o_custkey") + lit(1000000L)),
+          path, "o_orderkey")
+        graft.layout.VersionedTable.optimizeIncremental(s, path, "o_orderkey")
+      })
+      graft.layout.VersionedTable.readCurveRanges(s, path,
+          Seq(731.0, 50000.0), Seq(1460.0, 150000.0))
+        .filter(col("o_day").between(731L, 1460L) &&
+          col("o_totalprice").between(50000.0, 150000.0))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_day"))
+    }),
     // retention + physical GC for the versioned table, the ivfAudit
     // contract-row playbook: the same 3-commit flow on its own path,
     // then vacuum(keepLast = 2). Spark emits the physical outcomes
@@ -3543,6 +3581,21 @@ object SparkEntry {
         |    AS o_day
         |FROM orders
         |WHERE date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    BETWEEN 731 AND 1460
+        |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
+    // the final logical state of the create(%3=0) -> optimize ->
+    // append(%3=1) -> upsert(%5=0, shifted custkey) ->
+    // optimizeIncremental recipe, box-filtered — upsert INSERTS the
+    // %5 keys with %3=2 and UPDATES the rest
+    "q_sink_optimize_incr" ->
+      """SELECT o_orderkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_custkey + 1000000
+        |       ELSE o_custkey END AS o_custkey,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+        |    AS o_day
+        |FROM orders
+        |WHERE (o_orderkey % 3 < 2 OR o_orderkey % 5 = 0)
+        |  AND date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
         |    BETWEEN 731 AND 1460
         |  AND o_totalprice BETWEEN 50000 AND 150000""".stripMargin,
     "q_join_semi_anti" -> EventSql.semiAnti,

@@ -363,18 +363,90 @@ object VersionedTable {
     val elemBits = if (dims.size <= 2) 32 else 16
     require(gridBits < elemBits,
       s"$gridBits-bit grid does not fit $elemBits-bit signed elements")
-    val elemType = if (elemBits == 32) "int" else "smallint"
     val v = currentVersion(spark, path)
     val prev = readManifest(spark, path, v)
     require(prev.nonEmpty, s"version $v of $path holds no rows")
+    val all = spark.read.parquet(prev.map(s => s"$path/${s.name}"): _*)
+    val desc = Layout.QuantizedLayoutDesc(
+      if (hilbert) "hilbert" else "morton", keyName, elemBits, dims)
+    val segs = writeCurveSegments(spark, path, keyCol, all, desc,
+      bucketBits, v + 1, rowGroupBytes)
+    require(segs.nonEmpty, s"optimize produced no segments at $path")
+    Layout.writeQuantizedDescriptor(path, desc)
+    writeOptimizeMeta(spark, path, bucketBits)
+    commitManifest(spark, path, v + 1, segs)
+  }
+
+  /** INCREMENTAL optimize — the production maintenance cadence: after
+    * CDC commits have degraded the layout (each rewrite of a touched
+    * segment produces a STAT-LESS segment the box reader can never
+    * prune), re-cluster ONLY that debris. Debris rows are keyed and
+    * bucketed with the STORED layout (sidecar grid + bucket width — no
+    * caller parameters to drift); curve segments of buckets the debris
+    * lands in are read and merged with it; every other curve segment
+    * carries over BY REFERENCE, untouched. Cost is therefore ∝ the
+    * data CDC rewrote since the last optimize plus the cells it dirtied
+    * — not the table — which is what makes a nightly re-cluster of a
+    * 100 TB table affordable. Correctness does not depend on the
+    * split: a debris key can never also live in a surviving curve
+    * segment (the CDC verbs rewrite every key-range-intersecting
+    * segment wholesale), spec'd as incremental == full re-optimize.
+    * Returns false (no commit) when there is no debris. */
+  def optimizeIncremental(spark: SparkSession, path: String,
+      keyCol: String, rowGroupBytes: Long = 1L << 20): Boolean = {
+    val desc = Layout.openQuantized(path) // requires a prior optimizeCurve
+    val bucketBits = readOptimizeMeta(spark, path)
+    val totalBits = desc.dims.size * desc.dims.head.bits
+    val v = currentVersion(spark, path)
+    val segs = readManifest(spark, path, v)
+    val (curveSegs, debris) = segs.partition(_.curve.isDefined)
+    if (debris.isEmpty) return false
+    val shift = totalBits - bucketBits
+    def bucketOf(s: Segment): Long = (s.curve.get._1 ^ Long.MinValue) >>> shift
+    val debrisDf = spark.read
+      .parquet(debris.map(s => s"$path/${s.name}"): _*)
+    // which coarse cells does the debris dirty? bounded driver list:
+    // at most 2^bucketBits rows
+    val cells = desc.dims.map(d =>
+      Quantize.grid(col(d.name), d.lo, d.hi, d.bits)
+        .cast(if (desc.elemBits == 32) "int" else "smallint"))
+    val dKey = if (desc.curve == "hilbert")
+      graft.functions.Curves.hilbertSortKey(cells: _*)
+    else graft.functions.Curves.mortonSortKey(cells: _*)
+    val dirty = debrisDf
+      .select(shiftrightunsigned(dKey.bitwiseXOR(lit(Long.MinValue)), shift)
+        .as("_cbucket"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val (dirtyCurve, carried) = curveSegs.partition(s => dirty(bucketOf(s)))
+    val toCluster = spark.read.parquet(
+      (debris ++ dirtyCurve).map(s => s"$path/${s.name}"): _*)
+    val newSegs = writeCurveSegments(spark, path, keyCol, toCluster, desc,
+      bucketBits, v + 1, rowGroupBytes)
+    commitManifest(spark, path, v + 1, carried ++ newSegs)
+    true
+  }
+
+  /** The shared clustered-write pass of [[optimizeCurve]] /
+    * [[optimizeIncremental]]: key + bucket the input, one
+    * hash-exchange + in-partition sort + dynamic-partition parquet
+    * write into a hidden staging dir, then driver-side renames into
+    * immutable `seg_v<V>_b<B>` segments with a column-pruned stats
+    * read-back each. The staging dir is scrubbed here on success and
+    * by [[vacuum]] after a crash. */
+  private def writeCurveSegments(spark: SparkSession, path: String,
+      keyCol: String, input: DataFrame, desc: Layout.QuantizedLayoutDesc,
+      bucketBits: Int, newVersion: Int, rowGroupBytes: Long): Seq[Segment] = {
+    val keyName = desc.keyName
+    val totalBits = desc.dims.size * desc.dims.head.bits
+    val elemType = if (desc.elemBits == 32) "int" else "smallint"
     val fs = hfs(spark, path)
-    val all0 = spark.read.parquet(prev.map(s => s"$path/${s.name}"): _*)
     val all = // re-optimize: rebuild the key column, don't duplicate it
-      if (all0.columns.contains(keyName)) all0.drop(keyName) else all0
-    val cells = dims.map(d =>
+      if (input.columns.contains(keyName)) input.drop(keyName) else input
+    val cells = desc.dims.map(d =>
       Quantize.grid(col(d.name), d.lo, d.hi, d.bits).cast(elemType))
-    val key = if (hilbert) graft.functions.Curves.hilbertSortKey(cells: _*)
-      else graft.functions.Curves.mortonSortKey(cells: _*)
+    val key = if (desc.curve == "hilbert")
+      graft.functions.Curves.hilbertSortKey(cells: _*)
+    else graft.functions.Curves.mortonSortKey(cells: _*)
     // cells < 2^B on an elemBits-wide encode give the SAME index as a
     // B-bit encode (corner property, asserted in spec) -> raw keys
     // occupy [0, 2^(n*B)) and the top bucketBits of that width are the
@@ -382,7 +454,7 @@ object VersionedTable {
     val keyed = all.withColumn(keyName, key)
       .withColumn("_cbucket", shiftrightunsigned(
         col(keyName).bitwiseXOR(lit(Long.MinValue)), totalBits - bucketBits))
-    val tmp = s"$path/.opt_tmp_" + f"v${v + 1}%05d"
+    val tmp = s"$path/.opt_tmp_" + f"v$newVersion%05d"
     fs.delete(new Path(tmp), true)
     keyed
       .repartition(col("_cbucket"))
@@ -396,7 +468,7 @@ object VersionedTable {
       .sortBy(_.getPath.getName.stripPrefix("_cbucket=").toLong)
     val segs = bucketDirs.map { st =>
       val b = st.getPath.getName.stripPrefix("_cbucket=").toLong
-      val name = segName(v + 1) + f"_b$b%04d"
+      val name = segName(newVersion) + f"_b$b%04d"
       fs.delete(new Path(s"$path/$name"), true) // crashed prior attempt
       require(fs.rename(st.getPath, new Path(s"$path/$name")),
         s"rename failed for $name")
@@ -408,10 +480,30 @@ object VersionedTable {
         Some((stt.getLong(3), stt.getLong(4))))
     }
     fs.delete(new Path(tmp), true)
-    require(segs.nonEmpty, s"optimize produced no segments at $path")
-    Layout.writeQuantizedDescriptor(path, Layout.QuantizedLayoutDesc(
-      if (hilbert) "hilbert" else "morton", keyName, elemBits, dims))
-    commitManifest(spark, path, v + 1, segs)
+    segs
+  }
+
+  /** The optimize layout's one non-grid parameter — the bucket width —
+    * persisted beside the grid sidecar so [[optimizeIncremental]]
+    * re-buckets with exactly the width the segments were built with
+    * (a drifted width would silently split cells across segments). */
+  private def writeOptimizeMeta(spark: SparkSession, path: String,
+      bucketBits: Int): Unit = {
+    val fs = hfs(spark, path)
+    val out = fs.create(new Path(s"$path/_graft_optimize.json"), true)
+    try out.write(s"""{"bucket_bits":$bucketBits}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readOptimizeMeta(spark: SparkSession, path: String): Int = {
+    val fs = hfs(spark, path)
+    val p = new Path(s"$path/_graft_optimize.json")
+    require(fs.exists(p), s"no optimize meta at $path — run optimizeCurve first")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+    new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(text).get("bucket_bits").asInt()
   }
 
   /** The (kept, total) segment split a curve box query makes against

@@ -227,6 +227,58 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pruned2 == expect.filter(_ > 200))
   }
 
+  test("optimizeIncremental: debris re-clustered, clean cells carried by reference") {
+    import spark.implicits._
+    val path = freshPath("opti")
+    val pts = for (x <- 0 until 64; y <- 0 until 64)
+      yield ((x * 64 + y).toLong, x, y, s"p${x}_$y")
+    VersionedTable.create(pts.toDF("k", "x", "y", "payload"), path, "k")
+    VersionedTable.optimizeCurve(spark, path, "k",
+      Seq(Layout.QuantDim("x", 0.0, 64.0, 6), Layout.QuantDim("y", 0.0, 64.0, 6)),
+      bucketBits = 4)
+    // CDC degradation: keys 0..400 live in x <= 6, so only the
+    // low-x coarse cells' key ranges intersect — the rest carry over
+    VersionedTable.upsert(
+      (0L to 400L).map(k => (k, (k / 64).toInt, (k % 64).toInt, s"up_$k"))
+        .toDF("k", "x", "y", "payload"), path, "k")
+    def liveSegs(): Map[String, Set[(String, Long)]] =
+      VersionedTable.read(spark, path).inputFiles.toSeq
+        .map { f =>
+          val p = new java.io.File(new java.net.URI(f).getPath)
+          (p.getParentFile.getName, (p.getName, p.lastModified()))
+        }.groupBy(_._1).map { case (s, fs) => s -> fs.map(_._2).toSet }
+    val afterUpsert = liveSegs()
+    val debrisName = afterUpsert.keys.filter(_.startsWith("seg_v00003")).toSeq
+    assert(debrisName.size == 1) // the upsert's single merged rewrite
+    val cleanBefore = afterUpsert.view.filterKeys(_.startsWith("seg_v00002")).toMap
+    assert(cleanBefore.size >= 8, s"expected most cells clean: $cleanBefore")
+    // incremental: only the dirty cells rewrite
+    assert(VersionedTable.optimizeIncremental(spark, path, "k"))
+    val after = liveSegs()
+    // every clean cell carried over file-identical
+    cleanBefore.foreach { case (seg, files) =>
+      assert(after(seg) == files, s"clean segment $seg was rewritten") }
+    // debris is gone from the live set; all live segments carry stats
+    assert(!after.contains(debrisName.head))
+    val (allSegs, total) = VersionedTable.pruneCurveSegments(spark, path,
+      Seq((0L, -1L)))
+    assert(allSegs.size == total && allSegs.forall(_.curve.isDefined))
+    // logical content == the upserted state, and a box query agrees
+    val expect = pts.map { case (k, x, y, p) =>
+      (k, x, y, if (k <= 400) s"up_$k" else p) }.toSet
+    assert(VersionedTable.read(spark, path)
+      .select("k", "x", "y", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet == expect)
+    val box = VersionedTable.readCurveRanges(spark, path,
+        Seq(0.0, 0.0), Seq(10.0, 10.0))
+      .filter(col("x").between(0, 10) && col("y").between(0, 10))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(box == expect.filter(r => r._2 <= 10 && r._3 <= 10).map(_._1))
+    // no debris left -> the second call is a no-op
+    assert(!VersionedTable.optimizeIncremental(spark, path, "k"))
+  }
+
   test("readKeyRange: manifest-level key pruning reads only intersecting segments") {
     import spark.implicits._
     val path = freshPath("keyrange")
