@@ -927,6 +927,44 @@ object SparkEntry {
       })
       graft.text.CorpusOps.lmScoreIndexed(s, docs, path)
     }),
+    // ARTIFACT SYNC from the versioned table's change feed — the
+    // cross-family composition a production pipeline runs: the LM
+    // count artifact is built at table version 1, the table then takes
+    // an upsert (every 5th doc re-crawled with drifted text; %4==3
+    // ones are INSERTS) and a delete (every 7th doc taken down), and
+    // changedRows(v1, v3) drives the artifact's subtract/append verbs
+    // — reading ONLY the segments the two manifests do not share. The
+    // synced artifact must score the v3 corpus EXACTLY like an LM
+    // trained from scratch on it; the oracle replays the recipe in SQL
+    // and never sees a verb, a version, or a partial.
+    "q_text_lm_sync" -> ((s, dir) => {
+      val base = System.getProperty("java.io.tmpdir") +
+        "/graft_lm_sync/" + dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val tPath = s"$base/table"; val lmPath = s"$base/lm"
+      indexedTables.getOrElseUpdate((s, base), {
+        val p = new org.apache.hadoop.fs.Path(base)
+        val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+        if (fs.exists(p)) fs.delete(p, true)
+        val d = table(s, dir, "documents")
+        graft.layout.VersionedTable.create(
+          d.filter(col("doc_id") % 4 =!= 3), tPath, "doc_id")
+        graft.text.CorpusOps.writeLmIndex(
+          graft.layout.VersionedTable.read(s, tPath), lmPath)
+        graft.layout.VersionedTable.upsert(
+          d.filter(col("doc_id") % 5 === 0)
+            .withColumn("text", concat(col("text"), lit(" drift sync"))),
+          tPath, "doc_id")
+        graft.layout.VersionedTable.delete(
+          d.filter(col("doc_id") % 7 === 0).select(col("doc_id")),
+          tPath, "doc_id")
+        val (removed, added) = graft.layout.VersionedTable.changedRows(
+          s, tPath, 1, 3, "doc_id")
+        graft.text.CorpusOps.deleteLmIndex(removed, lmPath)
+        graft.text.CorpusOps.appendLmIndex(added, lmPath)
+      })
+      graft.text.CorpusOps.lmScoreIndexed(s,
+        graft.layout.VersionedTable.read(s, tPath), lmPath)
+    }),
     // source×lang association audit: the χ² statistic with every
     // division a defined IntegralDivide — per cell
     // (O·N − R·C)²·1e6 // (R·C·N), summed — so a contingency test
@@ -3370,6 +3408,16 @@ object SparkEntry {
     "q_text_lm" -> DocSql.lmSurprisal,
     "q_text_lm_indexed" -> DocSql.lmSurprisal,
     "q_text_lm_append" -> DocSql.lmSurprisal,
+    // the v3 corpus state replayed in SQL: v1 = %4!=3, the %5 upsert
+    // re-crawls with drifted text (inserting the %4==3 ones), the %7
+    // delete takes down
+    "q_text_lm_sync" -> DocSql.lmSurprisalOver(
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN text || ' drift sync'
+        |       ELSE text END AS text
+        |FROM documents
+        |WHERE (doc_id % 4 <> 3 OR doc_id % 5 = 0) AND doc_id % 7 <> 0"""
+        .stripMargin),
     "q_text_lm_delete" -> DocSql.lmSurprisalCountsWhere("doc_id % 5 <> 0"),
     // compaction is zero-logical-change over the deleted artifact, so
     // the gate is the identical survivor oracle

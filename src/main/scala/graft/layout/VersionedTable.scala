@@ -595,13 +595,9 @@ object VersionedTable {
       case (None, Some(d2)) =>
         d2.select(col(keyCol), lit("insert").as("op"))
       case (Some(d1), Some(d2)) =>
-        val common = (d1.columns.toSet intersect d2.columns.toSet - keyCol)
-          .toSeq.sorted
-        def hashed(df: DataFrame, h: String): DataFrame =
-          df.select(col(keyCol),
-            (if (common.isEmpty) lit("") // key-only table: content is empty
-             else md5(to_json(struct(common.map(col): _*)))).as(h))
-        hashed(d1, "_h1").join(hashed(d2, "_h2"), Seq(keyCol), "full_outer")
+        val common = commonContent(d1, d2, keyCol)
+        contentHashed(d1, keyCol, common, "_h1")
+          .join(contentHashed(d2, keyCol, common, "_h2"), Seq(keyCol), "full_outer")
           .withColumn("op",
             when(col("_h1").isNull, "insert")
               .when(col("_h2").isNull, "delete")
@@ -610,6 +606,52 @@ object VersionedTable {
           .select(col(keyCol), col("op"))
     }
   }
+
+  /** [[changesBetween]] with PAYLOADS instead of ops — the shape an
+    * incremental downstream consumer of a subtractable artifact needs:
+    * `(removed, added)` full-row frames where an updated key appears
+    * in BOTH (old content in removed, new in added), a deleted key
+    * only in removed, an inserted key only in added. Feeding `removed`
+    * to a count artifact's delete verb and `added` to its append verb
+    * advances the artifact from the v1 corpus state to v2 EXACTLY
+    * (sum-merge subtraction; gated end-to-end by q_text_lm_sync).
+    * Same segment-diff economics: only segments the two manifests do
+    * not share are read, so sync cost tracks the rewritten data. */
+  def changedRows(spark: SparkSession, path: String, v1: Int, v2: Int,
+      keyCol: String): (DataFrame, DataFrame) = {
+    require(v1 < v2, s"need v1 < v2, got $v1 >= $v2")
+    val m1 = readManifest(spark, path, v1)
+    val m2 = readManifest(spark, path, v2)
+    val shared = m1.map(_.name).toSet intersect m2.map(_.name).toSet
+    def side(segs: Seq[Segment]): Option[DataFrame] = {
+      val own = segs.filterNot(s => shared(s.name))
+      if (own.isEmpty) None
+      else Some(spark.read.parquet(own.map(s => s"$path/${s.name}"): _*))
+    }
+    val empty = read(spark, path, v2).filter(lit(false))
+    (side(m1), side(m2)) match {
+      case (None, None) => (empty, empty)
+      case (Some(d1), None) => (d1, empty)
+      case (None, Some(d2)) => (empty, d2)
+      case (Some(d1), Some(d2)) =>
+        val common = commonContent(d1, d2, keyCol)
+        val unchanged = contentHashed(d1, keyCol, common, "_h1")
+          .join(contentHashed(d2, keyCol, common, "_h2"), Seq(keyCol))
+          .filter(col("_h1") === col("_h2")).select(col(keyCol))
+        (d1.join(unchanged, Seq(keyCol), "left_anti"),
+          d2.join(unchanged, Seq(keyCol), "left_anti"))
+    }
+  }
+
+  private def commonContent(d1: DataFrame, d2: DataFrame,
+      keyCol: String): Seq[String] =
+    (d1.columns.toSet intersect d2.columns.toSet - keyCol).toSeq.sorted
+
+  private def contentHashed(df: DataFrame, keyCol: String,
+      common: Seq[String], h: String): DataFrame =
+    df.select(col(keyCol),
+      (if (common.isEmpty) lit("") // key-only table: content is empty
+       else md5(to_json(struct(common.map(col): _*)))).as(h))
 
   /** `seg_*` directories NO retained manifest references — crash
     * debris or vacuum leftovers; 0 after a clean [[vacuum]]. The GC

@@ -2102,9 +2102,18 @@ object DocSql {
     * of the corpus inverse bigram conditional in ppm. Shares
     * textRepetition's strict bigram comprehension (empty below 2
     * tokens) and first-space prefix extraction with the Spark side. */
-  val lmSurprisal: String =
-    s"""WITH d AS (SELECT doc_id,
-       |    string_split(coalesce(text, ''), ' ') AS t FROM documents),
+  val lmSurprisal: String = lmSurprisalOver("SELECT doc_id, text FROM documents")
+
+  /** [[lmSurprisal]] over an arbitrary corpus SELECT (doc_id, text) —
+    * the oracle of pipelines whose training corpus is a DERIVED state
+    * (q_text_lm_sync: the versioned table's v3 snapshot, reconstructed
+    * here from the raw table by replaying the recipe in SQL). Both the
+    * scored documents and the count tables come from the same corpus,
+    * exactly as the serve path scores the table state it synced to. */
+  def lmSurprisalOver(corpusSql: String): String =
+    s"""WITH corpus AS ($corpusSql),
+       |d AS (SELECT doc_id,
+       |    string_split(coalesce(text, ''), ' ') AS t FROM corpus),
        |b AS (SELECT doc_id,
        |  unnest([t[i] || ' ' || t[i+1] for i in generate_series(1, len(t) - 1)]) AS g
        |  FROM d),

@@ -317,6 +317,16 @@ class VersionedTableSpec extends AnyFunSuite with BeforeAndAfterAll {
     val c13 = changes(1, 3)         // relative to v1, the high keys are inserts
     assert(c13.getOrElse("insert", Set()) ==
       ((100L to 140L) ++ (200L to 205L)).toSet)
+    // changedRows: the payload twin — updated keys carry OLD content
+    // in removed and NEW content in added; unchanged carried-along
+    // rows appear in neither
+    val (rem, add) = VersionedTable.changedRows(spark, path, 2, 3, "k")
+    def kp(df: org.apache.spark.sql.DataFrame): Set[(Long, String)] =
+      df.select("k", "payload").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(kp(rem) == (100L to 110L).map(k => (k, s"hi_$k")).toSet)
+    assert(kp(add) == ((100L to 110L) ++ (200L to 205L))
+      .map(k => (k, s"up_$k")).toSet)
     // compaction rewrites everything, changes nothing
     VersionedTable.compactSegments(spark, path, "k")
     assert(VersionedTable.changesBetween(spark, path, 3, 4, "k").count() == 0)
