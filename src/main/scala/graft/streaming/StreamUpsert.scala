@@ -73,8 +73,21 @@ object StreamUpsert {
     * replays exactly that crash shape. The table must exist
     * ([[graft.layout.VersionedTable.create]]) before the stream
     * starts. */
+  /** `maintainOptimize` keeps the CURVE LAYOUT live under the stream
+    * (the same maintain-flag contract as the similarity-graph loop's
+    * sidecars): after each commit the loop runs
+    * [[graft.layout.VersionedTable.optimizeIncremental]], re-clustering
+    * only that batch's debris into the cells it dirtied — so readers
+    * get manifest-level pruning continuously instead of between
+    * nightly optimizes. Requires a prior
+    * [[graft.layout.VersionedTable.optimizeCurve]] (the stored layout
+    * the incremental verb re-buckets with). Crash between the
+    * optimize commit and the marker replays the batch once more —
+    * content converges exactly as in the plain loop, the extra
+    * versions age out under retention. */
   def ingestVersionedCdc(changes: DataFrame, tablePath: String,
-      checkpoint: String, keyCol: String)
+      checkpoint: String, keyCol: String,
+      maintainOptimize: Boolean = false)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpoint)
@@ -84,6 +97,9 @@ object StreamUpsert {
           batch.sparkSession.sessionState.newHadoopConf())
         if (!fs.exists(marker)) {
           graft.layout.VersionedTable.applyCdc(batch, tablePath, keyCol)
+          if (maintainOptimize)
+            graft.layout.VersionedTable.optimizeIncremental(
+              batch.sparkSession, tablePath, keyCol)
           fs.create(marker, true).close()
           ()
         }

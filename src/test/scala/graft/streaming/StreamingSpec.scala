@@ -708,6 +708,51 @@ class StreamingSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rowsAt(4) == s3)
   }
 
+  test("CDC versioned-table ingest with maintainOptimize: layout stays live under the stream") {
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_stream_vt_opt").toString
+    val path = s"$tmp/table"
+    import graft.layout.{Layout, VersionedTable}
+    def row(k: Long) = (k, (k % 32).toInt, ((k * 7) % 32).toInt, s"base_$k")
+    VersionedTable.create(
+      (0L until 512L).map(row).toDF("k", "x", "y", "payload"), path, "k")
+    VersionedTable.optimizeCurve(spark, path, "k",
+      Seq(Layout.QuantDim("x", 0.0, 32.0, 5), Layout.QuantDim("y", 0.0, 32.0, 5)),
+      bucketBits = 4)
+    // two micro-batches: adds (new + re-crawled) then mixed add/delete
+    val b1 = (512L until 540L).map(k =>
+      (k, (k % 32).toInt, ((k * 7) % 32).toInt, s"b1_$k", "add"))
+    val b2 = (540L until 550L).map(k =>
+      (k, (k % 32).toInt, ((k * 7) % 32).toInt, s"b2_$k", "add")) ++
+      Seq(5L, 17L).map(k => (k, 0, 0, "", "delete"))
+    val schema = b1.toDF("k", "x", "y", "payload", "op").schema
+    b1.toDF("k", "x", "y", "payload", "op").coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/in/b1")
+    val q = StreamUpsert.ingestVersionedCdc(
+      spark.readStream.schema(schema).parquet(s"$tmp/in/*"),
+      path, s"$tmp/ckpt", "k", maintainOptimize = true)
+    try {
+      q.processAllAvailable()
+      b2.toDF("k", "x", "y", "payload", "op").coalesce(1)
+        .write.mode("overwrite").parquet(s"$tmp/in/b2")
+      q.processAllAvailable()
+    } finally q.stop()
+    // after every batch the layout is fully curve-clustered: zero
+    // stat-less segments live, so manifest pruning never degrades
+    val (allSegs, total) = VersionedTable.pruneCurveSegments(spark, path,
+      Seq((0L, -1L)))
+    assert(allSegs.size == total && allSegs.forall(_.curve.isDefined))
+    // content == the same batches applied sequentially without a stream
+    val expect = ((0L until 512L).map(row).toSet ++
+      (512L until 540L).map(k => row(k).copy(_4 = s"b1_$k")) ++
+      (540L until 550L).map(k => row(k).copy(_4 = s"b2_$k")))
+      .filterNot(r => r._1 == 5L || r._1 == 17L)
+    assert(VersionedTable.read(spark, path)
+      .select("k", "x", "y", "payload").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+      .toSet == expect)
+  }
+
   test("CDC Gram ingest (adds + tombstones) == from-scratch direction over survivors") {
     import spark.implicits._
     val tmp = Files.createTempDirectory("graft_stream_gram_cdc").toString
