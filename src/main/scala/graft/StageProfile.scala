@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
+import org.apache.spark.sql.SparkSession
+
+import scala.collection.concurrent.TrieMap
+
+/** Per-stage wall/shuffle profile of one or more declared queries —
+  * the round-17 measurement loop (optimization guide §1: decide
+  * whether time goes to shuffle, compute or scheduling BEFORE touching
+  * code). Runs each named query twice (prime + profiled, the Bench
+  * convention) and prints per-stage rows plus job/stage counts, so a
+  * query's cost can be attributed to exchanges vs compute vs per-stage
+  * fixed overhead at local scale. Usage:
+  *   sbt "runMain graft.StageProfile [sfDir] q_a [q_b ...]"
+  */
+object StageProfile {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.tail.toSeq
+      else Seq("q_graph_lp")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    case class St(name: String, ms: Long, tasks: Int, shufRead: Long,
+      shufWrite: Long, input: Long)
+    val stages = TrieMap.empty[Int, St]
+    @volatile var jobs = 0
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = jobs += 1
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {a <- si.completionTime; b <- si.submissionTime}
+          yield a - b).getOrElse(0L)
+        stages.put(si.stageId, St(si.name.takeWhile(_ != '\n').take(80), wall,
+          si.numTasks, si.taskMetrics.shuffleReadMetrics.totalBytesRead,
+          si.taskMetrics.shuffleWriteMetrics.bytesWritten,
+          si.taskMetrics.inputMetrics.bytesRead))
+      }
+    })
+
+    names.foreach { n =>
+      // prime (untimed): fills codegen/page caches and session-shared
+      // artifacts, exactly like Bench's primed passes
+      try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+      } catch { case e: Throwable =>
+        println(s"[profile] $n prime failed: ${e.getMessage}") }
+      stages.clear(); jobs = 0
+      System.gc()
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(n)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        println(s"[profile] $n failed: ${e.getMessage}") }
+      val wall = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      val ss = stages.values.toSeq.sortBy(-_.ms)
+      val sumMs = ss.map(_.ms).sum
+      println(f"\n===== $n%s wall=$wall%.3f s  jobs=$jobs%d  stages=${ss.size}%d  " +
+        f"stage-ms-sum=$sumMs%d =====")
+      ss.take(30).foreach { s =>
+        println(f"  ${s.ms}%6d ms  tasks=${s.tasks}%3d  in=${s.input}%9d  " +
+          f"sr=${s.shufRead}%9d  sw=${s.shufWrite}%9d  ${s.name}%s")
+      }
+    }
+    spark.stop()
+  }
+}
