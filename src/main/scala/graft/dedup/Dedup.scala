@@ -1836,7 +1836,11 @@ object Dedup {
     // silently substituted for the REWRITTEN edge dir on the next
     // call (Triangles.statsImpl's scaladoc; the crossing spec).
     val (wm, n) = edgeStatsOf(edges)
-    val (stats, cached) = graft.graph.Triangles.statsImpl(edges)
+    // canonical = true: the stored edge artifact is (doc_a < doc_b,
+    // distinct) by construction, so the defensive normalize+distinct
+    // shuffle is skipped (round-17 optimization)
+    val (stats, cached) = graft.graph.Triangles.statsImpl(edges,
+      canonical = true)
     try writeSidecarDir(spark, path, "tri", stats, wm, n, -1L, converged = true)
     finally cached.foreach(_.unpersist())
   }
@@ -1881,7 +1885,8 @@ object Dedup {
     if (nBelow < nBaked) {
       // a retraction reached into the baked region: rebuild (with the
       // same release-after-write discipline as writeTriangleStats)
-      val (stats, cached) = graft.graph.Triangles.statsImpl(edges)
+      val (stats, cached) = graft.graph.Triangles.statsImpl(edges,
+        canonical = true)
       try writeSidecarDir(spark, path, "tri", stats, curWm, curN, -1L,
         converged = true)
       finally cached.foreach(_.unpersist())
@@ -2035,17 +2040,27 @@ object Dedup {
       val edges = spark.read.parquet(s"$path/edges")
       val meta = spark.read.parquet(s"$path/rank/meta").collect()(0)
       val endpoints = edgeEndpoints(edges)
-      val missing = endpoints
-        .join(served.select(col("doc_id")), Seq("doc_id"), "left_anti").count()
-      val extra = served.select(col("doc_id"))
-        .join(endpoints, Seq("doc_id"), "left_anti").count()
+      // both coverage directions + the served row count in ONE
+      // full-outer pass (was three separate jobs — round-17
+      // optimization; both sides are unique on doc_id by construction)
+      val cov = endpoints.select(col("doc_id"), lit(1).as("ep"))
+        .join(served.select(col("doc_id"), lit(1).as("sv")),
+          Seq("doc_id"), "full")
+        .agg(coalesce(sum(when(col("sv").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("missing"),
+          coalesce(sum(when(col("ep").isNull, 1L).otherwise(0L)),
+            lit(0L)).as("extra"),
+          coalesce(sum(when(col("sv").isNotNull, 1L).otherwise(0L)),
+            lit(0L)).as("n_served"))
+        .head()
+      val (missing, extra, nServed) =
+        (cov.getLong(0), cov.getLong(1), cov.getLong(2))
       val (rec, _, reConv) = graft.graph.GraphRank
         .pageRankConvergedFromStats(endpoints, edges, served, tol, maxIters)
       val worst = served
         .join(rec.withColumnRenamed("rank_e12", "rr"), "doc_id")
         .agg(coalesce(max(abs(col("rank_e12") - col("rr"))), lit(0L)))
         .head().getLong(0)
-      val nServed = served.count()
       Seq((
         if (missing == 0L && extra == 0L) 1L else 0L,
         if (worst <= 14L * tol) 1L else 0L,
@@ -2080,8 +2095,11 @@ object Dedup {
       path: String, maxIters: Int = 32): Unit = {
     val edges = spark.read.parquet(s"$path/edges")
     val (wm, n) = edgeStatsOf(edges)
+    // canonical = true: stored artifact edges are (doc_a < doc_b,
+    // distinct) by construction — skip the defensive distinct shuffle
     val (labels, rounds, conv) = graft.graph.LabelProp
-      .communitiesConvergedStats(edgeEndpoints(edges), edges, maxIters)
+      .communitiesConvergedStats(edgeEndpoints(edges), edges, maxIters,
+        canonical = true)
     writeSidecarDir(spark, path, "lp", labels, wm, n, rounds.toLong, conv)
   }
 
@@ -2116,7 +2134,7 @@ object Dedup {
       val (labels, rounds, conv) = graft.graph.LabelProp
         .communitiesConvergedFromStats(
           edgeEndpoints(edges), edges, readLpCommunities(spark, path),
-          maxIters)
+          maxIters, canonical = true)
       writeSidecarDir(spark, path, "lp", labels, curWm, curN,
         rounds.toLong, conv)
     }

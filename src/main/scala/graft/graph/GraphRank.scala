@@ -24,7 +24,10 @@ import graft.text.TextFunctions
   * partitioned on the join key; the edge list is persisted ONCE and
   * reused by every iteration, so iterations repartition only the
   * narrow (doc_id, r) rank frame) + one map-side-combining sum by
-  * dst + one left join back to the node frame for dangling nodes.
+  * dst. Dangling nodes ride the same join as stored ZERO-WEIGHT
+  * self-loops (one per node — they add nothing to any sum and let
+  * every node reach the aggregate), which replaced the former
+  * per-iteration left join back to the node frame.
   * K iterations = K such rounds — the inherent shape of power
   * iteration. The rank frame is `localCheckpoint`ed every
   * `checkpointEvery` iterations, so a deep run (iters=20) never
@@ -60,7 +63,8 @@ object GraphRank {
       seedPred: Option[Column] = None): DataFrame = {
     var r = initRanks(ids, scale, seedPred)
     for (i <- 0 until iters) {
-      r = rankRound(ids, edgesW, r, scale, dNum, dDen, seedPred)
+      r = rankRound(edgesW, r, scale, dNum, dDen, seedPred,
+        withPrev = false)
       // cut the lineage every `checkpointEvery` rounds: without this a
       // deep run carries an iters-deep join plan into every subsequent
       // analysis and any task-failure replay recomputes from iteration 0
@@ -78,10 +82,21 @@ object GraphRank {
     })
 
   /** One power-iteration round: per-edge divide-before-sum
-    * contributions, damped onto the teleport base. */
-  private def rankRound(ids: DataFrame, edgesW: DataFrame, r: DataFrame,
+    * contributions, damped onto the teleport base. The rank frame is
+    * referenced exactly ONCE (the src join): each node's zero-weight
+    * self-loop (see [[symmetrized]]) flows its own current rank
+    * through the same join with a NULL contribution (sum-skipped,
+    * identical to +0), so every node of the rank
+    * frame appears in the aggregate without the former left join back
+    * to the node frame, dangling nodes still land on the bare base,
+    * and a contribution to a dst OUTSIDE the node frame (no self-loop
+    * ⇒ no prev) is dropped by the prev-guard exactly as the left join
+    * dropped it. With `withPrev` the output keeps the node's previous
+    * rank, so convergence loops read a round's max |Δ| off the
+    * round's own output instead of re-joining the superseded frame. */
+  private def rankRound(edgesW: DataFrame, r: DataFrame,
       scale: Long, dNum: Long, dDen: Long,
-      seedPred: Option[Column]): DataFrame = {
+      seedPred: Option[Column], withPrev: Boolean): DataFrame = {
     val base = scale * (dDen - dNum) / dDen
     // personalized teleport: only seed nodes receive the base mass
     // (and the initial rank) — non-seeds score purely by proximity
@@ -89,16 +104,25 @@ object GraphRank {
       case Some(p) => when(p, lit(base)).otherwise(lit(0L))
       case None => lit(base)
     }
-    val contrib = edgesW
+    val next = edgesW
       .join(r.withColumnRenamed("doc_id", "src"), "src")
+      // self-loop rows contribute NULL (sum-skipped — same as +0, and
+      // same as the former left-join null for a node with no in-edges);
+      // real edges have strictly positive w so their sumw >= 1 and the
+      // ANSI IntegralDivide can never see a zero divisor
       .select(col("dst"),
-        TextFunctions.intDiv(col("r") * col("w"), col("sumw")).as("c"))
-      .groupBy(col("dst")).agg(sum(col("c")).as("c"))
-    ids
-      .join(contrib.withColumnRenamed("dst", "doc_id"), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        (baseCol + TextFunctions.intDiv(
-          lit(dNum) * coalesce(col("c"), lit(0L)), lit(dDen))).as("r"))
+        when(col("own") === 1, lit(null).cast("long"))
+          .otherwise(TextFunctions.intDiv(col("r") * col("w"), col("sumw")))
+          .as("c"),
+        when(col("own") === 1, col("r")).as("pr"))
+      .groupBy(col("dst"))
+      .agg(sum(col("c")).as("c"), max(col("pr")).as("pr"))
+      .filter(col("pr").isNotNull)
+      .withColumnRenamed("dst", "doc_id")
+    val stepped = (baseCol + TextFunctions.intDiv(
+      lit(dNum) * coalesce(col("c"), lit(0L)), lit(dDen))).as("r")
+    if (withPrev) next.select(col("doc_id"), stepped, col("pr"))
+    else next.select(col("doc_id"), stepped)
   }
 
   /** Rounds the last [[pageRankConverged]] call actually ran — the
@@ -199,7 +223,7 @@ object GraphRank {
       checkpointEvery: Int): (DataFrame, Int, Boolean) = {
     val ids = nodes.select(col("doc_id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val edgesW = symmetrized(pairs, lit(1L))
+    val edgesW = symmetrized(ids, pairs, lit(1L))
     var r = (init match {
       case Some(v) => ids
         .join(v.select(col("doc_id"), col("rank_e12").as("r0")),
@@ -210,14 +234,17 @@ object GraphRank {
     var i = 0
     var moved = Long.MaxValue
     while (i < maxIters && moved > tol) {
-      val stepped = rankRound(ids, edgesW, r, scale, dNum, dDen, None)
+      val stepped = rankRound(edgesW, r, scale, dNum, dDen, None,
+        withPrev = true)
       // localCheckpoint is eager and stores its blocks itself — on a
       // cadence round it replaces (not precedes) the persist
       val next =
         if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint()
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // the round's own `pr` column carries the superseded rank, so
+      // the max |Δ| is one scan of the frame being materialized
+      // anyway — no second join against the previous rank frame
       moved = next
-        .join(r.withColumnRenamed("r", "pr"), "doc_id")
         .agg(coalesce(max(abs(col("r") - col("pr"))), lit(0L)))
         .head().getLong(0)
       r.unpersist()
@@ -234,12 +261,20 @@ object GraphRank {
   }
 
   /** Symmetrize an undirected unique-pair edge list carrying a weight
-    * expression, annotate each edge with its src's total out-weight,
-    * and persist — every iteration's join reuses the one artifact. */
-  private def symmetrized(pairs: DataFrame, w: Column): DataFrame = {
+    * expression, add one ZERO-WEIGHT self-loop per node of `ids`
+    * (marked `own` — the carrier [[rankRound]] uses to keep every
+    * node in the aggregate and to surface its previous rank; weight 0
+    * leaves every sumw and every contribution sum unchanged),
+    * annotate each edge with its src's total out-weight, and persist
+    * — every iteration's join reuses the one artifact. */
+  private def symmetrized(ids: DataFrame, pairs: DataFrame,
+      w: Column): DataFrame = {
     val ab = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"),
-      w.cast("long").as("w"))
-    val edges = ab.union(ab.select(col("dst"), col("src"), col("w")))
+      w.cast("long").as("w"), lit(0).as("own"))
+    val edges = ab
+      .union(ab.select(col("dst"), col("src"), col("w"), col("own")))
+      .union(ids.select(col("doc_id").as("src"), col("doc_id").as("dst"),
+        lit(0L).as("w"), lit(1).as("own")))
     val sw = edges.groupBy(col("src")).agg(sum(col("w")).as("sumw"))
     edges.join(sw, "src").persist(StorageLevel.MEMORY_AND_DISK)
   }
@@ -251,7 +286,8 @@ object GraphRank {
   def pageRank(nodes: DataFrame, pairs: DataFrame, iters: Int = 3,
       scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
       checkpointEvery: Int = 5): DataFrame =
-    rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, lit(1L)),
+    rankLoop(nodes.select(col("doc_id")),
+      symmetrized(nodes.select(col("doc_id")), pairs, lit(1L)),
       iters, scale, dNum, dDen, checkpointEvery)
 
   /** Weight-proportional damped PageRank: each neighbor receives
@@ -269,7 +305,8 @@ object GraphRank {
       weightCol: String = "minhash_matches", iters: Int = 3,
       scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
       checkpointEvery: Int = 5): DataFrame =
-    rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, col(weightCol)),
+    rankLoop(nodes.select(col("doc_id")),
+      symmetrized(nodes.select(col("doc_id")), pairs, col(weightCol)),
       iters, scale, dNum, dDen, checkpointEvery)
 
   /** PERSONALIZED PageRank from a seed set — the quality-bootstrap
@@ -287,6 +324,7 @@ object GraphRank {
       seedPred: Column, iters: Int = 3,
       scale: Long = 1000000000000L, dNum: Long = 85, dDen: Long = 100,
       checkpointEvery: Int = 5): DataFrame =
-    rankLoop(nodes.select(col("doc_id")), symmetrized(pairs, lit(1L)),
+    rankLoop(nodes.select(col("doc_id")),
+      symmetrized(nodes.select(col("doc_id")), pairs, lit(1L)),
       iters, scale, dNum, dDen, checkpointEvery, Some(seedPred))
 }

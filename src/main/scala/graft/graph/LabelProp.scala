@@ -43,9 +43,11 @@ import org.apache.spark.storage.StorageLevel
   * out-of-range input must fail fast, not gate green.
   *
   * Shape at 100 TB: one round = one equi-join of the narrow (doc_id,
-  * label) frame with the persisted symmetrized edge list on src, a
-  * union with the label frame itself (the self-votes — which also
-  * carry isolated nodes through without a separate left join), one
+  * label) frame with the persisted symmetrized edge list on src —
+  * the self-votes ride the SAME join as one stored self-loop per node
+  * (which also carries isolated nodes through without a separate
+  * left join), so the label frame is referenced exactly once per
+  * round and the round plan stays linear in depth — then one
   * map-side-combining (dst, label) count and one map-side-combining
   * packed max by dst — identical to the PageRank iteration shape
   * (edges persisted ONCE, only the narrow label frame moves per
@@ -84,36 +86,71 @@ object LabelProp {
         col("cnt").cast("string"))).cast("long"))
       .otherwise(col("cnt"))
 
-  /** Canonicalized symmetrized edge list (mirrors/self-loops removed). */
-  private def canonEdges(pairs: DataFrame): DataFrame = {
-    val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+  /** Canonicalized symmetrized edge list (mirrors/self-loops removed).
+    * `canonical = true` declares the input ALREADY canonical —
+    * (doc_a < doc_b, distinct), the stored similarity-graph artifact's
+    * invariant (spec-pinned in GraphSpec) — and skips the
+    * least/greatest + distinct pass, which is a full shuffle of the
+    * edge list at any scale. Results are identical by construction;
+    * the defensive pass remains the default for arbitrary inputs. */
+  private def canonEdges(pairs: DataFrame, canonical: Boolean): DataFrame = {
+    val ab =
+      if (canonical) pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      else pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
     ab.select(col("u").as("src"), col("v").as("dst"))
       .unionAll(ab.select(col("v").as("src"), col("u").as("dst")))
   }
 
-  /** One synchronous propagation round: neighbor votes + the
-    * self-vote, plurality by the packed-long argmax. */
-  private def lpRound(edges: DataFrame, lab: DataFrame): DataFrame = {
-    val votes = edges
+  /** The symmetrized edge list PLUS one self-loop per node. The
+    * self-loop delivers the node's own current label through the same
+    * join as its neighbors' labels — bit-identical votes to the former
+    * `union(lab)` self-vote, but the label frame is referenced ONCE
+    * per round instead of twice, so the round plan stays LINEAR in
+    * depth (the doubled-plan hazard the converged loops' scaladoc
+    * documents is gone at the source) and each round saves the
+    * second scan of the label frame. */
+  private def votingEdges(nodes: DataFrame, pairs: DataFrame,
+      canonical: Boolean): DataFrame =
+    canonEdges(pairs, canonical)
+      .unionAll(nodes.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+
+  /** One synchronous propagation round over [[votingEdges]]: plurality
+    * by the packed-long argmax. With `withPrev` the output carries the
+    * node's PREVIOUS label (recovered from its self-loop vote's group
+    * — the only group whose `own` marker is set), so convergence
+    * diagnostics read the round's delta off the round's own output
+    * instead of re-joining the previous label frame. */
+  private def lpRound(edgesV: DataFrame, lab: DataFrame,
+      withPrev: Boolean): DataFrame = {
+    val votes = edgesV
       .join(lab.withColumnRenamed("doc_id", "src"), "src")
-      .select(col("dst"), col("label"))
-      .unionAll(lab.select(col("doc_id").as("dst"), col("label")))
-    votes
-      .groupBy(col("dst"), col("label")).agg(count(lit(1)).as("cnt"))
-      .groupBy(col("dst"))
-      .agg(max(cntGuard * P + (lit(P - 1) - col("label"))).as("mx"))
-      .select(col("dst").as("doc_id"),
-        (lit(P - 1) - (col("mx") % P)).as("label"))
+      .select(col("dst"), col("label"),
+        when(col("src") === col("dst"), 1).otherwise(0).as("own"))
+    val counted = votes
+      .groupBy(col("dst"), col("label"))
+      .agg(count(lit(1)).as("cnt"), max(col("own")).as("own"))
+    val packed = max(cntGuard * P + (lit(P - 1) - col("label"))).as("mx")
+    if (withPrev)
+      counted.groupBy(col("dst"))
+        .agg(packed, max(when(col("own") === 1, col("label"))).as("prev"))
+        .select(col("dst").as("doc_id"),
+          (lit(P - 1) - (col("mx") % P)).as("label"), col("prev"))
+    else
+      counted.groupBy(col("dst")).agg(packed)
+        .select(col("dst").as("doc_id"),
+          (lit(P - 1) - (col("mx") % P)).as("label"))
   }
 
   def communities(nodes: DataFrame, pairs: DataFrame, iters: Int = 4,
-      checkpointEvery: Int = 5): DataFrame = {
-    val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
+      checkpointEvery: Int = 5, canonical: Boolean = false): DataFrame = {
+    val ids = nodes.select(col("doc_id"))
+    val edgesV = votingEdges(ids, pairs, canonical)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = ids.select(col("doc_id"), labGuard.as("label"))
     for (i <- 0 until iters) {
-      lab = lpRound(edges, lab)
+      lab = lpRound(edgesV, lab, withPrev = false)
       if ((i + 1) % checkpointEvery == 0 && i + 1 < iters)
         lab = lab.localCheckpoint()
     }
@@ -136,22 +173,21 @@ object LabelProp {
     * never under- or over-iterate.
     *
     * Shape: identical per-round cost to [[communities]] plus one
-    * narrow diff join + 1-row count per round (the [[convergence]]
-    * shape); cache footprint is the same two-frames-in-flight
-    * lifecycle, and the result is `localCheckpoint`ed so the function
-    * returns with NOTHING persisted and a flat lineage regardless of
-    * how many rounds ran. The `checkpointEvery` cadence is
-    * LOAD-BEARING here, not just the usual deep-lineage hygiene: each
-    * round's plan references the previous label frame TWICE (the
-    * neighbor join and the self-vote union), so the un-truncated
-    * LOGICAL plan doubles per round — a slow-converging graph would
-    * OOM the driver on plan strings alone (2^rounds copies) long
-    * before any executor works hard. The fixed-iters twin caps rounds
-    * at a small constant; an open-ended loop must flatten as it
-    * goes. */
+    * 1-row delta count per round, read off the round's own `prev`
+    * column (the [[convergence]] shape — no second join); cache
+    * footprint is the same two-frames-in-flight lifecycle, and the
+    * result is `localCheckpoint`ed so the function returns with
+    * NOTHING persisted and a flat lineage regardless of how many
+    * rounds ran. The `checkpointEvery` cadence keeps a deep run's
+    * lineage and failure-replay depth bounded by the cadence instead
+    * of the round count (the round plan itself is linear now that the
+    * self-vote rides a stored self-loop instead of a second reference
+    * to the label frame). */
   def communitiesConverged(nodes: DataFrame, pairs: DataFrame,
-      maxIters: Int = 32, checkpointEvery: Int = 5): DataFrame =
-    communitiesConvergedStats(nodes, pairs, maxIters, checkpointEvery)._1
+      maxIters: Int = 32, checkpointEvery: Int = 5,
+      canonical: Boolean = false): DataFrame =
+    communitiesConvergedStats(nodes, pairs, maxIters, checkpointEvery,
+      canonical)._1
 
   /** [[communitiesConverged]] returning its convergence PROVENANCE
     * along with the labels: (labels, rounds ran, converged) where
@@ -162,8 +198,9 @@ object LabelProp {
     * later refresh resumes the sweep instead of serving a
     * non-fixpoint as final (round-16 verdict). */
   def communitiesConvergedStats(nodes: DataFrame, pairs: DataFrame,
-      maxIters: Int = 32, checkpointEvery: Int = 5): (DataFrame, Int, Boolean) =
-    convergedLoop(nodes, pairs, None, maxIters, checkpointEvery)
+      maxIters: Int = 32, checkpointEvery: Int = 5,
+      canonical: Boolean = false): (DataFrame, Int, Boolean) =
+    convergedLoop(nodes, pairs, None, maxIters, checkpointEvery, canonical)
 
   /** Rounds the last [[communitiesConverged]] /
     * [[communitiesConvergedFrom]] call actually ran — the
@@ -189,16 +226,17 @@ object LabelProp {
     * LOAD-BEARING checkpoint cadence as the cold variant. */
   def communitiesConvergedFrom(nodes: DataFrame, pairs: DataFrame,
       init: DataFrame, maxIters: Int = 32,
-      checkpointEvery: Int = 5): DataFrame =
+      checkpointEvery: Int = 5, canonical: Boolean = false): DataFrame =
     communitiesConvergedFromStats(nodes, pairs, init, maxIters,
-      checkpointEvery)._1
+      checkpointEvery, canonical)._1
 
   /** [[communitiesConvergedFrom]] with convergence provenance — the
     * warm-start twin of [[communitiesConvergedStats]]. */
   def communitiesConvergedFromStats(nodes: DataFrame, pairs: DataFrame,
       init: DataFrame, maxIters: Int = 32,
-      checkpointEvery: Int = 5): (DataFrame, Int, Boolean) =
-    convergedLoop(nodes, pairs, Some(init), maxIters, checkpointEvery)
+      checkpointEvery: Int = 5, canonical: Boolean = false): (DataFrame, Int, Boolean) =
+    convergedLoop(nodes, pairs, Some(init), maxIters, checkpointEvery,
+      canonical)
 
   /** One synchronous round over canonicalized `pairs`, applied to an
     * arbitrary (doc_id, community) labeling — the fixpoint CHECK the
@@ -206,34 +244,39 @@ object LabelProp {
     * unchanged). Package-private: product code goes through the
     * converged loops. */
   private[graft] def oneRound(pairs: DataFrame, lab: DataFrame): DataFrame = {
-    val edges = canonEdges(pairs)
-    lpRound(edges, lab.select(col("doc_id"), col("community").as("label")))
+    val l = lab.select(col("doc_id"), col("community").as("label"))
+    val edgesV = votingEdges(l, pairs, canonical = false)
+    lpRound(edgesV, l, withPrev = false)
       .select(col("doc_id"), col("label").as("community"))
   }
 
   private def convergedLoop(nodes: DataFrame, pairs: DataFrame,
       init: Option[DataFrame], maxIters: Int,
-      checkpointEvery: Int): (DataFrame, Int, Boolean) = {
-    val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
+      checkpointEvery: Int, canonical: Boolean): (DataFrame, Int, Boolean) = {
+    val ids = nodes.select(col("doc_id"))
+    val edgesV = votingEdges(ids, pairs, canonical)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     var lab = (init match {
-      case Some(v) => nodes.select(col("doc_id"), labGuard.as("self"))
+      case Some(v) => ids.select(col("doc_id"), labGuard.as("self"))
         .join(v.select(col("doc_id"), col("community").as("c0")),
           Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("c0"), col("self")).as("label"))
-      case None => nodes.select(col("doc_id"), labGuard.as("label"))
+      case None => ids.select(col("doc_id"), labGuard.as("label"))
     }).persist(StorageLevel.MEMORY_AND_DISK)
     var i = 0
     var changed = 1L
     while (i < maxIters && changed != 0L) {
-      val stepped = lpRound(edges, lab)
+      val stepped = lpRound(edgesV, lab, withPrev = true)
       // localCheckpoint is eager and stores its blocks itself — on a
       // cadence round it replaces (not precedes) the persist
       val next =
         if ((i + 1) % checkpointEvery == 0) stepped.localCheckpoint()
         else stepped.persist(StorageLevel.MEMORY_AND_DISK)
+      // the round's own `prev` column carries the superseded label, so
+      // the delta count is one scan of the frame being materialized
+      // anyway — no second join against the previous label frame
       changed = next
-        .join(lab.withColumnRenamed("label", "plabel"), "doc_id")
-        .filter(col("label") =!= col("plabel"))
+        .filter(col("label") =!= col("prev"))
         .agg(count(lit(1)).as("n_changed"))
         .head().getLong(0)
       lab.unpersist()
@@ -244,7 +287,7 @@ object LabelProp {
     val out = lab.select(col("doc_id"), col("label").as("community"))
       .localCheckpoint()
     lab.unpersist()
-    edges.unpersist()
+    edgesV.unpersist()
     (out, i, changed == 0L)
   }
 
@@ -270,16 +313,20 @@ object LabelProp {
     * returned frame is a literal of the collected counts, so its
     * lineage references none of the released caches. */
   def convergence(nodes: DataFrame, pairs: DataFrame,
-      iters: Int = 4): DataFrame = {
+      iters: Int = 4, canonical: Boolean = false): DataFrame = {
     val spark = nodes.sparkSession
-    val edges = canonEdges(pairs).persist(StorageLevel.MEMORY_AND_DISK)
-    var lab = nodes.select(col("doc_id"), labGuard.as("label"))
+    val ids = nodes.select(col("doc_id"))
+    val edgesV = votingEdges(ids, pairs, canonical)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lab = ids.select(col("doc_id"), labGuard.as("label"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val counts = (1 to iters).map { i =>
-      val next = lpRound(edges, lab).persist(StorageLevel.MEMORY_AND_DISK)
+      val next = lpRound(edgesV, lab, withPrev = true)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      // delta off the round's own `prev` column — one scan of the frame
+      // being materialized anyway, no join with the superseded frame
       val nChanged = next
-        .join(lab.withColumnRenamed("label", "plabel"), "doc_id")
-        .filter(col("label") =!= col("plabel"))
+        .filter(col("label") =!= col("prev"))
         .agg(count(lit(1)).as("n_changed"))
         .head().getLong(0)
       lab.unpersist()
@@ -287,7 +334,7 @@ object LabelProp {
       (i.toLong, nChanged)
     }
     lab.unpersist()
-    edges.unpersist()
+    edgesV.unpersist()
     import spark.implicits._
     counts.toDF("iter", "n_changed")
   }
@@ -325,10 +372,13 @@ object LabelProp {
     * are computed once and audited/consumed many times — the same
     * argument as the shared similarity-graph and trained-merge
     * artifacts). Stored-labels == recomputed equivalence is spec'd. */
-  def modularityOf(labels: DataFrame, pairs: DataFrame): DataFrame = {
-    val ab = pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
+  def modularityOf(labels: DataFrame, pairs: DataFrame,
+      canonical: Boolean = false): DataFrame = {
+    val ab = (if (canonical)
+        pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      else pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+          greatest(col("doc_a"), col("doc_b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lab = labels.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = ab.select(col("u").as("node"))

@@ -48,8 +48,8 @@ object Triangles {
   /** Per-node triangle counts (doc_id, n_tri) for every node that
     * closes at least one triangle. `pairs` is an undirected
     * unique-pair edge list (doc_a < doc_b, distinct). */
-  def perNode(pairs: DataFrame): DataFrame = {
-    val e = canonicalEdges(pairs)
+  def perNode(pairs: DataFrame, canonical: Boolean = false): DataFrame = {
+    val e = canonicalEdges(pairs, canonical)
     perNodeFromEdges(e, degrees(e))
   }
 
@@ -61,12 +61,18 @@ object Triangles {
   /** Canonical undirected edges: orientation-normalized (least,
     * greatest) then distinct, so mirrored input pairs (a,b)+(b,a)
     * collapse to one edge and self-loops drop — the robustness the
-    * spec claims for reversed/duplicated inputs. */
-  private def canonicalEdges(pairs: DataFrame): DataFrame =
-    pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
-        greatest(col("doc_a"), col("doc_b")).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    * spec claims for reversed/duplicated inputs. `canonical = true`
+    * declares the input ALREADY canonical (doc_a < doc_b, distinct —
+    * the stored similarity-graph artifact's invariant) and skips the
+    * normalize+distinct pass, a full shuffle of the edge list at any
+    * scale; identical result by construction. */
+  private def canonicalEdges(pairs: DataFrame,
+      canonical: Boolean = false): DataFrame =
+    (if (canonical) pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+     else pairs.select(least(col("doc_a"), col("doc_b")).as("u"),
+         greatest(col("doc_a"), col("doc_b")).as("v"))
+       .filter(col("u") =!= col("v"))
+       .distinct())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
   private def perNodeFromEdges(e: DataFrame, deg: DataFrame): DataFrame =
@@ -110,8 +116,8 @@ object Triangles {
     * node of the pair graph (n_tri coalesced to 0); degree-1 nodes
     * have no neighbor pair and report 0. Same shape as [[perNode]]
     * plus one degree aggregate and a left join. */
-  def clustering(pairs: DataFrame): DataFrame =
-    withCc(stats(pairs))
+  def clustering(pairs: DataFrame, canonical: Boolean = false): DataFrame =
+    withCc(stats(pairs, canonical))
 
   /** The cc_ppm column derived from (degree, n_tri) — shared by the
     * live [[clustering]] and the serve path over a [[stats]] sidecar
@@ -126,7 +132,8 @@ object Triangles {
     * the pair graph — the maintained core of [[clustering]] (cc_ppm is
     * a derived ratio, see [[withCc]]) and the payload of the
     * incremental triangle sidecar ([[appendStats]]). */
-  def stats(pairs: DataFrame): DataFrame = statsImpl(pairs)._1
+  def stats(pairs: DataFrame, canonical: Boolean = false): DataFrame =
+    statsImpl(pairs, canonical)._1
 
   /** [[stats]] plus the frames it persisted, so an ARTIFACT verb that
     * may run repeatedly against the same path in one session
@@ -140,12 +147,13 @@ object Triangles {
     * root path) — so a refresh after a retraction rewrite would
     * silently serve the PRE-append edge set from cache
     * (TriangleStatsAppendSpec's crossing test caught exactly this). */
-  private[graft] def statsImpl(pairs: DataFrame)
+  private[graft] def statsImpl(pairs: DataFrame,
+      canonical: Boolean = false)
       : (DataFrame, Seq[DataFrame]) = {
     // ONE persisted canonical edge frame feeds both the degree
     // aggregate and the triangle count — the naive form re-derived
     // the candidate pairs (a second corpus blocking pass at scale)
-    val e = canonicalEdges(pairs)
+    val e = canonicalEdges(pairs, canonical)
     // ONE degree aggregate serves both the orientation and the output
     // column (the first cut computed it twice — a full extra shuffle)
     val deg = degrees(e).persist(StorageLevel.MEMORY_AND_DISK)
