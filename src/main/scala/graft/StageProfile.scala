@@ -29,7 +29,7 @@ object StageProfile {
     spark.sparkContext.setLogLevel("WARN")
 
     case class St(name: String, ms: Long, tasks: Int, shufRead: Long,
-      shufWrite: Long, input: Long)
+      shufWrite: Long, input: Long, runMs: Long, cpuMs: Long, gcMs: Long)
     val stages = TrieMap.empty[Int, St]
     @volatile var jobs = 0
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -38,10 +38,13 @@ object StageProfile {
         val si = sc.stageInfo
         val wall = (for {a <- si.completionTime; b <- si.submissionTime}
           yield a - b).getOrElse(0L)
+        val tm = si.taskMetrics
         stages.put(si.stageId, St(si.name.takeWhile(_ != '\n').take(80), wall,
-          si.numTasks, si.taskMetrics.shuffleReadMetrics.totalBytesRead,
-          si.taskMetrics.shuffleWriteMetrics.bytesWritten,
-          si.taskMetrics.inputMetrics.bytesRead))
+          si.numTasks, tm.shuffleReadMetrics.totalBytesRead,
+          tm.shuffleWriteMetrics.bytesWritten,
+          tm.inputMetrics.bytesRead,
+          tm.executorRunTime, tm.executorCpuTime / 1000000L,
+          tm.jvmGCTime))
       }
     })
 
@@ -69,7 +72,8 @@ object StageProfile {
       println(f"\n===== $n%s wall=$wall%.3f s  jobs=$jobs%d  stages=${ss.size}%d  " +
         f"stage-ms-sum=$sumMs%d =====")
       ss.take(30).foreach { s =>
-        println(f"  ${s.ms}%6d ms  tasks=${s.tasks}%3d  in=${s.input}%9d  " +
+        println(f"  ${s.ms}%6d ms  run=${s.runMs}%6d cpu=${s.cpuMs}%6d " +
+          f"gc=${s.gcMs}%5d  tasks=${s.tasks}%3d  in=${s.input}%9d  " +
           f"sr=${s.shufRead}%9d  sw=${s.shufWrite}%9d  ${s.name}%s")
       }
     }

@@ -147,9 +147,19 @@ object Dedup {
     * whatever the caller blocks on). */
   private[graft] def cappedBucketPairs(exploded: DataFrame, maxBucketSize: Int): DataFrame = {
     val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    // PERSIST the windowed bucket frame (round-17 optimization): its
+    // three consumers below (the self-join's two sides + the star
+    // branch) otherwise each re-derive the explode + window-exchange
+    // subtree — exchange reuse does NOT collapse the copies because
+    // each consumer prunes different columns (measured: the banded
+    // exchange computed 3x per query, q_dedup_minhash plan). The cache
+    // is the exploded band frame (~bands x corpus ids, a fixed small
+    // multiple of the signature frame already persisted), released by
+    // the caller's clearCache like every other internal persist here.
     val bands = exploded
       .withColumn("bucket_n", count(lit(1)).over(w))
       .withColumn("bucket_min", min(col("doc_id")).over(w))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val inCap = bands.filter(col("bucket_n") <= maxBucketSize)
       .select(col("doc_id"), col("band_idx"), col("band_hash"))
     val allPairs = inCap.as("a")
@@ -189,11 +199,44 @@ object Dedup {
     * keeping/unpersisting the frame themselves (round-3 ADVICE). */
   def minhashPairs(docs: DataFrame, p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigFrame(docs, p, idCol, textCol)
     verifyPairs(bandCandidates(sigs, p), sigs, p)
   }
+
+  /** The persisted (doc_id, sig) projection shared by the pair
+    * pipelines, built behind a SCALE-ADAPTIVE numbered repartition
+    * (round-17 optimization): when the corpus arrives as fewer splits
+    * than the session's shuffle width — the small-input / few-row-
+    * groups regime, where parquet cannot split further — the CPU-heavy
+    * one-pass minhash would run on a handful of cores AND every
+    * fan-out branch racing the unfilled cache re-runs it from the raw
+    * text (measured: q_dedup_clusters_best re-scanned the corpus ~10x
+    * through the sig subtree). A numbered repartition (AQE never
+    * coalesces an explicit user count) parallelizes the hashing and
+    * makes every downstream branch read the ONE shuffle instead of
+    * re-deriving the projection. When the scan is already at least
+    * shuffle-width parallel (the 100 TB regime), no exchange is added
+    * — the corpus text is never shuffled at scale. Signatures are
+    * per-row-pure, so placement cannot change any result.
+    *
+    * `widen` must only see SCAN-SHAPED frames (scan + filter +
+    * project): `.rdd` on a plan that AQE wraps (any exchange) would
+    * execute its query stages eagerly just to count partitions. */
+  private[graft] def widen(narrow: DataFrame): DataFrame = {
+    val n = narrow.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    if (narrow.rdd.getNumPartitions < n) narrow.repartition(n) else narrow
+  }
+
+  private def sigFrame(docs: DataFrame, p: MinHashParams,
+      idCol: String, textCol: String): DataFrame =
+    // no widen here: the one-pass minhash is ~100-150 ms serial at
+    // bench scale, below widen's own planning cost — the load-bearing
+    // fix for this family is the persisted bucket frame in
+    // [[cappedBucketPairs]] (measured; widen stays on the Gram build
+    // and the semantic-dedup quantize, whose serial cost is ~10x)
+    docs
+      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
   /** The signature-verify tail shared by [[minhashPairs]] and the
     * similarity-graph append: candidate (doc_a, doc_b) pairs scored by
@@ -232,9 +275,7 @@ object Dedup {
   def writeSimilarityGraph(docs: DataFrame, path: String,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigFrame(docs, p, idCol, textCol)
     try {
       writeIndexFromSigs(sigs, s"$path/index", p, "overwrite")
       verifyPairs(bandCandidates(sigs, p), sigs, p)
@@ -796,9 +837,7 @@ object Dedup {
     * (`spark.catalog.clearCache()` or unpersist). */
   def jaccardPairs(docs: DataFrame, p: MinHashParams = JaccardParams,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), minhashSignature(col(textCol), p).as("sig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = sigFrame(docs, p, idCol, textCol)
     val cand = bandCandidates(sigs, p).persist(StorageLevel.MEMORY_AND_DISK)
     // materialize the shingle-hash arrays ONLY for docs that appear in
     // some candidate pair — exact-verify cost scales with the candidate
@@ -1465,9 +1504,16 @@ object Dedup {
 
   def connectedComponents(pairs: DataFrame, aCol: String = "doc_a", bCol: String = "doc_b",
       maxRounds: Int = 50, localSolveEdges: Long = LocalSolveEdges): DataFrame = {
+    // symmetrize with ONE reference to `pairs` (round-17 optimization):
+    // the former two-branch union embedded the caller's whole pair
+    // pipeline twice in the plan, and the branches raced to compute it
+    // before any cache filled — the explode doubles rows inside the
+    // same stage instead
     val edges = pairs
-      .select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .select(explode(array(
+        struct(col(aCol).as("src"), col(bCol).as("dst")),
+        struct(col(bCol).as("src"), col(aCol).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nEdges = edges.count() // also materializes the persist once
     if (nEdges <= localSolveEdges) {

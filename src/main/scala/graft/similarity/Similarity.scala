@@ -478,7 +478,12 @@ object Similarity {
       maxClusterSize: Int = 256,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dec = DecimalType(38, 0)
-    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
+    // scale-adaptive widen before the quantize (round-17 optimization,
+    // see Dedup.widen): a single-row-group embedding file otherwise
+    // funnels the quantize + every racing fan-out branch through one
+    // task
+    val q = Dedup.widen(emb.select(col(idCol).as("vec_id"), col(vecCol)))
+      .select(col("vec_id"), quantize(col(vecCol)).as("qv"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
@@ -1429,8 +1434,13 @@ object Similarity {
     // no shuffle touches the N·d exploded frame — the former
     // self-join on vec_id exchanged it twice — and symmetry halves
     // the generated rows; the mirror below runs on the d²/2-cell
-    // AGGREGATED frame, so it is free at any corpus size
-    val qv = emb.select(quantize(col(vecCol)).as("qv"))
+    // AGGREGATED frame, so it is free at any corpus size.
+    // Scale-adaptive widen first (round-17, see Dedup.widen): the d²/2
+    // generator is pure CPU, and a single-row-group input otherwise
+    // runs it on one core (measured 1.3 s of q_emb_direction's 3.7 s,
+    // twice — two racing consumers of the unfilled Gram cache)
+    val qv = graft.dedup.Dedup.widen(emb.select(col(vecCol)))
+      .select(quantize(col(vecCol)).as("qv"))
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
       .select(col("i"), col("qi"),
         posexplode(slice(col("qv"), col("i") + 1, size(col("qv")) - col("i")))
@@ -1438,6 +1448,12 @@ object Similarity {
       .select(col("i"), (col("i") + col("pos")).as("j"),
         (col("qi") * col("qj")).cast(dec).as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("gij"))
+      // persisted so the mirror union below reads the AGGREGATED
+      // d²/2-cell frame (KBs at any corpus size) instead of embedding
+      // the corpus-sized generator subtree twice in the plan — the two
+      // union branches were measured re-running the whole Gram build
+      // each (round-17; released by the caller's clearCache)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     qv.unionAll(qv.where(col("j") > col("i"))
       .select(col("j").as("i"), col("i").as("j"), col("gij")))
   }
