@@ -20,13 +20,29 @@ object StageProfile {
     val names = if (args.length > 1) args.tail.toSeq
       else Seq("q_graph_lp")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    var b = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // ad-hoc conf A/B: SPARK_GRAFT_CONF="k=v,k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
+      .foreach { kv => val Array(k, v) = kv.split("=", 2); b = b.config(k, v) })
+    val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_FINALPLAN=1: print the executed (AQE-final) plan of
+    // the profiled run — the initial explain hides runtime rewrites
+    val finalPlan = sys.env.get("SPARK_GRAFT_FINALPLAN").exists(_ == "1")
+    if (finalPlan) spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            d: Long): Unit =
+          println(s"---- final plan ($f) ----\n" + qe.executedPlan.toString)
+        override def onFailure(f: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            e: Exception): Unit = ()
+      })
 
     case class St(name: String, ms: Long, tasks: Int, shufRead: Long,
       shufWrite: Long, input: Long, runMs: Long, cpuMs: Long, gcMs: Long)
@@ -61,8 +77,9 @@ object StageProfile {
       System.gc()
       val t0 = System.nanoTime()
       try {
-        SparkEntry.queries(n)(spark, sfDir)
-          .write.format("noop").mode("overwrite").save()
+        val df = SparkEntry.queries(n)(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        if (finalPlan) println(df.queryExecution.executedPlan.toString)
       } catch { case e: Throwable =>
         println(s"[profile] $n failed: ${e.getMessage}") }
       val wall = (System.nanoTime() - t0) / 1e9

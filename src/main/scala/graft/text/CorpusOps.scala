@@ -1174,10 +1174,14 @@ object CorpusOps {
     * tiny by definition, but nothing here relies on broadcasting it. */
   def contamination(docs: DataFrame, p: ContaminationParams = ContaminationParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val labeled = docs.select(
-      col(idCol).as("doc_id"),
-      TextFunctions.splitLabel(col(idCol), p.cuts).as("split"),
-      Dedup.shingleHashes(col(textCol), p.shingleK).as("sh"))
+    // scale-adaptive widen (round-17, see Dedup.widen): the shingle
+    // md5 pass is ~0.5 s serial off a single-row-group corpus file,
+    // and all three postings consumers block on that one-task fill
+    val labeled = Dedup.widen(docs.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("doc_id"),
+        TextFunctions.splitLabel(col(idCol), p.cuts).as("split"),
+        Dedup.shingleHashes(col(textCol), p.shingleK).as("sh"))
     // persisted (when cachePostings) so the shingle-hash explode is
     // computed ONCE: without this the plan re-scans and re-hashes the
     // corpus on all three consumer branches (rare-hash agg + both
@@ -1816,7 +1820,13 @@ object CorpusOps {
       .groupBy(col("doc_id"), col("g"))
       .agg(count(lit(1)).as("n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: c2 feeds both the c1 rollup and the scoring join —
+    // the join side is planned under a BroadcastExchange, which
+    // exchange reuse does not dedup against the rollup's shuffle, so
+    // the unpersisted form computed the per-bigram aggregate twice
+    // (measured, round-17)
     val c2 = dg.groupBy(col("g")).agg(sum(col("n")).as("c2"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val c1 = c2
       .withColumn("prev", substring_index(col("g"), " ", 1))
       .groupBy(col("prev")).agg(sum(col("c2")).as("c1"))

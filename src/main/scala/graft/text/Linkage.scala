@@ -180,9 +180,20 @@ object Linkage {
       .filter(TextFunctions.intDiv(
         abs(length(col("lt")) - length(col("rt"))).cast("long") * 1000000L,
         maxLen) <= maxNormPpm)
-      // (2) numbered repartition: AQE never coalesces an explicit
-      // user-count exchange, so the banded DP parallelizes
-      .repartition(nPart, col("left_id"), col("right_id"))
+      // (2) numbered repartition + EAGER BARRIER so the banded DP
+      // actually runs at that width (round-17 fix of a silently
+      // regressed defense): Catalyst pushes the DP-bearing filters
+      // below a bare repartition into the broadcast-join CONDITION,
+      // so the Levenshtein ran (several times per candidate) in the
+      // join stage — whose input exchange AQE had coalesced to ONE
+      // partition by its tiny bytes (measured: a 3.4 s single-task
+      // cpu-bound stage; the guide's cheap-bytes/expensive-CPU case).
+      // localCheckpoint materializes the repartitioned candidates
+      // (~KBs..MBs: blocking-bounded pairs + their texts, exactly
+      // what the DP must read anyway), and no predicate can cross an
+      // executed RDD — the DP stays above the exchange at full width.
+      .repartition(nPart)
+      .localCheckpoint()
       // (3) BAG-DISTANCE prune before the DP: the code-point bag
       // distance is an O(len) LOWER BOUND on Levenshtein (one edit
       // moves one count per side), so `bag > bound ⟹ dist > bound`
