@@ -108,7 +108,7 @@ object SparkEntry {
     * function of the corpus snapshot, so the six graph queries probe
     * ONE stored edge list instead of each re-running the shingle →
     * minhash → band → verify pipeline. Build/serve equivalence is
-    * spec'd (GraphSpec) and the unchanged oracles gate it. */
+    * spec'd (SimGraphSpec) and the unchanged oracles gate it. */
   private def simGraphEdges(s: SparkSession, dir: String): DataFrame = {
     val path = System.getProperty("java.io.tmpdir") +
       "/graft_sim_graph_v2/" + dir.replaceAll("[^A-Za-z0-9.]", "_")

@@ -25,6 +25,9 @@ object StageProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // match Bench's codegen-cache sizing so profiles see the same
+      // driver-side overhead the bench pays
+      .config("spark.sql.codegen.cache.maxEntries", "4096")
     // ad-hoc conf A/B: SPARK_GRAFT_CONF="k=v,k=v"
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(",").filter(_.contains("="))
       .foreach { kv => val Array(k, v) = kv.split("=", 2); b = b.config(k, v) })

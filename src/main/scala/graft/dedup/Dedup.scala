@@ -156,10 +156,11 @@ object Dedup {
     // is the exploded band frame (~bands x corpus ids, a fixed small
     // multiple of the signature frame already persisted), released by
     // the caller's clearCache like every other internal persist here.
-    val bands = exploded
+    // eagerCache, not a bare persist (round-18): the three consumers
+    // racing the unfilled cache re-ran the explode+window subtree
+    val bands = eagerCache(exploded
       .withColumn("bucket_n", count(lit(1)).over(w))
-      .withColumn("bucket_min", min(col("doc_id")).over(w))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .withColumn("bucket_min", min(col("doc_id")).over(w)))
     val inCap = bands.filter(col("bucket_n") <= maxBucketSize)
       .select(col("doc_id"), col("band_idx"), col("band_hash"))
     val allPairs = inCap.as("a")
@@ -219,12 +220,48 @@ object Dedup {
     * — the corpus text is never shuffled at scale. Signatures are
     * per-row-pure, so placement cannot change any result.
     *
-    * `widen` must only see SCAN-SHAPED frames (scan + filter +
-    * project): `.rdd` on a plan that AQE wraps (any exchange) would
-    * execute its query stages eagerly just to count partitions. */
+    * `widen` probes partition width via `.rdd`, which EXECUTES query
+    * stages for any AQE-wrapped plan — so it is GATED on the optimized
+    * plan being scan-shaped (leaf / filter / project only; round-17
+    * ADVICE): a derived frame with an exchange or join underneath is
+    * returned untouched instead of being eagerly run at planning time.
+    * A non-numeric shuffle-partitions conf (e.g. "auto" on forks that
+    * support it) also passes the frame through unchanged. */
+  /** Persist + EAGERLY FILL a shared internal frame (round-18): a
+    * lazy persist protects against duplicate subtrees only once the
+    * cache is FILLED — when the consuming plan's branches submit
+    * concurrent stages (AQE submits independent stages in parallel),
+    * each branch's tasks compute the still-missing partitions and the
+    * heavy subtree runs 2-5x anyway (measured: q_dedup_substr's
+    * winnowing-anchor stage twice, q_emb_direction's Gram generator
+    * twice, the jaccard band subtree three times — the BlockManager's
+    * "block already exists; not re-adding" churn). One count() fills
+    * the cache before any consumer is planned; every branch then
+    * reads memory. The fill is work the first consumer pays anyway,
+    * so the query's total cost strictly drops. NOTE this makes the
+    * operator eager at DataFrame-construction time (documented here
+    * once, referenced at call sites); blocks are released by the
+    * standard caller-side `spark.catalog.clearCache()`. */
+  private[graft] def eagerCache(df: DataFrame): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    p
+  }
+
   private[graft] def widen(narrow: DataFrame): DataFrame = {
-    val n = narrow.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    if (narrow.rdd.getNumPartitions < n) narrow.repartition(n) else narrow
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, LeafNode, LogicalPlan, Project => LProject}
+    def scanShaped(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case f: LFilter => scanShaped(f.child)
+      case pr: LProject => scanShaped(pr.child)
+      case _ => false
+    }
+    val n = scala.util.Try(
+      narrow.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    ).getOrElse(0)
+    if (n <= 0 || !scanShaped(narrow.queryExecution.optimizedPlan)) narrow
+    else if (narrow.rdd.getNumPartitions < n) narrow.repartition(n)
+    else narrow
   }
 
   private def sigFrame(docs: DataFrame, p: MinHashParams,
@@ -838,7 +875,9 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, p: MinHashParams = JaccardParams,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val sigs = sigFrame(docs, p, idCol, textCol)
-    val cand = bandCandidates(sigs, p).persist(StorageLevel.MEMORY_AND_DISK)
+    // eagerCache (round-18): candIds' two branches + both verify joins
+    // raced the unfilled candidate cache (see eagerCache)
+    val cand = eagerCache(bandCandidates(sigs, p))
     // materialize the shingle-hash arrays ONLY for docs that appear in
     // some candidate pair — exact-verify cost scales with the candidate
     // set, not the corpus
@@ -1401,7 +1440,11 @@ object Dedup {
   def substrPairs(docs: DataFrame, p: SubstrParams = SubstrParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val toks = TextFunctions.tokens(col(textCol))
-    val anchors = docs
+    // scale-adaptive widen (see [[widen]]): the winnowing-anchor pass
+    // is pure CPU and ran single-task off a one-row-group corpus file
+    // (profiled 450 ms serial at sf0.1); at scan-parallel inputs no
+    // exchange is added
+    val anchors = widen(docs.select(col(idCol), col(textCol)))
       .select(
         col(idCol).as("doc_id"), toks.as("toks"),
         ColumnShims.column(WinnowAnchors(ColumnShims.expression(toks), p.k, p.w)).as("offs"))
@@ -1420,12 +1463,15 @@ object Dedup {
       // one-row-per-shared-anchor
       .groupBy(col("doc_id"), col("h"), col("s"))
       .agg(min(col("off")).as("off"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val rare = anchors.groupBy(col("h"))
+    // eagerCache (round-18): rare + both join sides raced the unfilled
+    // cache — the winnowing-anchor scan ran twice (profiled 45 s + 22 s
+    // of executor run time at sf0.1)
+    val anchorsC = eagerCache(anchors)
+    val rare = anchorsC.groupBy(col("h"))
       .agg(count(lit(1)).as("df"))
       .filter(col("df") <= p.maxDf)
       .select(col("h"))
-    val capped = anchors.join(rare, Seq("h"))
+    val capped = anchorsC.join(rare, Seq("h"))
     val a = capped.select(col("h"), col("s"),
       col("doc_id").as("doc_a"), col("off").as("a_first"))
     val b = capped.select(col("h").as("h_b"), col("s").as("s_b"),

@@ -60,6 +60,17 @@ import org.apache.spark.storage.StorageLevel
   * query's duration and released by the CALLER
   * (`spark.catalog.clearCache()` per query — the Verify/Bench/spec
   * convention shared with the rank/triangle families).
+  *
+  * PRECONDITION (every public entry point taking (nodes, pairs)):
+  * every edge endpoint must appear in `nodes` — the self-loop rewrite
+  * delivers a node's self-vote only for nodes in the node frame, so
+  * an endpoint present in `pairs` but absent from `nodes` would lose
+  * its self-vote from round 2 and be invisible to the prev-based
+  * convergence delta (round-17 ADVICE). Callers here satisfy it by
+  * construction: the node frame is the corpus id set and artifact
+  * edges only name corpus doc_ids. For arbitrary inputs, union the
+  * endpoints into `nodes` first (GraphRank's prev-guard reproduces
+  * the dropped-endpoint semantics exactly; this engine does not).
   */
 object LabelProp {
 
@@ -89,7 +100,8 @@ object LabelProp {
   /** Canonicalized symmetrized edge list (mirrors/self-loops removed).
     * `canonical = true` declares the input ALREADY canonical —
     * (doc_a < doc_b, distinct), the stored similarity-graph artifact's
-    * invariant (spec-pinned in GraphSpec) — and skips the
+    * invariant (spec-pinned in SimGraphSpec's "artifact invariant"
+    * test across build/append/delete) — and skips the
     * least/greatest + distinct pass, which is a full shuffle of the
     * edge list at any scale. Results are identical by construction;
     * the defensive pass remains the default for arbitrary inputs. */

@@ -1368,8 +1368,16 @@ object Similarity {
     * d=64..1024) regardless of corpus size. */
   def embDominantDirection(emb: DataFrame, iters: Int = 3,
       vecCol: String = "embedding"): DataFrame = {
-    val g = gramPartial(emb, vecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // ONE partition for the mirrored Gram (round-18): the frame is
+    // d²-bounded (KBs at any corpus size — dimension, not corpus,
+    // scale), but it inherited 2 x shuffle-width partitions from the
+    // mirror union, so every power-iteration stage launched ~64 tiny
+    // tasks per round (profiled: 4 x 8 s executor-run stages moving
+    // 87 KB). Exact Decimal sums are order-independent, so placement
+    // cannot change any result. eagerCache: the 3 iteration branches
+    // raced the unfilled cache.
+    val g = graft.dedup.Dedup.eagerCache(
+      gramPartial(emb, vecCol).repartition(1))
     powerIterate(g, iters)
   }
 
@@ -1439,7 +1447,7 @@ object Similarity {
     // generator is pure CPU, and a single-row-group input otherwise
     // runs it on one core (measured 1.3 s of q_emb_direction's 3.7 s,
     // twice — two racing consumers of the unfilled Gram cache)
-    val qv = graft.dedup.Dedup.widen(emb.select(col(vecCol)))
+    val qv0 = graft.dedup.Dedup.widen(emb.select(col(vecCol)))
       .select(quantize(col(vecCol)).as("qv"))
       .select(col("qv"), posexplode(col("qv")).as(Seq("i", "qi")))
       .select(col("i"), col("qi"),
@@ -1448,12 +1456,13 @@ object Similarity {
       .select(col("i"), (col("i") + col("pos")).as("j"),
         (col("qi") * col("qj")).cast(dec).as("p"))
       .groupBy(col("i"), col("j")).agg(sum(col("p")).as("gij"))
-      // persisted so the mirror union below reads the AGGREGATED
-      // d²/2-cell frame (KBs at any corpus size) instead of embedding
-      // the corpus-sized generator subtree twice in the plan — the two
-      // union branches were measured re-running the whole Gram build
-      // each (round-17; released by the caller's clearCache)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eagerCache, not a bare persist (round-18): the mirror union's
+    // two branches raced the unfilled cache and re-ran the corpus-
+    // sized d²/2 generator each (profiled: two ~13 s executor-run
+    // stages at sf0.1); one fill, both branches read the AGGREGATED
+    // d²/2-cell frame (KBs at any corpus size). Released by the
+    // caller's clearCache.
+    val qv = graft.dedup.Dedup.eagerCache(qv0)
     qv.unionAll(qv.where(col("j") > col("i"))
       .select(col("j").as("i"), col("i").as("j"), col("gij")))
   }
@@ -1467,10 +1476,14 @@ object Similarity {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
     // recursiveFileLookup: flat build/append files plus per-batch
     // subdirectories committed atomically by the streaming ingest
-    val g = spark.read.option("recursiveFileLookup", "true").parquet(path)
-      .groupBy(col("i"), col("j"))
-      .agg(sum(col("gij")).cast(dec).as("gij"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eagerCache + ONE partition (round-18, see embDominantDirection):
+    // the power iteration references the d²-bounded merged Gram every
+    // round — fill once, as a single partition, before the loop plans
+    val g = graft.dedup.Dedup.eagerCache(
+      spark.read.option("recursiveFileLookup", "true").parquet(path)
+        .groupBy(col("i"), col("j"))
+        .agg(sum(col("gij")).cast(dec).as("gij"))
+        .repartition(1))
     powerIterate(g, iters)
   }
 

@@ -180,7 +180,7 @@ object Linkage {
       .filter(TextFunctions.intDiv(
         abs(length(col("lt")) - length(col("rt"))).cast("long") * 1000000L,
         maxLen) <= maxNormPpm)
-      // (2) numbered repartition + EAGER BARRIER so the banded DP
+      // (2) numbered repartition + CACHE BARRIER so the banded DP
       // actually runs at that width (round-17 fix of a silently
       // regressed defense): Catalyst pushes the DP-bearing filters
       // below a bare repartition into the broadcast-join CONDITION,
@@ -188,12 +188,17 @@ object Linkage {
       // join stage — whose input exchange AQE had coalesced to ONE
       // partition by its tiny bytes (measured: a 3.4 s single-task
       // cpu-bound stage; the guide's cheap-bytes/expensive-CPU case).
-      // localCheckpoint materializes the repartitioned candidates
-      // (~KBs..MBs: blocking-bounded pairs + their texts, exactly
-      // what the DP must read anyway), and no predicate can cross an
-      // executed RDD — the DP stays above the exchange at full width.
+      // persist() makes the repartitioned candidates an
+      // InMemoryRelation (~KBs..MBs: blocking-bounded pairs + their
+      // texts, exactly what the DP must read anyway); no predicate is
+      // pushed below an InMemoryRelation, so the DP stays above the
+      // exchange at full width. Unlike the round-17 localCheckpoint
+      // this is LAZY (no eager pipeline run at DataFrame-construction
+      // time), recoverable (lineage kept), and released by the
+      // standard per-query `spark.catalog.clearCache()` instead of
+      // leaking blocks until ContextCleaner GC (round-17 ADVICE).
       .repartition(nPart)
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // (3) BAG-DISTANCE prune before the DP: the code-point bag
       // distance is an O(len) LOWER BOUND on Levenshtein (one edit
       // moves one count per side), so `bag > bound ⟹ dist > bound`

@@ -92,6 +92,45 @@ class SimGraphSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === exp)
   }
 
+  /** The stored-artifact invariant the `canonical = true` consumers
+    * trust (Triangles / LabelProp.canonEdges / modularityOf skip their
+    * defensive least/greatest+distinct shuffle for artifact edges):
+    * every stored edge is oriented doc_a < doc_b and the (doc_a,
+    * doc_b) key set is globally distinct. Asserted across the three
+    * writer paths — build, cap-crossing append (the DirSwap rewrite),
+    * and delete — so a future writer regression surfaces here instead
+    * of silently double-counting triangles/votes (round-17 ADVICE). */
+  private def assertCanonical(df: org.apache.spark.sql.DataFrame,
+      where: String): Unit = {
+    val bad = df.filter(col("doc_a") >= col("doc_b")).count()
+    assert(bad === 0L, s"$where: $bad edges violate doc_a < doc_b")
+    val n = df.count()
+    val nd = df.select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(n === nd, s"$where: ${n - nd} duplicate (doc_a, doc_b) pairs")
+  }
+
+  test("artifact invariant: doc_a<doc_b, globally distinct — build, crossing append, delete") {
+    val p = Dedup.MinHashParams(maxBucketSize = 6)
+    import spark.implicits._
+    val rows = (0 until 40).map { i =>
+      (i.toLong, s"template ${i % 5} body the quick brown fox jumps over " +
+        s"the lazy dog variant ${i / 5} tail token stream for shingles")
+    } ++ (40 until 52).map { i =>
+      (i.toLong, s"template ${i % 4} body the quick brown fox jumps over " +
+        s"the lazy dog variant ${100 + i / 4} tail token stream for shingles")
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val inc = tmp("simgraph_invariant")
+    Dedup.writeSimilarityGraph(docs.filter(col("doc_id") < 40), inc, p)
+    assertCanonical(Dedup.readSimilarityGraph(spark, inc), "build")
+    Dedup.appendSimilarityGraph(docs.filter(col("doc_id") >= 40), inc, p)
+    assertCanonical(Dedup.readSimilarityGraph(spark, inc), "crossing append")
+    Dedup.deleteFromSimilarityGraph(spark, inc,
+      docs.filter(col("doc_id") % 7 === 0).select(col("doc_id")), p)
+    assertCanonical(Dedup.readSimilarityGraph(spark, inc), "delete")
+    spark.catalog.clearCache()
+  }
+
   test("empty build then append == from-scratch of the batch; empty append is a no-op") {
     import spark.implicits._
     val docs = corpus(0 until 30, 3)
