@@ -30,5 +30,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Generated-code cache sized to the suite (spark.* system properties
+  // load into every SparkConf, so this covers the per-suite test
+  // sessions too): at the 100-entry default each suite's hundreds of
+  // codegen units thrash the cache and every action re-runs Janino
+  // compilation on the driver thread — measured 384 s for
+  // QuantilesSpec's 7 tiny tests, with per-job wall at ~30 ms and the
+  // rest of the time between jobs.
+  "-Dspark.sql.codegen.cache.maxEntries=4096",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

@@ -923,9 +923,10 @@ object Dedup {
   def minhashPairsAgainst(newDocs: DataFrame, oldDocs: DataFrame,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val oldSigs = oldDocs
-      .select(col(idCol).as("old_id"), minhashSignature(col(textCol), p).as("osig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eagerCache (round-18): the band explode and the verify join both
+    // consume the old signatures — lazy, they raced the unfilled cache
+    val oldSigs = eagerCache(oldDocs
+      .select(col(idCol).as("old_id"), minhashSignature(col(textCol), p).as("osig")))
     pairsAgainstSigs(newDocs, oldSigs, p, idCol, textCol)
   }
 
@@ -1072,9 +1073,8 @@ object Dedup {
   def minhashPairsAgainstIndex(newDocs: DataFrame, path: String,
       p: MinHashParams = MinHashParams(),
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val newSigs = newDocs
-      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newSigs = eagerCache(newDocs
+      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig")))
     indexProbePlan(newSigs, path, p)
   }
 
@@ -1128,9 +1128,8 @@ object Dedup {
   private def pairsAgainstSigs(newDocs: DataFrame, oldSigs: DataFrame,
       p: MinHashParams,
       idCol: String, textCol: String): DataFrame = {
-    val newSigs = newDocs
-      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val newSigs = eagerCache(newDocs
+      .select(col(idCol).as("new_id"), minhashSignature(col(textCol), p).as("nsig")))
     val nb = newSigs.select(col("new_id"),
       posexplode(bandHashes(col("nsig"), p)).as(Seq("band_idx", "band_hash")))
     val w = Window.partitionBy(col("band_idx"), col("band_hash"))
@@ -1298,15 +1297,21 @@ object Dedup {
     require(zeroNibbles >= 1 && zeroNibbles <= 8, s"zeroNibbles=$zeroNibbles")
     require(window >= 1 && window <= 64, s"window=$window")
     val locBase = 1L << 20
-    val h = docs.select(col(idCol).as("doc_id"),
+    // Round-18: carry only `bin` (the hex string doubled the frame's
+    // corpus bytes; each chunk's hex is computed from its byte slice
+    // at hash time — hex(substring(bin, s, len)) is exactly the
+    // nibble slice hx[(s-1)*2+1, 2*len] the previous form hashed) and
+    // eagerCache it: its three consumers (cuts, tails, the chunk-hash
+    // join) raced the unfilled cache and re-ran the corpus scan each.
+    val h = eagerCache(docs.select(col(idCol).as("doc_id"),
         encode(coalesce(col(textCol), lit("")), "UTF-8").as("bin"))
-      .withColumn("hx", hex(col("bin")))
-      .withColumn("nb", (length(col("hx")) / 2).cast("long"))
-      .filter(col("nb") > 0)
+      .withColumn("nb", length(col("bin")).cast("long"))
+      .filter(col("nb") > 0))
     val shims = org.apache.spark.sql.graft.ColumnShims
-    val cuts = h.select(col("doc_id"),
+    // eagerCache: ranges and cutAgg both consume the cut rows
+    val cuts = eagerCache(h.select(col("doc_id"),
       explode(shims.column(graft.functions.CdcCuts(
-        shims.expression(col("bin")), zeroNibbles, window))).as("i"))
+        shims.expression(col("bin")), zeroNibbles, window))).as("i")))
     val w = Window.partitionBy("doc_id").orderBy("i")
     val ranges = cuts.select(col("doc_id"),
       (coalesce(lag(col("i"), 1).over(w), lit(0L)) + 1).as("s"),
@@ -1322,11 +1327,10 @@ object Dedup {
         col("nb").as("e"),
         coalesce(col("ncuts"), lit(0L)).as("chunk_idx"))
     val ch = ranges.unionByName(tails)
-      .join(h.select(col("doc_id"), col("hx")), Seq("doc_id"))
+      .join(h.select(col("doc_id"), col("bin")), Seq("doc_id"))
       .select(col("doc_id"), col("chunk_idx"),
-        md5(col("hx")
-          .substr(((col("s") - 1) * 2 + 1).cast("int"),
-            ((col("e") - col("s") + 1) * 2).cast("int"))
+        md5(hex(col("bin")
+            .substr(col("s").cast("int"), (col("e") - col("s") + 1).cast("int")))
           .cast("binary")).as("chunk_hash"))
     val docGuard = when(col("doc_id") < 0 || col("doc_id") >= (1L << 43),
       raise_error(concat(lit("cdc_dupes_bytes: doc_id outside packed range [0, 2^43): "),
@@ -1377,12 +1381,18 @@ object Dedup {
     val toks = TextFunctions.tokens(col(textCol))
     val nChunks = TextFunctions.intDiv(
       size(toks).cast("long") + (chunkTokens - 1), lit(chunkTokens.toLong))
-    val chunks = docs.select(
+    // eagerCache (round-18): the df aggregate and the rewrite join both
+    // consume the chunk explode — unpersisted it ran twice (full corpus
+    // scan + re-chunk each). The cache is corpus-sized (it carries the
+    // chunk text the rewrite must re-emit anyway); MEMORY_AND_DISK
+    // spills, and at 100 TB a rewrite pipeline materializes this
+    // intermediate regardless — the alternative is two corpus passes.
+    val chunks = eagerCache(docs.select(
         col(idCol).as("doc_id"),
         posexplode(transform(sequence(lit(0L), nChunks - 1), i =>
           concat_ws(" ", slice(toks, (i * chunkTokens + 1).cast("int"), lit(chunkTokens)))))
           .as(Seq("chunk_idx", "chunk")))
-      .withColumn("chunk_hash", md5(col("chunk").cast("binary")))
+      .withColumn("chunk_hash", md5(col("chunk").cast("binary"))))
     val boiler = chunks
       .groupBy(col("chunk_hash"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))

@@ -421,12 +421,13 @@ object Similarity {
   def cosinePairs(emb: DataFrame, p: CosineParams = CosineParams(),
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val dec = DecimalType(38, 0)
-    val base = emb
+    // eagerCache (round-18, see Dedup.eagerCache): the band explode
+    // and both verify joins raced the unfilled cache
+    val base = Dedup.eagerCache(emb
       .select(col(idCol).as("doc_id"), quantize(col(vecCol)).as("qv"))
       .select(col("doc_id"), col("qv"),
         hyperplaneBandKeys(col("qv"), p.planes, p.bandBits).as("keys"),
-        dotQ(col("qv"), col("qv")).as("n2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        dotQ(col("qv"), col("qv")).as("n2")))
     val bands = base.select(col("doc_id"),
       posexplode(col("keys")).as(Seq("band_idx", "band_hash")))
     val cand = Dedup.cappedBucketPairs(bands, p.maxBucketSize)
@@ -482,9 +483,9 @@ object Similarity {
     // see Dedup.widen): a single-row-group embedding file otherwise
     // funnels the quantize + every racing fan-out branch through one
     // task
-    val q = Dedup.widen(emb.select(col(idCol).as("vec_id"), col(vecCol)))
-      .select(col("vec_id"), quantize(col(vecCol)).as("qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = Dedup.eagerCache(
+      Dedup.widen(emb.select(col(idCol).as("vec_id"), col(vecCol)))
+        .select(col("vec_id"), quantize(col(vecCol)).as("qv")))
     val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     val cents = q.select(col("vec_id"), col("qv"), hv.as("hv"))
@@ -675,8 +676,8 @@ object Similarity {
   def ivfSeededTopK(emb: DataFrame, probePred: Column, k: Int,
       nlist: Int = 16, nprobe: Int = 4,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = graft.dedup.Dedup.eagerCache(
+      emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")))
     val hv = conv(substring(md5(col("vec_id").cast("string").cast("binary")), 1, 8), 16, 10)
       .cast("long")
     // nlist rows: the single-partition window is over the limit result
@@ -735,8 +736,8 @@ object Similarity {
   def pqTopK(emb: DataFrame, probePred: Column, k: Int,
       m: Int = 16, ncent: Int = 16, reRank: Int = 40,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = graft.dedup.Dedup.eagerCache(
+      emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")))
     val (seeds, codes) = pqArtifacts(q, m, ncent)
     val probes = q.filter(probePred).select(col("vec_id").as("probe_id"), col("qv").as("pv"))
     pqProbe(q, seeds, codes, probes, k, m, reRank)
@@ -905,8 +906,8 @@ object Similarity {
       nlist: Int = 16, nprobe: Int = 4, m: Int = 16, ncent: Int = 16,
       reRank: Int = 40,
       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val q = graft.dedup.Dedup.eagerCache(
+      emb.select(col(idCol).as("vec_id"), quantize(col(vecCol)).as("qv")))
     val (cents, seeds, codes) = ivfPqArtifacts(q, nlist, m, ncent)
     val probes = q.filter(probePred)
       .select(col("vec_id").as("probe_id"), col("qv").as("pv"))
@@ -927,9 +928,8 @@ object Similarity {
       .withColumn("list_id",
         row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
       .select(col("list_id"), col("qv").as("cq"))
-    val resid = ivfAssignResiduals(q, cents)
-      .withColumn("hv", hv)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val resid = graft.dedup.Dedup.eagerCache(ivfAssignResiduals(q, cents)
+      .withColumn("hv", hv))
     // residual codebook: the ncent seed vectors' OWN residuals
     val seeds = resid.orderBy(col("hv"), col("vec_id")).limit(ncent)
       .withColumn("j", row_number().over(Window.orderBy(col("hv"), col("vec_id"))).cast("long"))
@@ -1143,11 +1143,10 @@ object Similarity {
       bands: Int = DefaultBands, bucketShift: Int = DefaultBucketShift,
       idCol: String = "vec_id", vecCol: String = "embedding",
       spatialProbe: Boolean = false): DataFrame = {
-    val base = emb.select(
+    val base = graft.dedup.Dedup.eagerCache(emb.select(
       col(idCol).as("vec_id"),
       quantize(col(vecCol)).as("qv"),
-      bandKeys(col(vecCol), bands).as("keys"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      bandKeys(col(vecCol), bands).as("keys")))
     val buckets = base.select(col("vec_id"),
       posexplode(transform(col("keys"), key => shiftright(key, bucketShift)))
         .as(Seq("band_idx", "bucket")))

@@ -58,10 +58,11 @@ object CorpusOps {
     * ≤ sources²/2 rows. */
   def sourceOverlap(docs: DataFrame, shingleK: Int = 8,
       srcCol: String = "source", textCol: String = "text"): DataFrame = {
-    val sh = docs.select(col(srcCol).as("src"),
+    // eagerCache (round-18, see Dedup.eagerCache): sizes + both join
+    // sides raced the unfilled cache, re-running the shingle explode
+    val sh = Dedup.eagerCache(docs.select(col(srcCol).as("src"),
         explode(Dedup.shingleHashes(col(textCol), shingleK)).as("h"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .distinct())
     val sizes = sh.groupBy(col("src")).agg(count(lit(1)).as("n"))
     sh.select(col("src").as("source_a"), col("h"))
       .join(sh.select(col("src").as("source_b"), col("h")), "h")
@@ -97,10 +98,10 @@ object CorpusOps {
   def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50,
       textCol: String = "text"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    val uni = docs
+    // eagerCache (round-18): tot + both unigram joins raced the fill
+    val uni = graft.dedup.Dedup.eagerCache(docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .groupBy(col("t")).agg(count(lit(1)).as("cu")))
     val tot = uni.agg(sum(col("cu")).cast(dec).as("total"))
     docs.select(explode(TextFunctions.bigrams(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
@@ -983,12 +984,19 @@ object CorpusOps {
     * weight table (a bounded driver artifact, broadcast), and score
     * the held-out split of `docs`. `tok`/`dc` are merged partial
     * frames in the [[nbPartials]] shape. */
-  private def nbScoreWith(docs: DataFrame, tok: DataFrame, dc: DataFrame,
+  private def nbScoreWith(docs: DataFrame, tok0: DataFrame, dc0: DataFrame,
       vocabSize: Int, idCol: String, sourceCol: String,
       textCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     require(vocabSize >= 1, s"vocabSize=$vocabSize")
+    // eagerCache (round-18): tok feeds the vocabulary aggregate AND the
+    // class-count join, dc feeds the label seeding AND the class-doc
+    // totals — unpersisted, each consumer re-ran the train-split
+    // explode+countDistinct corpus pass (4 corpus passes per call; now
+    // one fill each + the held-out scoring pass)
+    val tok = graft.dedup.Dedup.eagerCache(tok0)
+    val dc = graft.dedup.Dedup.eagerCache(dc0)
     val wsrc = Window.orderBy(col("mh"), col("src"))
     val srcLab = dc.select(col("src")).distinct()
       .withColumn("mh", md5(col("src").cast("binary")))
@@ -1191,7 +1199,7 @@ object CorpusOps {
     val posts0 = labeled
       .select(col("doc_id"), col("split"),
         size(col("sh")).cast("long").as("n_sh"), explode(col("sh")).as("h"))
-    val posts = if (p.cachePostings) posts0.persist(StorageLevel.MEMORY_AND_DISK) else posts0
+    val posts = if (p.cachePostings) Dedup.eagerCache(posts0) else posts0
     val rareHashes = posts.groupBy(col("h"))
       .agg(count(lit(1)).as("hash_df"))
       .filter(col("hash_df") <= p.maxDf)
@@ -1593,8 +1601,9 @@ object CorpusOps {
   def cmsTokenCounts(docs: DataFrame, depth: Int = 4, width: Int = 1024,
       topN: Int = 30, textCol: String = "text"): DataFrame = {
     require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
-    val counts = tokenCounts(docs, textCol)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // eagerCache (round-18): the sketch build and the estimate join
+    // raced the unfilled count cache
+    val counts = graft.dedup.Dedup.eagerCache(tokenCounts(docs, textCol))
     cmsEstimateWith(counts, cmsOfCounts(counts, depth, width), depth, width, topN)
   }
 
@@ -1770,12 +1779,13 @@ object CorpusOps {
     * partition heaps). */
   def domainTerms(docs: DataFrame, k: Int, minTf: Long = 5L,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
-    val st = docs
+    // eagerCache (round-18): gt, srcTotals and the scored join raced
+    // the unfilled cache
+    val st = graft.dedup.Dedup.eagerCache(docs
       .select(col(sourceCol).as("source"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("tf")))
     val gt = st.groupBy(col("token")).agg(sum(col("tf")).as("tf_global"))
     val srcTotals = st.groupBy(col("source")).agg(sum(col("tf")).as("src_tokens"))
     val totals = srcTotals.agg(sum(col("src_tokens")).as("total_tokens"))
@@ -1814,19 +1824,18 @@ object CorpusOps {
     * like the sketch family); here they derive in-query. */
   def lmSurprisal(docs: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val dg = docs
+    // eagerCache, not bare persists (round-18, see Dedup.eagerCache):
+    // dg feeds the c2 rollup and the scoring join, c2 feeds the c1
+    // rollup and the same join — with lazy persists the consumer
+    // branches raced the unfilled caches and the explode+aggregate
+    // subtree still ran twice
+    val dg = graft.dedup.Dedup.eagerCache(docs
       .select(col(idCol).as("doc_id"),
         explode(TextFunctions.bigrams(col(textCol))).as("g"))
       .groupBy(col("doc_id"), col("g"))
-      .agg(count(lit(1)).as("n"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // persisted: c2 feeds both the c1 rollup and the scoring join —
-    // the join side is planned under a BroadcastExchange, which
-    // exchange reuse does not dedup against the rollup's shuffle, so
-    // the unpersisted form computed the per-bigram aggregate twice
-    // (measured, round-17)
-    val c2 = dg.groupBy(col("g")).agg(sum(col("n")).as("c2"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .agg(count(lit(1)).as("n")))
+    val c2 = graft.dedup.Dedup.eagerCache(
+      dg.groupBy(col("g")).agg(sum(col("n")).as("c2")))
     val c1 = c2
       .withColumn("prev", substring_index(col("g"), " ", 1))
       .groupBy(col("prev")).agg(sum(col("c2")).as("c1"))

@@ -98,8 +98,11 @@ class QuantilesSpec extends AnyFunSuite with BeforeAndAfterAll {
       Quantiles.gridHistogram(df, "x", "grp", lo, hi, bits)
         .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     val union = hist(a.union(b))
-    val merged = (hist(a).keySet ++ hist(b).keySet).map { k =>
-      k -> (hist(a).getOrElse(k, 0L) + hist(b).getOrElse(k, 0L))
+    // hoisted: hist() is a full Spark collect — calling it inside the
+    // per-key map re-ran ~4,000 collects (6.6 min for this one test)
+    val (ha, hb) = (hist(a), hist(b))
+    val merged = (ha.keySet ++ hb.keySet).map { k =>
+      k -> (ha.getOrElse(k, 0L) + hb.getOrElse(k, 0L))
     }.toMap
     assert(union == merged && union.nonEmpty)
   }
