@@ -98,10 +98,13 @@ object CorpusOps {
   def collocations(docs: DataFrame, minCount: Long = 5L, topK: Int = 50,
       textCol: String = "text"): DataFrame = {
     val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-    // eagerCache (round-18): tot + both unigram joins raced the fill
-    val uni = graft.dedup.Dedup.eagerCache(docs
+    // lazy persist kept (round-18, measured): the eager fill cost more
+    // than the consumers' pruned recomputation (q_text_colloc
+    // 0.48 -> 0.61 s) — see nbScoreWith's note
+    val uni = docs
       .select(explode(TextFunctions.tokens(col(textCol))).as("t"))
-      .groupBy(col("t")).agg(count(lit(1)).as("cu")))
+      .groupBy(col("t")).agg(count(lit(1)).as("cu"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val tot = uni.agg(sum(col("cu")).cast(dec).as("total"))
     docs.select(explode(TextFunctions.bigrams(col(textCol))).as("bigram"))
       .groupBy(col("bigram")).agg(count(lit(1)).as("cab"))
@@ -990,13 +993,18 @@ object CorpusOps {
     val spark = docs.sparkSession
     import spark.implicits._
     require(vocabSize >= 1, s"vocabSize=$vocabSize")
-    // eagerCache (round-18): tok feeds the vocabulary aggregate AND the
-    // class-count join, dc feeds the label seeding AND the class-doc
-    // totals — unpersisted, each consumer re-ran the train-split
-    // explode+countDistinct corpus pass (4 corpus passes per call; now
-    // one fill each + the held-out scoring pass)
-    val tok = graft.dedup.Dedup.eagerCache(tok0)
-    val dc = graft.dedup.Dedup.eagerCache(dc0)
+    // NOT cached (round-18, measured): eager-filling tok/dc looked like
+    // the standard multi-consumer win, but the bench said otherwise —
+    // q_quality_nb 0.93 -> 1.91 s with the fill, consistently across
+    // runs. Each consumer's recomputation is column-PRUNED (the
+    // vocabulary branch never pays the countDistinct df, the class
+    // join prunes to the vocab rows), while the fill materializes the
+    // full Expand+countDistinct frame once at full width plus cache
+    // write/read. Reverted; the lesson is recorded in
+    // OPTIMIZATION_r18.md (eagerCache only where the shared subtree is
+    // unprunable or measured to re-run).
+    val tok = tok0
+    val dc = dc0
     val wsrc = Window.orderBy(col("mh"), col("src"))
     val srcLab = dc.select(col("src")).distinct()
       .withColumn("mh", md5(col("src").cast("binary")))
@@ -1779,13 +1787,15 @@ object CorpusOps {
     * partition heaps). */
   def domainTerms(docs: DataFrame, k: Int, minTf: Long = 5L,
       sourceCol: String = "source", textCol: String = "text"): DataFrame = {
-    // eagerCache (round-18): gt, srcTotals and the scored join raced
-    // the unfilled cache
-    val st = graft.dedup.Dedup.eagerCache(docs
+    // lazy persist kept (round-18, measured): the eager fill cost more
+    // than the consumers' pruned recomputation (q_domain_terms
+    // 0.75 -> 1.01 s) — see nbScoreWith's note
+    val st = docs
       .select(col(sourceCol).as("source"),
         explode(TextFunctions.tokens(col(textCol))).as("token"))
       .groupBy(col("source"), col("token"))
-      .agg(count(lit(1)).as("tf")))
+      .agg(count(lit(1)).as("tf"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val gt = st.groupBy(col("token")).agg(sum(col("tf")).as("tf_global"))
     val srcTotals = st.groupBy(col("source")).agg(sum(col("tf")).as("src_tokens"))
     val totals = srcTotals.agg(sum(col("src_tokens")).as("total_tokens"))
